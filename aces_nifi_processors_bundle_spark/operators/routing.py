@@ -1,0 +1,54 @@
+"""Multi-way routed outputs — the NiFi "relationship" model in Spark.
+
+Each reference processor emits to named ports: success/failure
+(BetterAttributesToJSON.java:142-145), success/success-unmodified/
+original/failure (PartialUpdateMongo.java:65-72), success/failure/
+already-exists (PutMongoWithDuplicateCheck.java:56-61), bin/original/
+failure (DataBinningProcessor.java:85-96).
+
+Spark mapping (SURVEY.md §1.2): one input DataFrame → N filtered
+DataFrames. We compute a single ``_route`` column once and filter per
+relationship, so Catalyst sees one shared subplan; per-row exceptions
+become declarative validation predicates (try-cast-style null checks),
+which is both deterministic and vectorizable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+
+ROUTE_COL = "_route"
+
+
+@dataclass
+class Routed:
+    """Named relationship → DataFrame mapping."""
+
+    frames: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        key = name.replace("_", "-")
+        try:
+            return self.frames[key]
+        except KeyError:
+            raise AttributeError(f"no relationship {key!r}; have {sorted(self.frames)}")
+
+    def __getitem__(self, key: str) -> DataFrame:
+        return self.frames[key]
+
+    def relationships(self) -> list[str]:
+        return sorted(self.frames)
+
+
+def route_by(df: DataFrame, route_expr: Column, relationships: list[str]) -> Routed:
+    """Split ``df`` into one frame per relationship by a route expression.
+
+    The route column is computed once; each output is a filter over the
+    same cached logical subtree (Catalyst reuses the exchange under AQE).
+    """
+    tagged = df.withColumn(ROUTE_COL, route_expr)
+    return Routed(
+        {rel: tagged.filter(tagged[ROUTE_COL] == rel).drop(ROUTE_COL) for rel in relationships}
+    )
