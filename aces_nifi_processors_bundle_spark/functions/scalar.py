@@ -46,7 +46,7 @@ def epoch_millis_to_iso(col: Column) -> Column:
     Requires spark.sql.session.timeZone=UTC (set by session.get_spark)
     so date_format renders GMT-0 like the reference's DATE_TIME_ZONE.
     """
-    millis = col.cast("long")
+    millis = col.try_cast("long")
     return F.date_format(F.timestamp_millis(millis), ISO_MILLIS_FMT)
 
 

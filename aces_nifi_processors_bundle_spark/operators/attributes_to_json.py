@@ -100,13 +100,13 @@ def attributes_to_json(df: DataFrame, cfg: AttributesToJsonConfig) -> Routed:
 
     for a in cfg.int_attrs:
         src = _get(df, a)
-        cast = F.trim(src).cast("int")
+        cast = F.trim(src).try_cast("int")
         out_cols.append(cast.alias(a))
         fail_checks.append(src.isNotNull() & cast.isNull())
 
     for a in cfg.double_attrs:
         src = _get(df, a)
-        cast = F.trim(src).cast("double")
+        cast = F.trim(src).try_cast("double")
         out_cols.append(cast.alias(a))
         fail_checks.append(src.isNotNull() & cast.isNull())
 
@@ -117,7 +117,7 @@ def attributes_to_json(df: DataFrame, cfg: AttributesToJsonConfig) -> Routed:
             out_cols.append(F.struct(iso.alias("$date")).alias(a))
         else:
             out_cols.append(iso.alias(a))
-        fail_checks.append(src.isNotNull() & F.trim(src).cast("long").isNull())
+        fail_checks.append(src.isNotNull() & F.trim(src).try_cast("long").isNull())
 
     for a in cfg.double_array_sum_attrs:
         out_cols.append(array_sum_double(_get(df, a)).alias(a))

@@ -226,9 +226,18 @@ def partial_update(
             changed = changed | ~F.col(f"t.{col_name}").eqNullSafe(new_vals[col_name])
 
     # Insert projection for unmatched source rows (upsert path, :446).
+    # Mongo applies the update operators to the new doc on upsert: $inc
+    # from 0 = the source value, $addToSet on absent = the source array,
+    # $set = the source value — all covered by projecting the source —
+    # and $currentDate stamps the new doc too.
+    currentdate_props = {
+        _split_path(p)[0] for p, op in cfg.operations.items() if op == "$currentDate"
+    }
     insert_vals: dict[str, Column] = {}
     for col_name in target.columns:
-        if col_name in src_types:
+        if col_name in currentdate_props:
+            insert_vals[col_name] = F.lit(cfg.now).cast("timestamp").cast(tgt_types[col_name])
+        elif col_name in src_types:
             insert_vals[col_name] = F.col(f"s.{col_name}").cast(tgt_types[col_name])
         else:
             insert_vals[col_name] = F.lit(None).cast(tgt_types[col_name])

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The decode step itself is STUBBED (the container ships no image/audio
+libs — see ``DecoderUnavailable`` / ``fake_decode_image``); everything
+Spark-side is real and tested: schemas, mapInPandas batch iteration,
+partition sizing, and the UDF signatures a real decoder would drop
+into.
+
+Scale notes: binary payloads dominate row size, so
+- never groupBy/shuffle a frame that still carries the binary column:
+  extract features first, project the binary away, then shuffle;
+- `spark.sql.files.maxPartitionBytes` governs scan parallelism for
+  fat rows; metadata-only transforms select around the blob (parquet
+  column pruning means the blob bytes are never read);
+- mapInPandas streams Arrow batches — peak memory is one batch, not
+  one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+# Typed metadata schema for an opaque media column (golden spec).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_hash", T.StringType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real-decoder slot: image/audio libs absent here."""
+
+
+def real_decode_image(payload: bytes) -> "object":  # pragma: no cover
+    """The production decode hook (PIL/av/librosa would plug in here)."""
+    raise DecoderUnavailable(
+        "media decoding requires image/audio libraries not present in "
+        "this environment; wire PIL.Image.open(io.BytesIO(payload)) or "
+        "equivalent here"
+    )
+
+
+def fake_decode_image(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake decode: md5-seeded feature vector.
+
+    Stands in for decode→resize→embed so the distributed plumbing
+    (batching, schema, partitioning) is testable without codecs."""
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    return [h[i % 16] / 255.0 for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, use_real_decoder: bool = False
+) -> DataFrame:
+    """mapInPandas feature extraction over media rows.
+
+    Arrow-batched: each batch is a pandas DataFrame; per-batch work is
+    vectorizable python. Output drops the payload (shuffle-safe)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        decode = real_decode_image if use_real_decoder else fake_decode_image
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
+                    "payload_hash": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "feat": payloads.map(
+                        lambda b: fake_decode_image(b, dim)
+                        if decode is fake_decode_image
+                        else decode(b)
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled timestamp.
+
+    The sample-point fan-out is pure SQL (sequence + explode) — only
+    the eventual frame decode is a stubbed UDF. This keeps the fan-out
+    Catalyst-visible (predicates on sample_ms prune before decoding)."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("sample_ms"),
+    )
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic media table from documents (test fixture):
+    payload = text bytes, kind cycles image/audio/video."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )

@@ -33,3 +33,172 @@ SELECT name, CAST(count(*) AS BIGINT) AS total
 FROM bins GROUP BY name ORDER BY name
 """
 )
+
+
+oracle("q_attrs_typed")(
+    """
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       CASE WHEN event_id % 7 = 0 THEN '' ELSE event_type END AS etype,
+       (event_id % 3 = 0 OR event_id % 3 = 1) AS flag,
+       CAST(json_extract_string(props, '$.k') AS INT) AS n,
+       CAST(floor(value * 100) AS DOUBLE) AS score100,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS epoch_ms,
+       CAST((user_id % 10) + 0.5 + (user_id % 7) + 0.25 AS DOUBLE) AS dbl_arr,
+       CAST((user_id % 10) + (user_id % 5) + 3 AS BIGINT) AS int_arr
+FROM events
+"""
+)
+
+oracle("q_attrs_failure_routing")(
+    """
+SELECT 'success' AS relationship,
+       CAST((SELECT count(*) FROM events WHERE event_id % 10 <> 0) AS BIGINT) AS n
+UNION ALL
+SELECT 'failure',
+       CAST((SELECT count(*) FROM events WHERE event_id % 10 = 0) AS BIGINT)
+"""
+)
+
+oracle("q_bin_numeric")(
+    """
+WITH bins AS (
+  SELECT 'byValue.L0.' || CAST(CAST(floor(value/1000.0)*1000 AS BIGINT) AS VARCHAR) AS name FROM events
+  UNION ALL
+  SELECT 'byValue.L1.' || CAST(CAST(floor(value/100.0)*100 AS BIGINT) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'byValue.L2.' || CAST(CAST(floor(value/10.0)*10 AS BIGINT) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'byValue.L3.' || CAST(CAST(floor(value/1.0)*1 AS BIGINT) AS VARCHAR) FROM events
+)
+SELECT name, CAST(count(*) AS BIGINT) AS total FROM bins GROUP BY name ORDER BY name
+"""
+)
+
+
+def _geotile_zoom_sql(z: int) -> str:
+    """One UNION branch per zoom of the quadkey oracle — formula mirrors
+    functions/geotile.py term-for-term (same literal order → same IEEE)."""
+    n = 2**z
+    if z == 0:
+        return "SELECT 'byTile.0.' AS name FROM geo"
+    digits = " || ".join(
+        f"CAST(((xt >> {z - i}) & 1) + 2 * ((yt >> {z - i}) & 1) AS VARCHAR)"
+        for i in range(1, z + 1)
+    )
+    return f"""
+  SELECT 'byTile.{z}.' || {digits} AS name FROM (
+    SELECT CAST(greatest(0, least(floor((lon + 180.0) / 360.0 * {float(n)}), {n - 1})) AS BIGINT) AS xt,
+           CAST(greatest(0, least(floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * {float(n)}), {n - 1})) AS BIGINT) AS yt
+    FROM (SELECT greatest(-85.05112878, least(lat, 85.05112878)) AS latc, lon FROM geo)
+  )"""
+
+
+oracle("q_bin_geotile")(
+    "WITH geo AS (SELECT (value % 85.0) - 42.5 AS lat, "
+    "CAST((user_id * 77) % 360 AS DOUBLE) - 180.0 AS lon FROM events),\n"
+    "bins AS (\n"
+    + "\n  UNION ALL\n".join(_geotile_zoom_sql(z) for z in range(0, 7))
+    + "\n)\nSELECT name, CAST(count(*) AS BIGINT) AS total FROM bins "
+    "GROUP BY name ORDER BY name"
+)
+
+oracle("q_bin_multiple_mode")(
+    """
+SELECT event_id,
+       'byDay.DAY.' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+       || ';byType.' || event_type
+       || ';dayType.byDay.DAY.' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+       || '|byType.' || event_type AS bins
+FROM events
+"""
+)
+
+oracle("q_security_marking")(
+    """
+SELECT o_orderkey,
+  CASE o_orderkey % 5
+    WHEN 0 THEN 'SECRET//ALPHA//NOFORN'
+    WHEN 1 THEN 'TS//BRAVO//XYZ'
+    WHEN 2 THEN 'UNCLASS'
+    WHEN 3 THEN 'C//ALPHA//BRAVO//ABC//RELTO' END AS marking,
+  CASE o_orderkey % 5
+    WHEN 0 THEN 'SECRET' WHEN 1 THEN 'TOPSECRET'
+    WHEN 2 THEN 'UNCLASSIFIED' WHEN 3 THEN 'CONFIDENTIAL' END AS level,
+  CASE o_orderkey % 5
+    WHEN 0 THEN 'ALPHA' WHEN 1 THEN 'BRAVO'
+    WHEN 2 THEN '' WHEN 3 THEN 'ALPHA,BRAVO' END AS compartments,
+  CASE o_orderkey % 5
+    WHEN 0 THEN '' WHEN 1 THEN 'XYZ'
+    WHEN 2 THEN '' WHEN 3 THEN 'ABC' END AS releasabilities,
+  CASE o_orderkey % 5
+    WHEN 0 THEN 'NOFORN' WHEN 1 THEN 'RELTO'
+    WHEN 2 THEN '' WHEN 3 THEN 'RELTO' END AS dissem
+FROM orders WHERE o_orderkey % 5 <> 4
+"""
+)
+
+oracle("q_partial_update")(
+    """
+WITH tgt AS (
+  SELECT c_custkey, c_acctbal, CAST(c_custkey % 10 AS INT) AS visits,
+         [c_mktsegment] AS tags, CAST(NULL AS TIMESTAMP) AS lastUpdated
+  FROM customer
+),
+src AS (
+  SELECT c_custkey, c_acctbal * 2 AS acct_new, 5 AS visits_inc,
+         't' || CAST(c_custkey % 2 AS VARCHAR) AS tag
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, 999.25, 7, 'tnew'
+  FROM customer WHERE c_custkey % 7 = 0
+),
+matched AS (
+  SELECT t.c_custkey,
+         COALESCE(s.acct_new, t.c_acctbal) AS c_acctbal,
+         CAST(t.visits + CASE WHEN s.c_custkey IS NOT NULL THEN s.visits_inc ELSE 0 END AS INT) AS visits,
+         CASE WHEN s.c_custkey IS NOT NULL AND NOT list_contains(t.tags, s.tag)
+              THEN list_append(t.tags, s.tag) ELSE t.tags END AS tags,
+         CASE WHEN s.c_custkey IS NOT NULL THEN TIMESTAMP '2026-01-01 00:00:00' END AS lastUpdated
+  FROM tgt t LEFT JOIN src s USING (c_custkey)
+),
+ins AS (
+  SELECT s.c_custkey, s.acct_new AS c_acctbal, CAST(s.visits_inc AS INT) AS visits,
+         [s.tag] AS tags, TIMESTAMP '2026-01-01 00:00:00' AS lastUpdated
+  FROM src s LEFT JOIN tgt t USING (c_custkey) WHERE t.c_custkey IS NULL
+)
+SELECT c_custkey, c_acctbal, visits,
+       array_to_string(list_sort(tags), ',') AS tags,
+       strftime(lastUpdated, '%Y-%m-%d %H:%M:%S') AS lastUpdated
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM ins)
+"""
+)
+
+oracle("q_partial_update_routing")(
+    """
+SELECT 'success' AS relationship,
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey % 3 = 0
+               AND NOT (c_custkey % 6 = 0 OR c_acctbal * 2 = c_acctbal)) AS BIGINT) AS n
+UNION ALL
+SELECT 'success-unmodified',
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey % 3 = 0
+               AND (c_custkey % 6 = 0 OR c_acctbal * 2 = c_acctbal)) AS BIGINT)
+"""
+)
+
+oracle("q_put_if_absent")(
+    """
+SELECT 'success' AS relationship,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0) AS BIGINT) AS n
+UNION ALL
+SELECT 'already-exists',
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          + (SELECT count(*) FROM orders
+             WHERE o_orderkey % 5 = 0 AND (o_orderkey + 10000000) % 15 = 0) AS BIGINT)
+UNION ALL
+SELECT 'post-state',
+       CAST((SELECT count(*) FROM orders)
+          + (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0) AS BIGINT)
+"""
+)

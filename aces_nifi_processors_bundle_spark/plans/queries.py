@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.attributes_to_json import AttributesToJsonConfig, attributes_to_json
 from ..operators.binning import (
     DateBinner,
     GeoTileBinner,
@@ -23,6 +24,9 @@ from ..operators.binning import (
     bin_count,
     bin_records,
 )
+from ..operators.partial_update import PartialUpdateConfig, partial_update
+from ..operators.put_if_absent import put_if_absent
+from ..operators.security_marking import SecurityMarkingConfig, convert_security_marking
 from ..sources.registry import load_table
 
 
@@ -43,3 +47,386 @@ def q_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     return bin_count(events, FLAGSHIP_BINNERS).orderBy("name")
+
+
+# --- O1: typed attribute projection (BetterAttributesToJSON) -----------
+
+def _attr_bag(events: DataFrame) -> DataFrame:
+    """Deterministic attribute bag derived from events (FIXTURES.md F1).
+
+    All-string columns, like a FlowFile's Map<String,String>: values
+    chosen to exercise every type list (integral strings only — Java
+    parseInt and both engines agree there; decimals would diverge:
+    DuckDB TRY_CAST rounds, Spark try_cast nulls, Java throws).
+    """
+    eid = F.col("event_id")
+    return events.select(
+        eid.cast("string").alias("event_id"),
+        F.when(eid % 7 == 0, F.lit(None)).otherwise(F.col("event_type")).alias("etype"),
+        F.when(eid % 3 == 0, F.lit("true"))
+        .when(eid % 3 == 1, F.lit("TRUE"))
+        .otherwise(F.lit("no"))
+        .alias("flag"),
+        F.get_json_object("props", "$.k").alias("n"),
+        F.floor(F.col("value") * 100).cast("string").alias("score100"),
+        F.unix_millis(F.col("ts")).cast("string").alias("epoch_ms"),
+        F.concat(
+            F.lit("["), (F.col("user_id") % 10).cast("string"), F.lit(".5,"),
+            (F.col("user_id") % 7).cast("string"), F.lit(".25]"),
+        ).alias("dbl_arr"),
+        F.concat(
+            F.lit("["), (F.col("user_id") % 10).cast("string"), F.lit(","),
+            (F.col("user_id") % 5).cast("string"), F.lit(",3]"),
+        ).alias("int_arr"),
+    )
+
+
+ATTRS_CFG = AttributesToJsonConfig(
+    string_attrs=["event_id", "etype"],
+    bool_attrs=["flag"],
+    int_attrs=["n"],
+    double_attrs=["score100"],
+    epoch_date_attrs=["epoch_ms"],
+    double_array_sum_attrs=["dbl_arr"],
+    int_array_sum_attrs=["int_arr"],
+)
+
+
+def q_attrs_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 complete: string/bool/int/double defaults, epoch→ISO string,
+    double- and int-array sums. All rows parse → success frame only."""
+    events = load_table(spark, sf_dir, "events")
+    return attributes_to_json(_attr_bag(events), ATTRS_CFG).success
+
+
+def q_attrs_failure_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 failure relationship: unparseable int attrs route to failure
+    (NumberFormatException analog, BetterAttributesToJSON.java:368-371)."""
+    events = load_table(spark, sf_dir, "events")
+    bag = events.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.when(F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("event_id")))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("n"),
+    )
+    routed = attributes_to_json(
+        bag, AttributesToJsonConfig(string_attrs=["event_id"], int_attrs=["n"])
+    )
+    ok = routed.success.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("success").alias("relationship"), "n"
+    )
+    bad = routed.failure.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("failure").alias("relationship"), "n"
+    )
+    return ok.unionByName(bad)
+
+
+# --- O3: numeric / geotile / multiple-mode binning ---------------------
+
+def q_bin_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumericBinner: hierarchical decimal bins, maxLevel=3."""
+    events = load_table(spark, sf_dir, "events")
+    return bin_count(
+        events, [NumericBinner(bin_name="byValue", data_field="value", max_level=3)]
+    ).orderBy("name")
+
+
+GEO_MAX_LEVEL = 6
+
+
+def _with_geo(events: DataFrame) -> DataFrame:
+    """Deterministic lat/lon derivation (FIXTURES.md F3)."""
+    return events.withColumn(
+        "lat", (F.col("value") % 85.0) - 42.5
+    ).withColumn("lon", ((F.col("user_id") * 77) % 360).cast("double") - 180.0)
+
+
+def q_bin_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTileBinner: Web-Mercator quadkeys, zoom 0..6."""
+    events = _with_geo(load_table(spark, sf_dir, "events"))
+    return bin_count(
+        events,
+        [GeoTileBinner(bin_name="byTile", lat_field="lat", lon_field="lon",
+                       max_level=GEO_MAX_LEVEL)],
+    ).orderBy("name")
+
+
+def q_bin_multiple_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "mulitple" (sic) output mode: one record carrying all bins."""
+    events = load_table(spark, sf_dir, "events")
+    recs = bin_records(events, FLAGSHIP_BINNERS, output_mode="mulitple",
+                       keep=["event_id"])
+    return recs.select(
+        "event_id", F.array_join("bins", ";").alias("bins")
+    )
+
+
+# --- O2: security marking parse ---------------------------------------
+
+MARKING_CFG = SecurityMarkingConfig(
+    levels_to_convert_to=["UNCLASSIFIED", "CONFIDENTIAL", "SECRET", "TOPSECRET"],
+    levels_can_receive=["UNCLASS", "CONF", "SECRET", "TS"],
+    level_abbrevs_can_receive=["U", "C", "S", "T"],
+    compartments=["ALPHA", "BRAVO"],
+    dissemination_controls=["NOFORN", "RELTO"],
+    releasabilities=["ABC", "XYZ"],
+    delimiter="//",
+)
+
+_MARKING_CASES = [
+    "SECRET//ALPHA//NOFORN",
+    "TS//BRAVO//XYZ",
+    "UNCLASS",
+    "C//ALPHA//BRAVO//ABC//RELTO",
+    "",  # blank → failure route (IllegalStateException, :414-416)
+]
+
+
+def _with_marking(orders: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey") % 5
+    expr = F.lit(_MARKING_CASES[0])
+    for i in range(1, 5):
+        expr = F.when(k == i, F.lit(_MARKING_CASES[i])).otherwise(expr)
+    return orders.select("o_orderkey", expr.alias("marking"))
+
+
+def q_security_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: marking → classification struct; blank markings excluded
+    (failure route). Arrays rendered as sorted csv for oracle parity."""
+    orders = load_table(spark, sf_dir, "orders")
+    routed = convert_security_marking(_with_marking(orders), "marking", MARKING_CFG)
+    c = F.col("classification")
+    return routed.success.select(
+        "o_orderkey",
+        "marking",
+        F.array_join(c.getField("levels"), ",").alias("level"),
+        F.array_join(F.array_sort(c.getField("compartments")), ",").alias("compartments"),
+        F.array_join(F.array_sort(c.getField("releasabilities")), ",").alias("releasabilities"),
+        F.array_join(F.array_sort(c.getField("disseminationControls")), ",").alias("dissem"),
+    )
+
+
+# --- O4: partial update merge -----------------------------------------
+
+PU_NOW = "2026-01-01 00:00:00"
+
+
+def _pu_target(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 10).cast("int").alias("visits"),
+        F.array(F.col("c_mktsegment")).alias("tags"),
+        F.lit(None).cast("timestamp").alias("lastUpdated"),
+    )
+
+
+def _pu_source(customer: DataFrame) -> DataFrame:
+    upd = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit(5).alias("visits"),
+        F.concat(F.lit("t"), (F.col("c_custkey") % 2).cast("string")).alias("tags"),
+    )
+    ins = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.lit(999.25).alias("c_acctbal"),
+        F.lit(7).alias("visits"),
+        F.lit("tnew").alias("tags"),
+    )
+    return upd.unionByName(ins)
+
+
+def q_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: $set + $inc + $addToSet + $currentDate with upsert; output is
+    the merged post-state (the Delta-MERGE analog's table scan)."""
+    customer = load_table(spark, sf_dir, "customer")
+    cfg = PartialUpdateConfig(
+        keys=["c_custkey"],
+        operations={
+            "c_acctbal": "$set",
+            "visits": "$inc",
+            "tags": "$addToSet",
+            "lastUpdated": "$currentDate",
+        },
+        upsert=True,
+        now=PU_NOW,
+    )
+    res = partial_update(_pu_target(customer), _pu_source(customer), cfg)
+    return res.post_state.select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("visits").cast("int").alias("visits"),
+        F.array_join(F.array_sort("tags"), ",").alias("tags"),
+        F.date_format("lastUpdated", "yyyy-MM-dd HH:mm:ss").alias("lastUpdated"),
+    )
+
+
+def q_partial_update_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 routing: success vs success-unmodified vs insert counts
+    (modifiedCount analog, PartialUpdateMongo.java:253-275). A no-op
+    update batch ($set to the existing value) lands in unmodified."""
+    customer = load_table(spark, sf_dir, "customer")
+    target = _pu_target(customer)
+    # half the updates set c_acctbal to its CURRENT value → unmodified
+    src = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 6 == 0, F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") * 2)
+        .alias("c_acctbal"),
+    )
+    cfg = PartialUpdateConfig(
+        keys=["c_custkey"], operations={"c_acctbal": "$set"}, upsert=False
+    )
+    res = partial_update(target, src, cfg)
+    mod = res.success.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("success").alias("relationship"), "n"
+    )
+    unmod = res.success_unmodified.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("success-unmodified").alias("relationship"), "n"
+    )
+    return mod.unionByName(unmod)
+
+
+# --- O5: put if absent -------------------------------------------------
+
+def q_put_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: insert-with-duplicate-check routing counts + post-state size.
+
+    Source: existing keys (→ already-exists), new keys (→ success), and
+    in-batch duplicates of some new keys (first wins, second routes to
+    already-exists like the reference's one-at-a-time dup error)."""
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0)
+    fresh = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    dupes = fresh.filter(F.col("o_orderkey") % 15 == 0)
+    source = existing.unionByName(fresh).unionByName(dupes)
+    routed, post = put_if_absent(orders, source, ["o_orderkey"])
+    return (
+        routed.success.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("success").alias("relationship"), "n")
+        .unionByName(
+            routed.frames["already-exists"].agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("already-exists").alias("relationship"), "n")
+        )
+        .unionByName(
+            post.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("post-state").alias("relationship"), "n")
+        )
+    )
+
+
+# --- North-star extensions: text analysis ------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) corpus stats: doc count, char/word/punct sums.
+
+    Pure projections + one partial-agg groupBy; integer sums → exact
+    cross-engine parity without rounding."""
+    from ..pipeline.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    f_ = quality_features(F.col("text"))
+    per_doc = docs.select(
+        "lang", "source",
+        f_["n_chars"].alias("nc"), f_["n_words"].alias("nw"), f_["n_punct"].alias("np"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("nc").alias("sum_chars"),
+        F.sum("nw").alias("sum_words"),
+        F.sum("np").alias("sum_punct"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax) per document."""
+    from ..pipeline.text import predict_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    return predict_language(docs).select("doc_id", "lang", "pred_lang")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (C4/Gopher-style
+    cheap filters). Ratios are deterministic IEEE divisions of exact
+    ints — no rounding needed for oracle parity."""
+    from ..pipeline.text import quality_features, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    f_ = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f_["n_words"].alias("n_words"),
+        f_["avg_word_len"].alias("avg_word_len"),
+        f_["punct_ratio"].alias("punct_ratio"),
+        f_["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("score"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-MD5 over word-3-gram shingles."""
+    from ..pipeline.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --- North-star extensions: dedup ---------------------------------------
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """Documents ∪ planted exact duplicates (doc_id+100000 for %10==0)."""
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    return docs.unionByName(dups)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over a corpus with planted duplicates."""
+    from ..pipeline.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dup_groups(_dup_corpus(docs))
+    return groups.filter(F.col("n_dups") > 1)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → banded LSH → exact-Jaccard near-dup pairs (the full
+    near-dedup pipeline) on the natural near-dups in documents."""
+    from ..pipeline.dedup import near_dup_pairs_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+
+
+# --- North-star extensions: similarity search ---------------------------
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<8."""
+    from ..pipeline.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH
+    buckets. No SQL oracle (1024 hyperplane literals); recall vs brute
+    force is pytest-checked → driver records rows-only."""
+    from ..pipeline.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, dim=64, threshold=0.8)

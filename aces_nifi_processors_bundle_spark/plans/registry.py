@@ -18,6 +18,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     "q_bin_flagship": q.q_bin_flagship,
+    "q_attrs_typed": q.q_attrs_typed,
+    "q_attrs_failure_routing": q.q_attrs_failure_routing,
+    "q_bin_numeric": q.q_bin_numeric,
+    "q_bin_geotile": q.q_bin_geotile,
+    "q_bin_multiple_mode": q.q_bin_multiple_mode,
+    "q_security_marking": q.q_security_marking,
+    "q_partial_update": q.q_partial_update,
+    "q_partial_update_routing": q.q_partial_update_routing,
+    "q_put_if_absent": q.q_put_if_absent,
+    "q_text_stats": q.q_text_stats,
+    "q_lang_id": q.q_lang_id,
+    "q_quality": q.q_quality,
+    "q_fingerprint": q.q_fingerprint,
+    "q_dedup_exact": q.q_dedup_exact,
+    "q_dedup_minhash": q.q_dedup_minhash,
+    "q_sim_topk": q.q_sim_topk,
+    "q_embedding_near_dups": q.q_embedding_near_dups,
 }
 
 

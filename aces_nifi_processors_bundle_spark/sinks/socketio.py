@@ -1,0 +1,124 @@
+"""O6 — SocketIO push sink.
+
+Reference: SocketIOProcessor (sockets/SocketIOProcessor.java:52;
+connection setup :184-248, send :258-298). The NiFi processor holds a
+persistent SocketIO client and, per FlowFile, either emit(event, msg)
+with a per-record event name (EL-resolved, :269) or send(msg)
+(:282-294); SSL via context service (:200-214); 10 s connect timeout
+default (:118-125).
+
+Spark mapping (SURVEY.md §4 custom-work #4): a foreachPartition /
+foreachBatch sink. One client per partition (the analog of the
+processor's per-node persistent connection): connection setup is
+amortized over the partition's rows, and partition count — not row
+count — bounds concurrent connections to the server.
+
+The transport is injected (``client_factory``) so tests run against an
+in-memory collector; production passes a python-socketio factory. The
+payload column is pre-serialized JSON (to_json upstream), matching the
+reference sending the FlowFile body verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CollectingClient:
+    """In-memory stand-in for a SocketIO client (tests/F6)."""
+
+    def __init__(self) -> None:
+        self.sent: list[tuple[str | None, str]] = []
+        self.connected = False
+
+    def connect(self, url: str, timeout_s: float = 10.0) -> None:
+        self.connected = True
+
+    def emit(self, event: str, msg: str) -> None:
+        self.sent.append((event, msg))
+
+    def send(self, msg: str) -> None:
+        self.sent.append((None, msg))
+
+    def disconnect(self) -> None:
+        self.connected = False
+
+
+def socketio_client_factory() -> Any:  # pragma: no cover
+    """Production factory: python-socketio if installed (it is not in
+    this container — import-gated per the environment contract)."""
+    try:
+        import socketio  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "python-socketio not installed; pass a custom client_factory"
+        ) from e
+    return socketio.Client()
+
+
+@dataclass
+class SocketIOSink:
+    """Push a DataFrame's payload column to a SocketIO server.
+
+    mode='emit' uses per-record event names (event_col), mode='send'
+    uses the bare send channel — mirroring the reference's two paths
+    (SocketIOProcessor.java:282-294).
+    """
+
+    url: str
+    payload_col: str = "payload"
+    event_col: str | None = None  # per-record event name (emit mode)
+    static_event: str | None = None
+    mode: str = "emit"  # emit | send
+    connect_timeout_s: float = 10.0
+    client_factory: Callable[[], Any] = socketio_client_factory
+    # Collected messages when using CollectingClient in local tests.
+    _local_collected: list = field(default_factory=list)
+
+    def write_batch(self, df: DataFrame) -> int:
+        """Batch mode: foreachPartition with one client per partition.
+
+        Returns the number of rows pushed (driver-side count of the
+        same frame — the send itself is executor-side)."""
+        cols = [F.col(self.payload_col).alias("payload")]
+        if self.mode == "emit":
+            if self.event_col:
+                cols.append(F.col(self.event_col).alias("event"))
+            else:
+                cols.append(F.lit(self.static_event or "message").alias("event"))
+        out = df.select(*cols)
+        url = self.url
+        mode = self.mode
+        timeout = self.connect_timeout_s
+        factory = self.client_factory
+
+        def push(rows) -> None:
+            client = factory()
+            client.connect(url, timeout)
+            try:
+                for row in rows:
+                    if mode == "emit":
+                        client.emit(row["event"], row["payload"])
+                    else:
+                        client.send(row["payload"])
+            finally:
+                client.disconnect()
+
+        out.foreachPartition(push)
+        return out.count()
+
+    def stream_writer(self, df: DataFrame, checkpoint: str, **options):
+        """Streaming mode: foreachBatch wrapper over write_batch."""
+
+        def handle(batch_df: DataFrame, _epoch: int) -> None:
+            self.write_batch(batch_df)
+
+        return (
+            df.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .options(**options)
+        )

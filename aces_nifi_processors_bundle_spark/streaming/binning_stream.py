@@ -1,0 +1,80 @@
+"""Streaming mode: the same binning transforms under Structured
+Streaming.
+
+The reference's processors are @EventDriven/@SupportsBatching NiFi
+stages with no event-time semantics (SURVEY.md §1.4) — streaming is an
+execution mode, not a semantic change. We therefore reuse the exact
+batch transforms:
+
+- stateless operators (O1/O2/O3 bin fan-out) run unchanged on a
+  readStream DataFrame;
+- the counting stage becomes a windowed aggregation with a watermark
+  (DateBinner at granularity g ≡ a tumbling window of size g — the
+  watermark bounds state for late data, which NiFi simply never
+  handled);
+- external-store operators (O4/O5/O6) wrap their batch form in
+  foreachBatch — the Spark idiom for merge/upsert sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..operators.binning import BinnerConfig, bin_records
+
+_GRAN_TO_WINDOW = {
+    "YEAR": "365 days",
+    "MONTH": "30 days",
+    "DAY": "1 day",
+    "HOUR": "1 hour",
+    "MIN": "1 minute",
+    "SEC": "1 second",
+}
+
+
+def stream_bin_count(
+    stream_df: DataFrame,
+    binners: list[BinnerConfig],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous bin counting with bounded state.
+
+    groupBy(name) alone would keep state per distinct bin forever; the
+    watermark + event-time window lets Spark drop finalized windows.
+    Output: (window, name, total) in update mode.
+    """
+    recs = bin_records(
+        stream_df.withWatermark(ts_col, watermark), binners, keep=[ts_col]
+    )
+    return recs.groupBy(
+        F.window(F.col(ts_col), "1 day").alias("window"), F.col("name")
+    ).agg(F.count(F.lit(1)).alias("total"))
+
+
+def stream_bin_count_global(
+    stream_df: DataFrame, binners: list[BinnerConfig]
+) -> DataFrame:
+    """NiFi-faithful variant: running totals per bin name (no window),
+    for complete-mode sinks — state grows with distinct bins, which is
+    fine for date/literal binners whose name cardinality is bounded."""
+    return (
+        bin_records(stream_df, binners)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    merge_fn,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Wrap a batch merge (partial_update / put_if_absent closure) as a
+    streaming sink: merge_fn(batch_df, epoch_id) runs per micro-batch —
+    exactly the NiFi @SupportsBatching session-commit pattern."""
+    return stream_df.writeStream.foreachBatch(merge_fn).option(
+        "checkpointLocation", checkpoint
+    )
