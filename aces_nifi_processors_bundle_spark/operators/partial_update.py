@@ -128,14 +128,15 @@ def _time_fixup(arr: Column, struct_fields: list[str], cfg: PartialUpdateConfig)
         if cfg.time_substring_heuristic
         else [f for f in cfg.time_fixup_fields if f in struct_fields]
     )
+    def _fixer(fname: str):
+        # one-arg lambda: F.transform derives lambda-variable count from arity
+        return lambda e: e.withField(
+            fname, F.timestamp_millis(e.getField(fname).cast("long"))
+        )
+
     out = arr
     for fname in targets:
-        out = F.transform(
-            out,
-            lambda e, _f=fname: e.withField(
-                _f, F.timestamp_millis(e.getField(_f).cast("long"))
-            ),
-        )
+        out = F.transform(out, _fixer(fname))
     return out
 
 

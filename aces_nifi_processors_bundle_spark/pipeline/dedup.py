@@ -62,10 +62,14 @@ def minhash_signature(text: Column, num_hashes: int, k: int = 3) -> list[Column]
     Lexicographic min over hex strings ≈ min over uniform 128-bit ints;
     collision probability Pr[h_i(A)=h_i(B)] = Jaccard(A,B) as usual."""
     sh = shingles(text, k)
+
+    def _seeded(i: int):
+        # one-arg lambda: a default arg would change the arity F.transform
+        # sees and bind the seed to the element-index column instead
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
     return [
-        F.array_min(
-            F.transform(sh, lambda s, _i=i: F.md5(F.concat(F.lit(f"{_i}|"), s)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(sh, _seeded(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 
@@ -174,18 +178,34 @@ def simhash64(text: Column, k: int = 3) -> Column:
     h = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
     )
-    fp = F.lit(0).cast("bigint")
-    for bit in range(60):  # 15 hex chars = 60 bits
-        votes = F.aggregate(
-            h,
-            F.lit(0).cast("bigint"),
-            lambda acc, x, _b=bit: acc
-            + F.when(F.shiftright(x, _b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        fp = fp + F.when(votes > 0, F.lit(2**bit).cast("bigint")).otherwise(F.lit(0))
-    return fp
+    bits = F.sequence(F.lit(0), F.lit(59))  # 15 hex chars = 60 bits
+    # Single pass over the shingle hashes with a 60-slot vote accumulator
+    # (vs 60 separate aggregates, which blows up the expression tree).
+    votes = F.aggregate(
+        h,
+        F.transform(bits, lambda b: F.lit(0).cast("bigint")),
+        lambda acc, x: F.zip_with(
+            acc,
+            bits,
+            # call_function: the python shiftright/shiftleft wrappers only
+            # take an int shift, but the bit index is a lambda column here
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bits,
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), b)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_near_dups(

@@ -202,3 +202,171 @@ SELECT 'post-state',
           + (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0) AS BIGINT)
 """
 )
+
+
+# --- North-star extension oracles ---------------------------------------
+
+# Word count via length arithmetic (single-space corpus); punct via
+# regexp_extract_all (RE2 and Java agree on [^\w\s]).
+_NW = "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+_NP = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+
+oracle("q_text_stats")(
+    f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_NW} END AS BIGINT) AS nw,
+         CAST({_NP} AS BIGINT) AS np
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(nc) AS BIGINT) AS sum_chars,
+       CAST(sum(nw) AS BIGINT) AS sum_words,
+       CAST(sum(np) AS BIGINT) AS sum_punct
+FROM per_doc GROUP BY lang, source
+"""
+)
+
+
+def _occ(word: str) -> str:
+    return f"len(regexp_extract_all(' ' || text || ' ', '\\s{word}\\s'))"
+
+
+_LANG_SCORES = {
+    "en": " + ".join(_occ(w) for w in ["the", "a", "of"]),
+    "es": " + ".join(_occ(w) for w in ["el", "la", "de"]),
+    "fr": " + ".join(_occ(w) for w in ["le", "la", "et"]),
+    "de": " + ".join(_occ(w) for w in ["der", "die", "und"]),
+}
+
+_LANG_CASE = " ".join(
+    f"WHEN score_{lang} > 0 AND "
+    + " AND ".join(
+        f"score_{lang} >= score_{l2}" for l2 in _LANG_SCORES if l2 != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in _LANG_SCORES
+)
+
+oracle("q_lang_id")(
+    f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {', '.join(f'{expr} AS score_{lang}' for lang, expr in _LANG_SCORES.items())}
+  FROM documents
+)
+SELECT doc_id, lang, CASE {_LANG_CASE} ELSE 'und' END AS pred_lang FROM s
+"""
+)
+
+_NSTOP = " + ".join(_occ(w) for w in ["the", "a", "of", "and", "to", "in"])
+
+oracle("q_quality")(
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_NW} END AS BIGINT) AS nw,
+         CAST({_NP} AS BIGINT) AS np,
+         CAST({_NSTOP} AS BIGINT) AS nstop
+  FROM documents
+)
+SELECT doc_id,
+       nw AS n_words,
+       CASE WHEN nw > 0 THEN (nc - (nw - 1)) / nw ELSE 0.0 END AS avg_word_len,
+       CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio,
+       CASE WHEN nw > 0 THEN nstop / nw ELSE 0.0 END AS stopword_ratio,
+       (CAST(CASE WHEN nw >= 10 AND nw <= 100000 THEN 0.5 ELSE 0.0 END AS DOUBLE)
+        + CAST(CASE WHEN (CASE WHEN nw > 0 THEN nstop / nw ELSE 0.0 END) > 0.01 THEN 0.3 ELSE 0.0 END AS DOUBLE)
+        + CAST(CASE WHEN (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) < 0.2 THEN 0.2 ELSE 0.0 END AS DOUBLE)) AS score
+FROM f
+"""
+)
+
+# Shared shingle CTE (word 3-grams; <3 words → whole trimmed text).
+_SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+)"""
+
+oracle("q_fingerprint")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+SELECT doc_id, min(md5(s)) AS fp FROM shx GROUP BY doc_id
+"""
+)
+
+oracle("q_dedup_exact")(
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+)
+
+_MH = ", ".join(f"min(md5('{i}|' || s)) AS mh{i}" for i in range(8))
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, '{b}' || '#' || mh{2*b} || '#' || mh{2*b+1} AS bk FROM sig"
+    for b in range(4)
+)
+
+oracle("q_dedup_minhash")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, {_MH} FROM shx GROUP BY doc_id),
+bands AS ({_BANDS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+)
+
+oracle("q_sim_topk")(
+    """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+  FROM q, c WHERE qid <> nid
+),
+ranked AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)

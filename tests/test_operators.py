@@ -1,0 +1,232 @@
+"""Unit tests encoding the reference's Java semantics line-by-line
+(SURVEY.md §5): missing-attr defaults, Boolean.parseBoolean, epoch
+rendering, $addToSet dedup + time fixup, dot-path $set, match-many,
+dissemination fallback, and the §2.3 quirks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aces_nifi_processors_bundle_spark.operators.attributes_to_json import (
+    AttributesToJsonConfig,
+    attributes_to_json,
+)
+from aces_nifi_processors_bundle_spark.operators.binning import (
+    DateBinner,
+    LiteralBinner,
+    MergedBinner,
+    NumericBinner,
+    bin_records,
+)
+from aces_nifi_processors_bundle_spark.operators.partial_update import (
+    PartialUpdateConfig,
+    partial_update,
+)
+from aces_nifi_processors_bundle_spark.operators.security_marking import (
+    SecurityMarkingConfig,
+    convert_security_marking,
+)
+
+
+def test_o1_defaults(spark):
+    """Missing attr → '' / false / null (BetterAttributesToJSON.java
+    :216,235,250,265,289); bool is parseBoolean not cast."""
+    df = spark.createDataFrame(
+        [(None, None, None, None, None, "YES", "TrUe")],
+        schema="s string, b string, i string, d string, ts string, b2 string, b3 string",
+    )
+    cfg = AttributesToJsonConfig(
+        string_attrs=["s", "missing_col"],
+        bool_attrs=["b", "b2", "b3"],
+        int_attrs=["i"],
+        double_attrs=["d"],
+        epoch_date_attrs=["ts"],
+    )
+    row = attributes_to_json(df, cfg).success.collect()[0]
+    assert row["s"] == ""
+    assert row["missing_col"] == ""  # absent column ≡ absent attribute
+    assert row["b"] is False
+    assert row["b2"] is False  # 'YES' → false (Java), unlike SQL cast
+    assert row["b3"] is True  # case-insensitive 'true'
+    assert row["i"] is None and row["d"] is None and row["ts"] is None
+
+
+def test_o1_epoch_iso_rendering(spark):
+    """Epoch-millis → yyyy-MM-dd'T'HH:mm:ss.SSS'Z' GMT-0 (:59-60)."""
+    df = spark.createDataFrame([Row(ts="1690000000123")])
+    cfg = AttributesToJsonConfig(epoch_date_attrs=["ts"], include_all_when_empty=False)
+    row = attributes_to_json(df, cfg).success.collect()[0]
+    assert row["ts"] == "2023-07-22T04:26:40.123Z"
+
+
+def test_o1_array_sums_and_guard_divergence(spark):
+    """Array attrs parse + sum. DIVERGENCE (documented, SURVEY.md §2.3
+    quirk 1): the reference's int-sum only runs when the DOUBLE list is
+    also non-blank (guard bug at :316); we implement the intended
+    semantics — int list alone works."""
+    df = spark.createDataFrame([Row(ia="[1,2,3]")])
+    cfg = AttributesToJsonConfig(int_array_sum_attrs=["ia"], include_all_when_empty=False)
+    row = attributes_to_json(df, cfg).success.collect()[0]
+    assert row["ia"] == 6  # reference would emit nothing here
+
+
+def test_o1_failure_routing(spark):
+    """parseInt('garbage') → failure relationship (:368-371)."""
+    df = spark.createDataFrame([Row(i="42"), Row(i="4.2"), Row(i="abc")])
+    cfg = AttributesToJsonConfig(int_attrs=["i"], include_all_when_empty=False)
+    routed = attributes_to_json(df, cfg)
+    # Java parseInt throws on both '4.2' and 'abc'
+    assert routed.success.count() == 1
+    assert routed.failure.count() == 2
+
+
+def test_o2_dissem_fallback_and_blank(spark):
+    """Fallback rule :268-277 (no dissem + any rel → controls[1]) and
+    blank marking → failure (:414-416)."""
+    cfg = SecurityMarkingConfig(
+        levels_to_convert_to=["UNCLASSIFIED", "SECRET"],
+        levels_can_receive=["UNCLASS", "SECRET"],
+        level_abbrevs_can_receive=["U", "S"],
+        compartments=["ALPHA"],
+        dissemination_controls=["NOFORN", "RELTO"],
+        releasabilities=["ABC"],
+    )
+    df = spark.createDataFrame(
+        [Row(marking="SECRET//ABC"), Row(marking=""), Row(marking=None)]
+    )
+    routed = convert_security_marking(df, "marking", cfg)
+    ok = routed.success.collect()
+    assert len(ok) == 1
+    c = ok[0]["classification"]
+    assert c["levels"] == ["SECRET"]
+    assert c["releasabilities"] == ["ABC"]
+    assert c["disseminationControls"] == ["RELTO"]  # the SECOND control
+    assert routed.failure.count() == 2
+
+
+def test_o3_output_modes_and_typo(spark):
+    """'mulitple' (sic, :66) accepted; unknown mode rejected."""
+    df = spark.createDataFrame([Row(x="a")])
+    binners = [LiteralBinner(bin_name="b", data_field="x")]
+    assert bin_records(df, binners, "mulitple").collect()[0]["bins"] == ["b.a"]
+    assert bin_records(df, binners, "single").collect()[0]["name"] == "b.a"
+    with pytest.raises(ValueError):
+        bin_records(df, binners, "sideways")
+
+
+def test_o3_merged_order_dependency(spark):
+    """MergedBinner referencing a later binner fails like the
+    reference's warn-and-skip (:206) — we fail loudly instead."""
+    df = spark.createDataFrame([Row(x="a")])
+    binners = [
+        MergedBinner(bin_name="m", components=["lit"]),
+        LiteralBinner(bin_name="lit", data_field="x"),
+    ]
+    with pytest.raises(ValueError, match="not yet defined"):
+        bin_records(df, binners).collect()
+
+
+def test_o3_numeric_negative_floor(spark):
+    """Floor semantics on negatives: -5 at width 10 → bin -10."""
+    df = spark.createDataFrame([Row(v=-5.0)])
+    out = bin_records(df, [NumericBinner(bin_name="n", data_field="v", max_level=1)])
+    names = [r["name"] for r in out.collect()]
+    assert names == ["n.L0.-10", "n.L1.-5"]
+
+
+def test_o4_dot_path_set_and_missing_parent(spark):
+    """$set on parent.child via withField (:537-543); missing source
+    parent → no-op → success-unmodified (:563, quirk 6)."""
+    target = spark.createDataFrame(
+        [Row(k=1, nested=Row(child="old", other="keep")),
+         Row(k=2, nested=Row(child="old2", other="keep2"))]
+    )
+    source = spark.createDataFrame(
+        [(1, ("new", None)), (2, None)],
+        schema="k bigint, nested struct<child:string, other:string>",
+    )
+    cfg = PartialUpdateConfig(keys=["k"], operations={"nested.child": "$set"},
+                              upsert=False)
+    res = partial_update(target, source, cfg)
+    post = {r["k"]: r["nested"] for r in res.post_state.collect()}
+    assert post[1]["child"] == "new" and post[1]["other"] == "keep"
+    assert post[2]["child"] == "old2"  # missing parent → untouched
+    assert res.success.count() == 1
+    assert res.success_unmodified.count() == 1
+
+
+def test_o4_addtoset_struct_time_fixup(spark):
+    """$addToSet array-of-structs with epoch→timestamp fixup on 'time'
+    fields (:646-672) via the compat substring heuristic."""
+    from pyspark.sql import types as T
+
+    tgt_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("seen", T.ArrayType(T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("time", T.TimestampType()),
+        ]))),
+    ])
+    target = spark.createDataFrame([(1, [])], schema=tgt_schema)
+    src_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("seen", T.ArrayType(T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("time", T.LongType()),  # epoch millis
+        ]))),
+    ])
+    source = spark.createDataFrame([(1, [(7, 1690000000123)])], schema=src_schema)
+    cfg = PartialUpdateConfig(
+        keys=["k"], operations={"seen": "$addToSet"}, upsert=False,
+        time_substring_heuristic=True,
+    )
+    res = partial_update(target, source, cfg)
+    seen = res.post_state.collect()[0]["seen"]
+    assert seen[0]["id"] == 7
+    assert seen[0]["time"].year == 2023  # converted to timestamp
+
+
+def test_o4_addtoset_dedup(spark):
+    """$addToSet never duplicates (array_union set semantics)."""
+    target = spark.createDataFrame([Row(k=1, tags=["a", "b"])])
+    source = spark.createDataFrame([Row(k=1, tags=["b", "c"])])
+    cfg = PartialUpdateConfig(keys=["k"], operations={"tags": "$addToSet"},
+                              upsert=False)
+    res = partial_update(target, source, cfg)
+    assert sorted(res.post_state.collect()[0]["tags"]) == ["a", "b", "c"]
+
+
+def test_o4_match_many(spark):
+    """updateMany (:473-475): non-unique key updates every match."""
+    target = spark.createDataFrame(
+        [Row(nation=1, bal=10.0), Row(nation=1, bal=20.0), Row(nation=2, bal=30.0)]
+    )
+    source = spark.createDataFrame([Row(nation=1, bal=99.0)])
+    cfg = PartialUpdateConfig(keys=["nation"], operations={"bal": "$set"},
+                              mode="many", upsert=False)
+    res = partial_update(target, source, cfg)
+    rows = sorted((r["nation"], r["bal"]) for r in res.post_state.collect())
+    assert rows == [(1, 99.0), (1, 99.0), (2, 30.0)]
+
+
+def test_o4_source_combine_inc(spark):
+    """Multiple source rows per key converge like unordered bulkWrite:
+    $inc values sum."""
+    target = spark.createDataFrame([Row(k=1, n=100)])
+    source = spark.createDataFrame([Row(k=1, n=5), Row(k=1, n=7)])
+    cfg = PartialUpdateConfig(keys=["k"], operations={"n": "$inc"}, upsert=False)
+    res = partial_update(target, source, cfg)
+    assert res.post_state.collect()[0]["n"] == 112
+
+
+def test_o4_wildcard_whole_doc(spark):
+    """Property '*' = whole-document $set (:304-305)."""
+    target = spark.createDataFrame([Row(k=1, a="x", b=10)])
+    source = spark.createDataFrame([(1, "y", None)], schema="k bigint, a string, b bigint")
+    cfg = PartialUpdateConfig(keys=["k"], operations={"*": "$set"}, upsert=False)
+    res = partial_update(target, source, cfg)
+    row = res.post_state.collect()[0]
+    assert row["a"] == "y"
+    assert row["b"] == 10  # null source value → skip (absent-prop rule)

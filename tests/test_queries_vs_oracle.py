@@ -23,5 +23,5 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
     # Keep this list tight: only genuinely non-SQL-expressible ops.
-    allowed_missing = set()
+    allowed_missing = {"q_embedding_near_dups"}
     assert missing <= allowed_missing, f"queries lacking oracles: {missing}"

@@ -1,0 +1,106 @@
+"""Streaming mode: the batch binning transforms run unchanged under
+Structured Streaming; foreachBatch wraps the merge sinks (SURVEY.md
+§1.4 — streaming is an execution mode, not a semantic change)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from aces_nifi_processors_bundle_spark.operators.binning import (
+    DateBinner,
+    LiteralBinner,
+)
+from aces_nifi_processors_bundle_spark.operators.partial_update import (
+    PartialUpdateConfig,
+    partial_update,
+)
+from aces_nifi_processors_bundle_spark.sources.registry import load_table
+from aces_nifi_processors_bundle_spark.streaming.binning_stream import (
+    foreach_batch_merge,
+    stream_bin_count_global,
+)
+
+BINNERS = [
+    DateBinner(bin_name="byDay", data_field="ts", granularity="DAY"),
+    LiteralBinner(bin_name="byType", data_field="event_type"),
+]
+
+
+def _stream_events(spark, sf_dir, tmp_path):
+    """readStream over a parquet copy (streaming needs a directory it
+    can list; the nanos-ts column is pre-normalized via load_table)."""
+    src = load_table(spark, sf_dir, "events")
+    data_dir = str(tmp_path / "events_stream")
+    src.write.mode("overwrite").parquet(data_dir)
+    return spark.readStream.schema(src.schema).parquet(data_dir)
+
+
+def test_stream_bin_count_matches_batch(spark, sf_dir, tmp_path):
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    out = stream_bin_count_global(stream, BINNERS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bins_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["name"], r["total"])
+        for r in spark.sql("SELECT * FROM bins_stream").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    from aces_nifi_processors_bundle_spark.operators.binning import bin_count
+
+    want = {(r["name"], r["total"]) for r in bin_count(batch, BINNERS).collect()}
+    assert got == want
+
+
+def test_foreach_batch_partial_update(spark, sf_dir, tmp_path):
+    """O4 as a streaming sink: micro-batches merge into a parquet-backed
+    keyed store via foreachBatch — the NiFi-session-commit analog."""
+    store = str(tmp_path / "store")
+    target0 = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .limit(50)
+    )
+    target0.write.mode("overwrite").parquet(store)
+
+    cfg = PartialUpdateConfig(
+        keys=["c_custkey"], operations={"c_acctbal": "$set"}, upsert=True
+    )
+
+    def merge(batch_df, _epoch):
+        tgt = spark.read.parquet(store)
+        post = partial_update(tgt, batch_df, cfg).post_state
+        # two-phase write: parquet target has no atomic merge (Delta
+        # would); stage then swap keeps the demo honest
+        staged = store + ".staged"
+        post.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(store)
+        os.rename(staged, store)
+
+    updates = target0.select(
+        "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+    )
+    stream_dir = str(tmp_path / "updates")
+    updates.write.mode("overwrite").parquet(stream_dir)
+    stream = spark.readStream.schema(updates.schema).parquet(stream_dir)
+    q = (
+        foreach_batch_merge(stream, merge, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    before = {r["c_custkey"]: r["c_acctbal"] for r in target0.collect()}
+    after = {
+        r["c_custkey"]: r["c_acctbal"] for r in spark.read.parquet(store).collect()
+    }
+    assert len(after) == len(before)
+    assert all(abs(after[k] - (v + 1000)) < 1e-9 for k, v in before.items())
