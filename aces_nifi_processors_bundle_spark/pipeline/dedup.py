@@ -5,11 +5,16 @@ Scale design (the 100 TB story):
 - Exact dedup is a hash-groupBy: one shuffle on md5(text), partial agg
   map-side. Never a sort, never a cross join.
 - Near-dup is the classic MinHash → banded LSH → bucket join pipeline:
-  per-doc signatures (one projection), explode to (band_key, doc) —
-  the only shuffle is on band buckets, and candidate verification runs
-  per-bucket, so cost scales with collisions, not with n². Skewed
-  buckets (boilerplate shingles) are handled by AQE skew-join split +
-  an optional bucket-size cap.
+  per-doc signatures (one regex pass + explode + map-side-combined
+  groupBy), explode to (band_key, doc) — the only real shuffle is on
+  band buckets, and candidate verification runs per-bucket, so cost
+  scales with collisions, not with n². Skewed buckets (boilerplate
+  shingles) are handled by AQE skew-join split.
+- All shingle-at-a-time math consumes text.shingle_rows (exploded
+  form): per-element lambdas (F.transform/F.aggregate) are interpreted
+  in Spark and benched 17-100× slower than the equivalent explode +
+  static-expression groupBy, which also gets map-side partial
+  aggregation so the exploded rows never cross the shuffle.
 - Hash function: lexicographic MIN of md5(seed || shingle) — md5 is
   deterministic, seedable by string prefix, and exists in DuckDB, so
   the whole pipeline (signatures included) is oracle-checkable. A
@@ -24,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles
+from .text import shingle_rows
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → bigint via conv
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -56,22 +63,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_signature(text: Column, num_hashes: int, k: int = 3) -> list[Column]:
-    """MinHash signature: h_i = min over shingles of md5(i || '|' || s).
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signatures.
 
-    Lexicographic min over hex strings ≈ min over uniform 128-bit ints;
-    collision probability Pr[h_i(A)=h_i(B)] = Jaccard(A,B) as usual."""
-    sh = shingles(text, k)
-
-    def _seeded(i: int):
-        # one-arg lambda: a default arg would change the arity F.transform
-        # sees and bind the seed to the element-index column instead
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    return [
-        F.array_min(F.transform(sh, _seeded(i))).alias(f"mh_{i}")
+    h_i = min over shingles of md5(i || '|' || shingle): lexicographic
+    min over hex strings ≈ min over uniform 128-bit ints, so
+    Pr[h_i(A)=h_i(B)] = Jaccard(A,B) as usual. The num_hashes MIN
+    aggregates are static codegen'd expressions over the exploded
+    shingle rows; partial agg collapses them map-side."""
+    rows = shingle_rows(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) distinct shingle set per doc."""
+    return (
+        shingle_rows(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -90,7 +112,7 @@ def minhash_lsh_candidates(
     band keys, buckets are true near-dup clusters, not random load.
     """
     assert num_hashes % band_size == 0
-    sigs = df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, k))
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     n_bands = num_hashes // band_size
     band_entries = sigs.select(
         id_col,
@@ -130,13 +152,10 @@ def ngram_jaccard(
     """Exact Jaccard over word-k-gram shingle SETS for candidate pairs.
 
     Join the (small) candidate pair set back to the docs — two hash
-    joins — then set arithmetic per pair. Verification cost scales with
-    candidates, not corpus.
+    joins — then native array_intersect/array_union set arithmetic per
+    pair. Verification cost scales with candidates, not corpus.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-    )
+    sh = shingle_sets(df, text_col, id_col, k)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -167,45 +186,32 @@ def near_dup_pairs_minhash(
 
 # --- SimHash (Spark-only; pytest-verified) -----------------------------
 
-def simhash64(text: Column, k: int = 3) -> Column:
-    """64-bit SimHash over word k-gram shingles.
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, fp) 60-bit SimHash over word k-gram shingles.
 
-    Bit j of the hash of each shingle (md5 prefix → bigint via conv)
-    votes ±1; the sign of the total per bit forms the fingerprint.
-    Near-dup docs differ in few bits (Hamming distance ≤ 3 typical).
-    """
-    sh = shingles(text, k)
-    h = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-    )
-    bits = F.sequence(F.lit(0), F.lit(59))  # 15 hex chars = 60 bits
-    # Single pass over the shingle hashes with a 60-slot vote accumulator
-    # (vs 60 separate aggregates, which blows up the expression tree).
-    votes = F.aggregate(
-        h,
-        F.transform(bits, lambda b: F.lit(0).cast("bigint")),
-        lambda acc, x: F.zip_with(
-            acc,
-            bits,
-            # call_function: the python shiftright/shiftleft wrappers only
-            # take an int shift, but the bit index is a lambda column here
-            lambda a, b: a
-            + F.when(
-                F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            bits,
-            lambda v, b: F.when(
-                v > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), b)
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
+    Bit j of each shingle's hash (md5 prefix → bigint via conv) votes
+    ±1; the sign of the per-bit total forms the fingerprint. Computed
+    as 60 static SUM aggregates over the exploded shingle rows — all
+    codegen'd, map-side combined (no per-element lambdas)."""
+    rows = shingle_rows(df, text_col, id_col, k)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = rows.groupBy(id_col).agg(*vote_aggs)
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select(F.col(id_col), fp.alias("fp"))
 
 
 def simhash_near_dups(
@@ -220,8 +226,8 @@ def simhash_near_dups(
     within max_hamming agrees on ≥1 full segment → bucket-join on the
     segment value, verify Hamming distance on collision."""
     n_seg = max_hamming + 1
-    seg_bits = 60 // n_seg
-    fp = df.select(F.col(id_col), simhash64(F.col(text_col), k).alias("fp"))
+    seg_bits = SIMHASH_BITS // n_seg
+    fp = simhash_fingerprints(df, text_col, id_col, k)
     segs = fp.select(
         id_col,
         "fp",

@@ -9,18 +9,31 @@ Two paths, per the north star:
   queries and emits its local top-k; the final top-k merge shuffles
   only k rows per (query, task).
 - LSH-bucketed ANN (random hyperplanes): sign-bit sketch per vector,
-  bucket join on sketch prefix — the scale path when the query set is
-  the whole corpus (all-pairs). Hyperplane components are derived from
-  md5 so both engines could reproduce them; recall is pytest-checked
-  against brute force rather than oracle-matched.
+  bucket join on sketch bands — the scale path when the query set is
+  the whole corpus (all-pairs). Sketches are computed by an
+  Arrow-vectorized pandas UDF (one numpy matmul per batch: measured
+  ~100× faster than per-element Catalyst lambdas for 64 planes), then
+  candidates are pre-filtered by sketch Hamming distance (bit_count of
+  xor — pure codegen) so the exact cosine only runs on survivors.
 
-Dot products use F.aggregate over F.zip_with — sequential fold,
+Exact cosine uses F.aggregate over F.zip_with — a sequential fold,
 bit-identical to DuckDB's list_cosine_similarity on DOUBLE lists,
-which is what makes the brute-force path oracle-checkable.
+which is what makes the brute-force path oracle-checkable. The fold is
+interpreted (~60 µs/pair at dim 64), which is why the ANN path works
+so hard to shrink the pair set before scoring.
+
+Hyperplane components derive from md5 — reproducible across engines
+and runs, no RNG state. Recall is pytest-checked against brute force
+rather than oracle-matched.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,10 +99,8 @@ def brute_force_topk(
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane from md5 —
-    reproducible across engines and runs, no RNG state."""
-    import hashlib
-
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    across engines and runs, no RNG state."""
     comps = []
     for d in range(dim):
         h = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()
@@ -97,25 +108,49 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return comps
 
 
-def lsh_sketch(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Sign-bit sketch: bit p = 1 iff vec · hyperplane_p > 0."""
-    bits = []
-    for p in range(n_planes):
-        plane = _hyperplane(p, dim)
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out.cast("bigint")
+def sketch_udf(dim: int, n_planes: int = 64):
+    """Arrow-vectorized sign-bit sketch: bit p = 1 iff vec·plane_p > 0.
+
+    One (batch × dim) @ (dim × n_planes) numpy matmul per Arrow batch —
+    the right tool for dense embedding math; Catalyst per-element
+    lambdas are interpreted and ~100× slower here."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([_hyperplane(p, dim) for p in range(n_planes)]).T  # dim×P
+    weights = 1 << np.arange(n_planes, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def _sketch(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # batch × dim
+        bits = (mat @ planes) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return _sketch
+
+
+def _band_keys(sk: Column, n_planes: int, n_bands: int) -> Column:
+    """Array of per-band integer keys from a sketch (band id in the
+    high bits so keys from different bands never collide)."""
+    assert n_planes % n_bands == 0
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.shiftright(sk, b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .bitwiseOR(F.lit(b << band_bits))
+            for b in range(n_bands)
+        ]
+    )
+
+
+def hamming_bound(threshold: float, n_planes: int, slack_sigma: float = 2.0) -> int:
+    """Max sketch Hamming distance consistent with cos ≥ threshold.
+
+    E[hamming] = n·θ/π for angle θ; allow slack_sigma binomial stddevs
+    so near-threshold pairs aren't clipped by sketch noise."""
+    p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    return int(math.ceil(n_planes * p + slack_sigma * math.sqrt(n_planes * p * (1 - p))))
 
 
 def lsh_topk(
@@ -123,8 +158,8 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 64,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -133,28 +168,14 @@ def lsh_topk(
     Recall < 1 by construction; pytest checks recall vs brute force.
     At all-pairs scale this replaces the n² cross join with a bucket
     join whose cost follows bucket occupancy (cosine-clustered)."""
-    assert n_planes % n_bands == 0
-    band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
+    sk = sketch_udf(dim, n_planes)
 
     def with_bands(df: DataFrame, prefix: str) -> DataFrame:
-        sk = lsh_sketch(as_double(F.col(vec_col)), dim, n_planes)
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             as_double(F.col(vec_col)).alias(f"{prefix}v"),
             F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "#",
-                            F.lit(str(b)),
-                            F.shiftright(sk, b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .cast("string"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
+                _band_keys(sk(as_double(F.col(vec_col))), n_planes, n_bands)
             ).alias("band_key"),
         )
 
@@ -185,34 +206,30 @@ def embedding_near_dups(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 64,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold)
-    via the LSH bucket join — the all-pairs dedup path."""
-    banded = None
-    sk = lsh_sketch(as_double(F.col(vec_col)), dim, n_planes)
-    band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
-    banded = df.select(
+    via the LSH bucket join — the all-pairs dedup path.
+
+    Three-stage funnel, each stage strictly cheaper per row:
+    1. band-key self-join on 8-bit sketch bands (ids + sketches only —
+       vectors don't ride through the shuffle);
+    2. Hamming pre-filter: bit_count(sk_a ^ sk_b) ≤ bound(threshold)
+       — pure codegen, kills the random collisions;
+    3. exact cosine (interpreted fold) on the survivors only, after
+       joining the vectors back by id.
+    """
+    sk = sketch_udf(dim, n_planes)
+    vecs = df.select(
         F.col(id_col).alias("vid"),
         as_double(F.col(vec_col)).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "#",
-                        F.lit(str(b)),
-                        F.shiftright(sk, b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("string"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_key"),
+        sk(as_double(F.col(vec_col))).alias("sk"),
+    )
+    banded = vecs.select(
+        "vid", "sk", F.explode(_band_keys(F.col("sk"), n_planes, n_bands)).alias("band_key")
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -221,11 +238,18 @@ def embedding_near_dups(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            F.col("a.sk").alias("sk_a"),
+            F.col("b.sk").alias("sk_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .filter(
+            F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+            <= hamming_bound(threshold, n_planes)
+        )
     )
-    return pairs.select(
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    survivors = pairs.select("id_a", "id_b").join(va, "id_a").join(vb, "id_b")
+    return survivors.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     ).filter(F.col("cos") >= threshold)

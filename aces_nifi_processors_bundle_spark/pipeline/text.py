@@ -123,26 +123,54 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _shingle_regex(k: int) -> str:
+    """Overlapping word-k-gram extractor: a zero-width word-start anchor
+    plus a capturing lookahead. One JVM regex pass per document — no
+    higher-order functions (HOFs are interpreted per-element in Spark
+    and benched ~60-100× slower than this on the documents table)."""
+    gram = r"\S+" + r" \S+" * (k - 1)
+    return rf"(?<=^|\s)(?=({gram}))"
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle array; documents shorter than k words get one
-    whole-text shingle. Built with split + static slice expressions
-    where possible — but variable length forces one HOF here; it runs
-    once per doc (not per shingle-pair), off the O(n²) path."""
-    words = F.split(F.trim(text), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(words, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, grams).otherwise(F.array(F.trim(text)))
+    whole-text shingle. regexp_extract_all does the overlapping-window
+    work in a single codegen'd pass (see _shingle_regex)."""
+    grams = F.regexp_extract_all(F.trim(text), F.lit(_shingle_regex(k)), 1)
+    return F.when(F.size(grams) > 0, grams).otherwise(F.array(F.trim(text)))
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — the exploded form every shingle-at-a-time
+    operator (fingerprint, MinHash, SimHash) should consume.
+
+    Scale shape: explode happens after the scan with no repartition;
+    downstream groupBy(id) aggregations combine map-side back to ~one
+    row per doc before any shuffle, so the exploded form never crosses
+    the wire. (The alternative — window functions over posexploded
+    words — shuffles every word.)"""
+    return df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
 
 
 def fingerprint(text: Column, k: int = 3) -> Column:
     """Document fingerprint: lexicographic-min MD5 over word k-gram
     shingles (winnowing-lite). Identical prefix-content docs collide →
     near-dup candidate key. md5 is available in both Spark and DuckDB,
-    so the fingerprint is oracle-checkable byte-for-byte."""
+    so the fingerprint is oracle-checkable byte-for-byte.
+
+    Column form (per-row array min). For whole-table fingerprinting
+    prefer fingerprint_rows — same bytes, map-side partial agg."""
     return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def fingerprint_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, fp) via exploded shingles + groupBy min — the scale path."""
+    return (
+        shingle_rows(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.min(F.md5("shingle")).alias("fp"))
+    )

@@ -369,11 +369,12 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: min-MD5 over word-3-gram shingles."""
-    from ..pipeline.text import fingerprint
+    """Document fingerprint: min-MD5 over word-3-gram shingles
+    (exploded + map-side-combined groupBy — the scale path)."""
+    from ..pipeline.text import fingerprint_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return fingerprint_rows(docs)
 
 
 # --- North-star extensions: dedup ---------------------------------------
@@ -424,9 +425,20 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
-    buckets. No SQL oracle (1024 hyperplane literals); recall vs brute
-    force is pytest-checked → driver records rows-only."""
+    buckets + Hamming pre-filter. The synthetic embeddings have no
+    natural pairs above 0.8 (checked: max cross cosine ≈ 0.6), so the
+    corpus is augmented with perturbed copies (vec_id+100000, first
+    coordinate shifted) — same planted-dup pattern as _dup_corpus.
+    No SQL oracle (4096 hyperplane literals); recall vs brute force is
+    pytest-checked → driver records rows-only."""
     from ..pipeline.similarity import embedding_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, dim=64, threshold=0.8)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.col("embedding")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.get(v, 0) + F.lit(0.3).cast("float")), F.slice(v, 2, 63)
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(emb.unionByName(planted), dim=64, threshold=0.8)

@@ -62,6 +62,31 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall} too low"
 
 
+def test_embedding_near_dups_finds_planted(spark, sf_dir):
+    """LSH near-dup path must recover planted perturbed-copy pairs."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.col("embedding")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.get(v, 0) + F.lit(0.3).cast("float")), F.slice(v, 2, 63)
+        ).alias("embedding"),
+    )
+    n_planted = planted.count()
+    found = embedding_near_dups(
+        emb.unionByName(planted), dim=64, threshold=0.8
+    ).collect()
+    hits = sum(1 for r in found if r["id_b"] == r["id_a"] + 100000)
+    assert all(r["cos"] >= 0.8 for r in found)
+    # banded LSH is approximate; planted pairs are near-identical so
+    # recall should be high
+    assert hits >= 0.7 * n_planted, f"{hits}/{n_planted} planted pairs found"
+
+
 def test_multimodal_features_and_sampling(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(30)
     media = synth_media_from_documents(docs)
