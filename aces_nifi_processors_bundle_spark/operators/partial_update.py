@@ -106,7 +106,7 @@ def _combine_sources(src: DataFrame, cfg: PartialUpdateConfig) -> DataFrame:
         parent, _child = _split_path(prop)
         if parent in aggs or parent not in src.columns:
             continue
-        if op == "$inc":
+        if op == "$inc" and _child is None:
             aggs[parent] = F.sum(F.col(parent)).alias(parent)
         elif op == "$addToSet" and not src_types.get(parent, "").startswith("array"):
             aggs[parent] = F.collect_set(F.col(parent)).alias(parent)
@@ -193,10 +193,19 @@ def partial_update(
                     matched & scol.isNotNull() & src_child.isNotNull(),
                     new_val.withField(child, src_child),
                 ).otherwise(new_val)
-            elif op == "$inc":
+            elif op == "$inc" and child is None:
                 new_val = F.when(
                     matched & scol.isNotNull(),
                     F.coalesce(new_val, F.lit(0)) + scol,
+                ).otherwise(new_val)
+            elif op == "$inc":
+                # dot-path $inc ({$inc: {"parent.child": v}} in Mongo)
+                src_child = scol.getField(child)
+                new_val = F.when(
+                    matched & scol.isNotNull() & src_child.isNotNull(),
+                    new_val.withField(
+                        child, F.coalesce(new_val.getField(child), F.lit(0)) + src_child
+                    ),
                 ).otherwise(new_val)
             elif op == "$addToSet" and child is None:
                 add = scol if src_types[parent].startswith("array") else F.array(scol)

@@ -79,18 +79,23 @@ def classification_expr(marking: Column, cfg: SecurityMarkingConfig) -> Column:
         ).otherwise(level)
     levels = F.when(level != "", F.array(level)).otherwise(F.array().cast("array<string>"))
 
-    # 2./3./4. contains-filters over the configured vocabularies.
-    compartments = F.filter(
-        F.array(*[F.lit(c) for c in cfg.compartments]),
-        lambda c: marking.contains(F.concat(F.lit(d), c, F.lit(d))),
+    # 2./3./4. contains-filters over the configured vocabularies. The
+    # vocabularies are config-static, so each filter unrolls to a static
+    # when-chain + array_compact — stays in whole-stage codegen (a
+    # F.filter lambda would be interpreted per row per element).
+    def _static_filter(values: list[str], probe) -> Column:
+        return F.array_compact(
+            F.array(*[F.when(probe(v), F.lit(v)) for v in values])
+        ).cast("array<string>")
+
+    compartments = _static_filter(
+        cfg.compartments, lambda c: marking.contains(d + c + d)
     )
-    rels = F.filter(
-        F.array(*[F.lit(r) for r in cfg.releasabilities]),
-        lambda r: marking.contains(F.concat(F.lit(d), r)),
+    rels = _static_filter(
+        cfg.releasabilities, lambda r: marking.contains(d + r)
     )
-    dissem_found = F.filter(
-        F.array(*[F.lit(x) for x in cfg.dissemination_controls]),
-        lambda x: marking.contains(x),
+    dissem_found = _static_filter(
+        cfg.dissemination_controls, lambda x: marking.contains(x)
     )
     # Fallback rule (:268-277): none found + any releasability → 2nd control.
     if len(cfg.dissemination_controls) > 1:

@@ -370,3 +370,132 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
 )
+
+
+# --- Round-1 widened coverage -------------------------------------------
+
+oracle("q_bin_date_granularities")(
+    """
+WITH bins AS (
+  SELECT 'byYear.YEAR.' || strftime(date_trunc('year', ts), '%Y') AS name FROM events
+  UNION ALL
+  SELECT 'byMonth.MONTH.' || strftime(date_trunc('month', ts), '%Y-%m') FROM events
+  UNION ALL
+  SELECT 'byHour.HOUR.' || strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') FROM events
+  UNION ALL
+  SELECT 'bySec.SEC.' || strftime(date_trunc('second', ts), '%Y-%m-%d-%H-%M-%S') FROM events
+  UNION ALL
+  SELECT 'byMin.MIN.' || strftime(date_trunc('minute', ts), '%Y-%m-%d-%H-%M') FROM events
+)
+SELECT name, CAST(count(*) AS BIGINT) AS total
+FROM bins GROUP BY name ORDER BY name
+"""
+)
+
+oracle("q_attrs_json_body")(
+    """
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       to_json(struct_pack(
+         event_id := CAST(event_id AS VARCHAR),
+         etype := CASE WHEN event_id % 7 = 0 THEN '' ELSE event_type END,
+         flag := (event_id % 3 = 0 OR event_id % 3 = 1)
+       )) AS json_body
+FROM events
+"""
+)
+
+oracle("q_token_count")(
+    r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+              END AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(nw) AS BIGINT) AS sum_words,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens
+FROM per_doc GROUP BY source
+"""
+)
+
+oracle("q_partial_update_nested")(
+    """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 8 = 0 THEN 'VIP' ELSE c_mktsegment END AS seg,
+       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+FROM customer
+"""
+)
+
+# SimHash oracle: md5-prefix 60-bit hash, per-bit ±1 votes, sign → bit,
+# pigeonhole 15-bit segments, bit_count hamming — mirrors
+# pipeline/dedup.py simhash_fingerprints/simhash_near_dups exactly.
+_SIMHASH_CORPUS = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' planted suffix' FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_SIMHASH_SHINGLES = """words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+)"""
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(60)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END" for b in range(60)
+)
+
+oracle("q_dedup_simhash")(
+    f"""
+WITH {_SIMHASH_CORPUS},
+{_SIMHASH_SHINGLES},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shx),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS fp FROM votes),
+segs AS (
+  SELECT doc_id, fp,
+         CAST(s AS VARCHAR) || '#' || CAST((fp >> (s * 15)) & 32767 AS VARCHAR) AS seg_key
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS s)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM segs a JOIN segs b USING (seg_key) WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+)
+
+_FEAT_COLS = ", ".join(
+    f"CAST(round(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 5) AS VARCHAR)"
+    for i in range(8)
+)
+
+oracle("q_multimodal_features")(
+    f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_hash,
+       concat_ws(',', {_FEAT_COLS}) AS feat_csv
+FROM documents
+"""
+)
+
+# Streaming flagship: identical semantics to the batch flagship.
+oracle("q_stream_bin_flagship")(ORACLES["q_bin_flagship"])

@@ -262,6 +262,38 @@ def q_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partial_update_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 dot-path updates: $set and $inc on one-level parent.child
+    struct fields (PartialUpdateMongo.java:537-543 enforces exactly two
+    path segments; dot-path build :558-589). Post-state flattened so
+    the oracle compares plain columns."""
+    customer = load_table(spark, sf_dir, "customer")
+    target = customer.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal")
+        ).alias("profile"),
+    )
+    source = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.struct(
+            F.when(F.col("c_custkey") % 8 == 0, F.lit("VIP")).alias("seg"),
+            F.lit(100.0).alias("bal"),
+        ).alias("profile"),
+    )
+    cfg = PartialUpdateConfig(
+        keys=["c_custkey"],
+        operations={"profile.seg": "$set", "profile.bal": "$inc"},
+        upsert=False,
+    )
+    res = partial_update(target, source, cfg)
+    return res.post_state.select(
+        "c_custkey",
+        F.col("profile").getField("seg").alias("seg"),
+        F.col("profile").getField("bal").alias("bal"),
+    )
+
+
 def q_partial_update_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 routing: success vs success-unmodified vs insert counts
     (modifiedCount analog, PartialUpdateMongo.java:253-275). A no-op
@@ -317,6 +349,37 @@ def q_put_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("post-state").alias("relationship"), "n")
         )
     )
+
+
+def q_bin_date_granularities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 DateBinner: every granularity format in one pass, plus the
+    invalid-granularity → MIN fallback (DataBinningProcessor.java:151-164)."""
+    events = load_table(spark, sf_dir, "events")
+    binners = [
+        DateBinner(bin_name="byYear", data_field="ts", granularity="YEAR"),
+        DateBinner(bin_name="byMonth", data_field="ts", granularity="MONTH"),
+        DateBinner(bin_name="byHour", data_field="ts", granularity="HOUR"),
+        DateBinner(bin_name="bySec", data_field="ts", granularity="SEC"),
+        # invalid granularity falls back to MIN like DateGranularity.valueOf
+        DateBinner(bin_name="byMin", data_field="ts", granularity="BOGUS"),
+    ]
+    return bin_count(events, binners).orderBy("name")
+
+
+def q_attrs_json_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 JSON body emission: the typed map serialized as one JSON
+    document per record (BetterAttributesToJSON.java:356-364). Only
+    never-null fields (string ''-default, bool false-default) go into
+    the body so Spark's null-dropping to_json matches DuckDB's."""
+    events = load_table(spark, sf_dir, "events")
+    cfg = AttributesToJsonConfig(
+        string_attrs=["event_id", "etype"],
+        bool_attrs=["flag"],
+        include_all_when_empty=False,
+        emit_json_body=True,
+    )
+    out = attributes_to_json(_attr_bag(events), cfg).success
+    return out.select(F.col("event_id"), F.col("json_body"))
 
 
 # --- North-star extensions: text analysis ------------------------------
@@ -377,6 +440,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_rows(docs)
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace words + BPE-ish regex
+    pieces (letter runs / digit runs / punct singles) — the standard
+    pre-tokenizer cost estimate, computable engine-side."""
+    from ..pipeline.text import token_count_bpe_ish, word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        word_count(F.col("text")).alias("nw"),
+        token_count_bpe_ish(F.col("text")).alias("nt"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("nw").alias("sum_words"),
+        F.sum("nt").alias("sum_tokens"),
+    )
+
+
 # --- North-star extensions: dedup ---------------------------------------
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:
@@ -406,6 +488,70 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_minhash(
         docs, num_hashes=8, band_size=2, k=3, threshold=0.5
     )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over documents + planted one-suffix edits
+    (doc_id+200000). Fingerprint = 60 bit-vote SUM aggregates; banding
+    by pigeonhole segments; verify by bit_count hamming."""
+    from ..pipeline.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted suffix")).alias("text"),
+    )
+    corpus = docs.unionByName(edited)
+    return simhash_near_dups(corpus, max_hamming=3)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads → mapInPandas
+    feature extraction (deterministic md5-seeded fake decode; the real
+    decoder slot raises DecoderUnavailable). Features rendered as a
+    rounded csv so the md5-byte math is oracle-checkable."""
+    from ..pipeline.multimodal import extract_features, synth_media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_from_documents(docs)
+    feats = extract_features(media, dim=8)
+    # round 5: every md5-byte/255 value rounds identically as float32
+    # and as float64 at 5 decimals (3 of 256 differ at 6)
+    feat_cols = [
+        F.round(F.get(F.col("feat"), i).cast("double"), 5).cast("string")
+        for i in range(8)
+    ]
+    return feats.select(
+        "media_id", "n_bytes", "payload_hash",
+        F.concat_ws(",", *feat_cols).alias("feat_csv"),
+    )
+
+
+def q_stream_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship binning executed under Structured Streaming
+    (availableNow trigger → memory sink, complete mode): same
+    transforms, same oracle as the batch flagship — streaming is an
+    execution mode, not a semantic change (SURVEY.md §1.4)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.binning_stream import stream_bin_count_global
+
+    events = load_table(spark, sf_dir, "events")
+    data_dir = tempfile.mkdtemp(prefix="aces_stream_events_")
+    events.write.mode("overwrite").parquet(data_dir)
+    stream = spark.readStream.schema(events.schema).parquet(data_dir)
+    out = stream_bin_count_global(stream, FLAGSHIP_BINNERS)
+    qname = f"bins_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select("name", "total").orderBy("name")
 
 
 # --- North-star extensions: similarity search ---------------------------

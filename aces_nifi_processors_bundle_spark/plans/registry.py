@@ -23,18 +23,25 @@ QUERIES: dict[str, QueryFn] = {
     "q_bin_numeric": q.q_bin_numeric,
     "q_bin_geotile": q.q_bin_geotile,
     "q_bin_multiple_mode": q.q_bin_multiple_mode,
+    "q_bin_date_granularities": q.q_bin_date_granularities,
+    "q_attrs_json_body": q.q_attrs_json_body,
     "q_security_marking": q.q_security_marking,
     "q_partial_update": q.q_partial_update,
+    "q_partial_update_nested": q.q_partial_update_nested,
     "q_partial_update_routing": q.q_partial_update_routing,
     "q_put_if_absent": q.q_put_if_absent,
     "q_text_stats": q.q_text_stats,
     "q_lang_id": q.q_lang_id,
     "q_quality": q.q_quality,
+    "q_token_count": q.q_token_count,
     "q_fingerprint": q.q_fingerprint,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_minhash": q.q_dedup_minhash,
+    "q_dedup_simhash": q.q_dedup_simhash,
     "q_sim_topk": q.q_sim_topk,
     "q_embedding_near_dups": q.q_embedding_near_dups,
+    "q_multimodal_features": q.q_multimodal_features,
+    "q_stream_bin_flagship": q.q_stream_bin_flagship,
 }
 
 
