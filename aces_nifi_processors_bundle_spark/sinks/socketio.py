@@ -27,6 +27,8 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..provenance import ProvenanceLog
+
 
 class CollectingClient:
     """In-memory stand-in for a SocketIO client (tests/F6)."""
@@ -76,8 +78,8 @@ class SocketIOSink:
     mode: str = "emit"  # emit | send
     connect_timeout_s: float = 10.0
     client_factory: Callable[[], Any] = socketio_client_factory
-    # Collected messages when using CollectingClient in local tests.
-    _local_collected: list = field(default_factory=list)
+    # Provenance SEND events per batch (SocketIOProcessor.java:296 analog).
+    provenance: ProvenanceLog = field(default_factory=ProvenanceLog)
 
     def write_batch(self, df: DataFrame) -> int:
         """Batch mode: foreachPartition with one client per partition.
@@ -108,8 +110,10 @@ class SocketIOSink:
             finally:
                 client.disconnect()
 
-        out.foreachPartition(push)
-        return out.count()
+        with self.provenance.send(self.url, detail=f"mode={mode}") as ctx:
+            out.foreachPartition(push)
+            ctx["n_rows"] = out.count()
+        return self.provenance.events[-1].n_rows
 
     def stream_writer(self, df: DataFrame, checkpoint: str, **options):
         """Streaming mode: foreachBatch wrapper over write_batch."""

@@ -1,0 +1,66 @@
+"""FlowFile-model source tests: JSON-lines content, array-vs-object
+normalization (PartialUpdateMongo.java:210-219), attribute-map lift,
+and provenance SEND recording."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from aces_nifi_processors_bundle_spark.sources.flowfile import (
+    attributes_to_columns,
+    parse_content_auto,
+    read_jsonl,
+)
+
+
+def test_read_jsonl_with_declared_schema(spark, tmp_path):
+    p = tmp_path / "content.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{"a": "garbage"}\n')
+    df = read_jsonl(spark, str(p), "a bigint, b string")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sorted(r["b"] for r in rows if r["b"]) == ["x", "y"]
+    # PERMISSIVE: the bad record yields nulls, not a job failure
+    assert any(r["a"] is None for r in rows)
+
+
+def test_parse_content_auto_array_vs_object(spark):
+    """startsWith('[') sniffing → both shapes land one row per doc."""
+    df = spark.createDataFrame(
+        [
+            Row(ff_id=1, content='{"k": 1, "v": "one"}'),
+            Row(ff_id=2, content='[{"k": 2, "v": "two"}, {"k": 3, "v": "three"}]'),
+        ]
+    )
+    out = parse_content_auto(df, "content", "k bigint, v string")
+    rows = sorted((r["ff_id"], r["k"], r["v"]) for r in out.collect())
+    assert rows == [(1, 1, "one"), (2, 2, "two"), (2, 3, "three")]
+
+
+def test_attributes_to_columns_missing_is_null(spark):
+    df = spark.createDataFrame(
+        [Row(attrs={"path": "/x", "size": "42"})]
+    )
+    out = attributes_to_columns(df, "attrs", ["path", "size", "absent"])
+    row = out.collect()[0]
+    assert row["path"] == "/x" and row["size"] == "42"
+    assert row["absent"] is None  # absent attribute ≡ null, like ff.getAttribute
+
+
+def test_provenance_send_recorded(spark):
+    from aces_nifi_processors_bundle_spark.sinks.socketio import (
+        CollectingClient,
+        SocketIOSink,
+    )
+
+    sink = SocketIOSink(
+        url="stub://prov", payload_col="p", mode="send",
+        client_factory=CollectingClient,
+    )
+    df = spark.createDataFrame([Row(p="a"), Row(p="b")])
+    n = sink.write_batch(df)
+    assert n == 2
+    assert len(sink.provenance.events) == 1
+    ev = sink.provenance.events[0]
+    assert ev.event_type == "SEND" and ev.target == "stub://prov"
+    assert ev.n_rows == 2 and ev.duration_s > 0
