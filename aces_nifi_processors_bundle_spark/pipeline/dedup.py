@@ -103,6 +103,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -110,6 +111,13 @@ def minhash_lsh_candidates(
     agreeing on a full band collide. The self-join is per-bucket
     (groupBy band_key), so complexity is Σ|bucket|² — with 128-bit
     band keys, buckets are true near-dup clusters, not random load.
+
+    max_bucket is the skew guard for corpus-scale runs: boilerplate
+    text (license headers, templated pages) can put millions of docs in
+    one band bucket, turning Σ|bucket|² quadratic. Capping drops those
+    buckets (the standard move in web-scale dedup pipelines — such
+    docs still pair via their other, more selective bands). None = off,
+    which keeps the operator exact for the oracle-checked queries.
     """
     assert num_hashes % band_size == 0
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -129,6 +137,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        small = (
+            band_entries.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_key")
+        )
+        band_entries = band_entries.join(small, "band_key", "left_semi")
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -177,9 +193,12 @@ def near_dup_pairs_minhash(
     band_size: int = 2,
     k: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, band_size, k)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, band_size, k, max_bucket
+    )
     verified = ngram_jaccard(df, cands, text_col, id_col, k)
     return verified.filter(F.col("jaccard") >= threshold)
 

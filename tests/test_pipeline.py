@@ -62,6 +62,30 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall} too low"
 
 
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    """The skew guard: a bucket holding every copy of boilerplate text
+    is dropped when over max_bucket; distinctive pairs survive."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    boiler = [(i, "all rights reserved license header text") for i in range(20)]
+    distinct_pair = [
+        (100, "a quick brown fox jumps over the lazy dog"),
+        (101, "a quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(boiler + distinct_pair, "doc_id long, text string")
+    capped = minhash_lsh_candidates(df, max_bucket=5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in ids
+    assert not any(a < 20 and b < 20 for a, b in ids)  # boilerplate dropped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df).collect()
+    }
+    assert any(a < 20 and b < 20 for a, b in uncapped)
+
+
 def test_embedding_near_dups_finds_planted(spark, sf_dir):
     """LSH near-dup path must recover planted perturbed-copy pairs."""
     from aces_nifi_processors_bundle_spark.pipeline.similarity import (

@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): each example batch becomes ONE
+Spark job over many rows, comparing engine expressions against an
+independent Python model of the reference semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aces_nifi_processors_bundle_spark.functions.geotile import quadkey
+from aces_nifi_processors_bundle_spark.functions.scalar import (
+    epoch_millis_to_iso,
+    java_parse_boolean,
+)
+from aces_nifi_processors_bundle_spark.pipeline.text import shingles
+
+PROP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@PROP
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=8)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_java_parse_boolean_model(spark, values):
+    """Boolean.parseBoolean: case-insensitive 'true' → true, else false
+    (incl. null). Model: straight Python reimplementation."""
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r["b"] for r in df.select(java_parse_boolean(F.col("v")).alias("b")).collect()]
+    want = [(v or "").lower() == "true" for v in values]
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_epoch_iso_rendering_model(spark, millis):
+    """Epoch-millis → yyyy-MM-dd'T'HH:mm:ss.SSS'Z' in GMT-0, modeled by
+    datetime in UTC (the reference's SimpleDateFormat + GMT-0 zone)."""
+    df = spark.createDataFrame([(str(m),) for m in millis], "v string")
+    got = [r["d"] for r in df.select(epoch_millis_to_iso(F.col("v")).alias("d")).collect()]
+    want = [
+        dt.datetime.fromtimestamp(m / 1000, tz=dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+        for m in millis
+    ]
+    got_prefix = [g[:19] for g in got]
+    assert got_prefix == want
+    # millis part: exact field from integer arithmetic (python divmod)
+    for g, m in zip(got, millis):
+        assert g[20:23] == f"{m % 1000:03d}"
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+            st.floats(min_value=-180.0, max_value=179.999, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_quadkey_prefix_property(spark, points, zoom):
+    """Bing quadkeys: len == zoom, digits in 0-3, and the zoom-z key is
+    a PREFIX of the zoom-(z+1) key (tile containment)."""
+    df = spark.createDataFrame(points, "lat double, lon double")
+    out = df.select(
+        quadkey(F.col("lon"), F.col("lat"), zoom).alias("q1"),
+        quadkey(F.col("lon"), F.col("lat"), zoom + 1).alias("q2"),
+    ).collect()
+    for r in out:
+        assert len(r["q1"]) == zoom and len(r["q2"]) == zoom + 1
+        assert set(r["q1"]) <= set("0123")
+        assert r["q2"].startswith(r["q1"])
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(whitelist_categories=["Ll", "Lu", "Nd"]),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_shingles_model(spark, docs):
+    """Word-3-gram shingles: n>=3 words → n-2 overlapping grams in
+    order; shorter docs → one whole-text shingle."""
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["s"] for r in df.select(shingles(F.col("t")).alias("s")).collect()]
+    for words, t, g in zip(docs, texts, got):
+        if len(words) >= 3:
+            want = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        else:
+            want = [t.strip()]
+        assert g == want, (t, g, want)

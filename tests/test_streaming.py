@@ -60,6 +60,50 @@ def test_stream_bin_count_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_windowed_watermark_counts(spark, sf_dir, tmp_path):
+    """Watermarked tumbling-window variant: append-mode windows that the
+    watermark has finalized must agree exactly with batch day-binning;
+    the still-open tail window is withheld (that's the point of the
+    watermark — bounded state, late-data tolerance)."""
+    from aces_nifi_processors_bundle_spark.operators.binning import bin_count
+    from aces_nifi_processors_bundle_spark.streaming.binning_stream import (
+        stream_bin_count,
+    )
+
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    out = stream_bin_count(stream, BINNERS, ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bins_windowed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM bins_windowed").collect()
+    assert emitted, "watermark should finalize at least the early windows"
+
+    from aces_nifi_processors_bundle_spark.operators.binning import bin_records
+
+    batch = load_table(spark, sf_dir, "events")
+    # one batch job: (window-day, name) -> count, same keying as the stream
+    want = {
+        (r["day"], r["name"]): r["total"]
+        for r in (
+            bin_records(batch, BINNERS, keep=["ts"])
+            .groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "name",
+            )
+            .agg(F.count(F.lit(1)).alias("total"))
+            .collect()
+        )
+    }
+    for r in emitted:
+        day = r["window"]["start"].strftime("%Y-%m-%d")
+        assert want.get((day, r["name"])) == r["total"], (day, r["name"], r["total"])
+
+
 def test_foreach_batch_partial_update(spark, sf_dir, tmp_path):
     """O4 as a streaming sink: micro-batches merge into a parquet-backed
     keyed store via foreachBatch — the NiFi-session-commit analog."""
