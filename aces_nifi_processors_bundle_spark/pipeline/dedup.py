@@ -164,14 +164,19 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle SETS for candidate pairs.
 
     Join the (small) candidate pair set back to the docs — two hash
     joins — then native array_intersect/array_union set arithmetic per
     pair. Verification cost scales with candidates, not corpus.
+    persist_sets avoids recomputing the shingle sets for both join
+    sides at corpus scale.
     """
     sh = shingle_sets(df, text_col, id_col, k)
+    if persist_sets:
+        sh = sh.persist()
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -194,13 +199,96 @@ def near_dup_pairs_minhash(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    persist_intermediates: bool = False,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    persist_intermediates: at corpus scale the candidate set feeds two
+    joins and the shingle sets feed both sides of the verify join —
+    without persistence Spark recomputes the whole upstream per
+    consumer (profiled 3× total work at 100k docs). Lazy-exact for the
+    oracle either way."""
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, band_size, k, max_bucket
     )
-    verified = ngram_jaccard(df, cands, text_col, id_col, k)
+    if persist_intermediates:
+        cands = cands.persist()
+    verified = ngram_jaccard(
+        df, cands, text_col, id_col, k, persist_sets=persist_intermediates
+    )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def near_dup_clusters(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Near-dup pairs → (node, cluster) connected components.
+
+    THE scale-shaped dedup output: pair lists are quadratic in cluster
+    size (a 1000-copy boilerplate family is half a million pairs), but
+    cluster labels are linear in docs. Min-label propagation over the
+    undirected pair graph; near-dup clusters have tiny diameters, so a
+    handful of join+groupBy rounds converges (each round is one shuffle
+    on node id; the loop stops early on fixpoint)."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["label"], F.coalesce("nlabel", labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep one doc per near-dup cluster (the min-id member); docs in no
+    pair survive untouched. Output is the deduplicated corpus."""
+    clusters = near_dup_clusters(pairs, max_iter)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 # --- SimHash (Spark-only; pytest-verified) -----------------------------

@@ -352,6 +352,42 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 )
 
+oracle("q_dedup_near_clusters")(
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, {_MH} FROM shx GROUP BY doc_id),
+bands AS ({_BANDS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(label) AS cluster FROM reach GROUP BY node
+"""
+)
+
 oracle("q_sim_topk")(
     """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -490,6 +490,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected-component cluster labels (min-id per
+    component) — the linear-in-docs dedup output. Oracle reproduces the
+    components with a recursive min-reachable-label CTE."""
+    from ..pipeline.dedup import near_dup_clusters, near_dup_pairs_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+    return near_dup_clusters(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over documents + planted one-suffix edits
     (doc_id+200000). Fingerprint = 60 bit-vote SUM aggregates; banding

@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fingerprint": q.q_fingerprint,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_minhash": q.q_dedup_minhash,
+    "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_sim_topk": q.q_sim_topk,
     "q_embedding_near_dups": q.q_embedding_near_dups,

@@ -62,6 +62,30 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall} too low"
 
 
+def test_near_dup_clusters_and_dedup(spark):
+    """Connected components over a pair chain: a-b, b-c, d-e collapse to
+    clusters {a,b,c} and {d,e}; dedup keeps min-id + unpaired docs."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        dedup_near,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["cluster"]) for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+
+
 def test_minhash_bucket_cap_drops_boilerplate(spark):
     """The skew guard: a bucket holding every copy of boilerplate text
     is dropped when over max_bucket; distinctive pairs survive."""
