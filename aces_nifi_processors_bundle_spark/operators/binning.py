@@ -71,6 +71,17 @@ OUTPUT_MODES_MULTIPLE = {"mulitple", "multiple"}
 class BinnerConfig:
     bin_name: str
 
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Optionally add helper columns evaluated ONCE per row.
+
+        Catalyst duplicates an expression subtree at every reference
+        site within a Project, so a binner whose name expressions share
+        an expensive subcomputation (e.g. Web-Mercator trig) should
+        materialize it here as a real column and reference it from
+        ``names`` — guaranteeing single evaluation regardless of
+        codegen subexpression elimination."""
+        return df
+
     def names(self, df: DataFrame) -> list[Column]:
         """Fixed list of bin-name expressions (fan-out is config-static)."""
         raise NotImplementedError  # pragma: no cover
@@ -143,15 +154,30 @@ class GeoTileBinner(BinnerConfig):
     data_field: str = ""
     max_level: int = 8
 
-    def names(self, df: DataFrame) -> list[Column]:
+    @property
+    def _qk_col(self) -> str:
+        return f"__qk_{self.bin_name}"
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Materialize the max-zoom quadkey once per row.
+
+        The zoom-z quadkey is by construction the z-char prefix of the
+        max-zoom quadkey (tile_x at zoom z = tile_x at max >> (max-z),
+        so digit i is identical at every zoom ≥ i). Computing the trig
+        (tan/cos/ln per row) once at max zoom and slicing prefixes
+        replaces ~max² duplicated trig subtrees with exactly one."""
         if self.lat_field and self.lon_field:
             lat, lon = F.col(self.lat_field), F.col(self.lon_field)
         else:
             parts = F.split(F.col(self.data_field), ",")
             lat = parts.getItem(0).cast("double")
             lon = parts.getItem(1).cast("double")
+        return df.withColumn(self._qk_col, quadkey(lon, lat, self.max_level))
+
+    def names(self, df: DataFrame) -> list[Column]:
+        qk = F.col(self._qk_col)
         return [
-            F.concat(F.lit(f"{self.bin_name}.{z}."), quadkey(lon, lat, z))
+            F.concat(F.lit(f"{self.bin_name}.{z}."), F.substring(qk, 1, z))
             for z in range(self.max_level + 1)
         ]
 
@@ -212,6 +238,8 @@ def bin_records(
     binners skipping absent fields.
     """
     binners = compile_binners(binners)
+    for b in binners:
+        df = b.prepare(df)
     all_names = [n for b in binners for n in b.names(df)]
     keep_cols = [F.col(c) for c in (keep or [])]
     if output_mode.lower() in OUTPUT_MODES_MULTIPLE:

@@ -223,14 +223,13 @@ def embedding_near_dups(
        joining the vectors back by id.
     """
     sk = sketch_udf(dim, n_planes)
-    vecs = df.select(
+    sketches = df.select(
         F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("v"),
         sk(as_double(F.col(vec_col))).alias("sk"),
     )
-    banded = vecs.select(
+    banded = sketches.select(
         "vid", "sk", F.explode(_band_keys(F.col("sk"), n_planes, n_bands)).alias("band_key")
-    )
+    ).persist()  # both sides of the self-join; computes the Arrow-UDF sketch pass once
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, "band_key")
@@ -247,6 +246,7 @@ def embedding_near_dups(
             <= hamming_bound(threshold, n_planes)
         )
     )
+    vecs = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
     va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     survivors = pairs.select("id_a", "id_b").join(va, "id_a").join(vb, "id_b")
