@@ -3,11 +3,11 @@
 Two paths, per the north star:
 - Brute-force cosine top-k: exact baseline. The query set broadcasts
   (it's small); the corpus streams through one projection — no shuffle
-  on the corpus side at all; per-query top-k via window row_number
-  over (query partition). At 1000 executors this is embarrassingly
-  parallel: each task scores its corpus slice against the broadcast
-  queries and emits its local top-k; the final top-k merge shuffles
-  only k rows per (query, task).
+  on the corpus side at all. The per-query top-k is a salted two-phase
+  aggregation (see _topk_per_query): phase 1 spreads each query over
+  n_salts reducers (bounded sort memory, no one-partition-per-query
+  hot spot), phase 2 merges only k·n_salts rows per query. Exact: the
+  global top-k is contained in the union of per-bucket top-ks.
 - LSH-bucketed ANN (random hyperplanes): sign-bit sketch per vector,
   bucket join on sketch bands — the scale path when the query set is
   the whole corpus (all-pairs). Sketches are computed by an
@@ -34,7 +34,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -60,6 +60,53 @@ def as_double(a: Column) -> Column:
     return a.cast("array<double>")
 
 
+def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+    """Exact per-query top-k over (query_id, neighbor_id, cos) rows,
+    ranked by (cos desc, neighbor_id asc), as a salted two-phase agg.
+
+    Why not `row_number().over(Window.partitionBy("query_id"))`: a
+    window shuffles EVERY scored row onto one partition per query_id
+    and sort-buffers it there — at |queries|×|corpus| rows that is a
+    skewed, memory-heavy sort per query, and window functions get no
+    partial aggregation. Here instead:
+
+    phase 1: groupBy(query_id, salt) — hash aggregation (partial agg
+      map-side, ObjectHashAggregate), each query's rows spread across
+      n_salts reducers, each keeping only its local top-k via
+      slice(array_sort(collect_list(struct)), 1, k);
+    phase 2: groupBy(query_id) over the surviving k·n_salts rows per
+      query — a trivially small final merge.
+
+    Exact by construction: every global top-k row is the top-k of its
+    own salt bucket. The struct sort key (-cos, neighbor_id) is a
+    total order, so ties resolve identically to the window version.
+    """
+    entry = F.struct(
+        (-F.col("cos")).alias("_negcos"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("cos").alias("cos"),
+    )
+    local = (
+        scored.groupBy(
+            "query_id",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts)).alias("_salt"),
+        )
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("_top"))
+        .select("query_id", F.explode("_top").alias("_e"))
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list("_e")), 1, k).alias("_top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("_top").alias("_pos", "_e")
+    ).select(
+        "query_id",
+        F.col("_e.neighbor_id").alias("neighbor_id"),
+        F.col("_e.cos").alias("cos"),
+        (F.col("_pos") + 1).alias("rank"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,8 +116,8 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    Output: (query_id, neighbor_id, cos) — k rows per query, ranked by
-    (cos desc, neighbor_id asc); self-matches excluded.
+    Output: (query_id, neighbor_id, cos, rank) — k rows per query,
+    ranked by (cos desc, neighbor_id asc); self-matches excluded.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -88,14 +135,7 @@ def brute_force_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -192,14 +232,7 @@ def lsh_topk(
         "neighbor_id",
         cosine(F.col("queryv"), F.col("neighborv")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dups(
@@ -227,9 +260,14 @@ def embedding_near_dups(
         F.col(id_col).alias("vid"),
         sk(as_double(F.col(vec_col))).alias("sk"),
     )
+    # Both sides of the self-join are the SAME logical plan, so the
+    # shuffle they feed is a ReusedExchange: the Arrow-UDF sketch pass
+    # runs once without persist() (which, on a lazily-returned frame,
+    # would pin cache blocks for the session lifetime — nobody could
+    # unpersist). Verified in the physical plan (tests/test_pipeline).
     banded = sketches.select(
         "vid", "sk", F.explode(_band_keys(F.col("sk"), n_planes, n_bands)).alias("band_key")
-    ).persist()  # both sides of the self-join; computes the Arrow-UDF sketch pass once
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, "band_key")
