@@ -518,6 +518,115 @@ FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 )
 
+# --- Hyperplane-LSH similarity oracles ----------------------------------
+#
+# The md5-derived hyperplanes (pipeline/similarity.py::_hyperplane) are
+# reproducible in SQL: weight(p,d) = ('0x'||substr(md5(p||'|'||d),1,8))::
+# BIGINT / 0xFFFFFFFF - 0.5 — so the planes are a 4096-row derived table,
+# not 4096 literals. Sign-bit sketches accumulate as HUGEINT and wrap to
+# int64 exactly like numpy's uint64→int64 astype (bit 63 = the sign).
+# Verified bit-exact against the Arrow-UDF sketches for all sf0.01
+# vectors before landing.
+
+def _lsh_sketch_ctes(n_planes: int = 64, dim: int = 64, n_bands: int = 8) -> str:
+    """CTE chain planes→dots→sk→banded over a prior `vecs(vec_id, v)` CTE.
+
+    Mirrors similarity.py::sketch_udf + _band_keys: band key =
+    (b << band_bits) | ((sk >> b*band_bits) & mask)."""
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+planes AS (
+  SELECT p.p AS plane, d.d AS dim,
+         ('0x' || substr(md5(CAST(p.p AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967295.0 - 0.5 AS w
+  FROM (SELECT unnest(range({n_planes})) AS p) p, (SELECT unnest(range({dim})) AS d) d
+),
+dots AS (
+  SELECT c.vec_id, pl.plane, sum(c.v[pl.dim + 1] * pl.w) AS dp
+  FROM vecs c, planes pl GROUP BY c.vec_id, pl.plane
+),
+sk AS (
+  SELECT vec_id,
+         CASE WHEN s >= 9223372036854775808::HUGEINT
+              THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE s::BIGINT END AS sk
+  FROM (
+    SELECT vec_id,
+           sum(CASE WHEN dp > 0
+                    THEN (CASE WHEN plane = 63 THEN 9223372036854775808::HUGEINT
+                               ELSE ((1::BIGINT << plane))::HUGEINT END)
+                    ELSE 0::HUGEINT END) AS s
+    FROM dots GROUP BY vec_id
+  )
+),
+banded AS (
+  SELECT vec_id, sk.sk,
+         (b.b << {band_bits}) | ((sk.sk >> (b.b * {band_bits})) & {mask}) AS band_key
+  FROM sk, (SELECT unnest(range({n_bands})) AS b) b
+)"""
+
+
+def _embedding_hamming_bound() -> int:
+    from ..pipeline.similarity import hamming_bound
+
+    return hamming_bound(0.8, 64)
+
+
+oracle("q_embedding_near_dups")(
+    f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         CAST(list_prepend(embedding[1] + CAST(0.3 AS FLOAT), embedding[2:64]) AS DOUBLE[])
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+{_lsh_sketch_ctes()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.sk AS sk_a, b.sk AS sk_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.vec_id < b.vec_id
+),
+survivors AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE bit_count(xor(sk_a, sk_b)) <= {_embedding_hamming_bound()}
+),
+scored AS (
+  SELECT s.id_a, s.id_b, list_cosine_similarity(va.v, vb.v) AS cos
+  FROM survivors s
+  JOIN vecs va ON va.vec_id = s.id_a
+  JOIN vecs vb ON vb.vec_id = s.id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.8
+"""
+)
+
+oracle("q_ann_topk")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_lsh_sketch_ctes()},
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c USING (band_key)
+  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(vq.v, vc.v) AS cos
+  FROM cands
+  JOIN vecs vq ON vq.vec_id = cands.query_id
+  JOIN vecs vc ON vc.vec_id = cands.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
 _FEAT_COLS = ", ".join(
     f"CAST(round(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 5) AS VARCHAR)"
     for i in range(8)

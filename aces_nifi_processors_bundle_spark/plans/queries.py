@@ -588,8 +588,9 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural pairs above 0.8 (checked: max cross cosine ≈ 0.6), so the
     corpus is augmented with perturbed copies (vec_id+100000, first
     coordinate shifted) — same planted-dup pattern as _dup_corpus.
-    No SQL oracle (4096 hyperplane literals); recall vs brute force is
-    pytest-checked → driver records rows-only."""
+    Oracle: the md5-derived hyperplanes are a derived table in SQL
+    (oracles.py::_lsh_sketch_ctes), so the whole funnel — sketches,
+    band join, Hamming cut, exact cosine — is DuckDB-checkable."""
     from ..pipeline.similarity import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -600,4 +601,21 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.get(v, 0) + F.lit(0.3).cast("float")), F.slice(v, 2, 63)
         ).alias("embedding"),
     )
-    return embedding_near_dups(emb.unionByName(planted), dim=64, threshold=0.8)
+    out = embedding_near_dups(emb.unionByName(planted), dim=64, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via hyperplane-LSH bucket join (the similarity-search
+    scale path: bucket join replaces the n² cross join). Deterministic
+    md5 planes make the whole path oracle-able; recall vs the oracled
+    brute force is additionally pytest-checked."""
+    from ..pipeline.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = lsh_topk(emb, queries, dim=64, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )

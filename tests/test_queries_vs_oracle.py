@@ -22,6 +22,6 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
-    # Keep this list tight: only genuinely non-SQL-expressible ops.
-    allowed_missing = {"q_embedding_near_dups"}
-    assert missing <= allowed_missing, f"queries lacking oracles: {missing}"
+    # Every registered query is currently SQL-expressible — even the
+    # hyperplane-LSH funnel (md5-derived planes as a SQL derived table).
+    assert not missing, f"queries lacking oracles: {missing}"
