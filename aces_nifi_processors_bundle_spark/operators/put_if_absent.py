@@ -7,32 +7,32 @@ when the primary key already exists, routes the record to an
 `already-exists` relationship instead of failing — detected by
 string-matching the duplicate-key exception message (:153).
 
-Spark mapping (SURVEY.md §2.3 quirk 5): a deterministic anti-join /
-semi-join split — strictly better than exception sniffing, identical
-observable routing:
-- inserted       = source rows whose keys are NOT in target (and the
-                   first occurrence within the batch; later in-batch
-                   duplicates are `already-exists` too, matching the
+Spark mapping (SURVEY.md §2.3 quirk 5): deterministic joins — strictly
+better than exception sniffing, identical observable routing:
+- success        = first occurrence of each key within the batch whose
+                   key is NOT already in the target
+- already-exists = everything else (keys clashing with the target, and
+                   later in-batch duplicates — matching the
                    one-at-a-time reference where the second insert of a
                    key hits the dup error)
-- already-exists = everything else
-- post_state     = target ∪ inserted (no duplicate keys, by construction)
+- post_state     = target ∪ success (no duplicate keys, by construction)
 
-Scale notes: left_anti/left_semi shuffle once on the keys; a small
-source batch broadcasts. The in-batch first-occurrence pick is a
-window-free groupBy(min(surrogate)) when an ordering column is given,
-else dropDuplicates (any-one-wins, which matches NiFi's nondeterministic
-arrival order).
+Single-pass shape (one scan of the source): a window row_number over
+the keys tags the first-in-batch occurrence, a left join against the
+distinct target keys flags target clashes, and one `_route` expression
+splits the relationships — the engine's route_by idiom. The window and
+the join share the same hash partitioning on the keys, so the source
+shuffles once and the join reuses that exchange; the target side ships
+only its key columns. (An earlier draft scanned the source three times
+— two joins plus an exceptAll set-difference — for the same answer.)
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .routing import Routed
+from .routing import ROUTE_COL, Routed
 
 
 def put_if_absent(
@@ -41,26 +41,37 @@ def put_if_absent(
     keys: list[str],
     order_col: str | None = None,
 ) -> tuple[Routed, DataFrame]:
-    """Returns (routed{success, already-exists}, post_state)."""
-    if order_col:
-        w_first = (
-            source.groupBy(*keys).agg(F.min(order_col).alias("_first"))
-        )
-        first_in_batch = source.join(
-            w_first,
-            [*keys],
-        ).filter(F.col(order_col) == F.col("_first")).drop("_first")
-    else:
-        first_in_batch = source.dropDuplicates(keys)
+    """Returns (routed{success, already-exists}, post_state).
 
-    inserted = first_in_batch.join(target.select(*keys), keys, "left_anti")
-    # already-exists = source minus the inserted rows (key-wise for the
-    # target-clash part, row-wise for in-batch later duplicates).
-    exists_in_target = source.join(target.select(*keys), keys, "left_semi")
-    in_batch_dupes = source.exceptAll(first_in_batch).join(
-        target.select(*keys), keys, "left_anti"
+    order_col picks the surviving in-batch duplicate deterministically
+    (min order wins); without it an arbitrary stable tag is used —
+    matching NiFi's nondeterministic arrival order.
+    """
+    if order_col:
+        ordered = source
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    else:
+        # Window orderBy must be deterministic, so materialize the
+        # arbitrary tag as a projected column first.
+        ordered = source.withColumn("_ord", F.monotonically_increasing_id())
+        w = Window.partitionBy(*keys).orderBy(F.col("_ord").asc())
+
+    tgt_keys = target.select(*keys).dropDuplicates(keys).withColumn(
+        "_in_target", F.lit(True)
     )
-    already = exists_in_target.unionByName(in_batch_dupes)
+    tagged = (
+        ordered.withColumn("_rn", F.row_number().over(w))
+        .join(tgt_keys, keys, "left")
+        .withColumn(
+            ROUTE_COL,
+            F.when(F.col("_in_target").isNotNull(), F.lit("already-exists"))
+            .when(F.col("_rn") == 1, F.lit("success"))
+            .otherwise(F.lit("already-exists")),
+        )
+        .drop("_rn", "_in_target", *([] if order_col else ["_ord"]))
+    )
+    inserted = tagged.filter(F.col(ROUTE_COL) == "success").drop(ROUTE_COL)
+    already = tagged.filter(F.col(ROUTE_COL) == "already-exists").drop(ROUTE_COL)
 
     post_state = target.unionByName(inserted.select(*target.columns))
     return Routed({"success": inserted, "already-exists": already}), post_state

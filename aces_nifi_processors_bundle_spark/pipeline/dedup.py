@@ -220,7 +220,7 @@ def near_dup_pairs_minhash(
 
 
 def near_dup_clusters(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, checkpoint_every: int = 5
 ) -> DataFrame:
     """Near-dup pairs → (node, cluster) connected components.
 
@@ -229,7 +229,15 @@ def near_dup_clusters(
     cluster labels are linear in docs. Min-label propagation over the
     undirected pair graph; near-dup clusters have tiny diameters, so a
     handful of join+groupBy rounds converges (each round is one shuffle
-    on node id; the loop stops early on fixpoint)."""
+    on node id; the loop stops early on fixpoint).
+
+    Every `checkpoint_every` rounds the label frame is localCheckpoint'd:
+    each round's plan otherwise stacks on the previous round's, and at
+    corpus scale 10+ rounds of lineage (re-planned per round by the
+    driver-side fixpoint count()) blows up optimizer time and recovery
+    cost. Checkpointing truncates the plan to the materialized blocks,
+    keeping every round's plan depth constant. Convergence across long
+    chains (diameter > checkpoint interval) is pytest-covered."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -246,22 +254,26 @@ def near_dup_clusters(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                labels["node"].alias("node"),
-                F.least(
-                    labels["label"], F.coalesce("nlabel", labels["label"])
-                ).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            labels["node"].alias("node"),
+            F.least(
+                labels["label"], F.coalesce("nlabel", labels["label"])
+            ).alias("label"),
         )
+        if (i + 1) % checkpoint_every == 0:
+            # Materializes eagerly and truncates lineage; the blocks it
+            # writes replace the persist for this round.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

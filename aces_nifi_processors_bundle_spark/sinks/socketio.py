@@ -84,8 +84,12 @@ class SocketIOSink:
     def write_batch(self, df: DataFrame) -> int:
         """Batch mode: foreachPartition with one client per partition.
 
-        Returns the number of rows pushed (driver-side count of the
-        same frame — the send itself is executor-side)."""
+        Returns the number of rows actually pushed, counted by an
+        accumulator incremented inside the push closure — ONE job runs
+        the pipeline. (An earlier draft called out.count() after the
+        foreachPartition, recomputing the whole upstream plan a second
+        time; with a nondeterministic upstream the logged count could
+        even disagree with what was pushed.)"""
         cols = [F.col(self.payload_col).alias("payload")]
         if self.mode == "emit":
             if self.event_col:
@@ -97,22 +101,26 @@ class SocketIOSink:
         mode = self.mode
         timeout = self.connect_timeout_s
         factory = self.client_factory
+        pushed = df.sparkSession.sparkContext.accumulator(0)
 
         def push(rows) -> None:
             client = factory()
             client.connect(url, timeout)
+            n = 0
             try:
                 for row in rows:
                     if mode == "emit":
                         client.emit(row["event"], row["payload"])
                     else:
                         client.send(row["payload"])
+                    n += 1
             finally:
                 client.disconnect()
+            pushed.add(n)
 
         with self.provenance.send(self.url, detail=f"mode={mode}") as ctx:
             out.foreachPartition(push)
-            ctx["n_rows"] = out.count()
+            ctx["n_rows"] = pushed.value
         return self.provenance.events[-1].n_rows
 
     def stream_writer(self, df: DataFrame, checkpoint: str, **options):

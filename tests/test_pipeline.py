@@ -86,6 +86,42 @@ def test_near_dup_clusters_and_dedup(spark):
     assert kept == [1, 10, 99]
 
 
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A chain-shaped cluster (diameter 11 > checkpoint interval 5)
+    converges to one min-label component, proving the localCheckpoint
+    rounds don't lose label state and plan depth stays bounded."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1, 12)]  # 1-2-3-...-12
+        + [Row(id_a=100, id_b=101)]
+    )
+    labels = {r["node"]: r["cluster"] for r in near_dup_clusters(pairs).collect()}
+    assert all(labels[n] == 1 for n in range(1, 13))
+    assert labels[100] == labels[101] == 100
+
+
+def test_put_if_absent_single_pass_routing(spark):
+    """In-batch dupes of new keys: min-order occurrence wins; target
+    clashes all route to already-exists; post-state has unique keys."""
+    from aces_nifi_processors_bundle_spark.operators.put_if_absent import put_if_absent
+
+    target = spark.createDataFrame([Row(k=1, v="t1"), Row(k=2, v="t2")])
+    source = spark.createDataFrame(
+        [Row(k=2, v="clash", ord=0),
+         Row(k=3, v="first", ord=1), Row(k=3, v="second", ord=2),
+         Row(k=4, v="solo", ord=3)]
+    )
+    routed, post = put_if_absent(target, source.select("k", "v", "ord"),
+                                 ["k"], order_col="ord")
+    ok = {(r["k"], r["v"]) for r in routed.success.collect()}
+    assert ok == {(3, "first"), (4, "solo")}
+    dup = {(r["k"], r["v"]) for r in routed.frames["already-exists"].collect()}
+    assert dup == {(2, "clash"), (3, "second")}
+    keys = [r["k"] for r in post.collect()]
+    assert sorted(keys) == [1, 2, 3, 4]
+
+
 def test_minhash_bucket_cap_drops_boilerplate(spark):
     """The skew guard: a bucket holding every copy of boilerplate text
     is dropped when over max_bucket; distinctive pairs survive."""
@@ -200,3 +236,32 @@ def test_socketio_sink_collects(spark, tmp_path):
     for p in glob.glob(os.path.join(out_dir, "*.jsonl")):
         rows += [json.loads(line) for line in open(p)]
     assert sorted(r["event"] for r in rows) == ["click", "view"]
+
+
+def test_socketio_sink_single_pass(spark):
+    """The provenance row count comes from an accumulator inside the
+    push closure — the upstream plan runs exactly ONCE per batch. A
+    per-row counting accumulator in the pipeline would read 2N if the
+    sink recomputed the plan to count (the old out.count() bug)."""
+    from pyspark.sql.functions import udf
+
+    from aces_nifi_processors_bundle_spark.sinks.socketio import (
+        CollectingClient,
+        SocketIOSink,
+    )
+
+    evals = spark.sparkContext.accumulator(0)
+
+    @udf("string")
+    def traced(s):
+        evals.add(1)
+        return s
+
+    df = spark.createDataFrame(
+        [Row(payload=f'{{"i":{i}}}') for i in range(10)]
+    ).select(traced("payload").alias("payload"))
+    sink = SocketIOSink(url="stub://", payload_col="payload", mode="send",
+                        client_factory=CollectingClient)
+    n = sink.write_batch(df)
+    assert n == 10
+    assert evals.value == 10  # one pipeline pass, not two
