@@ -172,9 +172,23 @@ class GeoTileBinner(BinnerConfig):
             parts = F.split(F.col(self.data_field), ",")
             lat = parts.getItem(0).cast("double")
             lon = parts.getItem(1).cast("double")
-        return df.withColumn(self._qk_col, quadkey(lon, lat, self.max_level))
+        # Null/absent coordinates → null helper → every zoom's name is
+        # null and the row is skipped, INCLUDING zoom 0 (whose quadkey
+        # is the constant "" and would otherwise bin every row) — the
+        # skip-absent-fields semantic of the reference binners, applied
+        # uniformly across zoom levels and max_level=0.
+        qk = F.when(
+            lat.isNotNull() & lon.isNotNull(), quadkey(lon, lat, self.max_level)
+        )
+        return df.withColumn(self._qk_col, qk)
 
     def names(self, df: DataFrame) -> list[Column]:
+        if self._qk_col not in df.columns:
+            raise ValueError(
+                f"GeoTileBinner {self.bin_name!r}: helper column "
+                f"{self._qk_col!r} missing — names() requires prepare() "
+                "to have been applied first (bin_records does this)"
+            )
         qk = F.col(self._qk_col)
         return [
             F.concat(F.lit(f"{self.bin_name}.{z}."), F.substring(qk, 1, z))
@@ -250,6 +264,62 @@ def bin_records(
         raise ValueError(f"unknown output mode {output_mode!r}")
     exploded = df.select(*keep_cols, F.explode(F.array(*all_names)).alias("name"))
     return exploded.filter(F.col("name").isNotNull())
+
+
+def with_bin_metadata(
+    recs: DataFrame,
+    output_mode: str = OUTPUT_MODE_SINGLE,
+    orig_filename_col: str | None = None,
+) -> DataFrame:
+    """Attach the reference's output FlowFile attributes as columns:
+    `mime.type=application/json` (DataBinningProcessor.java:285,302)
+    and the filename — `bin-<name>.json` per exploded bin in single
+    mode (:284) or `bins-<original filename>` in "mulitple" mode
+    (:301). Trivial concat expressions; declared §2.2 surface."""
+    if output_mode.lower() in OUTPUT_MODES_MULTIPLE:
+        if orig_filename_col is None:
+            raise ValueError("mulitple-mode filenames need orig_filename_col")
+        fname = F.concat(F.lit("bins-"), F.col(orig_filename_col))
+    else:
+        fname = F.concat(F.lit("bin-"), F.col("name"), F.lit(".json"))
+    return recs.withColumn("filename", fname).withColumn(
+        "mime.type", F.lit("application/json")
+    )
+
+
+def bin_json_flowfiles(
+    df: DataFrame,
+    content_col: str,
+    schema: str,
+    binners: list[BinnerConfig],
+    output_mode: str = OUTPUT_MODE_SINGLE,
+    keep: list[str] | None = None,
+):
+    """The full FlowFile-shaped operator: JSON content → parse → bin,
+    with the reference's three relationships (DataBinningProcessor.java:
+    85-96): `bin` (the fan-out records), `original` (input passthrough,
+    :308), `failure` (unparseable content, :316-318).
+
+    Malformed documents are detected via from_json's corrupt-record
+    column (PERMISSIVE mode fills FIELDS with null rather than nulling
+    the struct, so a null-struct test alone misses garbage input) —
+    the declarative analog of the reference's catch-and-route-per-
+    record, evaluated vectorized instead of via per-row exceptions."""
+    from .routing import Routed
+
+    doc = F.from_json(
+        F.col(content_col),
+        schema + ", _corrupt_record string",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    parsed = df.withColumn("_doc", doc)
+    bad = F.col("_doc").isNull() | F.col("_doc._corrupt_record").isNotNull()
+    failure = parsed.filter(bad).drop("_doc")
+    flat = parsed.filter(~bad).select(*(keep or []), F.col("_doc.*")).drop(
+        "_corrupt_record"
+    )
+    recs = bin_records(flat, binners, output_mode=output_mode, keep=keep)
+    return Routed({"bin": recs, "original": df, "failure": failure})
 
 
 def bin_count(df: DataFrame, binners: list[BinnerConfig]) -> DataFrame:

@@ -80,6 +80,10 @@ class PartialUpdateResult:
     post_state: DataFrame
     success: DataFrame
     success_unmodified: DataFrame
+    # The full merged frame with its `_route` column — lets a storage
+    # layer write post-state and collect routing counts via a single
+    # observed pass (stores/keyed_table.py) instead of three jobs.
+    merged: DataFrame | None = None
 
 
 def _split_path(prop: str) -> tuple[str, str | None]:
@@ -269,4 +273,4 @@ def partial_update(
     post = merged.filter(F.col("_route") != "drop").drop("_route")
     success = merged.filter(F.col("_route").isin("success", "insert")).drop("_route")
     unmodified = merged.filter(F.col("_route") == "success-unmodified").drop("_route")
-    return PartialUpdateResult(post, success, unmodified)
+    return PartialUpdateResult(post, success, unmodified, merged)

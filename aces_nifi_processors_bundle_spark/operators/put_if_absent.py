@@ -35,17 +35,15 @@ from pyspark.sql import functions as F
 from .routing import ROUTE_COL, Routed
 
 
-def put_if_absent(
+def tag_put_if_absent(
     target: DataFrame,
     source: DataFrame,
     keys: list[str],
     order_col: str | None = None,
-) -> tuple[Routed, DataFrame]:
-    """Returns (routed{success, already-exists}, post_state).
-
-    order_col picks the surviving in-batch duplicate deterministically
-    (min order wins); without it an arbitrary stable tag is used —
-    matching NiFi's nondeterministic arrival order.
+) -> DataFrame:
+    """The single-pass core: source rows tagged with a `_route` column
+    (success | already-exists). Storage layers consume this directly so
+    one observed write both appends and counts (stores/keyed_table.py).
     """
     if order_col:
         ordered = source
@@ -59,7 +57,7 @@ def put_if_absent(
     tgt_keys = target.select(*keys).dropDuplicates(keys).withColumn(
         "_in_target", F.lit(True)
     )
-    tagged = (
+    return (
         ordered.withColumn("_rn", F.row_number().over(w))
         .join(tgt_keys, keys, "left")
         .withColumn(
@@ -70,6 +68,21 @@ def put_if_absent(
         )
         .drop("_rn", "_in_target", *([] if order_col else ["_ord"]))
     )
+
+
+def put_if_absent(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> tuple[Routed, DataFrame]:
+    """Returns (routed{success, already-exists}, post_state).
+
+    order_col picks the surviving in-batch duplicate deterministically
+    (min order wins); without it an arbitrary stable tag is used —
+    matching NiFi's nondeterministic arrival order.
+    """
+    tagged = tag_put_if_absent(target, source, keys, order_col)
     inserted = tagged.filter(F.col(ROUTE_COL) == "success").drop(ROUTE_COL)
     already = tagged.filter(F.col(ROUTE_COL) == "already-exists").drop(ROUTE_COL)
 

@@ -80,7 +80,12 @@ def _geotile_zoom_sql(z: int) -> str:
     functions/geotile.py term-for-term (same literal order → same IEEE)."""
     n = 2**z
     if z == 0:
-        return "SELECT 'byTile.0.' AS name FROM geo"
+        # Null coords skip every zoom incl. 0 (binning.py GeoTileBinner
+        # prepare nulls the helper) — mirror the guard here.
+        return (
+            "SELECT 'byTile.0.' AS name FROM geo "
+            "WHERE lat IS NOT NULL AND lon IS NOT NULL"
+        )
     digits = " || ".join(
         f"CAST(((xt >> {z - i}) & 1) + 2 * ((yt >> {z - i}) & 1) AS VARCHAR)"
         for i in range(1, z + 1)
@@ -100,6 +105,35 @@ oracle("q_bin_geotile")(
     + "\n  UNION ALL\n".join(_geotile_zoom_sql(z) for z in range(0, 7))
     + "\n)\nSELECT name, CAST(count(*) AS BIGINT) AS total FROM bins "
     "GROUP BY name ORDER BY name"
+)
+
+oracle("q_bin_failure_routing")(
+    """
+SELECT 'bin' AS relationship,
+       CAST(2 * (SELECT count(*) FROM events WHERE event_id % 10 <> 0) AS BIGINT) AS n
+UNION ALL
+SELECT 'original', CAST((SELECT count(*) FROM events) AS BIGINT)
+UNION ALL
+SELECT 'failure', CAST((SELECT count(*) FROM events WHERE event_id % 10 = 0) AS BIGINT)
+"""
+)
+
+oracle("q_bin_filenames")(
+    """
+WITH bins AS (
+  SELECT 'byDay.DAY.' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS name FROM events
+  UNION ALL
+  SELECT 'byType.' || event_type FROM events
+  UNION ALL
+  SELECT 'dayType.byDay.DAY.' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+         || '|byType.' || event_type FROM events
+)
+SELECT name,
+       'bin-' || name || '.json' AS filename,
+       'application/json' AS "mime.type",
+       CAST(count(*) AS BIGINT) AS total
+FROM bins GROUP BY name
+"""
 )
 
 oracle("q_bin_multiple_mode")(
@@ -517,6 +551,89 @@ SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 )
+
+# --- Storage-backed merge oracles ----------------------------------------
+# Two-step simulation of the keyed-store merges: each step is the same
+# LEFT JOIN (matched updates) + anti-join (upsert inserts) pattern as
+# the in-memory q_partial_update oracle, chained s0 → s1 → s2.
+
+oracle("q_store_merge")(
+    """
+WITH tgt0 AS (
+  SELECT c_custkey, c_acctbal, CAST(c_custkey % 10 AS INT) AS visits,
+         CAST(NULL AS TIMESTAMP) AS lastUpdated
+  FROM customer
+),
+b1 AS (
+  SELECT c_custkey, c_acctbal * 2 AS v_set, 5 AS v_inc
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, 999.25, 7 FROM customer WHERE c_custkey % 7 = 0
+),
+s1 AS (
+  SELECT t.c_custkey,
+         COALESCE(b.v_set, t.c_acctbal) AS c_acctbal,
+         CAST(t.visits + COALESCE(b.v_inc, 0) AS INT) AS visits,
+         CASE WHEN b.c_custkey IS NOT NULL THEN TIMESTAMP '2026-01-01 00:00:00'
+              ELSE t.lastUpdated END AS lastUpdated
+  FROM tgt0 t LEFT JOIN b1 b USING (c_custkey)
+  UNION ALL
+  SELECT b.c_custkey, b.v_set, CAST(b.v_inc AS INT), TIMESTAMP '2026-01-01 00:00:00'
+  FROM b1 b LEFT JOIN tgt0 t USING (c_custkey) WHERE t.c_custkey IS NULL
+),
+b2 AS (
+  SELECT c_custkey, c_acctbal + 10 AS v_set, 1 AS v_inc
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, 111.5, 2 FROM customer WHERE c_custkey % 14 = 0
+  UNION ALL
+  SELECT c_custkey + 200000, 5.25, 3 FROM customer WHERE c_custkey % 11 = 0
+),
+s2 AS (
+  SELECT t.c_custkey,
+         COALESCE(b.v_set, t.c_acctbal) AS c_acctbal,
+         CAST(t.visits + COALESCE(b.v_inc, 0) AS INT) AS visits,
+         CASE WHEN b.c_custkey IS NOT NULL THEN TIMESTAMP '2026-02-02 00:00:00'
+              ELSE t.lastUpdated END AS lastUpdated
+  FROM s1 t LEFT JOIN b2 b USING (c_custkey)
+  UNION ALL
+  SELECT b.c_custkey, b.v_set, CAST(b.v_inc AS INT), TIMESTAMP '2026-02-02 00:00:00'
+  FROM b2 b LEFT JOIN s1 t USING (c_custkey) WHERE t.c_custkey IS NULL
+)
+SELECT c_custkey, c_acctbal, visits,
+       strftime(lastUpdated, '%Y-%m-%d %H:%M:%S') AS lastUpdated
+FROM s2
+"""
+)
+
+oracle("q_store_put_if_absent")(
+    """
+WITH ins2 AS (
+  SELECT count(*) AS n FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0 AND o_orderkey % 5 <> 0
+)
+SELECT 'put1-inserted' AS relationship,
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 <> 0) AS BIGINT) AS n
+UNION ALL
+SELECT 'put1-already',
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT)
+UNION ALL
+SELECT 'put2-inserted', CAST((SELECT n FROM ins2) AS BIGINT)
+UNION ALL
+SELECT 'put2-already',
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0)
+          + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+          - (SELECT n FROM ins2) AS BIGINT)
+UNION ALL
+SELECT 'final-count',
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          + (SELECT count(*) FROM orders
+             WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 <> 0)
+          + (SELECT n FROM ins2) AS BIGINT)
+"""
+)
+
 
 # --- Hyperplane-LSH similarity oracles ----------------------------------
 #

@@ -161,6 +161,57 @@ def q_bin_multiple_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bin_failure_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 relationship model (DataBinningProcessor.java:85-96): JSON
+    FlowFile content → bin / original / failure. Every 10th record's
+    content is truncated JSON → failure (:316-318); the rest fan out
+    two bins each (byDay + byType)."""
+    from ..operators.binning import bin_json_flowfiles
+
+    events = load_table(spark, sf_dir, "events")
+    content = (
+        F.when(F.col("event_id") % 10 == 0, F.lit('{"broken'))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    F.col("event_type"),
+                )
+            )
+        )
+    )
+    df = events.select(F.col("event_id"), content.alias("content"))
+    routed = bin_json_flowfiles(
+        df,
+        "content",
+        "ts timestamp, event_type string",
+        [
+            DateBinner(bin_name="byDay", data_field="ts", granularity="DAY"),
+            LiteralBinner(bin_name="byType", data_field="event_type"),
+        ],
+    )
+    out = None
+    for rel in ["bin", "original", "failure"]:
+        c = routed[rel].agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(rel).alias("relationship"), "n"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def q_bin_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 output metadata: mime.type=application/json and the
+    bin-<name>.json filename attribute per emitted bin record
+    (DataBinningProcessor.java:284-285)."""
+    from ..operators.binning import bin_records, with_bin_metadata
+
+    events = load_table(spark, sf_dir, "events")
+    meta = with_bin_metadata(bin_records(events, FLAGSHIP_BINNERS))
+    return meta.groupBy("name", "filename", "`mime.type`").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+
+
 # --- O2: security marking parse ---------------------------------------
 
 MARKING_CFG = SecurityMarkingConfig(
@@ -318,6 +369,119 @@ def q_partial_update_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("success-unmodified").alias("relationship"), "n"
     )
     return mod.unionByName(unmod)
+
+
+# --- O4/O5 storage-backed: keyed parquet store -------------------------
+
+STORE_NOW1 = "2026-01-01 00:00:00"
+STORE_NOW2 = "2026-02-02 00:00:00"
+
+
+def _store_target(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 10).cast("int").alias("visits"),
+        F.lit(None).cast("timestamp").alias("lastUpdated"),
+    )
+
+
+def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 as a PERSISTENT incremental merge: two successive update
+    batches against a keyed parquet store (PartialUpdateMongo.java:
+    431-454's bulk upsert into a real keyed collection — the
+    reference's entire purpose). Each merge reads and rewrites only
+    the hash-buckets containing the batch's keys; the final table
+    state must equal DuckDB's two-step merge simulation."""
+    import tempfile
+
+    from ..stores import KeyedParquetStore
+
+    customer = load_table(spark, sf_dir, "customer")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=tempfile.mkdtemp(prefix="aces_store_merge_"),
+        keys=["c_custkey"],
+        n_buckets=16,
+    )
+    store.init(_store_target(customer))
+
+    ops = {"c_acctbal": "$set", "visits": "$inc", "lastUpdated": "$currentDate"}
+    batch1 = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit(5).alias("visits"),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.lit(999.25).alias("c_acctbal"),
+            F.lit(7).alias("visits"),
+        )
+    )
+    store.merge(batch1, PartialUpdateConfig(keys=["c_custkey"], operations=ops,
+                                            upsert=True, now=STORE_NOW1))
+    batch2 = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 10).alias("c_acctbal"),
+        F.lit(1).alias("visits"),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 14 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.lit(111.5).alias("c_acctbal"),
+            F.lit(2).alias("visits"),
+        )
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 11 == 0).select(
+            (F.col("c_custkey") + 200000).alias("c_custkey"),
+            F.lit(5.25).alias("c_acctbal"),
+            F.lit(3).alias("visits"),
+        )
+    )
+    store.merge(batch2, PartialUpdateConfig(keys=["c_custkey"], operations=ops,
+                                            upsert=True, now=STORE_NOW2))
+    return store.read().select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("visits").cast("int").alias("visits"),
+        F.date_format("lastUpdated", "yyyy-MM-dd HH:mm:ss").alias("lastUpdated"),
+    )
+
+
+def q_store_put_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 as a persistent duplicate-checked insert: two put batches
+    into the keyed store (second batch re-offers already-inserted keys
+    and contains in-batch duplicates); returns the per-batch routing
+    metrics — collected by DataFrame.observe DURING each append job,
+    the modifiedCount analog — plus the final table size."""
+    import tempfile
+
+    from ..stores import KeyedParquetStore
+
+    orders = load_table(spark, sf_dir, "orders")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=tempfile.mkdtemp(prefix="aces_store_put_"),
+        keys=["o_orderkey"],
+        n_buckets=16,
+    )
+    store.init(orders.filter(F.col("o_orderkey") % 2 == 0))
+    m1 = store.put_if_absent(orders.filter(F.col("o_orderkey") % 5 == 0))
+    m2 = store.put_if_absent(
+        orders.filter(F.col("o_orderkey") % 5 == 0).unionByName(
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+        )
+    )
+    final_count = store.read().count()
+    return spark.createDataFrame(
+        [
+            ("put1-inserted", m1.inserted),
+            ("put1-already", m1.unmodified),
+            ("put2-inserted", m2.inserted),
+            ("put2-already", m2.unmodified),
+            ("final-count", final_count),
+        ],
+        "relationship string, n long",
+    )
 
 
 # --- O5: put if absent -------------------------------------------------

@@ -24,12 +24,16 @@ QUERIES: dict[str, QueryFn] = {
     "q_bin_geotile": q.q_bin_geotile,
     "q_bin_multiple_mode": q.q_bin_multiple_mode,
     "q_bin_date_granularities": q.q_bin_date_granularities,
+    "q_bin_failure_routing": q.q_bin_failure_routing,
+    "q_bin_filenames": q.q_bin_filenames,
     "q_attrs_json_body": q.q_attrs_json_body,
     "q_security_marking": q.q_security_marking,
     "q_partial_update": q.q_partial_update,
     "q_partial_update_nested": q.q_partial_update_nested,
     "q_partial_update_routing": q.q_partial_update_routing,
     "q_put_if_absent": q.q_put_if_absent,
+    "q_store_merge": q.q_store_merge,
+    "q_store_put_if_absent": q.q_store_put_if_absent,
     "q_text_stats": q.q_text_stats,
     "q_lang_id": q.q_lang_id,
     "q_quality": q.q_quality,

@@ -24,8 +24,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        df = fn(spark, sf_dir)
+        # Timer wraps the query FUNCTION too, not just the final write:
+        # the storage-backed queries (q_store_*) run their merge jobs
+        # eagerly inside fn, and excluding that would under-report them.
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)

@@ -128,6 +128,66 @@ def test_o3_merged_order_dependency(spark):
         bin_records(df, binners).collect()
 
 
+def test_o3_geotile_null_coords_skip_all_zooms(spark):
+    """Null coordinates skip every zoom INCLUDING 0 (the constant root
+    tile) and the max_level=0 case — one semantic across levels."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.operators.binning import (
+        GeoTileBinner,
+        bin_records,
+    )
+
+    df = spark.createDataFrame(
+        [Row(lat=10.0, lon=20.0), Row(lat=None, lon=20.0)]
+    )
+    out = bin_records(df, [GeoTileBinner(bin_name="g", lat_field="lat",
+                                         lon_field="lon", max_level=2)])
+    names = [r["name"] for r in out.collect()]
+    assert len(names) == 3 and all(n.startswith("g.") for n in names)
+    out0 = bin_records(df, [GeoTileBinner(bin_name="g", lat_field="lat",
+                                          lon_field="lon", max_level=0)])
+    assert [r["name"] for r in out0.collect()] == ["g.0."]
+
+
+def test_o3_geotile_names_without_prepare_raises(spark):
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.operators.binning import GeoTileBinner
+
+    df = spark.createDataFrame([Row(lat=1.0, lon=2.0)])
+    b = GeoTileBinner(bin_name="g", lat_field="lat", lon_field="lon", max_level=2)
+    with pytest.raises(ValueError, match="prepare"):
+        b.names(df)
+
+
+def test_o3_json_flowfile_failure_route(spark):
+    """bin/original/failure relationships with malformed JSON content
+    (DataBinningProcessor.java:85-96, :316-318) + output metadata."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.operators.binning import (
+        LiteralBinner,
+        bin_json_flowfiles,
+        with_bin_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [Row(fid=1, content='{"t": "a"}'),
+         Row(fid=2, content='{"t": "b"}'),
+         Row(fid=3, content='{"broken')]
+    )
+    routed = bin_json_flowfiles(
+        df, "content", "t string", [LiteralBinner(bin_name="byT", data_field="t")]
+    )
+    assert [r["fid"] for r in routed.failure.collect()] == [3]
+    assert routed.original.count() == 3
+    bins = with_bin_metadata(routed.bin)
+    rows = {(r["name"], r["filename"], r["mime.type"]) for r in bins.collect()}
+    assert rows == {("byT.a", "bin-byT.a.json", "application/json"),
+                    ("byT.b", "bin-byT.b.json", "application/json")}
+
+
 def test_o3_numeric_negative_floor(spark):
     """Floor semantics on negatives: -5 at width 10 → bin -10."""
     df = spark.createDataFrame([Row(v=-5.0)])
