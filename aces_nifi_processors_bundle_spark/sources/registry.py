@@ -66,6 +66,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANOS_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Fixture parquet has also shipped as timestamp[us] without a
+    # timezone, which Spark reads as TIMESTAMP_NTZ — a type unix_millis
+    # and withWatermark both reject. The reference's semantics are GMT-0
+    # wall-clock (BetterAttributesToJSON.java:59-60) and the session zone
+    # is pinned UTC above, so an NTZ→TIMESTAMP cast is value-preserving
+    # and matches the DuckDB oracle's timezone-naive math.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -46,6 +46,11 @@ def stream_bin_count(
     watermark + event-time window lets Spark drop finalized windows.
     Output: (window, name, total) in update mode.
     """
+    # readStream on driver parquet can surface TIMESTAMP_NTZ (fixtures
+    # ship timestamp[us] with no zone), which withWatermark rejects;
+    # session zone is pinned UTC so the cast is value-preserving.
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     recs = bin_records(
         stream_df.withWatermark(ts_col, watermark), binners, keep=[ts_col]
     )

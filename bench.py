@@ -23,14 +23,20 @@ def main() -> None:
     spark = get_spark(app_name="aces-spark-bench")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         # Timer wraps the query FUNCTION too, not just the final write:
         # the storage-backed queries (q_store_*) run their merge jobs
         # eagerly inside fn, and excluding that would under-report them.
+        # One failing query must not abort the run — record the error
+        # and keep timing the rest (BENCH_r02 died on a single query).
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - isolate per-query failures
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -39,6 +45,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )
