@@ -73,6 +73,12 @@ class PartialUpdateConfig:
     time_fixup_fields: list[str] = field(default_factory=list)
     # Compat flag: reference's `"time"`-substring key heuristic (:656).
     time_substring_heuristic: bool = False
+    # Optional source ordering column for multi-row-per-key batches:
+    # $set takes the non-null value at the greatest order_col instead of
+    # F.last(ignorenulls=True), which is partition-order-dependent under
+    # real shuffles. The reference's unordered bulkWrite (:451) has the
+    # same nondeterminism; order_col makes corpus-scale runs reproducible.
+    order_col: str | None = None
 
 
 @dataclass
@@ -100,9 +106,20 @@ def _split_path(prop: str) -> tuple[str, str | None]:
 
 def _combine_sources(src: DataFrame, cfg: PartialUpdateConfig) -> DataFrame:
     """Collapse multiple source rows per key (unordered-bulk convergence)."""
+
+    def _pick(c: str) -> Column:
+        # Non-null value at the greatest order_col; rows whose value is
+        # null get a null ordering key, which max_by skips — exactly
+        # "last non-null", but deterministic under shuffle.
+        if cfg.order_col is not None:
+            return F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.col(cfg.order_col))
+            ).alias(c)
+        return F.last(F.col(c), ignorenulls=True).alias(c)
+
     if "*" in cfg.operations:
-        others = [c for c in src.columns if c not in cfg.keys]
-        aggs = {c: F.last(F.col(c), ignorenulls=True).alias(c) for c in others}
+        others = [c for c in src.columns if c not in cfg.keys and c != cfg.order_col]
+        aggs = {c: _pick(c) for c in others}
         return src.groupBy(*cfg.keys).agg(*aggs.values())
     src_types = dict(src.dtypes)
     aggs: dict[str, Column] = {}
@@ -119,7 +136,7 @@ def _combine_sources(src: DataFrame, cfg: PartialUpdateConfig) -> DataFrame:
                 F.flatten(F.collect_list(F.col(parent)))
             ).alias(parent)
         else:  # $set (incl. parent.child struct), $currentDate carries none
-            aggs[parent] = F.last(F.col(parent), ignorenulls=True).alias(parent)
+            aggs[parent] = _pick(parent)
     if not aggs:
         return src.dropDuplicates(cfg.keys)
     return src.groupBy(*cfg.keys).agg(*aggs.values())

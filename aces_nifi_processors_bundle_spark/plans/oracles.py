@@ -221,6 +221,22 @@ SELECT 'success-unmodified',
 """
 )
 
+oracle("q_partial_update_many")(
+    """
+WITH src AS (
+  -- the combined view of the two-row-per-key batch: $set resolves to
+  -- the seq=2 value, $inc amounts sum to 15.0
+  SELECT DISTINCT o_custkey, '9-RUSH' AS prio, 15.0 AS inc
+  FROM orders WHERE o_custkey % 10 = 0
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CASE WHEN s.o_custkey IS NOT NULL THEN o.o_totalprice + s.inc
+            ELSE o.o_totalprice END AS o_totalprice,
+       COALESCE(s.prio, o.o_orderpriority) AS o_orderpriority
+FROM orders o LEFT JOIN src s USING (o_custkey)
+"""
+)
+
 oracle("q_put_if_absent")(
     """
 SELECT 'success' AS relationship,

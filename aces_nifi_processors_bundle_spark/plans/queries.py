@@ -371,6 +371,43 @@ def q_partial_update_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mod.unionByName(unmod)
 
 
+def q_partial_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 match-many (updateMany, PartialUpdateMongo.java:473-475): keyed
+    on the non-unique o_custkey, so one combined source row applies to
+    every matching order row. The batch carries TWO source rows per key
+    ($set values ranked by order_col — later seq wins; $inc amounts sum),
+    exercising the deterministic pre-combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    keys = orders.select("o_custkey").distinct().filter(F.col("o_custkey") % 10 == 0)
+    src = keys.select(
+        "o_custkey",
+        F.lit(1).alias("seq"),
+        F.lit("0-STALE").alias("o_orderpriority"),
+        F.lit(10.0).alias("o_totalprice"),
+    ).unionByName(
+        keys.select(
+            "o_custkey",
+            F.lit(2).alias("seq"),
+            F.lit("9-RUSH").alias("o_orderpriority"),
+            F.lit(5.0).alias("o_totalprice"),
+        )
+    )
+    cfg = PartialUpdateConfig(
+        keys=["o_custkey"],
+        operations={"o_orderpriority": "$set", "o_totalprice": "$inc"},
+        upsert=False,
+        mode="many",
+        order_col="seq",
+    )
+    res = partial_update(target, src, cfg)
+    return res.post_state.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
 # --- O4/O5 storage-backed: keyed parquet store -------------------------
 
 STORE_NOW1 = "2026-01-01 00:00:00"

@@ -31,6 +31,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_partial_update": q.q_partial_update,
     "q_partial_update_nested": q.q_partial_update_nested,
     "q_partial_update_routing": q.q_partial_update_routing,
+    "q_partial_update_many": q.q_partial_update_many,
     "q_put_if_absent": q.q_put_if_absent,
     "q_store_merge": q.q_store_merge,
     "q_store_put_if_absent": q.q_store_put_if_absent,

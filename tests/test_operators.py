@@ -281,6 +281,25 @@ def test_o4_source_combine_inc(spark):
     assert res.post_state.collect()[0]["n"] == 112
 
 
+def test_o4_combine_order_col_deterministic(spark):
+    """With order_col, $set resolves by max_by(value, order) — the same
+    post-state regardless of partition layout or row arrival order
+    (F.last(ignorenulls=True) is shuffle-order-dependent; max_by isn't).
+    Null values never win even at the greatest order."""
+    target = spark.createDataFrame([Row(k=1, v="orig")])
+    rows = [Row(k=1, seq=i, v=(None if i == 5 else f"v{i}")) for i in range(6)]
+    cfg = PartialUpdateConfig(
+        keys=["k"], operations={"v": "$set"}, upsert=False, order_col="seq"
+    )
+    states = set()
+    for perm in (rows, rows[::-1], rows[3:] + rows[:3]):
+        src = spark.createDataFrame(perm, schema="k int, seq int, v string")
+        src = src.repartition(8)  # force a shuffle → arbitrary arrival order
+        res = partial_update(target, src, cfg)
+        states.add(res.post_state.collect()[0]["v"])
+    assert states == {"v4"}  # seq=5 is null → seq=4 wins; identical every run
+
+
 def test_o4_wildcard_whole_doc(spark):
     """Property '*' = whole-document $set (:304-305)."""
     target = spark.createDataFrame([Row(k=1, a="x", b=10)])
