@@ -32,14 +32,29 @@ implements the same contract on stock parquet):
   provenance SEND event per merge, mirroring the reference's
   StopWatch-around-send pattern (:458,467-479).
 
-Concurrency note (scale honesty): parquet has no transaction log, so
-concurrent merges to the same store require external serialization;
-swap the write layer for Delta `MERGE INTO` when available — the
-operator semantics and metrics carry over unchanged.
+Write protocol: merge/put_if_absent compute into a STAGING directory
+next to the table (one pass over the plan — this also fires the
+observe metrics), then commit per-bucket with atomic Hadoop
+FileSystem renames. Nothing is pinned in executor storage memory, so
+a merge touching every bucket of a 100 TB table streams through the
+normal shuffle/write path; the commit step moves directory entries
+only. Per-bucket rename atomicity mirrors the reference's per-document
+atomicity from MongoDB (PartialUpdateMongo.java:431-454); a crash
+mid-commit leaves each bucket either old or new, never mixed. (On
+object stores without atomic rename, gate on Delta MERGE instead —
+the operator semantics and metrics carry over unchanged.)
+
+Concurrency: parquet has no transaction log, so writers are serialized
+by a create-exclusive `.lock` file with a stale-timeout — a second
+concurrent writer fails fast with ConcurrentWriterError instead of
+corrupting buckets.
 """
 
 from __future__ import annotations
 
+import time
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
@@ -51,6 +66,10 @@ from ..operators.routing import ROUTE_COL
 from ..provenance import ProvenanceLog
 
 BUCKET_COL = "_bucket"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer holds the store's lock (fail-fast, no corruption)."""
 
 
 @dataclass
@@ -69,9 +88,67 @@ class KeyedParquetStore:
     keys: list[str]
     n_buckets: int = 64
     provenance: ProvenanceLog = field(default_factory=ProvenanceLog)
+    # A writer crashing mid-merge leaves its lock behind; a later writer
+    # may break locks older than this (seconds).
+    lock_stale_sec: float = 3600.0
 
     def _bucket_of(self) -> Column:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+
+    # --- filesystem commit layer (Hadoop FS: works on local + HDFS) ----
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+    @contextmanager
+    def _write_lock(self):
+        """Create-exclusive lock file serializing writers (fail-fast)."""
+        fs, Path = self._fs()
+        lock = Path(self.path + ".lock")
+        if fs.exists(lock):
+            age = time.time() - fs.getFileStatus(lock).getModificationTime() / 1000.0
+            if age < self.lock_stale_sec:
+                raise ConcurrentWriterError(
+                    f"store {self.path} is locked by another writer "
+                    f"({age:.0f}s old; stale after {self.lock_stale_sec:.0f}s)"
+                )
+            fs.delete(lock, False)  # break a stale lock from a dead writer
+        if not fs.createNewFile(lock):
+            raise ConcurrentWriterError(f"store {self.path}: lost lock race")
+        try:
+            yield
+        finally:
+            fs.delete(lock, False)
+
+    def _commit_staging(self, staging: str, append: bool) -> None:
+        """Move staged bucket output into the table, bucket-atomically.
+
+        replace (merge): old bucket dir renamed aside, new renamed in,
+        old deleted — a reader never sees a half-written bucket.
+        append (put_if_absent): staged part-files moved INTO existing
+        bucket dirs (Spark part names carry a task UUID, collision-free).
+        """
+        fs, Path = self._fs()
+        st = Path(staging)
+        for entry in fs.listStatus(st):
+            name = entry.getPath().getName()
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue  # _SUCCESS and friends
+            dst = Path(f"{self.path}/{name}")
+            if append and fs.exists(dst):
+                for f_ in fs.listStatus(entry.getPath()):
+                    fs.rename(f_.getPath(), Path(f"{self.path}/{name}/{f_.getPath().getName()}"))
+            elif fs.exists(dst):
+                old = Path(f"{self.path}/{name}.old-{uuid.uuid4().hex}")
+                fs.rename(dst, old)
+                fs.rename(entry.getPath(), dst)
+                fs.delete(old, True)
+            else:
+                fs.rename(entry.getPath(), dst)
+        fs.delete(st, True)
 
     def init(self, df: DataFrame) -> None:
         """Full (re)write of the table, bucketed by key hash."""
@@ -118,21 +195,18 @@ class KeyedParquetStore:
             .drop(ROUTE_COL)
             .withColumn(BUCKET_COL, self._bucket_of())
         )
-        with self.provenance.send(self.path, detail="merge") as ctx:
+        with self.provenance.send(self.path, detail="merge") as ctx, self._write_lock():
             # The merge plan reads the same path it rewrites; Spark
-            # (correctly) refuses overwrite-while-reading, so the merge
-            # result materializes first (one compute of the plan — this
-            # also fires the observe metrics), then the write streams
-            # from the checkpointed blocks.
-            materialized = out.localCheckpoint(eager=True)
+            # (correctly) refuses overwrite-while-reading. Writing to a
+            # staging dir sidesteps that with ONE pass over the plan
+            # (which also fires the observe metrics) and, unlike an
+            # eager localCheckpoint, never pins the touched buckets'
+            # post-state in executor storage memory — the result streams
+            # through the normal write path. Commit = per-bucket renames.
+            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             m = obs.get
-            (
-                materialized.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(BUCKET_COL)
-                .parquet(self.path)
-            )
-            materialized.unpersist()
+            self._commit_staging(staging, append=False)
             ctx["n_rows"] = int(m["updated"] or 0) + int(m["inserted"] or 0)
         return MergeMetrics(
             updated=int(m["updated"] or 0),
@@ -161,11 +235,11 @@ class KeyedParquetStore:
             .select(*target.columns)
             .withColumn(BUCKET_COL, self._bucket_of())
         )
-        with self.provenance.send(self.path, detail="put-if-absent") as ctx:
-            materialized = out.localCheckpoint(eager=True)
+        with self.provenance.send(self.path, detail="put-if-absent") as ctx, self._write_lock():
+            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             m = obs.get
-            materialized.write.mode("append").partitionBy(BUCKET_COL).parquet(self.path)
-            materialized.unpersist()
+            self._commit_staging(staging, append=True)
             ctx["n_rows"] = int(m["inserted"] or 0)
         return MergeMetrics(
             updated=0,

@@ -8,12 +8,16 @@ import glob
 import os
 import time
 
+import pytest
 from pyspark.sql import Row
 
 from aces_nifi_processors_bundle_spark.operators.partial_update import (
     PartialUpdateConfig,
 )
 from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+from aces_nifi_processors_bundle_spark.stores.keyed_table import (
+    ConcurrentWriterError,
+)
 
 
 def _mtimes(path: str) -> dict[str, float]:
@@ -88,3 +92,59 @@ def test_put_if_absent_appends_and_counts(spark, tmp_path):
     assert ev.n_rows == 1
     rows = {r["k"]: r["v"] for r in store.read().collect()}
     assert rows[2] == "b" and rows[3] in {"new", "newer"} and len(rows) == 3
+
+
+def test_merge_touching_every_bucket(spark, tmp_path):
+    """A batch hitting ALL buckets commits correctly through the staging
+    write — no eager materialization, every bucket swapped atomically."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=8
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(200)]))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$inc"}, upsert=True)
+    src = spark.createDataFrame(
+        [Row(k=i, v=1000.0) for i in range(0, 200, 2)]  # half update...
+        + [Row(k=i, v=0.5) for i in range(200, 232)]    # ...plus inserts
+    )
+    m = store.merge(src, cfg)
+    assert (m.updated, m.inserted) == (100, 32)
+    got = store.read()
+    assert got.count() == 232
+    assert got.filter("k = 4").collect()[0]["v"] == 1004.0
+    assert got.filter("k = 5").collect()[0]["v"] == 5.0
+    assert got.filter("k = 210").collect()[0]["v"] == 0.5
+    # no staging leftovers next to the table
+    parent = os.path.dirname(store.path)
+    assert not [d for d in os.listdir(parent) if ".staging-" in d]
+
+
+def test_concurrent_writer_fails_fast(spark, tmp_path):
+    """A held lock makes a second writer raise instead of corrupting."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    with store._write_lock():  # writer A holds the store
+        writer_b = KeyedParquetStore(
+            spark=spark, path=store.path, keys=["k"], n_buckets=4
+        )
+        with pytest.raises(ConcurrentWriterError):
+            writer_b.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
+    # lock released → the same merge now succeeds
+    m = writer_b.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
+    assert m.updated == 1
+
+
+def test_stale_lock_broken(spark, tmp_path):
+    """A lock older than lock_stale_sec (dead writer) is broken."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4,
+        lock_stale_sec=0.0,
+    )
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+    open(store.path + ".lock", "w").close()  # abandoned lock
+    time.sleep(0.05)
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    m = store.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
+    assert m.updated == 1 and not os.path.exists(store.path + ".lock")
