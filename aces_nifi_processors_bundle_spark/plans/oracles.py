@@ -35,6 +35,30 @@ FROM bins GROUP BY name ORDER BY name
 )
 
 
+oracle("q_stream_bin_windowed")(
+    """
+WITH bins AS (
+  SELECT date_trunc('day', ts) AS d,
+         'byDay.DAY.' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS name
+  FROM events
+  UNION ALL
+  SELECT date_trunc('day', ts), 'byType.' || event_type FROM events
+  UNION ALL
+  SELECT date_trunc('day', ts),
+         'dayType.byDay.DAY.' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+         || '|byType.' || event_type
+  FROM events
+),
+mx AS (SELECT max(ts) AS m FROM events)
+-- append-mode emission: a 1-day window is final once the watermark
+-- (max event time - 1 h) has passed its end
+SELECT strftime(d, '%Y-%m-%d') AS day, name, CAST(count(*) AS BIGINT) AS total
+FROM bins, mx
+WHERE d + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+GROUP BY d, name ORDER BY day, name
+"""
+)
+
 oracle("q_attrs_typed")(
     """
 SELECT CAST(event_id AS VARCHAR) AS event_id,

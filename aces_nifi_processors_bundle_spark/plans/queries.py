@@ -768,6 +768,38 @@ def q_stream_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("name", "total").orderBy("name")
 
 
+def q_stream_bin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowing: the flagship binners under a
+    1-day tumbling window with a 1-hour watermark, append mode. Only
+    windows the final watermark (max event time − 1 h) has passed are
+    emitted — exactly the late-data contract the oracle mirrors with a
+    max(ts) cutoff. availableNow + memory sink makes it deterministic."""
+    import tempfile
+    import uuid
+
+    from ..streaming.binning_stream import stream_bin_count
+
+    events = load_table(spark, sf_dir, "events")
+    data_dir = tempfile.mkdtemp(prefix="aces_stream_events_w_")
+    events.write.mode("overwrite").parquet(data_dir)
+    stream = spark.readStream.schema(events.schema).parquet(data_dir)
+    out = stream_bin_count(stream, FLAGSHIP_BINNERS, ts_col="ts", watermark="1 hour")
+    qname = f"bins_stream_w_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+        "name",
+        "total",
+    ).orderBy("day", "name")
+
+
 # --- North-star extensions: similarity search ---------------------------
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

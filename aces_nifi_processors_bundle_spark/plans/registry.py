@@ -49,6 +49,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,
     "q_stream_bin_flagship": q.q_stream_bin_flagship,
+    "q_stream_bin_windowed": q.q_stream_bin_windowed,
 }
 
 
