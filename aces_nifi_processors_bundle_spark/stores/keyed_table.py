@@ -153,7 +153,19 @@ class KeyedParquetStore:
     def init(self, df: DataFrame) -> None:
         """Full (re)write of the table, bucketed by key hash."""
         out = df.withColumn(BUCKET_COL, self._bucket_of())
-        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)
+        self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            self.path
+        )
+
+    @staticmethod
+    def _bucketed_write(out: DataFrame):
+        # partitionBy alone emits one file per (input partition × bucket)
+        # — a small-files explosion (32 tasks × 64 buckets = 2048 files
+        # per write). Repartitioning on the bucket column first makes
+        # each task own whole buckets: one file per bucket per write,
+        # and the write parallelism scales with n_buckets, which is the
+        # store's sizing knob at scale.
+        return out.repartition(F.col(BUCKET_COL)).write
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(BUCKET_COL)
@@ -204,7 +216,9 @@ class KeyedParquetStore:
             # post-state in executor storage memory — the result streams
             # through the normal write path. Commit = per-bucket renames.
             staging = f"{self.path}.staging-{uuid.uuid4().hex}"
-            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                staging
+            )
             m = obs.get
             self._commit_staging(staging, append=False)
             ctx["n_rows"] = int(m["updated"] or 0) + int(m["inserted"] or 0)
@@ -237,7 +251,9 @@ class KeyedParquetStore:
         )
         with self.provenance.send(self.path, detail="put-if-absent") as ctx, self._write_lock():
             staging = f"{self.path}.staging-{uuid.uuid4().hex}"
-            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                staging
+            )
             m = obs.get
             self._commit_staging(staging, append=True)
             ctx["n_rows"] = int(m["inserted"] or 0)
