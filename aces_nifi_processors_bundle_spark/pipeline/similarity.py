@@ -249,6 +249,147 @@ def lsh_topk(
     return _topk_per_query(scored, k)
 
 
+# --- IVF (inverted-file) ANN: the partition-pruned search path ---------
+#
+# The third ANN paradigm next to brute force and LSH banding: corpus
+# vectors are ASSIGNED to the nearest of C fixed centroids (the
+# "inverted lists"); a query probes only its n_probe nearest cells, so
+# search cost is corpus_size * n_probe / C instead of corpus_size. At
+# 100 TB the cell id is a partition column: the probe set becomes
+# partition pruning on the corpus scan (see ivf_write_index /
+# ivf_topk(cells_path=...)), which no amount of row-level filtering
+# can match. Centroids derive from md5 (like the LSH hyperplanes) —
+# deterministic across engines, so the whole path is oracle-checkable;
+# a learned k-means codebook would slot into the same interface.
+
+
+def _centroid(c: int, dim: int) -> list[float]:
+    """Deterministic unit-norm pseudo-random centroid from md5."""
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"ivf{c}|{d}".encode()).hexdigest()
+        comps.append(int(h[:8], 16) / float(0xFFFFFFFF) - 0.5)
+    n = math.sqrt(sum(x * x for x in comps))
+    return [x / n for x in comps]
+
+
+def _cell_dots(mat: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+    """batch×C dot products, accumulated dim-sequentially so every
+    float64 add happens in the same order as a per-element fold — the
+    op order DuckDB's list kernels use, which is what keeps the
+    argmax/oracle comparison bit-exact (cf. the cosine fold note in
+    the module docstring). One vectorized pass per dim, not per row."""
+    acc = np.zeros((mat.shape[0], cents.shape[0]))
+    for d in range(mat.shape[1]):
+        acc += np.outer(mat[:, d], cents[:, d])
+    return acc
+
+
+def ivf_assign_udf(dim: int, n_centroids: int = 16):
+    """Arrow-vectorized cell assignment: argmax_c dot(v, centroid_c)
+    (centroids unit-norm, so argmax dot ≡ argmax cosine; ties break to
+    the lowest cell id via np.argmax)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array([_centroid(c, dim) for c in range(n_centroids)])
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(_cell_dots(mat, cents), axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_probe_udf(dim: int, n_centroids: int = 16, n_probe: int = 4):
+    """Per-query probe list: the n_probe nearest cells, ordered by
+    (dot desc, cell id asc) — the deterministic tie-break the oracle
+    mirrors with ORDER BY dot DESC, cid."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array([_centroid(c, dim) for c in range(n_centroids)])
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        dots = _cell_dots(mat, cents)
+        ids = np.arange(dots.shape[1])
+        out = []
+        for row in dots:
+            order = np.lexsort((ids, -row))[:n_probe]
+            out.append(order.astype(np.int32))
+        return pd.Series(out)
+
+    return _probe
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file: corpus + cell id, parquet
+    PARTITIONED BY cell. A probing search that filters on `cid` then
+    scans only n_probe/(n_centroids) of the data — partition pruning,
+    the scan-level win row filtering can't give (verified in
+    tests/test_pipeline.py by reading the pruned plan)."""
+    assign = ivf_assign_udf(dim, n_centroids)
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col),
+            assign(as_double(F.col(vec_col))).alias("cid"),
+        )
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only corpus vectors whose cell is among the
+    query's n_probe nearest cells. Each corpus vector lives in exactly
+    ONE cell (unlike LSH bands) — no candidate dedup needed. Recall < 1
+    by construction (pytest-checked vs brute force); the probe
+    restriction itself is deterministic, so the path is fully
+    oracle-checkable."""
+    assign = ivf_assign_udf(dim, n_centroids)
+    probe = ivf_probe_udf(dim, n_centroids, n_probe)
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        assign(as_double(F.col(vec_col))).alias("cid"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.explode(probe(as_double(F.col(vec_col)))).alias("cid"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -784,6 +784,58 @@ FROM ranked WHERE rank <= 5
 """
 )
 
+# IVF centroids: the exact float64 values the Spark UDF uses, embedded
+# as literals (repr round-trips doubles exactly). Single source of
+# truth is similarity._centroid; the dot-product op order also matches
+# (sequential over dim — see similarity._cell_dots).
+from ..pipeline.similarity import _centroid as _ivf_centroid  # noqa: E402
+
+_IVF_CENTROIDS = ",\n  ".join(
+    "(%d, CAST([%s] AS DOUBLE[]))"
+    % (c, ", ".join(repr(x) for x in _ivf_centroid(c, 64)))
+    for c in range(16)
+)
+
+oracle("q_ivf_topk")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+centroids(cid, cv) AS (VALUES
+  {_IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, centroids) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, centroids WHERE vec_id < 8) WHERE rn <= 4
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cid)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(vq.v, vc.v) AS cos
+  FROM cands JOIN vecs vq ON vq.vec_id = cands.query_id
+             JOIN vecs vc ON vc.vec_id = cands.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
 _FEAT_COLS = ", ".join(
     f"CAST(round(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 5) AS VARCHAR)"
     for i in range(8)

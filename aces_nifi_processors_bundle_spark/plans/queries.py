@@ -824,6 +824,22 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic md5 centroids, probe the 4 nearest
+    of 16 cells, exact cosine within the probed cells only. The third
+    ANN paradigm (vs brute force / LSH banding): at scale the cell id
+    is a partition column and probing = partition pruning."""
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
     buckets + Hamming pre-filter. The synthetic embeddings have no

@@ -46,6 +46,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
+    "q_ivf_topk": q.q_ivf_topk,
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,
     "q_stream_bin_flagship": q.q_stream_bin_flagship,

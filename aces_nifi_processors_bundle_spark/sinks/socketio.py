@@ -36,9 +36,11 @@ class CollectingClient:
     def __init__(self) -> None:
         self.sent: list[tuple[str | None, str]] = []
         self.connected = False
+        self.url: str | None = None
 
     def connect(self, url: str, timeout_s: float = 10.0) -> None:
         self.connected = True
+        self.url = url
 
     def emit(self, event: str, msg: str) -> None:
         self.sent.append((event, msg))
@@ -74,6 +76,11 @@ class SocketIOSink:
     url: str
     payload_col: str = "payload"
     event_col: str | None = None  # per-record event name (emit mode)
+    # Per-record URL (the reference EL-resolves the url per FlowFile,
+    # SocketIOProcessor.java:84,111). One client per DISTINCT url per
+    # partition, connected lazily and reused — the EL-per-record
+    # semantics without a connect per row.
+    url_col: str | None = None
     static_event: str | None = None
     mode: str = "emit"  # emit | send
     connect_timeout_s: float = 10.0
@@ -96,26 +103,38 @@ class SocketIOSink:
                 cols.append(F.col(self.event_col).alias("event"))
             else:
                 cols.append(F.lit(self.static_event or "message").alias("event"))
+        if self.url_col:
+            cols.append(F.col(self.url_col).alias("url"))
         out = df.select(*cols)
         url = self.url
+        per_record_url = self.url_col is not None
         mode = self.mode
         timeout = self.connect_timeout_s
         factory = self.client_factory
         pushed = df.sparkSession.sparkContext.accumulator(0)
 
         def push(rows) -> None:
-            client = factory()
-            client.connect(url, timeout)
+            clients: dict[str, Any] = {}
+
+            def client_for(u: str) -> Any:
+                if u not in clients:
+                    c = factory()
+                    c.connect(u, timeout)
+                    clients[u] = c
+                return clients[u]
+
             n = 0
             try:
                 for row in rows:
+                    client = client_for(row["url"] if per_record_url else url)
                     if mode == "emit":
                         client.emit(row["event"], row["payload"])
                     else:
                         client.send(row["payload"])
                     n += 1
             finally:
-                client.disconnect()
+                for c in clients.values():
+                    c.disconnect()
             pushed.add(n)
 
         with self.provenance.send(self.url, detail=f"mode={mode}") as ctx:

@@ -62,6 +62,49 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall} too low"
 
 
+def test_ivf_topk_recall_and_probe_sweep(spark, sf_dir):
+    """IVF recall@5 vs brute force; probing ALL cells must be exact
+    (the probe restriction is the only approximation)."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    assert len(truth & approx) / len(truth) >= 0.4
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=16).collect()
+    }
+    assert exact == truth  # all cells probed → identical to brute force
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized inverted file is partitioned by cell id; a
+    probe filter must prune the scan to the probed partitions only."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, dim=64, n_centroids=16)
+    cells = spark.read.parquet(path)
+    pruned = cells.filter(F.col("cid").isin([3, 7]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters reached the scan node (not a post-scan Filter)
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    n_probed = pruned.count()
+    n_all = cells.count()
+    assert 0 < n_probed < n_all
+
+
 def test_near_dup_clusters_and_dedup(spark):
     """Connected components over a pair chain: a-b, b-c, d-e collapse to
     clusters {a,b,c} and {d,e}; dedup keeps min-id + unpaired docs."""

@@ -47,6 +47,52 @@ def test_attributes_to_columns_missing_is_null(spark):
     assert row["absent"] is None  # absent attribute ≡ null, like ff.getAttribute
 
 
+def test_per_record_url_interpolation(spark, tmp_path):
+    """url_col: one client per distinct url per partition, routed per
+    record (SocketIOProcessor.java:84,111 EL-resolved url analog).
+    Clients live in executor workers, so they record to files."""
+    import os
+
+    from aces_nifi_processors_bundle_spark.sinks.socketio import SocketIOSink
+
+    rec_dir = str(tmp_path)
+
+    class FileClient:
+        def __init__(self):
+            self.url = None
+
+        def connect(self, url, timeout_s=10.0):
+            self.url = url
+            # connect count per url: one line per client construction
+            with open(os.path.join(rec_dir, "connects.log"), "a") as f:
+                f.write(self.url + "\n")
+
+        def emit(self, event, msg):
+            fname = self.url.replace("://", "_")
+            with open(os.path.join(rec_dir, fname), "a") as f:
+                f.write(f"{event}\t{msg}\n")
+
+        def disconnect(self):
+            pass
+
+    sink = SocketIOSink(
+        url="ignored://", payload_col="p", event_col="e", url_col="u",
+        client_factory=FileClient,
+    )
+    df = spark.createDataFrame(
+        [Row(p="m1", e="ev1", u="stub://a"),
+         Row(p="m2", e="ev2", u="stub://b"),
+         Row(p="m3", e="ev1", u="stub://a")]
+    ).coalesce(1)
+    assert sink.write_batch(df) == 3
+    a = sorted(open(os.path.join(rec_dir, "stub_a")).read().splitlines())
+    b = open(os.path.join(rec_dir, "stub_b")).read().splitlines()
+    assert a == ["ev1\tm1", "ev1\tm3"] and b == ["ev2\tm2"]
+    # one partition × two distinct urls → exactly two connects (reused)
+    connects = sorted(open(os.path.join(rec_dir, "connects.log")).read().splitlines())
+    assert connects == ["stub://a", "stub://b"]
+
+
 def test_provenance_send_recorded(spark):
     from aces_nifi_processors_bundle_spark.sinks.socketio import (
         CollectingClient,
