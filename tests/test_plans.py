@@ -1,0 +1,126 @@
+"""Physical-plan audits: the properties the 100 TB story depends on.
+
+Correctness says the result is right at sf0.01; these tests pin the
+SHAPE of the plan — filter/column pushdown reaching the parquet scan,
+broadcasts where a small side exists, exchange reuse on self-joins, and
+the absence of the two scale-killers (CartesianProduct between large
+sides, row-at-a-time Python UDFs). A regression here can stay green on
+every value check and still be 100x slower at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def _scan_lines(plan: str, token: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if token in ln]
+
+
+def test_filter_and_column_pushdown_reach_scan(spark, sf_dir):
+    """A filtered 2-column projection must push both the predicate and
+    the schema into the parquet scan itself."""
+    df = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "label")
+    )
+    plan = plan_of(df)
+    pushed = _scan_lines(plan, "PushedFilters")
+    assert pushed and "LessThan(vec_id" in pushed[0]
+    schema = _scan_lines(plan, "ReadSchema")
+    assert schema and "embedding" not in schema[0]  # 64-float col pruned
+
+
+def test_lang_id_scan_prunes_unused_document_columns(spark, sf_dir):
+    """q_lang_id only needs doc_id+text(+lang label col it outputs) —
+    the scan must not read source/n_chars."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_lang_id
+
+    plan = plan_of(q_lang_id(spark, sf_dir))
+    schema = _scan_lines(plan, "ReadSchema")
+    assert schema
+    assert "n_chars" not in schema[0] and "source" not in schema[0]
+
+
+def test_brute_force_broadcasts_queries_never_shuffles_corpus(spark, sf_dir):
+    """The cross join must be broadcast-nested-loop with the SMALL
+    (query) side broadcast; the corpus never moves."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5))
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dups_reuses_sketch_exchange(spark, sf_dir):
+    """Both sides of the band self-join come from one sketch plan; the
+    exchange must be computed once and reused, not duplicated (the
+    Arrow sketch pass is the expensive stage)."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = embedding_near_dups(emb, dim=64, threshold=0.8)
+    # AQE resolves exchange reuse at runtime: collect() executes THIS
+    # DataFrame's own QueryExecution (a write would make a new one),
+    # after which the final adaptive plan is readable.
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+
+
+def test_no_rowwise_python_udfs_or_cartesian_products_anywhere(spark, sf_dir):
+    """Sweep every registered query plan: Python only ever appears as
+    ArrowEvalPython (vectorized), never BatchEvalPython (row-at-a-time
+    pickling); no CartesianProduct between unbounded sides. The store/
+    stream queries execute jobs at construction, so the sweep covers
+    the lazy (plan-carrying) queries."""
+    from aces_nifi_processors_bundle_spark.plans.registry import QUERIES
+
+    checked = 0
+    for name, fn in QUERIES.items():
+        if name.startswith(("q_store_", "q_stream_")):
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        checked += 1
+    assert checked >= 25
+
+
+def test_partial_update_broadcasts_small_source(spark, sf_dir):
+    """A small update batch against a large target should broadcast the
+    source side of the merge join (AQE or static), never shuffle the
+    target for nothing. With both sides unsized statically we at least
+    pin that the plan is an equi-join, not nested-loop."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_partial_update
+
+    plan = plan_of(q_partial_update(spark, sf_dir))
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan
+    assert "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize("gran", ["DAY"])
+def test_bin_count_has_partial_aggregation(spark, sf_dir, gran):
+    """The downstream counter must partial-aggregate map-side
+    (HashAggregate appears twice: partial then final) — the NiFi
+    emit-count-1-records pattern replaced by Spark's two-phase agg."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_bin_flagship
+
+    plan = plan_of(q_bin_flagship(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
