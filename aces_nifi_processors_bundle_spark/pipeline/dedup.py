@@ -26,7 +26,7 @@ ANSI mirror) and is checked by pytest unit tests instead of the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .text import shingle_rows
@@ -260,26 +260,32 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = labels.join(
+        # The change flag is derivable inline (new < old) — observed
+        # metrics ride the SAME job that materializes the round's
+        # labels, so each round is exactly one action and one join with
+        # the old labels (an earlier version re-joined old vs new just
+        # to count changes: one extra shuffle join + job per round).
+        upd = labels.join(
             neighbor_min, labels["node"] == neighbor_min["src"], "left"
         ).select(
             labels["node"].alias("node"),
             F.least(
                 labels["label"], F.coalesce("nlabel", labels["label"])
             ).alias("label"),
+            (F.coalesce(F.col("nlabel"), labels["label"]) < labels["label"])
+            .cast("long")
+            .alias("_chg"),
         )
+        obs = Observation()
+        new_labels = upd.observe(obs, F.sum("_chg").alias("n")).drop("_chg")
         if (i + 1) % checkpoint_every == 0:
             # Materializes eagerly and truncates lineage; the blocks it
             # writes replace the persist for this round.
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+            new_labels.count()
+        changed = int(obs.get["n"] or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:
