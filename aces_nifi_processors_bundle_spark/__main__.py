@@ -1,0 +1,75 @@
+"""CLI: run, list, and explain the engine's registered queries.
+
+The reference is operated through the NiFi canvas; the Spark engine's
+equivalent operational surface is this module plus bench.py:
+
+    python -m aces_nifi_processors_bundle_spark list
+    python -m aces_nifi_processors_bundle_spark run q_bin_flagship \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m aces_nifi_processors_bundle_spark explain q_dedup_minhash
+    python -m aces_nifi_processors_bundle_spark oracle q_bin_flagship
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="aces_nifi_processors_bundle_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+    for name in ("run", "explain", "oracle"):
+        sp = sub.add_parser(name)
+        sp.add_argument("query")
+        if name != "oracle":
+            sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+        if name == "run":
+            sp.add_argument("--limit", type=int, default=20)
+        if name == "explain":
+            sp.add_argument("--mode", default="formatted")
+    args = p.parse_args(argv)
+
+    from .plans.oracles import ORACLES
+    from .plans.registry import QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            tag = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{tag}")
+        return 0
+
+    if args.cmd == "oracle":
+        if args.query not in ORACLES:
+            print(f"no oracle for {args.query!r}", file=sys.stderr)
+            return 2
+        print(ORACLES[args.query].strip())
+        return 0
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; try `list`", file=sys.stderr)
+        return 2
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"aces-cli-{args.cmd}")
+    try:
+        df = QUERIES[args.query](spark, args.sf_dir)
+        if args.cmd == "run":
+            df.show(args.limit, truncate=False)
+        else:
+            jvm = spark._jvm
+            em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+            print(df._jdf.queryExecution().explainString(em))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

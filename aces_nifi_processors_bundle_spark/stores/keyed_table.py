@@ -228,6 +228,40 @@ class KeyedParquetStore:
             inserted=int(m["inserted"] or 0),
         )
 
+    def compact(self, min_files: int = 2) -> int:
+        """Rewrite buckets fragmented by put_if_absent appends into one
+        file each (the Delta OPTIMIZE analog). Only buckets with ≥
+        min_files part-files are touched — compaction work scales with
+        fragmentation, not table size. Returns rewritten-bucket count.
+        Runs under the writer lock: readers keep seeing either the old
+        file set or the new single file, per-bucket atomically."""
+        fs, Path = self._fs()
+        root = Path(self.path)
+        frag = []
+        for entry in fs.listStatus(root):
+            name = entry.getPath().getName()
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            n = sum(
+                1
+                for f_ in fs.listStatus(entry.getPath())
+                if f_.getPath().getName().endswith(".parquet")
+            )
+            if n >= min_files:
+                frag.append(int(name.split("=", 1)[1]))
+        if not frag:
+            return 0
+        with self._write_lock():
+            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
+            out = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col(BUCKET_COL).isin(frag))
+                .repartition(F.col(BUCKET_COL))
+            )
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            self._commit_staging(staging, append=False)
+        return len(frag)
+
     def put_if_absent(
         self, source: DataFrame, order_col: str | None = None
     ) -> MergeMetrics:

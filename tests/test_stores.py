@@ -94,6 +94,34 @@ def test_put_if_absent_appends_and_counts(spark, tmp_path):
     assert rows[2] == "b" and rows[3] in {"new", "newer"} and len(rows) == 3
 
 
+def test_compact_merges_fragmented_buckets(spark, tmp_path):
+    """Repeated appends fragment buckets; compact() rewrites only the
+    fragmented ones down to one file each, preserving content."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=i) for i in range(8)]))
+    for batch in range(3):
+        store.put_if_absent(
+            spark.createDataFrame([Row(k=100 + 2 * batch + j, v=0) for j in range(2)])
+        )
+    before = store.read().count()
+
+    def files_per_bucket():
+        return {
+            d: len(glob.glob(os.path.join(store.path, d, "*.parquet")))
+            for d in os.listdir(store.path)
+            if d.startswith("_bucket=")
+        }
+
+    assert max(files_per_bucket().values()) > 1
+    n = store.compact()
+    assert n >= 1
+    assert max(files_per_bucket().values()) == 1
+    assert store.read().count() == before
+    assert store.compact() == 0  # idempotent: nothing fragmented now
+
+
 def test_merge_touching_every_bucket(spark, tmp_path):
     """A batch hitting ALL buckets commits correctly through the staging
     write — no eager materialization, every bucket swapped atomically."""
