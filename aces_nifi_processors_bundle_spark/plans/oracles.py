@@ -59,6 +59,13 @@ GROUP BY d, name ORDER BY day, name
 """
 )
 
+oracle("q_stream_first_seen")(
+    """
+SELECT DISTINCT CAST(user_id % 1000 AS BIGINT) AS user_bucket, event_type
+FROM events ORDER BY user_bucket, event_type
+"""
+)
+
 oracle("q_attrs_typed")(
     """
 SELECT CAST(event_id AS VARCHAR) AS event_id,

@@ -809,6 +809,34 @@ def q_stream_bin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "name")
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming put-if-absent via a custom stateful operator
+    (applyInPandasWithState): emit each distinct user bucket exactly
+    once, on first arrival. The emitted key SET is deterministic even
+    though arrival order isn't, which is what makes a stateful
+    streaming op oracle-able (SELECT DISTINCT)."""
+    import uuid
+
+    from ..streaming.stateful import first_seen_keys
+
+    stream = _events_stream(spark, sf_dir)
+    keyed = stream.select(
+        (F.col("user_id") % 1000).alias("user_bucket"),
+        "event_type",
+    )
+    out = first_seen_keys(keyed, ["user_bucket", "event_type"])
+    qname = f"first_seen_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).orderBy("user_bucket", "event_type")
+
+
 # --- North-star extensions: similarity search ---------------------------
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_features": q.q_multimodal_features,
     "q_stream_bin_flagship": q.q_stream_bin_flagship,
     "q_stream_bin_windowed": q.q_stream_bin_windowed,
+    "q_stream_first_seen": q.q_stream_first_seen,
 }
 
 

@@ -1,0 +1,70 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's closest analog is PutMongoWithDuplicateCheck
+(PutMongoWithDuplicateCheck.java:142-157): an external keyed store
+remembers which keys exist and routes duplicates away. Under
+Structured Streaming the store becomes OPERATOR STATE — the state
+backend keeps one entry per key, partitioned by the grouping key
+across executors, checkpointed with the query.
+
+first_seen_keys: emit each distinct key exactly once, on first
+encounter — streaming put-if-absent where the "insert" is the emitted
+row. The emitted KEY SET is deterministic (which physical row arrived
+first is not, so only keys are emitted). State is one empty-struct
+entry per key; an optional processing-time timeout bounds state for
+keys that stop arriving (the TTL contract NiFi never had).
+
+Scale shape: state lives hash-partitioned by key in the state store —
+lookup and update are local to the key's partition, no shuffle beyond
+the one groupBy exchange; Arrow batches amortize the Python hop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def first_seen_keys(
+    stream_df: DataFrame,
+    keys: list[str],
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Emit one row per distinct key, at its first appearance.
+
+    Output schema = the key columns. With state_ttl_ms set, a key whose
+    state times out would be re-emitted if seen again — the bounded-
+    state trade-off, stated instead of hidden.
+    """
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream_df.select(*keys).schema.fields
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        for _ in pdfs:  # drain the Arrow batches; contents don't matter
+            pass
+        if state.exists:
+            return
+        state.update((True,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame([key], columns=list(keys))
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=key_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -148,3 +148,41 @@ def test_foreach_batch_partial_update(spark, sf_dir, tmp_path):
     }
     assert len(after) == len(before)
     assert all(abs(after[k] - (v + 1000)) < 1e-9 for k, v in before.items())
+
+
+def test_first_seen_keys_state_survives_micro_batches(spark, tmp_path):
+    """A key emitted in micro-batch 1 must NOT re-emit in batch 2 —
+    i.e. operator state persists across batches (the whole point of
+    applyInPandasWithState over per-batch dropDuplicates)."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.streaming.stateful import (
+        first_seen_keys,
+    )
+
+    data_dir = str(tmp_path / "src")
+    # file 1: keys a,b ; file 2: keys b,c  → distinct emission {a,b,c}
+    spark.createDataFrame([Row(k="a"), Row(k="b")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    spark.createDataFrame([Row(k="b"), Row(k="c")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)  # force one file per batch
+        .parquet(data_dir)
+    )
+    out = first_seen_keys(stream, ["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [int(p.batchId) for p in q.recentProgress if int(p.numInputRows) > 0]
+    rows = sorted(r["k"] for r in spark.table("first_seen_test").collect())
+    assert rows == ["a", "b", "c"]  # b appears once despite two arrivals
+    assert len(batches) >= 2  # genuinely exercised multiple micro-batches
