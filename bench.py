@@ -47,6 +47,19 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ...and the join/agg machinery the similarity queries hit first:
+    # BroadcastExchange + ObjectHashAggregate (collect_list/array_sort).
+    small = spark.range(100).select(F.col("id").alias("k"))
+    (
+        spark.range(100_000)
+        .select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+        .join(F.broadcast(small), "k")
+        .groupBy("k")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct("v"))), 1, 5).alias("t"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
