@@ -63,6 +63,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # when the caller (e.g. the verify driver) built a default session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Validate column NAMES against the declared schema (types are
+    # normalized below — the fixtures have legitimately shipped nanos
+    # longs and NTZ for the same logical timestamp). A missing column
+    # should fail HERE with the table name, not three operators later.
+    declared = {f.split()[0] for f in TABLES[name].split(", ")}
+    missing = declared - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"table {name!r} at {sf_dir}: missing declared columns {sorted(missing)}; "
+            f"found {df.columns}"
+        )
     for c in _NANOS_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

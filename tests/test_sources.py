@@ -110,3 +110,16 @@ def test_provenance_send_recorded(spark):
     ev = sink.provenance.events[0]
     assert ev.event_type == "SEND" and ev.target == "stub://prov"
     assert ev.n_rows == 2 and ev.duration_s > 0
+
+
+def test_load_table_validates_declared_columns(spark, sf_dir, tmp_path):
+    """A fixture missing a declared column fails at load with the table
+    name in the message, not three operators later."""
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    bad = load_table(spark, sf_dir, "events").drop("props")
+    bad.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="events.*props"):
+        load_table(spark, str(tmp_path), "events")
