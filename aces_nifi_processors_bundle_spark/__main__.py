@@ -33,7 +33,26 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--limit", type=int, default=20)
         if name == "explain":
             sp.add_argument("--mode", default="formatted")
+    fp = sub.add_parser("flow", help="run a JSON flow definition file")
+    fp.add_argument("flow_file")
+    fp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    fp.add_argument("--limit", type=int, default=20)
     args = p.parse_args(argv)
+
+    if args.cmd == "flow":
+        import json
+
+        from .flows import build_flow
+        from .session import get_spark
+
+        with open(args.flow_file) as fh:
+            flow = json.load(fh)
+        spark = get_spark(app_name="aces-cli-flow")
+        try:
+            build_flow(spark, flow, args.sf_dir).show(args.limit, truncate=False)
+        finally:
+            spark.stop()
+        return 0
 
     from .plans.oracles import ORACLES
     from .plans.registry import QUERIES

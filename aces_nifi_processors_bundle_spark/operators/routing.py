@@ -52,3 +52,20 @@ def route_by(df: DataFrame, route_expr: Column, relationships: list[str]) -> Rou
     return Routed(
         {rel: tagged.filter(tagged[ROUTE_COL] == rel).drop(ROUTE_COL) for rel in relationships}
     )
+
+
+def write_routed(df: DataFrame, route_expr: Column, base_path: str) -> None:
+    """Persist every relationship in ONE pass: partitionBy the route
+    column, so `base_path/_route=<relationship>/` holds that port's
+    rows. The NiFi success/failure/original connection fan-out costs N
+    sink writes per processor; here the upstream plan executes once and
+    the split is a partitioned write, not N filtered re-computations.
+    Downstream consumers read a single relationship with partition
+    pruning: `spark.read.parquet(base).filter(col('_route') == 'x')`.
+    """
+    (
+        df.withColumn(ROUTE_COL, route_expr)
+        .write.mode("overwrite")
+        .partitionBy(ROUTE_COL)
+        .parquet(base_path)
+    )

@@ -309,3 +309,20 @@ def test_o4_wildcard_whole_doc(spark):
     row = res.post_state.collect()[0]
     assert row["a"] == "y"
     assert row["b"] == 10  # null source value → skip (absent-prop rule)
+
+
+def test_write_routed_single_pass_partition_dirs(spark, tmp_path):
+    """write_routed persists every relationship in one partitioned
+    write; each port is a partition dir readable with pruning."""
+    import os
+
+    from aces_nifi_processors_bundle_spark.operators.routing import write_routed
+
+    df = spark.createDataFrame([Row(k=i) for i in range(10)])
+    base = str(tmp_path / "routed")
+    write_routed(df, F.when(F.col("k") % 3 == 0, "failure").otherwise("success"), base)
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("_route="))
+    assert dirs == ["_route=failure", "_route=success"]
+    routed = spark.read.parquet(base)
+    assert routed.filter(F.col("_route") == "failure").count() == 4
+    assert routed.filter(F.col("_route") == "success").count() == 6
