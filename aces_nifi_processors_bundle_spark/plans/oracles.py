@@ -35,6 +35,10 @@ FROM bins GROUP BY name ORDER BY name
 )
 
 
+
+# The flow-assembled flagship must match the identical oracle.
+ORACLES["q_flow_flagship"] = ORACLES["q_bin_flagship"]
+
 oracle("q_stream_bin_windowed")(
     """
 WITH bins AS (

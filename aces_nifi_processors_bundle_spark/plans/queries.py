@@ -371,6 +371,29 @@ def q_partial_update_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mod.unionByName(unmod)
 
 
+def q_flow_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship binning assembled from a JSON-able flow definition
+    (flows.py — the NiFi canvas analog) instead of hand-composed code;
+    must hash-match the same oracle as q_bin_flagship."""
+    from ..flows import build_flow
+
+    flow = [
+        {"op": "load", "table": "events"},
+        {
+            "op": "bin_count",
+            "binners": [
+                {"kind": "date", "bin_name": "byDay", "data_field": "ts",
+                 "granularity": "DAY"},
+                {"kind": "literal", "bin_name": "byType",
+                 "data_field": "event_type"},
+                {"kind": "merged", "bin_name": "dayType",
+                 "components": ["byDay", "byType"]},
+            ],
+        },
+    ]
+    return build_flow(spark, flow, sf_dir).orderBy("name")
+
+
 def q_partial_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 match-many (updateMany, PartialUpdateMongo.java:473-475): keyed
     on the non-unique o_custkey, so one combined source row applies to

@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     "q_bin_flagship": q.q_bin_flagship,
+    "q_flow_flagship": q.q_flow_flagship,
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
     "q_bin_numeric": q.q_bin_numeric,
