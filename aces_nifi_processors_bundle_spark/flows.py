@@ -92,8 +92,13 @@ def _select(spark: SparkSession, df: DataFrame, *, columns: list[str]) -> DataFr
 
 @stage("sql")
 def _sql(spark: SparkSession, df: DataFrame, *, query: str) -> DataFrame:
-    df.createOrReplaceTempView("__this__")
-    return spark.sql(query)
+    # Unique view name per stage so concurrent flows in one session
+    # can't clobber each other; the config still just says __this__.
+    import uuid
+
+    view = f"__this_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    return spark.sql(query.replace("__this__", view))
 
 
 @stage("attrs_to_json")

@@ -142,7 +142,10 @@ class KeyedParquetStore:
                 for f_ in fs.listStatus(entry.getPath()):
                     fs.rename(f_.getPath(), Path(f"{self.path}/{name}/{f_.getPath().getName()}"))
             elif fs.exists(dst):
-                old = Path(f"{self.path}/{name}.old-{uuid.uuid4().hex}")
+                # Dot-prefixed: hidden from Hadoop/Spark listings, so a
+                # concurrent reader's partition discovery can never pick
+                # up the displaced old bucket as a bogus partition value.
+                old = Path(f"{self.path}/.old-{uuid.uuid4().hex}")
                 fs.rename(dst, old)
                 fs.rename(entry.getPath(), dst)
                 fs.delete(old, True)
