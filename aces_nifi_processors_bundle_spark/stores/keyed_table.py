@@ -119,9 +119,25 @@ class KeyedParquetStore:
         if not fs.createNewFile(lock):
             raise ConcurrentWriterError(f"store {self.path}: lost lock race")
         try:
+            self._gc_stale_staging(fs, Path)
             yield
         finally:
             fs.delete(lock, False)
+
+    def _gc_stale_staging(self, fs, Path) -> None:
+        """Remove staging dirs orphaned by a writer that died before
+        commit (we hold the lock, so any staging dir older than the
+        stale window has no live owner). Readers never saw them —
+        commit is the rename step — so deletion is safe."""
+        parent = Path(self.path).getParent()
+        prefix = Path(self.path).getName() + ".staging-"
+        for entry in fs.listStatus(parent):
+            name = entry.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            age = time.time() - entry.getModificationTime() / 1000.0
+            if age >= self.lock_stale_sec:
+                fs.delete(entry.getPath(), True)
 
     def _commit_staging(self, staging: str, append: bool) -> None:
         """Move staged bucket output into the table, bucket-atomically.

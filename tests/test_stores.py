@@ -164,6 +164,30 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
     assert m.updated == 1
 
 
+def test_crashed_writer_leftovers_recovered(spark, tmp_path):
+    """A writer that died mid-merge leaves a stale lock and a staging
+    dir; the next merge breaks the lock, GCs the orphan staging, and
+    completes — reads never saw the uncommitted data."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4,
+        lock_stale_sec=0.0,
+    )
+    store.init(spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]))
+    # simulate the dead writer's droppings
+    open(store.path + ".lock", "w").close()
+    orphan = store.path + ".staging-deadbeef"
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    with open(os.path.join(orphan, "_bucket=0", "part-zombie.parquet"), "w") as f:
+        f.write("not parquet")
+    assert store.read().count() == 2  # orphan invisible to readers
+    time.sleep(0.05)
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    m = store.merge(spark.createDataFrame([Row(k=1, v=9.0)]), cfg)
+    assert m.updated == 1
+    assert not os.path.exists(orphan)  # GC'd under the reclaimed lock
+    assert store.read().filter("k = 1").collect()[0]["v"] == 9.0
+
+
 def test_stale_lock_broken(spark, tmp_path):
     """A lock older than lock_stale_sec (dead writer) is broken."""
     store = KeyedParquetStore(
@@ -176,3 +200,37 @@ def test_stale_lock_broken(spark, tmp_path):
     cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
     m = store.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
     assert m.updated == 1 and not os.path.exists(store.path + ".lock")
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed+sorted on the join key by the same bucket
+    count must SortMergeJoin with NO Exchange on either side (and no
+    per-task Sort either) — the co-located join that turns the
+    dominant pipeline shuffle into a local merge per bucket."""
+    from aces_nifi_processors_bundle_spark.stores.bucketed import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    left = spark.range(10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(5_000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_bleft", ["k"], n_buckets=8)
+    write_bucketed(right, "t_bright", ["k"], n_buckets=8)
+    # force the join strategy question: no broadcast shortcut for the
+    # tiny test tables (at real scale neither side broadcasts anyway)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "t_bleft", "t_bright", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side shuffles
+        assert joined.count() == 5_000
+        # sanity: the same join on unbucketed frames DOES shuffle
+        shuffled = left.join(right, "k")
+        plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
