@@ -40,9 +40,12 @@ a merge touching every bucket of a 100 TB table streams through the
 normal shuffle/write path; the commit step moves directory entries
 only. Per-bucket rename atomicity mirrors the reference's per-document
 atomicity from MongoDB (PartialUpdateMongo.java:431-454); a crash
-mid-commit leaves each bucket either old or new, never mixed. (On
-object stores without atomic rename, gate on Delta MERGE instead —
-the operator semantics and metrics carry over unchanged.)
+mid-commit leaves each bucket either old or new, never mixed — the
+one non-atomic window (old renamed out, new not yet in) is repaired by
+the next writer's recovery pass, which restores any displaced
+`.old-…--_bucket=N` dir whose bucket is missing. (On object stores
+without atomic rename, gate on Delta MERGE instead — the operator
+semantics and metrics carry over unchanged.)
 
 Concurrency: parquet has no transaction log, so writers are serialized
 by a create-exclusive `.lock` file with a stale-timeout — a second
@@ -125,10 +128,18 @@ class KeyedParquetStore:
             fs.delete(lock, False)
 
     def _gc_stale_staging(self, fs, Path) -> None:
-        """Remove staging dirs orphaned by a writer that died before
-        commit (we hold the lock, so any staging dir older than the
-        stale window has no live owner). Readers never saw them —
-        commit is the rename step — so deletion is safe."""
+        """Crash recovery, run under the freshly-acquired lock.
+
+        1. Staging dirs from a writer that died before commit: readers
+           never saw them (commit is the rename step) — delete when
+           older than the stale window.
+        2. Displaced `.old-…--_bucket=N` dirs: these exist only inside
+           a live commit's replace window. If the real bucket dir is
+           MISSING, the writer died between rename-out and rename-in
+           and the displaced dir holds the only copy — restore it.
+           Otherwise the commit completed (or the new dir landed) and
+           the displaced copy is garbage — delete it. Either way every
+           bucket ends up whole: old or new, never absent."""
         parent = Path(self.path).getParent()
         prefix = Path(self.path).getName() + ".staging-"
         for entry in fs.listStatus(parent):
@@ -138,6 +149,16 @@ class KeyedParquetStore:
             age = time.time() - entry.getModificationTime() / 1000.0
             if age >= self.lock_stale_sec:
                 fs.delete(entry.getPath(), True)
+        for entry in fs.listStatus(Path(self.path)):
+            name = entry.getPath().getName()
+            if not (name.startswith(".old-") and "--" in name):
+                continue
+            bucket_dir = name.split("--", 1)[1]
+            dst = Path(f"{self.path}/{bucket_dir}")
+            if fs.exists(dst):
+                fs.delete(entry.getPath(), True)
+            else:
+                fs.rename(entry.getPath(), dst)
 
     def _commit_staging(self, staging: str, append: bool) -> None:
         """Move staged bucket output into the table, bucket-atomically.
@@ -161,7 +182,10 @@ class KeyedParquetStore:
                 # Dot-prefixed: hidden from Hadoop/Spark listings, so a
                 # concurrent reader's partition discovery can never pick
                 # up the displaced old bucket as a bogus partition value.
-                old = Path(f"{self.path}/.old-{uuid.uuid4().hex}")
+                # The bucket name rides after `--` so crash recovery
+                # (_gc_stale_staging) can restore it if we die before
+                # the rename-in below.
+                old = Path(f"{self.path}/.old-{uuid.uuid4().hex}--{name}")
                 fs.rename(dst, old)
                 fs.rename(entry.getPath(), dst)
                 fs.delete(old, True)
@@ -207,26 +231,32 @@ class KeyedParquetStore:
     def merge(self, source: DataFrame, cfg: PartialUpdateConfig) -> MergeMetrics:
         """Incremental partial-update merge: read touched buckets,
         apply operators, rewrite ONLY those buckets, one observed job.
+
+        The LOCK covers the target read too, not just the write:
+        `spark.read.parquet` snapshots the file listing eagerly, so
+        planning the read outside the lock would both race a concurrent
+        writer's commit (read-modify-write on a stale snapshot) and
+        run before crash recovery has restored any displaced bucket.
         """
         assert cfg.keys == self.keys, "merge keys must match store keys"
-        _, target = self._touched(source)
-        res = partial_update(target, source, cfg)
-        obs = Observation()
-        route = F.col(ROUTE_COL)
-        observed = res.merged.observe(
-            obs,
-            F.sum(F.when(route == "success", 1).otherwise(0)).alias("updated"),
-            F.sum(F.when(route == "success-unmodified", 1).otherwise(0)).alias(
-                "unmodified"
-            ),
-            F.sum(F.when(route == "insert", 1).otherwise(0)).alias("inserted"),
-        )
-        out = (
-            observed.filter(route != "drop")
-            .drop(ROUTE_COL)
-            .withColumn(BUCKET_COL, self._bucket_of())
-        )
         with self.provenance.send(self.path, detail="merge") as ctx, self._write_lock():
+            _, target = self._touched(source)
+            res = partial_update(target, source, cfg)
+            obs = Observation()
+            route = F.col(ROUTE_COL)
+            observed = res.merged.observe(
+                obs,
+                F.sum(F.when(route == "success", 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(route == "success-unmodified", 1).otherwise(0)).alias(
+                    "unmodified"
+                ),
+                F.sum(F.when(route == "insert", 1).otherwise(0)).alias("inserted"),
+            )
+            out = (
+                observed.filter(route != "drop")
+                .drop(ROUTE_COL)
+                .withColumn(BUCKET_COL, self._bucket_of())
+            )
             # The merge plan reads the same path it rewrites; Spark
             # (correctly) refuses overwrite-while-reading. Writing to a
             # staging dir sidesteps that with ONE pass over the plan
@@ -256,21 +286,21 @@ class KeyedParquetStore:
         file set or the new single file, per-bucket atomically."""
         fs, Path = self._fs()
         root = Path(self.path)
-        frag = []
-        for entry in fs.listStatus(root):
-            name = entry.getPath().getName()
-            if not name.startswith(f"{BUCKET_COL}="):
-                continue
-            n = sum(
-                1
-                for f_ in fs.listStatus(entry.getPath())
-                if f_.getPath().getName().endswith(".parquet")
-            )
-            if n >= min_files:
-                frag.append(int(name.split("=", 1)[1]))
-        if not frag:
-            return 0
-        with self._write_lock():
+        with self._write_lock():  # fragmentation scan under the lock too
+            frag = []
+            for entry in fs.listStatus(root):
+                name = entry.getPath().getName()
+                if not name.startswith(f"{BUCKET_COL}="):
+                    continue
+                n = sum(
+                    1
+                    for f_ in fs.listStatus(entry.getPath())
+                    if f_.getPath().getName().endswith(".parquet")
+                )
+                if n >= min_files:
+                    frag.append(int(name.split("=", 1)[1]))
+            if not frag:
+                return 0
             staging = f"{self.path}.staging-{uuid.uuid4().hex}"
             out = (
                 self.spark.read.parquet(self.path)
@@ -286,23 +316,24 @@ class KeyedParquetStore:
     ) -> MergeMetrics:
         """Duplicate-checked insert: append first-occurrence-new-key
         rows; existing buckets are never rewritten. Returns counts
-        (inserted / already-exists) from the observed append job."""
-        _, target = self._touched(source)
-        tagged = tag_put_if_absent(target, source, self.keys, order_col)
-        obs = Observation()
-        route = F.col(ROUTE_COL)
-        observed = tagged.observe(
-            obs,
-            F.sum(F.when(route == "success", 1).otherwise(0)).alias("inserted"),
-            F.sum(F.when(route == "already-exists", 1).otherwise(0)).alias("dupes"),
-        )
-        out = (
-            observed.filter(route == "success")
-            .drop(ROUTE_COL)
-            .select(*target.columns)
-            .withColumn(BUCKET_COL, self._bucket_of())
-        )
+        (inserted / already-exists) from the observed append job.
+        Lock covers the duplicate-check read (see merge)."""
         with self.provenance.send(self.path, detail="put-if-absent") as ctx, self._write_lock():
+            _, target = self._touched(source)
+            tagged = tag_put_if_absent(target, source, self.keys, order_col)
+            obs = Observation()
+            route = F.col(ROUTE_COL)
+            observed = tagged.observe(
+                obs,
+                F.sum(F.when(route == "success", 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(route == "already-exists", 1).otherwise(0)).alias("dupes"),
+            )
+            out = (
+                observed.filter(route == "success")
+                .drop(ROUTE_COL)
+                .select(*target.columns)
+                .withColumn(BUCKET_COL, self._bucket_of())
+            )
             staging = f"{self.path}.staging-{uuid.uuid4().hex}"
             self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
                 staging

@@ -49,7 +49,12 @@ def first_seen_keys(
     ) -> Iterator[pd.DataFrame]:
         for _ in pdfs:  # drain the Arrow batches; contents don't matter
             pass
+        if state.hasTimedOut:
+            state.remove()  # actually free the entry, or TTL is a no-op
+            return
         if state.exists:
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)  # sliding TTL
             return
         state.update((True,))
         if state_ttl_ms is not None:

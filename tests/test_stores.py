@@ -188,6 +188,30 @@ def test_crashed_writer_leftovers_recovered(spark, tmp_path):
     assert store.read().filter("k = 1").collect()[0]["v"] == 9.0
 
 
+def test_crash_in_rename_window_restores_bucket(spark, tmp_path):
+    """Death between rename-out and rename-in leaves a bucket ABSENT
+    with its only copy in the displaced .old dir; the next writer's
+    recovery pass must restore it before doing anything else."""
+    import shutil
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2,
+        lock_stale_sec=0.0,
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(20)]))
+    total = store.read().count()
+    bucket = next(d for d in os.listdir(store.path) if d.startswith("_bucket="))
+    displaced = os.path.join(store.path, f".old-deadbeef--{bucket}")
+    shutil.move(os.path.join(store.path, bucket), displaced)  # simulate crash
+    assert store.read().count() < total  # bucket really is gone
+    time.sleep(0.05)
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    store.merge(spark.createDataFrame([Row(k=0, v=100.0)]), cfg)
+    assert not os.path.exists(displaced)
+    assert store.read().count() == total  # restored, then merged
+    assert store.read().filter("k = 0").collect()[0]["v"] == 100.0
+
+
 def test_stale_lock_broken(spark, tmp_path):
     """A lock older than lock_stale_sec (dead writer) is broken."""
     store = KeyedParquetStore(
