@@ -174,3 +174,37 @@ def fingerprint_rows(
         .groupBy(id_col)
         .agg(F.min(F.md5("shingle")).alias("fp"))
     )
+
+
+# --- PII redaction ------------------------------------------------------
+#
+# Canonical pre-training scrub: structured-identifier patterns replaced
+# with typed placeholder tokens. Pure regexp_replace chain — JVM-side,
+# whole-stage-codegen, no UDF. The patterns deliberately use only
+# syntax Java regex and RE2 (DuckDB) share, so the scrub is
+# oracle-checkable byte-for-byte.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[\-.]\d{3}[\-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email / phone / IPv4 occurrence with its typed
+    placeholder. Order matters: emails first (an address can embed
+    digit runs), then phones, then IPs (phone pattern requires
+    separators, so it can't eat dotted quads already handled)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (audit trail for the scrub)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(kind)
+        for kind, pat, _ in PII_PATTERNS
+    }

@@ -795,6 +795,36 @@ FROM ranked WHERE rank <= 5
 """
 )
 
+# PII patterns: single source of truth is pipeline.text.PII_PATTERNS —
+# only Java-regex/RE2-shared syntax, so the same strings drop into
+# DuckDB (standard SQL strings don't process backslashes).
+from ..pipeline.text import PII_PATTERNS as _PII  # noqa: E402
+
+_EMAIL, _PHONE, _IP = (_PII[0][1], _PII[1][1], _PII[2][1])
+
+oracle("q_redact_pii")(
+    f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-0'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         AS text
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL}', '<EMAIL>', 'g'),
+           '{_PHONE}', '<PHONE>', 'g'),
+           '{_IP}', '<IP>', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_IP}')) AS INT) AS n_ip
+FROM salted
+"""
+)
+
 # IVF centroids: the exact float64 values the Spark UDF uses, embedded
 # as literals (repr round-trips doubles exactly). Single source of
 # truth is similarity._centroid; the dot-product op order also matches

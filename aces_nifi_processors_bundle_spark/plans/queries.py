@@ -860,6 +860,36 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("user_bucket", "event_type")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents: emails / phones / IPv4s replaced by
+    typed placeholders, with per-kind audit counts. The synthetic
+    corpus carries no PII, so deterministic PII is injected from
+    doc_id (both engines build the identical string) before the
+    redaction chain runs — regexp_replace only, no UDF."""
+    from ..pipeline.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-1234 from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return salted.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+    )
+
+
 # --- North-star extensions: similarity search ---------------------------
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality": q.q_quality,
     "q_token_count": q.q_token_count,
     "q_fingerprint": q.q_fingerprint,
+    "q_redact_pii": q.q_redact_pii,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,

@@ -308,3 +308,21 @@ def test_socketio_sink_single_pass(spark):
     n = sink.write_batch(df)
     assert n == 10
     assert evals.value == 10  # one pipeline pass, not two
+
+
+def test_redact_pii_replaces_each_kind(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [Row(text="mail a.b+c@x-mail.org, call 555-123-4567, host 192.168.0.1 done")]
+    )
+    counts = pii_counts(F.col("text"))
+    row = df.select(
+        redact_pii(F.col("text")).alias("r"),
+        counts["email"], counts["phone"], counts["ipv4"],
+    ).collect()[0]
+    assert row["r"] == "mail <EMAIL>, call <PHONE>, host <IP> done"
+    assert (row["email"], row["phone"], row["ipv4"]) == (1, 1, 1)
