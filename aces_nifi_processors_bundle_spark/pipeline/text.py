@@ -208,3 +208,63 @@ def pii_counts(text: Column) -> dict[str, Column]:
         kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(kind)
         for kind, pat, _ in PII_PATTERNS
     }
+
+
+# --- Corpus-statistics term extraction ---------------------------------
+
+def top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Top-k characteristic terms per document: rank by (tf desc,
+    doc-freq asc, term asc) with corpus-frequency stopword suppression
+    (terms in more than max_df_ratio of docs are dropped), plus a
+    smoothed tf-idf score column.
+
+    The integer rank key makes the ordering — and therefore the whole
+    result — engine-exact; the float tf-idf rides along rounded, never
+    ranked on. Shape notes: tokenization explodes AFTER the scan and
+    combines map-side into (doc, term) counts before the shuffle; the
+    doc-frequency aggregate reuses the same term partitioning for its
+    join back (ReusedExchange); the per-doc top-k groupBy is bounded by
+    per-doc vocabulary, so no salting is needed (unlike the corpus-wide
+    similarity top-k)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    joined = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") <= max_df_ratio * F.col("n_docs"))
+    )
+    entry = F.struct(
+        (-F.col("tf")).alias("_ntf"),
+        F.col("doc_freq").alias("doc_freq"),
+        F.col("term").alias("term"),
+        F.col("tf").alias("tf"),
+        F.col("n_docs").alias("n_docs"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("_top")
+    )
+    return per_doc.select(
+        F.col(id_col), F.posexplode("_top").alias("_pos", "_e")
+    ).select(
+        F.col(id_col),
+        F.col("_e.term").alias("term"),
+        F.col("_e.tf").alias("tf"),
+        F.col("_e.doc_freq").alias("doc_freq"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        F.round(
+            F.col("_e.tf")
+            * (F.log((F.col("_e.n_docs") + 1.0) / (F.col("_e.doc_freq") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )

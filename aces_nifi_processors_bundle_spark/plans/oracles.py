@@ -795,6 +795,29 @@ FROM ranked WHERE rank <= 5
 """
 )
 
+oracle("q_top_terms")(
+    """
+WITH tokens AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tokens GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+ranked AS (
+  SELECT doc_id, term, tf, doc_freq, n_docs,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, doc_freq ASC, term ASC) AS rnk
+  FROM tf JOIN dfq USING (term), nd
+  WHERE doc_freq <= 0.8 * n_docs
+)
+SELECT doc_id, term, tf, doc_freq, CAST(rnk AS INT) AS rank,
+       round(tf * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0), 6) AS tfidf
+FROM ranked WHERE rnk <= 3
+"""
+)
+
 # PII patterns: single source of truth is pipeline.text.PII_PATTERNS —
 # only Java-regex/RE2-shared syntax, so the same strings drop into
 # DuckDB (standard SQL strings don't process backslashes).

@@ -890,6 +890,21 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics term extraction: top-3 characteristic terms
+    per document with document-frequency stopword suppression and a
+    smoothed tf-idf score. Ranked on an integer key (tf desc, df asc,
+    term asc) so the ordering is engine-exact; the float score rides
+    along rounded, never ranked on."""
+    from ..pipeline.text import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the synthetic corpus shares most of its vocabulary, so the usual
+    # 0.5 df cutoff suppresses nearly every term; 0.8 keeps the filter
+    # meaningful while every doc still surfaces its top-3
+    return top_terms(docs, k=3, max_df_ratio=0.8)
+
+
 # --- North-star extensions: similarity search ---------------------------
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_token_count": q.q_token_count,
     "q_fingerprint": q.q_fingerprint,
     "q_redact_pii": q.q_redact_pii,
+    "q_top_terms": q.q_top_terms,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
