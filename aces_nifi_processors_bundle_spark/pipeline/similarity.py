@@ -285,13 +285,23 @@ def _cell_dots(mat: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
     return acc
 
 
-def ivf_assign_udf(dim: int, n_centroids: int = 16):
+def _ivf_centroids(
+    dim: int, n_centroids: int, centroids: "np.ndarray | None" = None
+) -> "np.ndarray":
+    """Explicit codebook if given (e.g. from ivf_train), else the
+    deterministic md5 codebook (the oracle-able default)."""
+    if centroids is not None:
+        return np.asarray(centroids, dtype=np.float64)
+    return np.array([_centroid(c, dim) for c in range(n_centroids)])
+
+
+def ivf_assign_udf(dim: int, n_centroids: int = 16, centroids=None):
     """Arrow-vectorized cell assignment: argmax_c dot(v, centroid_c)
     (centroids unit-norm, so argmax dot ≡ argmax cosine; ties break to
     the lowest cell id via np.argmax)."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = np.array([_centroid(c, dim) for c in range(n_centroids)])
+    cents = _ivf_centroids(dim, n_centroids, centroids)
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
@@ -301,13 +311,13 @@ def ivf_assign_udf(dim: int, n_centroids: int = 16):
     return _assign
 
 
-def ivf_probe_udf(dim: int, n_centroids: int = 16, n_probe: int = 4):
+def ivf_probe_udf(dim: int, n_centroids: int = 16, n_probe: int = 4, centroids=None):
     """Per-query probe list: the n_probe nearest cells, ordered by
     (dot desc, cell id asc) — the deterministic tie-break the oracle
     mirrors with ORDER BY dot DESC, cid."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = np.array([_centroid(c, dim) for c in range(n_centroids)])
+    cents = _ivf_centroids(dim, n_centroids, centroids)
 
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
@@ -323,6 +333,72 @@ def ivf_probe_udf(dim: int, n_centroids: int = 16, n_probe: int = 4):
     return _probe
 
 
+def ivf_train(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Spherical k-means refinement of the codebook (Lloyd's): assign →
+    per-cell mean → renormalize, starting from the deterministic md5
+    centroids (so training is reproducible, no RNG). Returns the
+    refined unit-norm centroid matrix for ivf_topk/ivf_write_index.
+
+    Scale shape: assignment is the Arrow matmul pass; the centroid
+    update is posexplode → groupBy(cid, pos) SUM — map-side combined,
+    and only C×dim aggregate rows (a codebook, i.e. metadata, not row
+    data) ever reach the driver. Empty cells keep their previous
+    centroid. The quantization objective (mean max-dot) is
+    non-decreasing per Lloyd's — pytest-checked."""
+    cents = _ivf_centroids(dim, n_centroids)
+    v = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(n_iter):
+        assign = ivf_assign_udf(dim, n_centroids, centroids=cents)
+        sums = (
+            v.withColumn("cid", assign(F.col("v")))
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((n_centroids, dim))
+        cnt = np.zeros(n_centroids)
+        for r in sums:
+            acc[r["cid"], r["pos"]] = r["s"]
+            cnt[r["cid"]] = r["n"]
+        for c in range(n_centroids):
+            if cnt[c] > 0:
+                mean = acc[c] / cnt[c]
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    new[c] = mean / norm
+        cents = new
+    return cents
+
+
+def ivf_objective(
+    corpus: DataFrame, centroids: "np.ndarray", vec_col: str = "embedding"
+) -> float:
+    """Quantization quality: mean over the corpus of max dot(v̂, c) —
+    higher is tighter cells (vectors normalized so it's mean cosine)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _best(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.max(_cell_dots(mat, cents), axis=1))
+
+    return float(
+        corpus.select(_best(as_double(F.col(vec_col))).alias("b"))
+        .agg(F.avg("b"))
+        .collect()[0][0]
+    )
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,
@@ -330,13 +406,14 @@ def ivf_write_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> None:
     """Materialize the inverted file: corpus + cell id, parquet
     PARTITIONED BY cell. A probing search that filters on `cid` then
     scans only n_probe/(n_centroids) of the data — partition pruning,
     the scan-level win row filtering can't give (verified in
     tests/test_pipeline.py by reading the pruned plan)."""
-    assign = ivf_assign_udf(dim, n_centroids)
+    assign = ivf_assign_udf(dim, n_centroids, centroids)
     (
         corpus.select(
             F.col(id_col), F.col(vec_col),
@@ -358,15 +435,17 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN top-k: score only corpus vectors whose cell is among the
     query's n_probe nearest cells. Each corpus vector lives in exactly
     ONE cell (unlike LSH bands) — no candidate dedup needed. Recall < 1
     by construction (pytest-checked vs brute force); the probe
     restriction itself is deterministic, so the path is fully
-    oracle-checkable."""
-    assign = ivf_assign_udf(dim, n_centroids)
-    probe = ivf_probe_udf(dim, n_centroids, n_probe)
+    oracle-checkable. Pass centroids from ivf_train for a learned
+    codebook (the md5 default is the oracle path)."""
+    assign = ivf_assign_udf(dim, n_centroids, centroids)
+    probe = ivf_probe_udf(dim, n_centroids, n_probe, centroids)
     cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),

@@ -326,3 +326,29 @@ def test_redact_pii_replaces_each_kind(spark):
     ).collect()[0]
     assert row["r"] == "mail <EMAIL>, call <PHONE>, host <IP> done"
     assert (row["email"], row["phone"], row["ipv4"]) == (1, 1, 1)
+
+
+def test_ivf_train_improves_quantization_monotonically(spark, sf_dir):
+    """Lloyd's guarantee: each spherical k-means iteration must not
+    worsen the quantization objective (mean max-cosine to codebook),
+    and the trained codebook must beat the random md5 init."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        _ivf_centroids,
+        ivf_objective,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    obj = [ivf_objective(emb, _ivf_centroids(64, 8))]
+    for it in (1, 2):
+        obj.append(ivf_objective(emb, ivf_train(emb, dim=64, n_centroids=8, n_iter=it)))
+    assert obj[1] >= obj[0] - 1e-9 and obj[2] >= obj[1] - 1e-9
+    assert obj[2] > obj[0]  # training actually moved the codebook
+    # the trained codebook drops into the same search path
+    trained = ivf_train(emb, dim=64, n_centroids=8, n_iter=2)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), dim=64, k=5,
+        n_centroids=8, n_probe=2, centroids=trained,
+    )
+    assert out.count() == 15
