@@ -63,6 +63,42 @@ GROUP BY d, name ORDER BY day, name
 """
 )
 
+oracle("q_stream_sessions")(
+    """
+WITH e AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS ub, ts FROM events
+),
+marked AS (
+  SELECT ub, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY ub ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY ub ORDER BY ts) >= INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT ub, ts,
+         SUM(new_s) OVER (PARTITION BY ub ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT ub, sid, min(ts) AS s_start, max(ts) AS s_last,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+),
+mx AS (SELECT max(ts) AS m FROM events)
+-- append-mode emission: a session (end = last event + gap) is final
+-- once the watermark (max event time - 1 h) has passed it
+SELECT ub AS user_bucket,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s_last + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM agg, mx
+WHERE s_last + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+ORDER BY user_bucket, session_start
+"""
+)
+
 oracle("q_stream_first_seen")(
     """
 SELECT DISTINCT CAST(user_id % 1000 AS BIGINT) AS user_bucket, event_type

@@ -832,6 +832,38 @@ def q_stream_bin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "name")
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization under Structured Streaming: per-user-bucket
+    session windows (1-hour gap), append mode — only sessions the
+    final watermark closed are emitted. Oracle: gaps-and-islands SQL
+    with the same last_event + gap <= max_ts - 1h cutoff."""
+    import uuid
+
+    from ..streaming.binning_stream import stream_session_counts
+
+    stream = _events_stream(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("user_bucket"), "ts"
+    )
+    out = stream_session_counts(
+        stream, "user_bucket", ts_col="ts", gap="1 hour", watermark="1 hour"
+    )
+    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "user_bucket",
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    ).orderBy("user_bucket", "session_start")
+
+
 def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming put-if-absent via a custom stateful operator
     (applyInPandasWithState): emit each distinct user bucket exactly

@@ -55,6 +55,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_bin_flagship": q.q_stream_bin_flagship,
     "q_stream_bin_windowed": q.q_stream_bin_windowed,
     "q_stream_first_seen": q.q_stream_first_seen,
+    "q_stream_sessions": q.q_stream_sessions,
 }
 
 

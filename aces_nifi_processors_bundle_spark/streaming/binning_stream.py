@@ -83,3 +83,34 @@ def foreach_batch_merge(
     return stream_df.writeStream.foreachBatch(merge_fn).option(
         "checkpointLocation", checkpoint
     )
+
+
+def stream_session_counts(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sessionization: per-key event counts over session windows (a
+    session = events separated by less than `gap`; the window extends
+    to last-event + gap). The streaming primitive class the tumbling
+    binners can't express — session state merges as events arrive and
+    a session finalizes only when the watermark passes its end, which
+    is what bounds state for keys that go quiet.
+
+    Output (append mode): one row per closed session —
+    (window, key, n_events). Deterministic: which physical row arrived
+    first never matters, only event times, so the emitted session set
+    is oracle-able with a gaps-and-islands SQL rewrite plus the
+    watermark cutoff (last_event + gap <= max_ts - delay)."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("window"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
