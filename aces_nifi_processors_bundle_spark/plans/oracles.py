@@ -63,6 +63,38 @@ GROUP BY d, name ORDER BY day, name
 """
 )
 
+oracle("q_profile_values")(
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+)
+
+oracle("q_stream_bin_sliding")(
+    """
+WITH e AS (SELECT ts, 'byType.' || event_type AS name FROM events),
+wins AS (
+  -- the two epoch-aligned 12h-grid window starts covering each event;
+  -- make_timestamp keeps everything TZ-naive (to_timestamp would
+  -- render in the host zone)
+  SELECT make_timestamp(CAST(floor(epoch(ts)/43200) AS BIGINT)*43200*1000000) AS w_start, name FROM e
+  UNION ALL
+  SELECT make_timestamp((CAST(floor(epoch(ts)/43200) AS BIGINT)*43200 - 43200)*1000000), name FROM e
+),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start, name,
+       CAST(count(*) AS BIGINT) AS total
+FROM wins, mx
+WHERE w_start + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
 oracle("q_stream_sessions")(
     """
 WITH e AS (

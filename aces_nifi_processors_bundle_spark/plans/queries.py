@@ -371,6 +371,24 @@ def q_partial_update_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mod.unionByName(unmod)
 
 
+def q_profile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-event-type distribution stats (count, mean,
+    exact interpolated p50/p95/p99). Spark's percentile and DuckDB's
+    quantile_cont both use linear interpolation on the sorted values,
+    so the profile is oracle-matched after rounding. Exact percentile
+    sorts per group — fine for profiling runs; approx_percentile is
+    the streaming/huge-group variant (sketch differs per engine, so
+    it's deliberately not the oracled path)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def q_flow_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship binning assembled from a JSON-able flow definition
     (flows.py — the NiFi canvas analog) instead of hand-composed code;
@@ -862,6 +880,39 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     ).orderBy("user_bucket", "session_start")
+
+
+def q_stream_bin_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window variant: 1-day windows sliding every 12 hours —
+    each event lands in exactly two windows. Same append-mode watermark
+    emission rule; the oracle unions the two window phases."""
+    import uuid
+
+    from ..streaming.binning_stream import stream_bin_count
+
+    stream = _events_stream(spark, sf_dir)
+    out = stream_bin_count(
+        stream,
+        [FLAGSHIP_BINNERS[1]],  # byType literal binner
+        ts_col="ts",
+        watermark="1 hour",
+        window="1 day",
+        slide="12 hours",
+    )
+    qname = f"bins_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+        "name",
+        "total",
+    ).orderBy("w_start", "name")
 
 
 def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:

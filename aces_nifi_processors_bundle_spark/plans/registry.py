@@ -43,6 +43,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fingerprint": q.q_fingerprint,
     "q_redact_pii": q.q_redact_pii,
     "q_top_terms": q.q_top_terms,
+    "q_profile_values": q.q_profile_values,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
@@ -56,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_bin_windowed": q.q_stream_bin_windowed,
     "q_stream_first_seen": q.q_stream_first_seen,
     "q_stream_sessions": q.q_stream_sessions,
+    "q_stream_bin_sliding": q.q_stream_bin_sliding,
 }
 
 

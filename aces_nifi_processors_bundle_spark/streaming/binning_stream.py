@@ -39,12 +39,16 @@ def stream_bin_count(
     binners: list[BinnerConfig],
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    window: str = "1 day",
+    slide: str | None = None,
 ) -> DataFrame:
     """Continuous bin counting with bounded state.
 
     groupBy(name) alone would keep state per distinct bin forever; the
     watermark + event-time window lets Spark drop finalized windows.
-    Output: (window, name, total) in update mode.
+    With `slide` the windows overlap (each event lands in
+    window/slide of them — hopping counts for dashboards); default is
+    tumbling. Output: (window, name, total).
     """
     # readStream on driver parquet can surface TIMESTAMP_NTZ (fixtures
     # ship timestamp[us] with no zone), which withWatermark rejects;
@@ -54,9 +58,14 @@ def stream_bin_count(
     recs = bin_records(
         stream_df.withWatermark(ts_col, watermark), binners, keep=[ts_col]
     )
-    return recs.groupBy(
-        F.window(F.col(ts_col), "1 day").alias("window"), F.col("name")
-    ).agg(F.count(F.lit(1)).alias("total"))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return recs.groupBy(win.alias("window"), F.col("name")).agg(
+        F.count(F.lit(1)).alias("total")
+    )
 
 
 def stream_bin_count_global(
