@@ -121,3 +121,47 @@ def test_shingles_model(spark, docs):
         else:
             want = [t.strip()]
         assert g == want, (t, g, want)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # query_id
+            st.integers(min_value=0, max_value=200),    # neighbor_id
+            st.integers(min_value=-1000, max_value=1000),  # score*1e3
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=6),  # k
+)
+def test_salted_topk_equals_python_model(spark, rows, k):
+    """_topk_per_query (salted two-phase agg) must equal the exact
+    per-query top-k under the (cos desc, neighbor_id asc) total order —
+    the property that justifies replacing the window-function plan."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        _topk_per_query,
+    )
+
+    # dedupe (query, neighbor) pairs — duplicates are impossible in the
+    # real inputs (cross join / banded-dedup / one-cell-per-vector)
+    seen = {}
+    for q, n, s in rows:
+        seen[(q, n)] = s / 1000.0
+    data = [(q, n, s) for (q, n), s in seen.items()]
+    df = spark.createDataFrame(data, "query_id long, neighbor_id long, cos double")
+    df = df.repartition(8)  # arbitrary physical layout
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in _topk_per_query(df, k).collect()
+    }
+    expect = {}
+    by_q: dict = {}
+    for q, n, s in data:
+        by_q.setdefault(q, []).append((n, s))
+    for q, pairs in by_q.items():
+        ranked = sorted(pairs, key=lambda p: (-p[1], p[0]))[:k]
+        for i, (n, s) in enumerate(ranked):
+            expect[(q, i + 1)] = (n, s)
+    assert got == expect
