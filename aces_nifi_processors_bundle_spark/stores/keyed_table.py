@@ -8,60 +8,81 @@ PutMongoWithDuplicateCheck.java:142-157 — with a provenance SEND per
 external write (PartialUpdateMongo.java:255,
 PutMongoWithDuplicateCheck.java:149).
 
-Spark mapping: a hash-bucketed parquet table (Delta Lake would give
-MERGE INTO directly, but this environment ships without it; the store
-implements the same contract on stock parquet):
+Spark mapping: a hash-bucketed parquet table with a MANIFEST-BASED
+commit protocol (a minimal transaction log — the same shape as Delta
+Lake's, which this environment ships without):
 
-- Layout: rows partitioned by `_bucket = pmod(xxhash64(keys), n)` —
-  a stable function of the key, so a key always lives in exactly one
-  partition directory.
+- Layout::
+
+      <path>/_segments/<uuid>/_bucket=N/part-*.parquet   immutable data
+      <path>/_manifests/v0000000007-<uuid>.json          versioned manifests
+      <path>.lock                                        writer lock
+
+  A manifest maps every bucket id to the LIST of segment dirs holding
+  its current rows (plus the table schema). Segment dirs are immutable
+  once referenced; a commit writes a brand-new segment, then publishes
+  a new manifest version. Readers resolve the highest manifest version
+  and read exactly the files it names.
+- Commit atomicity: the manifest is written to a dot-temp file and
+  `rename`d to its final versioned name — one atomic metadata op. A
+  reader therefore sees the table fully pre-commit or fully
+  post-commit, never mid-swap (this replaces the round-3 per-bucket
+  rename dance, which left a window where a bucket dir was absent).
+  A writer crash before publish leaves only an unreferenced segment —
+  invisible to every reader, garbage-collected by the next writer.
 - merge(batch): the incremental path. Only the buckets containing the
-  batch's keys are READ (partition pruning on `_bucket`) and only
-  those buckets are REWRITTEN (dynamic partition overwrite). Work per
-  batch scales with touched-buckets/total, not table size — the
-  property a full-outer-join-and-rewrite-everything approach lacks at
-  any real scale. Updates-per-key semantics come from
-  operators/partial_update.py ($set/$inc/$addToSet/$currentDate,
-  upsert, match-one/many), unchanged.
+  batch's keys are READ (the manifest prunes the listing driver-side —
+  untouched buckets' files are never even listed) and only those
+  buckets are REWRITTEN (their manifest entries point at the new
+  segment; untouched entries carry over). Work per batch scales with
+  touched-buckets/total, not table size.
 - put_if_absent(batch): appends only first-occurrence-new-key rows
-  (operators/put_if_absent.py single-pass tag); parquet append never
-  rewrites existing buckets.
+  (operators/put_if_absent.py single-pass tag) as a new segment;
+  touched buckets' manifest entries gain one dir. Existing files are
+  never rewritten, and the append is exactly as atomic as merge —
+  crash-before-publish inserts nothing.
+- compact(): rewrites buckets fragmented across many part-files into
+  one segment (the Delta OPTIMIZE analog); work scales with
+  fragmentation, not table size.
 - Routing counts (the modifiedCount analog, PartialUpdateMongo.java:
   253-275) come from `DataFrame.observe` metrics collected DURING the
   single write job — no second pass over the plan — and land in a
   provenance SEND event per merge, mirroring the reference's
   StopWatch-around-send pattern (:458,467-479).
 
-Write protocol: merge/put_if_absent compute into a STAGING directory
-next to the table (one pass over the plan — this also fires the
-observe metrics), then commit per-bucket with atomic Hadoop
-FileSystem renames. Nothing is pinned in executor storage memory, so
-a merge touching every bucket of a 100 TB table streams through the
-normal shuffle/write path; the commit step moves directory entries
-only. Per-bucket rename atomicity mirrors the reference's per-document
-atomicity from MongoDB (PartialUpdateMongo.java:431-454); a crash
-mid-commit leaves each bucket either old or new, never mixed — the
-one non-atomic window (old renamed out, new not yet in) is repaired by
-the next writer's recovery pass, which restores any displaced
-`.old-…--_bucket=N` dir whose bucket is missing. (On object stores
-without atomic rename, gate on Delta MERGE instead — the operator
-semantics and metrics carry over unchanged.)
+Concurrency:
 
-Concurrency: parquet has no transaction log, so writers are serialized
-by a create-exclusive `.lock` file with a stale-timeout — a second
-concurrent writer fails fast with ConcurrentWriterError instead of
-corrupting buckets.
+- Writers serialize on a create-exclusive `.lock` file (fail-fast
+  ConcurrentWriterError). A stale lock (dead writer) is broken by
+  RENAMING it to a unique tombstone — only one of N racing breakers
+  can win the rename, closing the delete/create TOCTOU — then
+  re-checking the tombstone's mtime: a breaker that accidentally
+  displaced a FRESH lock (rewritten between its staleness check and
+  its rename) restores it and fails instead of proceeding.
+- Readers take no lock: snapshot isolation comes from the manifest.
+  Retention: unreferenced segments and superseded manifests are only
+  GC'd once older than `lock_stale_sec`, so a reader has that long to
+  finish a resolved snapshot (the Delta VACUUM-retention trade-off).
+- Residual limit (documented, not defended): with THREE writers where
+  one stalls for a full `lock_stale_sec` between its staleness check
+  and its rename, the restore-after-displace path can race a fresh
+  acquire. A real lock service / transaction log is the answer at
+  that point; on HDFS-like stores the single-writer + manifest
+  protocol above is the standard compromise.
 """
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..operators.partial_update import PartialUpdateConfig, partial_update
 from ..operators.put_if_absent import tag_put_if_absent
@@ -69,10 +90,16 @@ from ..operators.routing import ROUTE_COL
 from ..provenance import ProvenanceLog
 
 BUCKET_COL = "_bucket"
+SEGMENTS = "_segments"
+MANIFESTS = "_manifests"
 
 
 class ConcurrentWriterError(RuntimeError):
     """A second writer holds the store's lock (fail-fast, no corruption)."""
+
+
+class StoreNotInitializedError(FileNotFoundError):
+    """No manifest published yet — call init() first."""
 
 
 @dataclass
@@ -92,13 +119,25 @@ class KeyedParquetStore:
     n_buckets: int = 64
     provenance: ProvenanceLog = field(default_factory=ProvenanceLog)
     # A writer crashing mid-merge leaves its lock behind; a later writer
-    # may break locks older than this (seconds).
+    # may break locks older than this (seconds). Doubles as the GC
+    # retention window for superseded segments/manifests (see module doc).
     lock_stale_sec: float = 3600.0
+    # Reference parity: PartialUpdateMongo.java:89-95 exposes a Mongo
+    # write-concern property (ACKNOWLEDGED/W1/.../MAJORITY, applied at
+    # :499-528). A filesystem manifest commit has exactly one durability
+    # level — the rename either lands or it doesn't — so this knob is
+    # accepted for config compatibility and deliberately changes nothing.
+    write_concern: str = "ACKNOWLEDGED"
+    # Test seam: called after a commit's segment write but before its
+    # manifest publish — the window concurrent-reader tests probe.
+    _pre_publish_hook: Callable[[], None] | None = field(
+        default=None, repr=False, compare=False
+    )
 
     def _bucket_of(self) -> Column:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
 
-    # --- filesystem commit layer (Hadoop FS: works on local + HDFS) ----
+    # --- filesystem layer (Hadoop FS: works on local + HDFS) -----------
 
     def _fs(self):
         jvm = self.spark._jvm
@@ -106,9 +145,36 @@ class KeyedParquetStore:
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
 
+    def _read_text(self, fs, jpath) -> str:
+        stream = fs.open(jpath)
+        try:
+            return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def _write_text(self, fs, jpath, text: str) -> None:
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    # --- writer lock ---------------------------------------------------
+
     @contextmanager
     def _write_lock(self):
-        """Create-exclusive lock file serializing writers (fail-fast)."""
+        """Create-exclusive lock file serializing writers (fail-fast).
+
+        Stale-break protocol (closes the round-3 delete/create TOCTOU):
+        rename the stale lock to a unique tombstone — rename src
+        disappears, so exactly ONE of N concurrent breakers succeeds —
+        then verify the tombstone really was stale; a breaker that
+        displaced a fresh lock restores it and fails. Winners still go
+        through the atomic createNewFile, so breakers and first-comers
+        contend on one create-exclusive op.
+        """
         fs, Path = self._fs()
         lock = Path(self.path + ".lock")
         if fs.exists(lock):
@@ -118,129 +184,241 @@ class KeyedParquetStore:
                     f"store {self.path} is locked by another writer "
                     f"({age:.0f}s old; stale after {self.lock_stale_sec:.0f}s)"
                 )
-            fs.delete(lock, False)  # break a stale lock from a dead writer
+            tomb = Path(f"{self.path}.lock-broken-{uuid.uuid4().hex}")
+            try:
+                won_break = fs.rename(lock, tomb)
+            except Exception:
+                won_break = False  # another breaker moved it first
+            if won_break:
+                t_age = (
+                    time.time()
+                    - fs.getFileStatus(tomb).getModificationTime() / 1000.0
+                )
+                if t_age < self.lock_stale_sec:
+                    # We displaced a FRESH lock (broken + reacquired by
+                    # someone else after our staleness check). Put it
+                    # back — rename preserves mtime, the owner never
+                    # notices — and fail like any second writer.
+                    if not fs.exists(lock):
+                        fs.rename(tomb, lock)
+                    raise ConcurrentWriterError(
+                        f"store {self.path}: lock was reacquired during "
+                        "stale-break; backing off"
+                    )
+                fs.delete(tomb, False)
         if not fs.createNewFile(lock):
             raise ConcurrentWriterError(f"store {self.path}: lost lock race")
+        # Owner token: diagnostics for "who holds this lock" — the
+        # create above is the atomic acquire, this write is not.
         try:
-            self._gc_stale_staging(fs, Path)
+            self._write_text(fs, lock, f"owner={uuid.uuid4().hex} ts={time.time()}")
+        except Exception:
+            pass
+        try:
             yield
         finally:
             fs.delete(lock, False)
 
-    def _gc_stale_staging(self, fs, Path) -> None:
-        """Crash recovery, run under the freshly-acquired lock.
+    # --- manifest layer ------------------------------------------------
 
-        1. Staging dirs from a writer that died before commit: readers
-           never saw them (commit is the rename step) — delete when
-           older than the stale window.
-        2. Displaced `.old-…--_bucket=N` dirs: these exist only inside
-           a live commit's replace window. If the real bucket dir is
-           MISSING, the writer died between rename-out and rename-in
-           and the displaced dir holds the only copy — restore it.
-           Otherwise the commit completed (or the new dir landed) and
-           the displaced copy is garbage — delete it. Either way every
-           bucket ends up whole: old or new, never absent."""
-        parent = Path(self.path).getParent()
-        prefix = Path(self.path).getName() + ".staging-"
-        for entry in fs.listStatus(parent):
+    def _latest_manifest(self, fs, Path) -> dict | None:
+        mdir = Path(f"{self.path}/{MANIFESTS}")
+        if not fs.exists(mdir):
+            return None
+        best = None
+        for entry in fs.listStatus(mdir):
             name = entry.getPath().getName()
-            if not name.startswith(prefix):
+            if not (name.startswith("v") and name.endswith(".json")):
                 continue
-            age = time.time() - entry.getModificationTime() / 1000.0
-            if age >= self.lock_stale_sec:
-                fs.delete(entry.getPath(), True)
-        for entry in fs.listStatus(Path(self.path)):
-            name = entry.getPath().getName()
-            if not (name.startswith(".old-") and "--" in name):
-                continue
-            bucket_dir = name.split("--", 1)[1]
-            dst = Path(f"{self.path}/{bucket_dir}")
-            if fs.exists(dst):
-                fs.delete(entry.getPath(), True)
-            else:
-                fs.rename(entry.getPath(), dst)
+            if best is None or name > best:  # zero-padded version sorts
+                best = name
+        if best is None:
+            return None
+        return json.loads(self._read_text(fs, Path(f"{self.path}/{MANIFESTS}/{best}")))
 
-    def _commit_staging(self, staging: str, append: bool) -> None:
-        """Move staged bucket output into the table, bucket-atomically.
+    def _require_manifest(self, fs, Path) -> dict:
+        man = self._latest_manifest(fs, Path)
+        if man is None:
+            raise StoreNotInitializedError(
+                f"store {self.path}: no manifest — init() the table first"
+            )
+        return man
 
-        replace (merge): old bucket dir renamed aside, new renamed in,
-        old deleted — a reader never sees a half-written bucket.
-        append (put_if_absent): staged part-files moved INTO existing
-        bucket dirs (Spark part names carry a task UUID, collision-free).
-        """
+    def _publish(self, fs, Path, man: dict) -> None:
+        """One atomic rename = the commit point."""
+        fs.mkdirs(Path(f"{self.path}/{MANIFESTS}"))
+        tmp = Path(f"{self.path}/{MANIFESTS}/.tmp-{uuid.uuid4().hex}")
+        self._write_text(fs, tmp, json.dumps(man))
+        final = Path(
+            f"{self.path}/{MANIFESTS}/v{man['version']:010d}-{uuid.uuid4().hex}.json"
+        )
+        if not fs.rename(tmp, final):
+            raise RuntimeError(f"store {self.path}: manifest publish rename failed")
+
+    def _schema(self, man: dict) -> StructType:
+        return StructType.fromJson(json.loads(man["schema"]))
+
+    def _evolved_schema(self, man: dict, written: DataFrame) -> str:
+        """Manifest schema after a write: operators may widen a column
+        (`$inc` promotes int→long), so the new manifest carries the
+        UNION-promoted type per field — Spark's own coercion rules via
+        an empty unionByName (analysis only, no job). Old narrower
+        files stay readable: the parquet vectorized reader widens
+        int→long / float→double at scan time."""
+        old = self._schema(man)
+        new = written.drop(BUCKET_COL).schema
+        if new == old:
+            return man["schema"]
+        merged = (
+            self.spark.createDataFrame([], old)
+            .unionByName(self.spark.createDataFrame([], new))
+            .schema
+        )
+        return merged.json()
+
+    def _read_dirs(self, man: dict, dirs: list[str]) -> DataFrame:
+        """Read exactly the named bucket dirs (no discovery, no
+        partition inference — the manifest IS the file listing). The
+        explicit schema also skips the footer-sampling schema merge."""
+        schema = self._schema(man)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{d}" for d in dirs]
+        )
+
+    def _write_segment(self, out: DataFrame) -> tuple[str, set[int]]:
+        """Write a new immutable segment; returns (rel dir, bucket ids
+        present in the output — a bucket all of whose rows dropped has
+        no dir and must map to an empty entry)."""
+        seg = f"{SEGMENTS}/{uuid.uuid4().hex}"
+        # partitionBy alone emits one file per (input partition ×
+        # bucket) — a small-files explosion (32 tasks × 64 buckets =
+        # 2048 files per write). Repartitioning on the bucket column
+        # first makes each task own whole buckets: one file per bucket
+        # per write, and write parallelism scales with n_buckets, the
+        # store's sizing knob at scale.
+        out.repartition(F.col(BUCKET_COL)).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(f"{self.path}/{seg}")
         fs, Path = self._fs()
-        st = Path(staging)
-        for entry in fs.listStatus(st):
+        present = set()
+        for entry in fs.listStatus(Path(f"{self.path}/{seg}")):
             name = entry.getPath().getName()
-            if not name.startswith(f"{BUCKET_COL}="):
-                continue  # _SUCCESS and friends
-            dst = Path(f"{self.path}/{name}")
-            if append and fs.exists(dst):
-                for f_ in fs.listStatus(entry.getPath()):
-                    fs.rename(f_.getPath(), Path(f"{self.path}/{name}/{f_.getPath().getName()}"))
-            elif fs.exists(dst):
-                # Dot-prefixed: hidden from Hadoop/Spark listings, so a
-                # concurrent reader's partition discovery can never pick
-                # up the displaced old bucket as a bogus partition value.
-                # The bucket name rides after `--` so crash recovery
-                # (_gc_stale_staging) can restore it if we die before
-                # the rename-in below.
-                old = Path(f"{self.path}/.old-{uuid.uuid4().hex}--{name}")
-                fs.rename(dst, old)
-                fs.rename(entry.getPath(), dst)
-                fs.delete(old, True)
-            else:
-                fs.rename(entry.getPath(), dst)
-        fs.delete(st, True)
+            if name.startswith(f"{BUCKET_COL}="):
+                present.add(int(name.split("=", 1)[1]))
+        return seg, present
+
+    def _gc(self, fs, Path) -> None:
+        """Run under the freshly-acquired lock: delete segment bucket
+        dirs not referenced by the LATEST manifest and superseded
+        manifests — both only once older than lock_stale_sec, so a
+        reader holding a resolved snapshot keeps its files for at
+        least the retention window."""
+        root = Path(self.path)
+        if not fs.exists(root):
+            return
+        man = self._latest_manifest(fs, Path)
+        referenced = {
+            d for dirs in (man or {"buckets": {}})["buckets"].values() for d in dirs
+        }
+        latest_name = f"v{man['version']:010d}" if man else ""
+        now = time.time()
+        sdir = Path(f"{self.path}/{SEGMENTS}")
+        if fs.exists(sdir):
+            for seg in fs.listStatus(sdir):
+                seg_rel = f"{SEGMENTS}/{seg.getPath().getName()}"
+                live = False
+                for entry in fs.listStatus(seg.getPath()):
+                    name = entry.getPath().getName()
+                    rel = f"{seg_rel}/{name}"
+                    if rel in referenced:
+                        live = True
+                        continue
+                    if not name.startswith(f"{BUCKET_COL}="):
+                        continue  # _SUCCESS etc. go with the segment
+                    if now - entry.getModificationTime() / 1000.0 >= self.lock_stale_sec:
+                        fs.delete(entry.getPath(), True)
+                if (
+                    not live
+                    and now - seg.getModificationTime() / 1000.0 >= self.lock_stale_sec
+                    and not any(
+                        e.getPath().getName().startswith(f"{BUCKET_COL}=")
+                        for e in fs.listStatus(seg.getPath())
+                    )
+                ):
+                    fs.delete(seg.getPath(), True)
+        mdir = Path(f"{self.path}/{MANIFESTS}")
+        if fs.exists(mdir):
+            for entry in fs.listStatus(mdir):
+                name = entry.getPath().getName()
+                stale = now - entry.getModificationTime() / 1000.0 >= self.lock_stale_sec
+                if name.startswith(".tmp-") and stale:
+                    fs.delete(entry.getPath(), False)
+                elif name.startswith("v") and stale and not name.startswith(latest_name):
+                    fs.delete(entry.getPath(), False)
+
+    # --- public API ----------------------------------------------------
 
     def init(self, df: DataFrame) -> None:
         """Full (re)write of the table, bucketed by key hash."""
-        out = df.withColumn(BUCKET_COL, self._bucket_of())
-        self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            self.path
-        )
-
-    @staticmethod
-    def _bucketed_write(out: DataFrame):
-        # partitionBy alone emits one file per (input partition × bucket)
-        # — a small-files explosion (32 tasks × 64 buckets = 2048 files
-        # per write). Repartitioning on the bucket column first makes
-        # each task own whole buckets: one file per bucket per write,
-        # and the write parallelism scales with n_buckets, which is the
-        # store's sizing knob at scale.
-        return out.repartition(F.col(BUCKET_COL)).write
+        with self._write_lock():
+            fs, Path = self._fs()
+            self._gc(fs, Path)
+            prev = self._latest_manifest(fs, Path)
+            out = df.withColumn(BUCKET_COL, self._bucket_of())
+            seg, present = self._write_segment(out)
+            self._publish(
+                fs,
+                Path,
+                {
+                    "version": (prev["version"] + 1) if prev else 1,
+                    "schema": df.schema.json(),
+                    "n_buckets": self.n_buckets,
+                    "buckets": {
+                        str(b): ([f"{seg}/{BUCKET_COL}={b}"] if b in present else [])
+                        for b in range(self.n_buckets)
+                    },
+                },
+            )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path).drop(BUCKET_COL)
+        """Lock-free snapshot read: resolve the latest manifest, read
+        exactly its files. A commit racing this read flips atomically —
+        the reader sees full pre- or full post-state, never mid-swap."""
+        fs, Path = self._fs()
+        man = self._require_manifest(fs, Path)
+        return self._read_dirs(
+            man, [d for dirs in man["buckets"].values() for d in dirs]
+        )
 
-    def _touched(self, source: DataFrame) -> tuple[list[int], DataFrame]:
+    def _touched(self, man: dict, source: DataFrame) -> tuple[list[int], DataFrame]:
         """Bucket ids containing any source key (small driver-side list
         — partition METADATA, bounded by n_buckets, never row data),
-        plus the pruned target scan for exactly those buckets."""
+        plus the manifest-pruned target scan for exactly those buckets
+        (untouched buckets' files are never listed, let alone read)."""
         buckets = [
             r[0]
             for r in source.select(self._bucket_of().alias("b")).distinct().collect()
         ]
-        target = (
-            self.spark.read.parquet(self.path)
-            .filter(F.col(BUCKET_COL).isin(buckets))
-            .drop(BUCKET_COL)
-        )
-        return buckets, target
+        dirs = [d for b in buckets for d in man["buckets"].get(str(b), [])]
+        return buckets, self._read_dirs(man, dirs)
 
     def merge(self, source: DataFrame, cfg: PartialUpdateConfig) -> MergeMetrics:
         """Incremental partial-update merge: read touched buckets,
-        apply operators, rewrite ONLY those buckets, one observed job.
+        apply operators, write ONE new segment, publish the manifest —
+        one observed job + one atomic rename.
 
         The LOCK covers the target read too, not just the write:
-        `spark.read.parquet` snapshots the file listing eagerly, so
-        planning the read outside the lock would both race a concurrent
-        writer's commit (read-modify-write on a stale snapshot) and
-        run before crash recovery has restored any displaced bucket.
-        """
+        resolving the manifest inside the lock pins the read-modify-
+        write cycle to the latest committed state (no lost updates
+        between two merges)."""
         assert cfg.keys == self.keys, "merge keys must match store keys"
         with self.provenance.send(self.path, detail="merge") as ctx, self._write_lock():
-            _, target = self._touched(source)
+            fs, Path = self._fs()
+            self._gc(fs, Path)
+            man = self._require_manifest(fs, Path)
+            buckets, target = self._touched(man, source)
             res = partial_update(target, source, cfg)
             obs = Observation()
             route = F.col(ROUTE_COL)
@@ -257,19 +435,25 @@ class KeyedParquetStore:
                 .drop(ROUTE_COL)
                 .withColumn(BUCKET_COL, self._bucket_of())
             )
-            # The merge plan reads the same path it rewrites; Spark
-            # (correctly) refuses overwrite-while-reading. Writing to a
-            # staging dir sidesteps that with ONE pass over the plan
-            # (which also fires the observe metrics) and, unlike an
-            # eager localCheckpoint, never pins the touched buckets'
-            # post-state in executor storage memory — the result streams
-            # through the normal write path. Commit = per-bucket renames.
-            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
-            self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
-                staging
+            seg, present = self._write_segment(out)
+            m = obs.get  # metrics fired by the segment-write job
+            if self._pre_publish_hook is not None:
+                self._pre_publish_hook()
+            new_buckets = dict(man["buckets"])
+            for b in buckets:  # touched buckets point ONLY at the new segment
+                new_buckets[str(b)] = (
+                    [f"{seg}/{BUCKET_COL}={b}"] if b in present else []
+                )
+            self._publish(
+                fs,
+                Path,
+                {
+                    **man,
+                    "version": man["version"] + 1,
+                    "schema": self._evolved_schema(man, out),
+                    "buckets": new_buckets,
+                },
             )
-            m = obs.get
-            self._commit_staging(staging, append=False)
             ctx["n_rows"] = int(m["updated"] or 0) + int(m["inserted"] or 0)
         return MergeMetrics(
             updated=int(m["updated"] or 0),
@@ -277,49 +461,20 @@ class KeyedParquetStore:
             inserted=int(m["inserted"] or 0),
         )
 
-    def compact(self, min_files: int = 2) -> int:
-        """Rewrite buckets fragmented by put_if_absent appends into one
-        file each (the Delta OPTIMIZE analog). Only buckets with ≥
-        min_files part-files are touched — compaction work scales with
-        fragmentation, not table size. Returns rewritten-bucket count.
-        Runs under the writer lock: readers keep seeing either the old
-        file set or the new single file, per-bucket atomically."""
-        fs, Path = self._fs()
-        root = Path(self.path)
-        with self._write_lock():  # fragmentation scan under the lock too
-            frag = []
-            for entry in fs.listStatus(root):
-                name = entry.getPath().getName()
-                if not name.startswith(f"{BUCKET_COL}="):
-                    continue
-                n = sum(
-                    1
-                    for f_ in fs.listStatus(entry.getPath())
-                    if f_.getPath().getName().endswith(".parquet")
-                )
-                if n >= min_files:
-                    frag.append(int(name.split("=", 1)[1]))
-            if not frag:
-                return 0
-            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
-            out = (
-                self.spark.read.parquet(self.path)
-                .filter(F.col(BUCKET_COL).isin(frag))
-                .repartition(F.col(BUCKET_COL))
-            )
-            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-            self._commit_staging(staging, append=False)
-        return len(frag)
-
     def put_if_absent(
         self, source: DataFrame, order_col: str | None = None
     ) -> MergeMetrics:
         """Duplicate-checked insert: append first-occurrence-new-key
-        rows; existing buckets are never rewritten. Returns counts
-        (inserted / already-exists) from the observed append job.
-        Lock covers the duplicate-check read (see merge)."""
+        rows as a new segment; existing files are never rewritten, and
+        the manifest publish makes the whole batch visible atomically
+        (crash-before-publish inserts nothing — same guarantee as
+        merge). Returns counts (inserted / already-exists) from the
+        observed append job. Lock covers the duplicate-check read."""
         with self.provenance.send(self.path, detail="put-if-absent") as ctx, self._write_lock():
-            _, target = self._touched(source)
+            fs, Path = self._fs()
+            self._gc(fs, Path)
+            man = self._require_manifest(fs, Path)
+            _, target = self._touched(man, source)
             tagged = tag_put_if_absent(target, source, self.keys, order_col)
             obs = Observation()
             route = F.col(ROUTE_COL)
@@ -331,18 +486,73 @@ class KeyedParquetStore:
             out = (
                 observed.filter(route == "success")
                 .drop(ROUTE_COL)
-                .select(*target.columns)
+                .select(*self._schema(man).fieldNames())
                 .withColumn(BUCKET_COL, self._bucket_of())
             )
-            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
-            self._bucketed_write(out).mode("overwrite").partitionBy(BUCKET_COL).parquet(
-                staging
-            )
+            seg, present = self._write_segment(out)
             m = obs.get
-            self._commit_staging(staging, append=True)
+            if self._pre_publish_hook is not None:
+                self._pre_publish_hook()
+            new_buckets = dict(man["buckets"])
+            for b in sorted(present):  # appended buckets GAIN a dir
+                new_buckets[str(b)] = new_buckets.get(str(b), []) + [
+                    f"{seg}/{BUCKET_COL}={b}"
+                ]
+            self._publish(
+                fs,
+                Path,
+                {
+                    **man,
+                    "version": man["version"] + 1,
+                    "schema": self._evolved_schema(man, out),
+                    "buckets": new_buckets,
+                },
+            )
             ctx["n_rows"] = int(m["inserted"] or 0)
         return MergeMetrics(
             updated=0,
             unmodified=int(m["dupes"] or 0),
             inserted=int(m["inserted"] or 0),
         )
+
+    def compact(self, min_files: int = 2) -> int:
+        """Rewrite buckets fragmented by put_if_absent appends into one
+        file each (the Delta OPTIMIZE analog). Only buckets with ≥
+        min_files part-files are touched — compaction work scales with
+        fragmentation, not table size. Returns rewritten-bucket count.
+        Readers racing a compact keep their manifest's files (retained
+        for lock_stale_sec after being superseded)."""
+        with self._write_lock():
+            fs, Path = self._fs()
+            self._gc(fs, Path)
+            man = self._require_manifest(fs, Path)
+            frag = []
+            for b_str, dirs in man["buckets"].items():
+                n = 0
+                for d in dirs:
+                    for entry in fs.listStatus(Path(f"{self.path}/{d}")):
+                        if entry.getPath().getName().endswith(".parquet"):
+                            n += 1
+                if n >= min_files:
+                    frag.append(int(b_str))
+            if not frag:
+                return 0
+            src = self._read_dirs(
+                man, [d for b in frag for d in man["buckets"][str(b)]]
+            )
+            # _bucket is not stored in the files; recompute it from the
+            # keys — same deterministic hash, same assignment.
+            seg, present = self._write_segment(
+                src.withColumn(BUCKET_COL, self._bucket_of())
+            )
+            new_buckets = dict(man["buckets"])
+            for b in frag:
+                new_buckets[str(b)] = (
+                    [f"{seg}/{BUCKET_COL}={b}"] if b in present else []
+                )
+            self._publish(
+                fs,
+                Path,
+                {**man, "version": man["version"] + 1, "buckets": new_buckets},
+            )
+        return len(frag)

@@ -1,15 +1,19 @@
-"""KeyedParquetStore: incremental merge scope, provenance SEND events
-(the PartialUpdateMongo.java:255 / PutMongoWithDuplicateCheck.java:149
-analogs), and observe-based routing metrics."""
+"""KeyedParquetStore: manifest-commit protocol, incremental merge
+scope, snapshot-isolated readers, writer-lock semantics, provenance
+SEND events (the PartialUpdateMongo.java:255 /
+PutMongoWithDuplicateCheck.java:149 analogs), and observe-based
+routing metrics."""
 
 from __future__ import annotations
 
 import glob
 import os
+import threading
 import time
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from aces_nifi_processors_bundle_spark.operators.partial_update import (
     PartialUpdateConfig,
@@ -17,17 +21,23 @@ from aces_nifi_processors_bundle_spark.operators.partial_update import (
 from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
 from aces_nifi_processors_bundle_spark.stores.keyed_table import (
     ConcurrentWriterError,
+    StoreNotInitializedError,
 )
 
 
-def _mtimes(path: str) -> dict[str, float]:
+def _bucket_dirs(store: KeyedParquetStore) -> dict[str, tuple[str, ...]]:
+    """bucket id -> manifest-referenced segment dirs (non-empty only)."""
+    fs, Path = store._fs()
+    man = store._latest_manifest(fs, Path)
+    return {b: tuple(dirs) for b, dirs in man["buckets"].items() if dirs}
+
+
+def _files_per_bucket(store: KeyedParquetStore) -> dict[str, int]:
     return {
-        d: max(
-            os.path.getmtime(f)
-            for f in glob.glob(os.path.join(path, d, "*.parquet"))
+        b: sum(
+            len(glob.glob(os.path.join(store.path, d, "*.parquet"))) for d in dirs
         )
-        for d in os.listdir(path)
-        if d.startswith("_bucket=")
+        for b, dirs in _bucket_dirs(store).items()
     }
 
 
@@ -36,14 +46,16 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
         spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=8
     )
     store.init(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)]))
-    before = _mtimes(store.path)
-    time.sleep(1.1)  # parquet mtimes are second-granular on some fs
+    before = _bucket_dirs(store)
     cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
     m = store.merge(spark.createDataFrame([Row(k=7, v=777.0)]), cfg)
     assert (m.updated, m.unmodified, m.inserted) == (1, 0, 0)
-    after = _mtimes(store.path)
-    rewritten = [d for d in after if after[d] != before[d]]
-    assert len(rewritten) == 1  # k=7 lives in exactly one bucket
+    after = _bucket_dirs(store)
+    # untouched buckets keep their exact manifest entries (their files
+    # were never listed, read, or rewritten); exactly one bucket moved
+    # to the new segment
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1  # k=7 lives in exactly one bucket
     assert store.read().count() == 100
     assert store.read().filter("k = 7").collect()[0]["v"] == 777.0
 
@@ -76,17 +88,18 @@ def test_put_if_absent_appends_and_counts(spark, tmp_path):
         spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
     )
     store.init(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
-    before = _mtimes(store.path)
-    time.sleep(1.1)
+    before = _bucket_dirs(store)
     m = store.put_if_absent(
         spark.createDataFrame(
             [Row(k=2, v="dup"), Row(k=3, v="new"), Row(k=3, v="newer")]
         )
     )
     assert (m.inserted, m.unmodified) == (1, 2)
-    after = _mtimes(store.path)
-    # append never rewrites pre-existing bucket files
-    assert all(after[d] == before[d] for d in before)
+    after = _bucket_dirs(store)
+    # append only ADDS dirs: every pre-existing dir is still referenced
+    # in order (segments are immutable — old files untouched by design)
+    for b, dirs in before.items():
+        assert after[b][: len(dirs)] == dirs
     ev = store.provenance.events[-1]
     assert ev.event_type == "SEND" and ev.detail == "put-if-absent"
     assert ev.n_rows == 1
@@ -106,25 +119,17 @@ def test_compact_merges_fragmented_buckets(spark, tmp_path):
             spark.createDataFrame([Row(k=100 + 2 * batch + j, v=0) for j in range(2)])
         )
     before = store.read().count()
-
-    def files_per_bucket():
-        return {
-            d: len(glob.glob(os.path.join(store.path, d, "*.parquet")))
-            for d in os.listdir(store.path)
-            if d.startswith("_bucket=")
-        }
-
-    assert max(files_per_bucket().values()) > 1
+    assert max(_files_per_bucket(store).values()) > 1
     n = store.compact()
     assert n >= 1
-    assert max(files_per_bucket().values()) == 1
+    assert max(_files_per_bucket(store).values()) == 1
     assert store.read().count() == before
     assert store.compact() == 0  # idempotent: nothing fragmented now
 
 
 def test_merge_touching_every_bucket(spark, tmp_path):
-    """A batch hitting ALL buckets commits correctly through the staging
-    write — no eager materialization, every bucket swapped atomically."""
+    """A batch hitting ALL buckets commits correctly through one
+    segment write + one manifest publish — no eager materialization."""
     store = KeyedParquetStore(
         spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=8
     )
@@ -141,9 +146,9 @@ def test_merge_touching_every_bucket(spark, tmp_path):
     assert got.filter("k = 4").collect()[0]["v"] == 1004.0
     assert got.filter("k = 5").collect()[0]["v"] == 5.0
     assert got.filter("k = 210").collect()[0]["v"] == 0.5
-    # no staging leftovers next to the table
-    parent = os.path.dirname(store.path)
-    assert not [d for d in os.listdir(parent) if ".staging-" in d]
+    # no half-published manifest temp files left behind
+    mdir = os.path.join(store.path, "_manifests")
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp-")]
 
 
 def test_concurrent_writer_fails_fast(spark, tmp_path):
@@ -164,10 +169,23 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
     assert m.updated == 1
 
 
+def test_uninitialized_store_raises_cleanly(spark, tmp_path):
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    with pytest.raises(StoreNotInitializedError):
+        store.read()
+    with pytest.raises(StoreNotInitializedError):
+        store.merge(spark.createDataFrame([Row(k=1, v=1.0)]), cfg)
+    with pytest.raises(StoreNotInitializedError):
+        store.compact()
+
+
 def test_crashed_writer_leftovers_recovered(spark, tmp_path):
-    """A writer that died mid-merge leaves a stale lock and a staging
-    dir; the next merge breaks the lock, GCs the orphan staging, and
-    completes — reads never saw the uncommitted data."""
+    """A writer that died mid-merge leaves a stale lock and an
+    unreferenced segment; the next merge breaks the lock, GCs the
+    orphan, and completes — reads never saw the uncommitted data."""
     store = KeyedParquetStore(
         spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4,
         lock_stale_sec=0.0,
@@ -175,9 +193,9 @@ def test_crashed_writer_leftovers_recovered(spark, tmp_path):
     store.init(spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]))
     # simulate the dead writer's droppings
     open(store.path + ".lock", "w").close()
-    orphan = store.path + ".staging-deadbeef"
-    os.makedirs(os.path.join(orphan, "_bucket=0"))
-    with open(os.path.join(orphan, "_bucket=0", "part-zombie.parquet"), "w") as f:
+    orphan = os.path.join(store.path, "_segments", "deadbeef", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-zombie.parquet"), "w") as f:
         f.write("not parquet")
     assert store.read().count() == 2  # orphan invisible to readers
     time.sleep(0.05)
@@ -188,28 +206,66 @@ def test_crashed_writer_leftovers_recovered(spark, tmp_path):
     assert store.read().filter("k = 1").collect()[0]["v"] == 9.0
 
 
-def test_crash_in_rename_window_restores_bucket(spark, tmp_path):
-    """Death between rename-out and rename-in leaves a bucket ABSENT
-    with its only copy in the displaced .old dir; the next writer's
-    recovery pass must restore it before doing anything else."""
-    import shutil
-
+def test_crash_before_publish_leaves_pre_state(spark, tmp_path):
+    """Death AFTER the segment write but BEFORE the manifest publish —
+    the widest crash window the old per-bucket-rename protocol had —
+    now inserts nothing: readers keep the pre-state and a retry
+    converges."""
     store = KeyedParquetStore(
-        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2,
-        lock_stale_sec=0.0,
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
     )
-    store.init(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(20)]))
-    total = store.read().count()
-    bucket = next(d for d in os.listdir(store.path) if d.startswith("_bucket="))
-    displaced = os.path.join(store.path, f".old-deadbeef--{bucket}")
-    shutil.move(os.path.join(store.path, bucket), displaced)  # simulate crash
-    assert store.read().count() < total  # bucket really is gone
-    time.sleep(0.05)
+    store.init(spark.createDataFrame([Row(k=i, v=0.0) for i in range(20)]))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+
+    def crash():
+        raise RuntimeError("simulated crash between segment write and publish")
+
+    store._pre_publish_hook = crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.merge(spark.createDataFrame([Row(k=1, v=5.0)]), cfg)
+    assert store.read().agg(F.sum("v")).collect()[0][0] == 0.0  # pre-state
+    store._pre_publish_hook = None
+    m = store.merge(spark.createDataFrame([Row(k=1, v=5.0)]), cfg)  # retry
+    assert m.updated == 1
+    assert store.read().agg(F.sum("v")).collect()[0][0] == 5.0
+
+
+def test_reader_snapshot_isolation_during_commit(spark, tmp_path):
+    """A reader racing a live commit sees FULL pre-state until the one
+    manifest rename lands, then full post-state — never a half-swapped
+    table (the round-3 protocol had an absent-bucket window here)."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=0.0) for i in range(50)]))
+    reader = KeyedParquetStore(
+        spark=spark, path=store.path, keys=["k"], n_buckets=4
+    )
+    in_window, release = threading.Event(), threading.Event()
+
+    def hold_commit_open():
+        in_window.set()
+        assert release.wait(60)
+
+    store._pre_publish_hook = hold_commit_open
     cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
-    store.merge(spark.createDataFrame([Row(k=0, v=100.0)]), cfg)
-    assert not os.path.exists(displaced)
-    assert store.read().count() == total  # restored, then merged
-    assert store.read().filter("k = 0").collect()[0]["v"] == 100.0
+    src = spark.createDataFrame([Row(k=i, v=1.0) for i in range(50)])
+    t = threading.Thread(target=lambda: store.merge(src, cfg))
+    t.start()
+    try:
+        assert in_window.wait(120)
+        # new segment fully on disk, manifest not yet published: every
+        # read must still be the complete pre-state
+        for _ in range(3):
+            assert reader.read().agg(
+                F.count("*").alias("n"), F.sum("v").alias("s")
+            ).collect()[0][0:2] == (50, 0.0)
+    finally:
+        release.set()
+        t.join(120)
+    assert reader.read().agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).collect()[0][0:2] == (50, 50.0)
 
 
 def test_stale_lock_broken(spark, tmp_path):
@@ -224,6 +280,104 @@ def test_stale_lock_broken(spark, tmp_path):
     cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
     m = store.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
     assert m.updated == 1 and not os.path.exists(store.path + ".lock")
+
+
+def test_stale_lock_break_has_single_winner(spark, tmp_path):
+    """N writers that ALL observe the same stale lock and race the
+    break: the rename-to-tombstone protocol lets exactly one proceed
+    (the round-3 exists→delete→create sequence could admit two)."""
+    path = str(tmp_path / "t")
+    store = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=4)
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+    lock = path + ".lock"
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 100, time.time() - 100))  # stale
+
+    n = 8
+    barrier = threading.Barrier(n)
+    winners, losers, errors = [], [], []
+
+    def contend(i: int):
+        w = KeyedParquetStore(
+            spark=spark, path=path, keys=["k"], n_buckets=4, lock_stale_sec=10.0
+        )
+        barrier.wait(30)
+        try:
+            with w._write_lock():
+                winners.append(i)
+                time.sleep(1.0)  # hold past every loser's attempt
+        except ConcurrentWriterError:
+            losers.append(i)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors
+    assert len(winners) == 1 and len(losers) == n - 1
+    assert not os.path.exists(lock)  # winner released cleanly
+
+
+def test_superseded_segments_retained_then_gcd(spark, tmp_path):
+    """GC retention: a superseded segment survives until older than
+    lock_stale_sec (readers holding that snapshot keep their files),
+    then the next locked write deletes it."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=0.0) for i in range(10)]))
+    old_dirs = {d for dirs in _bucket_dirs(store).values() for d in dirs}
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    store.merge(spark.createDataFrame([Row(k=i, v=1.0) for i in range(10)]), cfg)
+    # superseded but inside the retention window: still on disk
+    assert all(os.path.exists(os.path.join(store.path, d)) for d in old_dirs)
+    store.lock_stale_sec = 0.0
+    time.sleep(0.05)
+    store.merge(spark.createDataFrame([Row(k=0, v=2.0)]), cfg)
+    assert not any(os.path.exists(os.path.join(store.path, d)) for d in old_dirs)
+    assert store.read().count() == 10
+
+
+def test_schema_widening_across_segments(spark, tmp_path):
+    """`$inc` promotes int→long in the merge output; the manifest
+    schema evolves by union-promotion and OLD narrower files stay
+    readable (parquet scan-time widening) — mixed-segment reads give
+    one coherent schema."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    store.init(
+        spark.createDataFrame([Row(k=i, n=i) for i in range(20)]).selectExpr(
+            "k", "cast(n as int) as n"
+        )
+    )
+    assert dict(store.read().dtypes)["n"] == "int"
+    cfg = PartialUpdateConfig(keys=["k"], operations={"n": "$inc"}, upsert=False)
+    store.merge(spark.createDataFrame([Row(k=1, n=100)]), cfg)  # touches 1 bucket
+    got = store.read()  # mixed: 3 int-file buckets + 1 long-file bucket
+    assert dict(got.dtypes)["n"] == "bigint"
+    assert got.count() == 20
+    assert got.filter("k = 1").collect()[0]["n"] == 101
+
+
+def test_write_concern_accepted_but_inert(spark, tmp_path):
+    """Reference parity knob (PartialUpdateMongo.java:89-95): accepted
+    for config compatibility, deliberately a no-op — a filesystem
+    rename has exactly one durability level."""
+    results = {}
+    for wc in ("ACKNOWLEDGED", "MAJORITY", "W1", "UNACKNOWLEDGED"):
+        store = KeyedParquetStore(
+            spark=spark, path=str(tmp_path / f"t_{wc}"), keys=["k"], n_buckets=2,
+            write_concern=wc,
+        )
+        store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+        cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+        m = store.merge(spark.createDataFrame([Row(k=1, v=9.0)]), cfg)
+        results[wc] = (m.updated, store.read().collect()[0]["v"])
+    assert all(r == (1, 9.0) for r in results.values())
 
 
 def test_bucketed_tables_join_without_exchange(spark):
