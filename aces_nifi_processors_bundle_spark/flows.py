@@ -20,10 +20,22 @@ Stage kinds mirror the reference surface:
   {"op": "bin",         "binners": [{"kind": "date", ...}, ...]}
   {"op": "bin_count",   "binners": [...]}
   {"op": "sql",         "query": "SELECT ... FROM __this__"}
+  {"op": "store_init",  "path": ..., "keys": [...], "n_buckets": 16}
+  {"op": "store_merge", "path": ..., "keys": [...], "operations": {...}}
+  {"op": "store_put_if_absent", "path": ..., "keys": [...]}
+  {"op": "socketio",    "url": ..., "payload_col": ..., "mode": "emit"}
 
 Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
 processor to one relationship.
+
+Transform stages stay lazy — the whole chain folds into one Catalyst
+plan. Store/sink stages are ACTIONS (the NiFi terminal-processor
+analog): they execute their write when the flow is built, then hand
+the next stage the store's post-state (store ops) or the unchanged
+frame (socketio pass-through). A ``load`` stage mid-flow starts a new
+chain — that's how a multi-batch pipeline (init → merge batch 1 →
+merge batch 2) is expressed as one flow document.
 """
 
 from __future__ import annotations
@@ -98,7 +110,14 @@ def _sql(spark: SparkSession, df: DataFrame, *, query: str) -> DataFrame:
 
     view = f"__this_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
-    return spark.sql(query.replace("__this__", view))
+    try:
+        # spark.sql analyzes eagerly: the returned DataFrame holds the
+        # resolved plan, not the catalog entry...
+        return spark.sql(query.replace("__this__", view))
+    finally:
+        # ...so drop the view immediately — a long-lived session
+        # driving many flows must not accumulate catalog entries.
+        spark.catalog.dropTempView(view)
 
 
 @stage("attrs_to_json")
@@ -134,6 +153,114 @@ def _bin_count(
     spark: SparkSession, df: DataFrame, *, binners: list[dict[str, Any]]
 ) -> DataFrame:
     return bin_count(df, _binners(binners))
+
+
+@stage("store_init")
+def _store_init(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    keys: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """ACTION: (re)initialize a keyed store from the incoming frame;
+    hands the post-state downstream."""
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(spark=spark, path=path, keys=keys, n_buckets=n_buckets)
+    store.init(df)
+    return store.read()
+
+
+@stage("store_merge")
+def _store_merge(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    keys: list[str],
+    operations: dict[str, str],
+    n_buckets: int = 64,
+    upsert: bool = False,
+    mode: str = "one",
+    order_col: str | None = None,
+    now: str | None = None,
+) -> DataFrame:
+    """ACTION: merge the incoming frame into a keyed store (O4 as a
+    flow sink — the PartialUpdateMongo terminal processor); hands the
+    post-state downstream."""
+    from .operators.partial_update import PartialUpdateConfig
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(spark=spark, path=path, keys=keys, n_buckets=n_buckets)
+    cfg = PartialUpdateConfig(
+        keys=keys,
+        operations=operations,
+        upsert=upsert,
+        mode=mode,
+        order_col=order_col,
+        **({"now": now} if now is not None else {}),
+    )
+    store.merge(df, cfg)
+    return store.read()
+
+
+@stage("store_put_if_absent")
+def _store_put_if_absent(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    order_col: str | None = None,
+) -> DataFrame:
+    """ACTION: duplicate-checked insert into a keyed store (O5 as a
+    flow sink); hands the post-state downstream."""
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(spark=spark, path=path, keys=keys, n_buckets=n_buckets)
+    store.put_if_absent(df, order_col=order_col)
+    return store.read()
+
+
+@stage("socketio")
+def _socketio(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    url: str,
+    payload_col: str = "payload",
+    event_col: str | None = None,
+    static_event: str | None = None,
+    url_col: str | None = None,
+    mode: str = "emit",
+    connect_timeout_s: float = 10.0,
+    client_factory: Any = None,
+    **tls: Any,
+) -> DataFrame:
+    """ACTION: push the frame to a SocketIO server (O6 as a flow
+    sink); pass-through — the unchanged frame continues downstream,
+    like NiFi's success relationship after a send. ``client_factory``
+    is a callable (not JSON) for flows assembled in code/tests;
+    JSON-defined flows use the production python-socketio factory."""
+    from .sinks.socketio import SocketIOSink
+
+    kwargs = dict(
+        url=url,
+        payload_col=payload_col,
+        event_col=event_col,
+        static_event=static_event,
+        url_col=url_col,
+        mode=mode,
+        connect_timeout_s=connect_timeout_s,
+        **tls,
+    )
+    if client_factory is not None:
+        kwargs["client_factory"] = client_factory
+    SocketIOSink(**kwargs).write_batch(df)
+    return df
 
 
 def build_flow(

@@ -350,7 +350,18 @@ def ivf_train(
     and only C×dim aggregate rows (a codebook, i.e. metadata, not row
     data) ever reach the driver. Empty cells keep their previous
     centroid. The quantization objective (mean max-dot) is
-    non-decreasing per Lloyd's — pytest-checked."""
+    non-decreasing per Lloyd's — pytest-checked.
+
+    Determinism: per-cell component sums use DECIMAL(38,18) — exact,
+    so the result is independent of Spark's partial-aggregation order
+    AND reproducible by a SQL engine (the q_ivf_topk_trained oracle
+    re-derives the whole training in DuckDB). Means divide the
+    decimal-exact sum as float64; the renormalization accumulates the
+    squared norm sequentially over dim — the same fold order as
+    DuckDB's list_inner_product — keeping every derived double
+    bit-exact across engines."""
+    import math
+
     cents = _ivf_centroids(dim, n_centroids)
     v = corpus.select(as_double(F.col(vec_col)).alias("v"))
     for _ in range(n_iter):
@@ -359,19 +370,25 @@ def ivf_train(
             v.withColumn("cid", assign(F.col("v")))
             .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new = cents.copy()
         acc = np.zeros((n_centroids, dim))
         cnt = np.zeros(n_centroids)
         for r in sums:
-            acc[r["cid"], r["pos"]] = r["s"]
+            acc[r["cid"], r["pos"]] = float(r["s"])  # exact-decimal → f64
             cnt[r["cid"]] = r["n"]
         for c in range(n_centroids):
             if cnt[c] > 0:
                 mean = acc[c] / cnt[c]
-                norm = np.linalg.norm(mean)
+                sq = 0.0
+                for x in mean:  # sequential fold == list_inner_product
+                    sq += x * x
+                norm = math.sqrt(sq)
                 if norm > 0:
                     new[c] = mean / norm
         cents = new
@@ -436,6 +453,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    cells_path: str | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: score only corpus vectors whose cell is among the
     query's n_probe nearest cells. Each corpus vector lives in exactly
@@ -443,19 +461,44 @@ def ivf_topk(
     by construction (pytest-checked vs brute force); the probe
     restriction itself is deterministic, so the path is fully
     oracle-checkable. Pass centroids from ivf_train for a learned
-    codebook (the md5 default is the oracle path)."""
-    assign = ivf_assign_udf(dim, n_centroids, centroids)
+    codebook (the md5 default is the oracle path).
+
+    ``cells_path`` is the 100 TB search path: instead of re-assigning
+    the corpus per search, read the materialized inverted file
+    (ivf_write_index — parquet PARTITIONED BY cid, same centroids) and
+    filter to the UNION of all queries' probe cells first. The probed
+    cell ids are driver-side metadata (bounded by n_centroids), so the
+    filter is a literal `cid IN (...)` the scan turns into PARTITION
+    PRUNING — only n_probe-ish of n_centroids directories are even
+    listed (plan-asserted in tests/test_pipeline.py); the per-query
+    cid join then refines within the pruned read."""
     probe = ivf_probe_udf(dim, n_centroids, n_probe, centroids)
-    cells = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-        assign(as_double(F.col(vec_col))).alias("cid"),
-    )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         F.explode(probe(as_double(F.col(vec_col)))).alias("cid"),
     )
+    if cells_path is not None:
+        spark = corpus.sparkSession
+        probed = sorted(
+            r[0] for r in probes.select("cid").distinct().collect()
+        )  # metadata, ≤ n_centroids values — never row data
+        cells = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("cid").isin(probed))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double(F.col(vec_col)).alias("cv"),
+                F.col("cid").cast("int").alias("cid"),
+            )
+        )
+    else:
+        assign = ivf_assign_udf(dim, n_centroids, centroids)
+        cells = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            assign(as_double(F.col(vec_col))).alias("cid"),
+        )
     scored = (
         F.broadcast(probes)
         .join(cells, "cid")

@@ -725,6 +725,11 @@ FROM s2
 """
 )
 
+# The flow-assembled two-batch store merge (source → sql → store_init
+# → store_merge ×2 → projection, flows.py) must match the same
+# two-step merge simulation as the hand-composed q_store_merge.
+ORACLES["q_flow_store_merge"] = ORACLES["q_store_merge"]
+
 oracle("q_store_put_if_absent")(
     """
 WITH ins2 AS (
@@ -946,6 +951,84 @@ probes AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
     FROM vecs, centroids WHERE vec_id < 8) WHERE rn <= 4
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cid)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(vq.v, vc.v) AS cos
+  FROM cands JOIN vecs vq ON vq.vec_id = cands.query_id
+             JOIN vecs vc ON vc.vec_id = cands.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
+def _ivf_train_iteration(prev: str, new: str, tag: str) -> str:
+    """One spherical-k-means iteration as CTEs (mirrors
+    similarity.ivf_train exactly): assign each vector to its argmax-dot
+    centroid (ties → lowest cid, like np.argmax), per-cell component
+    sums in DECIMAL(38,18) — exact, so addition order can't matter on
+    either engine — means as float64 division, renormalization via
+    sqrt(list_inner_product(m, m)) (the same sequential fold the
+    Python side uses). Empty cells keep the previous centroid."""
+    return f"""
+a{tag} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, {prev}) WHERE rn = 1
+),
+s{tag} AS (
+  SELECT cid, i AS pos, SUM(CAST(v[i] AS DECIMAL(38,18))) AS s, COUNT(*) AS n
+  FROM a{tag}, range(1, 65) t(i)
+  GROUP BY cid, i
+),
+m{tag} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS m
+  FROM s{tag} GROUP BY cid
+),
+n{tag} AS (
+  SELECT cid, m, sqrt(list_inner_product(m, m)) AS nrm FROM m{tag}
+),
+{new}(cid, cv) AS (
+  SELECT p.cid,
+         CASE WHEN q.nrm IS NULL OR q.nrm = 0 THEN p.cv
+              ELSE list_transform(q.m, x -> x / q.nrm) END
+  FROM {prev} p LEFT JOIN n{tag} q USING (cid)
+)"""
+
+
+oracle("q_ivf_topk_trained")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0(cid, cv) AS (VALUES
+  {_IVF_CENTROIDS}),
+{_ivf_train_iteration('c0', 'c1', '0')},
+{_ivf_train_iteration('c1', 'c2', '1')},
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, c2) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, c2 WHERE vec_id < 8) WHERE rn <= 4
 ),
 cands AS (
   SELECT p.query_id, a.vec_id AS neighbor_id

@@ -412,6 +412,59 @@ def q_flow_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_flow(spark, flow, sf_dir).orderBy("name")
 
 
+def q_flow_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete NiFi graph as ONE flow document: source → transform
+    (sql) → keyed-store init → two merge batches → final projection —
+    the store stages are flow ACTIONS (terminal processors), and mid-
+    flow `load` stages start each batch's chain (flows.py). Must
+    hash-match q_store_merge's oracle exactly."""
+    import tempfile
+
+    from ..flows import build_flow
+
+    path = tempfile.mkdtemp(prefix="aces_flow_store_")
+    store_cfg = {"path": path, "keys": ["c_custkey"], "n_buckets": 16}
+    ops = {"c_acctbal": "$set", "visits": "$inc", "lastUpdated": "$currentDate"}
+    flow = [
+        {"op": "load", "table": "customer"},
+        {"op": "sql", "query": """
+            SELECT c_custkey, c_acctbal,
+                   CAST(c_custkey % 10 AS INT) AS visits,
+                   CAST(NULL AS TIMESTAMP) AS lastUpdated
+            FROM __this__"""},
+        {"op": "store_init", **store_cfg},
+        {"op": "load", "table": "customer"},
+        {"op": "sql", "query": """
+            SELECT c_custkey, c_acctbal * 2 AS c_acctbal, 5 AS visits
+            FROM __this__ WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey + 100000 AS c_custkey,
+                   CAST(999.25 AS DOUBLE) AS c_acctbal, 7 AS visits
+            FROM __this__ WHERE c_custkey % 7 = 0"""},
+        {"op": "store_merge", **store_cfg, "operations": ops, "upsert": True,
+         "now": STORE_NOW1},
+        {"op": "load", "table": "customer"},
+        {"op": "sql", "query": """
+            SELECT c_custkey, c_acctbal + 10 AS c_acctbal, 1 AS visits
+            FROM __this__ WHERE c_custkey % 4 = 0
+            UNION ALL
+            SELECT c_custkey + 100000 AS c_custkey,
+                   CAST(111.5 AS DOUBLE) AS c_acctbal, 2 AS visits
+            FROM __this__ WHERE c_custkey % 14 = 0
+            UNION ALL
+            SELECT c_custkey + 200000 AS c_custkey,
+                   CAST(5.25 AS DOUBLE) AS c_acctbal, 3 AS visits
+            FROM __this__ WHERE c_custkey % 11 = 0"""},
+        {"op": "store_merge", **store_cfg, "operations": ops, "upsert": True,
+         "now": STORE_NOW2},
+        {"op": "sql", "query": """
+            SELECT c_custkey, c_acctbal, CAST(visits AS INT) AS visits,
+                   date_format(lastUpdated, 'yyyy-MM-dd HH:mm:ss') AS lastUpdated
+            FROM __this__"""},
+    ]
+    return build_flow(spark, flow, sf_dir)
+
+
 def q_partial_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 match-many (updateMany, PartialUpdateMongo.java:473-475): keyed
     on the non-unique o_custkey, so one combined source row applies to
@@ -1013,6 +1066,35 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     out = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED codebook, end-to-end at the scale shape:
+    spherical k-means training (2 Lloyd iterations from the md5 seed,
+    decimal-exact sums → bit-identical across engines), the inverted
+    file MATERIALIZED via ivf_write_index (parquet partitioned by
+    cell), and the probe reading it back with a literal cid filter —
+    partition pruning, the scan-level win (plan-asserted in
+    tests/test_pipeline.py). Oracle: DuckDB re-derives the same two
+    training iterations as CTEs (decimal sums, sequential-fold norms)
+    and replays the probe — full value-hash check."""
+    import tempfile
+
+    from ..pipeline.similarity import ivf_topk, ivf_train, ivf_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, dim=64, n_centroids=16, n_iter=2)
+    index = tempfile.mkdtemp(prefix="aces_ivf_index_")
+    ivf_write_index(emb, index, dim=64, n_centroids=16, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=16, n_probe=4,
+        centroids=cents, cells_path=index,
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),

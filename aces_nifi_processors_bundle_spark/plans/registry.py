@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_partial_update_many": q.q_partial_update_many,
     "q_put_if_absent": q.q_put_if_absent,
     "q_store_merge": q.q_store_merge,
+    "q_flow_store_merge": q.q_flow_store_merge,
     "q_store_put_if_absent": q.q_store_put_if_absent,
     "q_text_stats": q.q_text_stats,
     "q_lang_id": q.q_lang_id,
@@ -51,6 +52,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
     "q_ivf_topk": q.q_ivf_topk,
+    "q_ivf_topk_trained": q.q_ivf_topk_trained,
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,
     "q_stream_bin_flagship": q.q_stream_bin_flagship,

@@ -52,16 +52,32 @@ class CollectingClient:
         self.connected = False
 
 
-def socketio_client_factory() -> Any:  # pragma: no cover
+def socketio_client_factory(tls: dict[str, Any] | None = None) -> Any:  # pragma: no cover
     """Production factory: python-socketio if installed (it is not in
-    this container — import-gated per the environment contract)."""
+    this container — import-gated per the environment contract).
+
+    ``tls`` mirrors the reference's SSL context service
+    (SocketIOProcessor.java:200-214 builds an SSLContext from the
+    configured service and hands it to the client): keys ``verify``
+    (bool or CA bundle path) and ``client_cert`` ((cert, key) path
+    tuple), applied via a requests session — python-socketio's TLS
+    surface."""
     try:
         import socketio  # type: ignore
     except ImportError as e:
         raise ImportError(
             "python-socketio not installed; pass a custom client_factory"
         ) from e
-    return socketio.Client()
+    if not tls:
+        return socketio.Client()
+    import requests  # type: ignore  # ships with python-socketio's deps
+
+    session = requests.Session()
+    if "verify" in tls:
+        session.verify = tls["verify"]
+    if tls.get("client_cert"):
+        session.cert = tuple(tls["client_cert"])
+    return socketio.Client(http_session=session, ssl_verify=tls.get("verify", True))
 
 
 @dataclass
@@ -84,9 +100,40 @@ class SocketIOSink:
     static_event: str | None = None
     mode: str = "emit"  # emit | send
     connect_timeout_s: float = 10.0
-    client_factory: Callable[[], Any] = socketio_client_factory
+    client_factory: Callable[..., Any] = socketio_client_factory
+    # TLS config, the SSL-context-service analog (SocketIOProcessor.
+    # java:200-214): verify = True | False | CA-bundle path;
+    # client_cert = (cert_path, key_path) for mutual TLS. Passed to
+    # the client factory as `tls=` when the factory declares the
+    # parameter; factories that don't take it (e.g. test collectors)
+    # are called bare — the knobs are then accepted but inert.
+    ssl_verify: bool | str = True
+    ssl_client_cert: tuple[str, str] | None = None
     # Provenance SEND events per batch (SocketIOProcessor.java:296 analog).
     provenance: ProvenanceLog = field(default_factory=ProvenanceLog)
+
+    def _tls_config(self) -> dict[str, Any] | None:
+        if self.ssl_verify is True and self.ssl_client_cert is None:
+            return None  # defaults: plain client, no session wrapping
+        cfg: dict[str, Any] = {"verify": self.ssl_verify}
+        if self.ssl_client_cert is not None:
+            cfg["client_cert"] = self.ssl_client_cert
+        return cfg
+
+    def _bind_factory(self) -> Callable[[], Any]:
+        """Resolve TLS binding at the DRIVER (inspect doesn't belong in
+        an executor closure): factories declaring a `tls` parameter get
+        the sink's SSL config; others are called bare."""
+        import functools
+        import inspect
+
+        try:
+            accepts_tls = "tls" in inspect.signature(self.client_factory).parameters
+        except (TypeError, ValueError):
+            accepts_tls = False
+        if accepts_tls:
+            return functools.partial(self.client_factory, tls=self._tls_config())
+        return self.client_factory
 
     def write_batch(self, df: DataFrame) -> int:
         """Batch mode: foreachPartition with one client per partition.
@@ -110,7 +157,7 @@ class SocketIOSink:
         per_record_url = self.url_col is not None
         mode = self.mode
         timeout = self.connect_timeout_s
-        factory = self.client_factory
+        factory = self._bind_factory()
         pushed = df.sparkSession.sparkContext.accumulator(0)
 
         def push(rows) -> None:

@@ -61,6 +61,18 @@ def main() -> None:
         .save()
     )
 
+    # Stage the streaming source during warmup: _events_stream copies
+    # the events table to a local staging dir once per (process,
+    # sf_dir) — shared test plumbing, not operator cost. Without this
+    # the one-time copy lands on whichever q_stream_* sorts first
+    # (~1.5s of parquet rewrite billed to q_stream_bin_flagship in
+    # BENCH_r03).
+    from aces_nifi_processors_bundle_spark.plans.queries import (  # noqa: PLC0415
+        _events_stream,
+    )
+
+    _events_stream(spark, sf_dir)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):

@@ -75,6 +75,103 @@ def test_flow_routed_operator_selects_relationship(spark, sf_dir):
     assert 0 < n_success <= n_all
 
 
+def test_sql_stage_does_not_leak_temp_views(spark, sf_dir):
+    """A long-lived session driving many flows must not accumulate
+    catalog entries: the sql stage drops its per-invocation view once
+    the returned plan is resolved."""
+    before = {t.name for t in spark.catalog.listTables()}
+    flow = [{"op": "load", "table": "events"}] + [
+        {"op": "sql", "query": f"SELECT * FROM __this__ WHERE event_id % {k} = 0"}
+        for k in range(2, 102)  # 100 sql stages
+    ]
+    df = build_flow(spark, flow, sf_dir)
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before  # no __this_* residue
+    assert df.count() >= 0  # the folded plan still executes post-drop
+
+
+def test_flow_store_sink_roundtrip(spark, sf_dir, tmp_path):
+    """source → transform → store_init → store_put_if_absent as one
+    flow document: the store stages execute and hand the post-state
+    downstream."""
+    path = str(tmp_path / "flow_store")
+    flow = [
+        {"op": "load", "table": "nation"},
+        {"op": "select", "columns": ["n_nationkey", "n_name"]},
+        {"op": "store_init", "path": path, "keys": ["n_nationkey"], "n_buckets": 4},
+        {"op": "load", "table": "nation"},
+        {"op": "sql", "query": """
+            SELECT n_nationkey, n_name FROM __this__
+            UNION ALL
+            SELECT n_nationkey + 100 AS n_nationkey, 'NEW-' || n_name AS n_name
+            FROM __this__ WHERE n_nationkey < 5"""},
+        {"op": "store_put_if_absent", "path": path, "keys": ["n_nationkey"],
+         "n_buckets": 4},
+        {"op": "sql", "query": "SELECT count(*) AS n FROM __this__"},
+    ]
+    n_nations = load_table(spark, sf_dir, "nation").count()
+    assert build_flow(spark, flow, sf_dir).collect()[0]["n"] == n_nations + 5
+
+
+def test_flow_socketio_sink_passthrough(spark, sf_dir):
+    """socketio is a pass-through ACTION: rows are pushed (counted by
+    the sink's accumulator) and the unchanged frame continues."""
+    from aces_nifi_processors_bundle_spark.sinks.socketio import CollectingClient
+
+    flow = [
+        {"op": "load", "table": "region"},
+        {"op": "sql",
+         "query": "SELECT to_json(struct(r_regionkey, r_name)) AS payload FROM __this__"},
+        {"op": "socketio", "url": "http://example.test", "static_event": "region",
+         "client_factory": CollectingClient},
+        {"op": "select", "columns": ["payload"]},
+    ]
+    out = build_flow(spark, flow, sf_dir)
+    assert out.count() == load_table(spark, sf_dir, "region").count()
+
+
+def test_socketio_tls_knobs_passed_to_aware_factory(spark, sf_dir, tmp_path):
+    """The SSL-context-service analog: a factory declaring `tls`
+    receives the sink's config (recorded executor-side to a file, as
+    the factory runs inside foreachPartition); factories without the
+    parameter (the test collector) are called bare — knobs accepted
+    but inert."""
+    from aces_nifi_processors_bundle_spark.sinks.socketio import (
+        CollectingClient,
+        SocketIOSink,
+    )
+
+    rec = str(tmp_path / "tls_seen.jsonl")
+
+    def tls_aware_factory(tls=None, _out=rec):
+        with open(_out, "a") as f:
+            f.write(json.dumps(tls, sort_keys=True) + "\n")
+        return CollectingClient()
+
+    df = load_table(spark, sf_dir, "region").selectExpr("r_name AS payload")
+    sink = SocketIOSink(
+        url="http://example.test",
+        static_event="e",
+        client_factory=tls_aware_factory,
+        ssl_verify="/etc/ssl/ca.pem",
+        ssl_client_cert=("/c.pem", "/k.pem"),
+    )
+    n = sink.write_batch(df.coalesce(1))
+    assert n == df.count()
+    seen = [json.loads(line) for line in open(rec).read().splitlines()]
+    assert seen == [
+        {"client_cert": ["/c.pem", "/k.pem"], "verify": "/etc/ssl/ca.pem"}
+    ]
+    # unaware factory + TLS knobs: still works, knobs inert
+    inert = SocketIOSink(
+        url="http://example.test",
+        static_event="e",
+        client_factory=CollectingClient,
+        ssl_verify=False,
+    )
+    assert inert.write_batch(df.coalesce(1)) == df.count()
+
+
 def test_flow_errors_are_actionable(spark, sf_dir):
     import pytest
 

@@ -105,6 +105,33 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert 0 < n_probed < n_all
 
 
+def test_ivf_topk_cells_path_prunes_and_matches_inline(spark, sf_dir, tmp_path):
+    """ivf_topk(cells_path=...) — the materialized-index search path —
+    must (a) return exactly the inline-assignment results and (b) push
+    the probed-cell filter into the scan as partition pruning."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ivf_topk,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, dim=64, n_centroids=16, n_iter=2)
+    path = str(tmp_path / "ivf_trained")
+    ivf_write_index(emb, path, dim=64, n_centroids=16, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 4)
+    kw = dict(dim=64, k=5, n_centroids=16, n_probe=4, centroids=cents)
+    from_index = ivf_topk(emb, queries, cells_path=path, **kw)
+    inline = ivf_topk(emb, queries, **kw)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cid" in seg and "IN" in seg.upper()
+
+
 def test_near_dup_clusters_and_dedup(spark):
     """Connected components over a pair chain: a-b, b-c, d-e collapse to
     clusters {a,b,c} and {d,e}; dedup keeps min-id + unpaired docs."""
