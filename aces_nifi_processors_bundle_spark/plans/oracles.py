@@ -138,6 +138,13 @@ FROM events ORDER BY user_bucket, event_type
 """
 )
 
+oracle("q_stream_first_seen_stateful")(
+    """
+SELECT DISTINCT CAST(user_id % 1000 AS BIGINT) AS user_bucket, event_type
+FROM events ORDER BY user_bucket, event_type
+"""
+)
+
 oracle("q_attrs_typed")(
     """
 SELECT CAST(event_id AS VARCHAR) AS event_id,

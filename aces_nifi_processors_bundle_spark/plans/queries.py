@@ -968,22 +968,9 @@ def q_stream_bin_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("w_start", "name")
 
 
-def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming put-if-absent via a custom stateful operator
-    (applyInPandasWithState): emit each distinct user bucket exactly
-    once, on first arrival. The emitted key SET is deterministic even
-    though arrival order isn't, which is what makes a stateful
-    streaming op oracle-able (SELECT DISTINCT)."""
+def _run_first_seen(spark: SparkSession, out: DataFrame) -> DataFrame:
     import uuid
 
-    from ..streaming.stateful import first_seen_keys
-
-    stream = _events_stream(spark, sf_dir)
-    keyed = stream.select(
-        (F.col("user_id") % 1000).alias("user_bucket"),
-        "event_type",
-    )
-    out = first_seen_keys(keyed, ["user_bucket", "event_type"])
     qname = f"first_seen_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -994,6 +981,42 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname).orderBy("user_bucket", "event_type")
+
+
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming put-if-absent: emit each distinct user bucket exactly
+    once, on first arrival. Pure key dedup routes through the JVM-native
+    streaming dropDuplicates (no Python hop, JVM state store) — measured
+    ~1.4x faster than the applyInPandasWithState path at sf0.1
+    (SCALE.md "first-seen routing"); the custom-state variant is
+    q_stream_first_seen_stateful. The emitted key SET is deterministic
+    even though arrival order isn't, which is what makes a stateful
+    streaming op oracle-able (SELECT DISTINCT)."""
+    from ..streaming.stateful import first_seen_keys_native
+
+    stream = _events_stream(spark, sf_dir)
+    keyed = stream.select(
+        (F.col("user_id") % 1000).alias("user_bucket"),
+        "event_type",
+    )
+    return _run_first_seen(
+        spark, first_seen_keys_native(keyed, ["user_bucket", "event_type"])
+    )
+
+
+def q_stream_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same first-seen contract via the CUSTOM stateful operator
+    (applyInPandasWithState) — the extension point for state the
+    built-in dedup can't express (TTL-on-access, side outputs, state
+    payloads beyond the key). Same oracle as q_stream_first_seen."""
+    from ..streaming.stateful import first_seen_keys
+
+    stream = _events_stream(spark, sf_dir)
+    keyed = stream.select(
+        (F.col("user_id") % 1000).alias("user_bucket"),
+        "event_type",
+    )
+    return _run_first_seen(spark, first_seen_keys(keyed, ["user_bucket", "event_type"]))
 
 
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

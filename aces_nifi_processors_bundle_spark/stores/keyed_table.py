@@ -16,7 +16,7 @@ Lake's, which this environment ships without):
 
       <path>/_segments/<uuid>/_bucket=N/part-*.parquet   immutable data
       <path>/_manifests/v0000000007-<uuid>.json          versioned manifests
-      <path>.lock                                        writer lock
+      <path>.lock.d/{baton | held-<ts_ms>-<uuid>}        writer-lock token
 
   A manifest maps every bucket id to the LIST of segment dirs holding
   its current rows (plus the table schema). Segment dirs are immutable
@@ -52,23 +52,25 @@ Lake's, which this environment ships without):
 
 Concurrency:
 
-- Writers serialize on a create-exclusive `.lock` file (fail-fast
-  ConcurrentWriterError). A stale lock (dead writer) is broken by
-  RENAMING it to a unique tombstone — only one of N racing breakers
-  can win the rename, closing the delete/create TOCTOU — then
-  re-checking the tombstone's mtime: a breaker that accidentally
-  displaced a FRESH lock (rewritten between its staleness check and
-  its rename) restores it and fails instead of proceeding.
+- Writers serialize on a single BATON TOKEN file (fail-fast
+  ConcurrentWriterError): acquire/stale-break/release are all atomic
+  RENAMES of the exact token name the writer observed, so every
+  transition is a compare-and-swap — one winner per race by
+  construction, and since the acquisition timestamp lives in the
+  held-token's NAME, a just-taken lock is never stale-looking even for
+  an instant (see the protocol comment at `_write_lock`). A crashed
+  holder's token ages past `lock_stale_sec` and becomes breakable.
 - Readers take no lock: snapshot isolation comes from the manifest.
   Retention: unreferenced segments and superseded manifests are only
   GC'd once older than `lock_stale_sec`, so a reader has that long to
   finish a resolved snapshot (the Delta VACUUM-retention trade-off).
-- Residual limit (documented, not defended): with THREE writers where
-  one stalls for a full `lock_stale_sec` between its staleness check
-  and its rename, the restore-after-displace path can race a fresh
-  acquire. A real lock service / transaction log is the answer at
-  that point; on HDFS-like stores the single-writer + manifest
-  protocol above is the standard compromise.
+- Residual limit (documented, not defended): staleness judgment trusts
+  the writers' clocks (a writer whose clock runs `lock_stale_sec`
+  ahead could break a live lock), and object stores without atomic
+  rename (S3) break both the baton and the manifest commit — a real
+  lock service / transaction log is the answer there; on HDFS-like
+  stores this single-writer + manifest protocol is the standard
+  compromise.
 """
 
 from __future__ import annotations
@@ -162,62 +164,132 @@ class KeyedParquetStore:
             out.close()
 
     # --- writer lock ---------------------------------------------------
+    #
+    # Baton protocol: the lock state is ONE token file inside
+    # `<path>.lock.d/`, either
+    #     baton                      — lock free
+    #     held-<ts_ms>-<uuid>        — lock held since <ts_ms>
+    # Every transition is a RENAME of the exact token name the writer
+    # just observed: acquire = rename(baton -> held-me), stale-break =
+    # rename(held-dead -> held-me). Rename's source vanishing makes each
+    # transition a compare-and-swap — of N racing writers exactly one
+    # rename succeeds, and because the acquisition TIMESTAMP IS IN THE
+    # NAME, a freshly taken lock is never stale-looking for even an
+    # instant (the round-3/round-4 displace-a-fresh-lock races needed
+    # that window). Release = rename(held-me -> baton); a crashed
+    # holder's token simply ages past lock_stale_sec and becomes
+    # breakable. S3-style stores without atomic rename need a real lock
+    # service instead (same caveat as the manifest commit).
+
+    def _lock_dir(self) -> str:
+        return self.path + ".lock.d"
+
+    def _held_tokens(self, fs, Path) -> list[str]:
+        ldir = Path(self._lock_dir())
+        if not fs.exists(ldir):
+            return []
+        return sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(ldir)
+            if s.getPath().getName().startswith("held-")
+        )
 
     @contextmanager
     def _write_lock(self):
-        """Create-exclusive lock file serializing writers (fail-fast).
-
-        Stale-break protocol (closes the round-3 delete/create TOCTOU):
-        rename the stale lock to a unique tombstone — rename src
-        disappears, so exactly ONE of N concurrent breakers succeeds —
-        then verify the tombstone really was stale; a breaker that
-        displaced a fresh lock restores it and fails. Winners still go
-        through the atomic createNewFile, so breakers and first-comers
-        contend on one create-exclusive op.
-        """
+        """Serialize writers via the baton protocol above (fail-fast)."""
         fs, Path = self._fs()
-        lock = Path(self.path + ".lock")
-        if fs.exists(lock):
-            age = time.time() - fs.getFileStatus(lock).getModificationTime() / 1000.0
+        ldir = self._lock_dir()
+        fs.mkdirs(Path(ldir))
+        entries = sorted(
+            s.getPath().getName() for s in fs.listStatus(Path(ldir))
+        )
+        held = [e for e in entries if e.startswith("held-")]
+        # Nanosecond timestamp: the name encodes BOTH staleness and the
+        # total order verification resolves by — later acquirers sort
+        # strictly larger, so earliest-token-wins is tie-free.
+        me = f"held-{time.time_ns():019d}-{uuid.uuid4().hex}"
+        if held:
+            # Oldest-first: if strays ever exist, the oldest is the one
+            # whose age is binding.
+            ts_ns = int(held[0].split("-")[1])
+            age = time.time() - ts_ns / 1e9
             if age < self.lock_stale_sec:
                 raise ConcurrentWriterError(
                     f"store {self.path} is locked by another writer "
                     f"({age:.0f}s old; stale after {self.lock_stale_sec:.0f}s)"
                 )
-            tomb = Path(f"{self.path}.lock-broken-{uuid.uuid4().hex}")
+            src = held[0]  # stale: break it by taking its exact identity
+        elif "baton" in entries:
+            src = "baton"
+        else:
+            # Bootstrap: no token observed. createNewFile is atomic, so
+            # N first-comers mint ONE baton; all then contend on its
+            # rename. It can also throw (local RawLocalFileSystem's
+            # create+chmod racing another writer's rename of the file)
+            # — either way, contended. Re-list to catch a token a
+            # racing rename hid from our readdir — defer if one
+            # surfaced (a local-FS artifact: HDFS serializes namespace
+            # ops, so a listing there can't miss a mid-rename token).
             try:
-                won_break = fs.rename(lock, tomb)
-            except Exception:
-                won_break = False  # another breaker moved it first
-            if won_break:
-                t_age = (
-                    time.time()
-                    - fs.getFileStatus(tomb).getModificationTime() / 1000.0
+                minted = fs.createNewFile(Path(f"{ldir}/baton"))
+            except Exception as e:
+                raise ConcurrentWriterError(
+                    f"store {self.path}: lock contended during bootstrap"
+                ) from e
+            post = self._held_tokens(fs, Path)
+            if post:
+                # The dir wasn't really empty — a held token was mid-
+                # rename during our readdir. Our baton is a stray;
+                # remove it before deferring, or the holder's release
+                # rename would find its destination occupied.
+                if minted:
+                    try:
+                        fs.delete(Path(f"{ldir}/baton"), False)
+                    except Exception:
+                        pass
+                raise ConcurrentWriterError(
+                    f"store {self.path}: lock contended during bootstrap"
                 )
-                if t_age < self.lock_stale_sec:
-                    # We displaced a FRESH lock (broken + reacquired by
-                    # someone else after our staleness check). Put it
-                    # back — rename preserves mtime, the owner never
-                    # notices — and fail like any second writer.
-                    if not fs.exists(lock):
-                        fs.rename(tomb, lock)
-                    raise ConcurrentWriterError(
-                        f"store {self.path}: lock was reacquired during "
-                        "stale-break; backing off"
-                    )
-                fs.delete(tomb, False)
-        if not fs.createNewFile(lock):
-            raise ConcurrentWriterError(f"store {self.path}: lost lock race")
-        # Owner token: diagnostics for "who holds this lock" — the
-        # create above is the atomic acquire, this write is not.
+            src = "baton"
         try:
-            self._write_text(fs, lock, f"owner={uuid.uuid4().hex} ts={time.time()}")
+            won = fs.rename(Path(f"{ldir}/{src}"), Path(f"{ldir}/{me}"))
+        except Exception:
+            won = False
+        if not won:
+            raise ConcurrentWriterError(
+                f"store {self.path}: lost lock race (token {src} was taken)"
+            )
+        # Post-acquire verification (local-FS hardening): a readdir that
+        # raced a rename can have shown a contender an empty dir, so a
+        # stray baton may have been minted and won by someone else —
+        # two held tokens. Resolve deterministically: smallest token
+        # name wins (both sides see the same stable names and agree);
+        # the loser deletes its own token (its unique name is fresh, so
+        # no breaker ever targets it) and backs off. A surviving stray
+        # free baton is deleted under our exclusivity.
+        co = [t for t in self._held_tokens(fs, Path) if t != me]
+        if co and min(co) < me:
+            fs.delete(Path(f"{ldir}/{me}"), False)
+            raise ConcurrentWriterError(
+                f"store {self.path}: lost lock race (concurrent token {min(co)})"
+            )
+        try:
+            fs.delete(Path(f"{ldir}/baton"), False)
         except Exception:
             pass
         try:
             yield
         finally:
-            fs.delete(lock, False)
+            # Hand the baton back. A stray baton (bootstrap race) can
+            # occupy the destination — clear it and retry once. If the
+            # rename still fails, the held token stays behind and ages
+            # out — no worse than a crash.
+            try:
+                if not fs.rename(Path(f"{ldir}/{me}"), Path(f"{ldir}/baton")):
+                    fs.delete(Path(f"{ldir}/baton"), False)
+                    fs.rename(Path(f"{ldir}/{me}"), Path(f"{ldir}/baton"))
+            except Exception:
+                pass
 
     # --- manifest layer ------------------------------------------------
 

@@ -28,6 +28,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def first_seen_keys_native(
+    stream_df: DataFrame,
+    keys: list[str],
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """JVM-native first-seen for the PURE key-dedup case.
+
+    Same contract as `first_seen_keys` (one row per distinct key, at
+    first encounter; deterministic key SET) but routed through Spark's
+    built-in streaming deduplication operator instead of a Python
+    `applyInPandasWithState` hop — state lookups stay in the JVM state
+    store with no Arrow transfer, no Python worker, and whole-stage
+    codegen up to the dedup exchange. Measured ~1.5x faster end-to-end
+    on the events stream at sf0.1 (SCALE.md "first-seen routing"), so
+    this is the default path for plain key dedup; keep `first_seen_keys`
+    for genuinely custom state (TTL-on-access semantics, side outputs,
+    non-key state payloads).
+
+    watermark=(ts_col, delay) bounds state via
+    `dropDuplicatesWithinWatermark`: keys older than the watermark are
+    evicted, the JVM analog of `first_seen_keys(state_ttl_ms=...)` with
+    event-time instead of processing-time TTL (and the same re-emit
+    trade-off for keys that reappear after eviction). Without a
+    watermark, state is exact and unbounded — correct for availableNow
+    replays, sized by |distinct keys| for continuous runs.
+    """
+    if watermark is None:
+        return stream_df.select(*keys).dropDuplicates(keys)
+    ts_col, delay = watermark
+    return (
+        stream_df.select(*keys, ts_col)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 def first_seen_keys(
     stream_df: DataFrame,
     keys: list[str],

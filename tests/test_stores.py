@@ -192,7 +192,7 @@ def test_crashed_writer_leftovers_recovered(spark, tmp_path):
     )
     store.init(spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]))
     # simulate the dead writer's droppings
-    open(store.path + ".lock", "w").close()
+    _plant_stale_lock(store.path)
     orphan = os.path.join(store.path, "_segments", "deadbeef", "_bucket=0")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-zombie.parquet"), "w") as f:
@@ -268,6 +268,27 @@ def test_reader_snapshot_isolation_during_commit(spark, tmp_path):
     ).collect()[0][0:2] == (50, 50.0)
 
 
+def _plant_stale_lock(path: str, age_sec: float = 100.0) -> str:
+    """Simulate a dead writer: a held token whose name-timestamp is
+    age_sec in the past (staleness is judged from the NAME under the
+    baton protocol)."""
+    ldir = path + ".lock.d"
+    os.makedirs(ldir, exist_ok=True)
+    for e in os.listdir(ldir):  # replace any free baton with the corpse
+        os.unlink(os.path.join(ldir, e))
+    
+    token = os.path.join(ldir, f"held-{int((time.time() - age_sec) * 1e9):019d}-deadwriter")
+    open(token, "w").close()
+    return token
+
+
+def _held_tokens(path: str) -> list[str]:
+    ldir = path + ".lock.d"
+    if not os.path.isdir(ldir):
+        return []
+    return [e for e in os.listdir(ldir) if e.startswith("held-")]
+
+
 def test_stale_lock_broken(spark, tmp_path):
     """A lock older than lock_stale_sec (dead writer) is broken."""
     store = KeyedParquetStore(
@@ -275,23 +296,23 @@ def test_stale_lock_broken(spark, tmp_path):
         lock_stale_sec=0.0,
     )
     store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
-    open(store.path + ".lock", "w").close()  # abandoned lock
+    _plant_stale_lock(store.path)
     time.sleep(0.05)
     cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
     m = store.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
-    assert m.updated == 1 and not os.path.exists(store.path + ".lock")
+    assert m.updated == 1 and not _held_tokens(store.path)  # released
 
 
 def test_stale_lock_break_has_single_winner(spark, tmp_path):
     """N writers that ALL observe the same stale lock and race the
-    break: the rename-to-tombstone protocol lets exactly one proceed
-    (the round-3 exists→delete→create sequence could admit two)."""
+    break: every transition is a rename of the observed token name
+    (CAS), so exactly one contender can ever proceed — the rounds-3/4
+    create-exclusive protocols admitted two via fresh-lock
+    displacement."""
     path = str(tmp_path / "t")
     store = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=4)
     store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
-    lock = path + ".lock"
-    open(lock, "w").close()
-    os.utime(lock, (time.time() - 100, time.time() - 100))  # stale
+    _plant_stale_lock(path)
 
     n = 8
     barrier = threading.Barrier(n)
@@ -318,7 +339,7 @@ def test_stale_lock_break_has_single_winner(spark, tmp_path):
         t.join(60)
     assert not errors
     assert len(winners) == 1 and len(losers) == n - 1
-    assert not os.path.exists(lock)  # winner released cleanly
+    assert not _held_tokens(path)  # winner released cleanly
 
 
 def test_superseded_segments_retained_then_gcd(spark, tmp_path):

@@ -186,3 +186,72 @@ def test_first_seen_keys_state_survives_micro_batches(spark, tmp_path):
     rows = sorted(r["k"] for r in spark.table("first_seen_test").collect())
     assert rows == ["a", "b", "c"]  # b appears once despite two arrivals
     assert len(batches) >= 2  # genuinely exercised multiple micro-batches
+
+
+def test_first_seen_keys_native_matches_custom(spark, tmp_path):
+    """The JVM-native routing (dropDuplicates) emits the same distinct
+    key set across micro-batches as the applyInPandasWithState path —
+    the contract that lets q_stream_first_seen switch to it."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.streaming.stateful import (
+        first_seen_keys_native,
+    )
+
+    data_dir = str(tmp_path / "src")
+    spark.createDataFrame([Row(k="a"), Row(k="b")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    spark.createDataFrame([Row(k="b"), Row(k="c")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = first_seen_keys_native(stream, ["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_native_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(r["k"] for r in spark.table("first_seen_native_test").collect())
+    assert rows == ["a", "b", "c"]
+
+
+def test_first_seen_keys_native_watermarked_bounds_state(spark, tmp_path):
+    """With watermark=(ts, delay) the native path routes through
+    dropDuplicatesWithinWatermark — bounded state, key-only output."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.streaming.stateful import (
+        first_seen_keys_native,
+    )
+
+    data_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            Row(k="a", ts="2024-01-01 00:00:00"),
+            Row(k="a", ts="2024-01-01 00:00:05"),
+            Row(k="b", ts="2024-01-01 00:01:00"),
+        ]
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(data_dir)
+    out = first_seen_keys_native(stream, ["k"], watermark=("ts", "10 minutes"))
+    assert out.columns == ["k"]  # watermark column projected away
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(r["k"] for r in spark.table("first_seen_wm_test").collect())
+    assert rows == ["a", "b"]
