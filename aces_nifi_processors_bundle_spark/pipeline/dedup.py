@@ -219,6 +219,67 @@ def near_dup_pairs_minhash(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_pairs_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    persist_intermediates: bool = False,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index
+    — the LSH-free scale path (minhash trades exactness for fewer
+    candidates; this trades more candidates for zero hash-collision
+    false negatives).
+
+    Candidates = document pairs sharing >= 1 indexed shingle, produced
+    by a per-shingle self-join of the (shingle, doc) inverted index —
+    complexity Σ df(shingle)², never n². Since J(A,B) >= t > 0 requires
+    a common shingle, recall is EXACT with max_df=None.
+
+    max_df prunes the index to shingles with document frequency
+    <= max_df before the self-join — the same Σdf² skew defense as
+    minhash's max_bucket, and the standard inverted-index trick
+    (ubiquitous shingles are boilerplate; a pair whose ONLY common
+    shingles exceed max_df is a template match, not a content
+    near-dup). With k-shingles and threshold t, a true near-dup pair
+    shares many shingles, so pruning the few hottest ones costs recall
+    only on pathological corpora — measure per-corpus.
+
+    Verification is exact Jaccard over the full (unpruned) shingle
+    sets, so pruning affects candidate RECALL only, never precision.
+    """
+    rows = shingle_rows(df, text_col, id_col, k).dropDuplicates([id_col, "shingle"])
+    if persist_intermediates:
+        rows = rows.persist()
+    if max_df is not None:
+        keep = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        rows = rows.join(keep, "shingle", "left_semi")
+    a = rows.alias("a")
+    b = rows.alias("b")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    if persist_intermediates:
+        cands = cands.persist()
+    verified = ngram_jaccard(
+        df, cands, text_col, id_col, k, persist_sets=persist_intermediates
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def near_dup_clusters(
     pairs: DataFrame, max_iter: int = 20, checkpoint_every: int = 5
 ) -> DataFrame:

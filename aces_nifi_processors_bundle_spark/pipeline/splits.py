@@ -1,0 +1,152 @@
+"""Deterministic dataset splitting, stratified sampling, and
+token-budget mixing — the assignment layer of a training-data
+pipeline (what comes after dedup/quality filtering and before
+tokenization).
+
+No reference analog (the NiFi bundle stops at storage); these extend
+the engine for the LLM-corpus workload the same way pipeline/dedup.py
+and pipeline/similarity.py do.
+
+Design rules shared by all three operators:
+- Assignment is a PURE FUNCTION of the row's id (md5-hash order), so
+  a document's split/sample membership never changes when other
+  documents are added or removed — the property that keeps train/test
+  splits stable across corpus refreshes and prevents eval
+  contamination. (Spark's df.randomSplit is seed-stable but
+  PARTITION-sensitive: same seed + different file layout = different
+  split. Hash assignment is layout-independent.)
+- md5 on both sides: Spark `conv(substr(md5(x),1,15),16,10)` equals
+  DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` bit-for-bit, so every
+  operator here is fully oracle-checkable.
+- Nothing collects to the driver; per-stratum work is window functions
+  over the stratum key, with a salted two-phase variant where a single
+  hot stratum could swamp one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit md5 prefix → bigint, the same construction dedup/similarity
+# use; uniform enough for bucketing and mirrored exactly by DuckDB.
+_HASH_MOD = 1_000_000
+
+
+def _hash_bucket(col: Column, seed: str, mod: int = _HASH_MOD) -> Column:
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 15), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(mod))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashing its id.
+
+    weights: {"train": 0.9, "val": 0.05, "test": 0.05} — fractions
+    over a 1e6-bucket hash space, cumulative in dict order. Adds a
+    `split` column. Stable under corpus growth (see module doc): the
+    assignment reads ONLY this row's id, so it holds per-row even
+    across retention changes upstream — the eval-contamination guard.
+
+    Scale shape: one codegen'd expression, no shuffle, no sampling
+    pass; the split can be used as a partition column downstream.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = _hash_bucket(F.col(id_col), seed)
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    cases = []
+    for name, w in weights.items():
+        acc += w
+        cases.append((int(round(acc * _HASH_MOD)), name))
+    # build the CASE from the last threshold down so earlier (smaller)
+    # thresholds take precedence
+    for bound, name in reversed(cases):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the n_per_stratum
+    rows with the smallest hash(id) in each stratum.
+
+    Hash-order selection makes the sample a pure function of ids (see
+    module doc) AND uniformly random in distribution (md5 is a PRF on
+    the id). Two-phase salted top-n: phase 1 ranks within
+    (stratum, salt) partitions — bounding any single task's sort to
+    ~|stratum|/salt_parts rows even when one stratum dominates the
+    corpus (the skew defense the flat window lacks) — and keeps at
+    most n_per_stratum per salt; phase 2 ranks the <= salt_parts * n
+    survivors per stratum. Identical output to the flat window because
+    the global top-n is contained in the union of per-salt top-n.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    salt = _hash_bucket(F.col(id_col), seed + "#salt", salt_parts)
+    phase1 = Window.partitionBy(*strata_cols, salt).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        df.withColumn("_rk", F.row_number().over(phase1))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+    phase2 = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("_rk", F.row_number().over(phase2))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict[str, int],
+    token_col: Column,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Domain/language mixing under per-group token budgets: take each
+    group's documents in hash(id) order until the group's budget is
+    exhausted (a document is kept while the tokens BEFORE it are under
+    budget, so the budget may overshoot by at most one document — the
+    greedy prefix rule every sampling-with-budget pipeline uses).
+
+    Groups absent from `budgets` are dropped (mixing = whitelist).
+    Adds `n_tokens` (this row's count) and `tokens_before` (exclusive
+    running total within the group) for audit.
+
+    Scale shape: one window (shuffle on group_col) computing the
+    exclusive prefix sum in hash order; budgets are a broadcast-sized
+    CASE expression. A pathologically hot group bounds at the window
+    sort of its own rows — mixing groups (languages, sources) are
+    few and fat, which is exactly the window's partition grain.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(None).cast("bigint")
+    for name, b in budgets.items():
+        budget = F.when(F.col(group_col) == name, F.lit(b)).otherwise(budget)
+    return (
+        df.withColumn("n_tokens", token_col.cast("bigint"))
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("tokens_before") < budget)
+    )

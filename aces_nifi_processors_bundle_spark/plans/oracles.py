@@ -1075,3 +1075,83 @@ FROM documents
 
 # Streaming flagship: identical semantics to the batch flagship.
 oracle("q_stream_bin_flagship")(ORACLES["q_bin_flagship"])
+
+
+oracle("q_dedup_ngram_jaccard")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS d FROM shx GROUP BY s),
+idx AS (SELECT doc_id, s FROM shx WHERE s IN (SELECT s FROM dfreq WHERE d <= 20)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+)
+
+oracle("q_hash_split")(
+    """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bk < 900000 THEN 'train'
+            WHEN bk < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+)
+
+oracle("q_sample_stratified")(
+    """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rk <= 30
+"""
+)
+
+oracle("q_mix_token_budget")(
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+              END AS BIGINT) AS n_tokens,
+         md5('mix' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, tokens_before
+FROM c
+WHERE tokens_before < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000 END
+"""
+)

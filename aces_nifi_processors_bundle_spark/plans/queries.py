@@ -1161,3 +1161,52 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the df-pruned shingle
+    inverted index (pipeline/dedup.py::near_dup_pairs_ngram) — the
+    LSH-free dedup path: zero hash-collision false negatives, skew
+    bounded by the max_df document-frequency prune."""
+    from ..pipeline.dedup import near_dup_pairs_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = near_dup_pairs_ngram(
+        docs, k=3, threshold=0.5, max_df=20, persist_intermediates=True
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash
+    (pipeline/splits.py::hash_split): layout-independent and stable
+    under corpus growth — each doc's split reads only its own id."""
+    from ..pipeline.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30-docs-per-language stratified sample via the
+    salted two-phase hash-order top-n (pipeline/splits.py::
+    stratified_sample). The salted phases return exactly the flat
+    window's answer; the oracle IS the flat window."""
+    from ..pipeline.splits import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, ["lang"], 30)
+
+
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mixing under per-language token budgets
+    (pipeline/splits.py::token_budget_mix): greedy hash-order prefix
+    per group until the budget is spent; non-budgeted languages drop."""
+    from ..pipeline.splits import token_budget_mix
+    from ..pipeline.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = token_budget_mix(
+        docs, "lang", {"en": 4000, "zh": 2000}, token_col=word_count(F.col("text"))
+    )
+    return out.select("doc_id", "lang", "n_tokens", "tokens_before")

@@ -49,6 +49,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_dedup_simhash": q.q_dedup_simhash,
+    "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
+    "q_hash_split": q.q_hash_split,
+    "q_sample_stratified": q.q_sample_stratified,
+    "q_mix_token_budget": q.q_mix_token_budget,
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
     "q_ivf_topk": q.q_ivf_topk,

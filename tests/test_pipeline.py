@@ -379,3 +379,157 @@ def test_ivf_train_improves_quantization_monotonically(spark, sf_dir):
         n_centroids=8, n_probe=2, centroids=trained,
     )
     assert out.count() == 15
+
+
+def test_ngram_jaccard_exact_recall_unpruned(spark):
+    """With max_df=None the inverted-index candidates lose NOTHING:
+    output equals brute-force all-pairs Jaccard >= threshold."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ngram,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the sleepy dog",
+        3: "a completely different document about spark engines",
+        4: "a completely different document about spark planners",
+        5: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        6: "unrelated text with no overlap whatsoever here",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_dup_pairs_ngram(df, k=3, threshold=0.5).collect()
+    }
+
+    def shingles(t):
+        w = t.split()
+        return set(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        ) if len(w) >= 3 else {t}
+
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12
+
+
+def test_ngram_max_df_prunes_boilerplate_only(spark):
+    """max_df drops pairs whose only common shingles are ubiquitous,
+    keeps pairs sharing any rare shingle."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ngram,
+    )
+
+    boiler = "all rights reserved licensed under the apache license"
+    rows = [Row(doc_id=i, text=boiler) for i in range(10)]  # 10-clique
+    rows += [
+        Row(doc_id=100, text="rare payload alpha beta gamma delta epsilon"),
+        Row(doc_id=101, text="rare payload alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    unpruned = near_dup_pairs_ngram(df, k=3, threshold=0.5).collect()
+    pruned = near_dup_pairs_ngram(df, k=3, threshold=0.5, max_df=5).collect()
+    assert len(unpruned) == 45 + 1  # boilerplate clique + the rare pair
+    got = {(r["id_a"], r["id_b"]) for r in pruned}
+    assert got == {(100, 101)}  # clique suppressed, rare pair survives
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A document's split assignment is a pure function of its id:
+    doubling the corpus must not move any original doc."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import hash_split
+
+    small = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    big = spark.createDataFrame([Row(doc_id=i) for i in range(400)])
+    s_small = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # weights are approximately honored (hash uniformity, n=400)
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert c["train"] > 300 and 0 < c["val"] < 60 and 0 < c["test"] < 60
+    # no shuffle: pure projection
+    plan = hash_split(big)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_matches_flat_window_and_handles_small_strata(spark):
+    """Salted two-phase top-n == flat-window top-n; strata smaller than
+    n return whole stratum; output is deterministic."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        stratified_sample,
+    )
+
+    rows = [Row(doc_id=i, g="big") for i in range(500)] + [
+        Row(doc_id=1000 + i, g="tiny") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    got = stratified_sample(df, ["g"], 10, salt_parts=7)
+    h = F.md5(F.concat(F.lit("sample"), F.col("doc_id").cast("string")))
+    flat = (
+        df.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(h.asc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("_rk") <= 10)
+        .drop("_rk")
+    )
+    g = sorted((r["g"], r["doc_id"]) for r in got.collect())
+    f = sorted((r["g"], r["doc_id"]) for r in flat.collect())
+    assert g == f
+    assert sum(1 for x in g if x[0] == "tiny") == 3  # whole tiny stratum
+    assert sum(1 for x in g if x[0] == "big") == 10
+    # determinism across runs
+    assert g == sorted((r["g"], r["doc_id"]) for r in got.collect())
+
+
+def test_token_budget_mix_greedy_prefix(spark):
+    """Each kept doc starts under budget (overshoot bounded by one
+    doc); drop everything from unbudgeted groups; hash order is
+    id-stable."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        token_budget_mix,
+    )
+
+    rows = [
+        Row(doc_id=i, g="a", text=" ".join(["w"] * 10)) for i in range(30)
+    ] + [Row(doc_id=100 + i, g="b", text="x y z") for i in range(5)]
+    df = spark.createDataFrame(rows)
+    out = token_budget_mix(
+        df,
+        "g",
+        {"a": 95},  # 10-token docs: 10 kept (tokens_before 90 < 95)
+        token_col=F.lit(10),
+    ).collect()
+    assert all(r["g"] == "a" for r in out)  # b unbudgeted -> dropped
+    assert len(out) == 10
+    assert max(r["tokens_before"] for r in out) == 90
+    # id-stability: rerun on a corpus with extra b-docs -> same a-set
+    df2 = df.unionByName(
+        spark.createDataFrame([Row(doc_id=200, g="b", text="q")])
+    )
+    out2 = token_budget_mix(df2, "g", {"a": 95}, token_col=F.lit(10)).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
