@@ -268,3 +268,52 @@ def top_terms(
             6,
         ).alias("tfidf"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size word-window chunks —
+    the pre-tokenization step of a training pipeline (context-length
+    packing happens downstream of this).
+
+    Chunk c (0-based) covers words [c*stride, c*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap; every document yields
+    max(1, ceil((n_words - overlap) / stride)) chunks, so the final
+    chunk is the only short one and no chunk is a suffix of its
+    predecessor. Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Scale shape: pure codegen — split + sequence + explode + slice +
+    array_join, no shuffle, no UDF; the word array never crosses an
+    exchange (explode happens in the scan stage). Rows fan out by
+    ~n_words/stride, which is the required output size.
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("_w"), start + F.lit(1), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

@@ -1155,3 +1155,23 @@ FROM c
 WHERE tokens_before < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000 END
 """
 )
+
+oracle("q_chunk_documents")(
+    """
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(range(greatest(1, CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS cid
+  FROM w
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(least(40, n - cid * 30) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, cid * 30 + 1, cid * 30 + 40), ' ') AS chunk_text
+FROM c
+"""
+)

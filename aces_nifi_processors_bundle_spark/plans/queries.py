@@ -1210,3 +1210,13 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", {"en": 4000, "zh": 2000}, token_col=word_count(F.col("text"))
     )
     return out.select("doc_id", "lang", "n_tokens", "tokens_before")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (pipeline/text.py::
+    chunk_documents): chunk 40 / overlap 10 over documents — pure
+    codegen fan-out, no shuffle, no UDF."""
+    from ..pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=40, overlap=10)

@@ -533,3 +533,33 @@ def test_token_budget_mix_greedy_prefix(spark):
     )
     out2 = token_budget_mix(df2, "g", {"a": 95}, token_col=F.lit(10)).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunk boundaries: overlap honored, short docs yield one chunk,
+    no trailing suffix-only chunk, and the plan has no exchange."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.text import chunk_documents
+
+    w = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=w(5)),    # < chunk -> 1 chunk of 5
+            Row(doc_id=2, text=w(10)),   # == chunk -> 1 chunk
+            Row(doc_id=3, text=w(17)),   # ceil((17-4)/6)=3 chunks
+            Row(doc_id=4, text=""),      # empty -> 1 chunk of ['']
+        ]
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=4)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert sorted(rows) == [(1, 0), (2, 0), (3, 0), (3, 1), (3, 2), (4, 0)]
+    assert rows[(1, 0)]["n_chunk_tokens"] == 5
+    assert rows[(2, 0)]["chunk_text"] == w(10)
+    # chunk 1 of doc 3 starts at word 6 (stride 6) and spans 10 words
+    assert rows[(3, 1)]["chunk_text"].split() == [f"w{i}" for i in range(6, 16)]
+    # last chunk: words 12..16 (5 words) — overlaps 4 with chunk 1
+    assert rows[(3, 2)]["chunk_text"].split() == [f"w{i}" for i in range(12, 17)]
+    assert rows[(3, 2)]["n_chunk_tokens"] == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
