@@ -448,3 +448,49 @@ def simhash_near_dups(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 2,
+) -> dict[str, DataFrame]:
+    """Eval-set decontamination: flag training documents sharing
+    >= min_hits distinct k-gram shingles with ANY eval document — the
+    n-gram-overlap contamination test LLM pipelines run before
+    training (a train doc that quotes eval content would leak the
+    benchmark).
+
+    Returns {"clean": ..., "contaminated": ...}; contaminated rows
+    carry n_hits = the number of DISTINCT train-doc shingles that occur
+    anywhere in the eval set (the eval side is deduped first, so a
+    shingle shared with many eval docs still counts once — hits measure
+    how much of THIS doc overlaps eval, not how many eval docs it
+    touches).
+
+    Scale shape: the eval side is tiny next to the corpus, so the
+    shingle join broadcasts the EVAL shingle set; the train side
+    streams through map-side — one groupBy(id) shuffle for the hit
+    counts, then a broadcast semi/anti join of the flagged-id list
+    back onto the corpus. No train-vs-train pairing anywhere.
+    """
+    train_sh = shingle_rows(train_df, text_col, id_col, k).dropDuplicates(
+        [id_col, "shingle"]
+    )
+    eval_sh = (
+        shingle_rows(eval_df, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    contaminated = train_df.join(F.broadcast(hits), id_col)
+    clean = train_df.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    return {"clean": clean, "contaminated": contaminated}

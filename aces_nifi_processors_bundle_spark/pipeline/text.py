@@ -317,3 +317,30 @@ def chunk_documents(
             F.slice(F.col("_w"), start + F.lit(1), F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Within-document duplicate-k-gram fraction — the repetition
+    quality signal (a high ratio marks boilerplate loops and decoding
+    artifacts; heuristic-filter suites threshold it per k).
+
+    rep_ratio = 1 - distinct_kgrams / total_kgrams, 0.0 for docs too
+    short to shingle. One explode + map-side-combined groupBy(id) with
+    count + count_distinct — shuffle rows are per-doc partials, never
+    per-shingle.
+    """
+    rows = shingle_rows(df, text_col, id_col, k)
+    return rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        F.count_distinct(F.col("shingle")).alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(F.col("shingle"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rep_ratio"),
+    )

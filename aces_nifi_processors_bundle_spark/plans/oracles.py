@@ -1175,3 +1175,29 @@ SELECT doc_id,
 FROM c
 """
 )
+
+oracle("q_decontaminate")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM shx WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM shx WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits >= 2
+"""
+)
+
+oracle("q_repetition_ratio")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+       1.0 - count(DISTINCT s) / CAST(count(*) AS DOUBLE) AS rep_ratio
+FROM shx GROUP BY doc_id
+"""
+)

@@ -1220,3 +1220,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, chunk_tokens=40, overlap=10)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (pipeline/dedup.py::decontaminate):
+    every 50th doc plays the held-out eval set; training docs sharing
+    >= 2 distinct 3-gram shingles with it are flagged. Eval shingles
+    broadcast; no train-vs-train pairing."""
+    from ..pipeline.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate(train, ev, k=3, min_hits=2)
+    return out["contaminated"].select("doc_id", "n_hits")
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-3-gram fraction (pipeline/text.py::
+    repetition_ratio) — the repetition quality signal; one map-side-
+    combined groupBy(doc_id)."""
+    from ..pipeline.text import repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_ratio(docs, k=3)

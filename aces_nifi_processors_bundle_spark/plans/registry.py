@@ -54,6 +54,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_sample_stratified": q.q_sample_stratified,
     "q_mix_token_budget": q.q_mix_token_budget,
     "q_chunk_documents": q.q_chunk_documents,
+    "q_decontaminate": q.q_decontaminate,
+    "q_repetition_ratio": q.q_repetition_ratio,
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
     "q_ivf_topk": q.q_ivf_topk,

@@ -563,3 +563,51 @@ def test_chunk_documents_windows_and_edges(spark):
     assert rows[(3, 2)]["n_chunk_tokens"] == 5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decontaminate_flags_quoting_docs_and_broadcasts(spark):
+    """Docs quoting >= min_hits eval shingles are flagged; clean +
+    contaminated partition the corpus; the eval side broadcasts."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [Row(doc_id=900, text="what is the capital of france paris obviously")]
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes a 5-word eval span -> 3 shared 3-grams
+            Row(doc_id=1, text="someone asked what is the capital of france today"),
+            # shares exactly one 3-gram ("capital of france")... none —
+            # rearranged words, zero shared 3-grams
+            Row(doc_id=2, text="france of capital the is what"),
+            Row(doc_id=3, text="a completely unrelated training document here"),
+        ]
+    )
+    out = decontaminate(train, ev, k=3, min_hits=2)
+    bad = {r["doc_id"]: r["n_hits"] for r in out["contaminated"].collect()}
+    good = sorted(r["doc_id"] for r in out["clean"].collect())
+    assert set(bad) == {1} and bad[1] >= 2
+    assert good == [2, 3]
+    plan = out["contaminated"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval shingles ship, corpus streams
+
+
+def test_repetition_ratio_values(spark):
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c a b"),  # 6 kgrams, 3 distinct
+            Row(doc_id=2, text="x y z w"),          # 2 kgrams, 2 distinct
+            Row(doc_id=3, text="short one"),        # <3 words -> 1 kgram
+        ]
+    )
+    got = {r["doc_id"]: r for r in repetition_ratio(df, k=3).collect()}
+    assert (got[1]["n_kgrams"], got[1]["n_distinct"]) == (6, 3)
+    assert abs(got[1]["rep_ratio"] - 0.5) < 1e-12
+    assert got[2]["rep_ratio"] == 0.0
+    assert (got[3]["n_kgrams"], got[3]["rep_ratio"]) == (1, 0.0)
