@@ -7,7 +7,7 @@ No reference analog (the NiFi bundle stops at storage); these extend
 the engine for the LLM-corpus workload the same way pipeline/dedup.py
 and pipeline/similarity.py do.
 
-Design rules shared by all three operators:
+Design rules shared by all the operators here:
 - Assignment is a PURE FUNCTION of the row's id (md5-hash order), so
   a document's split/sample membership never changes when other
   documents are added or removed — the property that keeps train/test
@@ -150,3 +150,27 @@ def token_budget_mix(
         )
         .filter(F.col("tokens_before") < budget)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Keep each row independently with probability = its weight in
+    [0, 1] — quality-proportional downsampling (keep-prob from a
+    quality score is the standard soft filter between hard thresholds
+    and keeping everything). Weights are clamped into [0, 1].
+
+    Deterministic: row kept iff hash(id)/MOD < weight, so membership
+    is a pure function of (id, its own weight) — stable across corpus
+    growth and layout, re-runnable (see module doc). In expectation
+    the kept token mass per stratum is sum(weight), which is how
+    mixing recipes budget soft-filtered sources.
+
+    Scale shape: zero-shuffle filter projection, fully codegen'd.
+    """
+    u = _hash_bucket(F.col(id_col), seed) / F.lit(float(_HASH_MOD))
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight_col.cast("double")))
+    return df.filter(u < w)

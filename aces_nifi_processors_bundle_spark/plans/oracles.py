@@ -1201,3 +1201,27 @@ SELECT doc_id,
 FROM shx GROUP BY doc_id
 """
 )
+
+oracle("q_weighted_sample")(
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_NW} END AS BIGINT) AS nw,
+         CAST({_NP} AS BIGINT) AS np,
+         CAST({_NSTOP} AS BIGINT) AS nstop
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         (CAST(CASE WHEN nw >= 10 AND nw <= 100000 THEN 0.5 ELSE 0.0 END AS DOUBLE)
+          + CAST(CASE WHEN (CASE WHEN nw > 0 THEN nstop / nw ELSE 0.0 END) > 0.01 THEN 0.3 ELSE 0.0 END AS DOUBLE)
+          + CAST(CASE WHEN (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) < 0.2 THEN 0.2 ELSE 0.0 END AS DOUBLE)) AS score
+  FROM f
+)
+SELECT doc_id FROM s
+WHERE (('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000) / 1000000.0
+      < least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), score))
+"""
+)

@@ -1244,3 +1244,15 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_ratio(docs, k=3)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling
+    (pipeline/splits.py::weighted_sample): keep-prob = the doc's
+    quality score; zero-shuffle codegen filter."""
+    from ..pipeline.splits import weighted_sample
+    from ..pipeline.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = weighted_sample(docs, quality_score(F.col("text")))
+    return out.select("doc_id")

@@ -56,6 +56,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_chunk_documents": q.q_chunk_documents,
     "q_decontaminate": q.q_decontaminate,
     "q_repetition_ratio": q.q_repetition_ratio,
+    "q_weighted_sample": q.q_weighted_sample,
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
     "q_ivf_topk": q.q_ivf_topk,

@@ -611,3 +611,27 @@ def test_repetition_ratio_values(spark):
     assert abs(got[1]["rep_ratio"] - 0.5) < 1e-12
     assert got[2]["rep_ratio"] == 0.0
     assert (got[3]["n_kgrams"], got[3]["rep_ratio"]) == (1, 0.0)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    """Keep rate tracks the weight; membership is id-stable; weight 0
+    drops all, weight 1 keeps all; zero-shuffle plan."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(2000)])
+    kept = weighted_sample(df, F.lit(0.3))
+    n = kept.count()
+    assert 500 < n < 700  # ~600 expected, md5-uniform
+    assert n == weighted_sample(df, F.lit(0.3)).count()  # deterministic
+    assert weighted_sample(df, F.lit(0.0)).count() == 0
+    assert weighted_sample(df, F.lit(1.0)).count() == 2000
+    assert weighted_sample(df, F.lit(5.0)).count() == 2000  # clamped
+    # subset property: raising the weight only ADDS rows
+    low = {r["doc_id"] for r in kept.collect()}
+    high = {r["doc_id"] for r in weighted_sample(df, F.lit(0.6)).collect()}
+    assert low <= high
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
