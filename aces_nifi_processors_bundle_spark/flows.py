@@ -25,6 +25,19 @@ Stage kinds mirror the reference surface:
   {"op": "store_put_if_absent", "path": ..., "keys": [...]}
   {"op": "socketio",    "url": ..., "payload_col": ..., "mode": "emit"}
 
+and the LLM-corpus pipeline stages (pipeline/*), so a full
+training-data flow (dedup → scrub → split → sample → chunk) is one
+JSON document folding into one Catalyst plan:
+
+  {"op": "dedup_exact"}
+  {"op": "redact_pii"}
+  {"op": "repetition_filter", "max_ratio": 0.5, "k": 3}
+  {"op": "weighted_sample_quality"}
+  {"op": "hash_split",  "weights": {"train": 0.9, "val": 0.05, "test": 0.05}}
+  {"op": "stratified_sample", "strata": ["lang"], "n": 100}
+  {"op": "token_budget_mix", "group_col": "lang", "budgets": {...}}
+  {"op": "chunk",       "chunk_tokens": 256, "overlap": 32}
+
 Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
 processor to one relationship.
@@ -261,6 +274,108 @@ def _socketio(
         kwargs["client_factory"] = client_factory
     SocketIOSink(**kwargs).write_batch(df)
     return df
+
+
+@stage("dedup_exact")
+def _dedup_exact(
+    spark: SparkSession, df: DataFrame, *, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    from .pipeline.dedup import dedup_exact
+
+    return dedup_exact(df, text_col, id_col)
+
+
+@stage("redact_pii")
+def _redact(
+    spark: SparkSession, df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pipeline.text import redact_pii
+
+    return df.withColumn(text_col, redact_pii(F.col(text_col)))
+
+
+@stage("repetition_filter")
+def _repetition_filter(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    max_ratio: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pipeline.text import repetition_ratio
+
+    keep = (
+        repetition_ratio(df, text_col, id_col, k)
+        .filter(F.col("rep_ratio") <= max_ratio)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+@stage("weighted_sample_quality")
+def _weighted_sample_quality(
+    spark: SparkSession, df: DataFrame, *, text_col: str = "text",
+    id_col: str = "doc_id", seed: str = "wsample",
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pipeline.splits import weighted_sample
+    from .pipeline.text import quality_score
+
+    return weighted_sample(df, quality_score(F.col(text_col)), id_col, seed)
+
+
+@stage("hash_split")
+def _hash_split(
+    spark: SparkSession, df: DataFrame, *, weights: dict[str, float] | None = None,
+    id_col: str = "doc_id", seed: str = "split",
+) -> DataFrame:
+    from .pipeline.splits import hash_split
+
+    return hash_split(df, id_col, weights, seed)
+
+
+@stage("stratified_sample")
+def _stratified_sample(
+    spark: SparkSession, df: DataFrame, *, strata: list[str], n: int,
+    id_col: str = "doc_id", seed: str = "sample",
+) -> DataFrame:
+    from .pipeline.splits import stratified_sample
+
+    return stratified_sample(df, strata, n, id_col, seed)
+
+
+@stage("token_budget_mix")
+def _token_budget_mix(
+    spark: SparkSession, df: DataFrame, *, group_col: str,
+    budgets: dict[str, int], text_col: str = "text", id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pipeline.splits import token_budget_mix
+    from .pipeline.text import word_count
+
+    return token_budget_mix(
+        df, group_col, budgets, word_count(F.col(text_col)), id_col, seed
+    )
+
+
+@stage("chunk")
+def _chunk(
+    spark: SparkSession, df: DataFrame, *, chunk_tokens: int = 256,
+    overlap: int = 32, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    from .pipeline.text import chunk_documents
+
+    return chunk_documents(df, text_col, id_col, chunk_tokens, overlap)
 
 
 def build_flow(

@@ -1225,3 +1225,34 @@ WHERE (('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGIN
       < least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), score))
 """
 )
+
+oracle("q_flow_llm_pipeline")(
+    """
+WITH kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper
+        FROM documents GROUP BY 1) k
+    ON md5(d.text) = k.h AND d.doc_id = k.keeper
+),
+tr AS (
+  SELECT doc_id, text FROM kept
+  WHERE ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000 < 900000
+),
+w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM tr
+),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(range(greatest(1, CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS cid
+  FROM w
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(least(40, n - cid * 30) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, cid * 30 + 1, cid * 30 + 40), ' ') AS chunk_text
+FROM c
+"""
+)

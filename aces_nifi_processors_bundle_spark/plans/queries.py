@@ -1256,3 +1256,21 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = weighted_sample(docs, quality_score(F.col("text")))
     return out.select("doc_id")
+
+
+def q_flow_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete training-data pipeline as ONE JSON flow document
+    (flows.py): exact dedup → train split → overlapping chunking.
+    Folds into one Catalyst plan; the oracle recomputes the identical
+    three stages in SQL."""
+    from ..flows import build_flow
+
+    flow = [
+        {"op": "load", "table": "documents"},
+        {"op": "select", "columns": ["doc_id", "text"]},
+        {"op": "dedup_exact"},
+        {"op": "hash_split"},
+        {"op": "filter", "condition": "split = 'train'"},
+        {"op": "chunk", "chunk_tokens": 40, "overlap": 10},
+    ]
+    return build_flow(spark, flow, sf_dir)

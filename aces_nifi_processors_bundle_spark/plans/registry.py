@@ -57,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_decontaminate": q.q_decontaminate,
     "q_repetition_ratio": q.q_repetition_ratio,
     "q_weighted_sample": q.q_weighted_sample,
+    "q_flow_llm_pipeline": q.q_flow_llm_pipeline,
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
     "q_ivf_topk": q.q_ivf_topk,

@@ -179,3 +179,57 @@ def test_flow_errors_are_actionable(spark, sf_dir):
         build_flow(spark, [{"op": "load", "table": "events"}, {"op": "nope"}], sf_dir)
     with pytest.raises(ValueError, match="must start with a 'load'"):
         build_flow(spark, [{"op": "filter", "condition": "1=1"}], sf_dir)
+
+
+def test_llm_pipeline_flow_matches_hand_composed(spark, sf_dir):
+    """The full training-data flow (dedup → repetition filter →
+    quality-weighted sample → split → mix → chunk) equals composing
+    the pipeline functions directly, and every transform stage stays
+    in ONE lazy plan."""
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import dedup_exact
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_split,
+        token_budget_mix,
+        weighted_sample,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        chunk_documents,
+        quality_score,
+        repetition_ratio,
+        word_count,
+    )
+
+    flow = [
+        {"op": "load", "table": "documents"},
+        {"op": "select", "columns": ["doc_id", "lang", "text"]},
+        {"op": "dedup_exact"},
+        {"op": "repetition_filter", "max_ratio": 0.8},
+        {"op": "weighted_sample_quality"},
+        {"op": "hash_split"},
+        {"op": "filter", "condition": "split = 'train'"},
+        {"op": "token_budget_mix", "group_col": "lang",
+         "budgets": {"en": 3000, "de": 1000}},
+        {"op": "chunk", "chunk_tokens": 30, "overlap": 5},
+    ]
+    flow_df = build_flow(spark, json.loads(json.dumps(flow)), sf_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = dedup_exact(d)
+    keep = (
+        repetition_ratio(d)
+        .filter(F.col("rep_ratio") <= 0.8)
+        .select("doc_id")
+    )
+    d = d.join(keep, "doc_id", "left_semi")
+    d = weighted_sample(d, quality_score(F.col("text")))
+    d = hash_split(d).filter("split = 'train'")
+    d = token_budget_mix(
+        d, "lang", {"en": 3000, "de": 1000}, word_count(F.col("text"))
+    )
+    direct = chunk_documents(d, chunk_tokens=30, overlap=5)
+
+    got = sorted(map(tuple, flow_df.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got and got == want
