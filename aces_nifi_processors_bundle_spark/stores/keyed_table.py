@@ -316,8 +316,25 @@ class KeyedParquetStore:
             )
         return man
 
-    def _publish(self, fs, Path, man: dict) -> None:
+    def _manifest_at(self, fs, Path, version: int) -> dict:
+        """Resolve a specific retained manifest version (time travel).
+        Raises if the version was never published or was GC'd past the
+        retention window."""
+        mdir = Path(f"{self.path}/{MANIFESTS}")
+        prefix = f"v{version:010d}"
+        if fs.exists(mdir):
+            for entry in fs.listStatus(mdir):
+                name = entry.getPath().getName()
+                if name.startswith(prefix) and name.endswith(".json"):
+                    return json.loads(self._read_text(fs, entry.getPath()))
+        raise FileNotFoundError(
+            f"store {self.path}: version {version} not retained (never "
+            f"published, or GC'd after {self.lock_stale_sec:.0f}s retention)"
+        )
+
+    def _publish(self, fs, Path, man: dict, op: str = "commit") -> None:
         """One atomic rename = the commit point."""
+        man = {**man, "op": op, "ts": time.time()}
         fs.mkdirs(Path(f"{self.path}/{MANIFESTS}"))
         tmp = Path(f"{self.path}/{MANIFESTS}/.tmp-{uuid.uuid4().hex}")
         self._write_text(fs, tmp, json.dumps(man))
@@ -382,20 +399,38 @@ class KeyedParquetStore:
         return seg, present
 
     def _gc(self, fs, Path) -> None:
-        """Run under the freshly-acquired lock: delete segment bucket
-        dirs not referenced by the LATEST manifest and superseded
-        manifests — both only once older than lock_stale_sec, so a
+        """Run under the freshly-acquired lock: delete superseded
+        manifests once older than lock_stale_sec, and segment bucket
+        dirs once they are BOTH older than lock_stale_sec and
+        unreferenced by every manifest that survives this pass — so a
         reader holding a resolved snapshot keeps its files for at
-        least the retention window."""
+        least the retention window, and `read(version=)` time travel
+        is sound for every still-retained version (the Delta
+        VACUUM-retention contract)."""
         root = Path(self.path)
         if not fs.exists(root):
             return
         man = self._latest_manifest(fs, Path)
-        referenced = {
-            d for dirs in (man or {"buckets": {}})["buckets"].values() for d in dirs
-        }
         latest_name = f"v{man['version']:010d}" if man else ""
         now = time.time()
+        # Every manifest surviving this pass (latest + young superseded)
+        # pins its segment dirs — a retained snapshot may reference dirs
+        # far older than itself (carried over across many versions).
+        referenced: set[str] = set()
+        mdir0 = Path(f"{self.path}/{MANIFESTS}")
+        if fs.exists(mdir0):
+            for entry in fs.listStatus(mdir0):
+                name = entry.getPath().getName()
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                m_stale = (
+                    now - entry.getModificationTime() / 1000.0 >= self.lock_stale_sec
+                )
+                if name.startswith(latest_name) or not m_stale:
+                    m = json.loads(self._read_text(fs, entry.getPath()))
+                    referenced.update(
+                        d for dirs in m["buckets"].values() for d in dirs
+                    )
         sdir = Path(f"{self.path}/{SEGMENTS}")
         if fs.exists(sdir):
             for seg in fs.listStatus(sdir):
@@ -452,17 +487,67 @@ class KeyedParquetStore:
                         for b in range(self.n_buckets)
                     },
                 },
+                op="init",
             )
 
-    def read(self) -> DataFrame:
-        """Lock-free snapshot read: resolve the latest manifest, read
-        exactly its files. A commit racing this read flips atomically —
-        the reader sees full pre- or full post-state, never mid-swap."""
+    def read(self, version: int | None = None) -> DataFrame:
+        """Lock-free snapshot read: resolve the latest manifest (or a
+        specific retained `version` — time travel, exactly the Delta
+        `versionAsOf` contract: any version still inside the
+        `lock_stale_sec` retention window is readable), read exactly
+        its files. A commit racing this read flips atomically — the
+        reader sees full pre- or full post-state, never mid-swap."""
         fs, Path = self._fs()
-        man = self._require_manifest(fs, Path)
+        if version is None:
+            man = self._require_manifest(fs, Path)
+        else:
+            man = self._manifest_at(fs, Path, version)
         return self._read_dirs(
             man, [d for dirs in man["buckets"].values() for d in dirs]
         )
+
+    def history(self) -> list[dict]:
+        """Retained commit log, newest first: one dict per manifest
+        (version, op, ts) — the DESCRIBE HISTORY analog. Versions past
+        the retention window have been GC'd and don't appear."""
+        fs, Path = self._fs()
+        mdir = Path(f"{self.path}/{MANIFESTS}")
+        out = []
+        if fs.exists(mdir):
+            for entry in fs.listStatus(mdir):
+                name = entry.getPath().getName()
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                m = json.loads(self._read_text(fs, entry.getPath()))
+                out.append(
+                    {
+                        "version": m["version"],
+                        "op": m.get("op", "commit"),
+                        "ts": m.get("ts"),
+                    }
+                )
+        return sorted(out, key=lambda m: -m["version"])
+
+    def restore(self, version: int) -> None:
+        """Roll the table back to a retained version by publishing a NEW
+        manifest carrying that version's bucket map (the RESTORE TABLE
+        analog): history moves forward, nothing is rewritten, and the
+        restored snapshot's segments are re-pinned as latest (so GC
+        keeps them)."""
+        with self._write_lock():
+            fs, Path = self._fs()
+            self._gc(fs, Path)
+            target = self._manifest_at(fs, Path, version)
+            latest = self._require_manifest(fs, Path)
+            self._publish(
+                fs,
+                Path,
+                {
+                    **target,
+                    "version": latest["version"] + 1,
+                },
+                op=f"restore(v{version})",
+            )
 
     def _touched(self, man: dict, source: DataFrame) -> tuple[list[int], DataFrame]:
         """Bucket ids containing any source key (small driver-side list
@@ -525,6 +610,7 @@ class KeyedParquetStore:
                     "schema": self._evolved_schema(man, out),
                     "buckets": new_buckets,
                 },
+                op="merge",
             )
             ctx["n_rows"] = int(m["updated"] or 0) + int(m["inserted"] or 0)
         return MergeMetrics(
@@ -579,6 +665,7 @@ class KeyedParquetStore:
                     "schema": self._evolved_schema(man, out),
                     "buckets": new_buckets,
                 },
+                op="put-if-absent",
             )
             ctx["n_rows"] = int(m["inserted"] or 0)
         return MergeMetrics(
@@ -626,5 +713,6 @@ class KeyedParquetStore:
                 fs,
                 Path,
                 {**man, "version": man["version"] + 1, "buckets": new_buckets},
+                op="compact",
             )
         return len(frag)

@@ -165,3 +165,74 @@ def test_salted_topk_equals_python_model(spark, rows, k):
         for i, (n, s) in enumerate(ranked):
             expect[(q, i + 1)] = (n, s)
     assert got == expect
+
+
+@PROP
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=30
+    ),
+    st.integers(min_value=2, max_value=64),
+    st.data(),
+)
+def test_chunk_documents_tiling_model(spark, word_counts, chunk_tokens, data):
+    """For any doc, the chunks reconstruct it exactly: chunk 0 plus the
+    post-overlap tail of every later chunk tiles the word sequence, and
+    chunk starts advance by stride. Model: Python slicing."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_tokens - 1))
+    stride = chunk_tokens - overlap
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)))
+        for i, n in enumerate(word_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    for i, n in enumerate(word_counts):
+        words = [f"d{i}w{j}" for j in range(n)]
+        chunks = by_doc[i]
+        import math
+
+        want_n = max(1, math.ceil((n - overlap) / stride))
+        assert sorted(chunks) == list(range(want_n))
+        for c, text in chunks.items():
+            assert text.split() == words[c * stride : c * stride + chunk_tokens]
+        # tiling: chunk 0 + tails reconstructs the doc
+        rebuilt = chunks[0].split()
+        for c in range(1, want_n):
+            rebuilt += chunks[c].split()[overlap:]
+        assert rebuilt == words
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+             max_size=200, unique=True),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_hash_split_model(spark, ids, train_w):
+    """hash_split == the md5-threshold Python model, and splits
+    partition the corpus exactly."""
+    import hashlib
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import hash_split
+
+    rest = (1.0 - train_w) / 2
+    weights = {"train": train_w, "val": rest, "test": rest}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in hash_split(df, weights=weights).collect()}
+
+    def model(i):
+        b = int(hashlib.md5(f"split{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        acc = 0.0
+        for name, w in weights.items():
+            acc += w
+            if b < int(round(acc * 1_000_000)):
+                return name
+        return name
+
+    assert got == {i: model(i) for i in ids}

@@ -433,3 +433,72 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_time_travel_read_history_restore(spark, tmp_path):
+    """Every retained manifest version is readable (versionAsOf),
+    history lists the commit log, restore republishes an old snapshot
+    as a NEW version without rewriting data."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    store.init(spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]))  # v1
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    store.merge(spark.createDataFrame([Row(k=1, v=10.0)]), cfg)            # v2
+    store.put_if_absent(spark.createDataFrame([Row(k=3, v=3.0)]))          # v3
+
+    def snap(version=None):
+        return {r["k"]: r["v"] for r in store.read(version).collect()}
+
+    assert snap(1) == {1: 1.0, 2: 2.0}
+    assert snap(2) == {1: 10.0, 2: 2.0}
+    assert snap(3) == {1: 10.0, 2: 2.0, 3: 3.0}
+    assert snap() == snap(3)
+    hist = store.history()
+    assert [(h["version"], h["op"]) for h in hist] == [
+        (3, "put-if-absent"), (2, "merge"), (1, "init"),
+    ]
+    assert all(h["ts"] is not None for h in hist)
+
+    store.restore(1)  # -> v4 with v1's content
+    assert snap() == {1: 1.0, 2: 2.0}
+    assert store.history()[0]["op"] == "restore(v1)"
+    assert snap(3) == {1: 10.0, 2: 2.0, 3: 3.0}  # forward history kept
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        store.read(99)
+
+
+def test_gc_pins_segments_of_retained_superseded_manifests(spark, tmp_path):
+    """A superseded-but-retained manifest keeps its segment dirs alive
+    even when those dirs are OLDER than the retention window (carried
+    over from earlier versions) — the invariant that makes time travel
+    sound within retention."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2,
+        lock_stale_sec=3600.0,
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(8)]))
+    v1_dirs = {
+        d for dirs in _bucket_dirs(store).values() for d in dirs
+    }
+    # age v1's segment dirs AND manifest far past retention
+    for seg in os.listdir(os.path.join(store.path, "_segments")):
+        p = os.path.join(store.path, "_segments", seg)
+        old = time.time() - 7200
+        os.utime(p, (old, old))
+        for b in os.listdir(p):
+            os.utime(os.path.join(p, b), (old, old))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    # v2 touches ONE bucket; the other bucket still references v1 dirs.
+    # v2 is young -> retained -> its v1-born dirs must survive GC even
+    # though they're old and unreferenced-by... (latest references them
+    # too here, so ALSO age the v2->v3 step:)
+    store.merge(spark.createDataFrame([Row(k=0, v=100.0)]), cfg)
+    # now v3 touches the SAME bucket again: v2's new segment becomes
+    # unreferenced by latest, but v2 (young) still pins it
+    store.merge(spark.createDataFrame([Row(k=0, v=200.0)]), cfg)
+    # trigger GC via another write
+    store.merge(spark.createDataFrame([Row(k=0, v=300.0)]), cfg)
+    # every retained version must still be fully readable
+    for h in store.history():
+        assert store.read(h["version"]).count() == 8
