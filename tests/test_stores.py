@@ -502,3 +502,61 @@ def test_gc_pins_segments_of_retained_superseded_manifests(spark, tmp_path):
     # every retained version must still be fully readable
     for h in store.history():
         assert store.read(h["version"]).count() == 8
+
+
+def test_cross_process_snapshot_isolation(spark, tmp_path):
+    """THE multi-process claim: a second OS process (own JVM, own
+    SparkSession) merges batch after batch while this process reads
+    lock-free. Every read must see one fully-committed version — all
+    rows carrying the same v (each merge $sets v on every row), never
+    a mix of two versions or a missing bucket."""
+    import subprocess
+    import sys
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=8
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=0.0) for i in range(64)]))
+
+    child_src = f"""
+import sys, tempfile
+sys.path.insert(0, {str(os.getcwd())!r})
+from pyspark.sql import SparkSession, Row
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.extraJavaOptions",
+            "-Dderby.system.home=" + tempfile.mkdtemp())
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from aces_nifi_processors_bundle_spark.stores.keyed_table import KeyedParquetStore
+from aces_nifi_processors_bundle_spark.operators.partial_update import PartialUpdateConfig
+store = KeyedParquetStore(spark=spark, path={store.path!r}, keys=["k"], n_buckets=8)
+cfg = PartialUpdateConfig(keys=["k"], operations={{"v": "$set"}}, upsert=False)
+for i in range(1, 6):
+    store.merge(spark.createDataFrame([Row(k=k, v=float(i)) for k in range(64)]), cfg)
+print("CHILD_DONE")
+spark.stop()
+"""
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        versions_seen = set()
+        while child.poll() is None:
+            rows = store.read().select("k", "v").collect()
+            assert len(rows) == 64  # no bucket ever missing mid-commit
+            vs = {r["v"] for r in rows}
+            assert len(vs) == 1, f"torn read: mixed versions {vs}"
+            versions_seen.add(vs.pop())
+        out, _ = child.communicate(timeout=60)
+        assert "CHILD_DONE" in out, "child writer failed"
+    finally:
+        if child.poll() is None:
+            child.kill()
+    final = {r["v"] for r in store.read().collect()}
+    assert final == {5.0}
+    assert len(versions_seen) >= 2  # reads genuinely spanned commits
