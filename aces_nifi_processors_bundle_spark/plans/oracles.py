@@ -1256,3 +1256,15 @@ SELECT doc_id,
 FROM c
 """
 )
+
+oracle("q_profile_values_approx")(
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean,
+       round(quantile_disc(value, 0.5), 6) AS p50,
+       round(quantile_disc(value, 0.95), 6) AS p95,
+       round(quantile_disc(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+)

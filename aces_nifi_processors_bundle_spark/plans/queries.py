@@ -389,6 +389,25 @@ def q_profile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_values_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HUGE-GROUP profiling variant: percentile_approx (a
+    Greenwald-Khanna sketch, mergeable map-side, O(accuracy) memory
+    instead of a per-group sort) — the path a 100 TB profile run
+    takes. While group sizes stay under the sketch accuracy the result
+    is exactly the rank statistic DuckDB's quantile_disc computes, so
+    THIS query is oracle-matched too; past that size the sketch is
+    rank-accurate to n/accuracy (the documented trade)."""
+    events = load_table(spark, sf_dir, "events")
+    acc = 100_000
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.percentile_approx("value", 0.5, acc), 6).alias("p50"),
+        F.round(F.percentile_approx("value", 0.95, acc), 6).alias("p95"),
+        F.round(F.percentile_approx("value", 0.99, acc), 6).alias("p99"),
+    )
+
+
 def q_flow_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship binning assembled from a JSON-able flow definition
     (flows.py — the NiFi canvas analog) instead of hand-composed code;

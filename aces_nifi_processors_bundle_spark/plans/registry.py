@@ -45,6 +45,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_redact_pii": q.q_redact_pii,
     "q_top_terms": q.q_top_terms,
     "q_profile_values": q.q_profile_values,
+    "q_profile_values_approx": q.q_profile_values_approx,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
