@@ -1268,3 +1268,29 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 )
+
+oracle("q_stream_chunk_documents")(
+    """
+WITH tr AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000 < 900000
+),
+w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM tr
+),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(range(greatest(1, CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS cid
+  FROM w
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(least(40, n - cid * 30) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, cid * 30 + 1, cid * 30 + 40), ' ') AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+)

@@ -871,6 +871,18 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return spark.readStream.schema(events.schema).parquet(_STREAM_SRC_DIRS[sf_dir])
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = f"{sf_dir}#documents"
+    if key not in _STREAM_SRC_DIRS:
+        data_dir = tempfile.mkdtemp(prefix="aces_stream_docs_")
+        docs.write.mode("overwrite").parquet(data_dir)
+        _STREAM_SRC_DIRS[key] = data_dir
+    return spark.readStream.schema(docs.schema).parquet(_STREAM_SRC_DIRS[key])
+
+
 def q_stream_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship binning executed under Structured Streaming
     (availableNow trigger → memory sink, complete mode): same
@@ -1293,3 +1305,33 @@ def q_flow_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"op": "chunk", "chunk_tokens": 40, "overlap": 10},
     ]
     return build_flow(spark, flow, sf_dir)
+
+
+def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline transforms under Structured Streaming: the
+    STATELESS stages (dedup aside) run unchanged on a documents stream
+    — here train-split assignment + filter + overlapping chunking on
+    micro-batches, availableNow → memory sink. Same oracle machinery
+    as the batch flow (streaming is an execution mode, not a semantic
+    change)."""
+    import uuid
+
+    from ..pipeline.splits import hash_split
+    from ..pipeline.text import chunk_documents
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    out = chunk_documents(
+        hash_split(stream).filter("split = 'train'"),
+        chunk_tokens=40,
+        overlap=10,
+    )
+    qname = f"chunk_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).orderBy("doc_id", "chunk_id")

@@ -67,6 +67,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_features": q.q_multimodal_features,
     "q_stream_bin_flagship": q.q_stream_bin_flagship,
     "q_stream_bin_windowed": q.q_stream_bin_windowed,
+    "q_stream_chunk_documents": q.q_stream_chunk_documents,
     "q_stream_first_seen": q.q_stream_first_seen,
     "q_stream_first_seen_stateful": q.q_stream_first_seen_stateful,
     "q_stream_sessions": q.q_stream_sessions,

@@ -68,10 +68,12 @@ def main() -> None:
     # (~1.5s of parquet rewrite billed to q_stream_bin_flagship in
     # BENCH_r03).
     from aces_nifi_processors_bundle_spark.plans.queries import (  # noqa: PLC0415
+        _documents_stream,
         _events_stream,
     )
 
     _events_stream(spark, sf_dir)
+    _documents_stream(spark, sf_dir)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
