@@ -19,6 +19,15 @@ import sys
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _session(get_spark, app_name):
+    """Only stop the session on exit if the CLI created it — an
+    embedding process (tests, a notebook) keeps its own session."""
+    from pyspark.sql import SparkSession
+
+    pre = SparkSession.getActiveSession()
+    return get_spark(app_name=app_name), pre is None
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="aces_nifi_processors_bundle_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -37,7 +46,43 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("flow_file")
     fp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     fp.add_argument("--limit", type=int, default=20)
+    st = sub.add_parser(
+        "store", help="keyed-store operations (time travel / history)"
+    )
+    st.add_argument("action", choices=["history", "read", "restore"])
+    st.add_argument("path")
+    st.add_argument("--keys", required=True, help="comma-separated key columns")
+    st.add_argument("--n-buckets", type=int, default=64)
+    st.add_argument("--version", type=int, default=None)
+    st.add_argument("--limit", type=int, default=20)
     args = p.parse_args(argv)
+
+    if args.cmd == "store":
+        from .session import get_spark
+        from .stores import KeyedParquetStore
+
+        spark, owned = _session(get_spark, "aces-cli-store")
+        try:
+            store = KeyedParquetStore(
+                spark=spark, path=args.path, keys=args.keys.split(","),
+                n_buckets=args.n_buckets,
+            )
+            if args.action == "history":
+                for h in store.history():
+                    print(f"v{h['version']}\t{h['op']}\t{h['ts']}")
+            elif args.action == "read":
+                store.read(args.version).show(args.limit, truncate=False)
+            else:
+                if args.version is None:
+                    print("restore requires --version", file=sys.stderr)
+                    return 2
+                store.restore(args.version)
+                print(f"restored to v{args.version} "
+                      f"(published v{store.history()[0]['version']})")
+        finally:
+            if owned:
+                spark.stop()
+        return 0
 
     if args.cmd == "flow":
         import json
@@ -47,11 +92,12 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.flow_file) as fh:
             flow = json.load(fh)
-        spark = get_spark(app_name="aces-cli-flow")
+        spark, owned = _session(get_spark, "aces-cli-flow")
         try:
             build_flow(spark, flow, args.sf_dir).show(args.limit, truncate=False)
         finally:
-            spark.stop()
+            if owned:
+                spark.stop()
         return 0
 
     from .plans.oracles import ORACLES
@@ -76,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import get_spark
 
-    spark = get_spark(app_name=f"aces-cli-{args.cmd}")
+    spark, owned = _session(get_spark, f"aces-cli-{args.cmd}")
     try:
         df = QUERIES[args.query](spark, args.sf_dir)
         if args.cmd == "run":
@@ -86,7 +132,8 @@ def main(argv: list[str] | None = None) -> int:
             em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
             print(df._jdf.queryExecution().explainString(em))
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
     return 0
 
 

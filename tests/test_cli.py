@@ -25,3 +25,32 @@ def test_cli_oracle_prints_sql_and_rejects_unknown(capsys):
 def test_cli_unknown_query_is_actionable(capsys):
     assert main(["run", "q_nope"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_store_history_read_restore(spark, tmp_path, capsys):
+    """The store subcommand surfaces time travel operationally."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.__main__ import main
+    from aces_nifi_processors_bundle_spark.operators.partial_update import (
+        PartialUpdateConfig,
+    )
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    path = str(tmp_path / "t")
+    store = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=4)
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=False)
+    store.merge(spark.createDataFrame([Row(k=1, v=2.0)]), cfg)
+
+    assert main(["store", "history", path, "--keys", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "v2\tmerge" in out and "v1\tinit" in out
+
+    assert main(["store", "read", path, "--keys", "k", "--version", "1"]) == 0
+    assert "1.0" in capsys.readouterr().out
+
+    assert main(["store", "restore", path, "--keys", "k", "--version", "1",
+                 "--n-buckets", "4"]) == 0
+    assert "restored to v1" in capsys.readouterr().out
+    assert store.read().collect()[0]["v"] == 1.0
