@@ -494,3 +494,35 @@ def decontaminate(
     contaminated = train_df.join(F.broadcast(hits), id_col)
     clean = train_df.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
     return {"clean": clean, "contaminated": contaminated}
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 50,
+) -> DataFrame:
+    """Cross-document duplicated passages: split every doc into
+    non-overlapping word windows and report each passage text occurring
+    in more than one document — the passage-level complement to
+    doc-level dedup (catches quoted/copy-pasted spans inside otherwise
+    distinct documents, the within-doc analog of training-data
+    dedup's repeated-substring removal).
+
+    Output: (passage_hash, n_docs, n_occurrences, example_doc) — the
+    passage bodies stay distributed; only per-passage aggregates
+    return. One chunking fan-out (pure codegen, no shuffle) + one
+    hash-groupBy with map-side combine.
+    """
+    from .text import chunk_documents
+
+    chunks = chunk_documents(df, text_col, id_col, passage_tokens, overlap=0)
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("passage_hash"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("example_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1294,3 +1294,36 @@ FROM c
 ORDER BY doc_id, chunk_id
 """
 )
+
+oracle("q_duplicate_passages")(
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         'original commentary before the quote ' ||
+         array_to_string(list_slice(string_split(trim(text), ' '), 1, 20), ' ')
+  FROM documents WHERE doc_id % 25 = 0
+),
+w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM corpus
+),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(range(greatest(1, CAST(ceil(n / 20.0) AS BIGINT)))) AS cid
+  FROM w
+),
+p AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, cid * 20 + 1, cid * 20 + 20), ' ')) AS h
+  FROM c
+)
+SELECT h AS passage_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS example_doc
+FROM p GROUP BY h HAVING count(DISTINCT doc_id) > 1
+"""
+)

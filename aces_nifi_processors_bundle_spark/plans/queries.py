@@ -1335,3 +1335,22 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname).orderBy("doc_id", "chunk_id")
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 20-word passages over documents plus
+    planted copy-paste spans (doc_id+300000 quotes the first 20 words
+    of every 25th doc) — pipeline/dedup.py::duplicate_passages."""
+    from ..pipeline.dedup import duplicate_passages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quoter = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("original commentary before the quote "),
+            F.array_join(F.slice(F.split(F.trim("text"), " "), 1, 20), " "),
+        ).alias("text"),
+    )
+    return duplicate_passages(
+        docs.unionByName(quoter), passage_tokens=20
+    )

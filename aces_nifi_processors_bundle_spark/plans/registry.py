@@ -51,6 +51,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
+    "q_duplicate_passages": q.q_duplicate_passages,
     "q_hash_split": q.q_hash_split,
     "q_sample_stratified": q.q_sample_stratified,
     "q_mix_token_budget": q.q_mix_token_budget,
