@@ -124,3 +124,28 @@ def test_bin_count_has_partial_aggregation(spark, sf_dir, gran):
 
     plan = plan_of(q_bin_flagship(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ngram_inverted_index_is_equi_join(spark, sf_dir):
+    """The n-gram candidate self-join must be an equi-join on the
+    shingle (hash/sort-merge), never a nested loop, with the df prune
+    applied as an aggregate + semi join upstream."""
+    from aces_nifi_processors_bundle_spark.plans.queries import (
+        q_dedup_ngram_jaccard,
+    )
+
+    plan = plan_of(q_dedup_ngram_jaccard(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "LeftSemi" in plan  # the max_df prune
+
+
+def test_profile_approx_sketch_merges_map_side(spark, sf_dir):
+    """percentile_approx must run as a two-phase (partial + final)
+    aggregate — the sketch merges map-side, which is the whole point
+    of the huge-group variant."""
+    from aces_nifi_processors_bundle_spark.plans.queries import (
+        q_profile_values_approx,
+    )
+
+    plan = plan_of(q_profile_values_approx(spark, sf_dir))
+    assert plan.count("ObjectHashAggregate") >= 2
