@@ -1327,3 +1327,13 @@ SELECT h AS passage_hash,
 FROM p GROUP BY h HAVING count(DISTINCT doc_id) > 1
 """
 )
+
+oracle("q_stream_store_merge")(
+    """
+SELECT g.ub AS user_bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM (SELECT unnest(range(100)) AS ub) g
+LEFT JOIN (SELECT user_id % 100 AS ub, count(*) AS n
+           FROM events GROUP BY 1) c USING (ub)
+ORDER BY user_bucket
+"""
+)

@@ -1354,3 +1354,43 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_passages(
         docs.unionByName(quoter), passage_tokens=20
     )
+
+
+def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full NiFi pattern end-to-end under streaming: events stream
+    → per-micro-batch pre-aggregation → $inc merge into the keyed
+    parquet store (foreachBatch, the @SupportsBatching session-commit
+    analog). $inc accumulates across however many micro-batches the
+    trigger produces, so the final store state is batch-split-
+    independent — which is what makes a streaming SINK oracle-able."""
+    import tempfile
+
+    from ..operators.partial_update import PartialUpdateConfig
+    from ..stores import KeyedParquetStore
+    from ..streaming.binning_stream import foreach_batch_merge
+
+    stream = _events_stream(spark, sf_dir).select(
+        (F.col("user_id") % 100).alias("ub")
+    )
+    path = tempfile.mkdtemp(prefix="aces_stream_store_") + "/t"
+    store = KeyedParquetStore(spark=spark, path=path, keys=["ub"], n_buckets=8)
+    store.init(
+        spark.range(100).select(
+            F.col("id").alias("ub"), F.lit(0).cast("long").alias("n")
+        )
+    )
+    cfg = PartialUpdateConfig(keys=["ub"], operations={"n": "$inc"}, upsert=False)
+
+    def merge_fn(batch_df, _epoch):
+        pre = batch_df.groupBy("ub").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        store.merge(pre, cfg)
+
+    q = (
+        foreach_batch_merge(stream, merge_fn, tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return store.read().select(
+        F.col("ub").alias("user_bucket"), F.col("n").alias("n_events")
+    ).orderBy("user_bucket")

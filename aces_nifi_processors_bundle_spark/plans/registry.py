@@ -69,6 +69,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_bin_flagship": q.q_stream_bin_flagship,
     "q_stream_bin_windowed": q.q_stream_bin_windowed,
     "q_stream_chunk_documents": q.q_stream_chunk_documents,
+    "q_stream_store_merge": q.q_stream_store_merge,
     "q_stream_first_seen": q.q_stream_first_seen,
     "q_stream_first_seen_stateful": q.q_stream_first_seen_stateful,
     "q_stream_sessions": q.q_stream_sessions,
