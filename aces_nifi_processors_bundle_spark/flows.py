@@ -37,6 +37,7 @@ JSON document folding into one Catalyst plan:
   {"op": "stratified_sample", "strata": ["lang"], "n": 100}
   {"op": "token_budget_mix", "group_col": "lang", "budgets": {...}}
   {"op": "chunk",       "chunk_tokens": 256, "overlap": 32}
+  {"op": "write_dataset", "path": ..., "partition_cols": ["split"]}
 
 Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
@@ -366,6 +367,20 @@ def _token_budget_mix(
     return token_budget_mix(
         df, group_col, budgets, word_count(F.col(text_col)), id_col, seed
     )
+
+
+@stage("write_dataset")
+def _write_dataset(
+    spark: SparkSession, df: DataFrame, *, path: str,
+    partition_cols: list[str] | None = None, files_per_partition: int = 1,
+) -> DataFrame:
+    """ACTION: persist the corpus partitioned by split/language with
+    bounded file counts (pipeline/splits.py::write_split_dataset);
+    hands the written dataset downstream."""
+    from .pipeline.splits import write_split_dataset
+
+    write_split_dataset(df, path, partition_cols, files_per_partition)
+    return spark.read.parquet(path)
 
 
 @stage("chunk")

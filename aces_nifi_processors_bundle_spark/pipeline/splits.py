@@ -174,3 +174,49 @@ def weighted_sample(
     u = _hash_bucket(F.col(id_col), seed) / F.lit(float(_HASH_MOD))
     w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight_col.cast("double")))
     return df.filter(u < w)
+
+
+def write_split_dataset(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Terminal stage: persist the prepared corpus partitioned by split
+    (and optionally language/source) for selective downstream reads.
+
+    The repartition BEFORE partitionBy is the load-bearing line: a
+    naive `df.write.partitionBy(cols)` emits one file per
+    (task x partition-value) — with 20k shuffle partitions and 15
+    partition values that is 300k tiny files, the classic datalake
+    small-files explosion. Repartitioning on the partition columns
+    (plus a bounded salt when files_per_partition > 1 for very large
+    partitions) routes each partition value to exactly
+    files_per_partition tasks, so the file count is
+    |partition values| x files_per_partition by construction.
+    """
+    from pyspark.sql import functions as F
+
+    cols = partition_cols or ["split"]
+    keys = [F.col(c) for c in cols]
+    if files_per_partition > 1:
+        # Per-ROW salt (NOT a hash of the partition columns — that is
+        # constant within a partition and would still yield one file):
+        # hashing every data column spreads each partition value over
+        # up to files_per_partition tasks. Two constraints learned the
+        # hard way: the salt must be a PURE function of the row (a
+        # nondeterministic monotonically_increasing_id gets neutralized
+        # inside repartition's hash expression), and the partition
+        # count must be EXPLICIT — AQE otherwise coalesces the salt
+        # buckets right back into one task per value. The distinct
+        # count is driver-side partition METADATA (splits/languages:
+        # a handful of values), not row data.
+        n_values = df.select(*keys).distinct().count()
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        out = df.repartition(n_values * files_per_partition, *keys, salt)
+    else:
+        out = df.repartition(*keys)
+    out.write.mode("overwrite").partitionBy(*cols).parquet(path)

@@ -635,3 +635,38 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     assert low <= high
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_write_split_dataset_bounds_file_count(spark, tmp_path):
+    """partitionBy output must have exactly files_per_partition parquet
+    files per partition value — never one per (task x value)."""
+    import glob as g
+
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_split,
+        write_split_dataset,
+    )
+
+    df = hash_split(
+        spark.createDataFrame([Row(doc_id=i) for i in range(3000)]).repartition(32)
+    )
+    out = str(tmp_path / "ds")
+    write_split_dataset(df, out)
+    for split in ("train", "val", "test"):
+        files = g.glob(f"{out}/split={split}/*.parquet")
+        assert len(files) == 1, f"{split}: {len(files)} files"
+    total = spark.read.parquet(out).count()
+    assert total == 3000
+    # files_per_partition > 1 spreads values over up to N tasks each
+    # (hash collisions can merge salt buckets, never exceed them)
+    out2 = str(tmp_path / "ds2")
+    write_split_dataset(df, out2, files_per_partition=3)
+    counts = {
+        s: len(g.glob(f"{out2}/split={s}/*.parquet"))
+        for s in ("train", "val", "test")
+    }
+    assert all(1 <= c <= 3 for c in counts.values()), counts
+    assert sum(counts.values()) > 3, counts  # the salt genuinely spread
+    assert spark.read.parquet(out2).count() == 3000
