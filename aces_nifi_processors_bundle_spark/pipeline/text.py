@@ -344,3 +344,27 @@ def repetition_ratio(
             / F.count(F.lit(1)).cast("double")
         ).alias("rep_ratio"),
     )
+
+
+def strip_html(text: Column) -> Column:
+    """Markup removal for web-scraped corpora: drop script/style blocks
+    wholesale, strip remaining tags, decode the common entities, and
+    collapse runs of whitespace. Pure regexp_replace chain — JVM
+    codegen, RE2/Java-shared syntax, no UDF (the same design as
+    redact_pii). Not an HTML parser: malformed nesting degrades to
+    leftover text, never to an error — the right trade for a cleaning
+    pass over billions of crawled pages.
+    """
+    # Two separate block patterns instead of one with a backreference:
+    # RE2 (the oracle's engine) has no backreferences, and staying in
+    # the Java/RE2 shared subset keeps the operator oracle-checkable.
+    out = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in [
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1337,3 +1337,40 @@ LEFT JOIN (SELECT user_id % 100 AS ub, count(*) AS n
 ORDER BY user_bucket
 """
 )
+
+oracle("q_strip_html")(
+    r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var x = 1 < 2;'
+         || '</script><style>.a{color:red}</style></head><body>'
+         || '<!-- crawler comment --><h1>Title &amp; Header</h1><p>'
+         || text
+         || '</p><div class="footer">&lt;end&gt;&nbsp;&quot;quoted&quot;'
+         || '&#39;s</div></body></html>' AS h
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(h, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+         '\s+', ' ', 'g')) AS clean_text
+  FROM page
+)
+SELECT doc_id, clean_text,
+       CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+            ELSE length(trim(clean_text))
+                 - length(replace(trim(clean_text), ' ', '')) + 1
+            END AS BIGINT) AS n_words
+FROM cleaned
+"""
+)

@@ -1394,3 +1394,27 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read().select(
         F.col("ub").alias("user_bucket"), F.col("n").alias("n_events")
     ).orderBy("user_bucket")
+
+
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal (pipeline/text.py::strip_html) over documents
+    wrapped in deterministic HTML scaffolding (tags, a script block,
+    entities) — the cleaned text must round-trip back to the original
+    word sequence."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..pipeline.text import strip_html, word_count
+
+    page = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = 1 < 2;'
+              '</script><style>.a{color:red}</style></head><body>'
+              '<!-- crawler comment --><h1>Title &amp; Header</h1><p>'),
+        F.col("text"),
+        F.lit('</p><div class="footer">&lt;end&gt;&nbsp;&quot;quoted&quot;'
+              "&#39;s</div></body></html>"),
+    )
+    cleaned = strip_html(page)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        word_count(cleaned).alias("n_words"),
+    )

@@ -43,6 +43,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_token_count": q.q_token_count,
     "q_fingerprint": q.q_fingerprint,
     "q_redact_pii": q.q_redact_pii,
+    "q_strip_html": q.q_strip_html,
     "q_top_terms": q.q_top_terms,
     "q_profile_values": q.q_profile_values,
     "q_profile_values_approx": q.q_profile_values_approx,

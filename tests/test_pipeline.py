@@ -670,3 +670,31 @@ def test_write_split_dataset_bounds_file_count(spark, tmp_path):
     assert all(1 <= c <= 3 for c in counts.values()), counts
     assert sum(counts.values()) > 3, counts  # the salt genuinely spread
     assert spark.read.parquet(out2).count() == 3000
+
+
+def test_strip_html_handles_blocks_entities_malformed(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.text import strip_html
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>if (a<b) {alert('x')}</script>keep", "keep"),
+        ("<STYLE media='all'>p {x}</STYLE>kept", "kept"),
+        ("<!-- note -->a &amp; b &lt;c&gt;", 'a & b <c>'),
+        ("no markup at all", "no markup at all"),
+        ("<div class='x'>spaced   out</div>", "spaced out"),
+        # unclosed tag: nothing matches <[^>]+> — text survives intact
+        # (degrades to leftover text, never an error)
+        ("<broken <tag never closed", "<broken <tag never closed"),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, t=t) for i, (t, _) in enumerate(cases)]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", strip_html(F.col("t")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
