@@ -373,13 +373,16 @@ def _token_budget_mix(
 def _write_dataset(
     spark: SparkSession, df: DataFrame, *, path: str,
     partition_cols: list[str] | None = None, files_per_partition: int = 1,
+    n_partition_values: int | None = None,
 ) -> DataFrame:
     """ACTION: persist the corpus partitioned by split/language with
     bounded file counts (pipeline/splits.py::write_split_dataset);
     hands the written dataset downstream."""
     from .pipeline.splits import write_split_dataset
 
-    write_split_dataset(df, path, partition_cols, files_per_partition)
+    write_split_dataset(
+        df, path, partition_cols, files_per_partition, n_partition_values
+    )
     return spark.read.parquet(path)
 
 

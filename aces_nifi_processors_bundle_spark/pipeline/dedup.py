@@ -491,8 +491,14 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
-    contaminated = train_df.join(F.broadcast(hits), id_col)
-    clean = train_df.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    # The EVAL side is bounded by construction (a benchmark suite) and
+    # safe to force-broadcast above; the HIT list is not — a corpus
+    # that heavily overlaps eval (the very case decontamination
+    # exists for) can flag millions of docs. Leave these joins to
+    # AQE: it broadcasts when hits is small and degrades to a shuffle
+    # join instead of an OOM when it isn't.
+    contaminated = train_df.join(hits, id_col)
+    clean = train_df.join(hits.select(id_col), id_col, "left_anti")
     return {"clean": clean, "contaminated": contaminated}
 
 

@@ -480,6 +480,10 @@ def ivf_topk(
     )
     if cells_path is not None:
         spark = corpus.sparkSession
+        # Persist before the driver-side cid collect: the probe pandas
+        # UDF otherwise re-executes for the broadcast join below —
+        # twice the Arrow probe cost per search on large query batches.
+        probes = probes.persist()
         probed = sorted(
             r[0] for r in probes.select("cid").distinct().collect()
         )  # metadata, ≤ n_centroids values — never row data

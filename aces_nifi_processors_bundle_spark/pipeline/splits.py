@@ -56,6 +56,14 @@ def hash_split(
     pass; the split can be used as a partition column downstream.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        # Fail fast: weights summing under 1 would leave the tail of
+        # the hash space with split=NULL — silently dropped by any
+        # split filter and written to __HIVE_DEFAULT_PARTITION__.
+        raise ValueError(
+            f"hash_split weights must sum to 1.0, got {total!r} ({weights})"
+        )
     bucket = _hash_bucket(F.col(id_col), seed)
     expr = F.lit(None).cast("string")
     acc = 0.0
@@ -181,6 +189,7 @@ def write_split_dataset(
     path: str,
     partition_cols: list[str] | None = None,
     files_per_partition: int = 1,
+    n_partition_values: int | None = None,
 ) -> None:
     """Terminal stage: persist the prepared corpus partitioned by split
     (and optionally language/source) for selective downstream reads.
@@ -208,10 +217,16 @@ def write_split_dataset(
         # nondeterministic monotonically_increasing_id gets neutralized
         # inside repartition's hash expression), and the partition
         # count must be EXPLICIT — AQE otherwise coalesces the salt
-        # buckets right back into one task per value. The distinct
-        # count is driver-side partition METADATA (splits/languages:
-        # a handful of values), not row data.
-        n_values = df.select(*keys).distinct().count()
+        # buckets right back into one task per value. Callers almost
+        # always KNOW the value count (it is the size of their
+        # weights/budgets config) — pass n_partition_values to skip
+        # the fallback distinct scan, which re-executes the entire
+        # upstream plan once just to size the repartition.
+        n_values = (
+            n_partition_values
+            if n_partition_values is not None
+            else df.select(*keys).distinct().count()
+        )
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in df.columns]),
             F.lit(files_per_partition),

@@ -362,9 +362,13 @@ def strip_html(text: Column) -> Column:
     out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    # &amp; decodes LAST (standard unescape order): decoding it first
+    # would double-decode nested escapes — '&amp;lt;' is the TEXT
+    # '&lt;', not '<'.
     for ent, ch in [
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
     ]:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))

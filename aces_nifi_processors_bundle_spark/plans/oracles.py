@@ -1301,8 +1301,10 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 300000,
-         'original commentary before the quote ' ||
-         array_to_string(list_slice(string_split(trim(text), ' '), 1, 20), ' ')
+         'quoted for context in a longer piece of original commentary '
+         || 'that runs exactly twenty words before the verbatim passage '
+         || 'follows '
+         || array_to_string(list_slice(string_split(trim(text), ' '), 1, 20), ' ')
   FROM documents WHERE doc_id % 25 = 0
 ),
 w AS (
@@ -1361,8 +1363,8 @@ cleaned AS (
                    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
                  '(?s)<!--.*?-->', ' ', 'g'),
                '(?s)<[^>]+>', ' ', 'g'),
-           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
          '\s+', ' ', 'g')) AS clean_text
   FROM page
 )

@@ -1340,14 +1340,25 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 20-word passages over documents plus
     planted copy-paste spans (doc_id+300000 quotes the first 20 words
-    of every 25th doc) — pipeline/dedup.py::duplicate_passages."""
+    of every 25th doc) — pipeline/dedup.py::duplicate_passages.
+
+    The quoter's commentary prefix is exactly passage_tokens words, so
+    the quoted span occupies the quoter's SECOND window and aligns
+    hash-identical with the source's first — non-overlapping windowing
+    only detects window-aligned copies (the documented trade; shingle
+    pipelines catch arbitrary offsets)."""
     from ..pipeline.dedup import duplicate_passages
 
+    prefix = " ".join(
+        ["quoted", "for", "context", "in", "a", "longer", "piece", "of",
+         "original", "commentary", "that", "runs", "exactly", "twenty",
+         "words", "before", "the", "verbatim", "passage", "follows"]
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     quoter = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat(
-            F.lit("original commentary before the quote "),
+            F.lit(prefix + " "),
             F.array_join(F.slice(F.split(F.trim("text"), " "), 1, 20), " "),
         ).alias("text"),
     )

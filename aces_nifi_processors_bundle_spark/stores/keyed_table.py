@@ -314,6 +314,13 @@ class KeyedParquetStore:
             raise StoreNotInitializedError(
                 f"store {self.path}: no manifest — init() the table first"
             )
+        # The manifest is the source of truth for the bucket layout: a
+        # handle constructed with a different n_buckets would hash keys
+        # into buckets the manifest has no entries for, silently reading
+        # existing rows as absent (dropped updates / duplicate inserts).
+        # Adopt the table's layout instead; the constructor value only
+        # matters at init().
+        self.n_buckets = int(man.get("n_buckets", self.n_buckets))
         return man
 
     def _manifest_at(self, fs, Path, version: int) -> dict:
@@ -596,6 +603,23 @@ class KeyedParquetStore:
             m = obs.get  # metrics fired by the segment-write job
             if self._pre_publish_hook is not None:
                 self._pre_publish_hook()
+            # The touched-bucket list and the segment write execute the
+            # source plan independently; a NONDETERMINISTIC source can
+            # produce rows in buckets the first pass never saw. Those
+            # rows were merged against an unread (hence empty-looking)
+            # target, so repointing their buckets would drop existing
+            # rows and ignoring them would drop the new ones. Abort
+            # before publish instead — pre-state intact, the orphan
+            # segment is GC'd by a later writer.
+            extra = sorted(set(present) - set(buckets))
+            if extra:
+                raise RuntimeError(
+                    f"store {self.path}: merge source wrote rows into "
+                    f"buckets {extra} missing from its own touched-bucket "
+                    "scan — the source DataFrame is nondeterministic "
+                    "across executions. persist()/checkpoint it and retry "
+                    "(commit aborted; table unchanged)."
+                )
             new_buckets = dict(man["buckets"])
             for b in buckets:  # touched buckets point ONLY at the new segment
                 new_buckets[str(b)] = (

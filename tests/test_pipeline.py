@@ -683,6 +683,9 @@ def test_strip_html_handles_blocks_entities_malformed(spark):
         ("<script>if (a<b) {alert('x')}</script>keep", "keep"),
         ("<STYLE media='all'>p {x}</STYLE>kept", "kept"),
         ("<!-- note -->a &amp; b &lt;c&gt;", 'a & b <c>'),
+        # nested escape: '&amp;lt;' is the TEXT '&lt;' — one decode
+        # level only (the &amp;-last ordering this asserts)
+        ("code sample: &amp;lt;script&amp;gt;", "code sample: &lt;script&gt;"),
         ("no markup at all", "no markup at all"),
         ("<div class='x'>spaced   out</div>", "spaced out"),
         # unclosed tag: nothing matches <[^>]+> — text survives intact
@@ -698,3 +701,14 @@ def test_strip_html_handles_blocks_entities_malformed(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_hash_split_rejects_incomplete_weights(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import hash_split
+
+    df = spark.createDataFrame([Row(doc_id=1)])
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(df, weights={"train": 0.8, "val": 0.1})

@@ -634,3 +634,44 @@ spark.stop()
     assert len(rows) == 16 and len(vs) == 1
     assert vs.pop() == float(child_ok + parent_ok)
     assert child_ok + parent_ok >= 1
+
+
+def test_handle_with_wrong_n_buckets_adopts_manifest_layout(spark, tmp_path):
+    """A handle constructed with a different n_buckets must adopt the
+    table's layout from the manifest instead of hashing keys into
+    buckets the manifest doesn't know (silent row loss / duplicates)."""
+    path = str(tmp_path / "t")
+    KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=16).init(
+        spark.createDataFrame([Row(k=i, v=0.0) for i in range(64)])
+    )
+    wrong = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=64)
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    m = wrong.merge(
+        spark.createDataFrame([Row(k=i, v=1.0) for i in range(64)]), cfg
+    )
+    assert wrong.n_buckets == 16  # adopted
+    assert (m.updated, m.inserted) == (64, 0)  # every key FOUND, none duped
+    got = wrong.read().collect()
+    assert len(got) == 64 and all(r["v"] == 1.0 for r in got)
+
+
+def test_merge_aborts_on_nondeterministic_source(spark, tmp_path):
+    """A source whose re-execution lands rows in buckets missing from
+    its own touched-bucket scan must abort BEFORE publish (pre-state
+    intact) instead of silently losing rows. Simulated by shadowing
+    _touched with one that under-reports (Spark's rand() is
+    re-execution-deterministic, so a genuinely flapping source can't
+    be built from built-ins)."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=64
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=0.0) for i in range(8)]))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    orig = store._touched
+    store._touched = lambda man, src: (orig(man, src)[0][:1], orig(man, src)[1])
+    with pytest.raises(RuntimeError, match="nondeterministic"):
+        store.merge(
+            spark.createDataFrame([Row(k=i, v=1.0) for i in range(8)]), cfg
+        )
+    del store._touched  # restore the real method
+    assert store.read().agg(F.sum("v")).collect()[0][0] == 0.0  # pre-state
