@@ -123,3 +123,42 @@ def test_load_table_validates_declared_columns(spark, sf_dir, tmp_path):
     bad.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     with pytest.raises(ValueError, match="events.*props"):
         load_table(spark, str(tmp_path), "events")
+
+
+def test_load_table_normalizes_both_timestamp_encodings(spark, tmp_path):
+    """The driver's fixture generator has shipped the SAME logical
+    timestamp as INT64 TIMESTAMP(NANOS) in one round and timestamp[us]
+    with no zone (TIMESTAMP_NTZ) in another. load_table must normalize
+    BOTH to TIMESTAMP with identical values — pinned here so a future
+    regeneration can't regress either path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    base_cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k":"1"}', '{"k":"2"}']),
+    }
+    micros = [1700000000_000000, 1700000123_456000]
+
+    for sub, ts_arr in [
+        ("enc_nanos", pa.array([m * 1000 for m in micros], pa.int64())),
+        ("enc_ntz", pa.array(micros, pa.timestamp("us"))),  # no tz -> NTZ
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base_cols, "ts": ts_arr}),
+            str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False,
+        )
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", sub
+        from pyspark.sql import functions as F
+        got = [r["ms"] for r in df.select(
+            F.unix_millis("ts").alias("ms")).orderBy("event_id").collect()]
+        assert got == [m // 1000 for m in micros], sub
