@@ -372,3 +372,14 @@ def strip_html(text: Column) -> Column:
     ]:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def canonical_text(text: Column) -> Column:
+    """Casing/punctuation/whitespace-insensitive canonical form — the
+    normalization pass in front of exact dedup (catches reformatted
+    copies byte-hash dedup misses: case changes, punctuation swaps,
+    re-wrapped whitespace). Lowercase → strip everything outside
+    [a-z0-9 and whitespace] → collapse runs → trim; pure codegen."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1376,3 +1376,25 @@ SELECT doc_id, clean_text,
 FROM cleaned
 """
 )
+
+oracle("q_dedup_canonical")(
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, upper(text) || '!!'
+  FROM documents WHERE doc_id % 20 = 0
+),
+canon AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS text
+  FROM corpus
+)
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keeper
+FROM canon GROUP BY 1 HAVING count(*) > 1
+"""
+)

@@ -1429,3 +1429,23 @@ def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.alias("clean_text"),
         word_count(cleaned).alias("n_words"),
     )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: documents plus planted
+    reformatted copies (doc_id+400000 = every 20th doc uppercased with
+    injected punctuation) grouped by md5(canonical_text) — the copies
+    byte-hash dedup can't see. Same one-shuffle hash-groupBy shape as
+    q_dedup_exact."""
+    from ..pipeline.dedup import exact_dup_groups
+    from ..pipeline.text import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reformatted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+    )
+    corpus = docs.unionByName(reformatted).select(
+        "doc_id", canonical_text(F.col("text")).alias("text")
+    )
+    return exact_dup_groups(corpus).filter(F.col("n_dups") > 1)

@@ -48,6 +48,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_profile_values": q.q_profile_values,
     "q_profile_values_approx": q.q_profile_values_approx,
     "q_dedup_exact": q.q_dedup_exact,
+    "q_dedup_canonical": q.q_dedup_canonical,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_dedup_simhash": q.q_dedup_simhash,
