@@ -1398,3 +1398,12 @@ SELECT md5(text) AS text_hash,
 FROM canon GROUP BY 1 HAVING count(*) > 1
 """
 )
+
+oracle("q_store_time_travel")(
+    """
+SELECT c_custkey, c_acctbal,
+       CAST(c_custkey % 10 AS INT) AS visits,
+       CAST(NULL AS VARCHAR) AS lastUpdated
+FROM customer
+"""
+)

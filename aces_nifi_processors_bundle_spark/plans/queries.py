@@ -1449,3 +1449,45 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", canonical_text(F.col("text")).alias("text")
     )
     return exact_dup_groups(corpus).filter(F.col("n_dups") > 1)
+
+
+def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the correctness gate: init (v1) → one mutating
+    merge (v2) → read(version=1) must return the PRE-merge snapshot
+    bit-for-bit (the oracle is the pure initial-target expression —
+    any leakage from v2's segment into the v1 manifest resolution
+    would hash-mismatch)."""
+    import tempfile
+
+    from ..stores import KeyedParquetStore
+
+    customer = load_table(spark, sf_dir, "customer")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=tempfile.mkdtemp(prefix="aces_store_tt_"),
+        keys=["c_custkey"],
+        n_buckets=16,
+    )
+    store.init(_store_target(customer))  # v1
+    batch = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        F.lit(1).alias("visits"),
+    )
+    store.merge(
+        batch,
+        PartialUpdateConfig(
+            keys=["c_custkey"],
+            operations={"c_acctbal": "$set", "visits": "$inc",
+                        "lastUpdated": "$currentDate"},
+            upsert=False,
+            now=STORE_NOW1,
+        ),
+    )  # v2
+    assert [h["version"] for h in store.history()][:2] == [2, 1]
+    return store.read(version=1).select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("visits").cast("int").alias("visits"),
+        F.date_format("lastUpdated", "yyyy-MM-dd HH:mm:ss").alias("lastUpdated"),
+    )

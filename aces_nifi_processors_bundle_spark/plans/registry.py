@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_partial_update_many": q.q_partial_update_many,
     "q_put_if_absent": q.q_put_if_absent,
     "q_store_merge": q.q_store_merge,
+    "q_store_time_travel": q.q_store_time_travel,
     "q_flow_store_merge": q.q_flow_store_merge,
     "q_store_put_if_absent": q.q_store_put_if_absent,
     "q_text_stats": q.q_text_stats,
