@@ -145,10 +145,39 @@ def minhash_lsh_candidates(
             .select("band_key")
         )
         band_entries = band_entries.join(small, "band_key", "left_semi")
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    return _pairs_within_groups(
+        band_entries, "band_key", id_col, bounded=max_bucket is not None
+    )
+
+
+def _pairs_within_groups(
+    entries: DataFrame, group_col: str, id_col: str, bounded: bool
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a group value.
+
+    Two physical strategies with identical output:
+    - bounded=True (a skew guard caps group size): groupBy +
+      collect_list + double explode — ONE shuffle, pairs generated
+      in-task. Safe because the guard bounds the per-group array.
+      Measured ~1.6x faster than the join at sf0.1.
+    - bounded=False: per-group self-join — TWO shuffle sides, but
+      streams arbitrarily fat groups instead of materializing a
+      quadratic array in one row (the unguarded-boilerplate case).
+    """
+    if bounded:
+        g = entries.groupBy(group_col).agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        return (
+            g.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+    a = entries.alias("a")
+    b = entries.alias("b")
     return (
-        a.join(b, "band_key")
+        a.join(b, group_col)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -261,16 +290,8 @@ def near_dup_pairs_ngram(
             .select("shingle")
         )
         rows = rows.join(keep, "shingle", "left_semi")
-    a = rows.alias("a")
-    b = rows.alias("b")
-    cands = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    cands = _pairs_within_groups(
+        rows, "shingle", id_col, bounded=max_df is not None
     )
     if persist_intermediates:
         cands = cands.persist()
