@@ -1407,3 +1407,53 @@ SELECT c_custkey, c_acctbal,
 FROM customer
 """
 )
+
+oracle("q_vocab_stats")(
+    """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+t AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+  FROM toks WHERE term <> '' GROUP BY lang
+),
+d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+SELECT d.lang, n_docs, n_tokens, n_terms,
+       n_terms / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+FROM d JOIN t ON d.lang = t.lang
+"""
+)
+
+oracle("q_length_histogram")(
+    """
+WITH w AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+              END AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang, CAST(floor(log2(n + 1)) AS INT) AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM w GROUP BY 1, 2
+"""
+)
+
+oracle("q_cross_source_dups")(
+    """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text, 'mirror' FROM documents WHERE doc_id % 10 = 0
+),
+e AS (SELECT DISTINCT md5(text) AS h, source FROM corpus),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
+FROM p GROUP BY 1, 2
+"""
+)

@@ -1491,3 +1491,38 @@ def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("visits").cast("int").alias("visits"),
         F.date_format("lastUpdated", "yyyy-MM-dd HH:mm:ss").alias("lastUpdated"),
     )
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary report (pipeline/reports.py::
+    vocab_stats): docs, tokens, distinct terms, type-token ratio."""
+    from ..pipeline.reports import vocab_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, group_col="lang")
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned word-count histogram per language
+    (pipeline/reports.py::length_histogram)."""
+    from ..pipeline.reports import length_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_histogram(docs, group_col="lang")
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (pipeline/reports.py::
+    cross_source_dups) with a planted mirror: every 10th doc
+    republished verbatim under source 'mirror'."""
+    from ..pipeline.reports import cross_source_dups
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirrored = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return cross_source_dups(docs.unionByName(mirrored))

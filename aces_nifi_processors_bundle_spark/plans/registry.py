@@ -48,6 +48,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_top_terms": q.q_top_terms,
     "q_profile_values": q.q_profile_values,
     "q_profile_values_approx": q.q_profile_values_approx,
+    "q_vocab_stats": q.q_vocab_stats,
+    "q_length_histogram": q.q_length_histogram,
+    "q_cross_source_dups": q.q_cross_source_dups,
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_canonical": q.q_dedup_canonical,
     "q_dedup_minhash": q.q_dedup_minhash,
