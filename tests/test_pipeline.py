@@ -712,3 +712,38 @@ def test_hash_split_rejects_incomplete_weights(spark):
     df = spark.createDataFrame([Row(doc_id=1)])
     with pytest.raises(ValueError, match="sum to 1.0"):
         hash_split(df, weights={"train": 0.8, "val": 0.1})
+
+
+def test_corpus_reports_on_toy_data(spark):
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        cross_source_dups,
+        length_histogram,
+        vocab_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a", lang="en", source="s1"),
+            Row(doc_id=2, text="a c", lang="en", source="s2"),
+            Row(doc_id=3, text="x", lang="de", source="s1"),
+            Row(doc_id=4, text="a b a", lang="en", source="s2"),  # dup of 1
+            Row(doc_id=5, text="a b a", lang="en", source="s3"),  # dup of 1
+        ]
+    )
+    v = {r["lang"]: r for r in vocab_stats(df).collect()}
+    assert (v["en"]["n_docs"], v["en"]["n_tokens"], v["en"]["n_terms"]) == (4, 11, 3)
+    assert abs(v["en"]["type_token_ratio"] - 3 / 11) < 1e-12
+    assert (v["de"]["n_tokens"], v["de"]["n_terms"]) == (1, 1)
+
+    h = {(r["lang"], r["len_bin"]): r["n_docs"] for r in length_histogram(df).collect()}
+    # "a b a": 3 words -> floor(log2(4)) = 2; "a c": 2 -> floor(log2(3)) = 1
+    assert h[("en", 2)] == 3 and h[("en", 1)] == 1 and h[("de", 1)] == 1
+
+    x = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in cross_source_dups(df).collect()
+    }
+    # "a b a" spans s1,s2,s3 -> all three pairs share exactly that text
+    assert x == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
