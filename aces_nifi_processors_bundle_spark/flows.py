@@ -37,6 +37,7 @@ JSON document folding into one Catalyst plan:
   {"op": "stratified_sample", "strata": ["lang"], "n": 100}
   {"op": "token_budget_mix", "group_col": "lang", "budgets": {...}}
   {"op": "chunk",       "chunk_tokens": 256, "overlap": 32}
+  {"op": "pack_sequences", "seq_tokens": 2048, "n_shards": 64}
   {"op": "write_dataset", "path": ..., "partition_cols": ["split"]}
 
 Routed operators take a ``relationship`` key selecting which port
@@ -367,6 +368,16 @@ def _token_budget_mix(
     return token_budget_mix(
         df, group_col, budgets, word_count(F.col(text_col)), id_col, seed
     )
+
+
+@stage("pack_sequences")
+def _pack_sequences(
+    spark: SparkSession, df: DataFrame, *, token_col: str = "n_chunk_tokens",
+    seq_tokens: int = 2048, n_shards: int = 64, seed: str = "pack",
+) -> DataFrame:
+    from .pipeline.splits import pack_sequences
+
+    return pack_sequences(df, token_col, seq_tokens, n_shards=n_shards, seed=seed)
 
 
 @stage("write_dataset")

@@ -235,3 +235,56 @@ def write_split_dataset(
     else:
         out = df.repartition(*keys)
     out.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    seq_tokens: int,
+    id_cols: list[str] | None = None,
+    n_shards: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-and-chop packing PLAN: lay chunks end-to-end in
+    deterministic hash order and chop the stream every `seq_tokens`
+    tokens — the GPT-style pre-tokenization packing step that turns
+    chunks into fixed-length training sequences. This operator plans
+    the layout (which sequence each chunk starts in, at what offset);
+    the tokenizer downstream materializes it.
+
+    Adds: `shard`, `tokens_before` (exclusive prefix sum within the
+    shard), `seq_id` (= floor(tokens_before / seq_tokens), the
+    sequence this chunk STARTS in — a chunk straddling a boundary
+    continues into the next sequence, exactly like the concatenated
+    token stream it plans), and `offset_in_seq`.
+
+    Scale shape: a GLOBAL prefix sum is a one-partition window, so the
+    stream is sharded by hash first — packing runs per shard
+    (n_shards-way parallel, each shard its own independent chop);
+    sequences never cross shards, which costs nothing because sequence
+    boundaries are arbitrary anyway. Deterministic: hash order is a
+    pure function of the chunk identity (see module doc).
+    """
+    ids = id_cols or ["doc_id", "chunk_id"]
+    ident = F.concat_ws("#", *[F.col(c).cast("string") for c in ids])
+    shard = _hash_bucket(ident, seed + "#shard", n_shards)
+    h = F.md5(F.concat(F.lit(seed), ident))
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(h.asc(), *[F.col(c).asc() for c in ids])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(
+        F.sum(F.col(token_col)).over(w), F.lit(0)
+    ).cast("bigint")
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("tokens_before", tokens_before)
+        .withColumn(
+            "seq_id", F.floor(F.col("tokens_before") / seq_tokens).cast("bigint")
+        )
+        .withColumn(
+            "offset_in_seq",
+            F.pmod(F.col("tokens_before"), F.lit(seq_tokens)).cast("bigint"),
+        )
+    )

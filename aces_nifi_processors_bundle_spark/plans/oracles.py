@@ -1457,3 +1457,43 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
 """
 )
+
+oracle("q_pack_sequences")(
+    """
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(range(greatest(1, CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS cid
+  FROM w
+),
+ch AS (
+  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+         CAST(least(40, n - cid * 30) AS BIGINT) AS toks,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(cid AS VARCHAR) AS ident
+  FROM c
+),
+sh AS (
+  SELECT doc_id, chunk_id, toks,
+         ('0x' || substr(md5('pack#shard' || ident), 1, 15))::BIGINT % 8 AS shard,
+         md5('pack' || ident) AS h
+  FROM ch
+),
+pf AS (
+  SELECT shard, toks,
+         CAST(COALESCE(SUM(toks) OVER (
+           PARTITION BY shard ORDER BY h, doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM sh
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(floor(tokens_before / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(toks) AS BIGINT) AS n_tokens
+FROM pf GROUP BY 1, 2
+"""
+)

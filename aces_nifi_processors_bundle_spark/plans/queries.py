@@ -1526,3 +1526,20 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mirror").alias("source"),
     )
     return cross_source_dups(docs.unionByName(mirrored))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing plan end-to-end: chunk documents (40/10) then lay
+    the chunks into 512-token training sequences, 8-way sharded
+    (pipeline/splits.py::pack_sequences). Returns per-sequence totals;
+    the oracle reruns the identical chunk + shard + prefix-sum plan."""
+    from ..pipeline.splits import pack_sequences
+    from ..pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=40, overlap=10)
+    packed = pack_sequences(chunks, "n_chunk_tokens", 512, n_shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )

@@ -62,6 +62,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sample_stratified": q.q_sample_stratified,
     "q_mix_token_budget": q.q_mix_token_budget,
     "q_chunk_documents": q.q_chunk_documents,
+    "q_pack_sequences": q.q_pack_sequences,
     "q_decontaminate": q.q_decontaminate,
     "q_repetition_ratio": q.q_repetition_ratio,
     "q_weighted_sample": q.q_weighted_sample,

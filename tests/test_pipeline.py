@@ -747,3 +747,53 @@ def test_corpus_reports_on_toy_data(spark):
     }
     # "a b a" spans s1,s2,s3 -> all three pairs share exactly that text
     assert x == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_pack_sequences_matches_python_model(spark):
+    """Packing plan == a Python concat-and-chop over the same hash
+    order, per shard; deterministic across runs."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import pack_sequences
+
+    rows = [
+        Row(doc_id=d, chunk_id=c, toks=(d * 7 + c) % 40 + 1)
+        for d in range(30)
+        for c in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(df, "toks", seq_tokens=100, n_shards=4).collect()
+
+    def hb(ident, seed):
+        return int(hashlib.md5((seed + ident).encode()).hexdigest()[:15], 16)
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        ident = f"{r.doc_id}#{r.chunk_id}"
+        s = hb(ident, "pack#shard") % 4
+        by_shard.setdefault(s, []).append(
+            (hashlib.md5(("pack" + ident).encode()).hexdigest(),
+             r.doc_id, r.chunk_id, r.toks)
+        )
+    want = {}
+    for s, items in by_shard.items():
+        acc = 0
+        for h, d, c, t in sorted(items):
+            want[(d, c)] = (s, acc, acc // 100, acc % 100)
+            acc += t
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["shard"], r["tokens_before"], r["seq_id"], r["offset_in_seq"]
+        )
+        for r in out
+    }
+    assert got == want
+    again = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["shard"], r["tokens_before"], r["seq_id"], r["offset_in_seq"]
+        )
+        for r in pack_sequences(df, "toks", seq_tokens=100, n_shards=4).collect()
+    }
+    assert again == got  # deterministic
