@@ -13,18 +13,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _term_rows(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
-    """(group, term) token occurrences — same lowercase/non-alnum-split
-    tokenization as text.top_terms, so reports and term extraction
-    agree on what a 'term' is."""
-    return df.select(
-        F.col(group_col),
-        F.explode(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-
-
 def vocab_stats(
     df: DataFrame, text_col: str = "text", group_col: str = "lang"
 ) -> DataFrame:
@@ -35,20 +23,26 @@ def vocab_stats(
     One explode + one groupBy(group): token rows combine map-side into
     per-(group) partials; distinct terms use count_distinct (two-phase
     under the same shuffle)."""
-    toks = _term_rows(df, text_col, group_col)
+    from .text import term_rows
+
+    toks = term_rows(df, text_col, group_col)
     docs = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     terms = toks.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("term").alias("n_terms"),
     )
-    return docs.join(terms, group_col).select(
+    # LEFT join: a group whose docs produce zero terms (empty texts, or
+    # scripts outside the ASCII tokenizer) must still appear on the
+    # card with n_tokens=0, not vanish.
+    return docs.join(terms, group_col, "left").select(
         group_col,
         "n_docs",
-        "n_tokens",
-        "n_terms",
-        (F.col("n_terms") / F.col("n_tokens").cast("double")).alias(
-            "type_token_ratio"
-        ),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_terms", F.lit(0)).cast("bigint").alias("n_terms"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.col("n_terms") / F.col("n_tokens").cast("double"),
+        ).alias("type_token_ratio"),
     )
 
 
@@ -75,7 +69,6 @@ def length_histogram(
 def cross_source_dups(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Cross-source duplication matrix: for each source pair
@@ -93,10 +86,9 @@ def cross_source_dups(
         df.select(
             F.md5(F.col(text_col)).alias("text_hash"), F.col(source_col)
         )
-        .distinct()
         .groupBy("text_hash")
         .agg(F.sort_array(F.collect_set(source_col)).alias("_srcs"))
-    )
+    )  # collect_set dedups — no pre-distinct shuffle needed
     pairs = (
         srcs.select("text_hash", F.explode("_srcs").alias("source_a"), "_srcs")
         .select("text_hash", "source_a", F.explode("_srcs").alias("source_b"))

@@ -480,10 +480,13 @@ def ivf_topk(
     )
     if cells_path is not None:
         spark = corpus.sparkSession
-        # Persist before the driver-side cid collect: the probe pandas
-        # UDF otherwise re-executes for the broadcast join below —
-        # twice the Arrow probe cost per search on large query batches.
-        probes = probes.persist()
+        # The cid collect below re-executes the probe UDF (the join
+        # recomputes it lazily later). Deliberately NOT persisted: a
+        # lazily-returned frame's cache could never be unpersisted by
+        # the caller and would leak per search in a long-lived session;
+        # the duplicated work is QUERY-side only (nq x n_centroids
+        # dots — trivial next to the corpus cell scan this path
+        # exists to prune).
         probed = sorted(
             r[0] for r in probes.select("cid").distinct().collect()
         )  # metadata, ≤ n_centroids values — never row data

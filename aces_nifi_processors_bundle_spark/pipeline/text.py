@@ -212,6 +212,17 @@ def pii_counts(text: Column) -> dict[str, Column]:
 
 # --- Corpus-statistics term extraction ---------------------------------
 
+def term_rows(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """(key, term) token occurrences — THE tokenization every
+    term-level consumer (top_terms, reports.vocab_stats) shares, so
+    'what is a term' is defined in exactly one place: lowercase,
+    split on non-[a-z0-9], drop empties."""
+    return df.select(
+        F.col(key_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
 def top_terms(
     df: DataFrame,
     k: int = 3,
@@ -232,10 +243,7 @@ def top_terms(
     join back (ReusedExchange); the per-doc top-k groupBy is bounded by
     per-doc vocabulary, so no salting is needed (unlike the corpus-wide
     similarity top-k)."""
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
-    ).filter(F.col("term") != "")
+    tokens = term_rows(df, text_col, id_col)
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))

@@ -1420,9 +1420,12 @@ t AS (
   FROM toks WHERE term <> '' GROUP BY lang
 ),
 d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
-SELECT d.lang, n_docs, n_tokens, n_terms,
-       n_terms / CAST(n_tokens AS DOUBLE) AS type_token_ratio
-FROM d JOIN t ON d.lang = t.lang
+SELECT d.lang, n_docs,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_terms, 0) AS BIGINT) AS n_terms,
+       CASE WHEN COALESCE(n_tokens, 0) > 0
+            THEN n_terms / CAST(n_tokens AS DOUBLE) END AS type_token_ratio
+FROM d LEFT JOIN t ON d.lang = t.lang
 """
 )
 

@@ -1484,7 +1484,8 @@ def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             now=STORE_NOW1,
         ),
     )  # v2
-    assert [h["version"] for h in store.history()][:2] == [2, 1]
+    if [h["version"] for h in store.history()][:2] != [2, 1]:
+        raise RuntimeError("store history regressed (expected [v2, v1])")
     return store.read(version=1).select(
         "c_custkey",
         "c_acctbal",

@@ -656,7 +656,7 @@ class KeyedParquetStore:
             fs, Path = self._fs()
             self._gc(fs, Path)
             man = self._require_manifest(fs, Path)
-            _, target = self._touched(man, source)
+            buckets, target = self._touched(man, source)
             tagged = tag_put_if_absent(target, source, self.keys, order_col)
             obs = Observation()
             route = F.col(ROUTE_COL)
@@ -675,6 +675,19 @@ class KeyedParquetStore:
             m = obs.get
             if self._pre_publish_hook is not None:
                 self._pre_publish_hook()
+            # Same nondeterministic-source hazard as merge(): a row
+            # landing in a bucket the touched scan never saw had its
+            # duplicate check run against an unread target — committing
+            # it could insert a duplicate key. Abort before publish.
+            extra = sorted(set(present) - set(buckets))
+            if extra:
+                raise RuntimeError(
+                    f"store {self.path}: put_if_absent source wrote rows "
+                    f"into buckets {extra} missing from its own touched-"
+                    "bucket scan — the source DataFrame is nondeterministic "
+                    "across executions. persist()/checkpoint it and retry "
+                    "(commit aborted; table unchanged)."
+                )
             new_buckets = dict(man["buckets"])
             for b in sorted(present):  # appended buckets GAIN a dir
                 new_buckets[str(b)] = new_buckets.get(str(b), []) + [

@@ -730,9 +730,13 @@ def test_corpus_reports_on_toy_data(spark):
             Row(doc_id=3, text="x", lang="de", source="s1"),
             Row(doc_id=4, text="a b a", lang="en", source="s2"),  # dup of 1
             Row(doc_id=5, text="a b a", lang="en", source="s3"),  # dup of 1
+            Row(doc_id=6, text="!!! ...", lang="zz", source="s1"),  # 0 terms
         ]
     )
     v = {r["lang"]: r for r in vocab_stats(df).collect()}
+    # a zero-token group still appears on the card (left join)
+    assert (v["zz"]["n_docs"], v["zz"]["n_tokens"]) == (1, 0)
+    assert v["zz"]["type_token_ratio"] is None
     assert (v["en"]["n_docs"], v["en"]["n_tokens"], v["en"]["n_terms"]) == (4, 11, 3)
     assert abs(v["en"]["type_token_ratio"] - 3 / 11) < 1e-12
     assert (v["de"]["n_tokens"], v["de"]["n_terms"]) == (1, 1)
