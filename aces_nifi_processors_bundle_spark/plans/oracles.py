@@ -1500,3 +1500,72 @@ SELECT CAST(shard AS INT) AS shard,
 FROM pf GROUP BY 1, 2
 """
 )
+
+oracle("q_pricing_summary")(
+    """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(12,6)) AS q,
+         CAST(l_extendedprice AS DECIMAL(12,6)) AS p,
+         CAST(l_extendedprice AS DECIMAL(12,6))
+           * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))) AS d,
+         CAST(l_extendedprice AS DECIMAL(12,6))
+           * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))
+           * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(7,6))) AS ch
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+)
+-- decimal->double goes through VARCHAR: DuckDB's direct cast divides
+-- int128 by 10^scale in double arithmetic (off by an ulp for many
+-- sums); string->double is correctly rounded, matching Spark's
+-- BigDecimal.doubleValue.
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(ch) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       round(CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM li GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+oracle("q_shipping_priority")(
+    """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6))))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY 1, o.o_orderdate, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+)
+
+oracle("q_local_supplier_volume")(
+    """
+SELECT n.n_name,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6))))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+"""
+)

@@ -1544,3 +1544,123 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_tokens").alias("n_tokens"),
     )
+
+
+# --- Classic OLAP over the TPC-H-ish tables ---------------------------
+#
+# The engine's general analytics surface (beyond the reference's
+# processor semantics): scan-heavy aggregation, selective join
+# pipelines, and a multiway broadcast-dimension join. Money math runs
+# in DECIMAL: double->decimal casts can never hit a rounding tie
+# (decimal tie points are non-dyadic), and the widths are chosen so
+# even the triple product price*(1-disc)*(1+tax) stays inside Spark's
+# precision-38 cap with NO scale reduction — prices at (12,6), rates
+# (discount/tax, always <= 1) at (7,6), making the product chain
+# (21,12) then (30,18), exact in both engines. (Wider inputs overflow
+# precision 38 and Spark/DuckDB round the overflow differently.)
+
+def _dec(c) -> "F.Column":
+    return F.col(c).cast("decimal(12,6)")
+
+
+def _rate(c) -> "F.Column":
+    return F.col(c).cast("decimal(7,6)")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one scan of lineitem, map-side
+    partial aggregation into 6 (returnflag, linestatus) groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-02"
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(7,6)") - _rate("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(7,6)") + _rate("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_sq"),
+        F.sum(_dec("l_extendedprice")).alias("_sp"),
+        F.sum(disc).alias("_sd"),
+        F.sum(charge).alias("_sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sd").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / n, 6).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective customer segment -> orders -> lineitem
+    join pipeline, top-10 orders by pending revenue. The segment
+    filter pushes to the customer scan; the small filtered customer
+    side broadcasts into orders."""
+    cutoff = "1998-06-15"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(7,6)") - _rate("l_discount"))
+    return (
+        li.join(
+            F.broadcast(
+                o.join(
+                    F.broadcast(c.select("c_custkey")),
+                    o["o_custkey"] == F.col("c_custkey"),
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc).alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where supplier and customer
+    share the nation, one region, one order-year — a 6-table join
+    with every dimension broadcast and the fact scan filtered."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(7,6)") - _rate("l_discount"))
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    cn = c.join(F.broadcast(nr), c["c_nationkey"] == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_nationkey").alias("c_nkey"), "n_name"
+    )
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == cn["c_custkey"])
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

@@ -18,6 +18,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     "q_bin_flagship": q.q_bin_flagship,
+    "q_pricing_summary": q.q_pricing_summary,
+    "q_shipping_priority": q.q_shipping_priority,
+    "q_local_supplier_volume": q.q_local_supplier_volume,
     "q_flow_flagship": q.q_flow_flagship,
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
