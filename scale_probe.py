@@ -38,6 +38,10 @@ STRIDE = 100_000_000
 TABLES = {
     "events": (["event_id"], None),
     "orders": (["o_orderkey"], None),
+    # lineitem replicates with l_orderkey shifted by the SAME stride as
+    # orders, so order->lineitem join integrity holds per replica;
+    # l_suppkey stays unshifted (suppliers pass through unreplicated).
+    "lineitem": (["l_orderkey"], None),
     "customer": (["c_custkey"], None),
     "documents": (
         ["doc_id"],
@@ -61,8 +65,20 @@ TABLES = {
 }
 
 
+# Dimension tables too small to replicate: copied through verbatim so
+# every registry query (incl. the TPC-H-shaped OLAP ones) runs at sf1.
+PASSTHROUGH = ["supplier", "nation", "region", "part"]
+
+
 def main() -> None:
     spark = get_spark(app_name="aces-scale-probe")
+    for name in PASSTHROUGH:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.exists(dst):
+            print(f"{name}: exists, skipping")
+            continue
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(dst)
+        print(f"{name}: copied through")
     for name, (keys, perturb) in TABLES.items():
         dst = os.path.join(OUT, f"{name}.parquet")
         if os.path.exists(dst):
