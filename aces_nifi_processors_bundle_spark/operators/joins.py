@@ -1,0 +1,161 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and banded
+range join.
+
+No reference analog — the NiFi bundle never correlates two flows
+(SURVEY.md §2 "Joins: none"; the only implicit joins are keyed store
+lookups, PartialUpdateMongo.java:282-298). These extend the engine's
+relational surface for event-stream enrichment, the same way
+pipeline/* extends it for the LLM-corpus workload.
+
+Design rules:
+- Pure DataFrame ops, zero UDFs: both operators are codegen'd
+  expressions around ONE shuffle.
+- Deterministic tie-breaks everywhere, and no NULLs in any sort key
+  (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST — a silent
+  oracle-divergence trap), so both are fully DuckDB-checkable.
+
+Scale notes (100 TB):
+- `asof_join` is one shuffle + sort on the key — the union-window
+  formulation. Per-key data must fit a task's sort spill comfortably;
+  for keys with unbounded history, pre-bucket by (key, coarse time
+  bucket) and carry each bucket's last right-row forward one bucket
+  (two windows, same total shuffle volume) — documented here, not
+  needed for user-grained keys.
+- `range_join` is a bucket-and-neighbor equi-join: each left row
+  joins exactly the right rows within one bucket of its own, so
+  candidate volume is Σ per-bucket |L|·|R| instead of |L|·|R| — the
+  same Σ|bucket|² shape as the LSH band join in pipeline/dedup.py.
+  Bucket width = the band predicate's radius; AQE skew-join splits
+  hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_T, _SIDE, _TB = "_asof_t", "_asof_side", "_asof_tb"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    values: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_matched",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: for every left row, attach the
+    `values` columns of the right row with the same `on` key and the
+    greatest right_ts <= left_ts (optionally within `tolerance_sec`).
+
+    Implementation — the single-shuffle union-window formulation
+    rather than a join: tag both sides, union, then one running
+    `last(value, ignorenulls=True)` window per value column ordered by
+    (ts, side, tiebreak). Right rows sort before left rows at equal
+    ts (inclusive match), and among equal-ts right rows the greatest
+    `tiebreak` (default: first value column) wins — deterministic
+    without a pre-dedup pass. Unmatched left rows carry NULLs;
+    `<right_ts><suffix>` carries the matched row's timestamp.
+
+    A forward as-of is the same operator on negated timestamps.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if not values:
+        raise ValueError("asof_join: `values` must name ≥1 right column")
+    tiebreak = tiebreak or values[0]
+    rtypes = dict(right.dtypes)
+
+    l2 = (
+        left.withColumn(_T, F.col(left_ts))
+        .withColumn(_SIDE, F.lit(1))
+        .withColumn(_TB, F.lit(-1).cast("double"))
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        # Coalesce keeps the sort key NULL-free (see module doc).
+        F.coalesce(F.col(tiebreak).cast("double"), F.lit(-1.0)).alias(_TB),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(v).alias(f"{v}{suffix}") for v in values],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_T).asc(), F.col(_SIDE).asc(), F.col(_TB).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{right_ts}{suffix}"] + [f"{v}{suffix}" for v in values]
+    m = u.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__carry_{c}")
+            for c in carried
+        ],
+    ).filter(F.col(_SIDE) == 1)
+    if tolerance_sec is not None:
+        # A match staler than the tolerance is no match: null the
+        # carried columns (typed nulls — schema unchanged).
+        in_tol = (
+            F.unix_micros(F.col(_T))
+            - F.unix_micros(F.col(f"__carry_{right_ts}{suffix}"))
+        ) <= int(tolerance_sec * 1_000_000)
+        proj = [
+            F.when(in_tol, F.col(f"__carry_{c}"))
+            .otherwise(F.lit(None).cast(rtypes.get(c[: -len(suffix)], "string")))
+            .alias(c)
+            for c in carried
+        ]
+    else:
+        proj = [F.col(f"__carry_{c}").alias(c) for c in carried]
+    return m.select(*left.columns, *proj)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_val: str,
+    right_val: str,
+    band: float,
+) -> DataFrame:
+    """Band-predicate join: all (left, right) pairs with equal `on`
+    keys and |left_val - right_val| <= band.
+
+    Naively this is an equi-join on `on` followed by a filter — which
+    at scale materializes every same-key pair first (quadratic in hot
+    keys). Instead both sides bucket their value at width `band`; a
+    qualifying pair's buckets differ by at most 1, so the left side
+    explodes into its 3 neighbor buckets and the join runs on
+    (on, bucket) — each candidate pair is produced exactly once, and
+    candidate volume collapses from Σ|key|² to Σ|bucket-pair|. The
+    exact band predicate then filters the survivors (codegen, no UDF).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+
+    def bucket(df: DataFrame, col: str) -> Column:
+        # Integral columns with an integral band bucket via integer
+        # `div` — exact, so the buckets-differ-by-≤1 invariant that
+        # makes the neighbor join lossless can't be broken by double
+        # rounding at a bucket boundary. Fractional inputs take the
+        # double floor (values far from 2^53 in practice).
+        integral = dict(df.dtypes).get(col) in ("tinyint", "smallint", "int", "bigint")
+        if integral and float(band).is_integer():
+            return F.expr(f"`{col}` div {int(band)}")
+        return F.floor(F.col(col) / F.lit(band)).cast("long")
+
+    lb = bucket(left, left_val)
+    l3 = left.withColumn(
+        "_rj_b", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r3 = right.withColumn("_rj_b", bucket(right, right_val))
+    return (
+        l3.join(r3, [*on, "_rj_b"])
+        .filter(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(band))
+        .drop("_rj_b")
+    )

@@ -575,3 +575,85 @@ def embedding_near_dups(
     return survivors.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+def cluster_corpus(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus clustering by centroid argmax: adds `cluster_id` and
+    `cos` (cosine to the row's own centroid) to (id, vector) rows.
+
+    The assignment is the same Arrow-vectorized argmax-dot pass the
+    IVF index uses (`ivf_assign_udf`); pair with `ivf_train` for
+    learned spherical-k-means centroids. The centroid lookup for the
+    cosine column is a broadcast join on the C-row codebook — C×dim
+    metadata, never row data, so no shuffle is added: the whole
+    operator is one Arrow pass + one broadcast hash join.
+    """
+    cents = _ivf_centroids(dim, n_centroids, centroids)
+    assign = ivf_assign_udf(dim, n_centroids, cents)
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cluster_id int, centroid array<double>",
+    )
+    base = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cluster_id", assign(F.col("v")))
+    return base.join(F.broadcast(cent_df), "cluster_id").select(
+        id_col, "cluster_id", cosine(F.col("v"), F.col("centroid")).alias("cos")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: cluster by centroid argmax,
+    exact pairwise cosine WITHIN each cluster only, and mark the
+    greater id of every pair ≥ threshold as dropped. Returns
+    (id, cluster_id, keep) — keep=false rows are the semantic
+    near-duplicates a curation pipeline removes.
+
+    Scale shape: the pairwise stage is a self-join on cluster_id, so
+    candidate volume is Σ|cluster|² instead of n² — size n_centroids
+    ≈ N / target_cluster_size to bound it (the IVF codebook scales to
+    tens of thousands of cells; at that point write the assignment
+    with ivf_write_index and the self-join is partition-co-located).
+    Cross-cluster near-dups are the documented recall trade (the
+    SemDeDup design point); run exact/byte dedup first. For very fat
+    clusters, insert the sketch+Hamming prefilter from
+    embedding_near_dups between the join and the exact cosine.
+    """
+    cents = _ivf_centroids(dim, n_centroids, centroids)
+    assign = ivf_assign_udf(dim, n_centroids, cents)
+    base = df.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cluster_id", assign(F.col("v")))
+    # Both join branches are the same plan → the cluster_id shuffle is
+    # a ReusedExchange; the Arrow assignment pass runs once.
+    a = base.select("cluster_id", F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = base.select("cluster_id", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return base.join(dropped, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cluster_id",
+        F.coalesce(F.col("_dropped") == F.lit(False), F.lit(True)).alias("keep"),
+    )

@@ -1569,3 +1569,121 @@ WHERE r.r_name = 'ASIA'
 GROUP BY 1 ORDER BY revenue DESC, n_name
 """
 )
+
+
+# --- Temporal joins ----------------------------------------------------
+# The as-of oracle mirrors the operator's union-window formulation
+# (operators/joins.py::asof_join) with DuckDB IGNORE NULLS windows; no
+# sort key is ever NULL (Spark sorts NULLS FIRST asc, DuckDB NULLS
+# LAST — the coalesced tiebreak sidesteps the divergence).
+
+oracle("q_asof_enrich")(
+    """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT event_id, user_id, ts AS t, 1 AS side, -1.0 AS tb, value,
+         CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS BIGINT) AS r_id,
+         CAST(NULL AS DOUBLE) AS r_val
+  FROM l
+  UNION ALL
+  SELECT NULL, user_id, ts, 0, CAST(event_id AS DOUBLE), NULL, ts, event_id, value
+  FROM r
+),
+c AS (
+  SELECT event_id, user_id, t, side, value,
+         last_value(r_ts IGNORE NULLS) OVER w AS c_ts,
+         last_value(r_id IGNORE NULLS) OVER w AS c_id,
+         last_value(r_val IGNORE NULLS) OVER w AS c_val
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(t) AS ts_us, round(value, 6) AS value,
+       CASE WHEN epoch_us(t) - epoch_us(c_ts) <= 21600000000 THEN c_id END AS view_event_id,
+       CASE WHEN epoch_us(t) - epoch_us(c_ts) <= 21600000000 THEN epoch_us(c_ts) END AS view_ts_us,
+       CASE WHEN epoch_us(t) - epoch_us(c_ts) <= 21600000000 THEN round(c_val, 6) END AS view_value
+FROM c WHERE side = 1
+"""
+)
+
+# The band predicate is pure integer arithmetic (microsecond BIGINTs),
+# so the oracle needs no bucket replay — the bucket-and-neighbor join
+# is lossless and the plain join + filter defines the same pair set.
+oracle("q_range_pairs")(
+    """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       abs(a.us - b.us) AS gap_us
+FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE abs(a.us - b.us) <= 1800000000
+"""
+)
+
+oracle("q_bin_rollup")(
+    """
+WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type FROM events)
+SELECT coalesce(d, '*') AS day, coalesce(event_type, '*') AS etype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(d) * 2 + grouping(event_type) AS INT) AS gid
+FROM base GROUP BY ROLLUP(d, event_type)
+"""
+)
+
+
+# --- Embedding clustering + semantic dedup -----------------------------
+
+oracle("q_cluster_embeddings")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0(cid, cv) AS (VALUES
+  {_IVF_CENTROIDS}),
+{_ivf_train_iteration('c0', 'c1', '0')},
+{_ivf_train_iteration('c1', 'c2', '1')},
+assign AS (
+  SELECT vec_id, v, cid, cv FROM (
+    SELECT vec_id, v, cid, cv,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, c2) WHERE rn = 1
+),
+scored AS (
+  SELECT cid AS cluster_id, vec_id, list_cosine_similarity(v, cv) AS cos
+  FROM assign
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+       min(vec_id) AS exemplar,
+       round(CAST(SUM(CAST(round(cos, 7) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS avg_cos
+FROM scored GROUP BY cluster_id
+"""
+)
+
+oracle("q_semantic_dedup")(
+    f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         CAST(list_prepend(embedding[1] + CAST(0.3 AS FLOAT), embedding[2:64]) AS DOUBLE[])
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c0(cid, cv) AS (VALUES
+  {_IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, c0) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
+       (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+FROM assign a
+"""
+)

@@ -1664,3 +1664,134 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.col("_rev").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# --- Temporal joins: as-of enrichment + banded range join --------------
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's most recent at-or-before
+    view event (operators/joins.py::asof_join — backward-inclusive,
+    single-shuffle union-window plan), within a 6-hour tolerance;
+    purchases with no fresh-enough view carry NULLs. Oracle mirrors
+    the union-window formulation with DuckDB IGNORE NULLS windows."""
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        values=["event_id", "value"],
+        tolerance_sec=21600,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.col("event_id_matched").alias("view_event_id"),
+        F.unix_micros("ts_matched").alias("view_ts_us"),
+        F.round("value_matched", 6).alias("view_value"),
+    )
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 30 minutes of each other
+    (operators/joins.py::range_join — bucket-and-neighbor equi-join,
+    never the quadratic same-key cross product). Timestamps stay in
+    integer microseconds end-to-end, so the band predicate and the
+    gap are exact in both engines."""
+    from ..operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.select(
+        "user_id", F.col("event_id").alias("id_a"), F.unix_micros("ts").alias("us_a")
+    )
+    b = events.select(
+        "user_id", F.col("event_id").alias("id_b"), F.unix_micros("ts").alias("us_b")
+    )
+    out = range_join(a, b, on="user_id", left_val="us_a", right_val="us_b", band=1800e6)
+    return out.filter(F.col("id_a") < F.col("id_b")).select(
+        "user_id", "id_a", "id_b", F.abs(F.col("us_a") - F.col("us_b")).alias("gap_us")
+    )
+
+
+# --- Grouping-sets rollup over binned dimensions -----------------------
+
+def q_bin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical day × event_type rollup counts — the hypertable-
+    rollup shape (day+type, day subtotal, grand total in ONE pass).
+    Spark plans ROLLUP as a single Expand + hash aggregate: one scan,
+    one shuffle, map-side partials for every grouping set at once —
+    not three self-unioned aggregations."""
+    events = load_table(spark, sf_dir, "events")
+    dims = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("event_type").alias("etype"),
+    )
+    return (
+        dims.rollup("day", "etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("day") * 2 + F.grouping("etype")).cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("*")).alias("day"),
+            F.coalesce(F.col("etype"), F.lit("*")).alias("etype"),
+            "n",
+            "gid",
+        )
+    )
+
+
+# --- Embedding clustering + semantic dedup -----------------------------
+
+def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-means clustering profile: spherical-k-means-trained
+    codebook (same 2 Lloyd iterations as q_ivf_topk_trained —
+    decimal-exact, DuckDB re-derivable), then per-cluster size,
+    exemplar, and mean cosine-to-centroid. The mean is a DECIMAL sum
+    of per-row rounded cosines, so it is independent of Spark's
+    partial-agg order and bit-reproducible in SQL."""
+    from ..pipeline.similarity import cluster_corpus, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, dim=64, n_centroids=16, n_iter=2)
+    assigned = cluster_corpus(emb, dim=64, n_centroids=16, centroids=cents)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("exemplar"),
+        F.round(
+            F.sum(F.round("cos", 7).cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning over the near-dup-planted corpus (same
+    planted copies as q_embedding_near_dups): md5-seed centroids,
+    within-cluster exact cosine, drop the greater id of every pair
+    ≥ 0.8. Output marks every row keep/drop — the curation filter."""
+    from ..pipeline.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.col("embedding")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.get(v, 0) + F.lit(0.3).cast("float")), F.slice(v, 2, 63)
+        ).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(planted), dim=64, n_centroids=16, threshold=0.8
+    )

@@ -70,6 +70,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_repetition_ratio": q.q_repetition_ratio,
     "q_weighted_sample": q.q_weighted_sample,
     "q_flow_llm_pipeline": q.q_flow_llm_pipeline,
+    "q_asof_enrich": q.q_asof_enrich,
+    "q_range_pairs": q.q_range_pairs,
+    "q_bin_rollup": q.q_bin_rollup,
+    "q_cluster_embeddings": q.q_cluster_embeddings,
+    "q_semantic_dedup": q.q_semantic_dedup,
     "q_sim_topk": q.q_sim_topk,
     "q_ann_topk": q.q_ann_topk,
     "q_ivf_topk": q.q_ivf_topk,

@@ -1,0 +1,156 @@
+"""Tests for operators/joins.py (as-of + banded range join) and the
+similarity clustering/semantic-dedup additions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aces_nifi_processors_bundle_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s: float):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive match, greatest-ts wins, equal-ts right rows
+    resolve by tiebreak, unmatched rows carry NULLs."""
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(10.0), lid=1),
+            Row(k="a", ts=_ts(5.0), lid=2),   # ties a right row exactly
+            Row(k="a", ts=_ts(1.0), lid=3),   # before any right row
+            Row(k="b", ts=_ts(100.0), lid=4),  # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(5.0), rid=10, v=1.0),
+            Row(k="a", ts=_ts(5.0), rid=11, v=2.0),  # same ts: max rid wins
+            Row(k="a", ts=_ts(7.0), rid=12, v=3.0),
+        ]
+    )
+    out = {
+        r["lid"]: (r["rid_matched"], r["v_matched"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", values=["rid", "v"], tiebreak="rid"
+        ).collect()
+    }
+    assert out[1] == (12, 3.0)      # greatest ts <= 10
+    assert out[2] == (11, 2.0)      # inclusive at equal ts, rid tiebreak
+    assert out[3] == (None, None)   # nothing at-or-before
+    assert out[4] == (None, None)   # key absent on the right
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([Row(k="a", ts=_ts(100.0), lid=1)])
+    right = spark.createDataFrame([Row(k="a", ts=_ts(10.0), rid=5, v=9.0)])
+    fresh = asof_join(left, right, on="k", values=["v"], tolerance_sec=95).collect()[0]
+    stale = asof_join(left, right, on="k", values=["v"], tolerance_sec=60).collect()[0]
+    assert fresh["v_matched"] == 9.0 and fresh["ts_matched"] == _ts(10.0)
+    assert stale["v_matched"] is None and stale["ts_matched"] is None
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-window formulation must plan exactly ONE exchange
+    (the key partitioning) — no join exchange, no second sort pass."""
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 10).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 17).alias("ts"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    out = asof_join(left, right, on="k", values=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert out.count() == 100
+
+
+def test_range_join_matches_naive_and_dedups(spark):
+    """Bucket-and-neighbor join = naive join + band filter, each
+    qualifying pair exactly once, boundary |delta| == band included."""
+    rows = [
+        Row(u=i % 3, rid=i, x=(i * 37) % 100) for i in range(60)
+    ] + [Row(u=9, rid=100, x=0), Row(u=9, rid=101, x=10)]  # exact boundary
+    df = spark.createDataFrame(rows)
+    a = df.select("u", F.col("rid").alias("id_a"), F.col("x").alias("xa"))
+    b = df.select("u", F.col("rid").alias("id_b"), F.col("x").alias("xb"))
+    got = (
+        range_join(a, b, on="u", left_val="xa", right_val="xb", band=10)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .collect()
+    )
+    naive = (
+        a.join(b, "u")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("xa") - F.col("xb")) <= 10))
+        .select("id_a", "id_b")
+        .collect()
+    )
+    got_pairs = sorted((r["id_a"], r["id_b"]) for r in got)
+    assert got_pairs == sorted(set(got_pairs)), "pair emitted twice"
+    assert got_pairs == sorted((r["id_a"], r["id_b"]) for r in naive)
+    assert (100, 101) in got_pairs  # |0 - 10| == band is inside
+
+
+def test_range_join_no_nested_loop(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("u"), F.col("id").alias("rid"),
+        (F.col("id") * 3).alias("x"),
+    )
+    a = df.select("u", F.col("rid").alias("id_a"), F.col("x").alias("xa"))
+    b = df.select("u", F.col("rid").alias("id_b"), F.col("x").alias("xb"))
+    plan = (
+        range_join(a, b, on="u", left_val="xa", right_val="xb", band=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_drops_planted_copy_keeps_rest(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import semantic_dedup
+
+    def unit(seed: int):
+        # orthogonal-ish deterministic unit vectors
+        v = [0.0] * 8
+        v[seed % 8] = 1.0
+        v[(seed + 3) % 8] = 0.5 if seed % 2 else -0.5
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows = [Row(vec_id=i, embedding=unit(i)) for i in range(6)]
+    rows.append(Row(vec_id=100, embedding=unit(2)))  # exact copy of id 2
+    out = semantic_dedup(
+        spark.createDataFrame(rows), dim=8, n_centroids=4, threshold=0.99
+    )
+    marks = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert marks[2] is True and marks[100] is False  # greater id dropped
+    assert sum(1 for k in marks.values() if not k) == 1
+    # same cluster for the duplicate pair, by construction
+    cids = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert cids[2] == cids[100]
+
+
+def test_cluster_corpus_partitions_whole_corpus(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import cluster_corpus
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_corpus(emb, dim=64, n_centroids=16)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cos").alias("lo"),
+        F.max("cos").alias("hi"),
+        F.countDistinct("cluster_id").alias("c"),
+    ).collect()[0]
+    assert agg["n"] == emb.count()          # every row assigned exactly once
+    assert -1.0 <= agg["lo"] <= agg["hi"] <= 1.0
+    assert 1 < agg["c"] <= 16
