@@ -1687,3 +1687,16 @@ SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
 FROM assign a
 """
 )
+
+
+# Stream-stream interval join: the batch join IS the semantics (the
+# watermark only bounds state, never the availableNow result set).
+oracle("q_stream_interval_join")(
+    """
+SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_us,
+       v.event_id AS v_id, epoch_us(v.ts) AS v_us
+FROM events p JOIN events v ON p.user_id = v.user_id
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+"""
+)

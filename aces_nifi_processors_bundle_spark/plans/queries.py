@@ -1795,3 +1795,61 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb.unionByName(planted), dim=64, n_centroids=16, threshold=0.8
     )
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's views in the preceding 30 minutes — Spark's NATIVE
+    watermarked join (no custom state). Both sides carry a 1-hour
+    watermark, and the time-bound join condition is what lets the
+    engine evict join state: each side's buffered rows are dropped
+    once the other side's watermark passes the interval — bounded
+    state at any scale. availableNow processes the whole staged
+    source, so the inner join emits every qualifying pair and the
+    batch SQL oracle defines the exact result."""
+    import uuid
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = joined.select(
+        "p_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("p_us"),
+        "v_id",
+        F.unix_micros("v_ts").alias("v_us"),
+    )
+    qname = f"ival_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)

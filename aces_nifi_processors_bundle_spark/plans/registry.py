@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_store_merge": q.q_stream_store_merge,
     "q_stream_first_seen": q.q_stream_first_seen,
     "q_stream_first_seen_stateful": q.q_stream_first_seen_stateful,
+    "q_stream_interval_join": q.q_stream_interval_join,
     "q_stream_sessions": q.q_stream_sessions,
     "q_stream_bin_sliding": q.q_stream_bin_sliding,
 }
