@@ -233,3 +233,61 @@ def test_llm_pipeline_flow_matches_hand_composed(spark, sf_dir):
     got = sorted(map(tuple, flow_df.collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got and got == want
+
+
+def test_dag_flow_tag_and_joins(spark, sf_dir):
+    """tag + two-input stages: range_join in a flow == direct call;
+    bad wiring errors are actionable."""
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.operators.joins import range_join
+
+    flow = [
+        {"op": "load", "table": "events"},
+        {"op": "select",
+         "columns": ["user_id", "event_id AS id_b", "unix_micros(ts) AS us_b"]},
+        {"op": "tag", "name": "b"},
+        {"op": "load", "table": "events"},
+        {"op": "select",
+         "columns": ["user_id", "event_id AS id_a", "unix_micros(ts) AS us_a"]},
+        {"op": "range_join", "right": "b", "on": ["user_id"],
+         "left_val": "us_a", "right_val": "us_b", "band": 600e6},
+        {"op": "filter", "condition": "id_a < id_b"},
+    ]
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in build_flow(spark, flow, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.selectExpr("user_id", "event_id AS id_a", "unix_micros(ts) AS us_a")
+    b = ev.selectExpr("user_id", "event_id AS id_b", "unix_micros(ts) AS us_b")
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in range_join(a, b, "user_id", "us_a", "us_b", 600e6)
+        .filter("id_a < id_b").collect()
+    )
+    assert got and got == want
+
+    with pytest.raises(KeyError, match="untagged frame"):
+        build_flow(
+            spark,
+            [{"op": "load", "table": "events"},
+             {"op": "join", "right": "nope", "on": ["user_id"]}],
+            sf_dir,
+        )
+    with pytest.raises(ValueError, match="'tag' before any frame"):
+        build_flow(spark, [{"op": "tag", "name": "x"}], sf_dir)
+
+
+def test_semantic_dedup_stage_keeps_survivors_only(spark, sf_dir):
+    flow = [
+        {"op": "load", "table": "embeddings"},
+        {"op": "select", "columns": ["vec_id", "embedding"]},
+        {"op": "semantic_dedup", "dim": 64, "n_centroids": 8,
+         "threshold": 0.999},
+    ]
+    out = build_flow(spark, flow, sf_dir)
+    n_all = load_table(spark, sf_dir, "embeddings").count()
+    # no planted dups in the raw corpus at 0.999 → everything survives,
+    # with the original columns intact
+    assert sorted(out.columns) == ["embedding", "vec_id"]
+    assert out.count() == n_all
