@@ -44,6 +44,16 @@ Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
 processor to one relationship.
 
+Flows are DAGs, not only chains: ``{"op": "tag", "name": "views"}``
+remembers the current frame, a following ``load`` starts a new
+branch, and the two-input stages reference remembered frames:
+
+  {"op": "tag",        "name": "views"}
+  {"op": "asof_join",  "right": "views", "on": ["user_id"], ...}
+  {"op": "range_join", "right": "views", "on": [...], "band": ...}
+  {"op": "join",       "right": "views", "on": [...], "how": "inner"}
+  {"op": "semantic_dedup", "dim": 64, "threshold": 0.9}
+
 Transform stages stay lazy — the whole chain folds into one Catalyst
 plan. Store/sink stages are ACTIONS (the NiFi terminal-processor
 analog): they execute their write when the flow is built, then hand
@@ -407,19 +417,127 @@ def _chunk(
     return chunk_documents(df, text_col, id_col, chunk_tokens, overlap)
 
 
+@stage("asof_join")
+def _asof_join(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    values: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_matched",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-input stage: as-of-enrich the current frame with the named
+    frame (see `tag`). The canvas analog of a two-input processor."""
+    from .operators.joins import asof_join
+
+    return asof_join(
+        df, _named[right], on, left_ts, right_ts, values, tolerance_sec,
+        suffix, tiebreak,
+    )
+
+
+@stage("range_join")
+def _range_join(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    on: str | list[str],
+    left_val: str,
+    right_val: str,
+    band: float,
+) -> DataFrame:
+    from .operators.joins import range_join
+
+    return range_join(df, _named[right], on, left_val, right_val, band)
+
+
+@stage("join")
+def _join(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    return df.join(_named[right], on, how)
+
+
+@stage("semantic_dedup")
+def _semantic_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_only: bool = True,
+) -> DataFrame:
+    """SemDeDup pruning as a pipeline stage: keep_only=True continues
+    the flow with surviving ids joined back to the incoming columns."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.similarity import semantic_dedup
+
+    marked = semantic_dedup(df, dim, n_centroids, threshold, None, id_col, vec_col)
+    if not keep_only:
+        return marked
+    return df.join(
+        marked.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+
+
+# Stages that consume a SECOND input frame by name get the flow's
+# named-frame map injected (see `tag` in build_flow).
+_NAMED_OPS = {"asof_join", "range_join", "join"}
+
+
 def build_flow(
     spark: SparkSession, flow: list[dict[str, Any]], sf_dir: str
 ) -> DataFrame:
     """Fold a stage list into one DataFrame plan. ``load`` stages get
-    ``sf_dir`` injected; the result is lazy — callers write/collect."""
+    ``sf_dir`` injected; the result is lazy — callers write/collect.
+
+    The flow is a DAG, not just a chain: ``{"op": "tag", "name": N}``
+    remembers the current frame under N (and a following ``load``
+    starts a new branch), and two-input stages (`asof_join`,
+    `range_join`, `join`) reference a remembered frame via their
+    ``right`` key — the NiFi canvas shape where one processor consumes
+    two upstream connections. Everything still folds into ONE Catalyst
+    plan; tagging is metadata, not a materialization."""
     df: DataFrame | None = None
+    named: dict[str, DataFrame] = {}
     for i, spec in enumerate(flow):
         spec = dict(spec)
         op = spec.pop("op")
+        if op == "tag":
+            if df is None:
+                raise ValueError(f"stage {i}: 'tag' before any frame exists")
+            named[spec["name"]] = df
+            continue
         if op not in STAGES:
             raise KeyError(f"stage {i}: unknown op {op!r}; have {sorted(STAGES)}")
         if op == "load":
             spec.setdefault("sf_dir", sf_dir)
+        if op in _NAMED_OPS:
+            missing = spec.get("right") not in named
+            if missing:
+                raise KeyError(
+                    f"stage {i}: {op} references untagged frame "
+                    f"{spec.get('right')!r}; tagged: {sorted(named)}"
+                )
+            spec["_named"] = named
         if df is None and op != "load":
             raise ValueError(f"stage {i}: flow must start with a 'load' stage")
         df = STAGES[op](spark, df, **spec)

@@ -1700,3 +1700,7 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
   AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
 """
 )
+
+
+# The flow-assembled as-of must match the identical oracle.
+ORACLES["q_flow_asof"] = ORACLES["q_asof_enrich"]

@@ -1853,3 +1853,43 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname)
+
+
+def q_flow_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of enrichment assembled as a declarative JSON flow —
+    exercises the DAG flow shape (tag a branch, load a second branch,
+    two-input asof_join stage) and must hash-match q_asof_enrich's
+    oracle exactly: the flow layer adds no semantics, only wiring."""
+    from ..flows import build_flow
+
+    flow = [
+        {"op": "load", "table": "events"},
+        {"op": "filter", "condition": "event_type = 'view'"},
+        {"op": "select", "columns": ["event_id", "user_id", "ts", "value"]},
+        {"op": "tag", "name": "views"},
+        {"op": "load", "table": "events"},
+        {"op": "filter", "condition": "event_type = 'purchase'"},
+        {"op": "select", "columns": ["event_id", "user_id", "ts", "value"]},
+        {
+            "op": "asof_join",
+            "right": "views",
+            "on": ["user_id"],
+            "left_ts": "ts",
+            "values": ["event_id", "value"],
+            "tolerance_sec": 21600,
+            "tiebreak": "event_id",
+        },
+        {
+            "op": "select",
+            "columns": [
+                "event_id",
+                "user_id",
+                "unix_micros(ts) AS ts_us",
+                "round(value, 6) AS value",
+                "event_id_matched AS view_event_id",
+                "unix_micros(ts_matched) AS view_ts_us",
+                "round(value_matched, 6) AS view_value",
+            ],
+        },
+    ]
+    return build_flow(spark, flow, sf_dir)

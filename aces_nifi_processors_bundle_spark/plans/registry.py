@@ -71,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_weighted_sample": q.q_weighted_sample,
     "q_flow_llm_pipeline": q.q_flow_llm_pipeline,
     "q_asof_enrich": q.q_asof_enrich,
+    "q_flow_asof": q.q_flow_asof,
     "q_range_pairs": q.q_range_pairs,
     "q_bin_rollup": q.q_bin_rollup,
     "q_cluster_embeddings": q.q_cluster_embeddings,
