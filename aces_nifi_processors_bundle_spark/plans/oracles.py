@@ -1704,3 +1704,36 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 
 # The flow-assembled as-of must match the identical oracle.
 ORACLES["q_flow_asof"] = ORACLES["q_asof_enrich"]
+
+
+oracle("q_revenue_forecast")(
+    """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
+                     * CAST(l_discount AS DECIMAL(7,6))) AS VARCHAR) AS DOUBLE)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+)
+
+oracle("q_large_orders")(
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,6))) AS sq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,6))) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+       o.o_totalprice AS total_price,
+       CAST(CAST(b.sq AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_price DESC, o.o_orderkey
+LIMIT 10
+"""
+)

@@ -1893,3 +1893,55 @@ def q_flow_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
     return build_flow(spark, flow, sf_dir)
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue forecast: single selective scan-and-sum,
+    the pure scan-efficiency shape — every predicate (shipdate range,
+    discount band, quantity cap) pushes into the parquet scan, only 3
+    columns are read, and the sum map-side-combines to one row. At
+    100 TB this query IS its scan: no shuffle beyond the final
+    single-row combine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _rate("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: qualify orders by a HAVING
+    on summed line quantity, join customer + orders back, top-10 by
+    total price. The qualifying-keys aggregate runs FIRST and is tiny
+    (hundreds of keys), so both following joins are effectively
+    key-pruned; the top-k plans as TakeOrderedAndProject — per-
+    partition heaps, no global sort of the joined result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(10)
+    )

@@ -21,6 +21,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_pricing_summary": q.q_pricing_summary,
     "q_shipping_priority": q.q_shipping_priority,
     "q_local_supplier_volume": q.q_local_supplier_volume,
+    "q_revenue_forecast": q.q_revenue_forecast,
+    "q_large_orders": q.q_large_orders,
     "q_flow_flagship": q.q_flow_flagship,
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
