@@ -291,3 +291,23 @@ def test_semantic_dedup_stage_keeps_survivors_only(spark, sf_dir):
     # with the original columns intact
     assert sorted(out.columns) == ["embedding", "vec_id"]
     assert out.count() == n_all
+
+
+def test_every_example_flow_builds_and_returns_rows(spark, sf_dir):
+    import glob
+    import json as _json
+    import os
+
+    paths = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "..", "examples", "*.flow.json"))
+    )
+    assert paths, "examples/ must ship runnable flow documents"
+    for p in paths:
+        flow = _json.load(open(p))
+        # write_dataset needs a scratch path: redirect into /tmp
+        for st in flow:
+            if st.get("op") == "write_dataset":
+                import tempfile
+
+                st["path"] = tempfile.mkdtemp(prefix="aces_flow_example_")
+        assert build_flow(spark, flow, sf_dir).count() > 0, p
