@@ -159,3 +159,71 @@ def range_join(
         .filter(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(band))
         .drop("_rj_b")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    hot_keys: DataFrame | list | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: identical result to ``left.join(right, on,
+    how)``, but rows of explicitly-listed HOT keys are spread over
+    `n_salts` shuffle partitions instead of landing on one task.
+
+    Mechanics: the fact (left) side salts hot-key rows with a
+    deterministic hash-derived salt in [0, n_salts); the dim (right)
+    side replicates ONLY its hot-key rows n_salts times (cold rows get
+    salt 0 on both sides, unreplicated). The join key becomes
+    (on..., _salt) — same matches, bounded per-task fan-in. This is
+    what AQE's skew-join split does at runtime for sort-merge joins;
+    the explicit operator covers the cases AQE can't see (skew created
+    mid-pipeline after stats, or aggregation-feeding joins).
+
+    `hot_keys`: a small DataFrame of key columns (broadcast), or a
+    Python list of single-key values. Supplying the hot set explicitly
+    keeps the operator deterministic and costs one broadcast — at
+    scale, compute it once with an approx frequency pass and reuse it.
+    `how`: inner / left joins preserve semantics (every left row keeps
+    exactly its matches; unmatched left rows survive a left join with
+    one salt). Right/full joins would duplicate unmatched replicated
+    right rows — rejected.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join: how={how!r} would duplicate unmatched "
+                         "replicated right rows; use inner or left")
+    spark = left.sparkSession
+    if hot_keys is None:
+        raise ValueError("salted_join: pass the hot key set (small DataFrame "
+                         "or list); without one use a plain join + AQE")
+    if not isinstance(hot_keys, DataFrame):
+        if len(on) != 1:
+            raise ValueError("list-form hot_keys needs a single join key")
+        hot_keys = spark.createDataFrame(
+            [(k,) for k in hot_keys], left.select(*on).schema
+        )
+    hot = F.broadcast(hot_keys.select(*on).distinct().withColumn("_hot", F.lit(True)))
+
+    # Fact side: deterministic per-row salt for hot keys — hash the
+    # whole row's columns so the spread is even without needing an id.
+    lsalt = F.when(
+        F.col("_hot").isNotNull(),
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+    ).otherwise(F.lit(0))
+    l2 = left.join(hot, on, "left").withColumn("_salt", lsalt.cast("int")).drop("_hot")
+
+    # Dim side: replicate hot rows across every salt, cold rows once.
+    rsalts = F.when(
+        F.col("_hot").isNotNull(),
+        F.sequence(F.lit(0), F.lit(n_salts - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    r2 = (
+        right.join(hot, on, "left")
+        .withColumn("_salt", F.explode(rsalts))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+        .drop("_hot")
+    )
+    return l2.join(r2, [*on, "_salt"], how).drop("_salt")

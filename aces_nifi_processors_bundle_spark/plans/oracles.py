@@ -1737,3 +1737,30 @@ ORDER BY total_price DESC, o.o_orderkey
 LIMIT 10
 """
 )
+
+
+# salted_join is a pure layout transform: the plain join IS the
+# semantics, so the oracle is the unsalted SQL join.
+oracle("q_salted_join")(
+    """
+WITH dim AS (
+  SELECT user_id, min(epoch_us(ts)) AS u_first_us FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, d.u_first_us
+FROM events e JOIN dim d USING (user_id)
+"""
+)
+
+oracle("q_equidepth_histogram")(
+    """
+WITH t AS (
+  SELECT event_type, value,
+         CAST(ntile(10) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS INT) AS tile
+  FROM events
+)
+SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM t GROUP BY event_type, tile
+"""
+)

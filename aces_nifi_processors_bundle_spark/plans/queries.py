@@ -1945,3 +1945,48 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join (operators/joins.py::salted_join):
+    events join a per-user dim with the ten hottest user ids spread
+    over 8 salts. Result is IDENTICAL to the plain join — the oracle
+    is the plain SQL join — only the shuffle layout changes; pytest
+    additionally checks equality against df.join directly."""
+    from ..operators.joins import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("u_first_us")
+    )
+    out = salted_join(
+        events.select("event_id", "user_id"),
+        dim,
+        on="user_id",
+        hot_keys=list(range(10)),
+        n_salts=8,
+    )
+    return out.select("event_id", "user_id", "u_first_us")
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (ntile) histogram of event values per type — the
+    complement of NumericBinner's equi-width bins: every bucket holds
+    the same row count and the boundaries adapt to the distribution.
+    Deterministic via a unique (value, event_id) sort. At scale,
+    derive boundaries from approx_percentile instead of a per-group
+    sort (the same trade documented on q_profile_values_approx)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    tiles = events.select("event_type", "value", "event_id").withColumn(
+        "tile", F.ntile(10).over(w).cast("int")
+    )
+    return tiles.groupBy("event_type", "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

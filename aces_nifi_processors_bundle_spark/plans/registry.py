@@ -76,6 +76,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_flow_asof": q.q_flow_asof,
     "q_range_pairs": q.q_range_pairs,
     "q_bin_rollup": q.q_bin_rollup,
+    "q_salted_join": q.q_salted_join,
+    "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_cluster_embeddings": q.q_cluster_embeddings,
     "q_semantic_dedup": q.q_semantic_dedup,
     "q_sim_topk": q.q_sim_topk,

@@ -154,3 +154,39 @@ def test_cluster_corpus_partitions_whole_corpus(spark, sf_dir):
     assert agg["n"] == emb.count()          # every row assigned exactly once
     assert -1.0 <= agg["lo"] <= agg["hi"] <= 1.0
     assert 1 < agg["c"] <= 16
+
+
+def test_salted_join_equals_plain_join(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import salted_join
+
+    left = spark.range(500).selectExpr(
+        "id AS rid", "CASE WHEN id % 10 < 7 THEN 1 ELSE id % 37 END AS k"
+    )  # key 1 is hot (~70% of rows)
+    right = spark.range(40).selectExpr("id AS k", "id * 100 AS payload")
+
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", hot_keys=[1], n_salts=8,
+                                   how=how).select("rid", "k", "payload").collect())
+        )
+        want = sorted(
+            map(tuple, left.join(right, "k", how).select("rid", "k", "payload").collect())
+        )
+        assert got == want, how
+
+    # unmatched hot left key under left join survives exactly once
+    lonely = spark.createDataFrame([(999, 77)], "rid long, k long")
+    got = salted_join(lonely, right, "k", hot_keys=[77], n_salts=4, how="left").collect()
+    assert len(got) == 1 and got[0]["payload"] is None
+
+
+def test_salted_join_rejects_right_outer_and_missing_hot_set(spark):
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.operators.joins import salted_join
+
+    df = spark.range(10).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="inner or left"):
+        salted_join(df, df, "k", hot_keys=[1], how="right")
+    with pytest.raises(ValueError, match="hot key set"):
+        salted_join(df, df, "k")
