@@ -190,3 +190,23 @@ def test_salted_join_rejects_right_outer_and_missing_hot_set(spark):
         salted_join(df, df, "k", hot_keys=[1], how="right")
     with pytest.raises(ValueError, match="hot key set"):
         salted_join(df, df, "k")
+
+
+def test_asof_join_forward_via_negated_ts(spark):
+    """The documented forward-as-of recipe: negate timestamps on both
+    sides and the backward operator answers 'earliest at-or-after'."""
+    left = spark.createDataFrame(
+        [Row(k="a", ts=_ts(10.0), lid=1), Row(k="a", ts=_ts(50.0), lid=2)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=_ts(20.0), rid=7, v=1.0), Row(k="a", ts=_ts(60.0), rid=8, v=2.0)]
+    )
+    neg = lambda df: df.withColumn("nts", -F.unix_micros("ts"))  # noqa: E731
+    out = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(
+            neg(left), neg(right), on="k", left_ts="nts", values=["rid"], tiebreak="rid"
+        ).collect()
+    }
+    assert out[1] == 7   # earliest right at-or-after t=10 is t=20
+    assert out[2] == 8   # earliest at-or-after t=50 is t=60
