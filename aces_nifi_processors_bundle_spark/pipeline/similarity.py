@@ -618,22 +618,31 @@ def semantic_dedup(
     centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter: bool = True,
+    n_planes: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning: cluster by centroid argmax,
-    exact pairwise cosine WITHIN each cluster only, and mark the
-    greater id of every pair ≥ threshold as dropped. Returns
-    (id, cluster_id, keep) — keep=false rows are the semantic
-    near-duplicates a curation pipeline removes.
+    pairwise cosine WITHIN each cluster only, and mark the greater id
+    of every pair ≥ threshold as dropped. Returns (id, cluster_id,
+    keep) — keep=false rows are the semantic near-duplicates a
+    curation pipeline removes.
 
     Scale shape: the pairwise stage is a self-join on cluster_id, so
     candidate volume is Σ|cluster|² instead of n² — size n_centroids
     ≈ N / target_cluster_size to bound it (the IVF codebook scales to
     tens of thousands of cells; at that point write the assignment
     with ivf_write_index and the self-join is partition-co-located).
+    With `prefilter` (default), candidate pairs carry only (id,
+    64-bit sketch) through the join and a Hamming cut
+    (bit_count(xor) ≤ bound(threshold)) kills non-duplicates BEFORE
+    vectors are joined back for the exact cosine — the same funnel as
+    embedding_near_dups, and what keeps a fat cluster's cost at
+    sketch-ops instead of dim-length folds (measured 6.6x→~1x at the
+    sf1 probe, SCALE.md). The sketch cut is probabilistic with a
+    2-sigma slack — the embedding_near_dups recall pytest covers the
+    construction; prefilter=False is the exact-recall path.
     Cross-cluster near-dups are the documented recall trade (the
-    SemDeDup design point); run exact/byte dedup first. For very fat
-    clusters, insert the sketch+Hamming prefilter from
-    embedding_near_dups between the join and the exact cosine.
+    SemDeDup design point); run exact/byte dedup first.
     """
     cents = _ivf_centroids(dim, n_centroids, centroids)
     assign = ivf_assign_udf(dim, n_centroids, cents)
@@ -642,12 +651,40 @@ def semantic_dedup(
     ).withColumn("cluster_id", assign(F.col("v")))
     # Both join branches are the same plan → the cluster_id shuffle is
     # a ReusedExchange; the Arrow assignment pass runs once.
-    a = base.select("cluster_id", F.col("vid").alias("id_a"), F.col("v").alias("va"))
-    b = base.select("cluster_id", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    if prefilter:
+        sk = sketch_udf(dim, n_planes)
+        light = base.select("cluster_id", "vid", sk(F.col("v")).alias("sk"))
+        a = light.select(
+            "cluster_id", F.col("vid").alias("id_a"), F.col("sk").alias("sk_a")
+        )
+        b = light.select(
+            "cluster_id", F.col("vid").alias("id_b"), F.col("sk").alias("sk_b")
+        )
+        cand = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+                <= hamming_bound(threshold, n_planes)
+            )
+            .select("id_a", "id_b")
+        )
+        vecs = base.select("vid", "v")
+        pairs = cand.join(
+            vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
+        ).join(
+            vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b"
+        )
+    else:
+        a = base.select(
+            "cluster_id", F.col("vid").alias("id_a"), F.col("v").alias("va")
+        )
+        b = base.select(
+            "cluster_id", F.col("vid").alias("id_b"), F.col("v").alias("vb")
+        )
+        pairs = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        pairs.filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
         .select(F.col("id_b").alias("vid"))
         .distinct()
         .withColumn("_dropped", F.lit(True))

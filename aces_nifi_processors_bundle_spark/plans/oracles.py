@@ -1668,19 +1668,29 @@ WITH vecs AS (
          CAST(list_prepend(embedding[1] + CAST(0.3 AS FLOAT), embedding[2:64]) AS DOUBLE[])
   FROM embeddings WHERE vec_id % 20 = 0
 ),
+{_lsh_sketch_ctes()},
 c0(cid, cv) AS (VALUES
   {_IVF_CENTROIDS}),
 assign AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT vec_id, v, cid,
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
     FROM vecs, c0) WHERE rn = 1
 ),
-dropped AS (
-  SELECT DISTINCT b.vec_id
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+  JOIN sk sa ON sa.vec_id = a.vec_id
+  JOIN sk sb ON sb.vec_id = b.vec_id
+  WHERE bit_count(xor(sa.sk, sb.sk)) <= {_embedding_hamming_bound()}
+),
+dropped AS (
+  SELECT DISTINCT c.id_b AS vec_id
+  FROM cand c
+  JOIN vecs va ON va.vec_id = c.id_a
+  JOIN vecs vb ON vb.vec_id = c.id_b
+  WHERE list_cosine_similarity(va.v, vb.v) >= 0.8
 )
 SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
        (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
