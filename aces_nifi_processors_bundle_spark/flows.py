@@ -498,6 +498,30 @@ def _semantic_dedup(
     )
 
 
+@stage("lm_score_filter")
+def _lm_score_filter(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    min_score: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality gate: self-train the char-trigram LM
+    on the incoming corpus and keep docs scoring >= min_score."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.text import lm_score, train_char_trigram_lm
+
+    model = train_char_trigram_lm(df, text_col)
+    keep = (
+        lm_score(df, model, text_col, id_col)
+        .filter(F.col("lm_score") >= min_score)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 # Stages that consume a SECOND input frame by name get the flow's
 # named-frame map injected (see `tag` in build_flow).
 _NAMED_OPS = {"asof_join", "range_join", "join"}

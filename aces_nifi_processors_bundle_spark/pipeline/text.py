@@ -391,3 +391,78 @@ def canonical_text(text: Column) -> Column:
     out = F.lower(text)
     out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def char_trigram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tri) rows — every overlapping character trigram. Uses
+    sequence+substring explode (codegen generator) rather than a
+    lookahead regex so the construction is expressible in RE2-bound
+    SQL engines too; documents shorter than 3 chars drop out. Case is
+    NOT normalized: Java and utf8proc lowercasing disagree on enough
+    of Unicode to poison cross-engine checks, and a case-sensitive
+    model is fine for ranking."""
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t")).filter(
+        F.length("_t") >= 3
+    )
+    return base.select(
+        id_col,
+        F.expr("explode(sequence(1, length(_t) - 2))").alias("_i"),
+        F.col("_t"),
+    ).select(id_col, F.expr("substring(_t, _i, 3)").alias("tri"))
+
+
+def train_char_trigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained conditional character-trigram model — the CCNet-
+    style quality-filter model, engine-native. Returns (tri, p) with
+    p = count(abc) / count(ab·), the bigram counts derived from the
+    trigram sums (so the model is self-consistent by construction).
+
+    Determinism: p is one IEEE division of two exact integers —
+    correctly rounded, hence bit-identical in any engine (unlike
+    ln(), which carries no such guarantee; that's why the score below
+    is an average probability, not an average log-prob — the two rank
+    documents identically for filtering).
+
+    Scale shape: two hash aggregations over (tri) — map-side combined
+    to ≤|charset|³ rows — and the model frame stays broadcastable
+    (even a full 8-bit charset is ≤16M rows; real corpora are far
+    smaller)."""
+    tris = char_trigram_rows(df, text_col).select("tri")
+    tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    bc = tc.groupBy(F.substring("tri", 1, 2).alias("bi")).agg(
+        F.sum("c3").alias("c2")
+    )
+    return tc.join(bc, F.substring(tc.tri, 1, 2) == bc.bi).select(
+        "tri", (F.col("c3") / F.col("c2")).alias("p")
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unseen_p: float = 1e-6,
+) -> DataFrame:
+    """Score each document by its mean trigram probability under a
+    trained model (higher = more natural under the training corpus;
+    the perplexity-filter ranking). Returns (id, n_trigrams,
+    lm_score); unseen trigrams contribute `unseen_p`.
+
+    The model side is broadcast; the per-trigram rows never shuffle —
+    the groupBy(id) mean combines map-side back to one row per doc.
+    The mean is a DECIMAL sum of per-trigram round(p, 7), so it is
+    partial-agg-order independent and SQL-reproducible."""
+    tris = char_trigram_rows(df, text_col, id_col)
+    scored = tris.join(F.broadcast(model), "tri", "left").select(
+        id_col, F.coalesce(F.col("p"), F.lit(unseen_p)).alias("p")
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        n.alias("n_trigrams"),
+        F.round(
+            F.sum(F.round("p", 7).cast("decimal(38,18)")).cast("double") / n, 6
+        ).alias("lm_score"),
+    )

@@ -1774,3 +1774,30 @@ SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n,
 FROM t GROUP BY event_type, tile
 """
 )
+
+
+oracle("q_lm_score")(
+    """
+WITH docs AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= 3
+),
+tri AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+  FROM docs, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) s
+),
+tc AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+bc AS (SELECT substr(tri, 1, 2) AS bi, CAST(sum(c3) AS BIGINT) AS c2
+       FROM tc GROUP BY 1),
+model AS (
+  SELECT tri, c3 / c2 AS p FROM tc JOIN bc ON substr(tc.tri, 1, 2) = bc.bi
+),
+scored AS (
+  SELECT d.doc_id, coalesce(m.p, 1e-6) AS p
+  FROM tri d LEFT JOIN model m USING (tri)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(CAST(SUM(CAST(round(p, 7) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+)

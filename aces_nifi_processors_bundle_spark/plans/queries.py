@@ -1990,3 +1990,17 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram LM quality ranking (the CCNet-style
+    perplexity filter, engine-native): train the conditional trigram
+    model on the corpus itself, score every document by mean trigram
+    probability under it — outlier docs (boilerplate, wrong-language,
+    garbage) rank lowest. All math is integer counts + one IEEE
+    division per trigram, so the oracle reproduces it bit-exactly."""
+    from ..pipeline.text import lm_score, train_char_trigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_char_trigram_lm(docs)
+    return lm_score(docs, model)

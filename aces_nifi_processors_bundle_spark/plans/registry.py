@@ -70,6 +70,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_pack_sequences": q.q_pack_sequences,
     "q_decontaminate": q.q_decontaminate,
     "q_repetition_ratio": q.q_repetition_ratio,
+    "q_lm_score": q.q_lm_score,
     "q_weighted_sample": q.q_weighted_sample,
     "q_flow_llm_pipeline": q.q_flow_llm_pipeline,
     "q_asof_enrich": q.q_asof_enrich,

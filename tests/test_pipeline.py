@@ -801,3 +801,38 @@ def test_pack_sequences_matches_python_model(spark):
         for r in pack_sequences(df, "toks", seq_tokens=100, n_shards=4).collect()
     }
     assert again == got  # deterministic
+
+
+def test_lm_score_ranks_garbage_lowest(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        lm_score,
+        train_char_trigram_lm,
+    )
+
+    natural = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the lazy dog sleeps while the quick fox runs over the green hill",
+        "a brown dog and a quick fox play near the quiet river all day",
+        "the river runs over the hill and the fox sleeps near the dog",
+    ]
+    trusted = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(natural)]
+    )
+    scoreme = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=natural[1]),  # in-domain
+            Row(doc_id=99, text="zqxvj wkpfy qzzxj vvkwq jjqzx pkfyw"),
+        ]
+    )
+    # CCNet usage: the model trains on the TRUSTED corpus; held-out
+    # garbage bottoms out at the unseen-trigram floor.
+    model = train_char_trigram_lm(trusted)
+    out = {r["doc_id"]: r["lm_score"] for r in lm_score(scoreme, model).collect()}
+    assert out[1] > out[99] * 10
+    # model probabilities are proper conditionals: grouped by prefix
+    # bigram they sum to 1
+    sums = (
+        model.groupBy(F.substring("tri", 1, 2))
+        .agg(F.sum("p").alias("s")).collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
