@@ -1801,3 +1801,74 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
 FROM scored GROUP BY doc_id
 """
 )
+
+
+oracle("q_store_diff")(
+    """
+WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 3 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 42.0 FROM customer WHERE c_custkey % 7 = 0
+),
+ins AS (
+  SELECT n.c_custkey, n.c_acctbal, 'insert' AS change_type
+  FROM v2 n WHERE n.c_custkey NOT IN (SELECT c_custkey FROM v1)
+),
+upd AS (
+  SELECT n.c_custkey, n.c_acctbal, 'update_postimage' AS change_type
+  FROM v2 n JOIN v1 o USING (c_custkey)
+  WHERE n.c_acctbal IS DISTINCT FROM o.c_acctbal
+),
+del AS (
+  SELECT o.c_custkey, o.c_acctbal, 'delete' AS change_type
+  FROM v1 o WHERE o.c_custkey NOT IN (SELECT c_custkey FROM v2)
+)
+SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal, change_type FROM ins
+UNION ALL SELECT c_custkey, round(c_acctbal, 6), change_type FROM upd
+UNION ALL SELECT c_custkey, round(c_acctbal, 6), change_type FROM del
+"""
+)
+
+oracle("q_table_profile")(
+    """
+WITH a AS (SELECT * FROM events)
+SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       round(CAST(min(event_id) AS DOUBLE), 6) AS min_num,
+       round(CAST(max(event_id) AS DOUBLE), 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT ts) AS BIGINT),
+       round(CAST(min(epoch_us(ts)) AS DOUBLE), 6),
+       round(CAST(max(epoch_us(ts)) AS DOUBLE), 6),
+       NULL, NULL
+FROM a
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       round(CAST(min(user_id) AS DOUBLE), 6),
+       round(CAST(max(user_id) AS DOUBLE), 6),
+       NULL, NULL
+FROM a
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       NULL, NULL, min(event_type), max(event_type)
+FROM a
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       round(min(value), 6), round(max(value), 6), NULL, NULL
+FROM a
+"""
+)

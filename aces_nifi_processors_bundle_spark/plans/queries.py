@@ -2004,3 +2004,100 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = train_char_trigram_lm(docs)
     return lm_score(docs, model)
+
+
+def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version change feed (stores/keyed_table.py::diff —
+    the CDC/table_changes analog): v1 = full customer balances, v2 =
+    a rewrite that drops every third key, bumps every remaining even
+    key, and adds new keys. diff(1, 2) must emit exactly the
+    insert / update_postimage / delete rows the oracle derives from
+    the same arithmetic."""
+    import tempfile
+
+    from ..stores import KeyedParquetStore
+
+    customer = load_table(spark, sf_dir, "customer")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=tempfile.mkdtemp(prefix="aces_store_diff_"),
+        keys=["c_custkey"],
+        n_buckets=16,
+    )
+    v1 = customer.select("c_custkey", "c_acctbal")
+    store.init(v1)
+    k = F.col("c_custkey")
+    v2 = (
+        customer.filter(k % 3 != 0)
+        .select(
+            "c_custkey",
+            F.when(k % 2 == 0, F.col("c_acctbal") + 500).otherwise(
+                F.col("c_acctbal")
+            ).alias("c_acctbal"),
+        )
+        .unionByName(
+            customer.filter(k % 7 == 0).select(
+                (k + 1000000).alias("c_custkey"), F.lit(42.0).alias("c_acctbal")
+            )
+        )
+    )
+    store.init(v2)
+    return store.diff(1, 2).select(
+        "c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile in ONE scan — per column: rows,
+    nulls, distinct count, min/max rendered as strings. The classic
+    data-quality profiler: all per-column aggregates compute in a
+    single job (one pass, map-side partials), then pivot to one row
+    per column driver-side via a literal union of the agg row."""
+    events = load_table(spark, sf_dir, "events")
+    # numeric view per column (timestamps as epoch micros); string
+    # columns profile min/max lexicographically instead — floats are
+    # NEVER rendered to strings (engine float formatting differs).
+    num = {
+        "event_id": F.col("event_id").cast("double"),
+        "ts": F.unix_micros("ts").cast("double"),
+        "user_id": F.col("user_id").cast("double"),
+        "value": F.col("value"),
+    }
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+        if c in num:
+            aggs += [
+                F.round(F.min(num[c]), 6).alias(f"{c}__min_num"),
+                F.round(F.max(num[c]), 6).alias(f"{c}__max_num"),
+            ]
+        else:
+            aggs += [
+                F.min(F.col(c)).alias(f"{c}__min_str"),
+                F.max(F.col(c)).alias(f"{c}__max_str"),
+            ]
+    row = events.agg(*aggs)
+    null_d, null_s = F.lit(None).cast("double"), F.lit(None).cast("string")
+    parts = [
+        row.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            (F.col(f"{c}__min_num") if c in num else null_d).alias("min_num"),
+            (F.col(f"{c}__max_num") if c in num else null_d).alias("max_num"),
+            (null_s if c in num else F.col(f"{c}__min_str")).alias("min_str"),
+            (null_s if c in num else F.col(f"{c}__max_str")).alias("max_str"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -42,6 +42,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_store_merge": q.q_store_merge,
     "q_store_time_travel": q.q_store_time_travel,
     "q_flow_store_merge": q.q_flow_store_merge,
+    "q_store_diff": q.q_store_diff,
     "q_store_put_if_absent": q.q_store_put_if_absent,
     "q_text_stats": q.q_text_stats,
     "q_lang_id": q.q_lang_id,
@@ -51,6 +52,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_redact_pii": q.q_redact_pii,
     "q_strip_html": q.q_strip_html,
     "q_top_terms": q.q_top_terms,
+    "q_table_profile": q.q_table_profile,
     "q_profile_values": q.q_profile_values,
     "q_profile_values_approx": q.q_profile_values_approx,
     "q_vocab_stats": q.q_vocab_stats,

@@ -354,13 +354,43 @@ class KeyedParquetStore:
     def _schema(self, man: dict) -> StructType:
         return StructType.fromJson(json.loads(man["schema"]))
 
+    # Promotions the parquet scan performs on OLD files read under the
+    # NEW manifest schema (verified on this Spark: int32→int64 and
+    # float→double widen at scan time; decimal↔double and anything
+    # nested do NOT — those need the full-rewrite escalation below).
+    _SCAN_SAFE_WIDENINGS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"), ("float", "double"),
+    }
+
+    def _widening_scan_safe(self, old: StructType, new: StructType) -> bool:
+        """True iff every OLD field keeps its type or widens in a way
+        the parquet reader handles at scan time (so existing files
+        stay readable under `new` without rewriting). Added fields are
+        safe (absent columns read as NULL); any other change —
+        decimal/double flips, nested type changes, dropped fields —
+        is not."""
+        newf = {f.name: f.dataType for f in new.fields}
+        for f in old.fields:
+            nt = newf.get(f.name)
+            if nt is None:
+                return False
+            if nt == f.dataType:
+                continue
+            if (f.dataType.typeName(), nt.typeName()) not in self._SCAN_SAFE_WIDENINGS:
+                return False
+        return True
+
     def _evolved_schema(self, man: dict, written: DataFrame) -> str:
         """Manifest schema after a write: operators may widen a column
         (`$inc` promotes int→long), so the new manifest carries the
         UNION-promoted type per field — Spark's own coercion rules via
         an empty unionByName (analysis only, no job). Old narrower
-        files stay readable: the parquet vectorized reader widens
-        int→long / float→double at scan time."""
+        files stay readable when the promotion is scan-safe
+        (`_widening_scan_safe`); writers check that and fall back to a
+        full-table rewrite for promotions the scan can't bridge (e.g.
+        a decimal column `$set` with doubles)."""
         old = self._schema(man)
         new = written.drop(BUCKET_COL).schema
         if new == old:
@@ -535,6 +565,72 @@ class KeyedParquetStore:
                 )
         return sorted(out, key=lambda m: -m["version"])
 
+    def diff(self, v_old: int, v_new: int | None = None) -> DataFrame:
+        """Row-level change feed between two retained versions — the
+        CDC / `table_changes` analog. Returns the NEW version's rows
+        that differ from the old snapshot tagged `insert` (key absent
+        before) or `update_postimage` (key present, row changed), plus
+        the OLD rows of vanished keys tagged `delete` (pre-image).
+
+        Work scales with CHANGE, not table size: buckets whose
+        manifest entries are identical in both versions are pruned
+        driver-side from the manifests alone — their files are never
+        listed or read. Both sides read under the newer version's
+        schema (parquet widens old files at scan time, added columns
+        read as NULL). Rows are compared with exceptAll (NULL-safe,
+        multiset), so stores holding multiple rows per key
+        (match-many ingest) diff correctly row-wise; the change-type
+        tag is key-granular."""
+        fs, Path = self._fs()
+        man_old = self._manifest_at(fs, Path, v_old)
+        man_new = (
+            self._require_manifest(fs, Path)
+            if v_new is None
+            else self._manifest_at(fs, Path, v_new)
+        )
+        changed = [
+            b
+            for b in set(man_old["buckets"]) | set(man_new["buckets"])
+            if man_old["buckets"].get(b, []) != man_new["buckets"].get(b, [])
+        ]
+        # Each side reads under ITS OWN manifest schema (old files may
+        # predate a type-changing rewrite); the old side then casts to
+        # the new schema — plan-level casts bridge what a parquet scan
+        # can't (decimal→double etc.), and columns added since v_old
+        # read as typed NULLs.
+        schema_new = StructType.fromJson(json.loads(man_new["schema"]))
+        old_raw = self._read_dirs(
+            man_old, [d for b in changed for d in man_old["buckets"].get(b, [])]
+        )
+        old_df = old_raw.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in old_raw.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema_new.fields
+            ]
+        )
+        new_df = self._read_dirs(
+            man_new, [d for b in changed for d in man_new["buckets"].get(b, [])]
+        )
+        changed_new = new_df.exceptAll(old_df)
+        changed_old = old_df.exceptAll(new_df)
+        old_keys = old_df.select(*self.keys).distinct()
+        new_keys = new_df.select(*self.keys).distinct()
+        ct = "_change_type"
+        inserts = changed_new.join(old_keys, self.keys, "left_anti").withColumn(
+            ct, F.lit("insert")
+        )
+        updates = changed_new.join(old_keys, self.keys, "left_semi").withColumn(
+            ct, F.lit("update_postimage")
+        )
+        deletes = changed_old.join(new_keys, self.keys, "left_anti").withColumn(
+            ct, F.lit("delete")
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
+
     def restore(self, version: int) -> None:
         """Roll the table back to a retained version by publishing a NEW
         manifest carrying that version's bucket map (the RESTORE TABLE
@@ -584,6 +680,28 @@ class KeyedParquetStore:
             man = self._require_manifest(fs, Path)
             buckets, target = self._touched(man, source)
             res = partial_update(target, source, cfg)
+            # Schema-evolution check BEFORE writing: if the merge
+            # promotes a column in a way the parquet scan can't bridge
+            # for untouched buckets' old files (decimal→double etc.),
+            # escalate to a full-table rewrite in this commit — every
+            # bucket's rows pass through the merge and land in the new
+            # segment under the promoted type. Rare (a type-changing
+            # batch), costs one table rewrite, keeps every reader
+            # correct. Scan-safe widenings keep the incremental path.
+            evolved = StructType.fromJson(
+                json.loads(self._evolved_schema(man, res.merged.drop(ROUTE_COL)))
+            )
+            if not self._widening_scan_safe(self._schema(man), evolved):
+                buckets = [int(b) for b in man["buckets"]]
+                # Cast the full target to the PROMOTED schema before
+                # merging: the operator casts upsert-inserts to the
+                # target's types, so merging against the old types
+                # would round inserted values (e.g. 7.25 → decimal(_,1)
+                # → 7.3) on their way to the promoted column.
+                target = self._read_dirs(
+                    man, [d for dirs in man["buckets"].values() for d in dirs]
+                ).select(*[F.col(f.name).cast(f.dataType) for f in evolved.fields])
+                res = partial_update(target, source, cfg)
             obs = Observation()
             route = F.col(ROUTE_COL)
             observed = res.merged.observe(
@@ -665,12 +783,36 @@ class KeyedParquetStore:
                 F.sum(F.when(route == "success", 1).otherwise(0)).alias("inserted"),
                 F.sum(F.when(route == "already-exists", 1).otherwise(0)).alias("dupes"),
             )
-            out = (
+            inserted_rows = (
                 observed.filter(route == "success")
                 .drop(ROUTE_COL)
                 .select(*self._schema(man).fieldNames())
-                .withColumn(BUCKET_COL, self._bucket_of())
             )
+            evolved = StructType.fromJson(
+                json.loads(self._evolved_schema(man, inserted_rows))
+            )
+            # Same escalation as merge(): if the batch promotes a
+            # column in a way the parquet scan can't bridge for
+            # existing files, this commit rewrites the WHOLE table
+            # (existing rows cast to the promoted type + the inserts)
+            # instead of appending — rare, costs one rewrite, keeps
+            # every reader correct.
+            full_rewrite = not self._widening_scan_safe(self._schema(man), evolved)
+            if full_rewrite:
+                existing = self._read_dirs(
+                    man, [d for dirs in man["buckets"].values() for d in dirs]
+                ).select(
+                    *[F.col(f.name).cast(f.dataType) for f in evolved.fields]
+                )
+                body = existing.unionByName(
+                    inserted_rows.select(
+                        *[F.col(f.name).cast(f.dataType) for f in evolved.fields]
+                    )
+                )
+                buckets = [int(b) for b in man["buckets"]]
+            else:
+                body = inserted_rows
+            out = body.withColumn(BUCKET_COL, self._bucket_of())
             seg, present = self._write_segment(out)
             m = obs.get
             if self._pre_publish_hook is not None:
@@ -689,17 +831,23 @@ class KeyedParquetStore:
                     "(commit aborted; table unchanged)."
                 )
             new_buckets = dict(man["buckets"])
-            for b in sorted(present):  # appended buckets GAIN a dir
-                new_buckets[str(b)] = new_buckets.get(str(b), []) + [
-                    f"{seg}/{BUCKET_COL}={b}"
-                ]
+            if full_rewrite:  # every bucket points ONLY at the new segment
+                for b in buckets:
+                    new_buckets[str(b)] = (
+                        [f"{seg}/{BUCKET_COL}={b}"] if b in present else []
+                    )
+            else:
+                for b in sorted(present):  # appended buckets GAIN a dir
+                    new_buckets[str(b)] = new_buckets.get(str(b), []) + [
+                        f"{seg}/{BUCKET_COL}={b}"
+                    ]
             self._publish(
                 fs,
                 Path,
                 {
                     **man,
                     "version": man["version"] + 1,
-                    "schema": self._evolved_schema(man, out),
+                    "schema": evolved.json(),
                     "buckets": new_buckets,
                 },
                 op="put-if-absent",
