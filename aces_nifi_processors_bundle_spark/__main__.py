@@ -49,11 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser(
         "store", help="keyed-store operations (time travel / history)"
     )
-    st.add_argument("action", choices=["history", "read", "restore"])
+    st.add_argument("action", choices=["history", "read", "restore", "diff"])
     st.add_argument("path")
     st.add_argument("--keys", required=True, help="comma-separated key columns")
     st.add_argument("--n-buckets", type=int, default=64)
     st.add_argument("--version", type=int, default=None)
+    st.add_argument("--to-version", type=int, default=None,
+                    help="diff: newer version (default latest)")
     st.add_argument("--limit", type=int, default=20)
     args = p.parse_args(argv)
 
@@ -72,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"v{h['version']}\t{h['op']}\t{h['ts']}")
             elif args.action == "read":
                 store.read(args.version).show(args.limit, truncate=False)
+            elif args.action == "diff":
+                if args.version is None:
+                    print("diff requires --version (the older side)",
+                          file=sys.stderr)
+                    return 2
+                store.diff(args.version, args.to_version).show(
+                    args.limit, truncate=False
+                )
             else:
                 if args.version is None:
                     print("restore requires --version", file=sys.stderr)

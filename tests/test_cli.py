@@ -54,3 +54,18 @@ def test_cli_store_history_read_restore(spark, tmp_path, capsys):
                  "--n-buckets", "4"]) == 0
     assert "restored to v1" in capsys.readouterr().out
     assert store.read().collect()[0]["v"] == 1.0
+
+
+def test_cli_store_diff(spark, tmp_path, capsys):
+    from aces_nifi_processors_bundle_spark.__main__ import main
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    path = str(tmp_path / "clidiff")
+    store = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=4)
+    store.init(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    store.init(spark.createDataFrame([(1, "a"), (3, "c")], "k long, v string"))
+    assert main(["store", "diff", path, "--keys", "k", "--version", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "insert" in out and "delete" in out
+    # missing --version is a usage error, not a crash
+    assert main(["store", "diff", path, "--keys", "k"]) == 2
