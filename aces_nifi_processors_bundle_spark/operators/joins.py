@@ -227,3 +227,79 @@ def salted_join(
         .drop("_hot")
     )
     return l2.join(r2, [*on, "_salt"], how).drop("_salt")
+
+
+def haversine_km(
+    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+) -> Column:
+    """Great-circle distance in km (haversine, mean earth radius).
+    Squared terms are written as products (not pow) and the operand
+    order is fixed so a SQL oracle can reproduce the float result."""
+    sdlat = F.sin(F.radians(lat_b - lat_a) / 2)
+    sdlon = F.sin(F.radians(lon_b - lon_a) / 2)
+    h = sdlat * sdlat + F.cos(F.radians(lat_a)) * F.cos(F.radians(lat_b)) * (
+        sdlon * sdlon
+    )
+    return F.asin(F.sqrt(h)) * F.lit(2 * 6371.0088)
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    radius_km: float,
+    zoom: int,
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "lat",
+    right_lon: str = "lon",
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """Spatial radius join: all same-key (left, right) pairs within
+    `radius_km` great-circle distance — the 2-D sibling of
+    `range_join`, bucketed on Web-Mercator tiles instead of value
+    bands.
+
+    Both sides tile at `zoom` (`functions/geotile.py` math); the left
+    side explodes into its 3x3 tile neighborhood (x wraps across the
+    antimeridian), the join runs on (on..., tile), and the exact
+    haversine predicate filters the survivors. Candidate volume is
+    Σ|tile-pair|, never the all-pairs product.
+
+    `zoom` must be coarse enough that one tile spans >= radius_km in
+    both axes at the data's maximum |latitude| — tile span shrinks by
+    cos(lat) off the equator — i.e. pick the largest z with
+    40075 * cos(lat_max) / 2^z >= radius_km. Too-coarse only costs
+    candidate volume; too-fine silently loses pairs, so size it from
+    the data's latitude bound, not the equator.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    from ..functions.geotile import tile_x, tile_y
+
+    n = 2**zoom
+    lx, ly = tile_x(F.col(left_lon), zoom), tile_y(F.col(left_lat), zoom)
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.pmod(lx + dx, F.lit(n)).alias("jx"),
+                (ly + dy).alias("jy"),  # y never wraps (mercator clamp)
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    l3 = left.withColumn("_gj", F.explode(neighbors)).select(
+        "*", F.col("_gj.jx").alias("_gjx"), F.col("_gj.jy").alias("_gjy")
+    ).drop("_gj")
+    r3 = right.withColumn("_gjx", tile_x(F.col(right_lon), zoom)).withColumn(
+        "_gjy", tile_y(F.col(right_lat), zoom)
+    )
+    dist = haversine_km(
+        F.col(left_lat), F.col(left_lon), F.col(right_lat), F.col(right_lon)
+    )
+    return (
+        l3.join(r3, [*on, "_gjx", "_gjy"])
+        .withColumn(dist_col, dist)
+        .filter(F.col(dist_col) <= F.lit(radius_km))
+        .drop("_gjx", "_gjy")
+    )

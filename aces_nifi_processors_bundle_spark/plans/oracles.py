@@ -1872,3 +1872,29 @@ SELECT 'value', CAST(count(*) AS BIGINT),
 FROM a
 """
 )
+
+
+# Haversine written with the exact operand order of
+# operators/joins.py::haversine_km (products, not pow) so the float
+# result matches bit-for-bit; the tile bucketing is lossless at this
+# zoom, so the plain join defines the same pair set.
+oracle("q_geo_radius_join")(
+    """
+WITH geo AS (
+  SELECT event_id, user_id, (value % 85.0) - 42.5 AS lat,
+         CAST((user_id * 77) % 360 AS DOUBLE) - 180.0 AS lon
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+         asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * (sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2))
+         )) * 12742.0176 AS dist_km
+  FROM geo a JOIN geo b ON a.user_id = b.user_id AND a.event_id < b.event_id
+)
+SELECT user_id, id_a, id_b, round(dist_km, 3) AS dist_km
+FROM pairs WHERE dist_km <= 100.0
+"""
+)

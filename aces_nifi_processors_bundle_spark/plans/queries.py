@@ -2101,3 +2101,30 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 100 km great-circle distance
+    (operators/joins.py::geo_radius_join — the 2-D range join:
+    Web-Mercator tile bucketing + 3x3 neighborhood + exact haversine
+    verify, never the all-pairs product). zoom=8 spans >=115 km per
+    tile at the fixture's max |lat| of 42.5 deg."""
+    from ..operators.joins import geo_radius_join
+
+    geo = _with_geo(load_table(spark, sf_dir, "events"))
+    a = geo.select(
+        "user_id", F.col("event_id").alias("id_a"),
+        F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
+    )
+    b = geo.select(
+        "user_id", F.col("event_id").alias("id_b"),
+        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"),
+    )
+    out = geo_radius_join(
+        a, b, on="user_id", radius_km=100.0, zoom=8,
+        left_lat="lat_a", left_lon="lon_a",
+        right_lat="lat_b", right_lon="lon_b",
+    )
+    return out.filter(F.col("id_a") < F.col("id_b")).select(
+        "user_id", "id_a", "id_b", F.round("dist_km", 3).alias("dist_km")
+    )

@@ -80,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_range_pairs": q.q_range_pairs,
     "q_bin_rollup": q.q_bin_rollup,
     "q_salted_join": q.q_salted_join,
+    "q_geo_radius_join": q.q_geo_radius_join,
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_cluster_embeddings": q.q_cluster_embeddings,
     "q_semantic_dedup": q.q_semantic_dedup,

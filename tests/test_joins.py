@@ -210,3 +210,52 @@ def test_asof_join_forward_via_negated_ts(spark):
     }
     assert out[1] == 7   # earliest right at-or-after t=10 is t=20
     assert out[2] == 8   # earliest at-or-after t=50 is t=60
+
+
+def test_geo_radius_join_matches_naive_and_wraps_antimeridian(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import (
+        geo_radius_join,
+        haversine_km,
+    )
+
+    rows = [
+        Row(k=1, pid=i, lat=float((i * 13) % 50 - 25), lon=float((i * 29) % 340 - 170))
+        for i in range(80)
+    ] + [
+        # antimeridian pair ~22 km apart: neighbor x-wrap must find it
+        Row(k=2, pid=200, lat=0.0, lon=179.9),
+        Row(k=2, pid=201, lat=0.0, lon=-179.9),
+    ]
+    df = spark.createDataFrame(rows)
+    a = df.select("k", F.col("pid").alias("id_a"), F.col("lat").alias("lat_a"),
+                  F.col("lon").alias("lon_a"))
+    b = df.select("k", F.col("pid").alias("id_b"), F.col("lat").alias("lat_b"),
+                  F.col("lon").alias("lon_b"))
+    out = (
+        geo_radius_join(a, b, on="k", radius_km=500.0, zoom=6,
+                        left_lat="lat_a", left_lon="lon_a",
+                        right_lat="lat_b", right_lon="lon_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    naive = (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("d", haversine_km(F.col("lat_a"), F.col("lon_a"),
+                                      F.col("lat_b"), F.col("lon_b")))
+        .filter(F.col("d") <= 500.0)
+    )
+    want = sorted((r["id_a"], r["id_b"]) for r in naive.collect())
+    assert got == sorted(set(got)), "pair emitted twice"
+    assert got == want
+    assert (200, 201) in got  # across the antimeridian
+
+
+def test_haversine_known_distance(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import haversine_km
+
+    # one degree of latitude on the meridian ~= 111.19 km
+    d = spark.range(1).select(
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias("d")
+    ).collect()[0]["d"]
+    assert abs(d - 111.19) < 0.1
