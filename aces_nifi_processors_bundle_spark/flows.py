@@ -36,6 +36,7 @@ JSON document folding into one Catalyst plan:
   {"op": "hash_split",  "weights": {"train": 0.9, "val": 0.05, "test": 0.05}}
   {"op": "stratified_sample", "strata": ["lang"], "n": 100}
   {"op": "token_budget_mix", "group_col": "lang", "budgets": {...}}
+  {"op": "lm_score_filter", "min_score": 0.002}
   {"op": "chunk",       "chunk_tokens": 256, "overlap": 32}
   {"op": "pack_sequences", "seq_tokens": 2048, "n_shards": 64}
   {"op": "write_dataset", "path": ..., "partition_cols": ["split"]}

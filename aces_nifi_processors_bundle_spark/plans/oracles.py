@@ -1898,3 +1898,25 @@ SELECT user_id, id_a, id_b, round(dist_km, 3) AS dist_km
 FROM pairs WHERE dist_km <= 100.0
 """
 )
+
+
+oracle("q_stream_enrich_static")(
+    """
+WITH dim AS (
+  SELECT user_id, min(epoch_us(ts)) AS u_first_us FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       epoch_us(e.ts) - d.u_first_us AS age_us
+FROM events e JOIN dim d USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+)
+
+
+oracle("q_zorder_scan")(
+    """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events
+WHERE user_id >= 40 AND user_id < 60 AND value >= 100.0 AND value < 200.0
+"""
+)

@@ -2128,3 +2128,60 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("id_a") < F.col("id_b")).select(
         "user_id", "id_a", "id_b", F.round("dist_km", 3).alias("dist_km")
     )
+
+
+def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM joins a static
+    per-user dimension (first-seen timestamp) re-planned per
+    micro-batch — Spark's stream-static join. The static side is a
+    broadcastable aggregate, so each micro-batch does a broadcast
+    hash join with no streaming state at all (contrast
+    q_stream_interval_join, where both sides are streams and state is
+    watermark-bounded). Oracle: the batch join."""
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("u_first_us")
+    )
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    out = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "ts_us",
+        (F.col("ts_us") - F.col("u_first_us")).alias("age_us"),
+    )
+    qname = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the z-ordered layout (pipeline/layout.py::
+    write_zordered — the OPTIMIZE ZORDER BY analog): events written
+    clustered on (user_id, value), read back with a 2-D predicate.
+    The oracle checks the layout loses/duplicates nothing; the
+    data-skipping win (matching rows concentrated in few files) is
+    plan/file-asserted in tests/test_pipeline.py."""
+    import tempfile
+
+    from ..pipeline.layout import write_zordered
+
+    events = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="aces_zorder_")
+    write_zordered(
+        events.select("event_id", "user_id", "value"), path,
+        cols=["user_id", "value"], n_files=16,
+    )
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("user_id") >= 40) & (F.col("user_id") < 60)
+        & (F.col("value") >= 100.0) & (F.col("value") < 200.0)
+    ).select("event_id", "user_id", F.round("value", 6).alias("value"))

@@ -81,6 +81,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bin_rollup": q.q_bin_rollup,
     "q_salted_join": q.q_salted_join,
     "q_geo_radius_join": q.q_geo_radius_join,
+    "q_zorder_scan": q.q_zorder_scan,
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_cluster_embeddings": q.q_cluster_embeddings,
     "q_semantic_dedup": q.q_semantic_dedup,
@@ -97,6 +98,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_first_seen": q.q_stream_first_seen,
     "q_stream_first_seen_stateful": q.q_stream_first_seen_stateful,
     "q_stream_interval_join": q.q_stream_interval_join,
+    "q_stream_enrich_static": q.q_stream_enrich_static,
     "q_stream_sessions": q.q_stream_sessions,
     "q_stream_bin_sliding": q.q_stream_bin_sliding,
 }
