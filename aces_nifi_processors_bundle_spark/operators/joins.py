@@ -254,6 +254,7 @@ def geo_radius_join(
     right_lat: str = "lat",
     right_lon: str = "lon",
     dist_col: str = "dist_km",
+    ring: int = 1,
 ) -> DataFrame:
     """Spatial radius join: all same-key (left, right) pairs within
     `radius_km` great-circle distance — the 2-D sibling of
@@ -266,26 +267,31 @@ def geo_radius_join(
     haversine predicate filters the survivors. Candidate volume is
     Σ|tile-pair|, never the all-pairs product.
 
-    `zoom` must be coarse enough that one tile spans >= radius_km in
-    both axes at the data's maximum |latitude| — tile span shrinks by
-    cos(lat) off the equator — i.e. pick the largest z with
-    40075 * cos(lat_max) / 2^z >= radius_km. Too-coarse only costs
-    candidate volume; too-fine silently loses pairs, so size it from
-    the data's latitude bound, not the equator.
+    `zoom` and `ring` trade against each other: `ring` tiles of
+    neighborhood on each side must cover the radius, i.e. pick z with
+    40075 * cos(lat_max) / 2^z >= radius_km / ring. Too-coarse only
+    costs candidate volume; too-fine silently loses pairs, so size it
+    from the data's latitude bound, not the equator. ring > 1 trades
+    a (2*ring+1)^2 left-side explode for 4x-per-zoom lower per-tile
+    density — it pays only for data dense in BOTH axes (measured in
+    SCALE.md: on a corpus dense along one axis the explode cost wins
+    and ring=1 is right; radius joins are ultimately output-bound —
+    the result set itself is Σ within-radius pairs).
     """
     on = [on] if isinstance(on, str) else list(on)
     from ..functions.geotile import tile_x, tile_y
 
     n = 2**zoom
     lx, ly = tile_x(F.col(left_lon), zoom), tile_y(F.col(left_lat), zoom)
+    span = range(-ring, ring + 1)
     neighbors = F.array(
         *[
             F.struct(
                 F.pmod(lx + dx, F.lit(n)).alias("jx"),
                 (ly + dy).alias("jy"),  # y never wraps (mercator clamp)
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx in span
+            for dy in span
         ]
     )
     l3 = left.withColumn("_gj", F.explode(neighbors)).select(
