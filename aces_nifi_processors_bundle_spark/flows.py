@@ -523,9 +523,43 @@ def _lm_score_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+@stage("geo_radius_join")
+def _geo_radius_join(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    on: str | list[str],
+    radius_km: float,
+    zoom: int,
+    **kw: Any,
+) -> DataFrame:
+    from .operators.joins import geo_radius_join
+
+    return geo_radius_join(df, _named[right], on, radius_km, zoom, **kw)
+
+
+@stage("salted_join")
+def _salted_join(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    on: str | list[str],
+    hot_keys: list,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    from .operators.joins import salted_join
+
+    return salted_join(df, _named[right], on, hot_keys, n_salts, how)
+
+
 # Stages that consume a SECOND input frame by name get the flow's
 # named-frame map injected (see `tag` in build_flow).
-_NAMED_OPS = {"asof_join", "range_join", "join"}
+_NAMED_OPS = {"asof_join", "range_join", "join", "geo_radius_join", "salted_join"}
 
 
 def build_flow(

@@ -1,0 +1,89 @@
+"""Slowly-changing-dimension maintenance (SCD Type 2) as a pure
+DataFrame transform.
+
+The reference's keyed-store operators overwrite in place ($set,
+PartialUpdateMongo.java:277-429) — history is lost. SCD2 is the
+warehouse-standard alternative: every attribute change CLOSES the
+key's open row (stamps valid_to) and appends a new open version, so
+point-in-time queries (`valid_from <= t AND (valid_to IS NULL OR
+t < valid_to)`) reconstruct any past state. Pairs naturally with
+KeyedParquetStore.init()/time-travel: apply → init is one atomic
+manifest publish of the new dimension state.
+
+Scale shape: one full-outer equi-join of the OPEN rows against the
+batch on the natural key (historical rows never join — they union
+straight through), null-safe change detection in codegen, no window
+functions, no UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    effective_ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Fold one batch into an SCD2 dimension; returns the new state.
+
+    `current` columns: keys + compare_cols + (valid_from, valid_to,
+    is_current); `batch` columns: keys + compare_cols +
+    effective_ts_col — ONE row per key (pre-combine a multi-row batch
+    with max_by upstream, as the store's merge does).
+
+    Per key: new key → open row; open row whose compare_cols differ
+    (null-safe) → close it at the batch timestamp and append a new
+    open version; unchanged or absent from the batch → untouched.
+    Historical (closed) rows always pass through unchanged.
+    """
+    open_rows = current.filter(F.col(is_current))
+    hist_rows = current.filter(~F.col(is_current))
+    b = batch.select(
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+        F.col(effective_ts_col).alias("_b_ts"),
+    )
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(k) == F.col(f"_b_{k}") for k in keys],
+    )
+    j = open_rows.join(b, cond, "full")
+    in_batch = F.col("_b_ts").isNotNull()
+    in_open = F.col(is_current).isNotNull()
+    changed: Column = in_open & in_batch & ~reduce(
+        lambda a, c: a & c,
+        [F.col(c).eqNullSafe(F.col(f"_b_{c}")) for c in compare_cols],
+    )
+
+    keep_cols = [*keys, *compare_cols, valid_from, valid_to, is_current]
+    # open rows: unchanged/un-batched survive as-is; changed close.
+    survivors = j.filter(in_open).select(
+        *keys,
+        *compare_cols,
+        F.col(valid_from),
+        F.when(changed, F.col("_b_ts")).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(changed, F.lit(False)).otherwise(F.lit(True)).alias(is_current),
+    )
+    # batch rows opening a new version: brand-new keys or changed attrs
+    openers = j.filter(in_batch & (changed | ~in_open)).select(
+        *[F.col(f"_b_{k}").alias(k) for k in keys],
+        *[F.col(f"_b_{c}").alias(c) for c in compare_cols],
+        F.col("_b_ts").alias(valid_from),
+        F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return (
+        hist_rows.select(*keep_cols)
+        .unionByName(survivors)
+        .unionByName(openers)
+    )

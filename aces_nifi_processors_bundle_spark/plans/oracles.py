@@ -1920,3 +1920,53 @@ FROM events
 WHERE user_id >= 40 AND user_id < 60 AND value >= 100.0 AND value < 200.0
 """
 )
+
+
+oracle("q_scd2_dimension")(
+    """
+WITH cur_open AS (
+  SELECT c_custkey, c_acctbal, 1000 AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM customer
+),
+hist AS (
+  SELECT c_custkey, c_acctbal - 50 AS c_acctbal, 500 AS valid_from,
+         1000 AS valid_to, FALSE AS is_current
+  FROM customer WHERE c_custkey % 11 = 0
+),
+batch AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal,
+         2000 AS ts
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, 7.5, 2000 FROM customer WHERE c_custkey % 5 = 0
+),
+changed AS (
+  SELECT o.c_custkey FROM cur_open o JOIN batch b USING (c_custkey)
+  WHERE b.c_acctbal IS DISTINCT FROM o.c_acctbal
+),
+survivors AS (
+  SELECT o.c_custkey, o.c_acctbal, o.valid_from,
+         CASE WHEN ch.c_custkey IS NOT NULL THEN 2000 ELSE o.valid_to END
+           AS valid_to,
+         ch.c_custkey IS NULL AS is_current
+  FROM cur_open o LEFT JOIN changed ch USING (c_custkey)
+),
+openers AS (
+  SELECT b.c_custkey, b.c_acctbal, 2000 AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM batch b
+  WHERE b.c_custkey IN (SELECT c_custkey FROM changed)
+     OR b.c_custkey NOT IN (SELECT c_custkey FROM cur_open)
+)
+SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal,
+       CAST(valid_from AS BIGINT) AS valid_from, valid_to, is_current
+FROM (
+  SELECT * FROM hist
+  UNION ALL SELECT * FROM survivors
+  UNION ALL SELECT * FROM openers
+)
+"""
+)

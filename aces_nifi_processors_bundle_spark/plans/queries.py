@@ -2185,3 +2185,47 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") >= 40) & (F.col("user_id") < 60)
         & (F.col("value") >= 100.0) & (F.col("value") < 200.0)
     ).select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/scd.py::scd2_apply):
+    a customer-balance dimension (open rows at t=1000, one pre-closed
+    history row per 11th key) folds in a t=2000 batch that changes
+    every third key's balance and adds new keys. Changed keys close
+    and re-open; unchanged keys and history pass through untouched —
+    the oracle derives the same state set-algebraically."""
+    from ..operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    open_rows = customer.select(
+        "c_custkey", "c_acctbal",
+        F.lit(1000).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = customer.filter(k % 11 == 0).select(
+        "c_custkey", (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        F.lit(500).cast("long").alias("valid_from"),
+        F.lit(1000).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    current = open_rows.unionByName(hist)
+    batch = customer.select(
+        "c_custkey",
+        F.when(k % 3 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ).alias("c_acctbal"),
+        F.lit(2000).cast("long").alias("effective_ts"),
+    ).unionByName(
+        customer.filter(k % 5 == 0).select(
+            (k + 1000000).alias("c_custkey"),
+            F.lit(7.5).alias("c_acctbal"),
+            F.lit(2000).cast("long").alias("effective_ts"),
+        )
+    )
+    out = scd2_apply(current, batch, keys=["c_custkey"], compare_cols=["c_acctbal"])
+    return out.select(
+        "c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"),
+        "valid_from", "valid_to", "is_current",
+    )

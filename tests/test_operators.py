@@ -326,3 +326,45 @@ def test_write_routed_single_pass_partition_dirs(spark, tmp_path):
     routed = spark.read.parquet(base)
     assert routed.filter(F.col("_route") == "failure").count() == 4
     assert routed.filter(F.col("_route") == "success").count() == 6
+
+
+def test_scd2_apply_point_in_time_reconstruction(spark):
+    """Two batches folded into an SCD2 dimension; every historical
+    time point must reconstruct exactly via the valid_from/valid_to
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.operators.scd import scd2_apply
+
+    def dim(rows):
+        return spark.createDataFrame(
+            rows, "k long, attr string, valid_from long, valid_to long, is_current boolean"
+        )
+
+    def batch(rows, ts):
+        return spark.createDataFrame(
+            [(k, a, ts) for k, a in rows], "k long, attr string, effective_ts long"
+        )
+
+    state = dim([(1, "a", 0, None, True), (2, "x", 0, None, True)])
+    state = scd2_apply(state, batch([(1, "b"), (3, "n")], 10),
+                       keys=["k"], compare_cols=["attr"])
+    state = scd2_apply(state, batch([(1, "b"), (2, "y")], 20),
+                       keys=["k"], compare_cols=["attr"])
+
+    def as_of(t):
+        return {
+            r["k"]: r["attr"]
+            for r in state.filter(
+                (F.col("valid_from") <= t)
+                & (F.col("valid_to").isNull() | (F.lit(t) < F.col("valid_to")))
+            ).collect()
+        }
+
+    assert as_of(5) == {1: "a", 2: "x"}
+    assert as_of(15) == {1: "b", 2: "x", 3: "n"}
+    assert as_of(25) == {1: "b", 2: "y", 3: "n"}
+    # exactly one open row per live key; k=1 unchanged at t=20 kept ONE version
+    open_rows = state.filter("is_current").collect()
+    assert sorted(r["k"] for r in open_rows) == [1, 2, 3]
+    assert state.count() == 5  # 3 open + 2 closed versions

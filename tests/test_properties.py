@@ -236,3 +236,74 @@ def test_hash_split_model(spark, ids, train_w):
         return name
 
     assert got == {i: model(i) for i in ids}
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=500),  # ts
+            st.booleans(),                            # side: right?
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_join_model(spark, rows):
+    """asof_join vs a direct Python model: per left row, the right row
+    with greatest ts <= left ts, greatest rid breaking ties."""
+    from aces_nifi_processors_bundle_spark.operators.joins import asof_join
+
+    left = [(i, k, t) for i, (k, t, r) in enumerate(rows) if not r]
+    right = [(i, k, t, float(i)) for i, (k, t, r) in enumerate(rows) if r]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    rdf = spark.createDataFrame(right, "rid long, k long, ts long, v double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    got = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(ldf, rdf, on="k", values=["rid", "v"],
+                           tiebreak="rid").collect()
+    }
+    for lid, k, t in left:
+        cands = [(rt, rid) for rid, rk, rt, _ in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, t)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.integers(min_value=-100, max_value=100) # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=40),            # band
+)
+def test_range_join_model(spark, rows, band):
+    """range_join vs the direct O(n²) model, arbitrary ints + band —
+    covers negative values (floor-vs-div bucketing) and boundaries."""
+    from aces_nifi_processors_bundle_spark.operators.joins import range_join
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k long, x long")
+    a = df.select("k", F.col("rid").alias("id_a"), F.col("x").alias("xa"))
+    b = df.select("k", F.col("rid").alias("id_b"), F.col("x").alias("xb"))
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in range_join(a, b, "k", "xa", "xb", band)
+        .filter(F.col("id_a") < F.col("id_b")).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, k1, v1 in data
+        for j, k2, v2 in data
+        if i < j and k1 == k2 and abs(v1 - v2) <= band
+    )
+    assert got == want
