@@ -1970,3 +1970,25 @@ FROM (
 )
 """
 )
+
+
+oracle("q_temporal_dim_join")(
+    """
+WITH dim AS (
+  -- even keys: version 1 closes at t_mid, version 2 opens (bal+100);
+  -- odd keys: one open version from 0
+  SELECT c_custkey, c_acctbal, 0 AS valid_from,
+         CASE WHEN c_custkey % 2 = 0 THEN 820454400000000 END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100, 820454400000000, NULL
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+       round(d.c_acctbal, 6) AS acctbal_at_order
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+WHERE epoch_us(o.o_orderdate) >= d.valid_from
+  AND (d.valid_to IS NULL OR epoch_us(o.o_orderdate) < d.valid_to)
+"""
+)

@@ -2229,3 +2229,47 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"),
         "valid_from", "valid_to", "is_current",
     )
+
+
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact-to-dimension join: each order is priced
+    against the customer-balance VERSION valid at its order date —
+    the query SCD2 exists for. Implemented with asof_join on the
+    version's valid_from (single-shuffle union-window), then the
+    validity upper bound filters stale matches; versions come from
+    the same two-batch fold as q_scd2_dimension at micro-timestamps
+    the fixture's order dates straddle."""
+    from ..operators.joins import asof_join
+    from ..operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("c_custkey")
+    t_mid = 820454400000000  # 1996-01-01 in epoch micros
+    current = customer.select(
+        "c_custkey", "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = customer.filter(k % 2 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit(t_mid).cast("long").alias("effective_ts"),
+    )
+    dim = scd2_apply(current, batch, keys=["c_custkey"], compare_cols=["c_acctbal"])
+    facts = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"),
+        F.unix_micros("o_orderdate").alias("o_us"),
+    )
+    versions = dim.select(
+        "c_custkey", "c_acctbal", "valid_from",
+        F.coalesce("valid_to", F.lit(2**62)).alias("vt"),
+    )
+    out = asof_join(
+        facts, versions, on="c_custkey", left_ts="o_us", right_ts="valid_from",
+        values=["c_acctbal", "vt"], tiebreak="vt",
+    )
+    return out.filter(F.col("o_us") < F.col("vt_matched")).select(
+        "o_orderkey", "c_custkey",
+        F.round("c_acctbal_matched", 6).alias("acctbal_at_order"),
+    )

@@ -43,6 +43,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_store_time_travel": q.q_store_time_travel,
     "q_flow_store_merge": q.q_flow_store_merge,
     "q_scd2_dimension": q.q_scd2_dimension,
+    "q_temporal_dim_join": q.q_temporal_dim_join,
     "q_store_diff": q.q_store_diff,
     "q_store_put_if_absent": q.q_store_put_if_absent,
     "q_text_stats": q.q_text_stats,
