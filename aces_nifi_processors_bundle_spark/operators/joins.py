@@ -67,7 +67,10 @@ def asof_join(
     right_ts = right_ts or left_ts
     if not values:
         raise ValueError("asof_join: `values` must name ≥1 right column")
-    tiebreak = tiebreak or values[0]
+    # the matched timestamp is always carried as <right_ts><suffix>;
+    # listing it in `values` too would alias the same name twice
+    values = [v for v in values if v != right_ts]
+    tiebreak = tiebreak or (values[0] if values else right_ts)
     rtypes = dict(right.dtypes)
 
     l2 = (
@@ -100,11 +103,18 @@ def asof_join(
     ).filter(F.col(_SIDE) == 1)
     if tolerance_sec is not None:
         # A match staler than the tolerance is no match: null the
-        # carried columns (typed nulls — schema unchanged).
-        in_tol = (
-            F.unix_micros(F.col(_T))
-            - F.unix_micros(F.col(f"__carry_{right_ts}{suffix}"))
-        ) <= int(tolerance_sec * 1_000_000)
+        # carried columns (typed nulls — schema unchanged). Timestamp
+        # columns compare in microseconds; numeric "timestamps"
+        # compare in their own units (tolerance_sec is then unitless).
+        if dict(left.dtypes)[left_ts].startswith("timestamp"):
+            gap = F.unix_micros(F.col(_T)) - F.unix_micros(
+                F.col(f"__carry_{right_ts}{suffix}")
+            )
+            bound = int(tolerance_sec * 1_000_000)
+        else:
+            gap = F.col(_T) - F.col(f"__carry_{right_ts}{suffix}")
+            bound = tolerance_sec
+        in_tol = gap <= bound
         proj = [
             F.when(in_tol, F.col(f"__carry_{c}"))
             .otherwise(F.lit(None).cast(rtypes.get(c[: -len(suffix)], "string")))

@@ -259,3 +259,22 @@ def test_haversine_known_distance(spark):
         haversine_km(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias("d")
     ).collect()[0]["d"]
     assert abs(d - 111.19) < 0.1
+
+
+def test_asof_join_values_may_name_the_timestamp_and_numeric_ts_tolerance(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k="a", ts=_ts(10.0), lid=1)])
+    right = spark.createDataFrame([Row(k="a", ts=_ts(7.0), v=1.0)])
+    # ts listed in values: carried once as ts_matched, no dup-alias error
+    out = asof_join(left, right, on="k", values=["ts", "v"]).collect()[0]
+    assert out["ts_matched"] == _ts(7.0) and out["v_matched"] == 1.0
+
+    # numeric (non-timestamp) time column with tolerance in same units
+    nl = spark.createDataFrame([(1, 100, 1)], "k long, t long, lid long")
+    nr = spark.createDataFrame([(1, 60, 5.0)], "k long, t long, v double")
+    hit = asof_join(nl, nr, on="k", left_ts="t", values=["v"],
+                    tolerance_sec=50).collect()[0]
+    miss = asof_join(nl, nr, on="k", left_ts="t", values=["v"],
+                     tolerance_sec=30).collect()[0]
+    assert hit["v_matched"] == 5.0 and miss["v_matched"] is None
