@@ -1992,3 +1992,21 @@ WHERE epoch_us(o.o_orderdate) >= d.valid_from
   AND (d.valid_to IS NULL OR epoch_us(o.o_orderdate) < d.valid_to)
 """
 )
+
+
+oracle("q_retention_cohorts")(
+    """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+)

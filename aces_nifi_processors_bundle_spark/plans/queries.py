@@ -2273,3 +2273,23 @@ def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "c_custkey",
         F.round("c_acctbal_matched", 6).alias("acctbal_at_order"),
     )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics shape:
+    users grouped by first-seen week (cohort), counted distinct in
+    each later week as a week offset. Two hash aggregates and one
+    broadcast-sized join (cohort frame is one row per user); the
+    distinct count is exact (countDistinct, map-side partials)."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 604800000000")
+    activity = events.select("user_id", week.alias("week")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
