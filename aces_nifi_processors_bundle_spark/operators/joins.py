@@ -53,13 +53,19 @@ def asof_join(
     greatest right_ts <= left_ts (optionally within `tolerance_sec`).
 
     Implementation — the single-shuffle union-window formulation
-    rather than a join: tag both sides, union, then one running
-    `last(value, ignorenulls=True)` window per value column ordered by
-    (ts, side, tiebreak). Right rows sort before left rows at equal
-    ts (inclusive match), and among equal-ts right rows the greatest
-    `tiebreak` (default: first value column) wins — deterministic
-    without a pre-dedup pass. Unmatched left rows carry NULLs;
-    `<right_ts><suffix>` carries the matched row's timestamp.
+    rather than a join: tag both sides, union, then ONE running
+    `last(struct(ts, values...), ignorenulls=True)` window ordered by
+    (ts, side, tiebreak). The whole matched row is carried as a
+    single struct, so every output column comes from THE SAME right
+    row even when some of its value columns are NULL (independent
+    per-column carries would stitch columns from different rows).
+    Right rows sort before left rows at equal ts (inclusive match),
+    and among equal-ts right rows the greatest `tiebreak` (default:
+    first value column; any orderable type — left rows sort with a
+    NULLS FIRST null, which never competes since their side differs)
+    wins — deterministic without a pre-dedup pass. Unmatched left
+    rows carry NULLs; `<right_ts><suffix>` carries the matched row's
+    timestamp.
 
     A forward as-of is the same operator on negated timestamps.
     """
@@ -71,58 +77,56 @@ def asof_join(
     # listing it in `values` too would alias the same name twice
     values = [v for v in values if v != right_ts]
     tiebreak = tiebreak or (values[0] if values else right_ts)
-    rtypes = dict(right.dtypes)
+    carried = [f"{right_ts}{suffix}"] + [f"{v}{suffix}" for v in values]
+    clash = [c for c in carried if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: left frame already has column(s) {clash}; pass a "
+            "different `suffix` (chained enrichments need distinct suffixes)"
+        )
 
     l2 = (
         left.withColumn(_T, F.col(left_ts))
         .withColumn(_SIDE, F.lit(1))
-        .withColumn(_TB, F.lit(-1).cast("double"))
+        .withColumn(_TB, F.lit(None).cast(dict(right.dtypes)[tiebreak]))
     )
     r2 = right.select(
         *on,
         F.col(right_ts).alias(_T),
         F.lit(0).alias(_SIDE),
-        # Coalesce keeps the sort key NULL-free (see module doc).
-        F.coalesce(F.col(tiebreak).cast("double"), F.lit(-1.0)).alias(_TB),
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-        *[F.col(v).alias(f"{v}{suffix}") for v in values],
+        F.col(tiebreak).alias(_TB),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(v).alias(v) for v in values],
+        ).alias("_asof_row"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(_T).asc(), F.col(_SIDE).asc(), F.col(_TB).asc())
+        .orderBy(
+            F.col(_T).asc(), F.col(_SIDE).asc(), F.col(_TB).asc_nulls_first()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{right_ts}{suffix}"] + [f"{v}{suffix}" for v in values]
     m = u.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in carried
-        ],
+        "*", F.last(F.col("_asof_row"), ignorenulls=True).over(w).alias("_m")
     ).filter(F.col(_SIDE) == 1)
+    match = F.col("_m")
     if tolerance_sec is not None:
-        # A match staler than the tolerance is no match: null the
-        # carried columns (typed nulls — schema unchanged). Timestamp
+        # A match staler than the tolerance is no match: null the whole
+        # carried struct (all columns stay consistent). Timestamp
         # columns compare in microseconds; numeric "timestamps"
         # compare in their own units (tolerance_sec is then unitless).
         if dict(left.dtypes)[left_ts].startswith("timestamp"):
-            gap = F.unix_micros(F.col(_T)) - F.unix_micros(
-                F.col(f"__carry_{right_ts}{suffix}")
-            )
+            gap = F.unix_micros(F.col(_T)) - F.unix_micros(match["ts"])
             bound = int(tolerance_sec * 1_000_000)
         else:
-            gap = F.col(_T) - F.col(f"__carry_{right_ts}{suffix}")
+            gap = F.col(_T) - match["ts"]
             bound = tolerance_sec
-        in_tol = gap <= bound
-        proj = [
-            F.when(in_tol, F.col(f"__carry_{c}"))
-            .otherwise(F.lit(None).cast(rtypes.get(c[: -len(suffix)], "string")))
-            .alias(c)
-            for c in carried
-        ]
-    else:
-        proj = [F.col(f"__carry_{c}").alias(c) for c in carried]
+        match = F.when(gap <= bound, match)
+    proj = [match["ts"].alias(f"{right_ts}{suffix}")] + [
+        match[v].alias(f"{v}{suffix}") for v in values
+    ]
     return m.select(*left.columns, *proj)
 
 
@@ -147,23 +151,32 @@ def range_join(
     exact band predicate then filters the survivors (codegen, no UDF).
     """
     on = [on] if isinstance(on, str) else list(on)
+    if not band > 0:
+        raise ValueError(
+            f"range_join: band must be > 0 (got {band}); band=0 'exact "
+            "equality' is a plain equi-join on the value column"
+        )
+    ints = ("tinyint", "smallint", "int", "bigint")
+    # BOTH sides must bucket with the same arithmetic: `div` truncates
+    # toward zero while floor rounds toward -inf, so mixing them on
+    # negative values breaks the buckets-differ-by-≤1 invariant and
+    # silently drops pairs. Integer `div` (exact, no double rounding
+    # at bucket boundaries) only when both columns are integral.
+    both_integral = (
+        dict(left.dtypes).get(left_val) in ints
+        and dict(right.dtypes).get(right_val) in ints
+    )
 
-    def bucket(df: DataFrame, col: str) -> Column:
-        # Integral columns with an integral band bucket via integer
-        # `div` — exact, so the buckets-differ-by-≤1 invariant that
-        # makes the neighbor join lossless can't be broken by double
-        # rounding at a bucket boundary. Fractional inputs take the
-        # double floor (values far from 2^53 in practice).
-        integral = dict(df.dtypes).get(col) in ("tinyint", "smallint", "int", "bigint")
-        if integral and float(band).is_integer():
+    def bucket(col: str) -> Column:
+        if both_integral and float(band).is_integer():
             return F.expr(f"`{col}` div {int(band)}")
         return F.floor(F.col(col) / F.lit(band)).cast("long")
 
-    lb = bucket(left, left_val)
+    lb = bucket(left_val)
     l3 = left.withColumn(
         "_rj_b", F.explode(F.array(lb - 1, lb, lb + 1))
     )
-    r3 = right.withColumn("_rj_b", bucket(right, right_val))
+    r3 = right.withColumn("_rj_b", bucket(right_val))
     return (
         l3.join(r3, [*on, "_rj_b"])
         .filter(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(band))

@@ -44,21 +44,38 @@ def scd2_apply(
     Per key: new key → open row; open row whose compare_cols differ
     (null-safe) → close it at the batch timestamp and append a new
     open version; unchanged or absent from the batch → untouched.
-    Historical (closed) rows always pass through unchanged.
+    Historical (closed) rows always pass through unchanged; a NULL
+    is_current counts as closed (it would otherwise match neither
+    filter and silently vanish).
+
+    Preconditions enforced loudly: a NULL effective_ts raises (a
+    data-null presence marker would silently drop the row), and a
+    batch timestamp EARLIER than the open row's valid_from raises —
+    stamping valid_to < valid_from would make that version
+    unmatchable by the point-in-time predicate and backdate the new
+    one; out-of-order batches need event-time reprocessing, not a
+    silent fold.
     """
-    open_rows = current.filter(F.col(is_current))
-    hist_rows = current.filter(~F.col(is_current))
+    cur = F.coalesce(F.col(is_current), F.lit(False))
+    open_rows = current.filter(cur)
+    hist_rows = current.filter(~cur)
     b = batch.select(
         *[F.col(k).alias(f"_b_{k}") for k in keys],
         *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
-        F.col(effective_ts_col).alias("_b_ts"),
+        F.when(
+            F.col(effective_ts_col).isNull(),
+            F.raise_error(F.lit("scd2_apply: batch effective_ts is NULL")),
+        )
+        .otherwise(F.col(effective_ts_col))
+        .alias("_b_ts"),
+        F.lit(True).alias("_b_present"),
     )
     cond = reduce(
         lambda a, c: a & c,
         [F.col(k) == F.col(f"_b_{k}") for k in keys],
     )
     j = open_rows.join(b, cond, "full")
-    in_batch = F.col("_b_ts").isNotNull()
+    in_batch = F.col("_b_present").isNotNull()
     in_open = F.col(is_current).isNotNull()
     changed: Column = in_open & in_batch & ~reduce(
         lambda a, c: a & c,
@@ -66,12 +83,22 @@ def scd2_apply(
     )
 
     keep_cols = [*keys, *compare_cols, valid_from, valid_to, is_current]
+    ts_type = dict(current.dtypes)[valid_to]
+    close_ts = F.when(
+        F.col("_b_ts") < F.col(valid_from),
+        F.raise_error(
+            F.lit(
+                "scd2_apply: batch effective_ts precedes the open "
+                "version's valid_from (out-of-order batch)"
+            )
+        ).cast(ts_type),
+    ).otherwise(F.col("_b_ts"))
     # open rows: unchanged/un-batched survive as-is; changed close.
     survivors = j.filter(in_open).select(
         *keys,
         *compare_cols,
         F.col(valid_from),
-        F.when(changed, F.col("_b_ts")).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(changed, close_ts).otherwise(F.col(valid_to)).alias(valid_to),
         F.when(changed, F.lit(False)).otherwise(F.lit(True)).alias(is_current),
     )
     # batch rows opening a new version: brand-new keys or changed attrs

@@ -11,8 +11,9 @@ difference between scanning a terabyte and scanning a partition's
 worth.
 
 Mechanics (all deterministic, no UDFs):
-1. Per column, approxQuantile computes 2^bits - 1 range boundaries
-   (driver-side metadata, one tiny job per column).
+1. One multi-column approxQuantile pass computes every column's
+   2^bits - 1 range boundaries in a single scan (driver-side
+   metadata).
 2. The per-row rank is a STATIC sum of `value >= boundary` terms —
    codegen'd comparisons, not an interpreted higher-order fold.
 3. The z-value interleaves the rank bits; `repartitionByRange` on it
@@ -43,15 +44,22 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
     round-robin so every column shares the high-order bits."""
     n_bounds = (1 << bits) - 1
     probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
-    ranks = []
-    for c in cols:
-        dt = dict(df.dtypes)[c]
-        expr = F.unix_micros(F.col(c)) if dt.startswith("timestamp") else F.col(c)
-        as_dbl = expr.cast("double")
-        bounds = (
-            df.select(as_dbl.alias("_q")).na.drop().approxQuantile("_q", probs, 0.001)
-        )
-        ranks.append(_rank_expr(as_dbl, sorted(set(bounds))))
+    dts = dict(df.dtypes)
+    as_dbl = [
+        (
+            F.unix_micros(F.col(c)) if dts[c].startswith("timestamp") else F.col(c)
+        ).cast("double")
+        for c in cols
+    ]
+    # ONE multi-column approxQuantile pass — a single scan computes
+    # every column's boundaries (per-column calls would rescan the
+    # input len(cols) times).
+    qdf = df.select(*[e.alias(f"_q{i}") for i, e in enumerate(as_dbl)])
+    all_bounds = qdf.approxQuantile([f"_q{i}" for i in range(len(cols))], probs, 0.001)
+    ranks = [
+        _rank_expr(e, sorted({b for b in bounds if b is not None}))
+        for e, bounds in zip(as_dbl, all_bounds)
+    ]
     z = F.lit(0)
     for bit in range(bits):
         for ci, r in enumerate(ranks):
