@@ -53,7 +53,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO error) for zero-norm vectors;
+    ranking paths drop NULL scores (`_topk_per_query`) and threshold
+    predicates reject them, so degenerate vectors can't crash a job
+    or outrank real neighbors."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def as_double(a: Column) -> Column:
@@ -81,6 +85,7 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
     own salt bucket. The struct sort key (-cos, neighbor_id) is a
     total order, so ties resolve identically to the window version.
     """
+    scored = scored.filter(F.col("cos").isNotNull())  # zero-norm guard
     entry = F.struct(
         (-F.col("cos")).alias("_negcos"),
         F.col("neighbor_id").alias("neighbor_id"),
@@ -217,7 +222,8 @@ def lsh_topk(
     sk = sketch_udf(dim, n_planes)
 
     def bands_of(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
+        # NULL vectors can't be sketched (np.stack raises in the UDF)
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.explode(
                 _band_keys(sk(as_double(F.col(vec_col))), n_planes, n_bands)
@@ -363,7 +369,9 @@ def ivf_train(
     import math
 
     cents = _ivf_centroids(dim, n_centroids)
-    v = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(
+        as_double(F.col(vec_col)).alias("v")
+    )
     for _ in range(n_iter):
         assign = ivf_assign_udf(dim, n_centroids, centroids=cents)
         sums = (
@@ -432,7 +440,7 @@ def ivf_write_index(
     tests/test_pipeline.py by reading the pruned plan)."""
     assign = ivf_assign_udf(dim, n_centroids, centroids)
     (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col), F.col(vec_col),
             assign(as_double(F.col(vec_col))).alias("cid"),
         )
@@ -473,7 +481,7 @@ def ivf_topk(
     listed (plan-asserted in tests/test_pipeline.py); the per-query
     cid join then refines within the pruned read."""
     probe = ivf_probe_udf(dim, n_centroids, n_probe, centroids)
-    probes = queries.select(
+    probes = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         F.explode(probe(as_double(F.col(vec_col)))).alias("cid"),
@@ -501,7 +509,7 @@ def ivf_topk(
         )
     else:
         assign = ivf_assign_udf(dim, n_centroids, centroids)
-        cells = corpus.select(
+        cells = corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
             assign(as_double(F.col(vec_col))).alias("cid"),
@@ -540,6 +548,8 @@ def embedding_near_dups(
        joining the vectors back by id.
     """
     sk = sketch_udf(dim, n_planes)
+    # NULL vectors can't be sketched (np.stack raises in the UDF)
+    df = df.filter(F.col(vec_col).isNotNull())
     sketches = df.select(
         F.col(id_col).alias("vid"),
         sk(as_double(F.col(vec_col))).alias("sk"),
@@ -602,7 +612,7 @@ def cluster_corpus(
         [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
         "cluster_id int, centroid array<double>",
     )
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
     ).withColumn("cluster_id", assign(F.col("v")))
     return base.join(F.broadcast(cent_df), "cluster_id").select(
@@ -646,7 +656,7 @@ def semantic_dedup(
     """
     cents = _ivf_centroids(dim, n_centroids, centroids)
     assign = ivf_assign_udf(dim, n_centroids, cents)
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("cluster_id", assign(F.col("v")))
     # Both join branches are the same plan → the cluster_id shuffle is
@@ -692,5 +702,5 @@ def semantic_dedup(
     return base.join(dropped, "vid", "left").select(
         F.col("vid").alias(id_col),
         "cluster_id",
-        F.coalesce(F.col("_dropped") == F.lit(False), F.lit(True)).alias("keep"),
+        (~F.coalesce(F.col("_dropped"), F.lit(False))).alias("keep"),
     )

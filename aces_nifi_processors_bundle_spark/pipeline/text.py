@@ -46,7 +46,12 @@ def token_count_bpe_ish(text: Column) -> Column:
 
 
 def occurrences(text: Column, word: str) -> Column:
-    """Count of whole-word occurrences (space-padded contains count)."""
+    """Whole-word occurrence count via a \s-delimited regex. Known
+    approximation: the pattern consumes its trailing space, so n
+    ADJACENT repeats ('the the the') count ceil(n/2) — acceptable for
+    ratio features (repetition_ratio catches pathological repeats),
+    and kept because the lookaround fix is inexpressible in RE2, which
+    the DuckDB oracle runs on. Both engines mirror the same rule."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     return F.regexp_count(padded, F.lit(rf"\s{word}\s"))
 
@@ -93,7 +98,9 @@ def quality_features(text: Column) -> dict[str, Column]:
     The classic cheap quality filters (Gopher/C4-style rules) as pure
     expressions; each is oracle-mirrorable.
     """
-    n_chars = F.length(text).cast("bigint")
+    # trimmed, matching word_count's trim — otherwise whitespace
+    # padding inflates avg_word_len and deflates punct_ratio
+    n_chars = F.length(F.trim(text)).cast("bigint")
     n_words = word_count(text)
     n_punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("bigint")
     n_stop = stopword_count(text)

@@ -375,7 +375,7 @@ oracle("q_text_stats")(
     f"""
 WITH per_doc AS (
   SELECT lang, source,
-         CAST(length(text) AS BIGINT) AS nc,
+         CAST(length(trim(text)) AS BIGINT) AS nc,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_NW} END AS BIGINT) AS nw,
          CAST({_NP} AS BIGINT) AS np
   FROM documents
@@ -427,7 +427,7 @@ oracle("q_quality")(
     f"""
 WITH f AS (
   SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS nc,
+         CAST(length(trim(text)) AS BIGINT) AS nc,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_NW} END AS BIGINT) AS nw,
          CAST({_NP} AS BIGINT) AS np,
          CAST({_NSTOP} AS BIGINT) AS nstop
@@ -1206,7 +1206,7 @@ oracle("q_weighted_sample")(
     f"""
 WITH f AS (
   SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS nc,
+         CAST(length(trim(text)) AS BIGINT) AS nc,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_NW} END AS BIGINT) AS nw,
          CAST({_NP} AS BIGINT) AS np,
          CAST({_NSTOP} AS BIGINT) AS nstop

@@ -435,35 +435,70 @@ class KeyedParquetStore:
                 present.add(int(name.split("=", 1)[1]))
         return seg, present
 
+    def _manifest_droppable(self, mdir_entries, latest_version: int, now: float):
+        """Per-manifest drop decision keyed on SUPERSESSION time, not
+        file age: a version is superseded the moment its successor
+        publishes, and a reader who resolved it as latest may have
+        done so any time up to that moment — so the retention clock
+        starts at the SUCCESSOR's mtime. (Measuring from the
+        manifest's own mtime broke the documented reader guarantee
+        for tables idle longer than the window: the first commit
+        after the idle period would instantly free the snapshot a
+        concurrent reader had just resolved.) Returns {name: bool}."""
+        versions: list[tuple[int, float, str]] = []
+        for entry in mdir_entries:
+            name = entry.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                versions.append(
+                    (
+                        int(name[1:11]),
+                        entry.getModificationTime() / 1000.0,
+                        name,
+                    )
+                )
+        versions.sort()
+        droppable: dict[str, bool] = {}
+        for i, (v, _mtime, name) in enumerate(versions):
+            if v >= latest_version:
+                droppable[name] = False
+                continue
+            successor_mtime = versions[i + 1][1]
+            droppable[name] = now - successor_mtime >= self.lock_stale_sec
+        return droppable
+
     def _gc(self, fs, Path) -> None:
         """Run under the freshly-acquired lock: delete superseded
-        manifests once older than lock_stale_sec, and segment bucket
-        dirs once they are BOTH older than lock_stale_sec and
-        unreferenced by every manifest that survives this pass — so a
-        reader holding a resolved snapshot keeps its files for at
-        least the retention window, and `read(version=)` time travel
-        is sound for every still-retained version (the Delta
-        VACUUM-retention contract)."""
+        manifests once their SUCCESSOR is older than lock_stale_sec
+        (see _manifest_droppable — retention runs from supersession,
+        not file age), and segment bucket dirs once they are BOTH
+        older than lock_stale_sec and unreferenced by every manifest
+        that survives this pass — so a reader holding a resolved
+        snapshot keeps its files for at least the retention window
+        after that snapshot stopped being latest, and
+        `read(version=)` time travel is sound for every
+        still-retained version (the Delta VACUUM-retention
+        contract)."""
         root = Path(self.path)
         if not fs.exists(root):
             return
         man = self._latest_manifest(fs, Path)
+        latest_version = man["version"] if man else -1
         latest_name = f"v{man['version']:010d}" if man else ""
         now = time.time()
         # Every manifest surviving this pass (latest + young superseded)
         # pins its segment dirs — a retained snapshot may reference dirs
         # far older than itself (carried over across many versions).
         referenced: set[str] = set()
+        droppable: dict[str, bool] = {}
         mdir0 = Path(f"{self.path}/{MANIFESTS}")
         if fs.exists(mdir0):
-            for entry in fs.listStatus(mdir0):
+            entries = list(fs.listStatus(mdir0))
+            droppable = self._manifest_droppable(entries, latest_version, now)
+            for entry in entries:
                 name = entry.getPath().getName()
                 if not (name.startswith("v") and name.endswith(".json")):
                     continue
-                m_stale = (
-                    now - entry.getModificationTime() / 1000.0 >= self.lock_stale_sec
-                )
-                if name.startswith(latest_name) or not m_stale:
+                if not droppable.get(name, True):
                     m = json.loads(self._read_text(fs, entry.getPath()))
                     referenced.update(
                         d for dirs in m["buckets"].values() for d in dirs
@@ -499,7 +534,11 @@ class KeyedParquetStore:
                 stale = now - entry.getModificationTime() / 1000.0 >= self.lock_stale_sec
                 if name.startswith(".tmp-") and stale:
                     fs.delete(entry.getPath(), False)
-                elif name.startswith("v") and stale and not name.startswith(latest_name):
+                elif (
+                    name.startswith("v")
+                    and droppable.get(name, False)
+                    and not name.startswith(latest_name)
+                ):
                     fs.delete(entry.getPath(), False)
 
     # --- public API ----------------------------------------------------
@@ -673,7 +712,12 @@ class KeyedParquetStore:
         resolving the manifest inside the lock pins the read-modify-
         write cycle to the latest committed state (no lost updates
         between two merges)."""
-        assert cfg.keys == self.keys, "merge keys must match store keys"
+        if cfg.keys != self.keys:
+            raise ValueError(
+                f"store {self.path}: merge cfg.keys={cfg.keys} must equal "
+                f"store keys={self.keys} (bucket pruning hashes the store "
+                "keys; a mismatched merge would read the wrong buckets)"
+            )
         with self.provenance.send(self.path, detail="merge") as ctx, self._write_lock():
             fs, Path = self._fs()
             self._gc(fs, Path)
@@ -783,10 +827,20 @@ class KeyedParquetStore:
                 F.sum(F.when(route == "success", 1).otherwise(0)).alias("inserted"),
                 F.sum(F.when(route == "already-exists", 1).otherwise(0)).alias("dupes"),
             )
+            # Keep source columns BEYOND the manifest schema: dropping
+            # them silently would lose data, and an added column is a
+            # scan-safe evolution (old files read it as NULL). The
+            # evolved-schema union below picks the new fields up.
+            base_fields = self._schema(man).fieldNames()
+            extra_fields = [
+                c
+                for c in source.columns
+                if c not in base_fields and c != ROUTE_COL
+            ]
             inserted_rows = (
                 observed.filter(route == "success")
                 .drop(ROUTE_COL)
-                .select(*self._schema(man).fieldNames())
+                .select(*base_fields, *extra_fields)
             )
             evolved = StructType.fromJson(
                 json.loads(self._evolved_schema(man, inserted_rows))
@@ -799,10 +853,18 @@ class KeyedParquetStore:
             # every reader correct.
             full_rewrite = not self._widening_scan_safe(self._schema(man), evolved)
             if full_rewrite:
-                existing = self._read_dirs(
+                raw = self._read_dirs(
                     man, [d for dirs in man["buckets"].values() for d in dirs]
-                ).select(
-                    *[F.col(f.name).cast(f.dataType) for f in evolved.fields]
+                )
+                existing = raw.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in raw.columns
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in evolved.fields
+                    ]
                 )
                 body = existing.unionByName(
                     inserted_rows.select(

@@ -877,3 +877,34 @@ def test_zorder_concentrates_2d_predicates_into_fewer_files(spark, sf_dir, tmp_p
     assert z < r and z <= total // 2   # z-order: concentrated
     # no rows lost or duplicated by the rewrite
     assert spark.read.parquet(zpath).count() == events.count()
+
+
+def test_similarity_paths_tolerate_null_and_zero_vectors(spark):
+    """NULL embeddings (Arrow UDFs can't stack None) are filtered at
+    every sketch/assign entry; zero-norm vectors yield NULL cosine
+    (try_divide) and never crash under ANSI nor outrank real
+    neighbors."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        cluster_corpus,
+        embedding_near_dups,
+        lsh_topk,
+        semantic_dedup,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero norm
+        Row(vec_id=3, embedding=None),                   # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    top = brute_force_topk(df, q, k=3).collect()
+    assert [r["neighbor_id"] for r in top][0] == 1   # real neighbor ranks 1st
+    assert all(r["neighbor_id"] != 2 for r in top)   # zero vector never ranks
+    # every sketch/assign path survives the corpus without raising
+    lsh_topk(df, q, dim=4, k=2, n_planes=16, n_bands=4).collect()
+    embedding_near_dups(df, dim=4, threshold=0.9, n_planes=16, n_bands=4).collect()
+    out = semantic_dedup(df, dim=4, n_centroids=2, threshold=0.99, n_planes=16)
+    assert out.filter("vec_id = 3").count() == 0     # null row excluded, not fatal
+    cluster_corpus(df, dim=4, n_centroids=2).collect()

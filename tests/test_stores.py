@@ -753,3 +753,27 @@ def test_unsafe_schema_evolution_escalates_to_full_rewrite(spark, tmp_path):
     assert m.inserted == 1 and m.unmodified == 1
     got2 = {r["k"]: r["v"] for r in store2.read().collect()}
     assert len(got2) == 11 and got2[99] == 1.5 and got2[3] == 3.0
+
+
+def test_gc_retention_runs_from_supersession_not_file_age(spark, tmp_path):
+    """A table idle longer than the retention window must NOT lose its
+    just-superseded snapshot on the next commit: the retention clock
+    starts when a version stops being latest (its successor's publish),
+    not when its manifest file was written."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "ret"), keys=["k"], n_buckets=4,
+        lock_stale_sec=2.0,
+    )
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    store.init(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)]))
+    time.sleep(2.5)  # idle well past the retention window
+    store.merge(spark.createDataFrame([Row(k=1, v=11.0)]), cfg)   # v2, GC runs
+    # v1 was superseded milliseconds ago — still readable
+    assert store.read(version=1).count() == 10
+    store.merge(spark.createDataFrame([Row(k=2, v=22.0)]), cfg)   # v3, GC again
+    assert store.read(version=1).count() == 10
+    time.sleep(2.5)  # now v1's supersession is past the window
+    store.merge(spark.createDataFrame([Row(k=3, v=33.0)]), cfg)   # GC drops v1
+    with pytest.raises(FileNotFoundError):
+        store.read(version=1)
+    assert store.read().count() == 10  # latest unaffected
