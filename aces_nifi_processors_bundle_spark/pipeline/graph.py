@@ -1,0 +1,81 @@
+"""Graph analytics as iterative DataFrame jobs.
+
+Connected components already live in pipeline/dedup.py
+(near_dup_clusters — min-label propagation for dedup clustering);
+this module adds PageRank, the canonical iterative-algorithm shape:
+a fixed number of power-method sweeps, each one join + one
+aggregation, with the lineage checkpointed per round.
+
+Determinism (the property that makes an iterative float algorithm
+DuckDB-oracle-checkable, same construction as the spherical-k-means
+training oracle): each per-vertex contribution r/outdeg is a single
+IEEE division (bit-identical everywhere), contributions are rounded
+to 15 decimals and summed as DECIMAL(38,18) — exact, associative,
+independent of Spark's partial-aggregation order — and only then
+does the damped update run in float64. Every iteration is therefore
+reproducible bit-for-bit by unrolled SQL CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list; returns
+    (vertex, rank) after `n_iter` sweeps from the uniform vector.
+
+    Dangling vertices (no out-edges) keep only the teleport term —
+    feed a symmetrized edge list if rank conservation matters (the
+    driver query does; full dangling-mass redistribution would add a
+    broadcast scalar per sweep).
+
+    Scale shape per sweep: one shuffle join (ranks ⋈ edges on src —
+    ranks is vertex-sized, edges dominate) + one hash aggregation on
+    dst with map-side partials; localCheckpoint after each sweep
+    bounds plan depth exactly like near_dup_clusters' rounds. N (the
+    vertex count) is a driver-side scalar — metadata, not row data.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    vertices = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n = vertices.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(e, ranks.v == e.src)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.round(F.col("rank") / F.col("deg"), 15)
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy("v").agg(
+            F.sum("c").cast("double").alias("_in")
+        )
+        ranks = (
+            vertices.join(summed, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -2010,3 +2010,48 @@ FROM activity a JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 """
 )
+
+
+def _pr_sweep(prev: str, new: str) -> str:
+    """One PageRank power sweep as CTEs (mirrors pipeline/graph.py::
+    pagerank bit-for-bit: round(r/deg, 15) -> DECIMAL(38,18) sum ->
+    float64 damped update)."""
+    return f"""
+c_{new} AS (
+  SELECT e.dst AS v,
+         CAST(round(r.rank / d.deg, 15) AS DECIMAL(38,18)) AS c
+  FROM {prev} r JOIN edges e ON r.v = e.src JOIN deg d ON e.src = d.src
+),
+s_{new} AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c_{new} GROUP BY v),
+{new} AS (
+  SELECT vx.v,
+         ((1.0 - 0.85) / nn.n) + 0.85 * coalesce(s.inflow, 0.0) AS rank
+  FROM vertices vx CROSS JOIN nn LEFT JOIN s_{new} s ON vx.v = s.v
+)"""
+
+
+oracle("q_pagerank")(
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+vertices AS (
+  SELECT DISTINCT src AS v FROM edges
+  UNION
+  SELECT DISTINCT dst AS v FROM edges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / nn.n AS rank FROM vertices CROSS JOIN nn),
+{_pr_sweep('r0', 'r1')},
+{_pr_sweep('r1', 'r2')},
+{_pr_sweep('r2', 'r3')}
+SELECT v, round(rank, 12) AS rank FROM r3
+"""
+)

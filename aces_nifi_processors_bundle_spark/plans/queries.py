@@ -2293,3 +2293,29 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (who-buys-from-
+    whom edges out of lineitem, symmetrized so no vertex dangles),
+    3 deterministic power sweeps (pipeline/graph.py::pagerank). The
+    oracle unrolls the same three sweeps as SQL CTEs — decimal-exact
+    contribution sums make every float bit-reproducible, so an
+    ITERATIVE algorithm sits under the full value-hash gate."""
+    from ..pipeline.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    out = pagerank(edges, n_iter=3)
+    return out.select("v", F.round("rank", 12).alias("rank"))

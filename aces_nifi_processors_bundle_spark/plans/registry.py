@@ -64,6 +64,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_canonical": q.q_dedup_canonical,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
+    "q_pagerank": q.q_pagerank,
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
     "q_duplicate_passages": q.q_duplicate_passages,

@@ -908,3 +908,25 @@ def test_similarity_paths_tolerate_null_and_zero_vectors(spark):
     out = semantic_dedup(df, dim=4, n_centroids=2, threshold=0.99, n_planes=16)
     assert out.filter("vec_id = 3").count() == 0     # null row excluded, not fatal
     cluster_corpus(df, dim=4, n_centroids=2).collect()
+
+
+def test_pagerank_properties(spark):
+    """Rank conservation on a symmetrized graph, hub dominance, and
+    uniform rank on a regular graph."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import pagerank
+
+    # star: hub 0 connected to 1..5 (symmetrized) — hub must dominate
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)],
+        "src long, dst long",
+    )
+    r = {row["v"]: row["rank"] for row in pagerank(star, n_iter=5).collect()}
+    assert r[0] > max(r[i] for i in range(1, 6)) * 2
+    assert abs(sum(r.values()) - 1.0) < 1e-9      # no dangling → conserved
+    # 4-cycle (2-regular): uniform stationary vector, reached exactly
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 0), (2, 1), (3, 2), (0, 3)],
+        "src long, dst long",
+    )
+    rc = [row["rank"] for row in pagerank(cyc, n_iter=4).collect()]
+    assert all(abs(x - 0.25) < 1e-12 for x in rc)
