@@ -557,6 +557,21 @@ def _salted_join(
     return salted_join(df, _named[right], on, hot_keys, n_salts, how)
 
 
+@stage("pagerank")
+def _pagerank(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    from .pipeline.graph import pagerank
+
+    return pagerank(df, n_iter, damping, src, dst)
+
+
 # Stages that consume a SECOND input frame by name get the flow's
 # named-frame map injected (see `tag` in build_flow).
 _NAMED_OPS = {"asof_join", "range_join", "join", "geo_radius_join", "salted_join"}
