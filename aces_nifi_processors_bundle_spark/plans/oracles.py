@@ -2055,3 +2055,16 @@ r0 AS (SELECT v, 1.0 / nn.n AS rank FROM vertices CROSS JOIN nn),
 SELECT v, round(rank, 12) AS rank FROM r3
 """
 )
+
+
+oracle("q_pivot_daily")(
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+)

@@ -2319,3 +2319,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, n_iter=3)
     return out.select("v", F.round("rank", 12).alias("rank"))
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via PIVOT — the wide-format reporting
+    shape. The pivot values are DECLARED (no distinct-values pre-pass
+    job), so the plan is a single scan + one hash aggregate emitting
+    all five counted columns at once; the oracle mirrors with
+    conditional-sum columns."""
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )

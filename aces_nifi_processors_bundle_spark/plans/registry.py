@@ -82,6 +82,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_flow_asof": q.q_flow_asof,
     "q_range_pairs": q.q_range_pairs,
     "q_bin_rollup": q.q_bin_rollup,
+    "q_pivot_daily": q.q_pivot_daily,
     "q_retention_cohorts": q.q_retention_cohorts,
     "q_salted_join": q.q_salted_join,
     "q_geo_radius_join": q.q_geo_radius_join,
