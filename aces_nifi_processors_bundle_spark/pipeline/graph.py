@@ -43,11 +43,20 @@ def pagerank(
     bounds plan depth exactly like near_dup_clusters' rounds. N (the
     vertex count) is a driver-side scalar — metadata, not row data.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Checkpoint the deduped edge list ONCE: every sweep joins it, and
+    # without the cut each sweep would re-execute the caller's whole
+    # edge-derivation plan (measured 3x the runtime on the trade-graph
+    # query, whose edges come from a lineitem⋈orders join).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     vertices = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     n = vertices.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
