@@ -53,7 +53,8 @@ branch, and the two-input stages reference remembered frames:
   {"op": "asof_join",  "right": "views", "on": ["user_id"], ...}
   {"op": "range_join", "right": "views", "on": [...], "band": ...}
   {"op": "join",       "right": "views", "on": [...], "how": "inner"}
-  {"op": "semantic_dedup", "dim": 64, "threshold": 0.9}
+  {"op": "geo_radius_join", "right": "b", "on": [...], "radius_km": 100, "zoom": 8}
+  {"op": "salted_join", "right": "dim", "on": [...], "hot_keys": [...]}
 
 Transform stages stay lazy — the whole chain folds into one Catalyst
 plan. Store/sink stages are ACTIONS (the NiFi terminal-processor
@@ -104,11 +105,19 @@ def _binners(specs: list[dict[str, Any]]) -> list[BinnerConfig]:
 
 StageFn = Callable[..., DataFrame]
 STAGES: dict[str, StageFn] = {}
+# Stages that consume a SECOND input frame by name — derived from the
+# stage function's `_named` parameter at registration, so a new
+# two-input stage can't forget to enrol itself.
+_NAMED_OPS: set[str] = set()
 
 
 def stage(name: str) -> Callable[[StageFn], StageFn]:
     def register(fn: StageFn) -> StageFn:
+        import inspect
+
         STAGES[name] = fn
+        if "_named" in inspect.signature(fn).parameters:
+            _NAMED_OPS.add(name)
         return fn
     return register
 
@@ -208,7 +217,10 @@ def _store_merge(
     keys: list[str],
     operations: dict[str, str],
     n_buckets: int = 64,
-    upsert: bool = False,
+    # Same default as PartialUpdateConfig.upsert — a JSON flow that
+    # omits the key must not silently switch to update-only (dropping
+    # unmatched batch rows).
+    upsert: bool = True,
     mode: str = "one",
     order_col: str | None = None,
     now: str | None = None,
@@ -494,9 +506,11 @@ def _semantic_dedup(
     marked = semantic_dedup(df, dim, n_centroids, threshold, None, id_col, vec_col)
     if not keep_only:
         return marked
-    return df.join(
-        marked.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    # anti-join on the CONFIRMED duplicates: rows the operator never
+    # examined (null embeddings are filtered before sketching) pass
+    # through instead of vanishing with the semi join
+    dropped = marked.filter(~F.col("keep")).select(id_col)
+    return df.join(dropped, id_col, "left_anti")
 
 
 @stage("lm_score_filter")
@@ -509,7 +523,10 @@ def _lm_score_filter(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Perplexity-style quality gate: self-train the char-trigram LM
-    on the incoming corpus and keep docs scoring >= min_score."""
+    on the incoming corpus and keep docs scoring >= min_score.
+    Documents too short to score (< 3 chars, or null text) have no
+    trigrams and are dropped regardless of min_score — deliberate for
+    a quality gate."""
     from pyspark.sql import functions as F
 
     from .pipeline.text import lm_score, train_char_trigram_lm
@@ -570,11 +587,6 @@ def _pagerank(
     from .pipeline.graph import pagerank
 
     return pagerank(df, n_iter, damping, src, dst)
-
-
-# Stages that consume a SECOND input frame by name get the flow's
-# named-frame map injected (see `tag` in build_flow).
-_NAMED_OPS = {"asof_join", "range_join", "join", "geo_radius_join", "salted_join"}
 
 
 def build_flow(

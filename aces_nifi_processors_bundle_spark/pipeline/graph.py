@@ -35,7 +35,9 @@ def pagerank(
     Dangling vertices (no out-edges) keep only the teleport term —
     feed a symmetrized edge list if rank conservation matters (the
     driver query does; full dangling-mass redistribution would add a
-    broadcast scalar per sweep).
+    broadcast scalar per sweep). Parallel edges collapse to one
+    (unweighted PageRank); pre-aggregate repetition counts into a
+    weighted variant yourself if multigraph semantics matter.
 
     Scale shape per sweep: one shuffle join (ranks ⋈ edges on src —
     ranks is vertex-sized, edges dominate) + one hash aggregation on
@@ -59,13 +61,18 @@ def pagerank(
         .localCheckpoint()
     )
     n = vertices.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge frame (no vertices)")
+    # out-degree pre-joined into the checkpointed edge list: each
+    # sweep is then ONE shuffle join + one aggregation, instead of
+    # re-running the degree aggregation and a second join per sweep.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint()
     ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
         contribs = (
-            ranks.join(e, ranks.v == e.src)
-            .join(deg, "src")
+            ranks.join(ed, ranks.v == ed.src)
             .select(
                 F.col("dst").alias("v"),
                 F.round(F.col("rank") / F.col("deg"), 15)

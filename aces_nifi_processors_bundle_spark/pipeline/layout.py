@@ -42,6 +42,12 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
     """Morton z-value column over `cols` (numeric/timestamp): each
     column contributes `bits` bits of its quantile rank, interleaved
     round-robin so every column shares the high-order bits."""
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits * len(cols)} exceeds 62 "
+            "— bit 63 is the long's sign bit (inverting the sort) and "
+            "higher shifts wrap; lower `bits` or index fewer columns"
+        )
     n_bounds = (1 << bits) - 1
     probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
     dts = dict(df.dtypes)
