@@ -46,7 +46,7 @@ def token_count_bpe_ish(text: Column) -> Column:
 
 
 def occurrences(text: Column, word: str) -> Column:
-    """Whole-word occurrence count via a \s-delimited regex. Known
+    r"""Whole-word occurrence count via a \s-delimited regex. Known
     approximation: the pattern consumes its trailing space, so n
     ADJACENT repeats ('the the the') count ceil(n/2) — acceptable for
     ratio features (repetition_ratio catches pathological repeats),
