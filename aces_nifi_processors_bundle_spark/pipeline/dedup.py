@@ -427,11 +427,22 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 60-bit fingerprint
     into (max_hamming+1) segments — pigeonhole guarantees any pair
     within max_hamming agrees on ≥1 full segment → bucket-join on the
-    segment value, verify Hamming distance on collision."""
+    segment value, verify Hamming distance on collision.
+
+    max_bucket is the hot-bucket skew guard, same contract as
+    minhash_lsh_candidates: a corpus of short or templated documents
+    collapses into a handful of 15-bit segment values, and the
+    segment self-join goes quadratic inside those buckets. Capping
+    drops over-full buckets before pairing (docs still pair via their
+    other, more selective segments) and switches pair generation to
+    the one-shuffle in-task strategy, safe because the cap bounds the
+    per-bucket array. None = exact (every collision considered).
+    """
     n_seg = max_hamming + 1
     seg_bits = SIMHASH_BITS // n_seg
     fp = simhash_fingerprints(df, text_col, id_col, k)
@@ -453,18 +464,50 @@ def simhash_near_dups(
             )
         ).alias("seg_key"),
     )
-    a, b = segs.alias("a"), segs.alias("b")
-    pairs = (
-        a.join(b, "seg_key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+    if max_bucket is not None:
+        small = (
+            segs.groupBy("seg_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("seg_key")
         )
-        .distinct()
-    )
+        # One shuffle: group members into a (capped) array and emit
+        # pairs in-task — the bounded strategy of _pairs_within_groups,
+        # carrying fp alongside the id for the Hamming verify.
+        g = (
+            segs.join(small, "seg_key", "left_semi")
+            .groupBy("seg_key")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("fp")))
+                ).alias("_m")
+            )
+        )
+        pairs = (
+            g.select(F.explode("_m").alias("a"), "_m")
+            .select("a", F.explode("_m").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.fp").alias("fp_a"),
+                F.col("b.fp").alias("fp_b"),
+            )
+            .distinct()
+        )
+    else:
+        a, b = segs.alias("a"), segs.alias("b")
+        pairs = (
+            a.join(b, "seg_key")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.fp").alias("fp_a"),
+                F.col("b.fp").alias("fp_b"),
+            )
+            .distinct()
+        )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")

@@ -669,9 +669,15 @@ segs AS (
          CAST(s AS VARCHAR) || '#' || CAST((fp >> (s * 15)) & 32767 AS VARCHAR) AS seg_key
   FROM fp, (SELECT unnest([0, 1, 2, 3]) AS s)
 ),
+small AS (
+  SELECT seg_key FROM segs GROUP BY seg_key HAVING count(*) <= 50
+),
+kept AS (
+  SELECT s.* FROM segs s JOIN small USING (seg_key)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
-  FROM segs a JOIN segs b USING (seg_key) WHERE a.doc_id < b.doc_id
+  FROM kept a JOIN kept b USING (seg_key) WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3

@@ -820,7 +820,10 @@ def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over documents + planted one-suffix edits
     (doc_id+200000). Fingerprint = 60 bit-vote SUM aggregates; banding
-    by pigeonhole segments; verify by bit_count hamming."""
+    by pigeonhole segments; verify by bit_count hamming. Runs the
+    guarded default (max_bucket=50): over-full segment buckets are
+    dropped before pairing — the oracle mirrors the cap, so the skew
+    guard itself is correctness-checked."""
     from ..pipeline.dedup import simhash_near_dups
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -829,7 +832,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" planted suffix")).alias("text"),
     )
     corpus = docs.unionByName(edited)
-    return simhash_near_dups(corpus, max_hamming=3)
+    return simhash_near_dups(corpus, max_hamming=3, max_bucket=50)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

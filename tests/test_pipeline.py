@@ -46,6 +46,40 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
     assert any(r["id_a"] == 0 and r["id_b"] == 1000 for r in pairs)
 
 
+def test_simhash_max_bucket_guard(spark, sf_dir):
+    """Hot-bucket guard: a templated-short-doc corpus collapses into a
+    few segment buckets; the guard must (a) keep recall on distinct
+    planted near-dups, (b) drop the quadratic boilerplate pairs, and
+    (c) agree with the unguarded path when no bucket is hot."""
+    docs = load_table(spark, sf_dir, "documents").limit(40).select("doc_id", "text")
+    # 300 near-identical templated short docs — every one lands in the
+    # same four segment buckets, the adversarial quadratic case.
+    template = spark.range(300).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.concat(F.lit("click here to accept cookies page "), F.col("id") % 3)
+        .alias("text"),
+    )
+    edited = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.unionByName(edited).unionByName(template)
+
+    guarded = simhash_near_dups(corpus, max_hamming=3, max_bucket=50).collect()
+    # planted real near-dup survives: its docs sit in small buckets
+    assert any(r["id_a"] == 0 and r["id_b"] == 1000 for r in guarded)
+    # boilerplate flood dropped: no pairs among the 300 templated docs
+    assert not any(r["id_a"] >= 5000 for r in guarded)
+
+    # equivalence when nothing is hot: guard is a pure skew defense
+    clean = docs.unionByName(edited)
+    exact = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_near_dups(clean, max_hamming=3).collect()}
+    capped = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_near_dups(clean, max_hamming=3, max_bucket=50).collect()}
+    assert exact == capped
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     """ANN recall@5 over the true top-5 should be usefully high."""
     emb = load_table(spark, sf_dir, "embeddings")
