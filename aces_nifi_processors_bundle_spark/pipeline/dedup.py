@@ -302,7 +302,11 @@ def near_dup_pairs_ngram(
 
 
 def near_dup_clusters(
-    pairs: DataFrame, max_iter: int = 20, checkpoint_every: int = 5
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs → (node, cluster) connected components.
 
@@ -313,13 +317,22 @@ def near_dup_clusters(
     handful of join+groupBy rounds converges (each round is one shuffle
     on node id; the loop stops early on fixpoint).
 
-    Every `checkpoint_every` rounds the label frame is localCheckpoint'd:
+    Every `checkpoint_every` rounds the label frame's lineage is cut:
     each round's plan otherwise stacks on the previous round's, and at
     corpus scale 10+ rounds of lineage (re-planned per round by the
     driver-side fixpoint count()) blows up optimizer time and recovery
     cost. Checkpointing truncates the plan to the materialized blocks,
     keeping every round's plan depth constant. Convergence across long
-    chains (diameter > checkpoint interval) is pytest-covered."""
+    chains (diameter > checkpoint interval) is pytest-covered.
+
+    checkpoint: "local" (localCheckpoint — executor blocks, fastest,
+    no executor-loss recovery; right for local[] runs) or "reliable"
+    (checkpoint() to the context's checkpoint dir — survives executor
+    loss on a cluster; pass checkpoint_dir or pre-set it). See
+    pipeline/lineage.py."""
+    from .lineage import cut_lineage, prepare_checkpoint
+
+    prepare_checkpoint(pairs.sparkSession, checkpoint, checkpoint_dir)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -363,7 +376,7 @@ def near_dup_clusters(
         if (i + 1) % checkpoint_every == 0:
             # Materializes eagerly and truncates lineage; the blocks it
             # writes replace the persist for this round.
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = cut_lineage(new_labels, checkpoint, eager=True)
         else:
             new_labels = new_labels.persist()
             new_labels.count()

@@ -13,13 +13,17 @@ IEEE division (bit-identical everywhere), contributions are rounded
 to 15 decimals and summed as DECIMAL(38,18) — exact, associative,
 independent of Spark's partial-aggregation order — and only then
 does the damped update run in float64. Every iteration is therefore
-reproducible bit-for-bit by unrolled SQL CTEs.
+reproducible bit-for-bit by unrolled SQL CTEs — including the
+weighted and dangling-redistribution variants (the dangling mass is
+itself a decimal-exact sum, converted to float once per sweep).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .lineage import cut_lineage, prepare_checkpoint
 
 
 def pagerank(
@@ -28,54 +32,109 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
+    dangling: str = "ignore",
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list; returns
     (vertex, rank) after `n_iter` sweeps from the uniform vector.
 
-    Dangling vertices (no out-edges) keep only the teleport term —
-    feed a symmetrized edge list if rank conservation matters (the
-    driver query does; full dangling-mass redistribution would add a
-    broadcast scalar per sweep). Parallel edges collapse to one
-    (unweighted PageRank); pre-aggregate repetition counts into a
-    weighted variant yourself if multigraph semantics matter.
+    weight: None collapses parallel edges to one (unweighted). A
+    column name switches to weighted PageRank: parallel edges are
+    pre-aggregated to per-(src,dst) weight sums (pass a lit(1) column
+    for multigraph repeat counts) and each vertex splits its rank
+    proportionally to out-edge weight.
+
+    dangling: "ignore" gives dangling vertices (no out-edges) only the
+    teleport term — rank is NOT conserved unless the edge list is
+    symmetrized. "redistribute" computes the dangling rank mass each
+    sweep (a decimal-exact one-row aggregate collected to the driver —
+    metadata-scale, one scalar per sweep) and spreads it uniformly, so
+    sum(rank) == 1 on arbitrary graphs.
+
+    checkpoint: "local" truncates lineage with localCheckpoint —
+    fastest, but blocks live on executors, so an executor loss
+    mid-run kills the job (right for local[] and short jobs).
+    "reliable" uses checkpoint() against the context's checkpoint
+    directory (pass checkpoint_dir or pre-set it on the SparkContext)
+    — survives executor loss at the cost of writing each cut to
+    reliable storage; the right mode for long multi-sweep runs on a
+    real cluster.
 
     Scale shape per sweep: one shuffle join (ranks ⋈ edges on src —
     ranks is vertex-sized, edges dominate) + one hash aggregation on
-    dst with map-side partials; localCheckpoint after each sweep
-    bounds plan depth exactly like near_dup_clusters' rounds. N (the
-    vertex count) is a driver-side scalar — metadata, not row data.
+    dst with map-side partials; lineage cut after each sweep bounds
+    plan depth exactly like near_dup_clusters' rounds. N (the vertex
+    count) and the dangling mass are driver-side scalars — metadata,
+    not row data.
     """
-    # Checkpoint the deduped edge list ONCE: every sweep joins it, and
+    if dangling not in ("ignore", "redistribute"):
+        raise ValueError(f"pagerank: unknown dangling mode {dangling!r}")
+    prepare_checkpoint(edges.sparkSession, checkpoint, checkpoint_dir)
+    # Cut the normalized edge list ONCE: every sweep joins it, and
     # without the cut each sweep would re-execute the caller's whole
     # edge-derivation plan (measured 3x the runtime on the trade-graph
     # query, whose edges come from a lineitem⋈orders join).
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    vertices = (
+    if weight is None:
+        e = cut_lineage(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1).cast("bigint")),
+            checkpoint,
+        )
+    else:
+        e = cut_lineage(
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("bigint").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w")),
+            checkpoint,
+        )
+    vertices = cut_lineage(
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     n = vertices.count()
     if n == 0:
         raise ValueError("pagerank: empty edge frame (no vertices)")
-    # out-degree pre-joined into the checkpointed edge list: each
-    # sweep is then ONE shuffle join + one aggregation, instead of
-    # re-running the degree aggregation and a second join per sweep.
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint()
+    # out-weight pre-joined into the cut edge list: each sweep is then
+    # ONE shuffle join + one aggregation, instead of re-running the
+    # degree aggregation and a second join per sweep.
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    ed = cut_lineage(e.join(deg, "src"), checkpoint)
+    if dangling == "redistribute":
+        dangling_v = vertices.join(
+            ed.select("src").distinct(), vertices.v == F.col("src"), "left_anti"
+        )
     ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
+        extra = 0.0
+        if dangling == "redistribute":
+            # Decimal-exact dangling mass (same rounding discipline as
+            # the contributions) → ONE scalar to the driver per sweep.
+            row = (
+                ranks.join(dangling_v, "v", "left_semi")
+                .agg(
+                    F.sum(
+                        F.round(F.col("rank"), 15).cast("decimal(38,18)")
+                    ).alias("m")
+                )
+                .collect()[0]
+            )
+            m = float(row["m"]) if row["m"] is not None else 0.0
+            extra = m / n
         contribs = (
             ranks.join(ed, ranks.v == ed.src)
             .select(
                 F.col("dst").alias("v"),
-                F.round(F.col("rank") / F.col("deg"), 15)
+                F.round(F.col("rank") * F.col("w") / F.col("deg"), 15)
                 .cast("decimal(38,18)")
                 .alias("c"),
             )
@@ -83,15 +142,17 @@ def pagerank(
         summed = contribs.groupBy("v").agg(
             F.sum("c").cast("double").alias("_in")
         )
-        ranks = (
+        ranks = cut_lineage(
             vertices.join(summed, "v", "left")
             .select(
                 "v",
                 (
                     F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(extra))
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            checkpoint,
+            eager=False,
         )
     return ranks

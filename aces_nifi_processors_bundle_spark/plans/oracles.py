@@ -2063,6 +2063,105 @@ SELECT v, round(rank, 12) AS rank FROM r3
 )
 
 
+def _pr_sweep_dangling(prev: str, new: str) -> str:
+    """One dangling-redistribution sweep: the dangling rank mass is a
+    decimal-exact scalar (VARCHAR-hop to double per the cross-engine
+    rounding rule), divided by n once, added inside the damped term —
+    mirroring pipeline/graph.py::pagerank(dangling="redistribute")
+    bit-for-bit."""
+    return f"""
+m_{new} AS (
+  SELECT coalesce(CAST(CAST(SUM(CAST(round(r.rank, 15) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE), 0.0) AS m
+  FROM {prev} r JOIN dangv dv ON r.v = dv.v
+),
+x_{new} AS (SELECT m.m / nn.n AS extra FROM m_{new} m CROSS JOIN nn),
+c_{new} AS (
+  SELECT e.dst AS v,
+         CAST(round(r.rank * e.w / d.deg, 15) AS DECIMAL(38,18)) AS c
+  FROM {prev} r JOIN edges e ON r.v = e.src JOIN deg d ON e.src = d.src
+),
+s_{new} AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c_{new} GROUP BY v),
+{new} AS (
+  SELECT vx.v,
+         ((1.0 - 0.85) / nn.n) + 0.85 * (coalesce(s.inflow, 0.0) + x.extra) AS rank
+  FROM vertices vx CROSS JOIN nn CROSS JOIN x_{new} x LEFT JOIN s_{new} s ON vx.v = s.v
+)"""
+
+
+oracle("q_pagerank_dangling")(
+    f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         CAST(1 AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+vertices AS (
+  SELECT DISTINCT src AS v FROM edges
+  UNION
+  SELECT DISTINCT dst AS v FROM edges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+dangv AS (
+  SELECT vx.v FROM vertices vx
+  LEFT JOIN (SELECT DISTINCT src FROM edges) o ON vx.v = o.src
+  WHERE o.src IS NULL
+),
+r0 AS (SELECT v, 1.0 / nn.n AS rank FROM vertices CROSS JOIN nn),
+{_pr_sweep_dangling('r0', 'r1')},
+{_pr_sweep_dangling('r1', 'r2')},
+{_pr_sweep_dangling('r2', 'r3')}
+SELECT v, round(rank, 12) AS rank FROM r3
+"""
+)
+
+
+def _pr_sweep_weighted(prev: str, new: str) -> str:
+    """One weighted sweep: round(rank*w/deg, 15) decimal-exact sums."""
+    return f"""
+c_{new} AS (
+  SELECT e.dst AS v,
+         CAST(round(r.rank * e.w / d.deg, 15) AS DECIMAL(38,18)) AS c
+  FROM {prev} r JOIN edges e ON r.v = e.src JOIN deg d ON e.src = d.src
+),
+s_{new} AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c_{new} GROUP BY v),
+{new} AS (
+  SELECT vx.v,
+         ((1.0 - 0.85) / nn.n) + 0.85 * coalesce(s.inflow, 0.0) AS rank
+  FROM vertices vx CROSS JOIN nn LEFT JOIN s_{new} s ON vx.v = s.v
+)"""
+
+
+oracle("q_pagerank_weighted")(
+    f"""
+WITH pairs AS (
+  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges0 AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges0 GROUP BY src, dst
+),
+vertices AS (
+  SELECT DISTINCT src AS v FROM edges
+  UNION
+  SELECT DISTINCT dst AS v FROM edges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / nn.n AS rank FROM vertices CROSS JOIN nn),
+{_pr_sweep_weighted('r0', 'r1')},
+{_pr_sweep_weighted('r1', 'r2')},
+{_pr_sweep_weighted('r2', 'r3')}
+SELECT v, round(rank, 12) AS rank FROM r3
+"""
+)
+
+
 oracle("q_pivot_daily")(
     """
 SELECT strftime(ts, '%Y-%m-%d') AS day,

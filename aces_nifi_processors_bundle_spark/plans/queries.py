@@ -2324,6 +2324,52 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("v", F.round("rank", 12).alias("rank"))
 
 
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution on a graph that HAS
+    dangling vertices: directed customer→supplier edges only, so every
+    supplier dangles. The per-sweep dangling mass is a decimal-exact
+    one-row aggregate (metadata-scale driver scalar), redistributed
+    uniformly — sum(rank) stays 1 (conservation pytest-checked). The
+    oracle unrolls the sweeps with the mass as a scalar CTE."""
+    from ..pipeline.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, n_iter=3, dangling="redistribute")
+    return out.select("v", F.round("rank", 12).alias("rank"))
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the multigraph trade edges: every
+    lineitem is one parallel edge, pre-aggregated to per-(src,dst)
+    repeat counts; each vertex splits rank proportionally to out-edge
+    weight (round(rank*w/deg,15) decimal-exact sums)."""
+    from ..pipeline.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+        F.lit(1).alias("one"),
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "one"
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "one")
+    )
+    out = pagerank(edges, n_iter=3, weight="one")
+    return out.select("v", F.round("rank", 12).alias("rank"))
+
+
 def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-type matrix via PIVOT — the wide-format reporting
     shape. The pivot values are DECLARED (no distinct-values pre-pass

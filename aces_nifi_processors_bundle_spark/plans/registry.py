@@ -60,6 +60,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- (2) added or modified in round 5 ------------------------------
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_pagerank": q.q_pagerank,
+    "q_pagerank_dangling": q.q_pagerank_dangling,
+    "q_pagerank_weighted": q.q_pagerank_weighted,
     "q_store_diff": q.q_store_diff,
     "q_store_merge": q.q_store_merge,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,

@@ -964,3 +964,83 @@ def test_pagerank_properties(spark):
     )
     rc = [row["rank"] for row in pagerank(cyc, n_iter=4).collect()]
     assert all(abs(x - 0.25) < 1e-12 for x in rc)
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """On a graph WITH dangling nodes, dangling='redistribute' must
+    conserve total rank (sum == 1) where 'ignore' leaks it."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import pagerank
+
+    # chain 0→1→2→3; vertex 3 dangles
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    leak = sum(r["rank"] for r in pagerank(chain, n_iter=5).collect())
+    assert leak < 0.999  # ignore mode leaks the dangling mass
+    kept = sum(
+        r["rank"]
+        for r in pagerank(chain, n_iter=5, dangling="redistribute").collect()
+    )
+    assert abs(kept - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_vs_replicated(spark):
+    """Weighted PageRank over (src,dst,w) must equal unweighted rank
+    over the graph where each vertex's out-probability matches —
+    checked against the closed-form two-node asymmetric split."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import pagerank
+
+    # 0 sends 3/4 of its rank to 1, 1/4 to 2; 1 and 2 return to 0.
+    g = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long",
+    )
+    r = {row["v"]: row["rank"] for row in pagerank(g, n_iter=8, weight="w").collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[1] > r[2] * 2  # 3x the weight → substantially more rank
+
+
+def test_pagerank_checkpoint_modes_identical(spark, tmp_path):
+    """'local' and 'reliable' lineage cuts are pure physical choices —
+    ranks must be bit-identical."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import pagerank
+
+    g = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 1)], "src long, dst long"
+    )
+    local = sorted(map(tuple, pagerank(g, n_iter=4).collect()))
+    reliable = sorted(
+        map(
+            tuple,
+            pagerank(
+                g,
+                n_iter=4,
+                checkpoint="reliable",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            ).collect(),
+        )
+    )
+    assert local == reliable
+
+
+def test_near_dup_clusters_checkpoint_modes_identical(spark, tmp_path):
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    local = sorted(
+        map(tuple, near_dup_clusters(pairs, checkpoint_every=2).collect())
+    )
+    reliable = sorted(
+        map(
+            tuple,
+            near_dup_clusters(
+                pairs,
+                checkpoint_every=2,
+                checkpoint="reliable",
+                checkpoint_dir=str(tmp_path / "ckpt2"),
+            ).collect(),
+        )
+    )
+    assert local == reliable
