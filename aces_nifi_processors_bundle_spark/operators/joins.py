@@ -266,18 +266,37 @@ def haversine_km(
     return F.asin(F.sqrt(h)) * F.lit(2 * 6371.0088)
 
 
+def max_safe_zoom(radius_km: float, ring: int, max_abs_lat: float) -> int:
+    """Finest Web-Mercator zoom whose ring-neighborhood still covers
+    radius_km at the data's worst (highest-|lat|) latitude: tiles are
+    locally square and 40075*cos(lat)/2^z km wide, so the no-lost-pairs
+    constraint is 40075*cos(lat_max)/2^z >= radius_km/ring."""
+    import math as _m
+
+    lat = min(abs(max_abs_lat), _MAX_TILE_LAT)
+    width_equator = 40075.016686 * _m.cos(_m.radians(lat))
+    if radius_km <= 0:
+        return 22
+    z = int(_m.floor(_m.log2(width_equator * ring / radius_km)))
+    return max(0, min(z, 22))
+
+
+_MAX_TILE_LAT = 85.05112878
+
+
 def geo_radius_join(
     left: DataFrame,
     right: DataFrame,
     on: str | list[str],
     radius_km: float,
-    zoom: int,
+    zoom: int | None = None,
     left_lat: str = "lat",
     left_lon: str = "lon",
     right_lat: str = "lat",
     right_lon: str = "lon",
     dist_col: str = "dist_km",
     ring: int = 1,
+    validate_zoom: bool = True,
 ) -> DataFrame:
     """Spatial radius join: all same-key (left, right) pairs within
     `radius_km` great-circle distance — the 2-D sibling of
@@ -293,17 +312,45 @@ def geo_radius_join(
     `zoom` and `ring` trade against each other: `ring` tiles of
     neighborhood on each side must cover the radius, i.e. pick z with
     40075 * cos(lat_max) / 2^z >= radius_km / ring. Too-coarse only
-    costs candidate volume; too-fine silently loses pairs, so size it
-    from the data's latitude bound, not the equator. ring > 1 trades
-    a (2*ring+1)^2 left-side explode for 4x-per-zoom lower per-tile
-    density — it pays only for data dense in BOTH axes (measured in
-    SCALE.md: on a corpus dense along one axis the explode cost wins
-    and ring=1 is right; radius joins are ultimately output-bound —
-    the result set itself is Σ within-radius pairs).
+    costs candidate volume; too-fine silently loses pairs. zoom=None
+    derives the finest safe zoom from the data's actual latitude bound
+    (one metadata-scale max(|lat|) aggregate over each side — skip by
+    passing zoom explicitly); an explicit zoom is validated against
+    the same bound (validate_zoom=False opts out of that scan) and a
+    too-fine choice raises rather than silently losing pairs. ring > 1
+    trades a (2*ring+1)^2 left-side explode for 4x-per-zoom lower
+    per-tile density — it pays only for data dense in BOTH axes
+    (measured in SCALE.md: on a corpus dense along one axis the
+    explode cost wins and ring=1 is right; radius joins are ultimately
+    output-bound — the result set itself is Σ within-radius pairs).
+
+    The two sides may carry identically named lat/lon columns (the
+    defaults): the right side's coordinates are aliased to internal
+    names for the distance computation and restored afterwards.
     """
     on = [on] if isinstance(on, str) else list(on)
     from ..functions.geotile import tile_x, tile_y
 
+    if zoom is None or validate_zoom:
+        lat_bound = max(
+            _max_abs_lat(left, left_lat), _max_abs_lat(right, right_lat)
+        )
+        safe = max_safe_zoom(radius_km, ring, lat_bound)
+        if zoom is None:
+            zoom = safe
+        elif zoom > safe:
+            raise ValueError(
+                f"geo_radius_join: zoom={zoom} is too fine for "
+                f"radius_km={radius_km}, ring={ring} at max |lat| "
+                f"{lat_bound:.2f} — pairs near the radius would be "
+                f"silently lost; use zoom<={safe} (or zoom=None to "
+                "derive it)"
+            )
+    # Internal aliases for the right side's coordinates so identically
+    # named lat/lon inputs (the defaults) stay unambiguous post-join.
+    r_in = right.withColumn("_gjlat", F.col(right_lat)).withColumn(
+        "_gjlon", F.col(right_lon)
+    )
     n = 2**zoom
     lx, ly = tile_x(F.col(left_lon), zoom), tile_y(F.col(left_lat), zoom)
     span = range(-ring, ring + 1)
@@ -320,15 +367,20 @@ def geo_radius_join(
     l3 = left.withColumn("_gj", F.explode(neighbors)).select(
         "*", F.col("_gj.jx").alias("_gjx"), F.col("_gj.jy").alias("_gjy")
     ).drop("_gj")
-    r3 = right.withColumn("_gjx", tile_x(F.col(right_lon), zoom)).withColumn(
-        "_gjy", tile_y(F.col(right_lat), zoom)
+    r3 = r_in.withColumn("_gjx", tile_x(F.col("_gjlon"), zoom)).withColumn(
+        "_gjy", tile_y(F.col("_gjlat"), zoom)
     )
     dist = haversine_km(
-        F.col(left_lat), F.col(left_lon), F.col(right_lat), F.col(right_lon)
+        l3[left_lat], l3[left_lon], F.col("_gjlat"), F.col("_gjlon")
     )
     return (
         l3.join(r3, [*on, "_gjx", "_gjy"])
         .withColumn(dist_col, dist)
         .filter(F.col(dist_col) <= F.lit(radius_km))
-        .drop("_gjx", "_gjy")
+        .drop("_gjx", "_gjy", "_gjlat", "_gjlon")
     )
+
+
+def _max_abs_lat(df: DataFrame, lat_col: str) -> float:
+    row = df.agg(F.max(F.abs(F.col(lat_col))).alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0

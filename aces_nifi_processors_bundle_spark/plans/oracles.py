@@ -2173,3 +2173,5 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
 FROM events GROUP BY 1
 """
 )
+
+ORACLES["q_geo_radius_auto"] = ORACLES["q_geo_radius_join"]

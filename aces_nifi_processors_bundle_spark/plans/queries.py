@@ -2133,6 +2133,24 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_radius_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_radius_join with zoom=None: the finest safe zoom is derived
+    from the data's max |lat| (one metadata-scale aggregate per side),
+    closing the too-fine-zoom-silently-loses-pairs footgun. Exercises
+    the identically-named-lat/lon default path (internal right-side
+    aliases). Zoom choice never changes the RESULT (the haversine
+    filter is exact), so the oracle is shared with q_geo_radius_join."""
+    from ..operators.joins import geo_radius_join
+
+    geo = _with_geo(load_table(spark, sf_dir, "events"))
+    a = geo.select("user_id", F.col("event_id").alias("id_a"), "lat", "lon")
+    b = geo.select("user_id", F.col("event_id").alias("id_b"), "lat", "lon")
+    out = geo_radius_join(a, b, on="user_id", radius_km=100.0)
+    return out.filter(F.col("id_a") < F.col("id_b")).select(
+        "user_id", "id_a", "id_b", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
 def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the events STREAM joins a static
     per-user dimension (first-seen timestamp) re-planned per

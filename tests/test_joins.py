@@ -251,6 +251,45 @@ def test_geo_radius_join_matches_naive_and_wraps_antimeridian(spark):
     assert (200, 201) in got  # across the antimeridian
 
 
+def test_geo_radius_join_auto_zoom_and_mis_sized_guard(spark):
+    """zoom=None derives the finest safe zoom from the data's latitude
+    bound; a manually mis-sized (too-fine) zoom raises instead of
+    silently losing pairs; identically named lat/lon inputs (the
+    defaults) work without an AMBIGUOUS_REFERENCE failure."""
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.operators.joins import (
+        geo_radius_join,
+        max_safe_zoom,
+    )
+
+    # two points 60 deg north, ~55.6 km apart (0.5 deg of latitude)
+    rows = [Row(k=1, pid=1, lat=60.0, lon=10.0), Row(k=1, pid=2, lat=60.5, lon=10.0)]
+    df = spark.createDataFrame(rows)
+    a = df.select("k", F.col("pid").alias("id_a"), "lat", "lon")
+    b = df.select("k", F.col("pid").alias("id_b"), "lat", "lon")
+
+    # auto zoom finds the pair — and the default identical lat/lon
+    # column names are handled by the internal right-side aliases
+    got = geo_radius_join(a, b, on="k", radius_km=100.0).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
+
+    # at lat 60 tiles are half their equator width: zoom 9 tiles span
+    # 40075*cos(60)/512 ~= 39 km < 100 km — a silent-pair-loss zoom.
+    assert max_safe_zoom(100.0, 1, 60.5) < 9
+    with pytest.raises(ValueError, match="too fine"):
+        geo_radius_join(a, b, on="k", radius_km=100.0, zoom=9)
+
+    # opting out of validation reproduces the historical footgun
+    # (documented escape hatch for scan-free planning)
+    unchecked = geo_radius_join(
+        a, b, on="k", radius_km=100.0, zoom=12, validate_zoom=False
+    ).filter(F.col("id_a") < F.col("id_b"))
+    assert unchecked.count() == 0  # the pair is silently lost
+
+
 def test_haversine_known_distance(spark):
     from aces_nifi_processors_bundle_spark.operators.joins import haversine_km
 
