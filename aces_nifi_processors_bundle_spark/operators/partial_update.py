@@ -251,10 +251,33 @@ def partial_update(
                 ).otherwise(new_val)
         new_vals[col_name] = new_val
 
+    # Mongo `$set` CREATES a missing field (UpdateMongo analog: a $set
+    # path absent from the target doc is added, not dropped). Top-level
+    # columns named by a $set op and present in the source but absent
+    # from the target become ADDED columns: matched rows take the
+    # source value, pre-existing rows read NULL. (Dot-path creation
+    # and other ops stay skip-when-absent, as documented.)
+    added_cols: list[str] = []
+    for prop, op in ops.items():
+        parent, child = _split_path(prop)
+        if (
+            op == "$set"
+            and child is None
+            and parent not in tgt_types
+            and parent in src_types
+        ):
+            added_cols.append(parent)
+            new_vals[parent] = F.when(
+                matched, F.col(f"s.{parent}")
+            ).otherwise(F.lit(None).cast(src_types[parent]))
+
     changed = F.lit(False)
     for col_name in target.columns:
         if col_name not in keys:
             changed = changed | ~F.col(f"t.{col_name}").eqNullSafe(new_vals[col_name])
+    for col_name in added_cols:
+        # gaining a non-null value for a brand-new field modifies the doc
+        changed = changed | F.col(f"s.{col_name}").isNotNull()
 
     # Insert projection for unmatched source rows (upsert path, :446).
     # Mongo applies the update operators to the new doc on upsert: $inc
@@ -272,6 +295,8 @@ def partial_update(
             insert_vals[col_name] = F.col(f"s.{col_name}").cast(tgt_types[col_name])
         else:
             insert_vals[col_name] = F.lit(None).cast(tgt_types[col_name])
+    for col_name in added_cols:
+        insert_vals[col_name] = F.col(f"s.{col_name}")
 
     route = (
         F.when(matched & changed, "success")
@@ -283,7 +308,7 @@ def partial_update(
     merged = joined.select(
         *[
             F.when(source_only, insert_vals[c]).otherwise(new_vals[c]).alias(c)
-            for c in target.columns
+            for c in [*target.columns, *added_cols]
         ],
         route.alias("_route"),
     )

@@ -1828,12 +1828,18 @@ upd AS (
   FROM v2 n JOIN v1 o USING (c_custkey)
   WHERE n.c_acctbal IS DISTINCT FROM o.c_acctbal
 ),
+pre AS (
+  SELECT o.c_custkey, o.c_acctbal, 'update_preimage' AS change_type
+  FROM v1 o JOIN v2 n USING (c_custkey)
+  WHERE n.c_acctbal IS DISTINCT FROM o.c_acctbal
+),
 del AS (
   SELECT o.c_custkey, o.c_acctbal, 'delete' AS change_type
   FROM v1 o WHERE o.c_custkey NOT IN (SELECT c_custkey FROM v2)
 )
 SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal, change_type FROM ins
 UNION ALL SELECT c_custkey, round(c_acctbal, 6), change_type FROM upd
+UNION ALL SELECT c_custkey, round(c_acctbal, 6), change_type FROM pre
 UNION ALL SELECT c_custkey, round(c_acctbal, 6), change_type FROM del
 """
 )

@@ -2014,8 +2014,8 @@ def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CDC/table_changes analog): v1 = full customer balances, v2 =
     a rewrite that drops every third key, bumps every remaining even
     key, and adds new keys. diff(1, 2) must emit exactly the
-    insert / update_postimage / delete rows the oracle derives from
-    the same arithmetic."""
+    insert / update_postimage / update_preimage / delete rows the
+    oracle derives from the same arithmetic."""
     import tempfile
 
     from ..stores import KeyedParquetStore

@@ -397,7 +397,9 @@ class KeyedParquetStore:
             return man["schema"]
         merged = (
             self.spark.createDataFrame([], old)
-            .unionByName(self.spark.createDataFrame([], new))
+            .unionByName(
+                self.spark.createDataFrame([], new), allowMissingColumns=True
+            )
             .schema
         )
         return merged.json()
@@ -606,10 +608,13 @@ class KeyedParquetStore:
 
     def diff(self, v_old: int, v_new: int | None = None) -> DataFrame:
         """Row-level change feed between two retained versions — the
-        CDC / `table_changes` analog. Returns the NEW version's rows
-        that differ from the old snapshot tagged `insert` (key absent
-        before) or `update_postimage` (key present, row changed), plus
-        the OLD rows of vanished keys tagged `delete` (pre-image).
+        CDC / `table_changes` analog, emitting the Delta-CDF change
+        types. NEW rows that differ from the old snapshot are tagged
+        `insert` (key absent before) or `update_postimage` (key
+        present, row changed); OLD rows that differ are tagged
+        `update_preimage` (key survives — including rows a match-many
+        key LOST without any replacement row, which would otherwise
+        vanish from the feed) or `delete` (key gone entirely).
 
         Work scales with CHANGE, not table size: buckets whose
         manifest entries are identical in both versions are pruned
@@ -665,10 +670,17 @@ class KeyedParquetStore:
         updates = changed_new.join(old_keys, self.keys, "left_semi").withColumn(
             ct, F.lit("update_postimage")
         )
+        preimages = changed_old.join(new_keys, self.keys, "left_semi").withColumn(
+            ct, F.lit("update_preimage")
+        )
         deletes = changed_old.join(new_keys, self.keys, "left_anti").withColumn(
             ct, F.lit("delete")
         )
-        return inserts.unionByName(updates).unionByName(deletes)
+        return (
+            inserts.unionByName(updates)
+            .unionByName(preimages)
+            .unionByName(deletes)
+        )
 
     def restore(self, version: int) -> None:
         """Roll the table back to a retained version by publishing a NEW
@@ -742,9 +754,23 @@ class KeyedParquetStore:
                 # target's types, so merging against the old types
                 # would round inserted values (e.g. 7.25 → decimal(_,1)
                 # → 7.3) on their way to the promoted column.
-                target = self._read_dirs(
+                raw = self._read_dirs(
                     man, [d for dirs in man["buckets"].values() for d in dirs]
-                ).select(*[F.col(f.name).cast(f.dataType) for f in evolved.fields])
+                )
+                # Same guard as put_if_absent's rewrite path: a batch
+                # can simultaneously ADD a column and force the
+                # rewrite — old files lack the added field, so
+                # F.col() would be unresolvable; it reads as NULL.
+                target = raw.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in raw.columns
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in evolved.fields
+                    ]
+                )
                 res = partial_update(target, source, cfg)
             obs = Observation()
             route = F.col(ROUTE_COL)

@@ -707,10 +707,81 @@ def test_store_diff_classifies_and_prunes_unchanged_buckets(spark, tmp_path):
     rows = {
         (r["k"], r["_change_type"]): r["v"] for r in store.diff(1, 2).collect()
     }
-    assert rows == {(5, "update_postimage"): 999.0, (200, "insert"): 7.0}
+    assert rows == {
+        (5, "update_postimage"): 999.0,
+        (5, "update_preimage"): 5.0,
+        (200, "insert"): 7.0,
+    }
     # manifest-level pruning: only the <=2 touched buckets' dirs are
     # ever read on either side, not the 16-bucket table
     assert seen and all(len(d) <= 2 for d in seen)
+
+
+def test_put_if_absent_batch_with_new_column_appends_scan_safe(spark, tmp_path):
+    """A put_if_absent batch carrying a column the table lacks must
+    append WITHOUT a rewrite (added columns are scan-safe: old files
+    read NULL under the evolved manifest schema)."""
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "newcol"), keys=["k"], n_buckets=4
+    )
+    store.init(spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    m = store.put_if_absent(
+        spark.createDataFrame([(50, 1.5, "tag")], "k long, v double, w string")
+    )
+    assert m.inserted == 1
+    got = {r["k"]: (r["v"], r["w"]) for r in store.read().collect()}
+    assert len(got) == 11
+    assert got[50] == (1.5, "tag") and got[3] == (3.0, None)
+
+
+def test_store_diff_preimage_on_partial_row_loss(spark, tmp_path):
+    """A match-many key that loses SOME (not all) rows between versions
+    must still surface in the change feed: the lost row appears as
+    update_preimage (no postimage row exists for it). Regression: the
+    old anti-join-only classification emitted nothing for this case."""
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "pretbl"), keys=["k"], n_buckets=4
+    )
+    v1 = spark.createDataFrame([(1, 10.0), (1, 11.0), (2, 20.0)], "k long, v double")
+    store.init(v1)
+    v2 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    store.init(v2)
+    rows = {(r["k"], r["v"], r["_change_type"]) for r in store.diff(1, 2).collect()}
+    assert rows == {(1, 11.0, "update_preimage")}
+
+
+def test_merge_escalation_with_simultaneously_added_column(spark, tmp_path):
+    """A single batch that both ADDS a column and forces the
+    full-rewrite escalation (decimal→double) must succeed: old files
+    lack the added column, which must read as typed NULL in the
+    rewrite (regression: unresolvable-column AnalysisException)."""
+    from aces_nifi_processors_bundle_spark.operators.partial_update import (
+        PartialUpdateConfig,
+    )
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "addcol"), keys=["k"], n_buckets=4
+    )
+    store.init(spark.range(20).selectExpr("id AS k", "id * 1.0 AS v"))
+    batch = spark.createDataFrame(
+        [(3, 999.5, "x"), (100, 7.25, "y")], "k long, v double, w string"
+    )
+    store.merge(
+        batch,
+        PartialUpdateConfig(
+            keys=["k"], operations={"v": "$set", "w": "$set"}, upsert=True
+        ),
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in store.read().collect()}
+    assert len(got) == 21
+    assert got[3] == (999.5, "x") and got[100] == (7.25, "y")
+    assert got[7] == (7.0, None)  # untouched row: promoted type + NULL new col
+    assert dict(store.read().dtypes)["v"] == "double"
 
 
 def test_unsafe_schema_evolution_escalates_to_full_rewrite(spark, tmp_path):
