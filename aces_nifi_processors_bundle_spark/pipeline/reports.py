@@ -97,3 +97,87 @@ def cross_source_dups(
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_shared_texts")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+    tie_col: str | None = None,
+    method: str = "auto",
+    exact_max_group_rows: int = 2_000_000,
+    accuracy: int = 1_000_000,
+) -> DataFrame:
+    """Per-group equi-depth histogram: (group, tile, n, lo, hi).
+
+    Two physical strategies:
+
+    - "exact": ntile over a per-group sort — buckets hold exactly-equal
+      row counts (ties split deterministically by tie_col). Its
+      parallelism is capped by GROUP COUNT (each group is one global
+      sort partition), so it cannot scale past a few million rows per
+      group.
+    - "approx": the scale path and the default above
+      exact_max_group_rows. Boundaries come from one pass of
+      percentile_approx (Greenwald-Khanna partial-aggregated sketch —
+      fully parallel, map-side combined), rows are assigned by static
+      boundary comparisons (tile = 1 + #{boundaries < value}; values
+      equal to a boundary go to the LOWER bucket), and counts are one
+      hash aggregate. Below `accuracy` rows per group the sketch is
+      exact and returns the ceil(p*n)-th smallest value — a rank rule
+      a SQL oracle reproduces with row_number() — so the approx path
+      is value-checkable at test scale while degrading gracefully to
+      a true sketch at corpus scale.
+
+    The two strategies agree on bucket COUNTS whenever group values are
+    distinct; with heavy ties ntile still equalizes counts (splitting a
+    tie across buckets) while interval assignment cannot — the
+    documented semantic difference between rank-based and value-based
+    bucketing.
+
+    method="auto" runs one count aggregate (metadata-scale: one row
+    per group) and picks per the threshold.
+    """
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(f"equidepth_histogram: unknown method {method!r}")
+    if method == "auto":
+        biggest = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("m"))
+            .collect()[0]["m"]
+        )
+        method = "exact" if (biggest or 0) <= exact_max_group_rows else "approx"
+
+    if method == "exact":
+        from pyspark.sql import Window
+
+        order = [F.col(value_col).asc()]
+        if tie_col is not None:
+            order.append(F.col(tie_col).asc())
+        w = Window.partitionBy(group_col).orderBy(*order)
+        tiles = df.select(group_col, value_col, *([tie_col] if tie_col else [])) \
+            .withColumn("tile", F.ntile(n_buckets).over(w).cast("int"))
+    else:
+        probs = [k / n_buckets for k in range(1, n_buckets)]
+        bounds = df.groupBy(group_col).agg(
+            F.percentile_approx(value_col, probs, accuracy).alias("_b")
+        )
+        bcols = [F.col("_b")[k].alias(f"_b{k}") for k in range(n_buckets - 1)]
+        bounds = bounds.select(group_col, *bcols)
+        joined = df.select(group_col, value_col).join(
+            F.broadcast(bounds), group_col
+        )
+        tile = F.lit(1)
+        for k in range(n_buckets - 1):
+            tile = tile + F.when(
+                F.col(value_col) > F.col(f"_b{k}"), F.lit(1)
+            ).otherwise(F.lit(0))
+        tiles = joined.withColumn("tile", tile.cast("int"))
+
+    return tiles.groupBy(group_col, "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )

@@ -2181,3 +2181,39 @@ FROM events GROUP BY 1
 )
 
 ORACLES["q_geo_radius_auto"] = ORACLES["q_geo_radius_join"]
+
+# Equi-depth scale path: percentile_approx below `accuracy` rows per
+# group is EXACT and returns the ceil(p*n)-th smallest value — the
+# row_number() rank rule below (verified empirically against Spark's
+# GK sketch in the exact regime).
+oracle("q_equidepth_approx")(
+    """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS ng
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil(0.1::DOUBLE * ng) AS BIGINT) THEN value END) AS b1,
+         max(CASE WHEN rn = CAST(ceil(0.2::DOUBLE * ng) AS BIGINT) THEN value END) AS b2,
+         max(CASE WHEN rn = CAST(ceil(0.3::DOUBLE * ng) AS BIGINT) THEN value END) AS b3,
+         max(CASE WHEN rn = CAST(ceil(0.4::DOUBLE * ng) AS BIGINT) THEN value END) AS b4,
+         max(CASE WHEN rn = CAST(ceil(0.5::DOUBLE * ng) AS BIGINT) THEN value END) AS b5,
+         max(CASE WHEN rn = CAST(ceil(0.6::DOUBLE * ng) AS BIGINT) THEN value END) AS b6,
+         max(CASE WHEN rn = CAST(ceil(0.7::DOUBLE * ng) AS BIGINT) THEN value END) AS b7,
+         max(CASE WHEN rn = CAST(ceil(0.8::DOUBLE * ng) AS BIGINT) THEN value END) AS b8,
+         max(CASE WHEN rn = CAST(ceil(0.9::DOUBLE * ng) AS BIGINT) THEN value END) AS b9
+  FROM ranked GROUP BY event_type
+),
+tiles AS (
+  SELECT e.event_type, e.value,
+         1 + (CASE WHEN e.value > b.b1 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b2 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b3 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b4 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b5 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b6 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b7 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b8 THEN 1 ELSE 0 END) + (CASE WHEN e.value > b.b9 THEN 1 ELSE 0 END) AS tile
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type, CAST(tile AS INT) AS tile, CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM tiles GROUP BY event_type, tile
+"""
+)

@@ -29,6 +29,29 @@ from ..operators.put_if_absent import put_if_absent
 from ..operators.security_marking import SecurityMarkingConfig, convert_security_marking
 from ..sources.registry import load_table
 
+# --- per-run scratch space ---------------------------------------------
+# Store/stream/layout queries materialize side tables; queries return
+# LAZY DataFrames, so per-call cleanup is impossible (the driver
+# collects after the function returns). Instead every temp dir lives
+# under one per-process scratch root removed at interpreter exit —
+# repeated correctness/bench sweeps no longer accumulate orphaned
+# /tmp/aces_* directories (each process cleans its own).
+
+import atexit as _atexit
+import shutil as _shutil
+import tempfile as _tempfile
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = _tempfile.mkdtemp(prefix="aces_scratch_")
+        _atexit.register(_shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return _tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 
 # --- O3 flagship: bin events by day × event_type and count -------------
 
@@ -437,11 +460,10 @@ def q_flow_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the store stages are flow ACTIONS (terminal processors), and mid-
     flow `load` stages start each batch's chain (flows.py). Must
     hash-match q_store_merge's oracle exactly."""
-    import tempfile
 
     from ..flows import build_flow
 
-    path = tempfile.mkdtemp(prefix="aces_flow_store_")
+    path = _scratch("aces_flow_store_")
     store_cfg = {"path": path, "keys": ["c_custkey"], "n_buckets": 16}
     ops = {"c_acctbal": "$set", "visits": "$inc", "lastUpdated": "$currentDate"}
     flow = [
@@ -543,14 +565,13 @@ def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's entire purpose). Each merge reads and rewrites only
     the hash-buckets containing the batch's keys; the final table
     state must equal DuckDB's two-step merge simulation."""
-    import tempfile
 
     from ..stores import KeyedParquetStore
 
     customer = load_table(spark, sf_dir, "customer")
     store = KeyedParquetStore(
         spark=spark,
-        path=tempfile.mkdtemp(prefix="aces_store_merge_"),
+        path=_scratch("aces_store_merge_"),
         keys=["c_custkey"],
         n_buckets=16,
     )
@@ -603,14 +624,13 @@ def q_store_put_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     and contains in-batch duplicates); returns the per-batch routing
     metrics — collected by DataFrame.observe DURING each append job,
     the modifiedCount analog — plus the final table size."""
-    import tempfile
 
     from ..stores import KeyedParquetStore
 
     orders = load_table(spark, sf_dir, "orders")
     store = KeyedParquetStore(
         spark=spark,
-        path=tempfile.mkdtemp(prefix="aces_store_put_"),
+        path=_scratch("aces_store_put_"),
         keys=["o_orderkey"],
         n_buckets=16,
     )
@@ -864,23 +884,21 @@ _STREAM_SRC_DIRS: dict[str, str] = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    import tempfile
 
     events = load_table(spark, sf_dir, "events")
     if sf_dir not in _STREAM_SRC_DIRS:
-        data_dir = tempfile.mkdtemp(prefix="aces_stream_events_")
+        data_dir = _scratch("aces_stream_events_")
         events.write.mode("overwrite").parquet(data_dir)
         _STREAM_SRC_DIRS[sf_dir] = data_dir
     return spark.readStream.schema(events.schema).parquet(_STREAM_SRC_DIRS[sf_dir])
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str):
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     key = f"{sf_dir}#documents"
     if key not in _STREAM_SRC_DIRS:
-        data_dir = tempfile.mkdtemp(prefix="aces_stream_docs_")
+        data_dir = _scratch("aces_stream_docs_")
         docs.write.mode("overwrite").parquet(data_dir)
         _STREAM_SRC_DIRS[key] = data_dir
     return spark.readStream.schema(docs.schema).parquet(_STREAM_SRC_DIRS[key])
@@ -1139,13 +1157,12 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pipeline.py). Oracle: DuckDB re-derives the same two
     training iterations as CTEs (decimal sums, sequential-fold norms)
     and replays the probe — full value-hash check."""
-    import tempfile
 
     from ..pipeline.similarity import ivf_topk, ivf_train, ivf_write_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, dim=64, n_centroids=16, n_iter=2)
-    index = tempfile.mkdtemp(prefix="aces_ivf_index_")
+    index = _scratch("aces_ivf_index_")
     ivf_write_index(emb, index, dim=64, n_centroids=16, centroids=cents)
     queries = emb.filter(F.col("vec_id") < 8)
     out = ivf_topk(
@@ -1377,7 +1394,6 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog). $inc accumulates across however many micro-batches the
     trigger produces, so the final store state is batch-split-
     independent — which is what makes a streaming SINK oracle-able."""
-    import tempfile
 
     from ..operators.partial_update import PartialUpdateConfig
     from ..stores import KeyedParquetStore
@@ -1386,7 +1402,7 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir).select(
         (F.col("user_id") % 100).alias("ub")
     )
-    path = tempfile.mkdtemp(prefix="aces_stream_store_") + "/t"
+    path = _scratch("aces_stream_store_") + "/t"
     store = KeyedParquetStore(spark=spark, path=path, keys=["ub"], n_buckets=8)
     store.init(
         spark.range(100).select(
@@ -1400,7 +1416,7 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.merge(pre, cfg)
 
     q = (
-        foreach_batch_merge(stream, merge_fn, tempfile.mkdtemp())
+        foreach_batch_merge(stream, merge_fn, _scratch("aces_fbm_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1460,14 +1476,13 @@ def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (the oracle is the pure initial-target expression —
     any leakage from v2's segment into the v1 manifest resolution
     would hash-mismatch)."""
-    import tempfile
 
     from ..stores import KeyedParquetStore
 
     customer = load_table(spark, sf_dir, "customer")
     store = KeyedParquetStore(
         spark=spark,
-        path=tempfile.mkdtemp(prefix="aces_store_tt_"),
+        path=_scratch("aces_store_tt_"),
         keys=["c_custkey"],
         n_buckets=16,
     )
@@ -1976,22 +1991,41 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (ntile) histogram of event values per type — the
     complement of NumericBinner's equi-width bins: every bucket holds
     the same row count and the boundaries adapt to the distribution.
-    Deterministic via a unique (value, event_id) sort. At scale,
-    derive boundaries from approx_percentile instead of a per-group
-    sort (the same trade documented on q_profile_values_approx)."""
-    from pyspark.sql import Window
+    Deterministic via a unique (value, event_id) sort. Forces
+    method='exact' — the per-group-sort variant whose parallelism is
+    capped by group count; q_equidepth_approx below is the scale
+    default (pipeline/reports.py::equidepth_histogram picks it
+    automatically above exact_max_group_rows)."""
+    from ..pipeline.reports import equidepth_histogram
 
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+    out = equidepth_histogram(
+        events, "event_type", "value", n_buckets=10, tie_col="event_id",
+        method="exact",
     )
-    tiles = events.select("event_type", "value", "event_id").withColumn(
-        "tile", F.ntile(10).over(w).cast("int")
+    return out.select(
+        "event_type", "tile", "n",
+        F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
     )
-    return tiles.groupBy("event_type", "tile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("value"), 6).alias("lo"),
-        F.round(F.max("value"), 6).alias("hi"),
+
+
+def q_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the equi-depth histogram: boundaries from one
+    percentile_approx pass (partial-aggregated GK sketch — parallelism
+    independent of group count), broadcast back, static comparison
+    bucket assignment, one hash aggregate. Below `accuracy` rows per
+    group the sketch is exact (the ceil(p*n)-th smallest value), so
+    the DuckDB oracle reproduces every boundary with row_number() and
+    the whole result value-hashes."""
+    from ..pipeline.reports import equidepth_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    out = equidepth_histogram(
+        events, "event_type", "value", n_buckets=10, method="approx",
+    )
+    return out.select(
+        "event_type", "tile", "n",
+        F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
     )
 
 
@@ -2016,14 +2050,13 @@ def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and adds new keys. diff(1, 2) must emit exactly the
     insert / update_postimage / update_preimage / delete rows the
     oracle derives from the same arithmetic."""
-    import tempfile
 
     from ..stores import KeyedParquetStore
 
     customer = load_table(spark, sf_dir, "customer")
     store = KeyedParquetStore(
         spark=spark,
-        path=tempfile.mkdtemp(prefix="aces_store_diff_"),
+        path=_scratch("aces_store_diff_"),
         keys=["c_custkey"],
         n_buckets=16,
     )
@@ -2191,12 +2224,11 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle checks the layout loses/duplicates nothing; the
     data-skipping win (matching rows concentrated in few files) is
     plan/file-asserted in tests/test_pipeline.py."""
-    import tempfile
 
     from ..pipeline.layout import write_zordered
 
     events = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="aces_zorder_")
+    path = _scratch("aces_zorder_")
     write_zordered(
         events.select("event_id", "user_id", "value"), path,
         cols=["user_id", "value"], n_files=16,

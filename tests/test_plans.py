@@ -149,3 +149,37 @@ def test_profile_approx_sketch_merges_map_side(spark, sf_dir):
 
     plan = plan_of(q_profile_values_approx(spark, sf_dir))
     assert plan.count("ObjectHashAggregate") >= 2
+
+
+def test_equidepth_methods_agree_on_distinct_values(spark):
+    """On all-distinct values with group sizes divisible by the bucket
+    count, the exact (ntile) and approx (boundary-assignment)
+    strategies produce identical histograms below the sketch's exact
+    threshold (with a remainder they allocate it differently — ntile
+    front-loads, rank boundaries interleave); auto picks exact under
+    the row threshold and approx above it."""
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        equidepth_histogram,
+    )
+
+    df = spark.range(900).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7 % 1009).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    exact = sorted(
+        map(tuple, equidepth_histogram(df, "g", "v", 10, "rid", "exact").collect())
+    )
+    approx = sorted(
+        map(tuple, equidepth_histogram(df, "g", "v", 10, method="approx").collect())
+    )
+    assert exact == approx
+
+    # auto: threshold above group size → exact path; below → approx
+    lo = sorted(map(tuple, equidepth_histogram(
+        df, "g", "v", 10, "rid", "auto", exact_max_group_rows=10_000).collect()))
+    hi = sorted(map(tuple, equidepth_histogram(
+        df, "g", "v", 10, "rid", "auto", exact_max_group_rows=10).collect()))
+    assert lo == exact and hi == approx
