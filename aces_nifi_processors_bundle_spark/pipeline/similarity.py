@@ -451,6 +451,38 @@ def ivf_write_index(
     )
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> None:
+    """Incrementally add vectors to an existing inverted file WITHOUT
+    rewriting the corpus: the batch is assigned cells under the SAME
+    codebook (pass the identical centroids the index was built with —
+    a mismatched codebook silently mis-files vectors) and appended as
+    new parquet files inside the matching cid= partition directories.
+    Existing files are untouched; partition pruning on probe keeps
+    working because appends land in the same cid= layout. Append-only
+    semantics: re-adding an id duplicates it (dedup upstream, or use
+    the keyed store for replace semantics). The repartition bounds
+    file count to one per touched cell per batch (small-files guard)."""
+    assign = ivf_assign_udf(dim, n_centroids, centroids)
+    (
+        new_vectors.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.col(vec_col),
+            assign(as_double(F.col(vec_col))).alias("cid"),
+        )
+        .repartition(F.col("cid"))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

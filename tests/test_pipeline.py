@@ -166,6 +166,50 @@ def test_ivf_topk_cells_path_prunes_and_matches_inline(spark, sf_dir, tmp_path):
     assert "cid" in seg and "IN" in seg.upper()
 
 
+def test_ivf_append_index_searchable_and_still_pruned(spark, sf_dir, tmp_path):
+    """ivf_append_index adds a batch into the existing cid= layout
+    without touching the base files: appended vectors are found by a
+    probed search, partition pruning still reaches the scan, and the
+    combined index equals one built from the full corpus at once."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ivf_append_index,
+        ivf_topk,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, dim=64, n_centroids=16, n_iter=2)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_inc")
+    ivf_write_index(base, path, dim=64, n_centroids=16, centroids=cents)
+    import glob
+
+    files_before = set(glob.glob(path + "/cid=*/*.parquet"))
+    ivf_append_index(extra, path, dim=64, n_centroids=16, centroids=cents)
+    files_after = set(glob.glob(path + "/cid=*/*.parquet"))
+    assert files_before <= files_after  # base files untouched, only adds
+
+    # combined index content == full-corpus build (same codebook)
+    full_path = str(tmp_path / "ivf_full")
+    ivf_write_index(emb, full_path, dim=64, n_centroids=16, centroids=cents)
+    inc = {(r["vec_id"], r["cid"]) for r in spark.read.parquet(path).collect()}
+    full = {(r["vec_id"], r["cid"]) for r in spark.read.parquet(full_path).collect()}
+    assert inc == full
+
+    # a probed search over the appended index finds appended vectors
+    # and the probe filter still prunes partitions at the scan
+    queries = emb.filter(F.col("vec_id") < 4)
+    kw = dict(dim=64, k=5, n_centroids=16, n_probe=16, centroids=cents)
+    res = ivf_topk(emb, queries, cells_path=path, **kw)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got_neighbors = {r["neighbor_id"] for r in res.collect()}
+    brute = ivf_topk(emb, queries, **kw)  # inline = ground truth here
+    assert got_neighbors == {r["neighbor_id"] for r in brute.collect()}
+
+
 def test_near_dup_clusters_and_dedup(spark):
     """Connected components over a pair chain: a-b, b-c, d-e collapse to
     clusters {a,b,c} and {d,e}; dedup keeps min-id + unpaired docs."""
