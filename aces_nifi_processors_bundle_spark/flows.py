@@ -55,6 +55,21 @@ branch, and the two-input stages reference remembered frames:
   {"op": "join",       "right": "views", "on": [...], "how": "inner"}
   {"op": "geo_radius_join", "right": "b", "on": [...], "radius_km": 100, "zoom": 8}
   {"op": "salted_join", "right": "dim", "on": [...], "hot_keys": [...]}
+  {"op": "union",      "right": "views"}
+
+and the full relationship fan-out of the NiFi canvas: ``route`` runs a
+routed operator (attrs_to_json / security_marking) and tags EVERY
+requested relationship as a wireable branch, ``use`` resumes any
+tagged branch as the mainline — so success can flow to one sink while
+failure flows into a keyed store, all in one JSON document:
+
+  {"op": "route", "using": "security_marking", "marking_col": "m",
+   "tags": {"failure": "bad"}, "continue": "success", ...O2 config}
+  ...success stages...
+  {"op": "tag", "name": "ok_result"}
+  {"op": "use", "tag": "bad"}
+  {"op": "store_init", "path": ..., "keys": [...]}
+  {"op": "union", "right": "ok_result"}
 
 Transform stages stay lazy — the whole chain folds into one Catalyst
 plan. Store/sink stages are ACTIONS (the NiFi terminal-processor
@@ -574,6 +589,29 @@ def _salted_join(
     return salted_join(df, _named[right], on, hot_keys, n_salts, how)
 
 
+@stage("union")
+def _union(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+) -> DataFrame:
+    return df.unionByName(_named[right])
+
+
+# Routed operators the `route` stage can expand into tagged branches —
+# each returns a Routed (relationship-name → frame) mapping.
+_ROUTED_OPS: dict[str, Callable[..., Any]] = {
+    "attrs_to_json": lambda spark, df, cfg: attributes_to_json(
+        df, AttributesToJsonConfig(**cfg)
+    ),
+    "security_marking": lambda spark, df, cfg: convert_security_marking(
+        df, cfg.pop("marking_col"), SecurityMarkingConfig(**cfg)
+    ),
+}
+
+
 @stage("pagerank")
 def _pagerank(
     spark: SparkSession,
@@ -611,6 +649,41 @@ def build_flow(
             if df is None:
                 raise ValueError(f"stage {i}: 'tag' before any frame exists")
             named[spec["name"]] = df
+            continue
+        if op == "route":
+            # The full NiFi relationship fan-out: run a routed operator
+            # and expose EVERY requested relationship as a tagged
+            # branch ({relationship: tag-name}), each wireable
+            # downstream via `use` / two-input stages. The mainline
+            # continues with the `continue` relationship (default
+            # success). All branches share one routed subplan —
+            # Catalyst sees a single route expression filtered per
+            # port, not N recomputations.
+            if df is None:
+                raise ValueError(f"stage {i}: 'route' before any frame exists")
+            using = spec.pop("using")
+            if using not in _ROUTED_OPS:
+                raise KeyError(
+                    f"stage {i}: route has no operator {using!r}; "
+                    f"have {sorted(_ROUTED_OPS)}"
+                )
+            tags = spec.pop("tags", {})
+            cont = spec.pop("continue", "success")
+            routed = _ROUTED_OPS[using](spark, df, spec)
+            for rel, tag_name in tags.items():
+                named[tag_name] = routed[rel]
+            df = routed[cont]
+            continue
+        if op == "use":
+            # Resume a tagged branch as the mainline — wiring any
+            # stored relationship into the next downstream stage.
+            name = spec["tag"]
+            if name not in named:
+                raise KeyError(
+                    f"stage {i}: 'use' references untagged frame "
+                    f"{name!r}; tagged: {sorted(named)}"
+                )
+            df = named[name]
             continue
         if op not in STAGES:
             raise KeyError(f"stage {i}: unknown op {op!r}; have {sorted(STAGES)}")

@@ -2217,3 +2217,14 @@ SELECT event_type, CAST(tile AS INT) AS tile, CAST(count(*) AS BIGINT) AS n,
 FROM tiles GROUP BY event_type, tile
 """
 )
+
+oracle("q_flow_routed")(
+    """
+SELECT 'success' AS branch, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 5 <> 4
+UNION ALL
+SELECT 'failure', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 5 = 4
+"""
+)

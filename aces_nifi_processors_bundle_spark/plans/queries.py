@@ -454,6 +454,56 @@ def q_flow_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_flow(spark, flow, sf_dir).orderBy("name")
 
 
+def q_flow_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full NiFi relationship fan-out as one flow document: a
+    `route` stage splits security_marking into success + failure
+    branches, SUCCESSES flow to an aggregate report sink while
+    FAILURES are wired (via `use`) into a keyed store whose post-state
+    is summarized, and a `union` stage joins the two branch reports —
+    hash-matched against a two-branch oracle."""
+    from ..flows import build_flow
+
+    marking_case = (
+        "CASE o_orderkey % 5 "
+        "WHEN 0 THEN 'SECRET//ALPHA//NOFORN' "
+        "WHEN 1 THEN 'TS//BRAVO//XYZ' "
+        "WHEN 2 THEN 'UNCLASS' "
+        "WHEN 3 THEN 'C//ALPHA//BRAVO//ABC//RELTO' "
+        "ELSE '' END"
+    )
+    flow = [
+        {"op": "load", "table": "orders"},
+        {"op": "sql", "query": f"SELECT o_orderkey, {marking_case} AS marking "
+                               "FROM __this__"},
+        {
+            "op": "route",
+            "using": "security_marking",
+            "marking_col": "marking",
+            "tags": {"failure": "bad"},
+            "continue": "success",
+            "levels_to_convert_to": ["UNCLASSIFIED", "CONFIDENTIAL", "SECRET",
+                                     "TOPSECRET"],
+            "levels_can_receive": ["UNCLASS", "CONF", "SECRET", "TS"],
+            "level_abbrevs_can_receive": ["U", "C", "S", "T"],
+            "compartments": ["ALPHA", "BRAVO"],
+            "dissemination_controls": ["NOFORN", "RELTO"],
+            "releasabilities": ["ABC", "XYZ"],
+            "delimiter": "//",
+        },
+        {"op": "sql", "query": "SELECT 'success' AS branch, COUNT(*) AS n, "
+                               "SUM(o_orderkey) AS key_sum FROM __this__"},
+        {"op": "tag", "name": "ok_report"},
+        {"op": "use", "tag": "bad"},
+        {"op": "select", "columns": ["o_orderkey", "marking"]},
+        {"op": "store_init", "path": _scratch("aces_flow_routed_"),
+         "keys": ["o_orderkey"], "n_buckets": 8},
+        {"op": "sql", "query": "SELECT 'failure' AS branch, COUNT(*) AS n, "
+                               "SUM(o_orderkey) AS key_sum FROM __this__"},
+        {"op": "union", "right": "ok_report"},
+    ]
+    return build_flow(spark, flow, sf_dir)
+
+
 def q_flow_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A complete NiFi graph as ONE flow document: source → transform
     (sql) → keyed-store init → two merge batches → final projection —

@@ -64,6 +64,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_pagerank_weighted": q.q_pagerank_weighted,
     "q_geo_radius_auto": q.q_geo_radius_auto,
     "q_equidepth_approx": q.q_equidepth_approx,
+    "q_flow_routed": q.q_flow_routed,
     "q_store_diff": q.q_store_diff,
     "q_store_merge": q.q_store_merge,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,

@@ -311,3 +311,44 @@ def test_every_example_flow_builds_and_returns_rows(spark, sf_dir):
 
                 st["path"] = tempfile.mkdtemp(prefix="aces_flow_example_")
         assert build_flow(spark, flow, sf_dir).count() > 0, p
+
+
+def test_route_use_union_fan_out(spark, sf_dir, tmp_path):
+    """`route` exposes every requested relationship as a tagged branch,
+    `use` resumes one as the mainline, `union` recombines — the NiFi
+    canvas shape where success and failure wire to different
+    downstreams."""
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    flow = [
+        {"op": "load", "table": "orders"},
+        {"op": "sql", "query": "SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 "
+                               "THEN '' ELSE 'SECRET' END AS m FROM __this__"},
+        {
+            "op": "route", "using": "security_marking", "marking_col": "m",
+            "tags": {"failure": "bad", "success": "ok"}, "continue": "success",
+            "levels_to_convert_to": ["SECRET"], "levels_can_receive": ["SECRET"],
+            "level_abbrevs_can_receive": ["S"], "compartments": [],
+            "dissemination_controls": [], "releasabilities": [], "delimiter": "//",
+        },
+        {"op": "sql", "query": "SELECT 'ok' AS b, COUNT(*) AS n FROM __this__"},
+        {"op": "tag", "name": "okn"},
+        {"op": "use", "tag": "bad"},
+        {"op": "sql", "query": "SELECT 'bad' AS b, COUNT(*) AS n FROM __this__"},
+        {"op": "union", "right": "okn"},
+    ]
+    got = {r["b"]: r["n"] for r in build_flow(spark, flow, sf_dir).collect()}
+    total = got["ok"] + got["bad"]
+    assert got["bad"] > 0 and got["ok"] > 0
+    # every third key is blank → failure
+    assert got["bad"] == (total + 2) // 3 or got["bad"] == total // 3 + (1 if total % 3 else 0)
+
+    # error paths are actionable
+    with pytest.raises(KeyError, match="untagged"):
+        build_flow(spark, [{"op": "load", "table": "orders"},
+                           {"op": "use", "tag": "nope"}], sf_dir)
+    with pytest.raises(KeyError, match="route has no operator"):
+        build_flow(spark, [{"op": "load", "table": "orders"},
+                           {"op": "route", "using": "nope"}], sf_dir)
