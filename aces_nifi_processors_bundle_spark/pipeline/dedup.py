@@ -534,6 +534,9 @@ def decontaminate(
     id_col: str = "doc_id",
     k: int = 3,
     min_hits: int = 2,
+    prefilter: str = "none",
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 4,
 ) -> dict[str, DataFrame]:
     """Eval-set decontamination: flag training documents sharing
     >= min_hits distinct k-gram shingles with ANY eval document — the
@@ -553,7 +556,24 @@ def decontaminate(
     streams through map-side — one groupBy(id) shuffle for the hit
     counts, then a broadcast semi/anti join of the flagged-id list
     back onto the corpus. No train-vs-train pairing anywhere.
+
+    prefilter="bloom" is the step beyond broadcast: when the eval
+    shingle set itself is large (a big benchmark suite — 100M+
+    shingles won't broadcast as a hash relation), a bloom filter over
+    it is ~8 bits/element instead of ~50+ bytes/entry. Built
+    engine-side from xxhash64 + bit_or (bloom_bits bits as
+    bloom_bits/64 longs; Spark 4 doesn't SQL-expose its internal
+    bloom_filter_agg, and this stays whole-stage-codegen), shipped as
+    ONE broadcast row, and applied map-side to train shingles BEFORE
+    the exact join. False positives are removed by the exact join
+    that follows; false negatives are impossible — so the OUTPUT is
+    bit-identical to prefilter="none" (pytest-proven, same oracle)
+    while the exact join's probe side shrinks to the bloom survivors.
+    The word-vector collect is bounded by bloom_bits/64 (metadata,
+    independent of data size).
     """
+    if prefilter not in ("none", "bloom"):
+        raise ValueError(f"decontaminate: unknown prefilter {prefilter!r}")
     train_sh = shingle_rows(train_df, text_col, id_col, k).dropDuplicates(
         [id_col, "shingle"]
     )
@@ -562,8 +582,52 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
+    if prefilter == "bloom":
+        m, nw = bloom_bits, bloom_bits // 64
+        ent = eval_sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(m))
+                        for i in range(bloom_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        set_words = (
+            ent.select(
+                (F.col("pos") / F.lit(64)).cast("long").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(bit)").alias("bits"))
+            .collect()
+        )
+        vec = [0] * nw
+        for r in set_words:
+            vec[int(r["w"])] = r["bits"]
+        bloom_row = train_df.sparkSession.createDataFrame(
+            [(vec,)], "bf array<bigint>"
+        )
+        tests = " AND ".join(
+            f"((shiftright(element_at(bf, CAST(pmod(xxhash64(shingle, {i}), {m})"
+            f" DIV 64 AS INT) + 1), CAST(pmod(xxhash64(shingle, {i}), {m}) % 64"
+            f" AS INT)) & 1) = 1)"
+            for i in range(bloom_hashes)
+        )
+        train_sh = (
+            train_sh.crossJoin(F.broadcast(bloom_row)).filter(tests).drop("bf")
+        )
+    # Exact verify join. prefilter="none" assumes a broadcastable eval
+    # side (the usual benchmark-suite case) and forces the broadcast;
+    # the bloom regime EXISTS because eval may be too big for that —
+    # there the join is left to AQE (its probe side is already reduced
+    # to bloom survivors, so either strategy is cheap).
+    eval_side = eval_sh if prefilter == "bloom" else F.broadcast(eval_sh)
     hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(eval_side, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)

@@ -181,3 +181,41 @@ def equidepth_histogram(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = 1800,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization — the BATCH complement of the streaming
+    session window (streaming/binning_stream.py): assign every event a
+    per-user session sequence number, where a new session starts when
+    the gap from the user's previous event exceeds gap_sec.
+
+    Classic two-window shape: lag() finds each event's predecessor,
+    the boundary flag accumulates with a running sum — both windows
+    share ONE partitioning (user), so the whole thing is a single
+    shuffle; the per-user sort is the inherent cost of ordering a
+    user's history and parallelism scales with user count (the
+    opposite cap of the per-group-global ntile — user counts are the
+    BIG cardinality here). All arithmetic is integer microseconds
+    (cross-engine determinism rule), so a DuckDB oracle value-hashes.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    order = [us.asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    boundary = (
+        prev.isNull() | ((us - prev) > F.lit(int(gap_sec) * 1_000_000))
+    ).cast("int")
+    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("_b", boundary).withColumn(
+        "session_seq", F.sum("_b").over(running).cast("int")
+    ).drop("_b")

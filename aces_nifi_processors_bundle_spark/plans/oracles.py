@@ -2228,3 +2228,31 @@ SELECT 'failure', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
 FROM orders WHERE o_orderkey % 5 = 4
 """
 )
+
+# Bloom prefilter changes the PLAN, never the result.
+ORACLES["q_decontaminate_bloom"] = ORACLES["q_decontaminate"]
+
+oracle("q_sessionize")(
+    """
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS b
+  FROM seq
+),
+tagged AS (
+  SELECT user_id, us,
+         CAST(sum(b) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
+FROM tagged GROUP BY user_id, session_seq
+"""
+)

@@ -1337,6 +1337,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["contaminated"].select("doc_id", "n_hits")
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the BLOOM prefilter scale path: an
+    engine-native xxhash64+bit_or bloom over the eval shingles (one
+    broadcast row, map-side probe) shrinks the exact verify join to
+    bloom survivors. False positives die in the exact join, false
+    negatives are impossible, so the result — and the oracle — are
+    identical to q_decontaminate."""
+    from ..pipeline.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate(train, ev, k=3, min_hits=2, prefilter="bloom")
+    return out["contaminated"].select("doc_id", "n_hits")
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate-3-gram fraction (pipeline/text.py::
     repetition_ratio) — the repetition quality signal; one map-side-
@@ -2076,6 +2092,23 @@ def q_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "tile", "n",
         F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (pipeline/reports.py::sessionize — the
+    batch complement of the streaming session window): 30-minute gap
+    sessions per user over events, reported as one row per session
+    (bounds in integer microseconds for cross-engine exactness). One
+    shuffle on user_id shared by both windows."""
+    from ..pipeline.reports import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_sec=1800, tie_col="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
     )
 
 

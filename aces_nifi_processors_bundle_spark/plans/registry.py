@@ -65,6 +65,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_geo_radius_auto": q.q_geo_radius_auto,
     "q_equidepth_approx": q.q_equidepth_approx,
     "q_flow_routed": q.q_flow_routed,
+    "q_decontaminate_bloom": q.q_decontaminate_bloom,
+    "q_sessionize": q.q_sessionize,
     "q_store_diff": q.q_store_diff,
     "q_store_merge": q.q_store_merge,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,

@@ -1088,3 +1088,52 @@ def test_near_dup_clusters_checkpoint_modes_identical(spark, tmp_path):
         )
     )
     assert local == reliable
+
+
+def test_decontaminate_bloom_prefilter_is_exact(spark, sf_dir):
+    """The bloom prefilter must never change the RESULT — false
+    positives die in the exact verify join, false negatives are
+    impossible — even with a deliberately tiny, collision-heavy
+    filter."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    def run(**kw):
+        out = decontaminate(train, ev, k=3, min_hits=2, **kw)
+        return sorted(
+            (r["doc_id"], r["n_hits"]) for r in out["contaminated"].collect()
+        )
+
+    base = run()
+    assert base, "fixture must produce contaminated docs"
+    assert run(prefilter="bloom") == base
+    # 4096-bit bloom over thousands of shingles: heavy false-positive
+    # rate, still exact output
+    assert run(prefilter="bloom", bloom_bits=1 << 12, bloom_hashes=2) == base
+
+
+def test_sessionize_gap_semantics(spark):
+    """New session exactly when the gap EXCEEDS gap_sec; equal-gap
+    events stay in session; per-user independence."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import sessionize
+
+    rows = [
+        # user 1: 0s, +30s (stay), +31s after that (new), then +1s (stay)
+        (1, 1, "2026-01-01 00:00:00"),
+        (1, 2, "2026-01-01 00:00:30"),
+        (1, 3, "2026-01-01 00:01:01"),
+        (1, 4, "2026-01-01 00:01:02"),
+        # user 2: single event
+        (2, 5, "2026-01-01 00:00:10"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s string").select(
+        "user_id", "event_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_sec=30, tie_col="event_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
