@@ -314,43 +314,84 @@ def geo_radius_join(
     40075 * cos(lat_max) / 2^z >= radius_km / ring. Too-coarse only
     costs candidate volume; too-fine silently loses pairs. zoom=None
     derives the finest safe zoom from the data's actual latitude bound
-    (one metadata-scale max(|lat|) aggregate over each side — skip by
-    passing zoom explicitly); an explicit zoom is validated against
-    the same bound (validate_zoom=False opts out of that scan) and a
-    too-fine choice raises rather than silently losing pairs. ring > 1
-    trades a (2*ring+1)^2 left-side explode for 4x-per-zoom lower
-    per-tile density — it pays only for data dense in BOTH axes
-    (measured in SCALE.md: on a corpus dense along one axis the
-    explode cost wins and ring=1 is right; radius joins are ultimately
-    output-bound — the result set itself is Σ within-radius pairs).
+    (one eager max(|lat|) aggregate over each side at PLAN TIME —
+    documented planning scan; pass zoom explicitly to avoid it). An
+    explicit zoom gets a LAZY in-plan guard instead: a one-row
+    max(|lat|) subplan is broadcast into the join and a raise_error
+    fires at EXECUTION time if the zoom is too fine — the operator
+    stays a pure lazy transform (the flows contract) and no driver
+    jobs run at construction; validate_zoom=False drops the guard and
+    its extra per-side aggregate entirely. ring > 1 trades a
+    (2*ring+1)^2 left-side explode for 4x-per-zoom lower per-tile
+    density — it pays only for data dense in BOTH axes (measured in
+    SCALE.md: on a corpus dense along one axis the explode cost wins
+    and ring=1 is right; radius joins are ultimately output-bound —
+    the result set itself is Σ within-radius pairs).
 
     The two sides may carry identically named lat/lon columns (the
-    defaults): the right side's coordinates are aliased to internal
-    names for the distance computation and restored afterwards.
+    defaults): the right side's coordinates are renamed to internal
+    names for the join and restored in the OUTPUT as `<name>_right`
+    when they would collide with a left column, original names
+    otherwise — the result never contains duplicate column names.
     """
     on = [on] if isinstance(on, str) else list(on)
     from ..functions.geotile import tile_x, tile_y
 
-    if zoom is None or validate_zoom:
+    guard = None
+    if zoom is None:
         lat_bound = max(
             _max_abs_lat(left, left_lat), _max_abs_lat(right, right_lat)
         )
-        safe = max_safe_zoom(radius_km, ring, lat_bound)
-        if zoom is None:
-            zoom = safe
-        elif zoom > safe:
-            raise ValueError(
-                f"geo_radius_join: zoom={zoom} is too fine for "
-                f"radius_km={radius_km}, ring={ring} at max |lat| "
-                f"{lat_bound:.2f} — pairs near the radius would be "
-                f"silently lost; use zoom<={safe} (or zoom=None to "
-                "derive it)"
+        zoom = max_safe_zoom(radius_km, ring, lat_bound)
+    elif validate_zoom and radius_km > 0:
+        # Lazy guard: same formula as max_safe_zoom, evaluated inside
+        # the plan against a broadcast one-row max(|lat|) of both
+        # sides. Kept as a FILTER (when(bad, raise_error).otherwise
+        # (true)) so column pruning can't optimize the check away.
+        latmax = (
+            left.select(F.abs(F.col(left_lat)).alias("_l"))
+            .unionByName(right.select(F.abs(F.col(right_lat)).alias("_l")))
+            .agg(
+                F.least(F.max("_l"), F.lit(_MAX_TILE_LAT)).alias("_latmax")
             )
-    # Internal aliases for the right side's coordinates so identically
-    # named lat/lon inputs (the defaults) stay unambiguous post-join.
-    r_in = right.withColumn("_gjlat", F.col(right_lat)).withColumn(
-        "_gjlon", F.col(right_lon)
+        )
+        safe_expr = F.least(
+            F.floor(
+                F.log2(
+                    F.lit(40075.016686)
+                    * F.cos(F.radians(F.col("_latmax")))
+                    * F.lit(float(ring))
+                    / F.lit(float(radius_km))
+                )
+            ),
+            F.lit(22.0),
+        )
+        guard = F.when(
+            F.lit(float(zoom)) > safe_expr,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"geo_radius_join: zoom={zoom} is too fine for "
+                        f"radius_km={radius_km}, ring={ring} at max |lat| "
+                    ),
+                    F.round(F.col("_latmax"), 2).cast("string"),
+                    F.lit(
+                        " — pairs near the radius would be silently "
+                        "lost; use zoom<="
+                    ),
+                    safe_expr.cast("int").cast("string"),
+                    F.lit(" (or zoom=None to derive it)"),
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+    # Internal names for the right side's coordinates so identically
+    # named lat/lon inputs (the defaults) stay unambiguous post-join;
+    # restored (suffixed on collision) at the end.
+    r_in = right.withColumnRenamed(right_lat, "_gjlat").withColumnRenamed(
+        right_lon, "_gjlon"
     )
+    out_rlat = right_lat + "_right" if right_lat in left.columns else right_lat
+    out_rlon = right_lon + "_right" if right_lon in left.columns else right_lon
     n = 2**zoom
     lx, ly = tile_x(F.col(left_lon), zoom), tile_y(F.col(left_lat), zoom)
     span = range(-ring, ring + 1)
@@ -367,6 +408,8 @@ def geo_radius_join(
     l3 = left.withColumn("_gj", F.explode(neighbors)).select(
         "*", F.col("_gj.jx").alias("_gjx"), F.col("_gj.jy").alias("_gjy")
     ).drop("_gj")
+    if guard is not None:
+        l3 = l3.crossJoin(F.broadcast(latmax)).filter(guard).drop("_latmax")
     r3 = r_in.withColumn("_gjx", tile_x(F.col("_gjlon"), zoom)).withColumn(
         "_gjy", tile_y(F.col("_gjlat"), zoom)
     )
@@ -377,7 +420,9 @@ def geo_radius_join(
         l3.join(r3, [*on, "_gjx", "_gjy"])
         .withColumn(dist_col, dist)
         .filter(F.col(dist_col) <= F.lit(radius_km))
-        .drop("_gjx", "_gjy", "_gjlat", "_gjlon")
+        .drop("_gjx", "_gjy")
+        .withColumnRenamed("_gjlat", out_rlat)
+        .withColumnRenamed("_gjlon", out_rlon)
     )
 
 

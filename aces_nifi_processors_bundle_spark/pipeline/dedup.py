@@ -574,6 +574,14 @@ def decontaminate(
     """
     if prefilter not in ("none", "bloom"):
         raise ValueError(f"decontaminate: unknown prefilter {prefilter!r}")
+    if prefilter == "bloom" and (bloom_bits <= 0 or bloom_bits % 64 != 0):
+        # positions address bit bloom_bits-1, so a partial last word
+        # would either crash the build or (worse) make the ANSI
+        # element_at probe silently drop shingles — false negatives.
+        raise ValueError(
+            f"decontaminate: bloom_bits must be a positive multiple of 64, "
+            f"got {bloom_bits}"
+        )
     train_sh = shingle_rows(train_df, text_col, id_col, k).dropDuplicates(
         [id_col, "shingle"]
     )

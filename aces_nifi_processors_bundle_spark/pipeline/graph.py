@@ -44,7 +44,12 @@ def pagerank(
     column name switches to weighted PageRank: parallel edges are
     pre-aggregated to per-(src,dst) weight sums (pass a lit(1) column
     for multigraph repeat counts) and each vertex splits its rank
-    proportionally to out-edge weight.
+    proportionally to out-edge weight. Fractional weights are
+    supported — they are rounded to 15 decimals and summed as
+    DECIMAL(38,18), keeping the sums exact and shuffle-order-
+    independent (weights must be non-negative; a vertex whose
+    out-weights sum to 0 is treated as having edges but contributes
+    nothing).
 
     dangling: "ignore" gives dangling vertices (no out-edges) only the
     teleport term — rank is NOT conserved unless the edge list is
@@ -76,11 +81,17 @@ def pagerank(
     # without the cut each sweep would re-execute the caller's whole
     # edge-derivation plan (measured 3x the runtime on the trade-graph
     # query, whose edges come from a lineitem⋈orders join).
+    # Weights carry as DECIMAL(38,18) of round(w, 15): parallel-edge
+    # and out-degree sums stay exact and shuffle-order-independent for
+    # FRACTIONAL weights too (a double sum would be nondeterministic;
+    # a bigint cast would silently truncate 0.7 to 0 and leak rank).
+    # Integer counts are unchanged by the rounding, so the unweighted
+    # oracle still holds bit-for-bit.
     if weight is None:
         e = cut_lineage(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
-            .withColumn("w", F.lit(1).cast("bigint")),
+            .withColumn("w", F.lit(1).cast("decimal(38,18)")),
             checkpoint,
         )
     else:
@@ -88,10 +99,12 @@ def pagerank(
             edges.select(
                 F.col(src).alias("src"),
                 F.col(dst).alias("dst"),
-                F.col(weight).cast("bigint").alias("w"),
+                F.round(F.col(weight).cast("double"), 15)
+                .cast("decimal(38,18)")
+                .alias("w"),
             )
             .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w")),
+            .agg(F.sum("w").cast("decimal(38,18)").alias("w")),
             checkpoint,
         )
     vertices = cut_lineage(
@@ -106,7 +119,9 @@ def pagerank(
     # out-weight pre-joined into the cut edge list: each sweep is then
     # ONE shuffle join + one aggregation, instead of re-running the
     # degree aggregation and a second join per sweep.
-    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    deg = e.groupBy("src").agg(
+        F.sum("w").cast("decimal(38,18)").alias("deg")
+    )
     ed = cut_lineage(e.join(deg, "src"), checkpoint)
     if dangling == "redistribute":
         dangling_v = vertices.join(
@@ -134,7 +149,15 @@ def pagerank(
             ranks.join(ed, ranks.v == ed.src)
             .select(
                 F.col("dst").alias("v"),
-                F.round(F.col("rank") * F.col("w") / F.col("deg"), 15)
+                # cast the exact decimals to double FIRST so the
+                # contribution is two IEEE ops (mult, div) — the
+                # bit-reproducibility contract the oracle unrolls
+                F.round(
+                    F.col("rank")
+                    * F.col("w").cast("double")
+                    / F.col("deg").cast("double"),
+                    15,
+                )
                 .cast("decimal(38,18)")
                 .alias("c"),
             )

@@ -432,12 +432,16 @@ def ivf_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the inverted file: corpus + cell id, parquet
     PARTITIONED BY cell. A probing search that filters on `cid` then
     scans only n_probe/(n_centroids) of the data — partition pruning,
     the scan-level win row filtering can't give (verified in
-    tests/test_pipeline.py by reading the pruned plan)."""
+    tests/test_pipeline.py by reading the pruned plan). The
+    repartition bounds file count to one per touched cell per batch
+    (small-files guard); mode='append' is the incremental-add path
+    (see ivf_append_index)."""
     assign = ivf_assign_udf(dim, n_centroids, centroids)
     (
         corpus.filter(F.col(vec_col).isNotNull()).select(
@@ -445,7 +449,7 @@ def ivf_write_index(
             assign(as_double(F.col(vec_col))).alias("cid"),
         )
         .repartition(F.col("cid"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("cid")
         .parquet(path)
     )
@@ -468,18 +472,11 @@ def ivf_append_index(
     Existing files are untouched; partition pruning on probe keeps
     working because appends land in the same cid= layout. Append-only
     semantics: re-adding an id duplicates it (dedup upstream, or use
-    the keyed store for replace semantics). The repartition bounds
-    file count to one per touched cell per batch (small-files guard)."""
-    assign = ivf_assign_udf(dim, n_centroids, centroids)
-    (
-        new_vectors.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col), F.col(vec_col),
-            assign(as_double(F.col(vec_col))).alias("cid"),
-        )
-        .repartition(F.col("cid"))
-        .write.mode("append")
-        .partitionBy("cid")
-        .parquet(path)
+    the keyed store for replace semantics). One write path: this is
+    ivf_write_index in append mode."""
+    ivf_write_index(
+        new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
+        mode="append",
     )
 
 

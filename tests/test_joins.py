@@ -278,9 +278,12 @@ def test_geo_radius_join_auto_zoom_and_mis_sized_guard(spark):
 
     # at lat 60 tiles are half their equator width: zoom 9 tiles span
     # 40075*cos(60)/512 ~= 39 km < 100 km — a silent-pair-loss zoom.
+    # The guard is LAZY (in-plan raise_error so the operator stays a
+    # pure transform): construction succeeds, execution raises.
     assert max_safe_zoom(100.0, 1, 60.5) < 9
-    with pytest.raises(ValueError, match="too fine"):
-        geo_radius_join(a, b, on="k", radius_km=100.0, zoom=9)
+    lazy = geo_radius_join(a, b, on="k", radius_km=100.0, zoom=9)
+    with pytest.raises(Exception, match="too fine"):
+        lazy.collect()
 
     # opting out of validation reproduces the historical footgun
     # (documented escape hatch for scan-free planning)

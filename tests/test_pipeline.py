@@ -1043,6 +1043,18 @@ def test_pagerank_weighted_vs_replicated(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9
     assert r[1] > r[2] * 2  # 3x the weight → substantially more rank
 
+    # FRACTIONAL weights: same graph expressed as 0.75/0.25 must give
+    # the same ranks as 3/1 (proportions are what matters), and rank
+    # must still be conserved — regression for the old bigint cast
+    # that truncated 0.75 to 0 and silently leaked rank mass.
+    gf = spark.createDataFrame(
+        [(0, 1, 0.75), (0, 2, 0.25), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    rf = {row["v"]: row["rank"] for row in pagerank(gf, n_iter=8, weight="w").collect()}
+    assert abs(sum(rf.values()) - 1.0) < 1e-9
+    assert all(abs(rf[v] - r[v]) < 1e-12 for v in r)
+
 
 def test_pagerank_checkpoint_modes_identical(spark, tmp_path):
     """'local' and 'reliable' lineage cuts are pure physical choices —
@@ -1113,6 +1125,12 @@ def test_decontaminate_bloom_prefilter_is_exact(spark, sf_dir):
     # 4096-bit bloom over thousands of shingles: heavy false-positive
     # rate, still exact output
     assert run(prefilter="bloom", bloom_bits=1 << 12, bloom_hashes=2) == base
+
+    # a partial last word would create silent false negatives — rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        run(prefilter="bloom", bloom_bits=4100)
 
 
 def test_sessionize_gap_semantics(spark):
