@@ -219,3 +219,81 @@ def sessionize(
     return df.withColumn("_b", boundary).withColumn(
         "session_seq", F.sum("_b").over(running).cast("int")
     ).drop("_b")
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step
+    can complete GIVEN the previous step already happened (first
+    `steps[0]`, then the first `steps[1]` at-or-after it, ...), then
+    one row per step with the users-reaching count and conversion
+    rate from the previous step.
+
+    Shape: one groupBy(user) pass per step (all on the SAME key, so
+    the shuffle partitioning is shared/reused), each a conditional
+    MIN against the previous chained time; the final per-step rollup
+    is a static union of global aggregates over a one-row counts
+    frame. No windows, no per-user sort. Integer-microsecond
+    comparisons only (cross-engine exact).
+    """
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    us = F.unix_micros(F.col(ts_col))
+    # Chaining needs per-event comparison against the previous chained
+    # step time, which a single aggregation pass cannot see — so one
+    # pass per step: join the per-user chained times back and
+    # conditionally MIN the next step. Every pass is a groupBy on the
+    # SAME user key, so the exchanges share one partitioning.
+    times = df.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], us)).alias("_s0")
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        ev = df.select(user_col, type_col, us.alias("_us"))
+        times = (
+            ev.join(times, user_col)
+            .groupBy(user_col, *[f"_s{j}" for j in range(i)])
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == s)
+                        & F.col(f"_s{i-1}").isNotNull()
+                        & (F.col("_us") >= F.col(f"_s{i-1}")),
+                        F.col("_us"),
+                    )
+                ).alias(f"_s{i}")
+            )
+        )
+    counts = times.agg(
+        *[
+            F.count(F.col(f"_s{i}")).cast("bigint").alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = []
+    for i, s in enumerate(steps):
+        prev_n = F.col(f"_n{i-1}") if i else F.col(f"_n{i}")
+        rows.append(
+            counts.select(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"_n{i}").alias("n_users"),
+                F.when(
+                    prev_n > 0,
+                    F.round(
+                        F.col(f"_n{i}").cast("double") / prev_n.cast("double"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("conversion"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

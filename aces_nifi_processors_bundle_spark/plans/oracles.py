@@ -2256,3 +2256,62 @@ SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
 FROM tagged GROUP BY user_id, session_seq
 """
 )
+
+oracle("q_funnel")(
+    """
+WITH s0 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, s.t0,
+         min(CASE WHEN e.event_type = 'click' AND s.t0 IS NOT NULL
+                       AND epoch_us(e.ts) >= s.t0
+                  THEN epoch_us(e.ts) END) AS t1
+  FROM events e JOIN s0 s USING (user_id)
+  GROUP BY e.user_id, s.t0
+),
+s2 AS (
+  SELECT e.user_id, s.t0, s.t1,
+         min(CASE WHEN e.event_type = 'purchase' AND s.t1 IS NOT NULL
+                       AND epoch_us(e.ts) >= s.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM events e JOIN s1 s USING (user_id)
+  GROUP BY e.user_id, s.t0, s.t1
+),
+c AS (
+  SELECT CAST(count(t0) AS BIGINT) AS n0, CAST(count(t1) AS BIGINT) AS n1,
+         CAST(count(t2) AS BIGINT) AS n2
+  FROM s2
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n0 AS n_users,
+       CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS conversion
+FROM c
+UNION ALL
+SELECT 2, 'click', n1,
+       CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END
+FROM c
+UNION ALL
+SELECT 3, 'purchase', n2,
+       CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
+FROM c
+"""
+)
+
+# q_store_incremental_agg: incremental base+delta over the CDC feed
+# is decimal-exact, so the oracle is simply the FULL recompute on v2.
+oracle("q_store_incremental_agg")(
+    """
+WITH v2 AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 3 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_mktsegment, 42.0 FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS bal_sum
+FROM v2 GROUP BY c_mktsegment
+"""
+)

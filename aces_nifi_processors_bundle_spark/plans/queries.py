@@ -2112,6 +2112,82 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the store's CDC
+    feed: a per-segment (count, balance-sum) aggregate is maintained
+    by applying diff(1,2) DELTAS to the v1 base — inserts add,
+    deletes subtract, updates contribute postimage − preimage (this
+    query is the consumer that REQUIRES diff's update_preimage rows).
+    All arithmetic in exact decimals, so incremental base+delta is
+    bit-identical to the oracle's full recompute over v2 — work
+    scaled with CHANGE, result identical to a full refresh."""
+    from ..stores import KeyedParquetStore
+
+    customer = load_table(spark, sf_dir, "customer")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_store_incr_"),
+        keys=["c_custkey"],
+        n_buckets=16,
+    )
+    v1 = customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    store.init(v1)
+    k = F.col("c_custkey")
+    v2 = (
+        customer.filter(k % 3 != 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(k % 2 == 0, F.col("c_acctbal") + 500)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            customer.filter(k % 7 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                "c_mktsegment",
+                F.lit(42.0).alias("c_acctbal"),
+            )
+        )
+    )
+    store.init(v2)
+    base = v1.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(_dec("c_acctbal")).alias("s0")
+    )
+    d = store.diff(1, 2)
+    ct = F.col("_change_type")
+    signed = F.when(
+        ct.isin("insert", "update_postimage"), _dec("c_acctbal")
+    ).otherwise(-_dec("c_acctbal"))
+    delta = d.groupBy("c_mktsegment").agg(
+        F.sum(signed).alias("ds"),
+        F.sum(
+            F.when(ct == "insert", 1).when(ct == "delete", -1).otherwise(0)
+        ).alias("dn"),
+    )
+    return base.join(delta, "c_mktsegment", "left").select(
+        "c_mktsegment",
+        (F.col("n0") + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows"),
+        (F.col("s0") + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(12,6)")))
+        .cast("double")
+        .alias("bal_sum"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase over events
+    (pipeline/reports.py::funnel): per-step users-reaching counts and
+    step-to-step conversion, each step's clock starting at the
+    previous step's CHAINED completion time (not its global first
+    occurrence). One groupBy(user) pass per step on a shared key."""
+    from ..pipeline.reports import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"])
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram LM quality ranking (the CCNet-style
     perplexity filter, engine-native): train the conditional trigram

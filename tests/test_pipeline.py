@@ -1155,3 +1155,34 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize(df, gap_sec=30, tie_col="event_id").collect()
     }
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_funnel_requires_chained_order(spark):
+    """A user whose purchase precedes their first click must NOT count
+    as converted at the purchase step; at-or-after boundaries count."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import funnel
+
+    rows = [
+        # u1: view -> click -> purchase (fully converts)
+        (1, "view", "2026-01-01 00:00:00"),
+        (1, "click", "2026-01-01 00:01:00"),
+        (1, "purchase", "2026-01-01 00:02:00"),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "view", "2026-01-01 00:00:00"),
+        (2, "purchase", "2026-01-01 00:00:30"),
+        (2, "click", "2026-01-01 00:01:00"),
+        # u3: click only, never viewed -> counts nowhere
+        (3, "click", "2026-01-01 00:00:00"),
+        # u4: view and click at the SAME instant -> at-or-after counts
+        (4, "view", "2026-01-01 00:00:00"),
+        (4, "click", "2026-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, s string").select(
+        "user_id", "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r["step"]: (r["n_users"], r["conversion"])
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[1] == (3, 1.0)          # u1, u2, u4 viewed
+    assert out[2] == (3, 1.0)          # all three clicked at/after view
+    assert out[3][0] == 1              # only u1 purchased after click
+    assert abs(out[3][1] - round(1 / 3, 6)) < 1e-12
