@@ -589,6 +589,36 @@ def _salted_join(
     return salted_join(df, _named[right], on, hot_keys, n_salts, how)
 
 
+@stage("sessionize")
+def _sessionize(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = 1800,
+    tie_col: str | None = None,
+) -> DataFrame:
+    from .pipeline.reports import sessionize
+
+    return sessionize(df, user_col, ts_col, gap_sec, tie_col)
+
+
+@stage("funnel")
+def _funnel(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    from .pipeline.reports import funnel
+
+    return funnel(df, steps, user_col, type_col, ts_col)
+
+
 @stage("union")
 def _union(
     spark: SparkSession,

@@ -352,3 +352,22 @@ def test_route_use_union_fan_out(spark, sf_dir, tmp_path):
     with pytest.raises(KeyError, match="route has no operator"):
         build_flow(spark, [{"op": "load", "table": "orders"},
                            {"op": "route", "using": "nope"}], sf_dir)
+
+
+def test_sessionize_and_funnel_flow_stages(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    sess = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "sessionize", "gap_sec": 1800, "tie_col": "event_id"},
+        {"op": "sql", "query": "SELECT count(*) AS n, max(session_seq) AS mx "
+                               "FROM __this__"},
+    ], sf_dir).collect()[0]
+    assert sess["n"] > 0 and sess["mx"] >= 1
+
+    fun = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "funnel", "steps": ["view", "click", "purchase"]},
+    ], sf_dir)
+    rows = {r["step"]: r["n_users"] for r in fun.collect()}
+    assert set(rows) == {1, 2, 3} and rows[1] >= rows[2] >= rows[3]
