@@ -2315,3 +2315,9 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
 FROM v2 GROUP BY c_mktsegment
 """
 )
+
+oracle("q_store_compact")(
+    """
+SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal FROM customer
+"""
+)

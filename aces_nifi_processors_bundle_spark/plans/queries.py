@@ -2112,6 +2112,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction correctness under the full value-hash gate: three
+    put_if_absent appends fragment every bucket into multiple
+    part-files, compact() (the OPTIMIZE analog) rewrites fragmented
+    buckets into one file each behind an atomic manifest publish, and
+    the post-compact read must equal the union the oracle computes
+    directly. Compaction work scales with fragmentation, not table
+    size; at least one bucket must actually get rewritten."""
+    from ..stores import KeyedParquetStore
+
+    customer = load_table(spark, sf_dir, "customer")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_store_compact_"),
+        keys=["c_custkey"],
+        n_buckets=8,
+    )
+    k = F.col("c_custkey")
+    store.init(customer.select("c_custkey", "c_acctbal").filter(k % 3 == 0))
+    store.put_if_absent(
+        customer.select("c_custkey", "c_acctbal").filter(k % 3 == 1)
+    )
+    store.put_if_absent(
+        customer.select("c_custkey", "c_acctbal").filter(k % 3 == 2)
+    )
+    rewritten = store.compact(min_files=2)
+    assert rewritten > 0, "fixture must actually compact"
+    return store.read().select(
+        "c_custkey", F.round("c_acctbal", 6).alias("c_acctbal")
+    )
+
+
 def q_store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the store's CDC
     feed: a per-segment (count, balance-sum) aggregate is maintained
