@@ -352,19 +352,28 @@ def geo_radius_join(
             left.select(F.abs(F.col(left_lat)).alias("_l"))
             .unionByName(right.select(F.abs(F.col(right_lat)).alias("_l")))
             .agg(
-                F.least(F.max("_l"), F.lit(_MAX_TILE_LAT)).alias("_latmax")
+                # NULL-only lat columns map to the permissive 0.0 (the
+                # join output is empty anyway), matching _max_abs_lat
+                F.least(
+                    F.coalesce(F.max("_l"), F.lit(0.0)),
+                    F.lit(_MAX_TILE_LAT),
+                ).alias("_latmax")
             )
         )
-        safe_expr = F.least(
-            F.floor(
-                F.log2(
-                    F.lit(40075.016686)
-                    * F.cos(F.radians(F.col("_latmax")))
-                    * F.lit(float(ring))
-                    / F.lit(float(radius_km))
-                )
+        # same clamps as max_safe_zoom ([0, 22]) — zoom=0 is always safe
+        safe_expr = F.greatest(
+            F.least(
+                F.floor(
+                    F.log2(
+                        F.lit(40075.016686)
+                        * F.cos(F.radians(F.col("_latmax")))
+                        * F.lit(float(ring))
+                        / F.lit(float(radius_km))
+                    )
+                ),
+                F.lit(22.0),
             ),
-            F.lit(22.0),
+            F.lit(0.0),
         )
         guard = F.when(
             F.lit(float(zoom)) > safe_expr,

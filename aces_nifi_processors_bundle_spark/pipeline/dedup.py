@@ -20,8 +20,9 @@ Scale design (the 100 TB story):
   the whole pipeline (signatures included) is oracle-checkable. A
   production swap to xxhash64 is one line.
 
-SimHash is Spark-only (bit-manipulation over md5 prefixes; no clean
-ANSI mirror) and is checked by pytest unit tests instead of the oracle.
+SimHash is fully oracle-checked too: DuckDB mirrors the bit math
+(('0x'||substr(md5,1,15))::BIGINT, xor, bit_count, shifts), including
+the max_bucket segment cap.
 """
 
 from __future__ import annotations
@@ -574,6 +575,10 @@ def decontaminate(
     """
     if prefilter not in ("none", "bloom"):
         raise ValueError(f"decontaminate: unknown prefilter {prefilter!r}")
+    if prefilter == "bloom" and bloom_hashes < 1:
+        raise ValueError(
+            f"decontaminate: bloom_hashes must be >= 1, got {bloom_hashes}"
+        )
     if prefilter == "bloom" and (bloom_bits <= 0 or bloom_bits % 64 != 0):
         # positions address bit bloom_bits-1, so a partial last word
         # would either crash the build or (worse) make the ANSI

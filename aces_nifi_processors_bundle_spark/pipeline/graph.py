@@ -151,12 +151,18 @@ def pagerank(
                 F.col("dst").alias("v"),
                 # cast the exact decimals to double FIRST so the
                 # contribution is two IEEE ops (mult, div) — the
-                # bit-reproducibility contract the oracle unrolls
-                F.round(
-                    F.col("rank")
-                    * F.col("w").cast("double")
-                    / F.col("deg").cast("double"),
-                    15,
+                # bit-reproducibility contract the oracle unrolls.
+                # deg=0 (all-zero out-weights) would DIVIDE_BY_ZERO
+                # under ANSI mode; guard to NULL, which the sum skips
+                # — the documented contributes-nothing behavior.
+                F.when(
+                    F.col("deg").cast("double") > 0,
+                    F.round(
+                        F.col("rank")
+                        * F.col("w").cast("double")
+                        / F.col("deg").cast("double"),
+                        15,
+                    ),
                 )
                 .cast("decimal(38,18)")
                 .alias("c"),

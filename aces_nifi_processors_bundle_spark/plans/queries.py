@@ -2197,15 +2197,26 @@ def q_store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ct == "insert", 1).when(ct == "delete", -1).otherwise(0)
         ).alias("dn"),
     )
-    return base.join(delta, "c_mktsegment", "left").select(
+    # FULL outer: a group can exist only in the delta (first rows of a
+    # brand-new segment) or vanish entirely (all rows deleted — then
+    # n_rows hits 0 and the row is dropped, matching the full
+    # recompute, which has no row for an empty group).
+    merged = base.join(delta, "c_mktsegment", "full_outer").select(
         "c_mktsegment",
-        (F.col("n0") + F.coalesce(F.col("dn"), F.lit(0)))
+        (
+            F.coalesce(F.col("n0"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        )
         .cast("bigint")
         .alias("n_rows"),
-        (F.col("s0") + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(12,6)")))
+        (
+            F.coalesce(F.col("s0"), F.lit(0).cast("decimal(12,6)"))
+            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(12,6)"))
+        )
         .cast("double")
         .alias("bal_sum"),
     )
+    return merged.filter(F.col("n_rows") > 0)
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

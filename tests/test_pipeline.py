@@ -1186,3 +1186,16 @@ def test_funnel_requires_chained_order(spark):
     assert out[2] == (3, 1.0)          # all three clicked at/after view
     assert out[3][0] == 1              # only u1 purchased after click
     assert abs(out[3][1] - round(1 / 3, 6)) < 1e-12
+
+
+def test_pagerank_zero_out_weight_vertex_survives_ansi(spark):
+    """A vertex whose out-weights sum to 0 must contribute nothing —
+    not DIVIDE_BY_ZERO the job under ANSI mode."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import pagerank
+
+    g = spark.createDataFrame(
+        [(0, 1, 0.0), (1, 0, 1.0)], "src long, dst long, w double"
+    )
+    r = {row["v"]: row["rank"] for row in pagerank(g, n_iter=3, weight="w").collect()}
+    assert set(r) == {0, 1}
+    assert r[0] > r[1]  # 1 sends rank to 0; 0 sends nothing back
