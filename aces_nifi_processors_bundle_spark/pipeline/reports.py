@@ -256,8 +256,14 @@ def funnel(
         ev = df.select(user_col, type_col, us.alias("_us"))
         times = (
             ev.join(times, user_col)
-            .groupBy(user_col, *[f"_s{j}" for j in range(i)])
+            # group on the USER KEY ONLY — earlier step times are
+            # constant per user after the join, so min() carries them
+            # deterministically and every step's aggregation shares
+            # the same hashpartitioning(user) (a growing composite
+            # grouping key would force a fresh shuffle per step).
+            .groupBy(user_col)
             .agg(
+                *[F.min(f"_s{j}").alias(f"_s{j}") for j in range(i)],
                 F.min(
                     F.when(
                         (F.col(type_col) == s)
@@ -265,7 +271,7 @@ def funnel(
                         & (F.col("_us") >= F.col(f"_s{i-1}")),
                         F.col("_us"),
                     )
-                ).alias(f"_s{i}")
+                ).alias(f"_s{i}"),
             )
         )
     counts = times.agg(
@@ -274,11 +280,14 @@ def funnel(
             for i in range(len(steps))
         ]
     )
-    rows = []
+    # ONE counts row exploded into the per-step report — a union of N
+    # selects over `counts` would re-execute the whole funnel chain N
+    # times (each union branch is its own subtree).
+    step_rows = []
     for i, s in enumerate(steps):
         prev_n = F.col(f"_n{i-1}") if i else F.col(f"_n{i}")
-        rows.append(
-            counts.select(
+        step_rows.append(
+            F.struct(
                 F.lit(i + 1).cast("int").alias("step"),
                 F.lit(s).alias("event_type"),
                 F.col(f"_n{i}").alias("n_users"),
@@ -293,7 +302,6 @@ def funnel(
                 .alias("conversion"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return counts.select(
+        F.explode(F.array(*step_rows)).alias("_r")
+    ).select("_r.*")

@@ -183,3 +183,27 @@ def test_equidepth_methods_agree_on_distinct_values(spark):
     hi = sorted(map(tuple, equidepth_histogram(
         df, "g", "v", 10, "rid", "auto", exact_max_group_rows=10).collect()))
     assert lo == exact and hi == approx
+
+
+def test_sessionize_is_single_shuffle(spark, sf_dir):
+    """Both sessionize windows (lag + running sum) must share ONE
+    user partitioning — exactly one hash exchange in the plan."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_sessionize
+
+    plan = plan_of(q_sessionize(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_funnel_plan_no_per_row_reexecution(spark, sf_dir):
+    """The per-step report must come from ONE counts row exploded —
+    not a union of N selects that re-executes the funnel chain N
+    times; and per-step aggregations group on the bare user key so
+    they share a partitioning."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_funnel
+
+    plan = plan_of(q_funnel(spark, sf_dir), mode="simple")
+    # one global aggregate, not one per step
+    assert plan.count("Exchange SinglePartition") == 1
+    # 3 steps -> at most one user-key exchange per step
+    assert plan.count("Exchange hashpartitioning") <= 3
