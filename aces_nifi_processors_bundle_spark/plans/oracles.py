@@ -2321,3 +2321,22 @@ oracle("q_store_compact")(
 SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal FROM customer
 """
 )
+
+oracle("q_stream_ivf_append")(
+    f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+centroids(cid, cv) AS (VALUES
+  {_IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, centroids) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS INT) AS cid FROM assign
+"""
+)

@@ -954,6 +954,47 @@ def _documents_stream(spark: SparkSession, sf_dir: str):
     return spark.readStream.schema(docs.schema).parquet(_STREAM_SRC_DIRS[key])
 
 
+def _embeddings_stream(spark: SparkSession, sf_dir: str):
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}#embeddings"
+    if key not in _STREAM_SRC_DIRS:
+        data_dir = _scratch("aces_stream_emb_")
+        emb.write.mode("overwrite").parquet(data_dir)
+        _STREAM_SRC_DIRS[key] = data_dir
+    return spark.readStream.schema(emb.schema).parquet(_STREAM_SRC_DIRS[key])
+
+
+def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index maintenance: the embeddings STREAM feeds
+    foreachBatch → ivf_append_index, so each micro-batch lands as new
+    parquet files inside the existing cid= partition layout — the
+    production shape for keeping an IVF index fresh as vectors arrive.
+    The final index content (vec_id → cell) is batch-split-independent
+    (each vector is appended exactly once, cell assignment depends only
+    on the codebook), which is what makes a streaming index SINK
+    oracle-able: the oracle recomputes every assignment from the same
+    md5 centroids."""
+    from ..pipeline.similarity import ivf_append_index
+    from ..streaming.binning_stream import foreach_batch_merge
+
+    stream = _embeddings_stream(spark, sf_dir)
+    index = _scratch("aces_stream_ivf_") + "/idx"
+
+    def append_fn(batch_df, _epoch):
+        ivf_append_index(batch_df, index, dim=64, n_centroids=16)
+
+    q = (
+        foreach_batch_merge(stream, append_fn, _scratch("aces_fbm_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(index).select(
+        "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
 def q_stream_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship binning executed under Structured Streaming
     (availableNow trigger → memory sink, complete mode): same
