@@ -69,11 +69,13 @@ def main() -> None:
     # BENCH_r03).
     from aces_nifi_processors_bundle_spark.plans.queries import (  # noqa: PLC0415
         _documents_stream,
+        _embeddings_stream,
         _events_stream,
     )
 
     _events_stream(spark, sf_dir)
     _documents_stream(spark, sf_dir)
+    _embeddings_stream(spark, sf_dir)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
