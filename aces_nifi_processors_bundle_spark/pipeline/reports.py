@@ -237,9 +237,10 @@ def funnel(
     Shape: one groupBy(user) pass per step (all on the SAME key, so
     the shuffle partitioning is shared/reused), each a conditional
     MIN against the previous chained time; the final per-step rollup
-    is a static union of global aggregates over a one-row counts
-    frame. No windows, no per-user sort. Integer-microsecond
-    comparisons only (cross-engine exact).
+    explodes ONE global counts row into the step rows (a union of
+    per-step selects would re-execute the whole chain N times). No
+    windows, no per-user sort. Integer-microsecond comparisons only
+    (cross-engine exact).
     """
     if not steps:
         raise ValueError("funnel: need at least one step")

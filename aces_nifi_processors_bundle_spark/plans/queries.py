@@ -933,36 +933,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SRC_DIRS: dict[str, str] = {}
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
+def _table_stream(spark: SparkSession, sf_dir: str, table: str):
+    """readStream over a table staged ONCE per (process, sf_dir,
+    table) into a local parquet dir — the shared streaming-source
+    plumbing every q_stream_* query uses (bench warmup pre-stages it
+    so the one-time copy is never billed to a query)."""
+    key = f"{sf_dir}#{table}"
+    df = load_table(spark, sf_dir, table)
+    if key not in _STREAM_SRC_DIRS:
+        data_dir = _scratch(f"aces_stream_{table}_")
+        df.write.mode("overwrite").parquet(data_dir)
+        _STREAM_SRC_DIRS[key] = data_dir
+    return spark.readStream.schema(df.schema).parquet(_STREAM_SRC_DIRS[key])
 
-    events = load_table(spark, sf_dir, "events")
-    if sf_dir not in _STREAM_SRC_DIRS:
-        data_dir = _scratch("aces_stream_events_")
-        events.write.mode("overwrite").parquet(data_dir)
-        _STREAM_SRC_DIRS[sf_dir] = data_dir
-    return spark.readStream.schema(events.schema).parquet(_STREAM_SRC_DIRS[sf_dir])
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    return _table_stream(spark, sf_dir, "events")
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str):
-
-    docs = load_table(spark, sf_dir, "documents")
-    key = f"{sf_dir}#documents"
-    if key not in _STREAM_SRC_DIRS:
-        data_dir = _scratch("aces_stream_docs_")
-        docs.write.mode("overwrite").parquet(data_dir)
-        _STREAM_SRC_DIRS[key] = data_dir
-    return spark.readStream.schema(docs.schema).parquet(_STREAM_SRC_DIRS[key])
+    return _table_stream(spark, sf_dir, "documents")
 
 
-def _embeddings_stream(spark: SparkSession, sf_dir: str):
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    key = f"{sf_dir}#embeddings"
-    if key not in _STREAM_SRC_DIRS:
-        data_dir = _scratch("aces_stream_emb_")
-        emb.write.mode("overwrite").parquet(data_dir)
-        _STREAM_SRC_DIRS[key] = data_dir
-    return spark.readStream.schema(emb.schema).parquet(_STREAM_SRC_DIRS[key])
+def _await_stream(q) -> None:
+    """awaitTermination with the timeout treated as a FAILURE: a
+    timed-out availableNow stream is still appending, so reading its
+    sink would return a nondeterministic partial result far from the
+    cause. Raise loudly instead."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300s")
 
 
 def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,7 +978,7 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.similarity import ivf_append_index
     from ..streaming.binning_stream import foreach_batch_merge
 
-    stream = _embeddings_stream(spark, sf_dir)
+    stream = _table_stream(spark, sf_dir, "embeddings")
     index = _scratch("aces_stream_ivf_") + "/idx"
 
     def append_fn(batch_df, _epoch):
@@ -989,7 +989,7 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.parquet(index).select(
         "vec_id", F.col("cid").cast("int").alias("cid")
     )
@@ -1014,7 +1014,7 @@ def q_stream_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname).select("name", "total").orderBy("name")
 
 
@@ -1038,7 +1038,7 @@ def q_stream_bin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
         "name",
@@ -1069,7 +1069,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname).select(
         "user_bucket",
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -1103,7 +1103,7 @@ def q_stream_bin_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
         "name",
@@ -1122,7 +1122,7 @@ def _run_first_seen(spark: SparkSession, out: DataFrame) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname).orderBy("user_bucket", "event_type")
 
 
@@ -1460,7 +1460,7 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname).orderBy("doc_id", "chunk_id")
 
 
@@ -1527,7 +1527,7 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return store.read().select(
         F.col("ub").alias("user_bucket"), F.col("n").alias("n_events")
     ).orderBy("user_bucket")
@@ -1976,7 +1976,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname)
 
 
@@ -2456,7 +2456,7 @@ def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(qname)
 
 

@@ -68,14 +68,11 @@ def main() -> None:
     # (~1.5s of parquet rewrite billed to q_stream_bin_flagship in
     # BENCH_r03).
     from aces_nifi_processors_bundle_spark.plans.queries import (  # noqa: PLC0415
-        _documents_stream,
-        _embeddings_stream,
-        _events_stream,
+        _table_stream,
     )
 
-    _events_stream(spark, sf_dir)
-    _documents_stream(spark, sf_dir)
-    _embeddings_stream(spark, sf_dir)
+    for _tbl in ("events", "documents", "embeddings"):
+        _table_stream(spark, sf_dir, _tbl)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -191,7 +191,8 @@ def test_sessionize_is_single_shuffle(spark, sf_dir):
     from aces_nifi_processors_bundle_spark.plans.queries import q_sessionize
 
     plan = plan_of(q_sessionize(spark, sf_dir), mode="simple")
-    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    # both windows AND the final agg reuse ONE user partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
 
 
