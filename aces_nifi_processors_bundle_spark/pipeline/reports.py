@@ -227,12 +227,15 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    window_sec: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: per user, the earliest time each step
     can complete GIVEN the previous step already happened (first
     `steps[0]`, then the first `steps[1]` at-or-after it, ...), then
     one row per step with the users-reaching count and conversion
-    rate from the previous step.
+    rate from the previous step. window_sec bounds each step-to-step
+    gap (the "converted within 24h" shape): a later occurrence outside
+    the window does NOT count, and the chain for that user stops.
 
     Shape: one groupBy(user) pass per step (all on the SAME key, so
     the shuffle partitioning is shared/reused), each a conditional
@@ -269,7 +272,13 @@ def funnel(
                     F.when(
                         (F.col(type_col) == s)
                         & F.col(f"_s{i-1}").isNotNull()
-                        & (F.col("_us") >= F.col(f"_s{i-1}")),
+                        & (F.col("_us") >= F.col(f"_s{i-1}"))
+                        & (
+                            F.lit(True)
+                            if window_sec is None
+                            else F.col("_us") - F.col(f"_s{i-1}")
+                            <= F.lit(int(window_sec) * 1_000_000)
+                        ),
                         F.col("_us"),
                     )
                 ).alias(f"_s{i}"),

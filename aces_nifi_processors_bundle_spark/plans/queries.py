@@ -2185,6 +2185,41 @@ def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log (DESCRIBE HISTORY analog) under the value-hash
+    gate: a deterministic op sequence — init → merge → put-if-absent →
+    restore(v1) — must surface as exactly those four retained
+    manifests, newest first. ts is wall-clock and excluded; (version,
+    op) is the deterministic surface."""
+    from ..operators.partial_update import PartialUpdateConfig
+    from ..stores import KeyedParquetStore
+
+    customer = load_table(spark, sf_dir, "customer")
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_store_hist_"),
+        keys=["c_custkey"],
+        n_buckets=4,
+    )
+    store.init(customer.select("c_custkey", "c_acctbal"))
+    store.merge(
+        customer.select("c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal"))
+        .filter(F.col("c_custkey") % 5 == 0),
+        PartialUpdateConfig(
+            keys=["c_custkey"], operations={"c_acctbal": "$set"}, upsert=True
+        ),
+    )
+    store.put_if_absent(
+        spark.range(3).select(
+            (F.col("id") + 900000).alias("c_custkey"),
+            F.lit(1.5).alias("c_acctbal"),
+        )
+    )
+    store.restore(1)
+    hist = [(h["version"], h["op"]) for h in store.history()]
+    return spark.createDataFrame(hist, "version int, op string")
+
+
 def q_store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the store's CDC
     feed: a per-segment (count, balance-sum) aggregate is maintained
@@ -2270,6 +2305,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return funnel(events, ["view", "click", "purchase"])
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-window funnel: each step must follow the
+    previous CHAINED step within 1 hour — the "converted within X"
+    reporting shape. Later occurrences outside the window do not
+    count and stop that user's chain."""
+    from ..pipeline.reports import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"], window_sec=3600)
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,6 +71,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_store_incremental_agg": q.q_store_incremental_agg,
     "q_store_compact": q.q_store_compact,
     "q_stream_ivf_append": q.q_stream_ivf_append,
+    "q_funnel_windowed": q.q_funnel_windowed,
+    "q_store_history": q.q_store_history,
     "q_store_diff": q.q_store_diff,
     "q_store_merge": q.q_store_merge,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,

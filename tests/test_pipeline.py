@@ -1199,3 +1199,29 @@ def test_pagerank_zero_out_weight_vertex_survives_ansi(spark):
     r = {row["v"]: row["rank"] for row in pagerank(g, n_iter=3, weight="w").collect()}
     assert set(r) == {0, 1}
     assert r[0] > r[1]  # 1 sends rank to 0; 0 sends nothing back
+
+
+def test_funnel_window_bounds_each_step_gap(spark):
+    """window_sec: a step completing AFTER the window does not count
+    (and stops the chain); exactly-at-window counts."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import funnel
+
+    rows = [
+        # u1 converts: click 30s after view, purchase 30s after click
+        (1, "view", "2026-01-01 00:00:00"),
+        (1, "click", "2026-01-01 00:00:30"),
+        (1, "purchase", "2026-01-01 00:01:00"),
+        # u2: click 90s after view — outside a 60s window
+        (2, "view", "2026-01-01 00:00:00"),
+        (2, "click", "2026-01-01 00:01:30"),
+        (2, "purchase", "2026-01-01 00:01:31"),
+        # u3: click exactly AT the window boundary — counts
+        (3, "view", "2026-01-01 00:00:00"),
+        (3, "click", "2026-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, s string").select(
+        "user_id", "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r["step"]: r["n_users"]
+           for r in funnel(df, ["view", "click", "purchase"], window_sec=60).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}  # u2's chain stops at the window
