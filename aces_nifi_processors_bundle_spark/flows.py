@@ -613,10 +613,11 @@ def _funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    window_sec: int | None = None,
 ) -> DataFrame:
     from .pipeline.reports import funnel
 
-    return funnel(df, steps, user_col, type_col, ts_col)
+    return funnel(df, steps, user_col, type_col, ts_col, window_sec)
 
 
 @stage("union")

@@ -247,6 +247,8 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel: need at least one step")
+    if window_sec is not None and window_sec <= 0:
+        raise ValueError(f"funnel: window_sec must be positive, got {window_sec}")
     us = F.unix_micros(F.col(ts_col))
     # Chaining needs per-event comparison against the previous chained
     # step time, which a single aggregation pass cannot see — so one
@@ -258,6 +260,16 @@ def funnel(
     )
     for i, s in enumerate(steps[1:], start=1):
         ev = df.select(user_col, type_col, us.alias("_us"))
+        _step_cond = (
+            (F.col(type_col) == s)
+            & F.col(f"_s{i-1}").isNotNull()
+            & (F.col("_us") >= F.col(f"_s{i-1}"))
+        )
+        if window_sec is not None:
+            _step_cond = _step_cond & (
+                F.col("_us") - F.col(f"_s{i-1}")
+                <= F.lit(int(window_sec) * 1_000_000)
+            )
         times = (
             ev.join(times, user_col)
             # group on the USER KEY ONLY — earlier step times are
@@ -269,18 +281,7 @@ def funnel(
             .agg(
                 *[F.min(f"_s{j}").alias(f"_s{j}") for j in range(i)],
                 F.min(
-                    F.when(
-                        (F.col(type_col) == s)
-                        & F.col(f"_s{i-1}").isNotNull()
-                        & (F.col("_us") >= F.col(f"_s{i-1}"))
-                        & (
-                            F.lit(True)
-                            if window_sec is None
-                            else F.col("_us") - F.col(f"_s{i-1}")
-                            <= F.lit(int(window_sec) * 1_000_000)
-                        ),
-                        F.col("_us"),
-                    )
+                    F.when(_step_cond, F.col("_us"))
                 ).alias(f"_s{i}"),
             )
         )

@@ -2257,47 +2257,6 @@ FROM tagged GROUP BY user_id, session_seq
 """
 )
 
-oracle("q_funnel")(
-    """
-WITH s0 AS (
-  SELECT user_id,
-         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0
-  FROM events GROUP BY user_id
-),
-s1 AS (
-  SELECT e.user_id, s.t0,
-         min(CASE WHEN e.event_type = 'click' AND s.t0 IS NOT NULL
-                       AND epoch_us(e.ts) >= s.t0
-                  THEN epoch_us(e.ts) END) AS t1
-  FROM events e JOIN s0 s USING (user_id)
-  GROUP BY e.user_id, s.t0
-),
-s2 AS (
-  SELECT e.user_id, s.t0, s.t1,
-         min(CASE WHEN e.event_type = 'purchase' AND s.t1 IS NOT NULL
-                       AND epoch_us(e.ts) >= s.t1
-                  THEN epoch_us(e.ts) END) AS t2
-  FROM events e JOIN s1 s USING (user_id)
-  GROUP BY e.user_id, s.t0, s.t1
-),
-c AS (
-  SELECT CAST(count(t0) AS BIGINT) AS n0, CAST(count(t1) AS BIGINT) AS n1,
-         CAST(count(t2) AS BIGINT) AS n2
-  FROM s2
-)
-SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n0 AS n_users,
-       CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS conversion
-FROM c
-UNION ALL
-SELECT 2, 'click', n1,
-       CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END
-FROM c
-UNION ALL
-SELECT 3, 'purchase', n2,
-       CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
-FROM c
-"""
-)
 
 # q_store_incremental_agg: incremental base+delta over the CDC feed
 # is decimal-exact, so the oracle is simply the FULL recompute on v2.
@@ -2341,8 +2300,34 @@ SELECT vec_id, CAST(cid AS INT) AS cid FROM assign
 """
 )
 
-oracle("q_funnel_windowed")(
+
+# q_store_history: deterministic op sequence as a literal
+oracle("q_store_history")(
     """
+SELECT * FROM (VALUES
+  (CAST(4 AS INT), 'restore(v1)'),
+  (CAST(3 AS INT), 'put-if-absent'),
+  (CAST(2 AS INT), 'merge'),
+  (CAST(1 AS INT), 'init')
+) AS t(version, op)
+"""
+)
+
+def _funnel_oracle(window_us: int | None = None) -> str:
+    """view->click->purchase chained funnel, optionally bounding each
+    step-to-step gap — ONE template serving the plain and windowed
+    oracles so the shared shape can't desynchronize."""
+    wp1 = (
+        f"\n                       AND epoch_us(e.ts) - s.t0 <= {window_us}"
+        if window_us
+        else ""
+    )
+    wp2 = (
+        f"\n                       AND epoch_us(e.ts) - s.t1 <= {window_us}"
+        if window_us
+        else ""
+    )
+    return f"""
 WITH s0 AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0
@@ -2351,8 +2336,7 @@ WITH s0 AS (
 s1 AS (
   SELECT e.user_id, s.t0,
          min(CASE WHEN e.event_type = 'click' AND s.t0 IS NOT NULL
-                       AND epoch_us(e.ts) >= s.t0
-                       AND epoch_us(e.ts) - s.t0 <= 3600000000
+                       AND epoch_us(e.ts) >= s.t0{wp1}
                   THEN epoch_us(e.ts) END) AS t1
   FROM events e JOIN s0 s USING (user_id)
   GROUP BY e.user_id, s.t0
@@ -2360,8 +2344,7 @@ s1 AS (
 s2 AS (
   SELECT e.user_id, s.t0, s.t1,
          min(CASE WHEN e.event_type = 'purchase' AND s.t1 IS NOT NULL
-                       AND epoch_us(e.ts) >= s.t1
-                       AND epoch_us(e.ts) - s.t1 <= 3600000000
+                       AND epoch_us(e.ts) >= s.t1{wp2}
                   THEN epoch_us(e.ts) END) AS t2
   FROM events e JOIN s1 s USING (user_id)
   GROUP BY e.user_id, s.t0, s.t1
@@ -2383,16 +2366,8 @@ SELECT 3, 'purchase', n2,
        CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
 FROM c
 """
-)
 
-# q_store_history: deterministic op sequence as a literal
-oracle("q_store_history")(
-    """
-SELECT * FROM (VALUES
-  (CAST(4 AS INT), 'restore(v1)'),
-  (CAST(3 AS INT), 'put-if-absent'),
-  (CAST(2 AS INT), 'merge'),
-  (CAST(1 AS INT), 'init')
-) AS t(version, op)
-"""
-)
+
+ORACLES["q_funnel"] = _funnel_oracle()
+ORACLES["q_funnel_windowed"] = _funnel_oracle(3600000000)
+

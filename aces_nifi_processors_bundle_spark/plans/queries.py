@@ -2191,7 +2191,6 @@ def q_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore(v1) — must surface as exactly those four retained
     manifests, newest first. ts is wall-clock and excluded; (version,
     op) is the deterministic surface."""
-    from ..operators.partial_update import PartialUpdateConfig
     from ..stores import KeyedParquetStore
 
     customer = load_table(spark, sf_dir, "customer")
