@@ -701,6 +701,17 @@ def build_flow(
             tags = spec.pop("tags", {})
             cont = spec.pop("continue", "success")
             routed = _ROUTED_OPS[using](spark, df, spec)
+            # Validate every requested relationship up front so a typo
+            # fails with the stage index and the operator's actual
+            # ports, not a bare KeyError (every other flow error
+            # carries its 'stage {i}' context).
+            have = routed.relationships()
+            for rel in [*tags, cont]:
+                if rel not in have:
+                    raise KeyError(
+                        f"stage {i}: route op {using!r} has no "
+                        f"relationship {rel!r}; have {sorted(have)}"
+                    )
             for rel, tag_name in tags.items():
                 named[tag_name] = routed[rel]
             df = routed[cont]

@@ -316,12 +316,15 @@ def geo_radius_join(
     derives the finest safe zoom from the data's actual latitude bound
     (one eager max(|lat|) aggregate over each side at PLAN TIME —
     documented planning scan; pass zoom explicitly to avoid it). An
-    explicit zoom gets a LAZY in-plan guard instead: a one-row
-    max(|lat|) subplan is broadcast into the join and a raise_error
-    fires at EXECUTION time if the zoom is too fine — the operator
-    stays a pure lazy transform (the flows contract) and no driver
-    jobs run at construction; validate_zoom=False drops the guard and
-    its extra per-side aggregate entirely. ring > 1 trades a
+    explicit zoom gets a LAZY in-plan guard instead: a PER-ROW
+    raise_error filter inline in each side's existing scan (safe-zoom
+    is monotone in |lat|, so any-row-violates ≡ max-violates — see
+    _zoom_guard), firing at EXECUTION time if the zoom is too fine —
+    the operator stays a pure lazy transform (the flows contract), no
+    driver jobs run at construction, and the guard adds zero extra
+    scans of either input (a previous aggregate-based guard re-ran
+    both upstream plans); validate_zoom=False drops the check
+    entirely. ring > 1 trades a
     (2*ring+1)^2 left-side explode for 4x-per-zoom lower per-tile
     density — it pays only for data dense in BOTH axes (measured in
     SCALE.md: on a corpus dense along one axis the explode cost wins
@@ -337,36 +340,26 @@ def geo_radius_join(
     on = [on] if isinstance(on, str) else list(on)
     from ..functions.geotile import tile_x, tile_y
 
-    guard = None
-    if zoom is None:
-        lat_bound = max(
-            _max_abs_lat(left, left_lat), _max_abs_lat(right, right_lat)
-        )
-        zoom = max_safe_zoom(radius_km, ring, lat_bound)
-    elif validate_zoom and radius_km > 0:
-        # Lazy guard: same formula as max_safe_zoom, evaluated inside
-        # the plan against a broadcast one-row max(|lat|) of both
-        # sides. Kept as a FILTER (when(bad, raise_error).otherwise
-        # (true)) so column pruning can't optimize the check away.
-        latmax = (
-            left.select(F.abs(F.col(left_lat)).alias("_l"))
-            .unionByName(right.select(F.abs(F.col(right_lat)).alias("_l")))
-            .agg(
-                # NULL-only lat columns map to the permissive 0.0 (the
-                # join output is empty anyway), matching _max_abs_lat
-                F.least(
-                    F.coalesce(F.max("_l"), F.lit(0.0)),
-                    F.lit(_MAX_TILE_LAT),
-                ).alias("_latmax")
-            )
-        )
-        # same clamps as max_safe_zoom ([0, 22]) — zoom=0 is always safe
+    def _zoom_guard(lat_col: Column) -> Column:
+        """Per-row lazy zoom check: the safe-zoom bound is monotone
+        decreasing in |lat|, so `zoom > safe(max |lat|)` holds iff
+        SOME row violates `zoom <= safe(|lat_row|)` — checking each
+        row inline is exactly equivalent to the old max(|lat|)
+        aggregate guard but costs a few codegen'd trig ops inside the
+        existing scan instead of a SECOND full execution of each
+        input subplan (the aggregate guard re-ran both sides' upstream
+        plans — for expensive upstreams that doubled scan cost). Kept
+        as a FILTER (when(bad, raise_error).otherwise(true)) so column
+        pruning can't optimize the check away; NULL lats fall through
+        to the permissive branch (they never produce a pair anyway).
+        Same clamps as max_safe_zoom ([0, 22] — zoom=0 always safe)."""
+        lat_clamped = F.least(F.abs(lat_col), F.lit(_MAX_TILE_LAT))
         safe_expr = F.greatest(
             F.least(
                 F.floor(
                     F.log2(
                         F.lit(40075.016686)
-                        * F.cos(F.radians(F.col("_latmax")))
+                        * F.cos(F.radians(lat_clamped))
                         * F.lit(float(ring))
                         / F.lit(float(radius_km))
                     )
@@ -375,15 +368,15 @@ def geo_radius_join(
             ),
             F.lit(0.0),
         )
-        guard = F.when(
+        return F.when(
             F.lit(float(zoom)) > safe_expr,
             F.raise_error(
                 F.concat(
                     F.lit(
                         f"geo_radius_join: zoom={zoom} is too fine for "
-                        f"radius_km={radius_km}, ring={ring} at max |lat| "
+                        f"radius_km={radius_km}, ring={ring} at |lat| "
                     ),
-                    F.round(F.col("_latmax"), 2).cast("string"),
+                    F.round(F.abs(lat_col), 2).cast("string"),
                     F.lit(
                         " — pairs near the radius would be silently "
                         "lost; use zoom<="
@@ -393,6 +386,17 @@ def geo_radius_join(
                 )
             ).isNull(),
         ).otherwise(F.lit(True))
+
+    guarded = validate_zoom and radius_km > 0 and zoom is not None
+    if zoom is None:
+        lat_bound = max(
+            _max_abs_lat(left, left_lat), _max_abs_lat(right, right_lat)
+        )
+        zoom = max_safe_zoom(radius_km, ring, lat_bound)
+    elif guarded:
+        # Applied pre-explode on the left (once per input row, not x9)
+        # and on the right below.
+        left = left.filter(_zoom_guard(F.col(left_lat)))
     # Internal names for the right side's coordinates so identically
     # named lat/lon inputs (the defaults) stay unambiguous post-join;
     # restored (suffixed on collision) at the end.
@@ -417,8 +421,8 @@ def geo_radius_join(
     l3 = left.withColumn("_gj", F.explode(neighbors)).select(
         "*", F.col("_gj.jx").alias("_gjx"), F.col("_gj.jy").alias("_gjy")
     ).drop("_gj")
-    if guard is not None:
-        l3 = l3.crossJoin(F.broadcast(latmax)).filter(guard).drop("_latmax")
+    if guarded:
+        r_in = r_in.filter(_zoom_guard(F.col("_gjlat")))
     r3 = r_in.withColumn("_gjx", tile_x(F.col("_gjlon"), zoom)).withColumn(
         "_gjy", tile_y(F.col("_gjlat"), zoom)
     )

@@ -47,16 +47,19 @@ def pagerank(
     proportionally to out-edge weight. Fractional weights are
     supported — they are rounded to 15 decimals and summed as
     DECIMAL(38,18), keeping the sums exact and shuffle-order-
-    independent (weights must be non-negative; a vertex whose
-    out-weights sum to 0 is treated as having edges but contributes
-    nothing).
+    independent (weights must be non-negative; under dangling="ignore"
+    a vertex whose out-weights sum to 0 keeps its edges but
+    contributes nothing).
 
     dangling: "ignore" gives dangling vertices (no out-edges) only the
     teleport term — rank is NOT conserved unless the edge list is
     symmetrized. "redistribute" computes the dangling rank mass each
     sweep (a decimal-exact one-row aggregate collected to the driver —
     metadata-scale, one scalar per sweep) and spreads it uniformly, so
-    sum(rank) == 1 on arbitrary graphs.
+    sum(rank) == 1 on arbitrary graphs — including weighted graphs
+    with zero-out-weight vertices, which redistribute classifies as
+    dangling (they emit no mass, exactly like a vertex with no
+    out-edges at all).
 
     checkpoint: "local" truncates lineage with localCheckpoint —
     fastest, but blocks live on executors, so an executor loss
@@ -124,8 +127,16 @@ def pagerank(
     )
     ed = cut_lineage(e.join(deg, "src"), checkpoint)
     if dangling == "redistribute":
+        # Dangling = no POSITIVE out-weight, not merely no out-edges: a
+        # vertex whose out-weights sum to 0 has rows in ed but its
+        # contribution term is NULL every sweep (the deg>0 guard below),
+        # so its rank mass would silently leak on weighted graphs and
+        # break the sum(rank)==1 conservation promise. deg is constant
+        # per src, so the filter keeps exactly the mass-emitting srcs.
         dangling_v = vertices.join(
-            ed.select("src").distinct(), vertices.v == F.col("src"), "left_anti"
+            ed.filter(F.col("deg") > 0).select("src").distinct(),
+            vertices.v == F.col("src"),
+            "left_anti",
         )
     ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-The decode step itself is STUBBED (the container ships no image/audio
-libs — see ``DecoderUnavailable`` / ``fake_decode_image``); everything
-Spark-side is real and tested: schemas, mapInPandas batch iteration,
-partition sizing, and the UDF signatures a real decoder would drop
-into.
+The decode step is pluggable: ``real_decode_image`` uses PIL wherever
+it is importable (``use_real_decoder=True`` requires it, ``"auto"``
+probes per executor); environments without codecs — this container —
+fall back to the deterministic ``fake_decode_image`` stub, raising
+``DecoderUnavailable`` only when the real decoder was explicitly
+required. Everything Spark-side is identical on both paths and fully
+tested: schemas, mapInPandas batch iteration, partition sizing, and
+the UDF signatures.
 
 Scale notes: binary payloads dominate row size, so
 - never groupBy/shuffle a frame that still carries the binary column:
@@ -56,13 +59,37 @@ class DecoderUnavailable(NotImplementedError):
     """Raised by the real-decoder slot: image/audio libs absent here."""
 
 
-def real_decode_image(payload: bytes) -> "object":  # pragma: no cover
-    """The production decode hook (PIL/av/librosa would plug in here)."""
-    raise DecoderUnavailable(
-        "media decoding requires image/audio libraries not present in "
-        "this environment; wire PIL.Image.open(io.BytesIO(payload)) or "
-        "equivalent here"
-    )
+def decoder_available() -> bool:
+    """True iff a real image decoder (PIL) is importable in this
+    interpreter. Checked on the EXECUTOR inside the UDF too — driver
+    and executors can have different environments."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def real_decode_image(payload: bytes, dim: int = 8) -> list[float]:
+    """The production decode hook: PIL when importable (decode →
+    grayscale → resize to a dim-px strip → [0,1] floats — a
+    deterministic thumbnail feature, the slot a learned embedding
+    would replace), DecoderUnavailable otherwise. The try-import runs
+    per-process, not per-row (Python caches the module)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise DecoderUnavailable(
+            "media decoding requires image libraries not present in "
+            "this environment; install pillow or use the deterministic "
+            "fake_decode_image path (use_real_decoder=False)"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as img:
+        strip = img.convert("L").resize((dim, 1))
+        return [p / 255.0 for p in strip.getdata()]
 
 
 def fake_decode_image(payload: bytes, dim: int = 8) -> list[float]:
@@ -77,19 +104,36 @@ def fake_decode_image(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, use_real_decoder: bool = False
+    media: DataFrame, dim: int = 8, use_real_decoder: bool | str = False
 ) -> DataFrame:
     """mapInPandas feature extraction over media rows.
 
     Arrow-batched: each batch is a pandas DataFrame; per-batch work is
-    vectorizable python. Output drops the payload (shuffle-safe)."""
+    vectorizable python. Output drops the payload (shuffle-safe).
+
+    use_real_decoder: False = deterministic fake (the oracle path
+    here), True = require the PIL decoder (DecoderUnavailable per
+    task where absent), "auto" = real decoder wherever the EXECUTOR
+    interpreter can import it, fake elsewhere — the availability probe
+    runs inside the UDF, so a heterogeneous cluster degrades per-node
+    instead of failing."""
+    if use_real_decoder not in (True, False, "auto"):
+        raise ValueError(
+            f"extract_features: use_real_decoder must be True/False/'auto', "
+            f"got {use_real_decoder!r}"
+        )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
 
         import pandas as pd
 
-        decode = real_decode_image if use_real_decoder else fake_decode_image
+        if use_real_decoder is True:
+            decode = real_decode_image
+        elif use_real_decoder == "auto" and decoder_available():
+            decode = real_decode_image
+        else:
+            decode = fake_decode_image
         for pdf in batches:
             payloads = pdf["payload"]
             out = pd.DataFrame(
@@ -99,11 +143,7 @@ def extract_features(
                     "payload_hash": payloads.map(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
-                    "feat": payloads.map(
-                        lambda b: fake_decode_image(b, dim)
-                        if decode is fake_decode_image
-                        else decode(b)
-                    ),
+                    "feat": payloads.map(lambda b: decode(b, dim)),
                 }
             )
             yield out

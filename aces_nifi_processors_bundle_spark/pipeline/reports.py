@@ -221,40 +221,22 @@ def sessionize(
     ).drop("_b")
 
 
-def funnel(
+def _funnel_times_chained(
     df: DataFrame,
     steps: list[str],
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    window_sec: int | None = None,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    window_sec: int | None,
 ) -> DataFrame:
-    """Ordered-funnel analysis: per user, the earliest time each step
-    can complete GIVEN the previous step already happened (first
-    `steps[0]`, then the first `steps[1]` at-or-after it, ...), then
-    one row per step with the users-reaching count and conversion
-    rate from the previous step. window_sec bounds each step-to-step
-    gap (the "converted within 24h" shape): a later occurrence outside
-    the window does NOT count, and the chain for that user stops.
-
-    Shape: one groupBy(user) pass per step (all on the SAME key, so
-    the shuffle partitioning is shared/reused), each a conditional
-    MIN against the previous chained time; the final per-step rollup
-    explodes ONE global counts row into the step rows (a union of
-    per-step selects would re-execute the whole chain N times). No
-    windows, no per-user sort. Integer-microsecond comparisons only
-    (cross-engine exact).
-    """
-    if not steps:
-        raise ValueError("funnel: need at least one step")
-    if window_sec is not None and window_sec <= 0:
-        raise ValueError(f"funnel: window_sec must be positive, got {window_sec}")
+    """Reference implementation of the chained step times: one
+    groupBy(user) pass per step (all on the SAME key, so the shuffle
+    partitioning is shared/reused), each a conditional MIN against the
+    previous chained time. k full scans of the events frame for a
+    k-step funnel — kept as the semantic cross-check for the
+    single-shuffle array path (pytest asserts they agree); the
+    'array' method is the default execution path."""
     us = F.unix_micros(F.col(ts_col))
-    # Chaining needs per-event comparison against the previous chained
-    # step time, which a single aggregation pass cannot see — so one
-    # pass per step: join the per-user chained times back and
-    # conditionally MIN the next step. Every pass is a groupBy on the
-    # SAME user key, so the exchanges share one partitioning.
     times = df.groupBy(user_col).agg(
         F.min(F.when(F.col(type_col) == steps[0], us)).alias("_s0")
     )
@@ -285,6 +267,122 @@ def funnel(
                 ).alias(f"_s{i}"),
             )
         )
+    return times
+
+
+def _funnel_times_array(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    window_sec: int | None,
+) -> DataFrame:
+    """Single-shuffle chained step times: ONE groupBy(user) collects
+    each user's (ts, step_idx) events into a sorted array, then a
+    left-to-right `aggregate` fold fills the chained-time vector —
+    wall time independent of step count (the chained path scans the
+    events frame once PER step).
+
+    The fold reproduces the chained-min semantics exactly: events
+    process in (ts, step_idx) order, so by the time any event with
+    ts > t processes, every chain slot settable at time <= t already
+    holds its final (minimal) value; the step_idx tie-break makes a
+    same-instant step sequence (step0 and step1 at the identical ts)
+    chain through, matching the `>=` comparison of the reference
+    path. Per-user state is one array<long> of length k — the whole
+    fold runs inside the post-aggregation projection, JVM codegen,
+    no UDFs. Memory: a user's full filtered event list is collected
+    into one array; events are pre-filtered to funnel step types, so
+    the array is bounded by the user's step-event count (the same
+    per-user cardinality sessionize sorts)."""
+    k = len(steps)
+    us = F.unix_micros(F.col(ts_col))
+    step_idx = (
+        F.array_position(F.array(*[F.lit(s) for s in steps]), F.col(type_col))
+        - 1
+    ).cast("int")
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), us.alias("_us"), step_idx.alias("_si")
+    )
+    win_us = None if window_sec is None else int(window_sec) * 1_000_000
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_us").alias("ts"), F.col("_si").alias("si")))
+    )
+    init = F.array_repeat(F.lit(None).cast("long"), k)
+
+    def apply_event(acc, x):
+        def upd(t, i):
+            prev = F.get(acc, i - F.lit(1))  # NULL when i == 0 (0-indexed get)
+            in_window = (
+                F.lit(True)
+                if win_us is None
+                else (x["ts"] - prev <= F.lit(win_us))
+            )
+            ok_prev = F.when(i == F.lit(0), F.lit(True)).otherwise(
+                prev.isNotNull() & (x["ts"] >= prev) & in_window
+            )
+            return F.when(t.isNotNull(), t).when((x["si"] == i) & ok_prev, x["ts"])
+
+        return F.transform(acc, upd)
+
+    chained = F.aggregate(arr, init, apply_event)
+    return ev.groupBy(user_col).agg(chained.alias("_chain")).select(
+        F.col(user_col), *[F.get("_chain", i).alias(f"_s{i}") for i in range(k)]
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_sec: int | None = None,
+    method: str = "array",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step
+    can complete GIVEN the previous step already happened (first
+    `steps[0]`, then the first `steps[1]` at-or-after it, ...), then
+    one row per step with the users-reaching count and conversion
+    rate from the previous step. window_sec bounds each step-to-step
+    gap (the "converted within 24h" shape): a later occurrence outside
+    the window does NOT count, and the chain for that user stops.
+
+    Semantics are FIRST-TOUCH / NO-RESTART: each step anchors on the
+    EARLIEST qualifying occurrence and the chain never re-anchors on a
+    later occurrence of an earlier step — a user whose only in-window
+    conversion starts from a second occurrence of step i is NOT
+    counted. Restart-capable tools (Amplitude-style windowed funnels)
+    will report counts >= these; compare accordingly.
+
+    method='array' (default): single shuffle — per-user sorted event
+    array + one fold, wall time independent of step count.
+    method='chained': the k-pass conditional-MIN reference path (one
+    events scan per step), kept as the cross-check.
+
+    Either way the final per-step rollup explodes ONE global counts
+    row into the step rows (a union of per-step selects would
+    re-execute the whole chain N times). Integer-microsecond
+    comparisons only (cross-engine exact).
+    """
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    if window_sec is not None and window_sec <= 0:
+        raise ValueError(f"funnel: window_sec must be positive, got {window_sec}")
+    if method == "array" and len(set(steps)) != len(steps):
+        # the array fold maps each event to ONE step index
+        # (array_position = first match), so a repeated step type
+        # (["signup","view","signup"]) needs the per-step passes
+        method = "chained"
+    if method == "array":
+        times = _funnel_times_array(df, steps, user_col, type_col, ts_col, window_sec)
+    elif method == "chained":
+        times = _funnel_times_chained(
+            df, steps, user_col, type_col, ts_col, window_sec
+        )
+    else:
+        raise ValueError(f"funnel: unknown method {method!r} (array|chained)")
     counts = times.agg(
         *[
             F.count(F.col(f"_s{i}")).cast("bigint").alias(f"_n{i}")

@@ -463,6 +463,7 @@ def ivf_append_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    epoch: int | None = None,
 ) -> None:
     """Incrementally add vectors to an existing inverted file WITHOUT
     rewriting the corpus: the batch is assigned cells under the SAME
@@ -473,10 +474,35 @@ def ivf_append_index(
     working because appends land in the same cid= layout. Append-only
     semantics: re-adding an id duplicates it (dedup upstream, or use
     the keyed store for replace semantics). One write path: this is
-    ivf_write_index in append mode."""
-    ivf_write_index(
-        new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
-        mode="append",
+    ivf_write_index in append mode.
+
+    `epoch` (foreachBatch epoch id) makes the append IDEMPOTENT under
+    micro-batch replay: the batch lands under an extra leading
+    epoch=<n> partition and the write is a DYNAMIC partition overwrite,
+    so a replayed epoch overwrites exactly its own epoch=<n>/cid=*
+    directories instead of appending duplicates. Probe-side `cid IN`
+    partition pruning still applies (cid stays a partition column at
+    every epoch); an index must be epoch-partitioned from its first
+    write or not at all — mixing layouts breaks partition inference."""
+    if epoch is None:
+        ivf_write_index(
+            new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
+            mode="append",
+        )
+        return
+    assign = ivf_assign_udf(dim, n_centroids, centroids)
+    (
+        new_vectors.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col), F.col(vec_col),
+            assign(as_double(F.col(vec_col))).alias("cid"),
+        )
+        .withColumn("epoch", F.lit(int(epoch)))
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cid")
+        .parquet(path)
     )
 
 

@@ -2186,6 +2186,14 @@ ORACLES["q_geo_radius_auto"] = ORACLES["q_geo_radius_join"]
 # group is EXACT and returns the ceil(p*n)-th smallest value — the
 # row_number() rank rule below (verified empirically against Spark's
 # GK sketch in the exact regime).
+# PINNED BEHAVIOR, Spark 4.1: the ceil(p*n) exact-regime pick is an
+# implementation detail of ApproximatePercentile, not a documented
+# contract. If this oracle ever mismatches right after a Spark
+# upgrade while q_equidepth_histogram (the ntile-exact variant) stays
+# green, diagnose as RANK-RULE DRIFT — re-verify the boundary pick
+# empirically (tests/test_plans.py::
+# test_equidepth_methods_agree_on_distinct_values) and update this
+# rule — not as a product correctness regression.
 oracle("q_equidepth_approx")(
     """
 WITH ranked AS (

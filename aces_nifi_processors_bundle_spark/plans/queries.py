@@ -974,15 +974,18 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each vector is appended exactly once, cell assignment depends only
     on the codebook), which is what makes a streaming index SINK
     oracle-able: the oracle recomputes every assignment from the same
-    md5 centroids."""
+    md5 centroids. The epoch id is threaded into the append so a
+    replayed micro-batch (foreachBatch is at-least-once) OVERWRITES its
+    own epoch=<n> partitions instead of duplicating index rows —
+    replay-idempotence, pytest-proven by double-applying an epoch."""
     from ..pipeline.similarity import ivf_append_index
     from ..streaming.binning_stream import foreach_batch_merge
 
     stream = _table_stream(spark, sf_dir, "embeddings")
     index = _scratch("aces_stream_ivf_") + "/idx"
 
-    def append_fn(batch_df, _epoch):
-        ivf_append_index(batch_df, index, dim=64, n_centroids=16)
+    def append_fn(batch_df, epoch_id):
+        ivf_append_index(batch_df, index, dim=64, n_centroids=16, epoch=epoch_id)
 
     q = (
         foreach_batch_merge(stream, append_fn, _scratch("aces_fbm_"))
@@ -1500,7 +1503,11 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet store (foreachBatch, the @SupportsBatching session-commit
     analog). $inc accumulates across however many micro-batches the
     trigger produces, so the final store state is batch-split-
-    independent — which is what makes a streaming SINK oracle-able."""
+    independent — which is what makes a streaming SINK oracle-able.
+    The epoch id is threaded into the merge as a store transaction
+    (Delta txnAppId/txnVersion pattern), so a replayed micro-batch —
+    foreachBatch is at-least-once — is a manifest-level no-op instead
+    of a double-counted $inc."""
 
     from ..operators.partial_update import PartialUpdateConfig
     from ..stores import KeyedParquetStore
@@ -1518,9 +1525,9 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = PartialUpdateConfig(keys=["ub"], operations={"n": "$inc"}, upsert=False)
 
-    def merge_fn(batch_df, _epoch):
+    def merge_fn(batch_df, epoch_id):
         pre = batch_df.groupBy("ub").agg(F.count(F.lit(1)).cast("long").alias("n"))
-        store.merge(pre, cfg)
+        store.merge(pre, cfg, txn=("q_stream_store_merge", epoch_id))
 
     q = (
         foreach_batch_merge(stream, merge_fn, _scratch("aces_fbm_"))

@@ -130,6 +130,12 @@ class KeyedParquetStore:
     # level — the rename either lands or it doesn't — so this knob is
     # accepted for config compatibility and deliberately changes nothing.
     write_concern: str = "ACKNOWLEDGED"
+    # Auto-compaction policy: when set, merge()/put_if_absent() run
+    # compact_if(auto_compact_files) after their commit, so long-running
+    # merge loops (foreachBatch ingest above all) keep every bucket's
+    # part-file count bounded without an operator remembering to call
+    # compact(). None = manual compaction only.
+    auto_compact_files: int | None = None
     # Test seam: called after a commit's segment write but before its
     # manifest publish — the window concurrent-reader tests probe.
     _pre_publish_hook: Callable[[], None] | None = field(
@@ -350,6 +356,38 @@ class KeyedParquetStore:
         )
         if not fs.rename(tmp, final):
             raise RuntimeError(f"store {self.path}: manifest publish rename failed")
+
+    # --- idempotent-writer transactions --------------------------------
+    #
+    # The Delta txnAppId/txnVersion pattern: foreachBatch is
+    # AT-LEAST-ONCE (a sink failure after commit but before the
+    # streaming checkpoint advances makes Structured Streaming replay
+    # the whole micro-batch), so a non-idempotent merge — $inc above
+    # all — would double-apply on replay. A writer that passes
+    # txn=(app_id, version) gets exactly-once semantics: the manifest
+    # records the highest version applied per app_id, and a commit
+    # whose version is <= the recorded watermark is skipped entirely
+    # (no read, no write, no new manifest). Versions must be
+    # monotonically increasing per app_id — foreachBatch epoch ids are
+    # exactly that. restore() reverts the watermarks along with the
+    # data (they live in the same manifest), so rolling a table back
+    # deliberately re-opens the door for the undone epochs — the
+    # behavior you want when replaying a bad range.
+
+    def _txn_applied(self, man: dict, txn: tuple[str, int] | None) -> bool:
+        if txn is None:
+            return False
+        app_id, version = txn
+        return int(man.get("txns", {}).get(str(app_id), -(2**62))) >= int(version)
+
+    def _txn_advance(self, man: dict, txn: tuple[str, int] | None) -> dict:
+        """txns map for the next manifest: carry the old watermarks,
+        advance this writer's."""
+        txns = dict(man.get("txns", {}))
+        if txn is not None:
+            app_id, version = txn
+            txns[str(app_id)] = int(version)
+        return txns
 
     def _schema(self, man: dict) -> StructType:
         return StructType.fromJson(json.loads(man["schema"]))
@@ -715,7 +753,12 @@ class KeyedParquetStore:
         dirs = [d for b in buckets for d in man["buckets"].get(str(b), [])]
         return buckets, self._read_dirs(man, dirs)
 
-    def merge(self, source: DataFrame, cfg: PartialUpdateConfig) -> MergeMetrics:
+    def merge(
+        self,
+        source: DataFrame,
+        cfg: PartialUpdateConfig,
+        txn: tuple[str, int] | None = None,
+    ) -> MergeMetrics:
         """Incremental partial-update merge: read touched buckets,
         apply operators, write ONE new segment, publish the manifest —
         one observed job + one atomic rename.
@@ -723,7 +766,13 @@ class KeyedParquetStore:
         The LOCK covers the target read too, not just the write:
         resolving the manifest inside the lock pins the read-modify-
         write cycle to the latest committed state (no lost updates
-        between two merges)."""
+        between two merges).
+
+        `txn=(app_id, version)` makes the merge IDEMPOTENT for
+        replayed versions (foreachBatch epoch replays — see the
+        transaction-layer comment above `_txn_applied`): an
+        already-applied version returns MergeMetrics(0, 0, 0) and
+        leaves the table byte-identical."""
         if cfg.keys != self.keys:
             raise ValueError(
                 f"store {self.path}: merge cfg.keys={cfg.keys} must equal "
@@ -734,6 +783,10 @@ class KeyedParquetStore:
             fs, Path = self._fs()
             self._gc(fs, Path)
             man = self._require_manifest(fs, Path)
+            if self._txn_applied(man, txn):
+                ctx["n_rows"] = 0
+                ctx["skipped_txn"] = list(txn)
+                return MergeMetrics(updated=0, unmodified=0, inserted=0)
             buckets, target = self._touched(man, source)
             res = partial_update(target, source, cfg)
             # Schema-evolution check BEFORE writing: if the merge
@@ -821,10 +874,13 @@ class KeyedParquetStore:
                     "version": man["version"] + 1,
                     "schema": self._evolved_schema(man, out),
                     "buckets": new_buckets,
+                    "txns": self._txn_advance(man, txn),
                 },
                 op="merge",
             )
             ctx["n_rows"] = int(m["updated"] or 0) + int(m["inserted"] or 0)
+        if self.auto_compact_files is not None:
+            self.compact_if(self.auto_compact_files)
         return MergeMetrics(
             updated=int(m["updated"] or 0),
             unmodified=int(m["unmodified"] or 0),
@@ -832,18 +888,30 @@ class KeyedParquetStore:
         )
 
     def put_if_absent(
-        self, source: DataFrame, order_col: str | None = None
+        self,
+        source: DataFrame,
+        order_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> MergeMetrics:
         """Duplicate-checked insert: append first-occurrence-new-key
         rows as a new segment; existing files are never rewritten, and
         the manifest publish makes the whole batch visible atomically
         (crash-before-publish inserts nothing — same guarantee as
         merge). Returns counts (inserted / already-exists) from the
-        observed append job. Lock covers the duplicate-check read."""
+        observed append job. Lock covers the duplicate-check read.
+        `txn=(app_id, version)` skips already-applied versions (same
+        idempotent-replay contract as merge — note put_if_absent is
+        naturally replay-safe ONLY when the replayed batch carries the
+        same keys; the txn guard makes it safe unconditionally and
+        skips the duplicate-check read entirely on replay)."""
         with self.provenance.send(self.path, detail="put-if-absent") as ctx, self._write_lock():
             fs, Path = self._fs()
             self._gc(fs, Path)
             man = self._require_manifest(fs, Path)
+            if self._txn_applied(man, txn):
+                ctx["n_rows"] = 0
+                ctx["skipped_txn"] = list(txn)
+                return MergeMetrics(updated=0, unmodified=0, inserted=0)
             buckets, target = self._touched(man, source)
             tagged = tag_put_if_absent(target, source, self.keys, order_col)
             obs = Observation()
@@ -937,15 +1005,51 @@ class KeyedParquetStore:
                     "version": man["version"] + 1,
                     "schema": evolved.json(),
                     "buckets": new_buckets,
+                    "txns": self._txn_advance(man, txn),
                 },
                 op="put-if-absent",
             )
             ctx["n_rows"] = int(m["inserted"] or 0)
+        if self.auto_compact_files is not None:
+            self.compact_if(self.auto_compact_files)
         return MergeMetrics(
             updated=0,
             unmodified=int(m["dupes"] or 0),
             inserted=int(m["inserted"] or 0),
         )
+
+    def _max_bucket_files(self) -> int:
+        """Largest per-bucket parquet part-file count in the LATEST
+        manifest — the fragmentation signal compact_if triggers on.
+        Lock-free, driver-side metadata only (directory listings of
+        the manifest's dirs; never opens a data file)."""
+        fs, Path = self._fs()
+        man = self._require_manifest(fs, Path)
+        worst = 0
+        for dirs in man["buckets"].values():
+            n = 0
+            for d in dirs:
+                for entry in fs.listStatus(Path(f"{self.path}/{d}")):
+                    if entry.getPath().getName().endswith(".parquet"):
+                        n += 1
+            worst = max(worst, n)
+        return worst
+
+    def compact_if(self, max_files: int = 4) -> int:
+        """Auto-compaction policy (the Delta auto-OPTIMIZE analog):
+        no-op unless some bucket has grown past `max_files` part-files,
+        then compact exactly the buckets over the bound. The check is
+        LOCK-FREE (manifest listing only), so calling this after every
+        merge in a tight ingest loop costs metadata, not lock churn —
+        the lock is taken only on the rare iteration that actually
+        compacts. Bounds read amplification: a reader of any bucket
+        opens at most ~max_files files between compactions. Returns
+        rewritten-bucket count (0 = under the bound, nothing done)."""
+        if max_files < 1:
+            raise ValueError(f"compact_if: max_files must be >= 1, got {max_files}")
+        if self._max_bucket_files() <= max_files:
+            return 0
+        return self.compact(min_files=max_files + 1)
 
     def compact(self, min_files: int = 2) -> int:
         """Rewrite buckets fragmented by put_if_absent appends into one

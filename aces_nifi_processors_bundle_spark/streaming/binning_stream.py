@@ -88,7 +88,17 @@ def foreach_batch_merge(
 ) -> DataStreamWriter:
     """Wrap a batch merge (partial_update / put_if_absent closure) as a
     streaming sink: merge_fn(batch_df, epoch_id) runs per micro-batch —
-    exactly the NiFi @SupportsBatching session-commit pattern."""
+    exactly the NiFi @SupportsBatching session-commit pattern.
+
+    REPLAY CONTRACT — foreachBatch is at-least-once: a failure between
+    the sink commit and the streaming checkpoint advance makes Spark
+    re-run the whole micro-batch with the SAME epoch_id. merge_fn MUST
+    therefore thread epoch_id into an idempotent sink commit —
+    `KeyedParquetStore.merge(..., txn=(query_name, epoch_id))` /
+    `put_if_absent(..., txn=...)` for store sinks, or
+    `ivf_append_index(..., epoch=epoch_id)` for the ANN index — never
+    discard it for a sink whose apply is not naturally idempotent
+    ($inc double-counts, appends duplicate)."""
     return stream_df.writeStream.foreachBatch(merge_fn).option(
         "checkpointLocation", checkpoint
     )

@@ -74,9 +74,21 @@ def main() -> None:
     for _tbl in ("events", "documents", "embeddings"):
         _table_stream(spark, sf_dir, _tbl)
 
+    # SPARK_GRAFT_ONLY=q_a,q_b runs a subset (scale/skew probes time a
+    # handful of queries against a derived dataset without paying for
+    # the whole registry); unset = full registry, the driver contract.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    selected = dict(QUERIES)
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {unknown}")
+        selected = {n: QUERIES[n] for n in names}
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(QUERIES.items()):
+    for name, fn in sorted(selected.items()):
         # Timer wraps the query FUNCTION too, not just the final write:
         # the storage-backed queries (q_store_*) run their merge jobs
         # eagerly inside fn, and excluding that would under-report them.

@@ -352,6 +352,17 @@ def test_route_use_union_fan_out(spark, sf_dir, tmp_path):
     with pytest.raises(KeyError, match="route has no operator"):
         build_flow(spark, [{"op": "load", "table": "orders"},
                            {"op": "route", "using": "nope"}], sf_dir)
+    # a typo'd relationship (in tags OR continue) carries the stage
+    # index and the operator's real ports, not a bare KeyError
+    base = flow[:2]
+    route_stage = dict(flow[2])
+    route_stage["tags"] = {"faliure": "bad"}  # sic
+    with pytest.raises(KeyError, match=r"stage 2: .*no relationship 'faliure'"):
+        build_flow(spark, base + [route_stage], sf_dir)
+    route_stage2 = dict(flow[2])
+    route_stage2["continue"] = "sucess"  # sic
+    with pytest.raises(KeyError, match=r"stage 2: .*no relationship 'sucess'"):
+        build_flow(spark, base + [route_stage2], sf_dir)
 
 
 def test_sessionize_and_funnel_flow_stages(spark, sf_dir):

@@ -320,3 +320,22 @@ def test_asof_join_values_may_name_the_timestamp_and_numeric_ts_tolerance(spark)
     miss = asof_join(nl, nr, on="k", left_ts="t", values=["v"],
                      tolerance_sec=30).collect()[0]
     assert hit["v_matched"] == 5.0 and miss["v_matched"] is None
+
+
+def test_geo_radius_join_guard_adds_no_extra_scans(spark):
+    """The explicit-zoom validity guard is a per-row inline check, NOT
+    an aggregate over the inputs: each input subplan must appear in
+    the executed plan exactly once (the old max(|lat|) guard re-ran
+    both sides, doubling upstream scan cost)."""
+    from aces_nifi_processors_bundle_spark.operators.joins import geo_radius_join
+
+    rows = [Row(k=1, pid=1, lat=10.0, lon=10.0), Row(k=1, pid=2, lat=10.2, lon=10.0)]
+    df = spark.createDataFrame(rows)
+    a = df.select("k", F.col("pid").alias("id_a"), "lat", "lon")
+    b = df.select("k", F.col("pid").alias("id_b"), "lat", "lon")
+    j = geo_radius_join(a, b, on="k", radius_km=100.0, zoom=5)  # safe zoom
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # two input scans total — one per side, none duplicated by the guard
+    assert plan.count("Scan ExistingRDD") == 2
+    # guard present and passing: the join still finds the pair
+    assert j.filter(F.col("id_a") < F.col("id_b")).count() == 1

@@ -208,3 +208,35 @@ def test_funnel_plan_no_per_row_reexecution(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1
     # 3 steps -> at most one user-key exchange per step
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_explicit_broadcasts_survive_threshold_change(spark, sf_dir):
+    """CLUSTER.md contract: every intended broadcast is an explicit
+    F.broadcast() hint, so re-tuning spark.sql.autoBroadcastJoinThreshold
+    on a real cluster (including -1) must NOT flip these plans to
+    shuffle joins. Checks the three broadcast-by-design operators:
+    brute-force top-k's query side, salted_join's hot-key set, and
+    ivf_topk's probe frame."""
+    from aces_nifi_processors_bundle_spark.operators.joins import salted_join
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for df in (
+            brute_force_topk(emb, queries, k=3),
+            salted_join(events, dim, on="user_id",
+                        hot_keys=list(range(5)), n_salts=4),
+            ivf_topk(emb, queries, dim=64, k=3, n_centroids=16, n_probe=4),
+        ):
+            plan = plan_of(df, mode="simple")
+            assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
