@@ -40,9 +40,136 @@ def word_count(text: Column) -> Column:
 def token_count_bpe_ish(text: Column) -> Column:
     """BPE-ish token estimate: count word-piece boundaries with a regex
     (letters runs, digit runs, punctuation singles) — the standard
-    ~len/4 pre-tokenizer approximation, computable engine-side."""
+    ~len/4 pre-tokenizer approximation, computable engine-side. For
+    merges-table-accurate counts see `bpe_token_counts` below."""
     pieces = F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
     return pieces.cast("bigint")
+
+
+# --- merges-table BPE ---------------------------------------------------
+#
+# A real byte-pair-encoding tokenizer driven by a MERGES TABLE, the
+# GPT-2 tokenization shape: pre-tokenize into word pieces, then apply
+# ranked pair merges until none fit. The fixture below is a small
+# documented English merges table (not a trained artifact — training
+# one is out of scope; swap in a real tokenizer's merges.txt rows for
+# production counts, the algorithm is rank-generic).
+#
+# KEY ALGEBRAIC FACT the implementation leans on: applying merges ONCE
+# EACH in ascending rank order (left-to-right, non-overlapping within a
+# word) is EXACTLY classic BPE's repeat-the-min-rank-pair loop. A merge
+# can only create new adjacencies involving its own output symbol, and
+# in any valid merges table every rule consuming a composite symbol
+# ranks AFTER the rule that creates it (true of trained tables by
+# construction; enforced for this fixture by
+# tests/test_pipeline.py::test_bpe_merges_table_valid) — so no
+# lower-ranked pair can ever (re)appear once its rank has passed. That
+# turns the data-dependent while-loop into a FIXED fold over the merges
+# table, expressible as one Column expression in both engines.
+#
+# Scale shape: the fold runs once per DISTINCT word piece (the Zipf
+# economy of natural text — token counting is vocabulary-bounded, not
+# corpus-bounded), with a contains() prune so each word only pays for
+# merges whose concatenation appears in it as a substring (adjacent
+# symbols are always contiguous in the original word). The merges
+# table itself is a literal in the expression — effectively broadcast.
+
+BPE_MERGES: list[tuple[str, str]] = [
+    # single-char pairs (any order valid)
+    ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("e", "r"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("t", "e"), ("o", "f"), ("e", "d"), ("i", "s"), ("i", "t"),
+    ("a", "l"), ("a", "r"), ("s", "t"), ("t", "o"), ("n", "g"),
+    ("s", "e"), ("h", "a"), ("a", "s"), ("o", "u"), ("l", "e"),
+    ("v", "e"), ("c", "o"), ("m", "e"), ("d", "e"), ("h", "i"),
+    ("r", "i"), ("r", "o"), ("i", "c"), ("n", "e"), ("e", "a"),
+    ("c", "e"), ("l", "i"), ("c", "h"), ("l", "l"), ("b", "e"),
+    ("m", "a"), ("s", "i"), ("o", "m"), ("u", "r"), ("u", "s"),
+    ("w", "h"), ("f", "o"), ("u", "n"), ("p", "r"), ("n", "o"),
+    ("d", "i"), ("w", "e"), ("p", "a"), ("w", "i"), ("g", "e"),
+    ("p", "o"), ("u", "l"), ("c", "a"), ("t", "r"), ("e", "l"),
+    ("t", "i"), ("0", "0"), ("1", "9"), ("2", "0"),
+    # composites (each side is a char or an EARLIER merge's output)
+    ("th", "e"), ("in", "g"), ("an", "d"), ("er", "s"), ("ti", "on"),
+    ("th", "at"), ("en", "t"), ("fo", "r"), ("te", "r"), ("es", "t"),
+    ("i", "ch"), ("wh", "ich"), ("ou", "r"), ("al", "l"), ("ve", "r"),
+    ("on", "e"), ("is", "h"), ("the", "r"), ("co", "m"), ("a", "ti"),
+    ("ati", "on"), ("in", "te"), ("re", "s"), ("ing", "s"), ("ed", "s"),
+]
+
+# Pre-tokenizer: lowercase, then letter runs / digit runs / single
+# punctuation — identical regex on both engines (RE2-safe). \x01 is
+# excluded from the punctuation class because it is the symbol
+# delimiter of the merge encoding below; a (pathological) \x01 byte in
+# text simply isn't a token on either engine.
+BPE_PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s\x01]"
+
+# Symbol-boundary delimiter for the merge chain. A word's symbol state
+# is encoded as the string D s1 D s2 D ... D: every symbol is
+# delimiter-wrapped, so the literal pattern D+a+D+b+D matches exactly
+# an adjacent (a, b) SYMBOL pair (never a substring straddling symbol
+# boundaries), and `replace` — left-to-right, non-overlapping, resume-
+# after-match in both Spark (java String.replace) and DuckDB — is
+# precisely BPE's single-rank merge scan. One replace per ranked merge,
+# chained in rank order, is then classic BPE by the equivalence above.
+# This stays a flat codegen'd string expression: no higher-order
+# functions (interpreted in Spark; nested lambdas over large literal
+# lists miscompute in DuckDB 1.0 — observed: inner-fold corruption
+# beyond ~20 outer elements).
+BPE_DELIM = "\x01"
+
+
+def bpe_token_count_expr(word: Column) -> Column:
+    """Token count of ONE lowercase word piece under BPE_MERGES:
+    delimiter-encode the characters, chain one literal replace per
+    ranked merge, count surviving delimiters. Flat, codegen-friendly —
+    still run it over the DISTINCT vocabulary, not per occurrence."""
+    d = BPE_DELIM
+    s = F.concat(F.lit(d), F.array_join(F.split(word, ""), d), F.lit(d))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(d + a + d + b + d), F.lit(d + a + b + d))
+    n_delims = F.length(s) - F.length(F.replace(s, F.lit(d), F.lit("")))
+    return F.when(F.length(word) == 0, F.lit(0)).otherwise(n_delims - 1).cast(
+        "bigint"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BPE token counts: (id_col, n_tokens_bpe).
+
+    Plan: explode word pieces → per-(doc, piece) occurrence counts →
+    tokenize the DISTINCT vocabulary once (the expensive fold runs
+    |vocab| times, not |corpus-tokens| times) → join back and sum.
+    Docs with no pieces (empty/whitespace text) report 0."""
+    pieces = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+            )
+        ).alias("w"),
+    )
+    per_doc_word = pieces.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    vocab = (
+        per_doc_word.select("w")
+        .distinct()
+        .select("w", bpe_token_count_expr(F.col("w")).alias("nt"))
+    )
+    sums = (
+        per_doc_word.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("occ") * F.col("nt")).alias("n_tokens_bpe"))
+    )
+    return df.select(id_col).join(sums, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_bpe"
+        ),
+    )
 
 
 def occurrences(text: Column, word: str) -> Column:

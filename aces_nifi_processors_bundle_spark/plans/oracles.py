@@ -618,6 +618,50 @@ FROM per_doc GROUP BY source
 """
 )
 
+# Merges-table BPE: the SAME ranked replace-chain as
+# pipeline/text.py::bpe_token_count_expr — delimiter-encoded symbols,
+# one literal replace per merge in rank order (replace is left-to-
+# right non-overlapping in both engines = BPE's merge scan). The chain
+# is GENERATED from the shared BPE_MERGES fixture so the two engines
+# cannot drift. (A DuckDB-lambda formulation was rejected: nested
+# list_reduce lambdas over large literal lists miscompute in DuckDB
+# 1.0.)
+from ..pipeline.text import BPE_DELIM as _D  # noqa: E402
+from ..pipeline.text import BPE_MERGES as _BPE_MERGES  # noqa: E402
+from ..pipeline.text import BPE_PIECE_RE as _BPE_PIECE_RE  # noqa: E402
+
+
+def _bpe_chain_sql() -> str:
+    expr = f"'{_D}' || array_to_string(string_split(w, ''), '{_D}') || '{_D}'"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{_D}{a}{_D}{b}{_D}', '{_D}{a}{b}{_D}')"
+    return expr
+
+
+oracle("q_token_count_bpe")(
+    f"""
+WITH pieces AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_BPE_PIECE_RE}')) AS w
+  FROM documents
+),
+pdw AS (SELECT doc_id, w, count(*) AS occ FROM pieces GROUP BY doc_id, w),
+vocab AS (
+  SELECT w, {_bpe_chain_sql()} AS s FROM (SELECT DISTINCT w FROM pdw)
+),
+tok AS (
+  SELECT w,
+         CAST(length(s) - length(replace(s, '{_D}', '')) - 1 AS BIGINT) AS nt
+  FROM vocab
+),
+sums AS (
+  SELECT doc_id, sum(occ * nt) AS s FROM pdw JOIN tok USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS n_tokens_bpe
+FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
+)
+
 oracle("q_partial_update_nested")(
     """
 SELECT c_custkey,

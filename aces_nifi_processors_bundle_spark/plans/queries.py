@@ -843,6 +843,22 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merges-table-accurate BPE token counts per document
+    (pipeline/text.py::bpe_token_counts): pre-tokenize → fold the
+    ranked BPE_MERGES fixture over the DISTINCT word vocabulary (the
+    expensive per-word fold is vocabulary-bounded, not corpus-bounded)
+    → join back and sum. The ascending-rank fold is provably identical
+    to classic repeat-the-min-rank-pair BPE (see the BPE_MERGES module
+    comment; pytest cross-checks a reference Python implementation);
+    the oracle replays the SAME fold with DuckDB list_reduce lambdas
+    over the same merges literal — integer counts, value-hash exact."""
+    from ..pipeline.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_counts(docs)
+
+
 # --- North-star extensions: dedup ---------------------------------------
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:

@@ -26,6 +26,8 @@ from . import queries as q
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
+    # --- (0) added in round 6 ------------------------------------------
+    "q_token_count_bpe": q.q_token_count_bpe,
     # --- (1) never driver-checked in rounds 1-4 ------------------------
     "q_asof_enrich": q.q_asof_enrich,
     "q_ann_topk": q.q_ann_topk,

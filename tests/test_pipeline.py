@@ -1377,3 +1377,92 @@ def test_auto_decoder_degrades_to_fake_without_pil(spark, sf_dir):
         return
     fake = sorted(map(tuple, extract_features(media, use_real_decoder=False).collect()))
     assert auto == fake
+
+
+def test_bpe_merges_table_valid():
+    """Every merge side must be a single char or the output of an
+    EARLIER merge — the property that makes the ascending-rank fold
+    provably identical to classic min-rank-pair BPE (see the
+    BPE_MERGES module comment). Also: no duplicate rules."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import BPE_MERGES
+
+    produced: set[str] = set()
+    seen: set[tuple[str, str]] = set()
+    for a, b in BPE_MERGES:
+        for side in (a, b):
+            assert len(side) == 1 or side in produced, (
+                f"merge ({a!r},{b!r}): side {side!r} is neither a char "
+                "nor an earlier merge's output"
+            )
+        assert (a, b) not in seen, f"duplicate merge ({a!r},{b!r})"
+        seen.add((a, b))
+        produced.add(a + b)
+
+
+def _classic_bpe_count(word: str, merges: list[tuple[str, str]]) -> int:
+    """Reference implementation: the GPT-2 repeat-the-min-rank-pair
+    loop, used only to cross-check the Spark/SQL ascending-rank fold."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        ranked = [(ranks[p], p) for p in pairs if p in ranks]
+        if not ranked:
+            break
+        _, (a, b) = min(ranked)
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_fold_matches_classic_bpe(spark, sf_dir):
+    """The single ascending-rank fold must equal classic BPE on the
+    real document vocabulary — the algebraic equivalence, checked
+    empirically over every distinct word piece at this SF."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        BPE_MERGES,
+        BPE_PIECE_RE,
+        bpe_token_count_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_PIECE_RE), F.lit(0))
+        ).alias("w")
+    ).distinct()
+    got = {
+        r["w"]: r["nt"]
+        for r in vocab.select("w", bpe_token_count_expr(F.col("w")).alias("nt")).collect()
+    }
+    assert len(got) > 20
+    mismatches = {
+        w: (nt, _classic_bpe_count(w, BPE_MERGES))
+        for w, nt in got.items()
+        if nt != _classic_bpe_count(w, BPE_MERGES)
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # spot sanity: common words compress, unmergeable singles don't
+    assert got.get("the") == 1 and got.get("a") == 1
+
+
+def test_bpe_token_counts_per_doc(spark):
+    """End-to-end per-doc counts: empty docs report 0; counts follow
+    hand-computed tokenization."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "The cat"), (2, ""), (3, "  "), (4, "a 2000!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_token_counts(df).collect()}
+    # "the"->1 tok; "cat"-> (a,t) outranks (c,a) -> ["c","at"] = 2;
+    # "2000" -> (0,0) outranks (2,0) -> ["2","00","0"] = 3; "!" -> 1
+    assert got == {1: 3, 2: 0, 3: 0, 4: 5}
