@@ -614,10 +614,11 @@ def _funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     window_sec: int | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     from .pipeline.reports import funnel
 
-    return funnel(df, steps, user_col, type_col, ts_col, window_sec)
+    return funnel(df, steps, user_col, type_col, ts_col, window_sec, method)
 
 
 @stage("union")

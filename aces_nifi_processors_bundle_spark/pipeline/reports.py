@@ -189,6 +189,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_sec: int = 1800,
     tie_col: str | None = None,
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     """Batch sessionization — the BATCH complement of the streaming
     session window (streaming/binning_stream.py): assign every event a
@@ -203,22 +204,88 @@ def sessionize(
     opposite cap of the per-group-global ntile — user counts are the
     BIG cardinality here). All arithmetic is integer microseconds
     (cross-engine determinism rule), so a DuckDB oracle value-hashes.
-    """
+
+    chunk_sec — the HOT-KEY escape hatch. partitionBy(user) puts a
+    user's whole history in ONE task; a zipf monster key (measured in
+    SCALE.md §skew: 53M events on one user = 7.3x the uniform wall,
+    one task sorting while 31 idle) caps parallelism at 1. chunk_sec
+    sub-partitions each user's events into fixed time chunks
+    (e.g. 86400 = day): boundaries are computed within (user, chunk) —
+    per-task sort bounded by events-per-user-per-chunk — and stitched
+    exactly through a per-(user, chunk) summary frame (first/last
+    event time + inner-boundary count; users x chunks rows, tiny)
+    whose own window carries the cross-chunk session offsets. The
+    output is BYTE-IDENTICAL to the unchunked path (pytest-equal,
+    incl. sessions spanning chunk boundaries and empty chunks):
+    an event at a chunk's start opens a new session iff the gap from
+    the PREVIOUS NON-EMPTY chunk's last event exceeds gap_sec, exactly
+    the lag() rule. Cost: one extra small window + a co-partitioned
+    join — worth it only under real key skew."""
     from pyspark.sql import Window
 
     us = F.unix_micros(F.col(ts_col))
     order = [us.asc()] + ([F.col(tie_col).asc()] if tie_col else [])
-    w = Window.partitionBy(user_col).orderBy(*order)
-    prev = F.lag(us).over(w)
-    boundary = (
-        prev.isNull() | ((us - prev) > F.lit(int(gap_sec) * 1_000_000))
+    gap_us = F.lit(int(gap_sec) * 1_000_000)
+    if chunk_sec is None:
+        w = Window.partitionBy(user_col).orderBy(*order)
+        prev = F.lag(us).over(w)
+        boundary = (prev.isNull() | ((us - prev) > gap_us)).cast("int")
+        running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn("_b", boundary).withColumn(
+            "session_seq", F.sum("_b").over(running).cast("int")
+        ).drop("_b")
+
+    chunk = F.floor(us / F.lit(int(chunk_sec) * 1_000_000))
+    ev = df.withColumn("_us", us).withColumn("_ck", chunk)
+    w_ck = Window.partitionBy(user_col, "_ck").orderBy(*order)
+    prev_in = F.lag(F.col("_us")).over(w_ck)
+    # inner boundary: non-first events of a chunk only; the chunk's
+    # first event is decided by the summary join below
+    b_inner = (
+        prev_in.isNotNull() & ((F.col("_us") - prev_in) > gap_us)
     ).cast("int")
-    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ev = ev.withColumn("_bi", b_inner).withColumn(
+        "_first_in_ck", prev_in.isNull().cast("int")
     )
-    return df.withColumn("_b", boundary).withColumn(
-        "session_seq", F.sum("_b").over(running).cast("int")
-    ).drop("_b")
+    summary = ev.groupBy(user_col, "_ck").agg(
+        F.min("_us").alias("_first_us"),
+        F.max("_us").alias("_last_us"),
+        F.sum("_bi").alias("_n_inner"),
+    )
+    w_sum = Window.partitionBy(user_col).orderBy(F.col("_ck").asc())
+    prev_last = F.lag(F.col("_last_us")).over(w_sum)  # previous NON-EMPTY chunk
+    first_b = (
+        prev_last.isNull() | ((F.col("_first_us") - prev_last) > gap_us)
+    ).cast("int")
+    n_bounds = F.col("_n_inner") + first_b
+    offset = (
+        F.sum(n_bounds).over(
+            w_sum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - n_bounds
+    )
+    summary = summary.select(
+        user_col, "_ck", first_b.alias("_first_b"), offset.alias("_off")
+    )
+    run_ck = w_ck.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ev.join(summary, [user_col, "_ck"])
+        .withColumn(
+            "_b",
+            F.when(F.col("_first_in_ck") == 1, F.col("_first_b")).otherwise(
+                F.col("_bi")
+            ),
+        )
+        .withColumn(
+            "session_seq",
+            (F.col("_off") + F.sum("_b").over(run_ck)).cast("int"),
+        )
+    )
+    # the join put its keys first; restore the caller's column order so
+    # both paths return identically-shaped frames
+    return out.select(*df.columns, "session_seq")
 
 
 def _funnel_times_chained(
@@ -339,7 +406,7 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     window_sec: int | None = None,
-    method: str = "array",
+    method: str = "auto",
 ) -> DataFrame:
     """Ordered-funnel analysis: per user, the earliest time each step
     can complete GIVEN the previous step already happened (first
@@ -356,10 +423,19 @@ def funnel(
     counted. Restart-capable tools (Amplitude-style windowed funnels)
     will report counts >= these; compare accordingly.
 
-    method='array' (default): single shuffle — per-user sorted event
-    array + one fold, wall time independent of step count.
-    method='chained': the k-pass conditional-MIN reference path (one
-    events scan per step), kept as the cross-check.
+    method='array': single shuffle — per-user sorted event array + one
+    fold, wall time independent of step count, but the per-user event
+    list must fit one task (a zipf hot user holding tens of millions
+    of step events overflows the collect_list group — measured in
+    SCALE.md §skew).
+    method='chained': k-pass conditional-MIN (one events scan per
+    step, all on a shared user partitioning) — step-linear but
+    hot-key-robust (plain min aggregations, map-side combined).
+    method='auto' (default): a STATIC rule — 'array' for long funnels
+    (>= 5 steps, where the k-pass cost dominates: measured 35.5 s vs
+    21.7 s at 8 steps / 100M rows), 'chained' for short ones (3-step:
+    11.4 s vs 16.9 s at the same scale) — chosen at plan time, no
+    pre-scan, so the operator stays a pure lazy transform.
 
     Either way the final per-step rollup explodes ONE global counts
     row into the step rows (a union of per-step selects would
@@ -370,6 +446,8 @@ def funnel(
         raise ValueError("funnel: need at least one step")
     if window_sec is not None and window_sec <= 0:
         raise ValueError(f"funnel: window_sec must be positive, got {window_sec}")
+    if method == "auto":
+        method = "array" if len(steps) >= 5 else "chained"
     if method == "array" and len(set(steps)) != len(steps):
         # the array fold maps each event to ONE step index
         # (array_position = first match), so a repeated step type

@@ -2309,6 +2309,10 @@ FROM tagged GROUP BY user_id, session_seq
 """
 )
 
+# chunk_sec is byte-identical to the single-sort path by construction
+# (pytest-equal), so the chunked driver query shares the oracle verbatim.
+ORACLES["q_sessionize_chunked"] = ORACLES["q_sessionize"]
+
 
 # q_store_incremental_agg: incremental base+delta over the CDC feed
 # is decimal-exact, so the oracle is simply the FULL recompute on v2.

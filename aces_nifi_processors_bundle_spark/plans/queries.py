@@ -2176,6 +2176,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY sessionize path under the full value-hash gate:
+    chunk_sec=86400 computes session boundaries within (user, day)
+    chunks — per-task sort bounded by events-per-user-per-day, the
+    monster-key defense measured in SCALE.md §skew (210.8 s → 74.6 s
+    on a 53M-event zipf user) — and stitches chunks exactly through a
+    per-(user, chunk) summary window. Output is BYTE-IDENTICAL to the
+    single-sort path, so it shares q_sessionize's oracle verbatim."""
+    from ..pipeline.reports import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        events, "user_id", "ts", gap_sec=1800, tie_col="event_id",
+        chunk_sec=86400,
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
 def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction correctness under the full value-hash gate: three
     put_if_absent appends fragment every bucket into multiple
@@ -2322,22 +2344,29 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipeline/reports.py::funnel): per-step users-reaching counts and
     step-to-step conversion, each step's clock starting at the
     previous step's CHAINED completion time (not its global first
-    occurrence). One groupBy(user) pass per step on a shared key."""
+    occurrence). Pinned to the single-shuffle ARRAY path (per-user
+    sorted event array + one fold — one hashpartitioning(user)
+    exchange, plan-asserted); the k-pass chained path is the
+    cross-check (pytest asserts both agree; method='auto' picks
+    per step count — see the funnel docstring and SCALE.md §skew
+    for the measured trade)."""
     from ..pipeline.reports import funnel
 
     events = load_table(spark, sf_dir, "events")
-    return funnel(events, ["view", "click", "purchase"])
+    return funnel(events, ["view", "click", "purchase"], method="array")
 
 
 def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The conversion-window funnel: each step must follow the
     previous CHAINED step within 1 hour — the "converted within X"
     reporting shape. Later occurrences outside the window do not
-    count and stop that user's chain."""
+    count and stop that user's chain. Array path, like q_funnel."""
     from ..pipeline.reports import funnel
 
     events = load_table(spark, sf_dir, "events")
-    return funnel(events, ["view", "click", "purchase"], window_sec=3600)
+    return funnel(
+        events, ["view", "click", "purchase"], window_sec=3600, method="array"
+    )
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

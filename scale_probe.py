@@ -183,6 +183,14 @@ def main() -> None:
     if SKEW:
         TABLES["events"] = (["event_id"], lambda df, i: _zipf_users(df))
         TABLES["documents"] = (["doc_id"], _template_flood)
+    # SCALE_PROBE_TABLES=events,documents restricts generation (e.g. an
+    # events-only sf10 skew set for the salt-compare crossover probe).
+    only = os.environ.get("SCALE_PROBE_TABLES")
+    if only:
+        keep = {t.strip() for t in only.split(",")}
+        for t in [t for t in TABLES if t not in keep]:
+            del TABLES[t]
+        PASSTHROUGH[:] = [t for t in PASSTHROUGH if t in keep]
     spark = get_spark(app_name="aces-scale-probe")
     for name in PASSTHROUGH:
         dst = os.path.join(OUT, f"{name}.parquet")

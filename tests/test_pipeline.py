@@ -1466,3 +1466,62 @@ def test_bpe_token_counts_per_doc(spark):
     # "the"->1 tok; "cat"-> (a,t) outranks (c,a) -> ["c","at"] = 2;
     # "2000" -> (0,0) outranks (2,0) -> ["2","00","0"] = 3; "!" -> 1
     assert got == {1: 3, 2: 0, 3: 0, 4: 5}
+
+
+def test_funnel_auto_method_static_rule(spark, sf_dir):
+    """method='auto' is a plan-time rule: chained for short funnels
+    (k-pass wins at 3 steps — SCALE.md §skew), array for long ones
+    (step-count-independent at >= 5). Pinned via the plan's exchange
+    count: array = exactly one hashpartitioning(user) exchange."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    short = funnel(events, ["view", "click", "purchase"])  # auto -> chained
+    long_ = funnel(events, ["view", "click", "purchase", "signup", "error"])
+    p_short = short._jdf.queryExecution().executedPlan().toString()
+    p_long = long_._jdf.queryExecution().executedPlan().toString()
+    assert p_short.count("hashpartitioning(user_id") > 1   # k-pass chained
+    assert p_long.count("hashpartitioning(user_id") == 1   # single-shuffle array
+
+
+def test_sessionize_chunked_equals_unchunked(spark, sf_dir):
+    """chunk_sec (the hot-key sessionize path) must reproduce the
+    single-sort result byte-for-byte — including sessions spanning
+    chunk boundaries and gaps spanning EMPTY chunks — for several
+    chunk sizes, on real events and on a crafted boundary fixture."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import sessionize
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    base = sorted(map(tuple, sessionize(events, gap_sec=1800).collect()))
+    for ck in (3600, 86400, 600):
+        got = sorted(
+            map(tuple, sessionize(events, gap_sec=1800, chunk_sec=ck).collect())
+        )
+        assert got == base, f"chunk_sec={ck} diverged"
+
+    # crafted: sessions continuing over a boundary (59s gap across the
+    # minute edge), a gap spanning two EMPTY chunks, ts ties
+    rows = [
+        (1, 1, "2026-01-01 00:00:30"),  # s1
+        (2, 1, "2026-01-01 00:01:05"),  # s1 (35s gap, crosses minute chunk)
+        (3, 1, "2026-01-01 00:05:00"),  # s2 (235s > 60s gap, empty chunks between)
+        (4, 1, "2026-01-01 00:05:00"),  # s2 tie
+        (5, 2, "2026-01-01 00:00:00"),  # other user s1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s string").select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    want = sorted(
+        map(tuple, sessionize(df, gap_sec=60, tie_col="event_id").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sessionize(df, gap_sec=60, tie_col="event_id", chunk_sec=60).collect(),
+        )
+    )
+    assert got == want
+    seq = {r["event_id"]: r["session_seq"]
+           for r in sessionize(df, gap_sec=60, tie_col="event_id",
+                               chunk_sec=60).collect()}
+    assert seq == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
