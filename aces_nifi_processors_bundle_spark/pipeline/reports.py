@@ -13,6 +13,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def frequent_keys(
+    df: DataFrame,
+    cols: str | list[str],
+    min_count: int | None = None,
+    min_share: float | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Hot-key detection — the frequency pass that feeds
+    `salted_join(hot_keys=...)` (CLUSTER.md: compute the hot set once
+    per pipeline and reuse the broadcast). Returns one row per key
+    passing the threshold(s): (cols..., n, share), share = n/total
+    rounded to 6 places.
+
+    Exact by default: one hash-groupBy (map-side combined) + a one-row
+    total broadcast back onto the per-key counts — the count frame is
+    distinct-key-sized, never row-sized. `sample_fraction` switches to
+    a seeded Bernoulli sample with counts scaled by 1/fraction — the
+    cheap estimate for interactive hot-set discovery at 100 TB (a key
+    hot enough to matter for salting is far above any sampling noise
+    floor); thresholds then apply to the ESTIMATES, so borderline keys
+    can flip — use exact for reproducible pipelines."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if min_count is None and min_share is None:
+        raise ValueError("frequent_keys: pass min_count and/or min_share")
+    src = df
+    scale = 1.0
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError(
+                f"frequent_keys: sample_fraction must be in (0, 1], got "
+                f"{sample_fraction}"
+            )
+        src = df.sample(fraction=sample_fraction, seed=42)
+        scale = 1.0 / sample_fraction
+    counts = src.groupBy(*cols).agg(
+        (F.count(F.lit(1)) * F.lit(scale)).cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    out = counts.crossJoin(F.broadcast(total)).select(
+        *cols,
+        F.col("n"),
+        F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+        (F.col("n") / F.col("_tot")).alias("_raw_share"),
+    )
+    cond = F.lit(True)
+    if min_count is not None:
+        cond = cond & (F.col("n") >= F.lit(int(min_count)))
+    if min_share is not None:
+        cond = cond & (F.col("_raw_share") >= F.lit(float(min_share)))
+    return out.filter(cond).drop("_raw_share")
+
+
 def vocab_stats(
     df: DataFrame, text_col: str = "text", group_col: str = "lang"
 ) -> DataFrame:
@@ -399,6 +451,63 @@ def _funnel_times_array(
     )
 
 
+def _funnel_times_restart(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    window_sec: int,
+) -> DataFrame:
+    """Restart-capable (Amplitude-style) chained step times: a user
+    reaches step i iff SOME event subsequence steps[0..i] exists with
+    every consecutive gap in [0, window]. Same single-shuffle sorted-
+    array fold as the first-touch path, different update rule — each
+    slot keeps the LATEST completion time instead of the earliest:
+    events arrive in time order, so a later chain-of-length-i
+    completion weakly dominates an earlier one for every future
+    extension (the >= comparison still holds and the gap can only
+    shrink), which makes latest-only state complete — the greedy is
+    exact, proven against an O(n²k) interval-DP reference in pytest.
+    Slots are never unset, so final non-null == ever-reached."""
+    k = len(steps)
+    us = F.unix_micros(F.col(ts_col))
+    step_idx = (
+        F.array_position(F.array(*[F.lit(s) for s in steps]), F.col(type_col))
+        - 1
+    ).cast("int")
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), us.alias("_us"), step_idx.alias("_si")
+    )
+    win_us = int(window_sec) * 1_000_000
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_us").alias("ts"), F.col("_si").alias("si")))
+    )
+    init = F.array_repeat(F.lit(None).cast("long"), k)
+
+    def apply_event(acc, x):
+        def upd(t, i):
+            prev = F.get(acc, i - F.lit(1))
+            return (
+                F.when((x["si"] == i) & (i == F.lit(0)), x["ts"])
+                .when(
+                    (x["si"] == i)
+                    & prev.isNotNull()
+                    & (x["ts"] >= prev)
+                    & (x["ts"] - prev <= F.lit(win_us)),
+                    x["ts"],
+                )
+                .otherwise(t)
+            )
+
+        return F.transform(acc, upd)
+
+    chained = F.aggregate(arr, init, apply_event)
+    return ev.groupBy(user_col).agg(chained.alias("_chain")).select(
+        F.col(user_col), *[F.get("_chain", i).alias(f"_s{i}") for i in range(k)]
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
@@ -407,6 +516,7 @@ def funnel(
     ts_col: str = "ts",
     window_sec: int | None = None,
     method: str = "auto",
+    restart: bool = False,
 ) -> DataFrame:
     """Ordered-funnel analysis: per user, the earliest time each step
     can complete GIVEN the previous step already happened (first
@@ -416,12 +526,15 @@ def funnel(
     gap (the "converted within 24h" shape): a later occurrence outside
     the window does NOT count, and the chain for that user stops.
 
-    Semantics are FIRST-TOUCH / NO-RESTART: each step anchors on the
-    EARLIEST qualifying occurrence and the chain never re-anchors on a
-    later occurrence of an earlier step — a user whose only in-window
-    conversion starts from a second occurrence of step i is NOT
-    counted. Restart-capable tools (Amplitude-style windowed funnels)
-    will report counts >= these; compare accordingly.
+    Default semantics are FIRST-TOUCH / NO-RESTART: each step anchors
+    on the EARLIEST qualifying occurrence and the chain never
+    re-anchors on a later occurrence of an earlier step — a user whose
+    only in-window conversion starts from a second occurrence of step
+    i is NOT counted. `restart=True` (requires window_sec, distinct
+    steps) switches to the Amplitude-style RESTART definition: a user
+    reaches step i iff ANY event subsequence completes steps[0..i]
+    with every gap inside the window — counts >= the first-touch
+    numbers by construction (pytest-pinned).
 
     method='array': single shuffle — per-user sorted event array + one
     fold, wall time independent of step count, but the per-user event
@@ -446,7 +559,22 @@ def funnel(
         raise ValueError("funnel: need at least one step")
     if window_sec is not None and window_sec <= 0:
         raise ValueError(f"funnel: window_sec must be positive, got {window_sec}")
-    if method == "auto":
+    if restart:
+        # without a window, an in-order subsequence exists iff the
+        # earliest-greedy chain finds one — restart adds nothing, so
+        # requiring window_sec keeps the flag meaningful
+        if window_sec is None:
+            raise ValueError("funnel: restart=True requires window_sec")
+        if len(set(steps)) != len(steps):
+            raise ValueError(
+                "funnel: restart=True needs distinct step types (the "
+                "fold maps each event to one step index)"
+            )
+        times = _funnel_times_restart(
+            df, steps, user_col, type_col, ts_col, window_sec
+        )
+        method = None
+    elif method == "auto":
         method = "array" if len(steps) >= 5 else "chained"
     if method == "array" and len(set(steps)) != len(steps):
         # the array fold maps each event to ONE step index
@@ -459,7 +587,7 @@ def funnel(
         times = _funnel_times_chained(
             df, steps, user_col, type_col, ts_col, window_sec
         )
-    else:
+    elif method is not None:  # None == restart path bound `times` above
         raise ValueError(f"funnel: unknown method {method!r} (array|chained)")
     counts = times.agg(
         *[

@@ -2425,5 +2425,77 @@ FROM c
 
 
 ORACLES["q_funnel"] = _funnel_oracle()
+
+# Restart-capable funnel: the oracle replays the Spark fold exactly —
+# per user, events in (ts, step_idx) order drive a RECURSIVE CTE whose
+# state is the k-slot latest-completion list (slot 1 refreshes on
+# every step-0 event; slot i takes the event time when slot i-1 is set
+# and the gap fits the window). Counts = non-null slots at each
+# user's final row. Single-level lambda only (nested DuckDB lambdas
+# miscompute — see the BPE oracle note).
+oracle("q_funnel_restart")(
+    """
+WITH RECURSIVE steps(si, et) AS (
+  SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase')) v
+),
+ev AS (
+  SELECT e.user_id, epoch_us(e.ts) AS us, s.si,
+         row_number() OVER (
+           PARTITION BY e.user_id ORDER BY epoch_us(e.ts), s.si
+         ) AS idx
+  FROM events e JOIN steps s ON e.event_type = s.et
+),
+n AS (SELECT user_id, max(idx) AS mx FROM ev GROUP BY user_id),
+rec AS (
+  SELECT user_id, 0 AS idx,
+         [NULL::BIGINT, NULL::BIGINT, NULL::BIGINT] AS st
+  FROM n
+  UNION ALL
+  SELECT r.user_id, r.idx + 1,
+         list_transform(range(1, 4), i -> CASE
+            WHEN e.si = i - 1 AND i = 1 THEN e.us
+            WHEN e.si = i - 1 AND r.st[i-1] IS NOT NULL
+                 AND e.us >= r.st[i-1]
+                 AND e.us - r.st[i-1] <= 3600000000
+              THEN e.us
+            ELSE r.st[i] END)
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.idx = r.idx + 1
+),
+fin AS (
+  SELECT r.user_id, r.st
+  FROM rec r JOIN n ON r.user_id = n.user_id AND r.idx = n.mx
+),
+c AS (
+  SELECT CAST(count(st[1]) AS BIGINT) AS n0,
+         CAST(count(st[2]) AS BIGINT) AS n1,
+         CAST(count(st[3]) AS BIGINT) AS n2
+  FROM fin
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n0 AS n_users,
+       CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS conversion
+FROM c
+UNION ALL
+SELECT 2, 'click', n1,
+       CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END
+FROM c
+UNION ALL
+SELECT 3, 'purchase', n2,
+       CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
+FROM c
+"""
+)
 ORACLES["q_funnel_windowed"] = _funnel_oracle(3600000000)
+
+oracle("q_hot_keys")(
+    """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT user_id, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM c, t
+WHERE CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) >= 0.0015
+"""
+)
 

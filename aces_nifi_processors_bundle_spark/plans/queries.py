@@ -2369,6 +2369,37 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESTART-capable windowed funnel (Amplitude-style): a user
+    reaches step i iff ANY event subsequence completes steps[0..i]
+    with every gap inside the 1-hour window — the chain re-anchors on
+    later occurrences, so counts >= q_funnel_windowed's first-touch
+    numbers by construction (pytest-pinned). Same single-shuffle
+    sorted-array fold, latest-completion-dominates update rule
+    (pipeline/reports.py::_funnel_times_restart, greedy proven exact
+    against an interval-DP reference). The oracle replays the exact
+    per-user event fold as a DuckDB RECURSIVE CTE carrying the k-slot
+    state list."""
+    from ..pipeline.reports import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(
+        events, ["view", "click", "purchase"], window_sec=3600, restart=True
+    )
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (pipeline/reports.py::frequent_keys): the
+    exact frequency pass that feeds salted_join's hot_keys broadcast
+    (CLUSTER.md) — one map-side-combined hash-groupBy plus a one-row
+    total broadcast back onto the distinct-key-sized count frame.
+    Returns keys above 1.5x the uniform share with count and share."""
+    from ..pipeline.reports import frequent_keys
+
+    events = load_table(spark, sf_dir, "events")
+    return frequent_keys(events, "user_id", min_share=0.0015)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram LM quality ranking (the CCNet-style
     perplexity filter, engine-native): train the conditional trigram

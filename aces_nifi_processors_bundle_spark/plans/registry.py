@@ -33,6 +33,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- (1) added in round 6 ------------------------------------------
     "q_token_count_bpe": q.q_token_count_bpe,
     "q_sessionize_chunked": q.q_sessionize_chunked,
+    "q_funnel_restart": q.q_funnel_restart,
+    "q_hot_keys": q.q_hot_keys,
     # --- (2) last externally checked in round 3 ------------------------
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,

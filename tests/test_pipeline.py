@@ -1525,3 +1525,113 @@ def test_sessionize_chunked_equals_unchunked(spark, sf_dir):
            for r in sessionize(df, gap_sec=60, tie_col="event_id",
                                chunk_sec=60).collect()}
     assert seq == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def _restart_reachable_dp(events, k, win_us):
+    """Independent O(n²k) interval-DP reference for the restart
+    funnel: reached[i] iff some subsequence completes steps 0..i with
+    every gap in [0, win]. events = sorted [(us, si), ...]."""
+    best = [set() for _ in range(k)]  # completion times per depth
+    for us, si in events:
+        if si == 0:
+            best[0].add(us)
+        elif any(us >= p and us - p <= win_us for p in best[si - 1]):
+            best[si].add(us)
+    return [bool(b) for b in best]
+
+
+def test_funnel_restart_matches_dp_reference(spark, sf_dir):
+    """The latest-completion-dominates greedy must equal the full
+    interval DP on the real events table (every user checked) and on
+    crafted re-anchor cases; restart counts >= first-touch counts."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        _funnel_times_restart,
+        funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    win = 3600
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["user_id"]: [r[f"_s{i}"] is not None for i in range(3)]
+        for r in _funnel_times_restart(
+            events, steps, "user_id", "event_type", "ts", win
+        ).collect()
+    }
+    raw = (
+        events.filter(F.col("event_type").isin(steps))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            (F.array_position(F.array(*[F.lit(s) for s in steps]),
+                              F.col("event_type")) - 1).cast("int").alias("si"),
+        )
+        .collect()
+    )
+    per_user: dict = {}
+    for r in raw:
+        per_user.setdefault(r["user_id"], []).append((r["us"], r["si"]))
+    assert len(got) > 5
+    for u, evs in per_user.items():
+        want = _restart_reachable_dp(sorted(evs), 3, win * 1_000_000)
+        assert got[u] == want, f"user {u}: greedy {got[u]} != dp {want}"
+
+    # crafted: the re-anchor case first-touch misses
+    rows = [
+        (1, "view", "2026-01-01 00:00:00"),
+        (1, "click", "2026-01-01 00:00:10"),
+        (1, "view", "2026-01-01 02:00:00"),       # second chance
+        (1, "click", "2026-01-01 02:10:00"),
+        (1, "purchase", "2026-01-01 02:20:00"),   # converts only w/ restart
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, s string").select(
+        "user_id", "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    ft = {r["step"]: r["n_users"] for r in funnel(df, steps, window_sec=1800).collect()}
+    rs = {r["step"]: r["n_users"]
+          for r in funnel(df, steps, window_sec=1800, restart=True).collect()}
+    assert ft == {1: 1, 2: 1, 3: 0}   # first purchase is 2h20 after first click
+    assert rs == {1: 1, 2: 1, 3: 1}   # restart re-anchors on the 02:00 view
+
+    # monotonicity on real data: restart >= first-touch at every step
+    ftc = {r["step"]: r["n_users"]
+           for r in funnel(events, steps, window_sec=win).collect()}
+    rsc = {r["step"]: r["n_users"]
+           for r in funnel(events, steps, window_sec=win, restart=True).collect()}
+    assert all(rsc[s] >= ftc[s] for s in ftc)
+    # validation errors
+    with pytest.raises(ValueError, match="requires window_sec"):
+        funnel(events, steps, restart=True)
+    with pytest.raises(ValueError, match="distinct step types"):
+        funnel(events, ["view", "click", "view"], window_sec=60, restart=True)
+
+
+def test_frequent_keys_exact_and_sampled(spark, sf_dir):
+    """Exact path: thresholds against hand-computed counts; sampled
+    path: hot keys far above the noise floor survive estimation."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import frequent_keys
+
+    df = spark.createDataFrame(
+        [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 5, "k long"
+    )
+    got = {r["k"]: (r["n"], r["share"])
+           for r in frequent_keys(df, "k", min_count=15).collect()}
+    assert got == {1: (50, 0.5), 2: (30, 0.3), 3: (15, 0.15)}
+    by_share = {r["k"] for r in frequent_keys(df, "k", min_share=0.2).collect()}
+    assert by_share == {1, 2}
+    # both thresholds AND together
+    both = {r["k"] for r in frequent_keys(df, "k", min_count=16, min_share=0.1).collect()}
+    assert both == {1, 2}
+    with pytest.raises(ValueError, match="min_count and/or min_share"):
+        frequent_keys(df, "k")
+
+    # sampled estimate on real events: the exact top key must survive
+    # a 50% sample with a loose threshold
+    events = load_table(spark, sf_dir, "events")
+    exact_top = frequent_keys(events, "user_id", min_count=1).orderBy(
+        F.desc("n"), "user_id"
+    ).first()
+    est = {r["user_id"]
+           for r in frequent_keys(events, "user_id", min_count=1,
+                                  sample_fraction=0.5).collect()}
+    assert exact_top["user_id"] in est
