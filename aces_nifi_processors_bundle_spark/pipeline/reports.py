@@ -389,32 +389,25 @@ def _funnel_times_chained(
     return times
 
 
-def _funnel_times_array(
+def _funnel_times_fold(
     df: DataFrame,
     steps: list[str],
     user_col: str,
     type_col: str,
     ts_col: str,
-    window_sec: int | None,
+    make_upd,
 ) -> DataFrame:
-    """Single-shuffle chained step times: ONE groupBy(user) collects
-    each user's (ts, step_idx) events into a sorted array, then a
-    left-to-right `aggregate` fold fills the chained-time vector —
-    wall time independent of step count (the chained path scans the
-    events frame once PER step).
-
-    The fold reproduces the chained-min semantics exactly: events
-    process in (ts, step_idx) order, so by the time any event with
-    ts > t processes, every chain slot settable at time <= t already
-    holds its final (minimal) value; the step_idx tie-break makes a
-    same-instant step sequence (step0 and step1 at the identical ts)
-    chain through, matching the `>=` comparison of the reference
-    path. Per-user state is one array<long> of length k — the whole
-    fold runs inside the post-aggregation projection, JVM codegen,
-    no UDFs. Memory: a user's full filtered event list is collected
-    into one array; events are pre-filtered to funnel step types, so
-    the array is bounded by the user's step-event count (the same
-    per-user cardinality sessionize sorts)."""
+    """Shared single-shuffle fold plumbing for the array funnel paths:
+    ONE groupBy(user) collects each user's (ts, step_idx) events into
+    a sorted array, then a left-to-right `aggregate` fold fills the
+    k-slot chain vector — the update rule is the only thing the
+    first-touch and restart variants disagree on, so it is the only
+    injected piece (make_upd(acc, x) -> (t, i) -> Column). Per-user
+    state is one array<long> of length k; the fold runs inside the
+    post-aggregation projection, JVM-side, no UDFs. Memory: a user's
+    full filtered event list is collected into one array — bounded by
+    the user's step-event count (the same per-user cardinality
+    sessionize sorts; see SCALE.md §skew for the monster-key bound)."""
     k = len(steps)
     us = F.unix_micros(F.col(ts_col))
     step_idx = (
@@ -424,13 +417,38 @@ def _funnel_times_array(
     ev = df.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col), us.alias("_us"), step_idx.alias("_si")
     )
-    win_us = None if window_sec is None else int(window_sec) * 1_000_000
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("_us").alias("ts"), F.col("_si").alias("si")))
     )
     init = F.array_repeat(F.lit(None).cast("long"), k)
+    chained = F.aggregate(arr, init, lambda acc, x: F.transform(acc, make_upd(acc, x)))
+    return ev.groupBy(user_col).agg(chained.alias("_chain")).select(
+        F.col(user_col), *[F.get("_chain", i).alias(f"_s{i}") for i in range(k)]
+    )
 
-    def apply_event(acc, x):
+
+def _funnel_times_array(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    window_sec: int | None,
+) -> DataFrame:
+    """Single-shuffle FIRST-TOUCH chained step times — wall time
+    independent of step count (the chained path scans the events frame
+    once PER step).
+
+    The fold reproduces the chained-min semantics exactly: events
+    process in (ts, step_idx) order, so by the time any event with
+    ts > t processes, every chain slot settable at time <= t already
+    holds its final (minimal) value; the step_idx tie-break makes a
+    same-instant step sequence (step0 and step1 at the identical ts)
+    chain through, matching the `>=` comparison of the reference
+    path."""
+    win_us = None if window_sec is None else int(window_sec) * 1_000_000
+
+    def make_upd(acc, x):
         def upd(t, i):
             prev = F.get(acc, i - F.lit(1))  # NULL when i == 0 (0-indexed get)
             in_window = (
@@ -443,12 +461,9 @@ def _funnel_times_array(
             )
             return F.when(t.isNotNull(), t).when((x["si"] == i) & ok_prev, x["ts"])
 
-        return F.transform(acc, upd)
+        return upd
 
-    chained = F.aggregate(arr, init, apply_event)
-    return ev.groupBy(user_col).agg(chained.alias("_chain")).select(
-        F.col(user_col), *[F.get("_chain", i).alias(f"_s{i}") for i in range(k)]
-    )
+    return _funnel_times_fold(df, steps, user_col, type_col, ts_col, make_upd)
 
 
 def _funnel_times_restart(
@@ -461,31 +476,18 @@ def _funnel_times_restart(
 ) -> DataFrame:
     """Restart-capable (Amplitude-style) chained step times: a user
     reaches step i iff SOME event subsequence steps[0..i] exists with
-    every consecutive gap in [0, window]. Same single-shuffle sorted-
-    array fold as the first-touch path, different update rule — each
-    slot keeps the LATEST completion time instead of the earliest:
-    events arrive in time order, so a later chain-of-length-i
-    completion weakly dominates an earlier one for every future
-    extension (the >= comparison still holds and the gap can only
-    shrink), which makes latest-only state complete — the greedy is
-    exact, proven against an O(n²k) interval-DP reference in pytest.
-    Slots are never unset, so final non-null == ever-reached."""
-    k = len(steps)
-    us = F.unix_micros(F.col(ts_col))
-    step_idx = (
-        F.array_position(F.array(*[F.lit(s) for s in steps]), F.col(type_col))
-        - 1
-    ).cast("int")
-    ev = df.filter(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col), us.alias("_us"), step_idx.alias("_si")
-    )
+    every consecutive gap in [0, window]. Same single-shuffle fold as
+    the first-touch path, different update rule — each slot keeps the
+    LATEST completion time instead of the earliest: events arrive in
+    time order, so a later chain-of-length-i completion weakly
+    dominates an earlier one for every future extension (the >=
+    comparison still holds and the gap can only shrink), which makes
+    latest-only state complete — the greedy is exact, proven against
+    an O(n²k) interval-DP reference in pytest. Slots are never unset,
+    so final non-null == ever-reached."""
     win_us = int(window_sec) * 1_000_000
-    arr = F.array_sort(
-        F.collect_list(F.struct(F.col("_us").alias("ts"), F.col("_si").alias("si")))
-    )
-    init = F.array_repeat(F.lit(None).cast("long"), k)
 
-    def apply_event(acc, x):
+    def make_upd(acc, x):
         def upd(t, i):
             prev = F.get(acc, i - F.lit(1))
             return (
@@ -500,12 +502,9 @@ def _funnel_times_restart(
                 .otherwise(t)
             )
 
-        return F.transform(acc, upd)
+        return upd
 
-    chained = F.aggregate(arr, init, apply_event)
-    return ev.groupBy(user_col).agg(chained.alias("_chain")).select(
-        F.col(user_col), *[F.get("_chain", i).alias(f"_s{i}") for i in range(k)]
-    )
+    return _funnel_times_fold(df, steps, user_col, type_col, ts_col, make_upd)
 
 
 def funnel(
@@ -559,6 +558,10 @@ def funnel(
         raise ValueError("funnel: need at least one step")
     if window_sec is not None and window_sec <= 0:
         raise ValueError(f"funnel: window_sec must be positive, got {window_sec}")
+    if method not in ("auto", "array", "chained"):
+        raise ValueError(
+            f"funnel: unknown method {method!r} (auto|array|chained)"
+        )
     if restart:
         # without a window, an in-order subsequence exists iff the
         # earliest-greedy chain finds one — restart adds nothing, so
@@ -570,25 +573,33 @@ def funnel(
                 "funnel: restart=True needs distinct step types (the "
                 "fold maps each event to one step index)"
             )
+        if method != "auto":
+            # restart has exactly ONE execution path (the array fold);
+            # silently honoring method='chained' would hand a user the
+            # hot-key-fragile path they explicitly tried to avoid
+            raise ValueError(
+                "funnel: restart=True has a single (array-fold) "
+                "execution path; leave method='auto'"
+            )
         times = _funnel_times_restart(
             df, steps, user_col, type_col, ts_col, window_sec
         )
-        method = None
-    elif method == "auto":
-        method = "array" if len(steps) >= 5 else "chained"
-    if method == "array" and len(set(steps)) != len(steps):
-        # the array fold maps each event to ONE step index
-        # (array_position = first match), so a repeated step type
-        # (["signup","view","signup"]) needs the per-step passes
-        method = "chained"
-    if method == "array":
-        times = _funnel_times_array(df, steps, user_col, type_col, ts_col, window_sec)
-    elif method == "chained":
-        times = _funnel_times_chained(
-            df, steps, user_col, type_col, ts_col, window_sec
-        )
-    elif method is not None:  # None == restart path bound `times` above
-        raise ValueError(f"funnel: unknown method {method!r} (array|chained)")
+    else:
+        if method == "auto":
+            method = "array" if len(steps) >= 5 else "chained"
+        if method == "array" and len(set(steps)) != len(steps):
+            # the array fold maps each event to ONE step index
+            # (array_position = first match), so a repeated step type
+            # (["signup","view","signup"]) needs the per-step passes
+            method = "chained"
+        if method == "array":
+            times = _funnel_times_array(
+                df, steps, user_col, type_col, ts_col, window_sec
+            )
+        else:
+            times = _funnel_times_chained(
+                df, steps, user_col, type_col, ts_col, window_sec
+            )
     counts = times.agg(
         *[
             F.count(F.col(f"_s{i}")).cast("bigint").alias(f"_n{i}")

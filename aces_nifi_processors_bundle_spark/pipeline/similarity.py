@@ -433,6 +433,7 @@ def ivf_write_index(
     vec_col: str = "embedding",
     centroids=None,
     mode: str = "overwrite",
+    epoch: int | None = None,
 ) -> None:
     """Materialize the inverted file: corpus + cell id, parquet
     PARTITIONED BY cell. A probing search that filters on `cid` then
@@ -441,16 +442,26 @@ def ivf_write_index(
     tests/test_pipeline.py by reading the pruned plan). The
     repartition bounds file count to one per touched cell per batch
     (small-files guard); mode='append' is the incremental-add path
-    (see ivf_append_index)."""
+    (see ivf_append_index). `epoch` switches to the replay-idempotent
+    layout: a leading epoch=<n> partition + dynamic partition
+    overwrite (see ivf_append_index's contract) — ONE write path
+    serves the batch, append, and streaming-epoch cases."""
     assign = ivf_assign_udf(dim, n_centroids, centroids)
+    body = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col),
+        assign(as_double(F.col(vec_col))).alias("cid"),
+    )
+    if epoch is None:
+        body.repartition(F.col("cid")).write.mode(mode).partitionBy(
+            "cid"
+        ).parquet(path)
+        return
     (
-        corpus.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col), F.col(vec_col),
-            assign(as_double(F.col(vec_col))).alias("cid"),
-        )
+        body.withColumn("epoch", F.lit(int(epoch)))
         .repartition(F.col("cid"))
-        .write.mode(mode)
-        .partitionBy("cid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cid")
         .parquet(path)
     )
 
@@ -484,25 +495,9 @@ def ivf_append_index(
     partition pruning still applies (cid stays a partition column at
     every epoch); an index must be epoch-partitioned from its first
     write or not at all — mixing layouts breaks partition inference."""
-    if epoch is None:
-        ivf_write_index(
-            new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
-            mode="append",
-        )
-        return
-    assign = ivf_assign_udf(dim, n_centroids, centroids)
-    (
-        new_vectors.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col), F.col(vec_col),
-            assign(as_double(F.col(vec_col))).alias("cid"),
-        )
-        .withColumn("epoch", F.lit(int(epoch)))
-        .repartition(F.col("cid"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch", "cid")
-        .parquet(path)
+    ivf_write_index(
+        new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
+        mode="append", epoch=epoch,
     )
 
 

@@ -105,32 +105,42 @@ BPE_MERGES: list[tuple[str, str]] = [
 BPE_PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s\x01]"
 
 # Symbol-boundary delimiter for the merge chain. A word's symbol state
-# is encoded as the string D s1 D s2 D ... D: every symbol is
-# delimiter-wrapped, so the literal pattern D+a+D+b+D matches exactly
-# an adjacent (a, b) SYMBOL pair (never a substring straddling symbol
-# boundaries), and `replace` — left-to-right, non-overlapping, resume-
-# after-match in both Spark (java String.replace) and DuckDB — is
-# precisely BPE's single-rank merge scan. One replace per ranked merge,
-# chained in rank order, is then classic BPE by the equivalence above.
-# This stays a flat codegen'd string expression: no higher-order
-# functions (interpreted in Spark; nested lambdas over large literal
-# lists miscompute in DuckDB 1.0 — observed: inner-fold corruption
-# beyond ~20 outer elements).
+# is encoded as the concatenation of INDEPENDENTLY wrapped symbols,
+# D s1 D D s2 D ... (each symbol carries its OWN opening and closing
+# delimiter, so TWO delimiters sit between adjacent symbols): the
+# literal pattern D+a+DD+b+D matches exactly an adjacent (a, b) SYMBOL
+# pair, and `replace` — left-to-right, non-overlapping, resume-after-
+# match in both Spark (java String.replace) and DuckDB — is precisely
+# BPE's single-rank merge scan. Per-symbol wrapping is load-bearing:
+# with a SHARED delimiter between symbols (D s1 D s2 D), consecutive
+# matches of a self-overlapping merge like ('0','0') in '0000' contend
+# for the middle delimiter and replace merges only every other pair —
+# 3 tokens where classic BPE yields [00, 00] (caught by code review;
+# regression-tested on '10000'/'0000'/'llll'). With per-symbol
+# wrapping the pattern consumes only the two symbols' own delimiters,
+# so runs merge pairwise exactly like the symbol scan. One replace per
+# ranked merge, chained in rank order, is then classic BPE by the
+# equivalence above. This stays a flat codegen'd string expression: no
+# higher-order functions (interpreted in Spark; nested lambdas over
+# large literal lists miscompute in DuckDB 1.0 — observed: inner-fold
+# corruption beyond ~20 outer elements).
 BPE_DELIM = "\x01"
 
 
 def bpe_token_count_expr(word: Column) -> Column:
     """Token count of ONE lowercase word piece under BPE_MERGES:
-    delimiter-encode the characters, chain one literal replace per
-    ranked merge, count surviving delimiters. Flat, codegen-friendly —
-    still run it over the DISTINCT vocabulary, not per occurrence."""
+    delimiter-encode the characters (each in its own D...D wrap),
+    chain one literal replace per ranked merge, count surviving
+    delimiters / 2 (every symbol owns exactly two). Flat,
+    codegen-friendly — still run it over the DISTINCT vocabulary, not
+    per occurrence."""
     d = BPE_DELIM
-    s = F.concat(F.lit(d), F.array_join(F.split(word, ""), d), F.lit(d))
+    s = F.concat(F.lit(d), F.array_join(F.split(word, ""), d + d), F.lit(d))
     for a, b in BPE_MERGES:
-        s = F.replace(s, F.lit(d + a + d + b + d), F.lit(d + a + b + d))
+        s = F.replace(s, F.lit(d + a + d + d + b + d), F.lit(d + a + b + d))
     n_delims = F.length(s) - F.length(F.replace(s, F.lit(d), F.lit("")))
-    return F.when(F.length(word) == 0, F.lit(0)).otherwise(n_delims - 1).cast(
-        "bigint"
+    return F.when(F.length(word) == 0, F.lit(0)).otherwise(
+        (n_delims / F.lit(2)).cast("bigint")
     )
 
 

@@ -632,9 +632,12 @@ from ..pipeline.text import BPE_PIECE_RE as _BPE_PIECE_RE  # noqa: E402
 
 
 def _bpe_chain_sql() -> str:
-    expr = f"'{_D}' || array_to_string(string_split(w, ''), '{_D}') || '{_D}'"
+    # per-symbol D...D wrapping (TWO delimiters between symbols) — see
+    # the BPE_DELIM comment in pipeline/text.py: a shared boundary
+    # delimiter breaks self-overlapping merges ('0','0') in runs
+    expr = f"'{_D}' || array_to_string(string_split(w, ''), '{_D}{_D}') || '{_D}'"
     for a, b in _BPE_MERGES:
-        expr = f"replace({expr}, '{_D}{a}{_D}{b}{_D}', '{_D}{a}{b}{_D}')"
+        expr = f"replace({expr}, '{_D}{a}{_D}{_D}{b}{_D}', '{_D}{a}{b}{_D}')"
     return expr
 
 
@@ -651,7 +654,7 @@ vocab AS (
 ),
 tok AS (
   SELECT w,
-         CAST(length(s) - length(replace(s, '{_D}', '')) - 1 AS BIGINT) AS nt
+         CAST((length(s) - length(replace(s, '{_D}', ''))) // 2 AS BIGINT) AS nt
   FROM vocab
 ),
 sums AS (

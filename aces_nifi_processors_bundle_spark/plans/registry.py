@@ -15,7 +15,7 @@ path, geo guard, pagerank dangling, flow route validation), (4) the
 round-4-checked store/partial-update set (keyed_table.py changed in
 r5 AND r6), (5) a slice of the remaining round-4-checked set. The
 r5-checked untouched queries sit below the fold and rotate up next
-round. All 103 entries pass the identical DuckDB-oracle comparison in
+round. Every entry passes the identical DuckDB-oracle comparison in
 tests/test_queries_vs_oracle.py regardless of position.
 """
 

@@ -1018,22 +1018,28 @@ class KeyedParquetStore:
             inserted=int(m["inserted"] or 0),
         )
 
-    def _max_bucket_files(self) -> int:
-        """Largest per-bucket parquet part-file count in the LATEST
-        manifest — the fragmentation signal compact_if triggers on.
-        Lock-free, driver-side metadata only (directory listings of
-        the manifest's dirs; never opens a data file)."""
-        fs, Path = self._fs()
-        man = self._require_manifest(fs, Path)
-        worst = 0
-        for dirs in man["buckets"].values():
+    def _bucket_file_counts(self, fs, Path, man: dict) -> dict[int, int]:
+        """bucket id -> parquet part-file count for a manifest —
+        driver-side metadata only (directory listings of the
+        manifest's dirs; never opens a data file). Shared by the
+        compact_if trigger probe and compact()'s fragmentation scan."""
+        counts: dict[int, int] = {}
+        for b_str, dirs in man["buckets"].items():
             n = 0
             for d in dirs:
                 for entry in fs.listStatus(Path(f"{self.path}/{d}")):
                     if entry.getPath().getName().endswith(".parquet"):
                         n += 1
-            worst = max(worst, n)
-        return worst
+            counts[int(b_str)] = n
+        return counts
+
+    def _max_bucket_files(self) -> int:
+        """Largest per-bucket parquet part-file count in the LATEST
+        manifest — the fragmentation signal compact_if triggers on.
+        Lock-free."""
+        fs, Path = self._fs()
+        man = self._require_manifest(fs, Path)
+        return max(self._bucket_file_counts(fs, Path, man).values(), default=0)
 
     def compact_if(self, max_files: int = 4) -> int:
         """Auto-compaction policy (the Delta auto-OPTIMIZE analog):
@@ -1062,15 +1068,11 @@ class KeyedParquetStore:
             fs, Path = self._fs()
             self._gc(fs, Path)
             man = self._require_manifest(fs, Path)
-            frag = []
-            for b_str, dirs in man["buckets"].items():
-                n = 0
-                for d in dirs:
-                    for entry in fs.listStatus(Path(f"{self.path}/{d}")):
-                        if entry.getPath().getName().endswith(".parquet"):
-                            n += 1
-                if n >= min_files:
-                    frag.append(int(b_str))
+            frag = [
+                b
+                for b, n in self._bucket_file_counts(fs, Path, man).items()
+                if n >= min_files
+            ]
             if not frag:
                 return 0
             src = self._read_dirs(

@@ -1438,9 +1438,19 @@ def test_bpe_fold_matches_classic_bpe(spark, sf_dir):
             F.regexp_extract_all(F.lower("text"), F.lit(BPE_PIECE_RE), F.lit(0))
         ).alias("w")
     ).distinct()
+    # adversarial run-words beyond the corpus vocabulary: a
+    # self-overlapping merge ('0','0') in a >=4-run is exactly where a
+    # shared-boundary delimiter encoding diverged from the symbol scan
+    # (code-review regression: '10000' counted 4 vs classic 3)
+    runs = spark.createDataFrame(
+        [("10000",), ("0000",), ("00000",), ("llll",), ("lllll",),
+         ("20000",), ("1900000",), ("thellll",), ("aaaa",)],
+        "w string",
+    )
     got = {
         r["w"]: r["nt"]
-        for r in vocab.select("w", bpe_token_count_expr(F.col("w")).alias("nt")).collect()
+        for r in vocab.unionByName(runs).distinct()
+        .select("w", bpe_token_count_expr(F.col("w")).alias("nt")).collect()
     }
     assert len(got) > 20
     mismatches = {
@@ -1449,8 +1459,11 @@ def test_bpe_fold_matches_classic_bpe(spark, sf_dir):
         if nt != _classic_bpe_count(w, BPE_MERGES)
     }
     assert not mismatches, dict(list(mismatches.items())[:5])
-    # spot sanity: common words compress, unmergeable singles don't
+    # spot sanity: common words compress, unmergeable singles don't;
+    # runs merge PAIRWISE like the symbol scan ('0000' -> [00, 00])
     assert got.get("the") == 1 and got.get("a") == 1
+    assert got.get("0000") == 2 and got.get("10000") == 3
+    assert got.get("llll") == 2
 
 
 def test_bpe_token_counts_per_doc(spark):
@@ -1635,3 +1648,22 @@ def test_frequent_keys_exact_and_sampled(spark, sf_dir):
            for r in frequent_keys(events, "user_id", min_count=1,
                                   sample_fraction=0.5).collect()}
     assert exact_top["user_id"] in est
+
+
+def test_funnel_method_validation(spark):
+    """Dispatch hardening (code-review regressions): bogus or None
+    method raises the documented ValueError (never UnboundLocalError),
+    and restart=True rejects an explicit method rather than silently
+    running a different path than the one requested."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import funnel
+
+    df = spark.createDataFrame(
+        [(1, "view", "2026-01-01 00:00:00")],
+        "user_id long, event_type string, s string",
+    ).select("user_id", "event_type", F.col("s").cast("timestamp").alias("ts"))
+    for bad in ("bogus", None):
+        with pytest.raises(ValueError, match="unknown method"):
+            funnel(df, ["view", "click"], method=bad)
+    with pytest.raises(ValueError, match="single .*array-fold.* execution path"):
+        funnel(df, ["view", "click"], window_sec=60, restart=True,
+               method="chained")
