@@ -598,10 +598,26 @@ def _sessionize(
     ts_col: str = "ts",
     gap_sec: int = 1800,
     tie_col: str | None = None,
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     from .pipeline.reports import sessionize
 
-    return sessionize(df, user_col, ts_col, gap_sec, tie_col)
+    return sessionize(df, user_col, ts_col, gap_sec, tie_col, chunk_sec)
+
+
+@stage("frequent_keys")
+def _frequent_keys(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    cols: str | list[str],
+    min_count: int | None = None,
+    min_share: float | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    from .pipeline.reports import frequent_keys
+
+    return frequent_keys(df, cols, min_count, min_share, sample_fraction)
 
 
 @stage("funnel")
@@ -615,10 +631,13 @@ def _funnel(
     ts_col: str = "ts",
     window_sec: int | None = None,
     method: str = "auto",
+    restart: bool = False,
 ) -> DataFrame:
     from .pipeline.reports import funnel
 
-    return funnel(df, steps, user_col, type_col, ts_col, window_sec, method)
+    return funnel(
+        df, steps, user_col, type_col, ts_col, window_sec, method, restart
+    )
 
 
 @stage("union")

@@ -494,10 +494,34 @@ def ivf_append_index(
     directories instead of appending duplicates. Probe-side `cid IN`
     partition pruning still applies (cid stays a partition column at
     every epoch); an index must be epoch-partitioned from its first
-    write or not at all — mixing layouts breaks partition inference."""
+    write or not at all — mixing layouts breaks partition inference.
+    A long-running stream accumulates one epoch=<n> subtree per
+    micro-batch — fold them periodically with ivf_compact_index."""
     ivf_write_index(
         new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
         mode="append", epoch=epoch,
+    )
+
+
+def ivf_compact_index(spark, path: str, out_path: str) -> None:
+    """Fold an epoch-partitioned streaming index (epoch=<n>/cid=<m>,
+    one subtree per micro-batch — thousands of directories after a
+    long run, which taxes listing and footer reads) into the plain
+    cid= layout: same rows, epoch column dropped, one file per cell
+    (the repartition small-files guard). Writes to a NEW path — the
+    caller swaps readers over (path flip / rename) once the write
+    lands; an in-place rewrite of a live index is not atomic on a
+    filesystem, the same reasoning as the keyed store's
+    immutable-segment commits. Content is preserved exactly
+    (pytest-asserted), so searches over the compacted index equal
+    searches over the epoch layout."""
+    idx = spark.read.parquet(path)
+    (
+        idx.drop("epoch")
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out_path)
     )
 
 

@@ -1667,3 +1667,76 @@ def test_funnel_method_validation(spark):
     with pytest.raises(ValueError, match="single .*array-fold.* execution path"):
         funnel(df, ["view", "click"], window_sec=60, restart=True,
                method="chained")
+
+
+def test_ivf_compact_index_folds_epochs(spark, sf_dir, tmp_path):
+    """Compacting an epoch-partitioned streaming index into the plain
+    cid= layout preserves content exactly, bounds files to one per
+    cell, and keeps probe pruning at the scan."""
+    import glob
+
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ivf_append_index,
+        ivf_compact_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_epochs")
+    for ep in range(3):
+        ivf_append_index(
+            emb.filter(F.col("vec_id") % 3 == ep), path, dim=64,
+            n_centroids=16, epoch=ep,
+        )
+    out = str(tmp_path / "ivf_compacted")
+    ivf_compact_index(spark, path, out)
+    before = {(r["vec_id"], r["cid"])
+              for r in spark.read.parquet(path).select("vec_id", "cid").collect()}
+    after = {(r["vec_id"], r["cid"])
+             for r in spark.read.parquet(out).select("vec_id", "cid").collect()}
+    assert after == before and len(after) == emb.count()
+    # one file per cell, no epoch dirs
+    files = glob.glob(out + "/cid=*/*.parquet")
+    cells = {f.split("cid=")[1].split("/")[0] for f in files}
+    assert len(files) == len(cells)
+    assert not glob.glob(out + "/epoch=*")
+    pruned = spark.read.parquet(out).filter(F.col("cid").isin([1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_flow_frequent_keys_and_restart_funnel_stages(spark, sf_dir):
+    """The round-6 capabilities are wireable from the flow surface:
+    frequent_keys as a stage, funnel restart=True, sessionize
+    chunk_sec — each equal to its direct-call result."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        frequent_keys,
+        funnel,
+        sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "frequent_keys", "cols": "user_id", "min_count": 3},
+    ], sf_dir)
+    want = frequent_keys(events, "user_id", min_count=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "funnel", "steps": ["view", "click", "purchase"],
+         "window_sec": 3600, "restart": True},
+    ], sf_dir)
+    want = funnel(events, ["view", "click", "purchase"], window_sec=3600,
+                  restart=True)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "sessionize", "gap_sec": 1800, "tie_col": "event_id",
+         "chunk_sec": 86400},
+    ], sf_dir)
+    want = sessionize(events, "user_id", "ts", 1800, tie_col="event_id",
+                      chunk_sec=86400)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
