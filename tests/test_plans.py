@@ -240,3 +240,18 @@ def test_explicit_broadcasts_survive_threshold_change(spark, sf_dir):
             assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_frequent_keys_reuses_counts_exchange(spark, sf_dir):
+    """frequent_keys computes per-key counts AND their one-row total
+    from the same aggregation subtree; at runtime AQE must reuse the
+    counts exchange instead of scanning the input twice (one pass over
+    the events at 100 TB, not two)."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import frequent_keys
+
+    df = frequent_keys(
+        load_table(spark, sf_dir, "events"), "user_id", min_count=1
+    )
+    df.collect()  # AQE resolves reuse at runtime
+    plan = plan_of(df, mode="simple")
+    assert "ReusedExchange" in plan
