@@ -255,3 +255,39 @@ def test_first_seen_keys_native_watermarked_bounds_state(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(r["k"] for r in spark.table("first_seen_wm_test").collect())
     assert rows == ["a", "b"]
+
+
+def test_foreach_batch_replay_is_idempotent_end_to_end(spark, tmp_path):
+    """foreachBatch is at-least-once: Structured Streaming re-runs a
+    micro-batch with the SAME epoch id after a failure between sink
+    commit and checkpoint advance. The exact q_stream_store_merge
+    closure shape — pre-agg + $inc merge with txn=(name, epoch) —
+    must be a no-op on replay: calling the closure twice with one
+    epoch id leaves the store byte-identical; the next epoch applies."""
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    path = str(tmp_path / "replay_store")
+    store = KeyedParquetStore(spark=spark, path=path, keys=["ub"], n_buckets=4)
+    store.init(
+        spark.range(10).selectExpr("id AS ub", "CAST(0 AS LONG) AS n")
+    )
+    cfg = PartialUpdateConfig(keys=["ub"], operations={"n": "$inc"}, upsert=False)
+
+    def merge_fn(batch_df, epoch_id):
+        pre = batch_df.groupBy("ub").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        store.merge(pre, cfg, txn=("replay_test", epoch_id))
+
+    batch = spark.range(30).selectExpr("id % 10 AS ub")
+    merge_fn(batch, 0)
+    state = {r["ub"]: r["n"] for r in store.read().collect()}
+    assert state == {i: 3 for i in range(10)}
+    version = store.history()[0]["version"]
+
+    merge_fn(batch, 0)  # the replay — same epoch id, same batch
+    assert {r["ub"]: r["n"] for r in store.read().collect()} == state
+    assert store.history()[0]["version"] == version  # no new commit at all
+
+    merge_fn(batch, 1)  # stream progress resumes
+    assert {r["ub"]: r["n"] for r in store.read().collect()} == {
+        i: 6 for i in range(10)
+    }
