@@ -451,6 +451,18 @@ def ivf_write_index(
         F.col(id_col), F.col(vec_col),
         assign(as_double(F.col(vec_col))).alias("cid"),
     )
+    _write_cells(body, path, mode, epoch)
+
+
+def _write_cells(body: DataFrame, path: str, mode: str, epoch: int | None) -> None:
+    """THE one physical write for every inverted-file layout: cid=
+    partitioned parquet with the repartition small-files guard (one
+    file per touched cell per write); with `epoch`, the leading
+    epoch=<n> partition + dynamic partition overwrite (replay
+    idempotence). ivf_write_index, ivf_append_index, and
+    ivf_compact_index all land here — a layout or file-bounding
+    change happens once, for fresh builds, appends, and compactions
+    alike."""
     if epoch is None:
         body.repartition(F.col("cid")).write.mode(mode).partitionBy(
             "cid"
@@ -503,26 +515,45 @@ def ivf_append_index(
     )
 
 
-def ivf_compact_index(spark, path: str, out_path: str) -> None:
+def ivf_compact_index(
+    spark, path: str, out_path: str, upto_epoch: int | None = None
+) -> int:
     """Fold an epoch-partitioned streaming index (epoch=<n>/cid=<m>,
     one subtree per micro-batch — thousands of directories after a
     long run, which taxes listing and footer reads) into the plain
-    cid= layout: same rows, epoch column dropped, one file per cell
-    (the repartition small-files guard). Writes to a NEW path — the
-    caller swaps readers over (path flip / rename) once the write
-    lands; an in-place rewrite of a live index is not atomic on a
-    filesystem, the same reasoning as the keyed store's
-    immutable-segment commits. Content is preserved exactly
-    (pytest-asserted), so searches over the compacted index equal
-    searches over the epoch layout."""
+    cid= layout at `out_path`: same row MULTISET (duplicates from
+    re-added ids preserved — pytest-asserted), epoch column dropped,
+    one file per cell (the shared _write_cells small-files guard).
+
+    LIVE-STREAM PROTOCOL — the fold must be EPOCH-BOUNDED, never
+    "whatever is on disk right now": `upto_epoch` pins the folded
+    range to epochs <= it (partition-pruned read; epochs committed
+    concurrently above the bound are never touched or torn). Default
+    = the max epoch currently listed. Returns the bound so the caller
+    knows the cut. Two sound usages:
+
+    - search replica: keep the stream appending to `path`; serve ANN
+      searches from out_path UNION path-filtered-to epochs > bound
+      (both prune on cid), re-folding periodically;
+    - finalization: quiesce/stop the stream, fold with the default
+      bound, repoint readers (path flip) — the compacted layout
+      cannot take epoch appends (mixing layouts breaks partition
+      inference), so only a stopped stream may be repointed.
+
+    Caveat shared with every bounded fold: a foreachBatch REPLAY of an
+    epoch <= the bound (possible only in the failure window right
+    after a crash) rewrites a folded directory mid-read; fold while
+    the stream is healthy, or pass upto_epoch safely below the last
+    committed epoch to stay clear of the replay window."""
     idx = spark.read.parquet(path)
-    (
-        idx.drop("epoch")
-        .repartition(F.col("cid"))
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(out_path)
-    )
+    if upto_epoch is None:
+        row = idx.agg(F.max("epoch").alias("m")).collect()[0]
+        if row["m"] is None:
+            raise ValueError(f"ivf_compact_index: no epochs under {path}")
+        upto_epoch = int(row["m"])
+    body = idx.filter(F.col("epoch") <= F.lit(int(upto_epoch))).drop("epoch")
+    _write_cells(body, out_path, mode="overwrite", epoch=None)
+    return upto_epoch
 
 
 def ivf_topk(

@@ -1671,8 +1671,11 @@ def test_funnel_method_validation(spark):
 
 def test_ivf_compact_index_folds_epochs(spark, sf_dir, tmp_path):
     """Compacting an epoch-partitioned streaming index into the plain
-    cid= layout preserves content exactly, bounds files to one per
-    cell, and keeps probe pruning at the scan."""
+    cid= layout preserves the row MULTISET (duplicates from re-added
+    ids included), honors the epoch bound (a concurrently-committed
+    later epoch is untouched), bounds files to one per cell, and
+    keeps a real probe-pruning filter at the scan."""
+    import collections
     import glob
 
     from aces_nifi_processors_bundle_spark.pipeline.similarity import (
@@ -1687,21 +1690,44 @@ def test_ivf_compact_index_folds_epochs(spark, sf_dir, tmp_path):
             emb.filter(F.col("vec_id") % 3 == ep), path, dim=64,
             n_centroids=16, epoch=ep,
         )
+    # epoch 2 re-adds some epoch-0 ids: append-only semantics make
+    # them DUPLICATES the compaction must preserve as a multiset
+    ivf_append_index(
+        emb.filter(F.col("vec_id") % 7 == 0), path, dim=64,
+        n_centroids=16, epoch=3,
+    )
     out = str(tmp_path / "ivf_compacted")
-    ivf_compact_index(spark, path, out)
-    before = {(r["vec_id"], r["cid"])
-              for r in spark.read.parquet(path).select("vec_id", "cid").collect()}
-    after = {(r["vec_id"], r["cid"])
-             for r in spark.read.parquet(out).select("vec_id", "cid").collect()}
-    assert after == before and len(after) == emb.count()
+    bound = ivf_compact_index(spark, path, out, upto_epoch=3)
+    assert bound == 3
+    before = collections.Counter(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(path).select("vec_id", "cid").collect()
+    )
+    after = collections.Counter(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(out).select("vec_id", "cid").collect()
+    )
+    assert after == before  # exact multiset, duplicates included
+    assert sum(after.values()) == spark.read.parquet(path).count()
+
+    # bounded fold: an epoch committed AFTER the cut is not folded
+    out2 = str(tmp_path / "ivf_compacted_b")
+    assert ivf_compact_index(spark, path, out2, upto_epoch=1) == 1
+    n_bounded = spark.read.parquet(out2).count()
+    n_e01 = spark.read.parquet(path).filter(F.col("epoch") <= 1).count()
+    assert n_bounded == n_e01 < sum(after.values())
+
     # one file per cell, no epoch dirs
     files = glob.glob(out + "/cid=*/*.parquet")
     cells = {f.split("cid=")[1].split("/")[0] for f in files}
     assert len(files) == len(cells)
     assert not glob.glob(out + "/epoch=*")
+    # pruning: the cid filter actually lands in PartitionFilters (the
+    # bare token appears even with no filter — assert the column name
+    # inside the printed filter list, the repo idiom)
     pruned = spark.read.parquet(out).filter(F.col("cid").isin([1, 2]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:300]
 
 
 def test_flow_frequent_keys_and_restart_funnel_stages(spark, sf_dir):
