@@ -307,3 +307,122 @@ def test_range_join_model(spark, rows, band):
         if i < j and k1 == k2 and abs(v1 - v2) <= band
     )
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="tlhe0in19 ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_replace_chain_equals_classic_model(spark, texts):
+    """The delimiter-encoded replace chain must equal the classic
+    min-rank-pair BPE loop on ARBITRARY words — the alphabet is biased
+    toward merge-heavy chars including runs ('0','0' and 'l','l' are
+    self-overlapping merges, the case a shared-boundary encoding got
+    wrong). Model: the reference min-rank implementation."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        BPE_MERGES,
+        BPE_PIECE_RE,
+        bpe_token_count_expr,
+    )
+    from tests.test_pipeline import _classic_bpe_count
+
+    import re as _re
+
+    words = sorted(
+        {w for t in texts for w in _re.findall(BPE_PIECE_RE, t.lower())}
+    )
+    if not words:
+        return
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["nt"]
+        for r in df.select("w", bpe_token_count_expr(F.col("w")).alias("nt")).collect()
+    }
+    for w in words:
+        assert got[w] == _classic_bpe_count(w, BPE_MERGES), w
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=4000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=10, max_value=600),          # gap_sec
+    st.integers(min_value=30, max_value=900),          # chunk_sec
+)
+def test_sessionize_chunked_equals_unchunked_model(spark, evs, gap, chunk):
+    """chunk_sec must be byte-identical to the single-sort path for
+    ARBITRARY event sets, gaps, and chunk widths — including sessions
+    spanning chunk boundaries, empty chunks, and ts ties."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import sessionize
+
+    rows = [
+        (i, u, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    base = sorted(
+        map(tuple, sessionize(df, gap_sec=gap, tie_col="event_id").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sessionize(df, gap_sec=gap, tie_col="event_id",
+                       chunk_sec=chunk).collect(),
+        )
+    )
+    assert got == base
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # user
+            st.integers(min_value=0, max_value=2),     # step index
+            st.integers(min_value=0, max_value=500),   # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=5, max_value=120),           # window_sec
+)
+def test_funnel_restart_greedy_equals_dp_model(spark, evs, win):
+    """The latest-completion-dominates greedy must equal the full
+    interval DP (reachability via ANY in-window subsequence) on
+    arbitrary event sequences — ties, re-anchors, dense windows."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        _funnel_times_restart,
+    )
+    from tests.test_pipeline import _restart_reachable_dp
+
+    steps = ["s0", "s1", "s2"]
+    rows = [
+        (u, steps[si], dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s))
+        for (u, si, s) in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: [r[f"_s{i}"] is not None for i in range(3)]
+        for r in _funnel_times_restart(
+            df, steps, "user_id", "event_type", "ts", win
+        ).collect()
+    }
+    per_user: dict = {}
+    for u, si, s in evs:
+        us = int(
+            (dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)).timestamp() * 1_000_000
+        )
+        per_user.setdefault(u, []).append((us, si))
+    for u, lst in per_user.items():
+        want = _restart_reachable_dp(sorted(lst), 3, win * 1_000_000)
+        assert got[u] == want, (u, got[u], want)
