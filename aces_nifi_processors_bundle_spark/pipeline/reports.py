@@ -290,7 +290,20 @@ def sessionize(
         ).drop("_b")
 
     chunk = F.floor(us / F.lit(int(chunk_sec) * 1_000_000))
-    ev = df.withColumn("_us", us).withColumn("_ck", chunk)
+    # One explicit exchange on (user, chunk): the per-event window
+    # consumes the partitioning directly (adds only a sort), the
+    # summary aggregates pre-partitioned rows without a second
+    # exchange, and the final join is co-partitioned on (user, chunk)
+    # — no further shuffles. The summary branch DOES re-execute the
+    # source, but Catalyst column-prunes it to the two/three columns
+    # the boundary count needs (asserted in tests/test_plans.py::
+    # test_sessionize_chunked_summary_scan_is_narrow) — a narrow
+    # columnar re-scan, not a second pass over full-width rows (the
+    # previous window-derived summary re-ran the whole windowed
+    # subtree: full scan + full-width exchange + a second sort).
+    base = df.withColumn("_us", us).withColumn("_ck", chunk).repartition(
+        F.col(user_col), F.col("_ck")
+    )
     w_ck = Window.partitionBy(user_col, "_ck").orderBy(*order)
     prev_in = F.lag(F.col("_us")).over(w_ck)
     # inner boundary: non-first events of a chunk only; the chunk's
@@ -298,13 +311,35 @@ def sessionize(
     b_inner = (
         prev_in.isNotNull() & ((F.col("_us") - prev_in) > gap_us)
     ).cast("int")
-    ev = ev.withColumn("_bi", b_inner).withColumn(
+    ev = base.withColumn("_bi", b_inner).withColumn(
         "_first_in_ck", prev_in.isNull().cast("int")
     )
-    summary = ev.groupBy(user_col, "_ck").agg(
+    # summary WITHOUT the window: boundary COUNT needs only the sorted
+    # timestamp multiset (tie order is irrelevant — equal timestamps
+    # have gap 0), so a sorted-array fold over the same partitioned
+    # base avoids re-deriving the windowed frame for the second branch
+    summary = base.groupBy(user_col, "_ck").agg(
         F.min("_us").alias("_first_us"),
         F.max("_us").alias("_last_us"),
-        F.sum("_bi").alias("_n_inner"),
+        F.collect_list(F.col("_us")).alias("_tss"),
+    ).select(
+        user_col, "_ck", "_first_us", "_last_us",
+        F.aggregate(
+            F.array_sort(F.col("_tss")),
+            F.struct(
+                F.lit(None).cast("long").alias("prev"), F.lit(0).alias("cnt")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                (
+                    acc["cnt"]
+                    + F.when(
+                        acc["prev"].isNotNull() & ((x - acc["prev"]) > gap_us),
+                        1,
+                    ).otherwise(0)
+                ).alias("cnt"),
+            ),
+        )["cnt"].alias("_n_inner"),
     )
     w_sum = Window.partitionBy(user_col).orderBy(F.col("_ck").asc())
     prev_last = F.lag(F.col("_last_us")).over(w_sum)  # previous NON-EMPTY chunk

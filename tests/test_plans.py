@@ -255,3 +255,20 @@ def test_frequent_keys_reuses_counts_exchange(spark, sf_dir):
     df.collect()  # AQE resolves reuse at runtime
     plan = plan_of(df, mode="simple")
     assert "ReusedExchange" in plan
+
+
+def test_sessionize_chunked_summary_scan_is_narrow(spark, sf_dir):
+    """The chunked-sessionize summary branch re-executes the source,
+    but column pruning must cut its scan to the session-boundary
+    columns (user + timestamp) — a narrow columnar re-scan, never a
+    second full-width pass."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import sessionize
+
+    events = load_table(spark, sf_dir, "events")  # 6 columns wide
+    df = sessionize(events, chunk_sec=86400, tie_col="event_id")
+    plan = plan_of(df)
+    schemas = _scan_lines(plan, "ReadSchema")
+    assert len(schemas) >= 2  # event branch + summary branch
+    narrow = [s for s in schemas if "ts" in s and "props" not in s
+              and "event_type" not in s and "value" not in s]
+    assert narrow, schemas  # at least one branch pruned to the bare columns
