@@ -2180,7 +2180,7 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HOT-KEY sessionize path under the full value-hash gate:
     chunk_sec=86400 computes session boundaries within (user, day)
     chunks — per-task sort bounded by events-per-user-per-day, the
-    monster-key defense measured in SCALE.md §skew (210.8 s → 74.6 s
+    monster-key defense measured in SCALE.md §skew (210.8 s → 30.4 s
     on a 53M-event zipf user) — and stitches chunks exactly through a
     per-(user, chunk) summary window. Output is BYTE-IDENTICAL to the
     single-sort path, so it shares q_sessionize's oracle verbatim."""
