@@ -208,7 +208,11 @@ def salted_join(
     `hot_keys`: a small DataFrame of key columns (broadcast), or a
     Python list of single-key values. Supplying the hot set explicitly
     keeps the operator deterministic and costs one broadcast — at
-    scale, compute it once with an approx frequency pass and reuse it.
+    scale, compute it once with `pipeline.reports.frequent_keys`
+    (exact one-groupBy pass, or its seeded-sample estimate mode) and
+    reuse it; passing that frame directly stays fully LAZY (it joins
+    as a broadcast subplan — no driver collect), pytest-wired in
+    tests/test_joins.py::test_salted_join_with_frequent_keys_hot_set.
     `how`: inner / left joins preserve semantics (every left row keeps
     exactly its matches; unmatched left rows survive a left join with
     one salt). Right/full joins would duplicate unmatched replicated

@@ -339,3 +339,21 @@ def test_geo_radius_join_guard_adds_no_extra_scans(spark):
     assert plan.count("Scan ExistingRDD") == 2
     # guard present and passing: the join still finds the pair
     assert j.filter(F.col("id_a") < F.col("id_b")).count() == 1
+
+
+def test_salted_join_with_frequent_keys_hot_set(spark, sf_dir):
+    """The intended 100 TB wiring: frequent_keys discovers the hot set
+    as a LAZY DataFrame that salted_join broadcasts — result identical
+    to the plain join, no driver-side collect anywhere in the plan."""
+    from aces_nifi_processors_bundle_spark.operators.joins import salted_join
+    from aces_nifi_processors_bundle_spark.pipeline.reports import frequent_keys
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    hot = frequent_keys(events, "user_id", min_count=2).select("user_id")
+    out = salted_join(events, dim, on="user_id", hot_keys=hot, n_salts=4)
+    plain = events.join(dim, "user_id")
+    assert sorted(map(tuple, out.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
