@@ -446,9 +446,13 @@ FROM f
 )
 
 # Shared shingle CTE (word 3-grams; <3 words → whole trimmed text).
-_SHINGLES_CTE = """
+def _shingles_over(src: str) -> str:
+    """The shingle CTE chain over an arbitrary (doc_id, text) source —
+    `documents` for the natural-corpus queries, a planted-corpus CTE
+    for the flood/cap variants."""
+    return f"""
 words AS (
-  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -458,6 +462,9 @@ sh AS (
               ELSE [t] END AS shingles
   FROM words
 )"""
+
+
+_SHINGLES_CTE = _shingles_over("documents")
 
 oracle("q_fingerprint")(
     f"""
@@ -496,6 +503,50 @@ bands AS ({_BANDS}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+)
+
+# Hot-bucket-capped minhash: same signature/band/verify chain over a
+# planted corpus (suffix edits that MUST pair + a 2-template exact-dup
+# flood whose band buckets exceed the cap and are dropped), with the
+# bucket cap mirrored in SQL — the skew guard itself sits under the
+# value-hash gate, the same treatment q_dedup_simhash got in round 5.
+oracle("q_dedup_minhash_capped")(
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' planted suffix' FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 300000,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'click here to accept all cookies and continue now'
+              ELSE 'copyright all rights reserved terms of service apply' END
+  FROM documents WHERE doc_id % 10 = 5
+),
+{_shingles_over("corpus")},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, {_MH} FROM shx GROUP BY doc_id),
+bands AS ({_BANDS}),
+ok AS (SELECT bk FROM bands GROUP BY bk HAVING count(*) <= 20),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN ok USING (bk) JOIN bands b USING (bk)
+  WHERE a.doc_id < b.doc_id
 ),
 sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
 verified AS (

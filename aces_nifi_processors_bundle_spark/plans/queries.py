@@ -890,6 +890,39 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup with the hot-bucket guard UNDER THE ORACLE
+    GATE (the simhash treatment from round 5): planted suffix edits
+    (doc_id+200000) must pair, while a 2-template exact-duplicate
+    flood (doc_id+300000, 5% of docs) collapses into band buckets
+    bigger than max_bucket=20 and is dropped BEFORE pairing — the
+    oracle mirrors the cap with a HAVING count(*) <= 20 on the band
+    keys, so the skew guard's semantics are value-hash-checked, not
+    just pytest-approximated."""
+    from ..pipeline.dedup import near_dup_pairs_minhash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted suffix")).alias("text"),
+    )
+    tpl = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("click here to accept all cookies and continue now"),
+        )
+        .otherwise(
+            F.lit("copyright all rights reserved terms of service apply")
+        )
+        .alias("text"),
+    )
+    corpus = docs.unionByName(edited).unionByName(tpl)
+    return near_dup_pairs_minhash(
+        corpus, num_hashes=8, band_size=2, k=3, threshold=0.5, max_bucket=20
+    )
+
+
 def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected-component cluster labels (min-id per
     component) — the linear-in-docs dedup output. Oracle reproduces the
