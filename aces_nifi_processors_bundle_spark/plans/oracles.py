@@ -2479,6 +2479,10 @@ FROM c
 
 
 ORACLES["q_funnel"] = _funnel_oracle()
+# The streaming stateful funnel re-folds the full per-user history
+# each batch, so its availableNow endpoint equals the batch funnel
+# exactly — oracle shared verbatim.
+ORACLES["q_stream_funnel"] = _funnel_oracle()
 
 # Restart-capable funnel: the oracle replays the Spark fold exactly —
 # per user, events in (ts, step_idx) order drive a RECURSIVE CTE whose

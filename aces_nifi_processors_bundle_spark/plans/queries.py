@@ -1214,6 +1214,79 @@ def q_stream_first_seen_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_first_seen(spark, first_seen_keys(keyed, ["user_bucket", "event_type"]))
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel maintained as STREAMING OPERATOR STATE
+    (streaming/stateful.py::stream_funnel_chain): per-user step-event
+    history accumulates in applyInPandasWithState, each micro-batch
+    re-folds the first-touch chain from the sorted history (arrival
+    order across batches is irrelevant by construction), and UPDATE
+    rows carry the evolving chain. The final row per user (max
+    n_seen) equals the batch funnel exactly, so after the availableNow
+    run the per-step report is value-hash-checked against q_funnel's
+    own oracle, shared verbatim — a custom STATEFUL streaming operator
+    under the full gate."""
+    import uuid
+
+    from ..streaming.stateful import stream_funnel_chain
+
+    steps = ["view", "click", "purchase"]
+    stream = _events_stream(spark, sf_dir)
+    si = (
+        F.array_position(F.array(*[F.lit(s) for s in steps]), F.col("event_type"))
+        - 1
+    ).cast("int")
+    projected = stream.filter(F.col("event_type").isin(steps)).select(
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        si.alias("_si"),
+    )
+    out = stream_funnel_chain(projected, n_steps=len(steps))
+    qname = f"funnel_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    from pyspark.sql import Window
+
+    updates = spark.table(qname)
+    # final chain per user = the update with the largest history size
+    final = updates.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+        ),
+    ).filter(F.col("_rn") == 1)
+    counts = final.agg(
+        *[
+            F.count(F.col(f"_s{i}")).cast("bigint").alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    step_rows = []
+    for i, s in enumerate(steps):
+        prev_n = F.col(f"_n{i-1}") if i else F.col(f"_n{i}")
+        step_rows.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"_n{i}").alias("n_users"),
+                F.when(
+                    prev_n > 0,
+                    F.round(
+                        F.col(f"_n{i}").cast("double") / prev_n.cast("double"), 6
+                    ),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("conversion"),
+            )
+        )
+    return counts.select(F.explode(F.array(*step_rows)).alias("_r")).select("_r.*")
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents: emails / phones / IPv4s replaced by
     typed placeholders, with per-kind audit counts. The synthetic

@@ -110,3 +110,83 @@ def first_seen_keys(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def stream_funnel_chain(
+    stream_df: DataFrame,
+    n_steps: int,
+    user_col: str = "user_id",
+    us_col: str = "_us",
+    si_col: str = "_si",
+    window_sec: int | None = None,
+) -> DataFrame:
+    """Streaming funnel-chain maintenance: per-user FIRST-TOUCH chained
+    step times kept as OPERATOR STATE and re-derived each micro-batch.
+
+    Input: a stream already projected to (user, event-time micros,
+    step index) — the same pre-filter the batch array path applies.
+    State per user = the full step-event history (two parallel
+    arrays); every batch appends its events and re-FOLDS the chain
+    from the sorted history, so arrival order across micro-batches is
+    irrelevant (a late event lands in its sorted position — the
+    incremental-chaining trap this design deliberately avoids). Emits
+    one UPDATE row per user per batch that brought new events:
+    (user, n_seen, s0..s{k-1}); n_seen grows strictly, so the row
+    with max n_seen is the user's final chain — with availableNow it
+    equals the batch funnel exactly (oracle-shared with q_funnel).
+
+    State bound: the user's step-event history — the same per-user
+    cardinality the batch path's collect_list holds (SCALE.md §skew
+    quantifies the monster-key boundary; production streams cap it
+    with the chained/batch fallback or per-window resets)."""
+    win_us = None if window_sec is None else int(window_sec) * 1_000_000
+
+    def _fold(evs: list) -> list:
+        t = [None] * n_steps
+        for us, si in sorted(evs):
+            if t[si] is not None:
+                continue
+            if si == 0:
+                t[si] = us
+            elif (
+                t[si - 1] is not None
+                and us >= t[si - 1]
+                and (win_us is None or us - t[si - 1] <= win_us)
+            ):
+                t[si] = us
+        return t
+
+    out_schema = (
+        f"{user_col} bigint, n_seen bigint, "
+        + ", ".join(f"_s{i} bigint" for i in range(n_steps))
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        new: list = []
+        for pdf in pdfs:
+            new.extend(
+                (int(u), int(s)) for u, s in zip(pdf[us_col], pdf[si_col])
+            )
+        if not new:
+            return
+        if state.exists:
+            uss, sis = state.get
+            evs = list(zip(uss, sis)) + new
+        else:
+            evs = new
+        state.update(([u for u, _ in evs], [s for _, s in evs]))
+        chain = _fold(evs)
+        yield pd.DataFrame(
+            [[key[0], len(evs), *chain]],
+            columns=[user_col, "n_seen", *[f"_s{i}" for i in range(n_steps)]],
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="uss array<bigint>, sis array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

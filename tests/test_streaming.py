@@ -291,3 +291,72 @@ def test_foreach_batch_replay_is_idempotent_end_to_end(spark, tmp_path):
     assert {r["ub"]: r["n"] for r in store.read().collect()} == {
         i: 6 for i in range(10)
     }
+
+
+def test_stream_funnel_chain_batch_split_independent(spark, sf_dir, tmp_path):
+    """The stateful streaming funnel must converge to the batch funnel
+    regardless of micro-batch boundaries: the same events split into
+    many single-file micro-batches (maxFilesPerTrigger=1, files NOT in
+    time order) end in the same final per-user chain, because every
+    batch re-folds the full sorted history instead of chaining
+    incrementally."""
+    from pyspark.sql import Window
+
+    from aces_nifi_processors_bundle_spark.pipeline.reports import funnel
+    from aces_nifi_processors_bundle_spark.streaming.stateful import (
+        stream_funnel_chain,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    data_dir = str(tmp_path / "ev")
+    # 8 files split by a hash, NOT by time — late events land in later
+    # micro-batches, exercising the re-fold
+    events.withColumn("_f", F.pmod(F.xxhash64("event_type", "ts"), F.lit(8))) \
+        .repartition(8, "_f").drop("_f").write.mode("overwrite").parquet(data_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    si = (
+        F.array_position(F.array(*[F.lit(s) for s in steps]), F.col("event_type"))
+        - 1
+    ).cast("int")
+    projected = stream.filter(F.col("event_type").isin(steps)).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        si.alias("_si"),
+    )
+    out = stream_funnel_chain(projected, n_steps=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_split_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    updates = spark.table("funnel_split_test")
+    assert updates.count() > updates.select("user_id").distinct().count()  # multi-batch
+    final = updates.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+        )
+    ).filter(F.col("_rn") == 1)
+    got = {
+        r["user_id"]: tuple(r[f"_s{i}"] for i in range(3))
+        for r in final.collect()
+    }
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        _funnel_times_array,
+    )
+    want = {
+        r["user_id"]: tuple(r[f"_s{i}"] for i in range(3))
+        for r in _funnel_times_array(
+            events, steps, "user_id", "event_type", "ts", None
+        ).collect()
+    }
+    assert got == want
