@@ -2557,3 +2557,83 @@ WHERE CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) >= 0.0015
 """
 )
 
+
+
+# Validation suite: one conditional-sum scan + one NOT EXISTS probe,
+# mirroring run_checks()'s single-aggregate + anti-join shape. Metric
+# formula matches the Spark side token-for-token (1.0 - v/t in IEEE
+# doubles, same operand order) so the hash compare is exact.
+oracle("q_validate_orders")(
+    """
+WITH s AS (
+  SELECT
+    count(*) AS n_all,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+    count(o_orderkey) AS t_uk,
+    count(DISTINCT o_orderkey) AS d_uk,
+    count(o_orderstatus) AS t_st,
+    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+    count(o_totalprice) AS t_pr,
+    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_pr,
+    count(o_orderpriority) AS t_op,
+    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_op,
+    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_sat,
+    count(o_custkey) AS t_fk
+  FROM orders
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_fk FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS "constraint", 'o_custkey' AS target,
+         n_all AS total, v_nn AS violations,
+         CASE WHEN n_all > 0 THEN CAST(1.0 AS DOUBLE) - v_nn / n_all
+              ELSE CAST(1.0 AS DOUBLE) END AS metric,
+         v_nn = 0 AS passed
+  FROM s, fk
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey', t_uk, t_uk - d_uk,
+         CASE WHEN t_uk > 0 THEN CAST(1.0 AS DOUBLE) - (t_uk - d_uk) / t_uk
+              ELSE CAST(1.0 AS DOUBLE) END,
+         (t_uk - d_uk) = 0
+  FROM s, fk
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus,[F,O])', 'o_orderstatus', t_st, v_st,
+         CASE WHEN t_st > 0 THEN CAST(1.0 AS DOUBLE) - v_st / t_st
+              ELSE CAST(1.0 AS DOUBLE) END,
+         v_st = 0
+  FROM s, fk
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0.0,100000.0)', 'o_totalprice', t_pr, v_pr,
+         CASE WHEN t_pr > 0 THEN CAST(1.0 AS DOUBLE) - v_pr / t_pr
+              ELSE CAST(1.0 AS DOUBLE) END,
+         v_pr = 0
+  FROM s, fk
+  UNION ALL
+  SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority', t_op, v_op,
+         CASE WHEN t_op > 0 THEN CAST(1.0 AS DOUBLE) - v_op / t_op
+              ELSE CAST(1.0 AS DOUBLE) END,
+         v_op = 0
+  FROM s, fk
+  UNION ALL
+  SELECT 'satisfies(positive_price)', '*', n_all, v_sat,
+         CASE WHEN n_all > 0 THEN CAST(1.0 AS DOUBLE) - v_sat / n_all
+              ELSE CAST(1.0 AS DOUBLE) END,
+         v_sat = 0
+  FROM s, fk
+  UNION ALL
+  SELECT 'foreign_key(o_custkey->customer.c_custkey)', 'o_custkey', t_fk, v_fk,
+         CASE WHEN t_fk > 0 THEN CAST(1.0 AS DOUBLE) - v_fk / t_fk
+              ELSE CAST(1.0 AS DOUBLE) END,
+         v_fk = 0
+  FROM s, fk
+) ORDER BY "constraint"
+"""
+)

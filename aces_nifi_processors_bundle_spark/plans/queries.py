@@ -2914,3 +2914,41 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, kinds)
     )
+
+
+# --- data-quality validation suite (Deequ / dbt-test analog) -----------
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over `orders` with a referential
+    check against `customer`. All seven row/unique constraints ride
+    ONE aggregate scan (conditional sums + one exact distinct); the
+    foreign key adds a single broadcast anti-join job. Several
+    constraints are deliberately tighter than the data (status subset,
+    price cap, priority 1-3) so the report carries nonzero violation
+    counts — a suite of all-zero rows would hash-match even if the
+    counting were broken. At 100 TB the same suite runs with
+    approx=True (HLL distinct, no Expand) — exact here because the
+    DuckDB oracle compares the numbers."""
+    from ..pipeline.validate import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        matches_regex,
+        not_null,
+        run_checks,
+        satisfies,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        accepted_values("o_orderstatus", ["F", "O"]),
+        in_range("o_totalprice", 0.0, 100000.0),
+        matches_regex("o_orderpriority", "^[1-3]-"),
+        satisfies("positive_price", "o_totalprice > 0"),
+        foreign_key("o_custkey", "customer", "c_custkey"),
+    ]
+    return run_checks(orders, checks, parents={"customer": customer})

@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_hot_keys": q.q_hot_keys,
     "q_dedup_minhash_capped": q.q_dedup_minhash_capped,
     "q_stream_funnel": q.q_stream_funnel,
+    "q_validate_orders": q.q_validate_orders,
     # --- (2) last externally checked in round 3 ------------------------
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,

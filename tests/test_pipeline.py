@@ -1766,3 +1766,81 @@ def test_flow_frequent_keys_and_restart_funnel_stages(spark, sf_dir):
     want = sessionize(events, "user_id", "ts", 1800, tie_col="event_id",
                       chunk_sec=86400)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- data-quality validation suite --------------------------------------
+
+def test_validate_row_unique_fk_counts(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.validate import (
+        accepted_values, foreign_key, in_range, matches_regex, not_null,
+        run_checks, satisfies, unique,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=10.0, s="a"),
+         Row(k=1, v=-5.0, s="b"),
+         Row(k=2, v=None, s="zz"),
+         Row(k=None, v=200.0, s=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=1)])
+    rep = {
+        r["constraint"]: r.asDict()
+        for r in run_checks(
+            df,
+            [
+                not_null("k"),
+                unique("k"),
+                in_range("v", 0.0, 100.0),
+                accepted_values("s", ["a", "b"]),
+                matches_regex("s", "^[ab]$"),
+                satisfies("v_pos", "v > 0"),
+                foreign_key("k", "parent", "pk"),
+            ],
+            parents={"parent": parent},
+        ).collect()
+    }
+    assert rep["not_null(k)"]["violations"] == 1
+    # 3 non-null k over 2 distinct values -> 1 extra row
+    assert rep["unique(k)"]["violations"] == 1
+    assert rep["unique(k)"]["total"] == 3
+    # in_range checks only non-null v: -5 and 200 out of range
+    assert rep["in_range(v,0.0,100.0)"]["violations"] == 2
+    assert rep["in_range(v,0.0,100.0)"]["total"] == 3
+    assert rep["accepted_values(s,[a,b])"]["violations"] == 1
+    assert rep["matches_regex(s)"]["violations"] == 1
+    # satisfies counts NULL predicate results as violations: -5, null
+    assert rep["satisfies(v_pos)"]["violations"] == 2
+    assert rep["satisfies(v_pos)"]["total"] == 4
+    # FK: non-null keys {1,1,2}; 2 has no parent row, nulls exempt
+    fk = rep["foreign_key(k->parent.pk)"]
+    assert fk["violations"] == 1 and fk["total"] == 3
+    assert not fk["passed"]
+
+
+def test_validate_empty_input_and_missing_parent(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.validate import (
+        foreign_key, not_null, run_checks, unique,
+    )
+
+    empty = spark.createDataFrame([], "k int, v double")
+    rep = run_checks(empty, [not_null("k"), unique("k")]).collect()
+    assert all(r["passed"] and r["metric"] == 1.0 for r in rep)
+    assert all(r["total"] == 0 and r["violations"] == 0 for r in rep)
+
+    with pytest.raises(KeyError, match="parents"):
+        run_checks(empty, [foreign_key("k", "dim", "pk")], parents={})
+
+
+def test_validate_approx_unique_close_to_exact(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.validate import (
+        run_checks, unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = run_checks(orders, [unique("o_custkey")]).collect()[0]
+    approx = run_checks(orders, [unique("o_custkey")], approx=True).collect()[0]
+    # HLL++ rsd=1%: the distinct estimate (total - violations) should
+    # land within 5% of exact at this scale.
+    d_exact = exact["total"] - exact["violations"]
+    d_approx = approx["total"] - approx["violations"]
+    assert abs(d_approx - d_exact) <= max(5, 0.05 * d_exact)
