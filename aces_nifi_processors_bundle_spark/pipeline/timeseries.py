@@ -1,0 +1,233 @@
+"""Time-series operators over event streams: trailing rolling
+aggregates, EWMA, gap-filled resampling, and exact group-wise anomaly
+flags.
+
+The reference bundle bins time (DateBinner,
+aces-nifi-processors/src/main/java/net/acesinc/nifi/processors/binning/
+DateBinner.java) but has no trailing-window or anomaly stage; any
+monitoring deployment of the same flows computes these downstream.
+This module is that stage, Spark-first.
+
+Scale design:
+
+- `rolling_aggregates` is ONE native window spec — a single hash
+  exchange on the key + per-partition sort, then every aggregate rides
+  the same running RANGE frame (Spark evaluates all frames of one
+  WindowSpec in one pass). Values are summed as integer cents
+  (bigint), so results are exact and cross-engine hashable — no
+  floating accumulation order to disagree about.
+- `ewma_last` is a per-key left fold. The recurrence
+  `y = y*(1-a) + x*a` is order-sensitive and non-associative, so it
+  cannot be a partial aggregate; we collect each key's (modest)
+  series into a sorted array and fold JVM-side with F.aggregate. The
+  operand order in the lambda is written to match DuckDB's
+  `list_reduce` exactly, so the IEEE-754 result is bit-identical and
+  the oracle compares UNrounded doubles. Per-key series length is the
+  scale bound (same bound as sessionize's per-user sort); alpha
+  should be a dyadic rational (0.25, 0.5) so `1-alpha` is exact.
+- `resample_gapfill` builds each key's bucket grid with
+  `sequence()` + `explode` — pure fan-out, no shuffle — and joins
+  observed buckets back on (key, bucket). Grid size is
+  span/bucket_sec per key, independent of event count; zero-fill and
+  forward-fill are both exact (counts, cents, carried values).
+- `anomaly_flags` deliberately does NOT use a window over the group:
+  with few giant groups (event_type at 100 TB) a window partition is
+  one task. Instead (n, Σx, Σx²) come from a map-side-combined
+  groupBy — mergeable partial aggregates — and the tiny stats frame
+  broadcast-joins back onto the rows. The |z| > k test is evaluated
+  WITHOUT sqrt or division, in integer-cents decimal arithmetic:
+      (n-1)·(n·x − S1)² > k²·n·(n·S2 − S1²)
+  which is exact in Spark decimal(38) and DuckDB HUGEINT, so the
+  flag is hash-comparable — no float boundary jitter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer-cents view of a 2-decimal double column."""
+    return F.round(col * 100).cast("bigint")
+
+
+def rolling_aggregates(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+) -> DataFrame:
+    """Per-row trailing-window aggregates: for each event, the
+    count / exact cents-sum / min / max of `value_col` over this key's
+    events in (ts - window_sec, ts] — peers at the same timestamp
+    included (RANGE frame semantics, identical in Spark and DuckDB).
+
+    One exchange + one sort; all four aggregates share the frame.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us.alias("__us"))
+        .rangeBetween(-window_sec * 1_000_000 + 1, 0)
+    )
+    cents = _cents(F.col(value_col))
+    return df.select(
+        F.col("event_id"),
+        F.col(key),
+        us.alias("ts_us"),
+        cents.alias("value_cents"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(cents).over(w).alias("sum_cents"),
+        F.min(cents).over(w).alias("min_cents"),
+        F.max(cents).over(w).alias("max_cents"),
+    )
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tie_col: str,
+) -> DataFrame:
+    """Final EWMA value per key: fold y = y*(1-alpha) + x*alpha over
+    the key's series in (ts, tie) order, seeded with the first value
+    (pandas `ewm(adjust=False)` recurrence). Returns one row per key:
+    (key, n_points, ewma).
+
+    The fold lambda is `acc * (1-alpha) + x * alpha` — keep this
+    operand order in sync with the DuckDB `list_reduce` oracle; both
+    engines then execute the same IEEE-754 sequence and the unrounded
+    doubles compare equal.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(tie_col).alias("tie"),
+                F.col(value_col).alias("x"),
+            )
+        )
+    )
+    per_key = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_points"), arr.alias("__arr")
+    )
+    rest = F.slice(F.col("__arr"), 2, F.size(F.col("__arr")) - 1)
+    fold = F.aggregate(
+        rest,
+        F.element_at(F.col("__arr"), 1)["x"].cast("double"),
+        lambda acc, e: acc * F.lit(beta) + e["x"] * F.lit(alpha),
+    )
+    return per_key.select(key, "n_points", fold.alias("ewma"))
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket_sec: int,
+    how: str = "zero",
+) -> DataFrame:
+    """Regularize each key's series onto a bucket_sec grid spanning
+    that key's [min, max] bucket, emitting one row per (key, bucket):
+    n_events, sum_cents (0 on gap buckets), and for how='ffill'
+    additionally last_cents carried forward across gaps (null before
+    the first observation — there is nothing to carry).
+
+    The grid is sequence()+explode per key — fan-out only, no extra
+    shuffle; the observed-bucket aggregate and the grid join share the
+    hash partitioning on the key.
+    """
+    if how not in ("zero", "ffill"):
+        raise ValueError(f"how must be 'zero' or 'ffill', got {how!r}")
+    step = bucket_sec * 1_000_000
+    bucket = (F.unix_micros(F.col(ts_col)) / step).cast("bigint") * step
+    cents = _cents(F.col(value_col))
+    observed = df.groupBy(F.col(key), bucket.alias("bucket_us")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+        F.max_by(cents, F.struct(F.col(ts_col), F.col("event_id"))).alias(
+            "__last"
+        ),
+    )
+    grid = (
+        observed.groupBy(key)
+        .agg(
+            F.min("bucket_us").alias("__lo"), F.max("bucket_us").alias("__hi")
+        )
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            ).alias("bucket_us"),
+        )
+    )
+    out = (
+        grid.join(observed, [key, "bucket_us"], "left")
+        .na.fill({"n_events": 0, "sum_cents": 0})
+        .select(key, "bucket_us", "n_events", "sum_cents", "__last")
+    )
+    if how == "zero":
+        return out.drop("__last")
+    wff = (
+        Window.partitionBy(key)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return out.withColumn(
+        "last_cents", F.last("__last", ignorenulls=True).over(wff)
+    ).drop("__last")
+
+
+def anomaly_flags(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    k: int = 3,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Rows whose value lies more than k sample standard deviations
+    from their group's mean, decided EXACTLY: with x in integer cents
+    and S1=Σx, S2=Σx² over the group,
+        |x - S1/n| > k·sqrt((S2 - S1²/n)/(n-1))
+    ⟺  (n-1)·(n·x - S1)² > k²·n·(n·S2 - S1²)
+  which needs no sqrt, no division, and no floats — decimal(38)
+    on the Spark side, HUGEINT in the DuckDB oracle. Groups with
+    n < 2 produce no flags (sample variance undefined).
+
+    Stats come from one map-side-combined groupBy; the stats frame
+    (one row per group) broadcast-joins back — no window over giant
+    group-partitions, no second shuffle of the fact rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cents = _cents(F.col(value_col)).cast("decimal(38,0)")
+    stats = df.groupBy(group).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(cents).alias("__s1"),
+        F.sum(cents * cents).alias("__s2"),
+    )
+    dev = stats["__n"] * cents - F.col("__s1")
+    lhs = (stats["__n"] - 1) * dev * dev
+    rhs = (
+        F.lit(k * k).cast("decimal(38,0)")
+        * stats["__n"]
+        * (stats["__n"] * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+    )
+    return (
+        df.join(F.broadcast(stats), group)
+        .where((stats["__n"] >= 2) & (lhs > rhs))
+        .select(
+            *id_cols,
+            group,
+            cents.cast("bigint").alias("value_cents"),
+            stats["__n"].cast("bigint").alias("n_group"),
+        )
+    )

@@ -2637,3 +2637,97 @@ SELECT * FROM (
 ) ORDER BY "constraint"
 """
 )
+
+
+# Trailing-hour RANGE frame: the (N-1) PRECEDING bound mirrors the
+# Spark rangeBetween(-3600e6 + 1, 0) half-open trailing hour.
+oracle("q_rolling_hourly")(
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(round(value*100) AS BIGINT) AS value_cents,
+       count(*) OVER w AS n_window,
+       sum(CAST(round(value*100) AS BIGINT)) OVER w AS sum_cents,
+       min(CAST(round(value*100) AS BIGINT)) OVER w AS min_cents,
+       max(CAST(round(value*100) AS BIGINT)) OVER w AS max_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# list_reduce left-fold with the SAME operand order as the Spark
+# F.aggregate lambda (acc*0.75 + x*0.25) -> bit-identical doubles,
+# compared unrounded. Seed = first element, fold over the rest.
+oracle("q_ewma_value")(
+    """
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n_points,
+       list_reduce(xs, (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+                                   + x * CAST(0.25 AS DOUBLE)) AS ewma
+FROM ordered
+"""
+)
+
+
+# 6h grid per user via generate_series; ffill through a windowed
+# last-non-null over the gap-filled frame, exactly like the Spark
+# rowsBetween(unboundedPreceding, 0) last(ignorenulls) pass.
+oracle("q_resample_6h")(
+    """
+WITH c AS (
+  SELECT user_id, (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+         CAST(round(value*100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id,
+                            (epoch_us(ts) // 21600000000)
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+), obs AS (
+  -- DuckDB 1.0's arg_max has no composite-key overload, so the
+  -- last-in-bucket pick rides a row_number instead.
+  SELECT user_id, bucket_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(x) AS sum_cents,
+         max(CASE WHEN rn = 1 THEN x END) AS last_obs
+  FROM c GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, unnest(generate_series(min(bucket_us), max(bucket_us),
+                                         21600000000)) AS bucket_us
+  FROM obs GROUP BY user_id
+)
+SELECT g.user_id, g.bucket_us,
+       coalesce(o.n_events, 0) AS n_events,
+       coalesce(o.sum_cents, 0) AS sum_cents,
+       last_value(o.last_obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_cents
+FROM grid g LEFT JOIN obs o USING (user_id, bucket_us)
+"""
+)
+
+
+# Exact 3-sigma test in HUGEINT (dev*dev, NOT ^2 — DuckDB's power
+# operator returns DOUBLE and would break exactness): mirrors the
+# Spark decimal(38,0) inequality term for term.
+oracle("q_anomaly_values")(
+    """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value*100) AS HUGEINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS s1, sum(x*x) AS s2
+  FROM c GROUP BY 1
+)
+SELECT c.event_id, c.event_type, CAST(c.x AS BIGINT) AS value_cents,
+       CAST(s.n AS BIGINT) AS n_group
+FROM c JOIN s USING (event_type)
+WHERE s.n >= 2
+  AND (s.n - 1) * (s.n * c.x - s.s1) * (s.n * c.x - s.s1)
+      > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1)
+"""
+)

@@ -2952,3 +2952,53 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key("o_custkey", "customer", "c_custkey"),
     ]
     return run_checks(orders, checks, parents={"customer": customer})
+
+
+# --- time-series operators (pipeline/timeseries.py) ---------------------
+
+def q_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour aggregates over each user's event
+    stream: one exchange on user_id + one sort, all four aggregates
+    sharing a single running RANGE frame. Values ride as integer
+    cents, so every column is exact under the hash gate."""
+    from ..pipeline.timeseries import rolling_aggregates
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_aggregates(events, "user_id", "ts", "value", 3600)
+
+
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=0.25, pandas adjust=False recurrence) of each
+    user's value series. The per-key fold's operand order matches the
+    DuckDB list_reduce oracle exactly, so the doubles compare equal
+    UNROUNDED — the strictest float gate in the registry."""
+    from ..pipeline.timeseries import ewma_last
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_last(events, "user_id", "ts", "value", 0.25, "event_id")
+
+
+def q_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 6-hour resample per user with forward-filled last
+    value: grid rows come from sequence()+explode (no extra shuffle),
+    gaps report n_events=0/sum_cents=0, and last_cents carries the
+    most recent observation across gaps."""
+    from ..pipeline.timeseries import resample_gapfill
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_gapfill(
+        events, "user_id", "ts", "value", 21600, how="ffill"
+    )
+
+
+def q_anomaly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits more than 3 sample standard deviations
+    from their event_type mean, decided in exact decimal arithmetic
+    (no sqrt/division/floats — see pipeline/timeseries.py). Stats are
+    one map-side-combined groupBy broadcast back onto the rows: no
+    window over whole-type partitions, which at 100 TB would be one
+    task per event_type."""
+    from ..pipeline.timeseries import anomaly_flags
+
+    events = load_table(spark, sf_dir, "events")
+    return anomaly_flags(events, "event_type", "value", k=3)

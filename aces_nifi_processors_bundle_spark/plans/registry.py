@@ -38,6 +38,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_minhash_capped": q.q_dedup_minhash_capped,
     "q_stream_funnel": q.q_stream_funnel,
     "q_validate_orders": q.q_validate_orders,
+    "q_rolling_hourly": q.q_rolling_hourly,
+    "q_ewma_value": q.q_ewma_value,
+    "q_resample_6h": q.q_resample_6h,
+    "q_anomaly_values": q.q_anomaly_values,
     # --- (2) last externally checked in round 3 ------------------------
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,

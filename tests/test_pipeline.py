@@ -1844,3 +1844,101 @@ def test_validate_approx_unique_close_to_exact(spark, sf_dir):
     d_exact = exact["total"] - exact["violations"]
     d_approx = approx["total"] - approx["violations"]
     assert abs(d_approx - d_exact) <= max(5, 0.05 * d_exact)
+
+
+# --- time-series operators -----------------------------------------------
+
+def test_rolling_window_bounds_and_peers(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        rolling_aggregates,
+    )
+
+    # events at t=0s, 3599s, 3600s, 7201s (exactly-1h edge + peers)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 1.0),
+         (2, "2024-01-01 00:59:59", 1, 2.0),
+         (3, "2024-01-01 01:00:00", 1, 4.0),
+         (4, "2024-01-01 01:00:00", 1, 8.0),
+         (5, "2024-01-01 02:00:01", 1, 16.0)],
+        "event_id long, ts_s string, user_id long, value double",
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {r["event_id"]: r for r in
+           rolling_aggregates(df, "user_id", "ts", "value", 3600).collect()}
+    # trailing hour is HALF-OPEN: (ts-1h, ts], so t=3600 excludes t=0
+    assert out[3]["n_window"] == 3 and out[3]["sum_cents"] == 1400
+    # peers at the same timestamp see each other (RANGE semantics)
+    assert out[4]["n_window"] == 3 and out[4]["sum_cents"] == 1400
+    assert out[5]["n_window"] == 1 and out[5]["sum_cents"] == 1600
+
+
+def test_ewma_fold_matches_pandas(spark):
+    import pandas as pd
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        ewma_last,
+    )
+
+    vals = [3.25, 1.5, 7.75, 2.0, 9.25, 0.5]
+    df = spark.createDataFrame(
+        [(i, "2024-01-01 00:%02d:00" % i, 1, v) for i, v in enumerate(vals)],
+        "event_id long, ts_s string, user_id long, value double",
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = ewma_last(df, "user_id", "ts", "value", 0.25, "event_id").collect()
+    want = pd.Series(vals).ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+    assert got[0]["n_points"] == 6
+    assert got[0]["ewma"] == pytest.approx(want, abs=1e-12)
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_last(df, "user_id", "ts", "value", 0.0, "event_id")
+
+
+def test_resample_gapfill_modes(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        resample_gapfill,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1, 5.0),
+         (2, "2024-01-01 03:20:00", 1, 7.0)],  # 3h gap -> 2 empty buckets
+        "event_id long, ts_s string, user_id long, value double",
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = sorted(
+        resample_gapfill(df, "user_id", "ts", "value", 3600, "ffill")
+        .collect(),
+        key=lambda r: r["bucket_us"],
+    )
+    assert [r["n_events"] for r in rows] == [1, 0, 0, 1]
+    assert [r["sum_cents"] for r in rows] == [500, 0, 0, 700]
+    # gaps carry the last observation forward
+    assert [r["last_cents"] for r in rows] == [500, 500, 500, 700]
+
+    zero = resample_gapfill(df, "user_id", "ts", "value", 3600, "zero")
+    assert "last_cents" not in zero.columns
+
+    with pytest.raises(ValueError, match="how"):
+        resample_gapfill(df, "user_id", "ts", "value", 3600, "bogus")
+
+
+def test_anomaly_flags_exact_and_small_groups(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        anomaly_flags,
+    )
+
+    # group 'a': nine 10.0s and one 100.0. A single outlier in a
+    # sample of n can reach at most z = (n-1)/sqrt(n) ~ 2.85 at n=10,
+    # so k=3 flags NOTHING and k=2 flags exactly the 100.
+    # group 'b' has n=1 -> no sample variance, never flagged.
+    rows = [(i, "a", 10.0) for i in range(9)] + [(9, "a", 100.0),
+                                                 (10, "b", 9999.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double")
+    assert anomaly_flags(df, "event_type", "value", k=3).count() == 0
+    got = anomaly_flags(df, "event_type", "value", k=2).collect()
+    assert [(r["event_id"], r["value_cents"], r["n_group"]) for r in got] \
+        == [(9, 10000, 10)]
+
+    with pytest.raises(ValueError, match="k"):
+        anomaly_flags(df, "event_type", "value", k=0)
