@@ -272,3 +272,68 @@ def test_sessionize_chunked_summary_scan_is_narrow(spark, sf_dir):
     narrow = [s for s in schemas if "ts" in s and "props" not in s
               and "event_type" not in s and "value" not in s]
     assert narrow, schemas  # at least one branch pruned to the bare columns
+
+
+def test_rolling_aggregates_single_exchange_single_sort(spark, sf_dir):
+    """All four trailing-window aggregates must ride ONE window spec:
+    one hash exchange on the key, one sort, one Window node — not one
+    pass per aggregate."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        rolling_aggregates,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # simple mode: formatted repeats each node in its details section,
+    # which would double-count the Window line.
+    plan = plan_of(
+        rolling_aggregates(events, "user_id", "ts", "value", 3600), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert len(_scan_lines(plan, "+- Window")) == 1
+
+
+def test_anomaly_stats_broadcast_not_windowed(spark, sf_dir):
+    """Group stats must come back via a broadcast join of the tiny
+    (n, S1, S2) frame — a window over event_type would put each whole
+    group in one task at scale."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        anomaly_flags,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(anomaly_flags(events, "event_type", "value", k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_resample_grid_adds_no_extra_exchange(spark, sf_dir):
+    """The sequence()+explode grid and the observed-bucket aggregate
+    both key on user_id; the grid join must not introduce a third
+    hash exchange beyond the aggregate's and the join's."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        resample_gapfill,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(
+        resample_gapfill(events, "user_id", "ts", "value", 21600, "ffill")
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_validate_row_checks_share_one_aggregate(spark, sf_dir):
+    """Seven constraints, but row/unique checks ride ONE aggregate
+    over ONE scan of orders; only the FK adds a second orders scan
+    (anti-join probe). More HashAggregate pairs than that means the
+    suite degenerated into per-constraint jobs."""
+    from aces_nifi_processors_bundle_spark.plans.queries import (
+        q_validate_orders,
+    )
+
+    plan = plan_of(q_validate_orders(spark, sf_dir))
+    n_orders = sum(
+        "orders.parquet" in ln for ln in _scan_lines(plan, "Location:")
+    )
+    assert n_orders == 2, f"expected 2 orders scans (agg + FK), got {n_orders}"
+    assert "BroadcastHashJoin" in plan  # FK anti-join builds customer side
