@@ -666,3 +666,50 @@ def funnel(
     return counts.select(
         F.explode(F.array(*step_rows)).alias("_r")
     ).select("_r.*")
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+    start_label: str = "__start__",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: one row per (prev_type, event_type) with the pair
+    count, the outgoing total from prev_type, and the transition
+    probability. Each key's first event transitions from
+    `start_label`, so outgoing probabilities sum to 1 for every
+    prev_type including the start state.
+
+    One hash exchange on the key feeds the lag window; the pair count
+    is a map-side-combined groupBy and the outgoing totals come from a
+    second tiny aggregate (one row per type) joined back by broadcast
+    — type cardinality is vocabulary-sized, never row-scaled. `prob`
+    is a single IEEE division of two exact bigints, so it is
+    hash-comparable cross-engine without rounding.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    pairs = (
+        df.select(
+            F.coalesce(
+                F.lag(type_col).over(w), F.lit(start_label)
+            ).alias("prev_type"),
+            F.col(type_col).alias("event_type"),
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n").alias("total_from_prev")
+    )
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        "total_from_prev",
+        (F.col("n") / F.col("total_from_prev")).alias("prob"),
+    )

@@ -2731,3 +2731,45 @@ WHERE s.n >= 2
       > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1)
 """
 )
+
+
+# Markov transitions: lag window + pair counts; prob is the same
+# single bigint/bigint IEEE division as the Spark side (unrounded).
+oracle("q_event_transitions")(
+    """
+WITH seq AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  '__start__') AS prev_type,
+         event_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, sum(n) AS total_from_prev FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.event_type, p.n,
+       CAST(t.total_from_prev AS BIGINT) AS total_from_prev,
+       CAST(p.n AS DOUBLE) / CAST(t.total_from_prev AS DOUBLE) AS prob
+FROM pairs p JOIN totals t USING (prev_type)
+"""
+)
+
+
+# Ground-truth banded O(n^2) levenshtein join: a match here that the
+# SymSpell blocking missed would be a FALSE NEGATIVE and fail the
+# row-count compare — the oracle checks the blocking guarantee, not
+# just the verify step.
+oracle("q_editdist_join")(
+    """
+WITH p AS (
+  SELECT doc_id, lower(substr(text, 1, 24)) AS pf FROM documents
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(levenshtein(a.pf, b.pf) AS INTEGER) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE abs(len(a.pf) - len(b.pf)) <= 1
+  AND levenshtein(a.pf, b.pf) <= 1
+"""
+)

@@ -3002,3 +3002,30 @@ def q_anomaly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return anomaly_flags(events, "event_type", "value", k=3)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence (pipeline/reports.py::event_transitions): (prev, next)
+    counts from a lag window on one user_id exchange, probabilities
+    as one exact-bigint IEEE division — hash-comparable unrounded."""
+    from ..pipeline.reports import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    return event_transitions(events, "user_id", "ts", "event_type",
+                             "event_id")
+
+
+def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs whose lowercased 24-char text prefix is
+    within Levenshtein distance 1 (pipeline/strings.py::
+    edit_distance_join): SymSpell deletion-variant equi-join blocking
+    + thresholded JVM levenshtein verify — no all-pairs compare. The
+    DuckDB oracle IS the banded O(n^2) ground truth, so it also
+    proves the blocking has no false negatives."""
+    from ..pipeline.strings import edit_distance_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("prefix")
+    )
+    return edit_distance_join(docs, "doc_id", "prefix", k=1)

@@ -42,6 +42,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_ewma_value": q.q_ewma_value,
     "q_resample_6h": q.q_resample_6h,
     "q_anomaly_values": q.q_anomaly_values,
+    "q_event_transitions": q.q_event_transitions,
+    "q_editdist_join": q.q_editdist_join,
     # --- (2) last externally checked in round 3 ------------------------
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,

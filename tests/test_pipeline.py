@@ -1942,3 +1942,86 @@ def test_anomaly_flags_exact_and_small_groups(spark):
 
     with pytest.raises(ValueError, match="k"):
         anomaly_flags(df, "event_type", "value", k=0)
+
+
+# --- string-similarity join and event transitions ------------------------
+
+def _brute_pairs(strings, k):
+    import itertools
+
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    return sorted(
+        (i, j, ed(s, t))
+        for (i, s), (j, t) in itertools.combinations(enumerate(strings), 2)
+        if ed(s, t) <= k
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_edit_distance_join_matches_brute_force(spark, k):
+    from aces_nifi_processors_bundle_spark.pipeline.strings import (
+        edit_distance_join,
+    )
+
+    strings = ["spark", "spork", "sprk", "sparkle", "flink", "flunk",
+               "blink", "spark", "park", "stork", "xyzzy"]
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "id long, s string")
+    got = sorted(
+        (r["id_1"], r["id_2"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", k=k).collect()
+    )
+    assert got == _brute_pairs(strings, k)
+
+
+def test_edit_distance_join_hot_bucket_cap_and_validation(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.strings import (
+        edit_distance_join,
+    )
+
+    # 20 copies of one template flood its variant buckets; capping
+    # drops those buckets (recall trade), so no pairs survive among
+    # the flooded rows but the distinct outlier pair does.
+    rows = [(i, "template") for i in range(20)] + [(100, "uniq"), (101, "unik")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    capped = edit_distance_join(df, "id", "s", k=1, max_bucket=5).collect()
+    assert sorted((r["id_1"], r["id_2"]) for r in capped) == [(100, 101)]
+    # uncapped finds all C(20,2) template pairs plus the outlier pair
+    assert edit_distance_join(df, "id", "s", k=1).count() == 190 + 1
+
+    with pytest.raises(ValueError, match="k"):
+        edit_distance_join(df, "id", "s", k=0)
+
+
+def test_event_transitions_rows_sum_to_one(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        event_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "a"),
+         (4, 2, "a"), (5, 2, "a")],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    out = event_transitions(df, "user_id", "ts", "event_type", "event_id")
+    rows = {(r["prev_type"], r["event_type"]): r for r in out.collect()}
+    # two keys -> two __start__ transitions, split a/a
+    assert rows[("__start__", "a")]["n"] == 2
+    assert rows[("a", "b")]["n"] == 1 and rows[("a", "a")]["n"] == 1
+    assert rows[("b", "a")]["prob"] == 1.0
+    # outgoing probabilities sum to 1 per prev state
+    sums = {}
+    for (prev, _), r in rows.items():
+        sums[prev] = sums.get(prev, 0.0) + r["prob"]
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
