@@ -40,6 +40,13 @@ JSON document folding into one Catalyst plan:
   {"op": "chunk",       "chunk_tokens": 256, "overlap": 32}
   {"op": "pack_sequences", "seq_tokens": 2048, "n_shards": 64}
   {"op": "write_dataset", "path": ..., "partition_cols": ["split"]}
+  {"op": "validate",    "checks": [{"kind": "not_null", "col": ...}, ...]}
+  {"op": "rolling",     "key": "user_id", "window_sec": 3600}
+  {"op": "ewma",        "key": "user_id", "alpha": 0.25}
+  {"op": "resample",    "bucket_sec": 3600, "how": "ffill"}
+  {"op": "anomaly",     "group": "event_type", "k": 3}
+  {"op": "transitions", "key": "user_id"}
+  {"op": "editdist_join", "id_col": ..., "str_col": ..., "k": 1}
 
 Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
@@ -120,10 +127,12 @@ def _binners(specs: list[dict[str, Any]]) -> list[BinnerConfig]:
 
 StageFn = Callable[..., DataFrame]
 STAGES: dict[str, StageFn] = {}
-# Stages that consume a SECOND input frame by name — derived from the
+# Stages that consume OTHER frames by tag name — derived from the
 # stage function's `_named` parameter at registration, so a new
-# two-input stage can't forget to enrol itself.
-_NAMED_OPS: set[str] = set()
+# two-input stage can't forget to enrol itself. The value records
+# whether the stage REQUIRES a `right` tag (joins/unions do; stages
+# like `validate` resolve their own tag names, e.g. FK parents).
+_NAMED_OPS: dict[str, bool] = {}
 
 
 def stage(name: str) -> Callable[[StageFn], StageFn]:
@@ -131,8 +140,12 @@ def stage(name: str) -> Callable[[StageFn], StageFn]:
         import inspect
 
         STAGES[name] = fn
-        if "_named" in inspect.signature(fn).parameters:
-            _NAMED_OPS.add(name)
+        params = inspect.signature(fn).parameters
+        if "_named" in params:
+            right = params.get("right")
+            _NAMED_OPS[name] = (
+                right is not None and right.default is inspect.Parameter.empty
+            )
         return fn
     return register
 
@@ -663,6 +676,143 @@ _ROUTED_OPS: dict[str, Callable[..., Any]] = {
 }
 
 
+@stage("validate")
+def _validate(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    checks: list[dict[str, Any]],
+    approx: bool = False,
+    _named: dict[str, DataFrame] | None = None,
+    right: str | None = None,  # unused; FK parents resolve via 'parent'
+) -> DataFrame:
+    """Declarative constraint suite (pipeline/validate.py). Each check
+    spec is {"kind": <constructor name>, ...kwargs}; foreign_key
+    parents name TAGGED frames, so a flow tags its dimension first:
+      {"op": "load", "table": "customer"}, {"op": "tag", "name": "customer"},
+      ..., {"op": "validate", "checks": [..., {"kind": "foreign_key",
+      "col": "o_custkey", "parent": "customer", "parent_col": "c_custkey"}]}
+    """
+    from .pipeline import validate as V
+
+    built, parents = [], {}
+    for c in checks:
+        c = dict(c)
+        kind = c.pop("kind")
+        ctor = getattr(V, kind, None)
+        if ctor is None or kind in ("run_checks", "Check"):
+            raise KeyError(
+                f"validate: unknown check kind {kind!r}; have "
+                "not_null/unique/in_range/accepted_values/matches_regex/"
+                "satisfies/foreign_key"
+            )
+        if kind == "foreign_key":
+            tag = c["parent"]
+            if _named is None or tag not in _named:
+                raise KeyError(
+                    f"validate: foreign_key parent {tag!r} is not a "
+                    f"tagged frame; tagged: {sorted(_named or {})}"
+                )
+            parents[tag] = _named[tag]
+        built.append(ctor(**c))
+    return V.run_checks(df, built, parents=parents, approx=approx)
+
+
+@stage("rolling")
+def _rolling(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+) -> DataFrame:
+    from .pipeline.timeseries import rolling_aggregates
+
+    return rolling_aggregates(df, key, ts_col, value_col, window_sec)
+
+
+@stage("ewma")
+def _ewma(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    tie_col: str = "event_id",
+) -> DataFrame:
+    from .pipeline.timeseries import ewma_last
+
+    return ewma_last(df, key, ts_col, value_col, alpha, tie_col)
+
+
+@stage("resample")
+def _resample(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_sec: int = 3600,
+    how: str = "zero",
+) -> DataFrame:
+    from .pipeline.timeseries import resample_gapfill
+
+    return resample_gapfill(df, key, ts_col, value_col, bucket_sec, how)
+
+
+@stage("anomaly")
+def _anomaly(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str = "value",
+    k: int = 3,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    from .pipeline.timeseries import anomaly_flags
+
+    return anomaly_flags(
+        df, group, value_col, k, tuple(id_cols or ("event_id",))
+    )
+
+
+@stage("transitions")
+def _transitions(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    start_label: str = "__start__",
+) -> DataFrame:
+    from .pipeline.reports import event_transitions
+
+    return event_transitions(df, key, ts_col, type_col, tie_col, start_label)
+
+
+@stage("editdist_join")
+def _editdist_join(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    id_col: str,
+    str_col: str,
+    k: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    from .pipeline.strings import edit_distance_join
+
+    return edit_distance_join(df, id_col, str_col, k, max_bucket)
+
+
 @stage("pagerank")
 def _pagerank(
     spark: SparkSession,
@@ -752,8 +902,8 @@ def build_flow(
         if op == "load":
             spec.setdefault("sf_dir", sf_dir)
         if op in _NAMED_OPS:
-            missing = spec.get("right") not in named
-            if missing:
+            needs_right = _NAMED_OPS[op] or "right" in spec
+            if needs_right and spec.get("right") not in named:
                 raise KeyError(
                     f"stage {i}: {op} references untagged frame "
                     f"{spec.get('right')!r}; tagged: {sorted(named)}"

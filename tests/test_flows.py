@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from aces_nifi_processors_bundle_spark.flows import build_flow
 from aces_nifi_processors_bundle_spark.plans.queries import FLAGSHIP_BINNERS
 from aces_nifi_processors_bundle_spark.operators.binning import bin_count
@@ -382,3 +384,71 @@ def test_sessionize_and_funnel_flow_stages(spark, sf_dir):
     ], sf_dir)
     rows = {r["step"]: r["n_users"] for r in fun.collect()}
     assert set(rows) == {1, 2, 3} and rows[1] >= rows[2] >= rows[3]
+
+
+def test_flow_round6_stages_match_direct_calls(spark, sf_dir):
+    """validate (with a tagged FK parent), rolling, anomaly, and
+    transitions as flow stages must equal the direct module calls."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        event_transitions,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        anomaly_flags,
+        rolling_aggregates,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "customer"},
+        {"op": "tag", "name": "customer"},
+        {"op": "load", "table": "orders"},
+        {"op": "validate", "checks": [
+            {"kind": "not_null", "col": "o_custkey"},
+            {"kind": "unique", "col": "o_orderkey"},
+            {"kind": "foreign_key", "col": "o_custkey",
+             "parent": "customer", "parent_col": "c_custkey"},
+        ]},
+    ], sf_dir).collect()
+    assert len(got) == 3 and all(r["passed"] for r in got)
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "rolling", "window_sec": 3600},
+    ], sf_dir)
+    want = rolling_aggregates(events, "user_id", "ts", "value", 3600)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "anomaly", "group": "event_type", "k": 3},
+    ], sf_dir)
+    want = anomaly_flags(events, "event_type", "value", k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "transitions"},
+    ], sf_dir)
+    want = event_transitions(events, "user_id", "ts", "event_type", "event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_flow_validate_errors_are_actionable(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    with pytest.raises(KeyError, match="not a tagged frame"):
+        build_flow(spark, [
+            {"op": "load", "table": "orders"},
+            {"op": "validate", "checks": [
+                {"kind": "foreign_key", "col": "o_custkey",
+                 "parent": "customer", "parent_col": "c_custkey"}]},
+        ], sf_dir)
+
+    with pytest.raises(KeyError, match="unknown check kind"):
+        build_flow(spark, [
+            {"op": "load", "table": "orders"},
+            {"op": "validate", "checks": [{"kind": "run_checks"}]},
+        ], sf_dir)
