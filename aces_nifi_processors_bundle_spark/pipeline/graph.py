@@ -196,3 +196,94 @@ def pagerank(
             eager=False,
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts and local clustering coefficient
+    over an undirected simple graph, via DEGREE-ORDERED ORIENTATION:
+    each undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher, every triangle survives as exactly one
+    oriented wedge a→b, a→c with b→c, and the wedge count is bounded
+    by Σ out-deg² ≤ O(m^1.5) on ANY graph — a hub with a million
+    neighbors gets out-degree O(√m), so degree skew cannot flood the
+    wedge join (the naive neighbor-join explodes quadratically on
+    exactly those hubs). Cf. Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer" (WWW'11).
+
+    Input may list edges in either/both directions with duplicates;
+    self-loops are dropped. Output: one row per vertex with degree
+    >= 1 — (vertex, degree, n_triangles, clustering) where clustering
+    = 2T / (d(d-1)) for d >= 2 (one exact-bigint IEEE division,
+    hash-comparable) and 0.0 for d = 1.
+
+    Plan shape: one distinct on canonical edges, one degree aggregate,
+    two shuffled equi-joins (wedge build + closure probe), and one
+    explode+groupBy for the per-vertex attribution. All joins are on
+    single vertex-id keys — AQE handles residual skew.
+    """
+    u, v = F.col(src), F.col(dst)
+    canon = (
+        edges.where(u != v)
+        .select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("x"))
+        .unionAll(canon.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("x", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+    )
+    per_vertex = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("x").alias("vertex"), F.col("d").alias("degree"))
+        .join(per_vertex, "vertex", "left")
+        .na.fill({"n_triangles": 0})
+        .select(
+            "vertex",
+            "degree",
+            "n_triangles",
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -2773,3 +2773,48 @@ WHERE abs(len(a.pf) - len(b.pf)) <= 1
   AND levenshtein(a.pf, b.pf) <= 1
 """
 )
+
+
+# Streaming train-batch/score-stream anomaly shares the batch oracle
+# verbatim: the flag must be micro-batch-boundary-independent.
+ORACLES["q_stream_anomaly"] = ORACLES["q_anomaly_values"]
+
+
+# Triangle counting ground truth: the same degree-ordered orientation
+# unrolled as SQL. The support cutoff is pure integer arithmetic
+# (4*c*n >= 5*sum), so edge sets match exactly; clustering is one
+# bigint IEEE division, compared unrounded.
+oracle("q_triangle_count")(
+    """
+WITH os AS (SELECT DISTINCT l_orderkey o, l_suppkey s FROM lineitem),
+p AS (
+  SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS c
+  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s GROUP BY 1, 2
+), e AS (
+  SELECT u, v FROM p
+  WHERE c * 4 * (SELECT count(*) FROM p) >= (SELECT sum(c) FROM p) * 5
+), deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+), o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1 JOIN o e2 ON e1.b = e2.a
+  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+), pv AS (
+  SELECT vertex, count(*) AS nt
+  FROM (SELECT unnest(list_value(x, y, z)) AS vertex FROM tri)
+  GROUP BY 1
+)
+SELECT deg.x AS vertex, deg.d AS degree,
+       CAST(coalesce(pv.nt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN 2.0 * CAST(coalesce(pv.nt, 0) AS BIGINT)
+                 / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pv ON pv.vertex = deg.x
+"""
+)

@@ -3029,3 +3029,89 @@ def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(F.substring("text", 1, 24)).alias("prefix")
     )
     return edit_distance_join(docs, "doc_id", "prefix", k=1)
+
+
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / score-stream anomaly detection: per-type (n, S1,
+    S2) stats come from the STATIC events table (one map-side-combined
+    aggregate, rows = type vocabulary) and broadcast into the events
+    STREAM, where each micro-batch evaluates the exact decimal |z| > 3
+    test with no streaming state at all. The oracle is the batch
+    q_anomaly_values SQL — streaming vs batch must agree row-for-row,
+    which also proves the flag is batch-boundary-independent."""
+    import uuid
+
+    from ..pipeline.timeseries import anomaly_flags
+
+    static = load_table(spark, sf_dir, "events")
+    stream = _events_stream(spark, sf_dir)
+    # anomaly_flags derives stats from its input frame; here the stats
+    # frame must come from the STATIC table while rows flow from the
+    # stream, so compose the same decimal test around a broadcast of
+    # batch-trained stats.
+    cents = (F.round(F.col("value") * 100)).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    stats = static.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(cents).alias("__s1"),
+        F.sum(cents * cents).alias("__s2"),
+    )
+    dev = F.col("__n") * cents - F.col("__s1")
+    lhs = (F.col("__n") - 1) * dev * dev
+    rhs = (
+        F.lit(9).cast("decimal(38,0)")
+        * F.col("__n")
+        * (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+    )
+    out = (
+        stream.join(F.broadcast(stats), "event_type")
+        .where((F.col("__n") >= 2) & (lhs > rhs))
+        .select(
+            "event_id",
+            "event_type",
+            cents.cast("bigint").alias("value_cents"),
+            F.col("__n").cast("bigint").alias("n_group"),
+        )
+    )
+    qname = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(qname)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts + local clustering coefficient on
+    the co-supply graph (suppliers co-appearing in an order, kept when
+    support >= 1.25x the mean — stated exactly as 4*c*n >= 5*sum(c) so
+    the cutoff is integer arithmetic, scale-free across SFs).
+    Degree-ordered orientation bounds the wedge join at O(m^1.5)
+    regardless of hub skew (pipeline/graph.py::triangle_count)."""
+    from ..pipeline.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    support = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "o")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = support.agg(
+        F.sum("c").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
+    )
+    edges = (
+        support.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * 4 * F.col("__cnt") >= F.col("__sum") * 5)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return triangle_count(edges)

@@ -43,7 +43,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_resample_6h": q.q_resample_6h,
     "q_anomaly_values": q.q_anomaly_values,
     "q_event_transitions": q.q_event_transitions,
+    "q_stream_anomaly": q.q_stream_anomaly,
     "q_editdist_join": q.q_editdist_join,
+    "q_triangle_count": q.q_triangle_count,
     # --- (2) last externally checked in round 3 ------------------------
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,

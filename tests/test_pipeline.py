@@ -2025,3 +2025,27 @@ def test_event_transitions_rows_sum_to_one(spark):
     for (prev, _), r in rows.items():
         sums[prev] = sums.get(prev, 0.0) + r["prob"]
     assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+
+
+def test_triangle_count_hand_graph(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, 3 per vertex, clustering 1.0),
+    # a pendant 5-1, and an isolated edge 6-7. Edges given messy:
+    # duplicated, reversed, and with a self-loop to drop.
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4),
+             (5, 1), (6, 7), (7, 6), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r for r in triangle_count(df).collect()}
+    assert len(got) == 7
+    assert got[1]["degree"] == 4 and got[1]["n_triangles"] == 3
+    assert got[1]["clustering"] == pytest.approx(3 / 6)
+    for v in (2, 3, 4):
+        assert got[v]["n_triangles"] == 3
+        assert got[v]["clustering"] == pytest.approx(1.0)
+    assert got[5]["n_triangles"] == 0 and got[5]["clustering"] == 0.0
+    assert got[6]["degree"] == 1 and got[6]["n_triangles"] == 0
+    # total triangles = sum / 3 (each counted once per vertex)
+    assert sum(r["n_triangles"] for r in got.values()) == 4 * 3
