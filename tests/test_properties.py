@@ -426,3 +426,133 @@ def test_funnel_restart_greedy_equals_dp_model(spark, evs, win):
     for u, lst in per_user.items():
         want = _restart_reachable_dp(sorted(lst), 3, win * 1_000_000)
         assert got[u] == want, (u, got[u], want)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=10_000),  # ts offset sec
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.25, 0.5, 0.75]),
+)
+def test_ewma_fold_model(spark, rows, alpha):
+    """EWMA fold vs a straight Python iteration of the same
+    recurrence y = y*(1-a) + x*a in (ts, tie) order — the doubles must
+    match EXACTLY (same IEEE sequence), not approximately."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import ewma_last
+
+    df = spark.createDataFrame(
+        [(i, k, t, c / 100.0) for i, (k, t, c) in enumerate(rows)],
+        "event_id long, key long, off long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("off")))
+    got = {
+        r["key"]: (r["n_points"], r["ewma"])
+        for r in ewma_last(df, "key", "ts", "value", alpha, "event_id").collect()
+    }
+    series: dict[int, list] = {}
+    for i, (k, t, c) in enumerate(rows):
+        series.setdefault(k, []).append((t, i, c / 100.0))
+    for k, lst in series.items():
+        lst.sort()
+        y = lst[0][2]
+        for _, _, x in lst[1:]:
+            y = y * (1.0 - alpha) + x * alpha
+        assert got[k] == (len(lst), y), (k, got[k], y)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.sampled_from([1, 2, 3]),
+)
+def test_anomaly_flags_model(spark, rows, k):
+    """Exact decimal |z| > k flag vs a Fraction-arithmetic reference
+    (no floats on either side of the comparison)."""
+    from fractions import Fraction
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        anomaly_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(i, str(g), c / 100.0) for i, (g, c) in enumerate(rows)],
+        "event_id long, event_type string, value double",
+    )
+    got = sorted(
+        r["event_id"] for r in anomaly_flags(df, "event_type", "value", k=k).collect()
+    )
+    groups: dict[str, list] = {}
+    for i, (g, c) in enumerate(rows):
+        groups.setdefault(str(g), []).append((i, c))
+    want = []
+    for g, lst in groups.items():
+        n = len(lst)
+        if n < 2:
+            continue
+        s1 = sum(c for _, c in lst)
+        s2 = sum(c * c for _, c in lst)
+        for i, c in lst:
+            mean_dev_sq = Fraction(n * c - s1, n) ** 2
+            var = Fraction(n * s2 - s1 * s1, n * (n - 1))
+            if mean_dev_sq > k * k * var:
+                want.append(i)
+    assert got == sorted(want)
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=2,
+        max_size=14,
+        unique=True,
+    ),
+    st.sampled_from([1, 2]),
+)
+def test_edit_distance_join_model(spark, strings, k):
+    """Deletion-neighborhood blocking + levenshtein verify vs the
+    brute-force DP over a tiny alphabet (dense near-matches — the
+    regime where missed blocking keys would show immediately)."""
+    from aces_nifi_processors_bundle_spark.pipeline.strings import (
+        edit_distance_join,
+    )
+
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    got = sorted(
+        (r["id_1"], r["id_2"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", k=k).collect()
+    )
+    assert got == _brute_ed_pairs(strings, k)
+
+
+def _brute_ed_pairs(strings, k):
+    import itertools
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    return sorted(
+        (i, j, ed(s, t))
+        for (i, s), (j, t) in itertools.combinations(enumerate(strings), 2)
+        if ed(s, t) <= k
+    )
