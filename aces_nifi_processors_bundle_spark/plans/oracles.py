@@ -2818,3 +2818,7 @@ SELECT deg.x AS vertex, deg.d AS degree,
 FROM deg LEFT JOIN pv ON pv.vertex = deg.x
 """
 )
+
+
+# Chunked rolling is byte-identical to the single-partition path.
+ORACLES["q_rolling_chunked"] = ORACLES["q_rolling_hourly"]

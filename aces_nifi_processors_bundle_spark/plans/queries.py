@@ -3115,3 +3115,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return triangle_count(edges)
+
+
+def q_rolling_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY rolling path under the full value-hash gate:
+    chunk_sec=21600 bounds each window task by events-per-user-per-6h
+    (the monster-key defense — 12.9 s -> ~2 s on the 530k-event
+    sf1-skew user, SCALE.md) and stitches boundary frames exactly via
+    replicated context rows. Output is BYTE-IDENTICAL to
+    q_rolling_hourly, so it shares that oracle verbatim."""
+    from ..pipeline.timeseries import rolling_aggregates
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_aggregates(
+        events, "user_id", "ts", "value", 3600, chunk_sec=21600
+    )

@@ -39,6 +39,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_funnel": q.q_stream_funnel,
     "q_validate_orders": q.q_validate_orders,
     "q_rolling_hourly": q.q_rolling_hourly,
+    "q_rolling_chunked": q.q_rolling_chunked,
     "q_ewma_value": q.q_ewma_value,
     "q_resample_6h": q.q_resample_6h,
     "q_anomaly_values": q.q_anomaly_values,

@@ -21,7 +21,15 @@ from aces_nifi_processors_bundle_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        # derived fixture dirs carry suffixes (".scale/sf1-skew"):
+        # take the leading numeric part, -1.0 when there is none.
+        import re
+
+        m = re.search(r"sf([0-9.]+)", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+        sf = float(m.group(1).rstrip(".")) if m else -1.0
+    except ValueError:
+        sf = -1.0
     spark = get_spark(app_name="aces-spark-bench")
 
     # Warm the session before timing: the first job pays executor-pool

@@ -2049,3 +2049,22 @@ def test_triangle_count_hand_graph(spark):
     assert got[6]["degree"] == 1 and got[6]["n_triangles"] == 0
     # total triangles = sum / 3 (each counted once per vertex)
     assert sum(r["n_triangles"] for r in got.values()) == 4 * 3
+
+
+def test_rolling_chunked_equals_unchunked(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        rolling_aggregates,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    plain = rolling_aggregates(events, "user_id", "ts", "value", 3600)
+    # chunk barely larger than the window — maximal boundary traffic
+    chunked = rolling_aggregates(
+        events, "user_id", "ts", "value", 3600, chunk_sec=3600
+    )
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, chunked.collect()))
+
+    with pytest.raises(ValueError, match="chunk_sec"):
+        rolling_aggregates(events, "user_id", "ts", "value", 3600,
+                           chunk_sec=1800)
