@@ -1,0 +1,81 @@
+"""Multi-column statistics in one scan: pairwise Pearson correlation
+(and the exact moment sums behind it) for k numeric columns.
+
+One `agg()` carries all k first moments, k second moments, and
+C(k,2) cross moments as DECIMAL(38,0) sums of integer-scaled values —
+map-side-combined partial aggregates, so the cost of the whole matrix
+is ONE scan + one scalar row regardless of k (k=20 is 230 sums, still
+one pass). Contrast `df.stat.corr`, which is one job per pair.
+
+Exactness contract (what makes the matrix oracle-hashable): every
+sum is exact decimal; the Pearson numerator/denominators
+    cov_n  = n·Sxy − Sx·Sy
+    varx_n = n·Sxx − Sx²       (scale factors cancel in the ratio)
+are exact decimal too; only then does each convert to double once,
+and corr = cov_n / sqrt(varx_n · vary_n) is three IEEE-754 ops
+(multiply, sqrt, divide — sqrt is correctly rounded per IEEE 754), so
+DuckDB's HUGEINT mirror produces bit-identical doubles. Zero-variance
+columns yield NULL correlation (guarded, no division by zero).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], scale: int = 100
+) -> DataFrame:
+    """One row per unordered column pair (col_x < col_y by input
+    order): (col_x, col_y, n, corr). `scale` is the integer-scaling
+    factor (100 for 2-decimal money columns); it cancels in the
+    correlation but keeps the moment sums exact. Rows where ANY of
+    the k columns is null are excluded (listwise deletion), so every
+    pair shares one n and the matrix is positive semi-definite.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols}")
+    complete = df.na.drop(subset=cols)
+    ints = {
+        c: F.round(F.col(c) * scale).cast("bigint").cast("decimal(38,0)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(ints[c]).alias(f"__s_{c}"))
+        aggs.append(F.sum(ints[c] * ints[c]).alias(f"__q_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(ints[a] * ints[b]).alias(f"__p_{a}_{b}"))
+    scalars = complete.agg(*aggs)
+
+    n = F.col("__n")
+    rows = []
+    for a, b in combinations(cols, 2):
+        cov_n = (n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")).cast(
+            "double"
+        )
+        varx_n = (n * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")).cast(
+            "double"
+        )
+        vary_n = (n * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")).cast(
+            "double"
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                n.cast("bigint").alias("n"),
+                F.when(
+                    (varx_n > 0) & (vary_n > 0),
+                    cov_n / F.sqrt(varx_n * vary_n),
+                ).alias("corr"),
+            )
+        )
+    return (
+        scalars.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_x", "col_y")
+    )

@@ -147,6 +147,7 @@ def ewma_last(
     value_col: str,
     alpha: float,
     tie_col: str,
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     """Final EWMA value per key: fold y = y*(1-alpha) + x*alpha over
     the key's series in (ts, tie) order, seeded with the first value
@@ -157,29 +158,85 @@ def ewma_last(
     operand order in sync with the DuckDB `list_reduce` oracle; both
     engines then execute the same IEEE-754 sequence and the unrounded
     doubles compare equal.
+
+    chunk_sec — the MONSTER-KEY defense. The sequential fold collects
+    one array per key; a key with 10⁸ events breaks the single-row
+    array limit long before the fold costs anything. Each EWMA step
+    is the affine map y → β·y + α·x, and affine maps compose:
+    a chunk of steps collapses to one (A, B) with A = β^m and
+    B = Σ α·x_i·β^(m-i), and chunks chain as (A₂A₁, A₂B₁+B₂). So the
+    chunked path folds each (key, time-chunk) independently (bounded
+    arrays) and composes the per-chunk affine summaries in bucket
+    order — a two-level parallel scan. Composition reassociates the
+    float ops, so the result is mathematically equal but NOT
+    bit-identical to the sequential path (~1e-15 relative; the
+    oracle-gated query stays sequential, the pytest equivalence is
+    toleranced).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     beta = 1.0 - alpha
-    arr = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.unix_micros(F.col(ts_col)).alias("us"),
-                F.col(tie_col).alias("tie"),
-                F.col(value_col).alias("x"),
-            )
+    elem = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tie_col).alias("tie"),
+        F.col(value_col).alias("x"),
+    )
+    if chunk_sec is None:
+        per_key = df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sort_array(F.collect_list(elem)).alias("__arr"),
         )
+        rest = F.slice(F.col("__arr"), 2, F.size(F.col("__arr")) - 1)
+        fold = F.aggregate(
+            rest,
+            F.element_at(F.col("__arr"), 1)["x"].cast("double"),
+            lambda acc, e: acc * F.lit(beta) + e["x"] * F.lit(alpha),
+        )
+        return per_key.select(key, "n_points", fold.alias("ewma"))
+
+    cstep = chunk_sec * 1_000_000
+    bucket = (F.unix_micros(F.col(ts_col)) / cstep).cast("bigint")
+    chunks = df.groupBy(F.col(key), bucket.alias("__bk")).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sort_array(F.collect_list(elem)).alias("__arr"),
     )
-    per_key = df.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_points"), arr.alias("__arr")
-    )
-    rest = F.slice(F.col("__arr"), 2, F.size(F.col("__arr")) - 1)
-    fold = F.aggregate(
-        rest,
-        F.element_at(F.col("__arr"), 1)["x"].cast("double"),
+    # Pure affine summary of the chunk's steps, plus the SEEDED value
+    # for whichever chunk turns out to be the key's first.
+    arr = F.col("__arr")
+    pure_b = F.aggregate(
+        arr,
+        F.lit(0.0),
         lambda acc, e: acc * F.lit(beta) + e["x"] * F.lit(alpha),
     )
-    return per_key.select(key, "n_points", fold.alias("ewma"))
+    seeded = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1)["x"].cast("double"),
+        lambda acc, e: acc * F.lit(beta) + e["x"] * F.lit(alpha),
+    )
+    summaries = chunks.select(
+        F.col(key),
+        F.col("__bk"),
+        F.col("__m"),
+        F.pow(F.lit(beta), F.col("__m")).alias("__ca"),
+        pure_b.alias("__cb"),
+        seeded.alias("__seeded"),
+    )
+    # Second level: compose per-chunk summaries in bucket order —
+    # element counts are #chunks per key, never #events.
+    per_key = summaries.groupBy(key).agg(
+        F.sum("__m").alias("n_points"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("__bk", "__ca", "__cb", "__seeded")
+            )
+        ).alias("__cs"),
+    )
+    compose = F.aggregate(
+        F.slice(F.col("__cs"), 2, F.size(F.col("__cs")) - 1),
+        F.element_at(F.col("__cs"), 1)["__seeded"].cast("double"),
+        lambda acc, c: acc * c["__ca"] + c["__cb"],
+    )
+    return per_key.select(key, "n_points", compose.alias("ewma"))
 
 
 def resample_gapfill(

@@ -2822,3 +2822,57 @@ FROM deg LEFT JOIN pv ON pv.vertex = deg.x
 
 # Chunked rolling is byte-identical to the single-partition path.
 ORACLES["q_rolling_chunked"] = ORACLES["q_rolling_hourly"]
+
+
+# Correlation matrix: HUGEINT moment sums mirror the decimal(38,0)
+# sums; corr = cov_n / sqrt(varx_n * vary_n) in the same three IEEE
+# ops (sqrt is correctly rounded per IEEE 754), compared unrounded.
+oracle("q_corr_matrix")(
+    """
+WITH c AS (
+  SELECT CAST(round(l_quantity*100) AS HUGEINT) AS x1,
+         CAST(round(l_extendedprice*100) AS HUGEINT) AS x2,
+         CAST(round(l_discount*100) AS HUGEINT) AS x3,
+         CAST(round(l_tax*100) AS HUGEINT) AS x4
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x1) s1, sum(x2) s2, sum(x3) s3, sum(x4) s4,
+         sum(x1*x1) q1, sum(x2*x2) q2, sum(x3*x3) q3, sum(x4*x4) q4,
+         sum(x1*x2) p12, sum(x1*x3) p13, sum(x1*x4) p14,
+         sum(x2*x3) p23, sum(x2*x4) p24, sum(x3*x4) p34
+  FROM c
+)
+SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+       CASE WHEN vx > 0 AND vy > 0 THEN cv / sqrt(vx * vy) END AS corr
+FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+         CAST(n*p12 - s1*s2 AS DOUBLE) cv,
+         CAST(n*q1 - s1*s1 AS DOUBLE) vx, CAST(n*q2 - s2*s2 AS DOUBLE) vy
+  FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n,
+         CAST(n*p13 - s1*s3 AS DOUBLE),
+         CAST(n*q1 - s1*s1 AS DOUBLE), CAST(n*q3 - s3*s3 AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', n,
+         CAST(n*p14 - s1*s4 AS DOUBLE),
+         CAST(n*q1 - s1*s1 AS DOUBLE), CAST(n*q4 - s4*s4 AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', n,
+         CAST(n*p23 - s2*s3 AS DOUBLE),
+         CAST(n*q2 - s2*s2 AS DOUBLE), CAST(n*q3 - s3*s3 AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax', n,
+         CAST(n*p24 - s2*s4 AS DOUBLE),
+         CAST(n*q2 - s2*s2 AS DOUBLE), CAST(n*q4 - s4*s4 AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', n,
+         CAST(n*p34 - s3*s4 AS DOUBLE),
+         CAST(n*q3 - s3*s3 AS DOUBLE), CAST(n*q4 - s4*s4 AS DOUBLE) FROM s
+)
+ORDER BY col_x, col_y
+"""
+)

@@ -3130,3 +3130,17 @@ def q_rolling_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_aggregates(
         events, "user_id", "ts", "value", 3600, chunk_sec=21600
     )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over four lineitem measures in
+    ONE scan (pipeline/stats.py::correlation_matrix — 15 decimal
+    moment sums in a single map-side-combined aggregate; contrast
+    df.stat.corr's job-per-pair). corr is exactly three IEEE ops on
+    exact-decimal moments, so the oracle compares unrounded."""
+    from ..pipeline.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

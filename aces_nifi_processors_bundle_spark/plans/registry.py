@@ -47,6 +47,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_anomaly": q.q_stream_anomaly,
     "q_editdist_join": q.q_editdist_join,
     "q_triangle_count": q.q_triangle_count,
+    "q_corr_matrix": q.q_corr_matrix,
     # --- (2) last externally checked in round 3 ------------------------
     "q_embedding_near_dups": q.q_embedding_near_dups,
     "q_multimodal_features": q.q_multimodal_features,

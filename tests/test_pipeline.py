@@ -2068,3 +2068,61 @@ def test_rolling_chunked_equals_unchunked(spark, sf_dir):
     with pytest.raises(ValueError, match="chunk_sec"):
         rolling_aggregates(events, "user_id", "ts", "value", 3600,
                            chunk_sec=1800)
+
+
+def test_correlation_matrix_known_values(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+         (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0)],
+        "a double, b double, c double, d double",
+    )
+    got = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == pytest.approx(1.0)   # perfectly linear
+    assert got[("a", "c")] == pytest.approx(-1.0)  # anti-correlated
+    assert got[("a", "d")] is None                 # zero variance -> NULL
+    assert got[("b", "c")] == pytest.approx(-1.0)
+
+    with pytest.raises(ValueError, match="columns"):
+        correlation_matrix(df, ["a"])
+
+
+def test_correlation_matrix_listwise_deletion(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        correlation_matrix,
+    )
+
+    # the null row must drop from EVERY pair (shared n), not just
+    # pairs touching the null column
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 9.0), (2.0, 3.0, 7.0), (3.0, 2.0, None),
+         (4.0, 5.0, 1.0)],
+        "a double, b double, c double",
+    )
+    rows = correlation_matrix(df, ["a", "b", "c"]).collect()
+    assert all(r["n"] == 3 for r in rows)
+
+
+def test_ewma_chunked_close_to_sequential(spark, sf_dir):
+    """The affine-composition chunked path reassociates float ops, so
+    it is mathematically equal but not bit-identical: compare with
+    tight relative tolerance, n_points exactly."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        ewma_last,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    seq = {r["user_id"]: r for r in
+           ewma_last(events, "user_id", "ts", "value", 0.25,
+                     "event_id").collect()}
+    chk = {r["user_id"]: r for r in
+           ewma_last(events, "user_id", "ts", "value", 0.25, "event_id",
+                     chunk_sec=21600).collect()}
+    assert set(seq) == set(chk)
+    for u in seq:
+        assert chk[u]["n_points"] == seq[u]["n_points"]
+        assert chk[u]["ewma"] == pytest.approx(seq[u]["ewma"], rel=1e-12)

@@ -337,3 +337,18 @@ def test_validate_row_checks_share_one_aggregate(spark, sf_dir):
     )
     assert n_orders == 2, f"expected 2 orders scans (agg + FK), got {n_orders}"
     assert "BroadcastHashJoin" in plan  # FK anti-join builds customer side
+
+
+def test_corr_matrix_single_scan_single_aggregate(spark, sf_dir):
+    """The whole k-column matrix must be ONE scan + one partial/final
+    aggregate pair — not a job per pair like df.stat.corr."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_corr_matrix
+
+    plan = plan_of(q_corr_matrix(spark, sf_dir))
+    n_scans = sum(
+        "lineitem.parquet" in ln for ln in _scan_lines(plan, "Location:")
+    )
+    assert n_scans == 1
+    # simple mode: formatted repeats each node in its details section
+    simple = plan_of(q_corr_matrix(spark, sf_dir), "simple")
+    assert simple.count("HashAggregate") == 2  # partial + final
