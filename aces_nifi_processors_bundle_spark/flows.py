@@ -47,6 +47,8 @@ JSON document folding into one Catalyst plan:
   {"op": "anomaly",     "group": "event_type", "k": 3}
   {"op": "transitions", "key": "user_id"}
   {"op": "editdist_join", "id_col": ..., "str_col": ..., "k": 1}
+  {"op": "corr_matrix",  "cols": ["l_quantity", "l_extendedprice"]}
+  {"op": "triangle_count", "src": "src", "dst": "dst"}
 
 Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
@@ -727,10 +729,12 @@ def _rolling(
     ts_col: str = "ts",
     value_col: str = "value",
     window_sec: int = 3600,
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     from .pipeline.timeseries import rolling_aggregates
 
-    return rolling_aggregates(df, key, ts_col, value_col, window_sec)
+    return rolling_aggregates(df, key, ts_col, value_col, window_sec,
+                              chunk_sec)
 
 
 @stage("ewma")
@@ -743,10 +747,38 @@ def _ewma(
     value_col: str = "value",
     alpha: float = 0.25,
     tie_col: str = "event_id",
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     from .pipeline.timeseries import ewma_last
 
-    return ewma_last(df, key, ts_col, value_col, alpha, tie_col)
+    return ewma_last(df, key, ts_col, value_col, alpha, tie_col, chunk_sec)
+
+
+@stage("corr_matrix")
+def _corr_matrix(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    cols: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    from .pipeline.stats import correlation_matrix
+
+    return correlation_matrix(df, cols, scale)
+
+
+@stage("triangle_count")
+def _triangle_count(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+) -> DataFrame:
+    from .pipeline.graph import triangle_count
+
+    return triangle_count(df, src, dst, checkpoint)
 
 
 @stage("resample")

@@ -452,3 +452,27 @@ def test_flow_validate_errors_are_actionable(spark, sf_dir):
             {"op": "load", "table": "orders"},
             {"op": "validate", "checks": [{"kind": "run_checks"}]},
         ], sf_dir)
+
+
+def test_flow_corr_and_triangle_stages(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "lineitem"},
+        {"op": "corr_matrix",
+         "cols": ["l_quantity", "l_extendedprice", "l_discount"]},
+    ], sf_dir).collect()
+    assert len(got) == 3  # C(3,2) pairs
+    assert all(r["n"] > 0 for r in got)
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "lineitem"},
+        {"op": "sql", "query": (
+            "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "
+            "FROM __this__ a JOIN __this__ b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_suppkey < b.l_suppkey GROUP BY 1, 2 HAVING count(*) >= 2"
+        )},
+        {"op": "triangle_count"},
+    ], sf_dir)
+    rows = got.collect()
+    assert rows and all(r["degree"] >= 1 for r in rows)
