@@ -52,6 +52,16 @@ def _cents(col: Column) -> Column:
     return F.round(col * 100).cast("bigint")
 
 
+def _bucket_of(us: Column, step_us: int) -> Column:
+    """Exact floor(us / step) for non-negative bigint microseconds.
+    Plain `(us / step).cast("bigint")` rounds the double quotient,
+    which sits within half-ulp of flipping a boundary for
+    ~2^53-magnitude timestamps with second-scale buckets; subtracting
+    the modulus first makes the dividend an exact multiple, whose
+    double quotient is exact."""
+    return ((us - us % F.lit(step_us)) / F.lit(step_us)).cast("bigint")
+
+
 def rolling_aggregates(
     df: DataFrame,
     key: str,
@@ -103,7 +113,7 @@ def rolling_aggregates(
                 "window into the previous chunk"
             )
         cstep = chunk_sec * 1_000_000
-        bucket = (F.col("__us") / cstep).cast("bigint")
+        bucket = _bucket_of(F.col("__us"), cstep)
         emits = base.select(
             "*", bucket.alias("__chunk"), F.lit(True).alias("__emit")
         )
@@ -195,7 +205,7 @@ def ewma_last(
         return per_key.select(key, "n_points", fold.alias("ewma"))
 
     cstep = chunk_sec * 1_000_000
-    bucket = (F.unix_micros(F.col(ts_col)) / cstep).cast("bigint")
+    bucket = _bucket_of(F.unix_micros(F.col(ts_col)), cstep)
     chunks = df.groupBy(F.col(key), bucket.alias("__bk")).agg(
         F.count(F.lit(1)).alias("__m"),
         F.sort_array(F.collect_list(elem)).alias("__arr"),
@@ -260,7 +270,7 @@ def resample_gapfill(
     if how not in ("zero", "ffill"):
         raise ValueError(f"how must be 'zero' or 'ffill', got {how!r}")
     step = bucket_sec * 1_000_000
-    bucket = (F.unix_micros(F.col(ts_col)) / step).cast("bigint") * step
+    bucket = _bucket_of(F.unix_micros(F.col(ts_col)), step) * step
     cents = _cents(F.col(value_col))
     observed = df.groupBy(F.col(key), bucket.alias("bucket_us")).agg(
         F.count(F.lit(1)).alias("n_events"),
