@@ -39,28 +39,33 @@ def correlation_matrix(
     if len(cols) < 2:
         raise ValueError(f"need >= 2 columns, got {cols}")
     complete = df.na.drop(subset=cols)
-    ints = {
-        c: F.round(F.col(c) * scale).cast("bigint").cast("decimal(38,0)")
+    ints = [
+        F.round(F.col(c) * scale).cast("bigint").cast("decimal(38,0)")
         for c in cols
-    }
+    ]
+    # moment aliases are INDEX-keyed: name-interpolated aliases would
+    # collide for underscore-bearing columns (("x","y_z") and
+    # ("x_y","z") both render __p_x_y_z)
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(ints[c]).alias(f"__s_{c}"))
-        aggs.append(F.sum(ints[c] * ints[c]).alias(f"__q_{c}"))
-    for a, b in combinations(cols, 2):
-        aggs.append(F.sum(ints[a] * ints[b]).alias(f"__p_{a}_{b}"))
+    for i, c in enumerate(ints):
+        aggs.append(F.sum(c).alias(f"__s{i}"))
+        aggs.append(F.sum(c * c).alias(f"__q{i}"))
+    idx = list(combinations(range(len(cols)), 2))
+    for i, j in idx:
+        aggs.append(F.sum(ints[i] * ints[j]).alias(f"__p{i}_{j}"))
     scalars = complete.agg(*aggs)
 
     n = F.col("__n")
     rows = []
-    for a, b in combinations(cols, 2):
-        cov_n = (n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")).cast(
+    for i, j in idx:
+        a, b = cols[i], cols[j]
+        cov_n = (n * F.col(f"__p{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")).cast(
             "double"
         )
-        varx_n = (n * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")).cast(
+        varx_n = (n * F.col(f"__q{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")).cast(
             "double"
         )
-        vary_n = (n * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")).cast(
+        vary_n = (n * F.col(f"__q{j}") - F.col(f"__s{j}") * F.col(f"__s{j}")).cast(
             "double"
         )
         rows.append(

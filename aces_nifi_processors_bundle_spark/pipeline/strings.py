@@ -72,9 +72,8 @@ def deletion_variants(
                 )
             ).alias("__vars"),
         )
-    return out.select(
-        "__id", "__s", F.explode(F.array_distinct("__vars")).alias("__var")
-    )
+    # __vars is already deduplicated by the loop's final array_distinct
+    return out.select("__id", "__s", F.explode("__vars").alias("__var"))
 
 
 def edit_distance_join(

@@ -324,6 +324,14 @@ def anomaly_flags(
     on the Spark side, HUGEINT in the DuckDB oracle. Groups with
     n < 2 produce no flags (sample variance undefined).
 
+    The decimal products are computed with try_multiply: beyond
+    decimal(38) range (roughly n·|x_cents| > 10¹⁹ — e.g. 10¹⁰-row
+    groups of 10⁹-cent values) the exact products overflow to NULL
+    (uniformly, ANSI on or off) and the comparison FALLS BACK to the
+    same inequality in float64 — approximate at the z≈k boundary but
+    never silently dropping a group's flags. Inputs within the bound
+    (every oracle-gated dataset) always take the exact branch.
+
     Stats come from one map-side-combined groupBy; the stats frame
     (one row per group) broadcast-joins back — no window over giant
     group-partitions, no second shuffle of the fact rows.
@@ -336,20 +344,32 @@ def anomaly_flags(
         F.sum(cents).alias("__s1"),
         F.sum(cents * cents).alias("__s2"),
     )
-    dev = stats["__n"] * cents - F.col("__s1")
-    lhs = (stats["__n"] - 1) * dev * dev
-    rhs = (
-        F.lit(k * k).cast("decimal(38,0)")
-        * stats["__n"]
-        * (stats["__n"] * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+    n = stats["__n"]
+    dev = F.try_subtract(F.try_multiply(n, cents), F.col("__s1"))
+    lhs = F.try_multiply(F.try_multiply(n - 1, dev), dev)
+    rhs = F.try_multiply(
+        F.try_multiply(F.lit(k * k).cast("decimal(38,0)"), n),
+        F.try_subtract(
+            F.try_multiply(n, F.col("__s2")),
+            F.try_multiply(F.col("__s1"), F.col("__s1")),
+        ),
+    )
+    # float64 mirror of the same inequality for the overflow fallback
+    nd = n.cast("double")
+    cd = cents.cast("double")
+    s1d, s2d = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    dev_d = nd * cd - s1d
+    flag_d = (nd - 1) * dev_d * dev_d > k * k * nd * (nd * s2d - s1d * s1d)
+    flagged = F.when(lhs.isNotNull() & rhs.isNotNull(), lhs > rhs).otherwise(
+        flag_d
     )
     return (
         df.join(F.broadcast(stats), group)
-        .where((stats["__n"] >= 2) & (lhs > rhs))
+        .where((n >= 2) & flagged)
         .select(
             *id_cols,
             group,
             cents.cast("bigint").alias("value_cents"),
-            stats["__n"].cast("bigint").alias("n_group"),
+            n.cast("bigint").alias("n_group"),
         )
     )

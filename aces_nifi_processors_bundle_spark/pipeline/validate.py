@@ -226,9 +226,14 @@ def run_checks(
 
     rows = []
     for i, ck in enumerate(checks):
-        total = F.col(f"__t{i}") if ck.kind != "row" else F.col(f"__t{i}")
+        total = F.col(f"__t{i}")
         if ck.kind == "unique":
-            viol = total - F.col(f"__v{i}")
+            # Clamp at 0: approx_count_distinct can OVERestimate, and
+            # count - distinct would then report negative violations
+            # and fail a genuinely unique column. (The exact path is
+            # always >= 0; underestimates still produce small spurious
+            # counts — the documented rsd trade of approx=True.)
+            viol = F.greatest(F.lit(0), total - F.col(f"__v{i}"))
         else:
             viol = F.col(f"__v{i}")
         rows.append(

@@ -2126,3 +2126,20 @@ def test_ewma_chunked_close_to_sequential(spark, sf_dir):
     for u in seq:
         assert chk[u]["n_points"] == seq[u]["n_points"]
         assert chk[u]["ewma"] == pytest.approx(seq[u]["ewma"], rel=1e-12)
+
+
+def test_correlation_matrix_underscore_column_names(spark):
+    """Regression: name-interpolated moment aliases collided for
+    underscore-bearing columns (("x","y_z") vs ("x_y","z")); aliases
+    are index-keyed now."""
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (2.0, 1.0, 5.0, 9.0), (3.0, 5.0, 4.0, 1.0)],
+        "x double, y_z double, x_y double, z double",
+    )
+    rows = correlation_matrix(df, ["x", "y_z", "x_y", "z"]).collect()
+    assert len(rows) == 6
+    assert all(r["corr"] is not None for r in rows)
