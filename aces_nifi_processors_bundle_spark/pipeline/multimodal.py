@@ -117,7 +117,13 @@ def extract_features(
     interpreter can import it, fake elsewhere — the availability probe
     runs inside the UDF, so a heterogeneous cluster degrades per-node
     instead of failing."""
-    if use_real_decoder not in (True, False, "auto"):
+    # identity checks, not `in`: 1 == True under `in`, but the `is
+    # True` dispatch below would then silently pick the fake decoder
+    if not (
+        use_real_decoder is True
+        or use_real_decoder is False
+        or use_real_decoder == "auto"
+    ):
         raise ValueError(
             f"extract_features: use_real_decoder must be True/False/'auto', "
             f"got {use_real_decoder!r}"

@@ -635,15 +635,25 @@ def funnel(
             times = _funnel_times_chained(
                 df, steps, user_col, type_col, ts_col, window_sec
             )
+    return funnel_report(times, steps)
+
+
+def funnel_report(times: DataFrame, steps: list[str]) -> DataFrame:
+    """Final rollup shared by every funnel producer (batch chained/
+    array/restart paths AND the streaming stateful chain): `times`
+    holds one row per user with nullable step-completion columns
+    `_s0.._s{k-1}`; the report is one global counts aggregate exploded
+    into per-step rows with the conversion-from-previous rate
+    (round 6, matching the oracle's contract). ONE counts row exploded
+    into the step rows — a union of N selects over `counts` would
+    re-execute the whole upstream chain N times (each union branch is
+    its own subtree)."""
     counts = times.agg(
         *[
             F.count(F.col(f"_s{i}")).cast("bigint").alias(f"_n{i}")
             for i in range(len(steps))
         ]
     )
-    # ONE counts row exploded into the per-step report — a union of N
-    # selects over `counts` would re-execute the whole funnel chain N
-    # times (each union branch is its own subtree).
     step_rows = []
     for i, s in enumerate(steps):
         prev_n = F.col(f"_n{i-1}") if i else F.col(f"_n{i}")

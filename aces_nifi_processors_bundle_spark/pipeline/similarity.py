@@ -547,10 +547,21 @@ def ivf_compact_index(
     committed epoch to stay clear of the replay window."""
     idx = spark.read.parquet(path)
     if upto_epoch is None:
-        row = idx.agg(F.max("epoch").alias("m")).collect()[0]
-        if row["m"] is None:
+        # "max epoch currently LISTED" literally: epoch is a partition
+        # column, so take the bound from the already-performed driver
+        # file listing (inputFiles paths carry epoch=<n>) — an
+        # agg(max(epoch)) here would scan every row of every epoch
+        # just to learn a directory name
+        import re
+
+        epochs = {
+            int(m.group(1))
+            for f in idx.inputFiles()
+            if (m := re.search(r"epoch=(\d+)/", f))
+        }
+        if not epochs:
             raise ValueError(f"ivf_compact_index: no epochs under {path}")
-        upto_epoch = int(row["m"])
+        upto_epoch = max(epochs)
     body = idx.filter(F.col("epoch") <= F.lit(int(upto_epoch))).drop("epoch")
     _write_cells(body, out_path, mode="overwrite", epoch=None)
     return upto_epoch

@@ -69,6 +69,7 @@ def rolling_aggregates(
     value_col: str,
     window_sec: int,
     chunk_sec: int | None = None,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-row trailing-window aggregates: for each event, the
     count / exact cents-sum / min / max of `value_col` over this key's
@@ -88,12 +89,15 @@ def rolling_aggregates(
     output). Per-task work is bounded by events-per-key-per-chunk,
     output is byte-identical to the single-partition path — the
     chunked query shares the oracle verbatim.
+
+    id_col names the row-identifier column (emitted as `event_id`, the
+    module-wide output convention shared with anomaly_flags' id_cols).
     """
     us_expr = F.unix_micros(F.col(ts_col))
     cents_expr = _cents(F.col(value_col))
     step = window_sec * 1_000_000
     base = df.select(
-        F.col("event_id"),
+        F.col(id_col).alias("event_id"),
         F.col(key),
         us_expr.alias("__us"),
         cents_expr.alias("__cents"),
@@ -314,6 +318,7 @@ def anomaly_flags(
     value_col: str,
     k: int = 3,
     id_cols: tuple[str, ...] = ("event_id",),
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rows whose value lies more than k sample standard deviations
     from their group's mean, decided EXACTLY: with x in integer cents
@@ -335,11 +340,18 @@ def anomaly_flags(
     Stats come from one map-side-combined groupBy; the stats frame
     (one row per group) broadcast-joins back — no window over giant
     group-partitions, no second shuffle of the fact rows.
+
+    `train_df` separates training from scoring: when given, the (n,
+    S1, S2) stats are aggregated over train_df while df supplies the
+    rows to flag — the train/score split used by the streaming twin
+    (q_stream_anomaly scores a stream against batch-trained stats;
+    stateless, so df may be a streaming frame). Default None trains
+    on df itself.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     cents = _cents(F.col(value_col)).cast("decimal(38,0)")
-    stats = df.groupBy(group).agg(
+    stats = (train_df if train_df is not None else df).groupBy(group).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
         F.sum(cents).alias("__s1"),
         F.sum(cents * cents).alias("__s2"),

@@ -75,6 +75,11 @@ def in_range(
     """lo <= col <= hi over NON-NULL rows (open end = unbounded).
     Null handling is not_null's job — counting nulls here too would
     double-report one bad row under two constraints."""
+    if lo is None and hi is None:
+        # a bound-less range is an always-passing no-op — almost
+        # certainly a misconfigured spec, so fail loudly (dbt/Deequ
+        # behavior) instead of green-lighting every value forever
+        raise ValueError(f"in_range({col}): need at least one of lo/hi")
     c = F.col(col)
     bad = F.lit(False)
     if lo is not None:

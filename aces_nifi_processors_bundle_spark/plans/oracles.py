@@ -533,7 +533,7 @@ WITH corpus AS (
   WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 300000,
-         CASE WHEN doc_id % 2 = 0
+         CASE WHEN doc_id % 20 = 5
               THEN 'click here to accept all cookies and continue now'
               ELSE 'copyright all rights reserved terms of service apply' END
   FROM documents WHERE doc_id % 10 = 5

@@ -909,7 +909,7 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tpl = docs.filter(F.col("doc_id") % 10 == 5).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.when(
-            F.col("doc_id") % 2 == 0,
+            F.col("doc_id") % 20 == 5,
             F.lit("click here to accept all cookies and continue now"),
         )
         .otherwise(
@@ -1260,31 +1260,11 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
         ),
     ).filter(F.col("_rn") == 1)
-    counts = final.agg(
-        *[
-            F.count(F.col(f"_s{i}")).cast("bigint").alias(f"_n{i}")
-            for i in range(len(steps))
-        ]
-    )
-    step_rows = []
-    for i, s in enumerate(steps):
-        prev_n = F.col(f"_n{i-1}") if i else F.col(f"_n{i}")
-        step_rows.append(
-            F.struct(
-                F.lit(i + 1).cast("int").alias("step"),
-                F.lit(s).alias("event_type"),
-                F.col(f"_n{i}").alias("n_users"),
-                F.when(
-                    prev_n > 0,
-                    F.round(
-                        F.col(f"_n{i}").cast("double") / prev_n.cast("double"), 6
-                    ),
-                )
-                .otherwise(F.lit(None).cast("double"))
-                .alias("conversion"),
-            )
-        )
-    return counts.select(F.explode(F.array(*step_rows)).alias("_r")).select("_r.*")
+    # same rollup as the batch funnel — one shared helper, so the
+    # conversion contract cannot drift between the two paths
+    from ..pipeline.reports import funnel_report
+
+    return funnel_report(final, steps)
 
 
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3045,35 +3025,10 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     static = load_table(spark, sf_dir, "events")
     stream = _events_stream(spark, sf_dir)
-    # anomaly_flags derives stats from its input frame; here the stats
-    # frame must come from the STATIC table while rows flow from the
-    # stream, so compose the same decimal test around a broadcast of
-    # batch-trained stats.
-    cents = (F.round(F.col("value") * 100)).cast("bigint").cast(
-        "decimal(38,0)"
-    )
-    stats = static.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
-        F.sum(cents).alias("__s1"),
-        F.sum(cents * cents).alias("__s2"),
-    )
-    dev = F.col("__n") * cents - F.col("__s1")
-    lhs = (F.col("__n") - 1) * dev * dev
-    rhs = (
-        F.lit(9).cast("decimal(38,0)")
-        * F.col("__n")
-        * (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1"))
-    )
-    out = (
-        stream.join(F.broadcast(stats), "event_type")
-        .where((F.col("__n") >= 2) & (lhs > rhs))
-        .select(
-            "event_id",
-            "event_type",
-            cents.cast("bigint").alias("value_cents"),
-            F.col("__n").cast("bigint").alias("n_group"),
-        )
-    )
+    # Same decimal test + overflow fallback as the batch path: stats
+    # train on the STATIC table (train_df), rows flow from the stream.
+    out = anomaly_flags(stream, "event_type", "value", k=3,
+                        train_df=static)
     qname = f"anom_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
