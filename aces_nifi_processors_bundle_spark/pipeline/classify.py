@@ -1,0 +1,141 @@
+"""Model-inference operators: hashed linear text classification.
+
+The reference bundle routes records by regex/attribute rules
+(aces-nifi-processors/src/main/java/net/acesinc/nifi/processors/
+marking/SecurityMarkingProcessor.java decides per-record routing from
+field content); production corpus pipelines add a LEARNED per-record
+decision — the fastText-style quality classifier every large
+training-data pipeline runs (GPT-3/CCNet-style "does this look like
+reference text" filtering). This module is that inference step,
+Spark-first.
+
+Model = hashed bag-of-features linear classifier:
+
+    logit(doc) = bias + Σ_f  count(f, doc) · w[h(f) mod D]
+
+with features f = lowercased word unigrams + adjacent-pair bigrams,
+h = the repo-wide 60-bit md5 prefix (cross-engine exact), and a
+D-bucket weight vector. Training happens OFFLINE (any logistic
+trainer); inference only needs the weight table.
+
+Scale design:
+
+- The weight vector (D rows, two ints) is broadcast — never shuffled,
+  never collected. 4096..1M buckets is kilobytes-to-megabytes.
+- Feature extraction is regexp_extract_all + posexplode (codegen,
+  no Python). Bigrams come from lead() over (doc, position) — ONE
+  hash exchange on doc_id; the final per-doc sum reuses that same
+  partitioning (exchange reuse, map-side combined).
+- Weights are INTEGER MILLI-units and the logit is a bigint sum:
+  exact, associative, partial-agg-order independent — the decision
+  boundary (logit > threshold) is bit-reproducible on any cluster
+  layout, and the DuckDB oracle compares it exactly.
+- The logistic probability is derived presentation (one exp on the
+  final scalar, rounded); ranking/filtering should use the exact
+  integer logit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def hash_weights(
+    spark: SparkSession, n_buckets: int = 4096, seed: str = "qw"
+) -> DataFrame:
+    """Deterministic weight-table FIXTURE: w_milli[b] uniform in
+    [-1000, 1000] from md5(seed||b) — the stand-in for an offline-
+    trained model, reproducible bit-for-bit in DuckDB (same md5
+    construction). Columns: (bucket bigint, w_milli bigint)."""
+    b = F.col("id").cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), b.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return spark.range(n_buckets).select(
+        b.alias("bucket"),
+        (F.pmod(h, F.lit(2001)) - F.lit(1000)).alias("w_milli"),
+    )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Score every document under a hashed linear model (module doc).
+
+    weights: (bucket, w_milli) with bucket in [0, n_buckets) — rows
+    for untouched buckets may be absent (treated as 0). Returns one
+    row per document with >=1 feature:
+        (id_col, n_features, logit_milli, label, prob)
+    logit_milli/label are exact integers/booleans; prob =
+    sigmoid(logit) rounded to 6 (presentation only).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_WORD_RE), F.lit(0)
+            )
+        ).alias("pos", "w"),
+    )
+    if bigrams:
+        # ONE text scan: the windowed rows emit both the unigram and
+        # (when a successor exists) the bigram — a union of a fresh
+        # unigram branch would re-read and re-tokenize the corpus
+        nxt = F.lead("w").over(Window.partitionBy(id_col).orderBy("pos"))
+        feats = (
+            toks.withColumn("__nxt", nxt)
+            .select(
+                id_col,
+                F.explode(
+                    F.array(
+                        F.col("w"),
+                        F.when(
+                            F.col("__nxt").isNotNull(),
+                            F.concat(F.col("w"), F.lit("_"), F.col("__nxt")),
+                        ),
+                    )
+                ).alias("f"),
+            )
+            .where(F.col("f").isNotNull())
+        )
+    else:
+        feats = toks.select(id_col, F.col("w").alias("f"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    scored = feats.select(id_col, bucket.alias("bucket")).join(
+        F.broadcast(weights), "bucket", "left"
+    )
+    logit = (
+        F.lit(int(bias_milli)).cast("bigint")
+        + F.sum(F.coalesce(F.col("w_milli"), F.lit(0))).cast("bigint")
+    ).alias("logit_milli")
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"), logit
+    )
+    return out.select(
+        id_col,
+        "n_features",
+        "logit_milli",
+        (F.col("logit_milli") > F.lit(int(threshold_milli))).alias("label"),
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.col("logit_milli").cast("double") / 1000.0)),
+            6,
+        ).alias("prob"),
+    )

@@ -2143,3 +2143,112 @@ def test_correlation_matrix_underscore_column_names(spark):
     rows = correlation_matrix(df, ["x", "y_z", "x_y", "z"]).collect()
     assert len(rows) == 6
     assert all(r["corr"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------- classify
+
+
+def test_classifier_bigrams_and_determinism(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        hash_weights,
+        linear_text_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat"), (3, "dog"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    w = hash_weights(spark, 64)
+    out = linear_text_classifier(docs, w, n_buckets=64).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # identical docs -> identical exact scores
+    assert rows[1]["logit_milli"] == rows[2]["logit_milli"]
+    assert rows[1]["n_features"] == 5  # 3 unigrams + 2 bigrams
+    assert rows[3]["n_features"] == 1  # single word, no bigram
+    assert 4 not in rows  # whitespace-only doc has no features
+    # label is the exact integer decision
+    for r in rows.values():
+        assert r["label"] == (r["logit_milli"] > 0)
+        assert 0.0 <= r["prob"] <= 1.0
+
+
+def test_classifier_unigram_only_and_threshold(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        hash_weights,
+        linear_text_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    w = hash_weights(spark, 64)
+    uni = linear_text_classifier(docs, w, n_buckets=64, bigrams=False)
+    assert uni.collect()[0]["n_features"] == 3
+    # bias shifts the logit exactly; threshold moves the decision
+    base = linear_text_classifier(docs, w, n_buckets=64).collect()[0]
+    shifted = linear_text_classifier(
+        docs, w, n_buckets=64, bias_milli=1000
+    ).collect()[0]
+    assert shifted["logit_milli"] == base["logit_milli"] + 1000
+    hi = linear_text_classifier(
+        docs, w, n_buckets=64, threshold_milli=10**9
+    ).collect()[0]
+    assert hi["label"] is False
+
+
+# ------------------------------------------------------------ mad / wau
+
+
+def test_mad_flags_hand_case(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import mad_flags
+
+    # group g: values 1..9 plus a 100.0 outlier -> med=5.5ish, MAD small
+    rows = [(i, "g", float(i)) for i in range(1, 10)] + [(10, "g", 100.0)]
+    # singleton group: never flags (n < 2)
+    rows += [(11, "solo", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, t string, value double")
+    out = mad_flags(df, "t", "value", k=3).collect()
+    flagged = {r["event_id"] for r in out}
+    assert 10 in flagged and 11 not in flagged
+    # med2(1..9,100) = 5+6 = 11 -> d2 of x=100: |200-11|=189
+    # devs d2: |2x-11| for 1..9 = 9,7,5,3,1,1,3,5,7 and 189
+    #   sorted: 1,1,3,3,5,5,7,7,9,189 -> med2(d2)=5+5=10
+    # flag iff 2*d2 > 3*10=30 <-> d2 > 15 -> only the outlier
+    assert flagged == {10}
+
+
+def test_mad_flags_even_odd_and_degenerate(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import mad_flags
+
+    # degenerate: majority identical -> MAD=0, any deviation flags
+    rows = [(i, "d", 5.0) for i in range(6)] + [(6, "d", 5.01)]
+    df = spark.createDataFrame(rows, "event_id long, t string, value double")
+    out = {r["event_id"] for r in mad_flags(df, "t", "value", k=3).collect()}
+    assert out == {6}
+
+
+def test_rolling_active_users_hand_case(spark):
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        rolling_active_users,
+    )
+
+    d = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        ("a", d), ("b", d),                      # day 1: a,b
+        ("a", d + dt.timedelta(days=1)),         # day 2: a
+        ("c", d + dt.timedelta(days=9)),         # day 10: c
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        str(r["day"]): (r["dau"], r["rolling_users"])
+        for r in rolling_active_users(df, window_days=7).collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-02": (1, 2),   # a today, b yesterday
+        "2024-01-10": (1, 1),   # a/b fell out of the 7-day window
+    }
+    # only observed days appear
+    assert len(out) == 3
