@@ -45,6 +45,10 @@ JSON document folding into one Catalyst plan:
   {"op": "ewma",        "key": "user_id", "alpha": 0.25}
   {"op": "resample",    "bucket_sec": 3600, "how": "ffill"}
   {"op": "anomaly",     "group": "event_type", "k": 3}
+  {"op": "anomaly_mad", "group": "event_type", "k": 3}
+  {"op": "cusum",       "key": ..., "train_end_ts": ..., "h_cents": ...}
+  {"op": "active_users", "window_days": 7}
+  {"op": "classify",    "n_buckets": 4096, "weights_path": ...}
   {"op": "transitions", "key": "user_id"}
   {"op": "editdist_join", "id_col": ..., "str_col": ..., "k": 1}
   {"op": "corr_matrix",  "cols": ["l_quantity", "l_extendedprice"]}
@@ -811,6 +815,87 @@ def _anomaly(
 
     return anomaly_flags(
         df, group, value_col, k, tuple(id_cols or ("event_id",))
+    )
+
+
+@stage("cusum")
+def _cusum(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str,
+    train_end_ts: str,
+    h_cents: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack_cents: int = 0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    from .pipeline.timeseries import cusum_flags
+
+    return cusum_flags(
+        df, key, ts_col, value_col, train_end_ts, h_cents, slack_cents,
+        id_col,
+    )
+
+
+@stage("anomaly_mad")
+def _anomaly_mad(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str = "value",
+    k: int = 3,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    from .pipeline.timeseries import mad_flags
+
+    return mad_flags(
+        df, group, value_col, k, tuple(id_cols or ("event_id",))
+    )
+
+
+@stage("active_users")
+def _active_users(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    from .pipeline.reports import rolling_active_users
+
+    return rolling_active_users(df, user_col, ts_col, window_days)
+
+
+@stage("classify")
+def _classify(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+    weights_path: str | None = None,
+    weights_seed: str = "qw",
+) -> DataFrame:
+    """Hashed-linear quality classifier. weights_path loads an
+    offline-trained (bucket, w_milli) parquet; without it the
+    deterministic hash_weights fixture is used (demo/testing)."""
+    from .pipeline.classify import hash_weights, linear_text_classifier
+
+    if weights_path is not None:
+        w = spark.read.parquet(weights_path)
+    else:
+        w = hash_weights(spark, n_buckets, weights_seed)
+    return linear_text_classifier(
+        df, w, text_col, id_col, n_buckets, bigrams, bias_milli,
+        threshold_milli,
     )
 
 

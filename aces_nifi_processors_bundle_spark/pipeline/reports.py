@@ -723,3 +723,56 @@ def event_transitions(
         "total_from_prev",
         (F.col("n") / F.col("total_from_prev")).alias("prob"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling engagement report: for every calendar day PRESENT in the
+    data, the distinct users active that day (dau) and the distinct
+    users active in the trailing `window_days` days ending that day
+    (rolling_users — the 7-day-active / WAU shape). Days with no
+    events produce no row (a gap-filled grid is resample_gapfill's
+    job).
+
+    Scale design — the trailing-distinct is NOT a range self-join and
+    NOT a giant per-day window. (1) collapse events to DISTINCT
+    (user, day) pairs (one map-side-combined exchange; output is
+    bounded by users x active-days, orders of magnitude under the
+    event count); (2) fan each pair out to the `window_days` report
+    days it covers (sequence + explode, zero shuffle); (3) count
+    DISTINCT users per covered day (the second exchange). Fan-out
+    factor = window_days — at 100 TB the shuffled volume is
+    window_days x |user-day pairs|, independent of event count.
+    Covered days beyond the data's span are clipped by the semi-join
+    back onto observed days, so the report never invents days.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    du = df.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    cover = du.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    rolled = (
+        cover.groupBy("day")
+        .agg(F.count_distinct(F.col("u")).cast("bigint").alias("rolling_users"))
+    )
+    return (
+        dau.join(rolled, dau["d"] == rolled["day"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "rolling_users",
+        )
+    )

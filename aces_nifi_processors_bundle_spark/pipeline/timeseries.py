@@ -385,3 +385,186 @@ def anomaly_flags(
             n.cast("bigint").alias("n_group"),
         )
     )
+
+
+def _hist_median2(
+    df: DataFrame, group: str, v_col: str
+) -> DataFrame:
+    """Twice-the-median per group, EXACTLY, via the value-histogram
+    rank walk: per-(group, value) counts (map-side combined; rows =
+    distinct values per group, not events), cumulative counts ordered
+    by value, and the two middle order statistics picked by rank
+    interval — v covers rank r iff prev_cum < r <= cum. med2 = the
+    rank-floor((n+1)/2) value + the rank-(floor(n/2)+1) value (equal
+    for odd n), an INTEGER — no interpolation, no floats, no
+    collecting a group's values into one buffer (percentile()'s
+    failure mode on 100 TB one-group data). Returns (group, __med2,
+    __n); windows run over histogram rows bounded by value
+    cardinality."""
+    counts = df.groupBy(group, v_col).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy(group).orderBy(v_col)
+    wall = Window.partitionBy(group)
+    cum = F.sum("__c").over(wcum)
+    n = F.sum("__c").over(wall)
+    prev = cum - F.col("__c")
+    r1 = F.floor((n + F.lit(1)) / F.lit(2.0)).cast("bigint")
+    r2 = (F.floor(n / F.lit(2.0)) + F.lit(1)).cast("bigint")
+    covers = lambda r: ((prev < r) & (r <= cum)).cast("bigint")  # noqa: E731
+    return (
+        counts.select(
+            F.col(group),
+            n.alias("__n"),
+            (F.col(v_col) * (covers(r1) + covers(r2))).alias("__part"),
+        )
+        .groupBy(group)
+        .agg(
+            F.sum("__part").cast("bigint").alias("__med2"),
+            F.max("__n").cast("bigint").alias("__n"),
+        )
+    )
+
+
+def mad_flags(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    k: int = 3,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Robust outliers: rows with |x - median| > k * MAD within their
+    group (MAD = median absolute deviation) — the median/MAD twin of
+    `anomaly_flags`' mean/stddev z-score, immune to the outliers
+    themselves inflating the scale estimate (50% breakdown point vs
+    0% for stddev).
+
+    Decided EXACTLY in integers: with med2 = 2*median(x_cents) and
+    d2 = |2*x_cents - med2| (both integers even when the median falls
+    between two values), a row flags iff  2*d2 > k * mad2  where
+    mad2 = 2*median(d2) — every comparison is bigint, so the flag set
+    is bit-reproducible and oracle-checked against DuckDB's native
+    median(). Degenerate groups where MAD = 0 (a majority-identical
+    value) flag every deviating row — the documented MAD caveat, kept
+    (use anomaly_flags where that bites). Groups with n < 2 produce
+    no flags (consistency with anomaly_flags).
+
+    Scale: two _hist_median2 passes (histogram-sized windows, never a
+    per-group value buffer) + two broadcast joins of group-cardinality
+    stats frames back onto the rows. MAD is inherently two-level
+    (deviations need the median first), so two scans of df is the
+    floor for an exact answer; feed a cached/checkpointed frame when
+    scanning twice matters."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cents = _cents(F.col(value_col))
+    base = df.select(*id_cols, group, cents.alias("__x"))
+    med = _hist_median2(base, group, "__x")
+    dev = base.join(F.broadcast(med), group).select(
+        *id_cols,
+        group,
+        "__x",
+        "__n",
+        F.abs(F.lit(2) * F.col("__x") - F.col("__med2")).alias("__d2"),
+    )
+    mad = _hist_median2(dev, group, "__d2").select(
+        group, F.col("__med2").alias("__mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), group)
+        .where(
+            (F.col("__n") >= 2)
+            & (F.lit(2) * F.col("__d2") > F.lit(int(k)) * F.col("__mad2"))
+        )
+        .select(
+            *id_cols,
+            group,
+            F.col("__x").alias("value_cents"),
+            F.col("__n").alias("n_group"),
+        )
+    )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    train_end_ts: str,
+    h_cents: int,
+    slack_cents: int = 0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Upward mean-shift detection (one-sided CUSUM): per key, train a
+    baseline mean on rows BEFORE `train_end_ts`, then over the scoring
+    rows (at/after it, in (ts, id) order) accumulate
+        y_i = max(0, y_{i-1} + (x_i - mean - slack))
+    and flag rows where y_i > h — the classic Page CUSUM control
+    chart. Detect downward shifts by negating the value column.
+
+    THE SCALE REFORMULATION — the fold above looks sequential, but
+    max(0, ...) recurrences have the prefix-scan closed form
+        y_i = S_i - min(0, min_{j<=i} S_j),   S = running sum of d
+    so the whole per-key chart is TWO window functions over one
+    (key)-partitioned sort — one exchange, no iterative jobs, no
+    per-key arrays (contrast ewma_last, whose affine fold genuinely
+    needs the chunk-composition trick).
+
+    EXACTNESS — divisions never happen: with n_t training rows summing
+    to S_t cents, everything is scaled by n_t:
+        d_i = n_t*x_i - S_t - n_t*slack   (integer)
+    and the threshold is y > n_t * h_cents. Running sums are
+    decimal(38,0) (HUGEINT in the oracle): at 10^10 rows per key of
+    10^5-cent deviations a bigint cumsum would overflow, decimal(38)
+    does not. Output cusum_scaled is the bigint-cast excess in
+    n_t*cents units (divide by n_t for cents).
+
+    Keys with no training rows have no baseline and emit nothing
+    (inner join with the training stats). Returns flagged rows only:
+    (id_col, key, ts_us, cusum_scaled, n_train).
+    """
+    if h_cents <= 0:
+        raise ValueError(f"h_cents must be positive, got {h_cents}")
+    cents = _cents(F.col(value_col))
+    cutoff = F.lit(train_end_ts).cast("timestamp")
+    train = (
+        df.where(F.col(ts_col) < cutoff)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nt"),
+            F.sum(cents).cast("bigint").alias("__st"),
+        )
+    )
+    score = df.where(F.col(ts_col) >= cutoff).select(
+        F.col(id_col),
+        F.col(key),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        cents.alias("__x"),
+    )
+    d = (
+        F.col("__nt") * F.col("__x")
+        - F.col("__st")
+        - F.col("__nt") * F.lit(int(slack_cents))
+    ).cast("decimal(38,0)")
+    w = Window.partitionBy(key).orderBy("__us", id_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c1 = score.join(F.broadcast(train), key).select(
+        id_col, key, "__us", "__nt", F.sum(d).over(wrun).alias("__cum")
+    )
+    c2 = c1.select(
+        id_col,
+        key,
+        "__us",
+        "__nt",
+        "__cum",
+        F.least(F.min("__cum").over(wrun), F.lit(0).cast("decimal(38,0)"))
+        .alias("__runmin"),
+    )
+    y = F.col("__cum") - F.col("__runmin")
+    return c2.where(
+        y > (F.col("__nt") * F.lit(int(h_cents))).cast("decimal(38,0)")
+    ).select(
+        id_col,
+        key,
+        F.col("__us").alias("ts_us"),
+        y.cast("bigint").alias("cusum_scaled"),
+        F.col("__nt").alias("n_train"),
+    )

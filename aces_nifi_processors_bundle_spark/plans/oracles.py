@@ -2876,3 +2876,128 @@ FROM (
 ORDER BY col_x, col_y
 """
 )
+
+
+# Hashed linear classifier: same md5 60-bit bucket construction as
+# splits/dedup; integer milli-weights summed exactly, so the logit and
+# label compare bit-for-bit. prob is one exp on the final scalar,
+# rounded to 6 on both engines.
+oracle("q_quality_classifier")(
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, w AS f FROM toks
+  UNION ALL
+  SELECT doc_id, w || '_' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS f
+  FROM toks
+  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+wt AS (
+  SELECT i AS bucket,
+         (('0x' || substr(md5('qw' || i), 1, 15))::BIGINT % 2001) - 1000 AS w_milli
+  FROM range(0, 4096) t(i)
+),
+fb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+  FROM feats
+)
+SELECT fb.doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(coalesce(sum(wt.w_milli), 0) AS BIGINT) AS logit_milli,
+       coalesce(sum(wt.w_milli), 0) > 0 AS label,
+       round(1.0 / (1.0 + exp(-(coalesce(sum(wt.w_milli), 0)) / 1000.0)), 6)
+         AS prob
+FROM fb LEFT JOIN wt USING (bucket)
+GROUP BY fb.doc_id
+"""
+)
+
+
+# Rolling active users: the oracle states trailing-distinct directly
+# (correlated BETWEEN over user-days) — first-principles ground truth
+# for the Spark side's fan-out reformulation.
+oracle("q_rolling_active_users")(
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS day,
+       (SELECT CAST(count(*) AS BIGINT) FROM du WHERE du.d = days.d) AS dau,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM du
+         WHERE du.d BETWEEN days.d - 6 AND days.d) AS rolling_users
+FROM days
+"""
+)
+
+
+# MAD outliers: med2/mad2 are TWICE the medians so every quantity is
+# an exact integer even when a median interpolates between two values;
+# DuckDB's median() interpolation (a+b)/2 doubled is exactly a+b.
+oracle("q_anomaly_mad")(
+    """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(2 * median(x) AS BIGINT) AS med2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_id, b.event_type, b.x, abs(2 * b.x - m.med2) AS d2, m.n
+  FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad2
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.x AS value_cents, d.n AS n_group
+FROM dev d JOIN mad USING (event_type)
+WHERE d.n >= 2 AND 2 * d.d2 > 3 * mad.mad2
+"""
+)
+
+
+# CUSUM: same prefix-scan closed form y_i = S_i - min(0, min S_j).
+# All quantities n_t-scaled integers; HUGEINT running sums mirror the
+# Spark side's decimal(38,0).
+oracle("q_changepoint_cusum")(
+    """
+WITH tr AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_t
+  FROM events WHERE ts < TIMESTAMP '2024-01-10'
+  GROUP BY event_type
+),
+sc AS (
+  SELECT e.event_id, e.event_type, epoch_us(e.ts) AS us, tr.n_t,
+         CAST(tr.n_t * CAST(round(e.value * 100) AS BIGINT)
+              - tr.s_t - tr.n_t * 2500 AS HUGEINT) AS d
+  FROM events e JOIN tr USING (event_type)
+  WHERE e.ts >= TIMESTAMP '2024-01-10'
+),
+c1 AS (
+  SELECT *, sum(d) OVER (PARTITION BY event_type
+                         ORDER BY us, event_id) AS cum
+  FROM sc
+),
+c2 AS (
+  SELECT *, least(min(cum) OVER (PARTITION BY event_type
+                                 ORDER BY us, event_id),
+                  CAST(0 AS HUGEINT)) AS runmin
+  FROM c1
+)
+SELECT event_id, event_type, us AS ts_us,
+       CAST(cum - runmin AS BIGINT) AS cusum_scaled,
+       n_t AS n_train
+FROM c2 WHERE cum - runmin > CAST(n_t AS HUGEINT) * 25000
+"""
+)

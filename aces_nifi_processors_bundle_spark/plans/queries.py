@@ -3099,3 +3099,65 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear-model quality scoring over documents
+    (pipeline/classify.py::linear_text_classifier): unigram+bigram
+    features hashed into 4096 buckets, broadcast integer-milli weight
+    vector, exact bigint logit + boolean label (the fastText-style
+    corpus-filter inference step). The deterministic hash_weights
+    fixture stands in for an offline-trained model; both engines build
+    it from the same md5 construction, so logits compare exactly."""
+    from ..pipeline.classify import hash_weights, linear_text_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_text_classifier(
+        docs, hash_weights(spark, 4096), n_buckets=4096
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per calendar day
+    (pipeline/reports.py::rolling_active_users). The trailing distinct
+    count is computed by fanning DISTINCT (user, day) pairs out to the
+    7 report days each covers — shuffled volume is 7x the user-day
+    pairs, never a range self-join over raw events. Oracle = the
+    correlated BETWEEN definition, so the fan-out reformulation is
+    value-checked against first principles."""
+    from ..pipeline.reports import rolling_active_users
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_active_users(events, "user_id", "ts", 7)
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |value - median| > 3 * MAD
+    (pipeline/timeseries.py::mad_flags) — the median/MAD twin of
+    q_anomaly_values, immune to the outliers inflating the scale
+    estimate. Medians are exact integer order statistics from the
+    value-histogram rank walk (never a per-group percentile buffer);
+    the oracle states the same test with DuckDB's native median()."""
+    from ..pipeline.timeseries import mad_flags
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_flags(events, "event_type", "value", k=3)
+
+
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page CUSUM mean-shift monitoring per event_type
+    (pipeline/timeseries.py::cusum_flags): baseline mean trained on
+    the first nine days, the remainder scored with the classic
+    sigma-scaled parameters (slack ~ sigma/2 = 2500 cents, decision
+    band h ~ 5 sigma = 25000 cents). The sequential max(0, .)
+    recurrence runs as its prefix-scan closed form — two window
+    functions on ONE key exchange — with division-free n_t-scaled
+    integer arithmetic in decimal(38,0)/HUGEINT, so the flag set is
+    exact on both engines."""
+    from ..pipeline.timeseries import cusum_flags
+
+    events = load_table(spark, sf_dir, "events")
+    return cusum_flags(
+        events, "event_type", "ts", "value", "2024-01-10",
+        h_cents=25000, slack_cents=2500,
+    )

@@ -31,6 +31,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- (1) added in round 6 ------------------------------------------
+    "q_quality_classifier": q.q_quality_classifier,
+    "q_rolling_active_users": q.q_rolling_active_users,
+    "q_anomaly_mad": q.q_anomaly_mad,
+    "q_changepoint_cusum": q.q_changepoint_cusum,
     "q_token_count_bpe": q.q_token_count_bpe,
     "q_sessionize_chunked": q.q_sessionize_chunked,
     "q_funnel_restart": q.q_funnel_restart,

@@ -556,3 +556,52 @@ def _brute_ed_pairs(strings, k):
         for (i, s), (j, t) in itertools.combinations(enumerate(strings), 2)
         if ed(s, t) <= k
     )
+
+
+def test_cusum_closed_form_matches_sequential_fold(spark):
+    """y_i = S_i - min(0, min prefix S) must equal the literal
+    max(0, y+d) recurrence on random series."""
+    import datetime as dt
+    import random
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        cusum_flags,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(60):
+            rows.append(
+                (k, len(rows), t0 + dt.timedelta(hours=i),
+                 round(rng.uniform(0, 100), 2))
+            )
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts timestamp, value double"
+    )
+    cut = dt.datetime(2024, 1, 1, 20)  # first 20 rows per key train
+    h, slack = 300, 10
+    got = {
+        (r["k"], r["event_id"]): r["cusum_scaled"]
+        for r in cusum_flags(
+            df, "k", "ts", "value", "2024-01-01 20:00:00", h, slack
+        ).collect()
+    }
+    # reference: literal sequential fold in integer cents
+    want = {}
+    for k in ("a", "b"):
+        tr = [round(v * 100) for kk, _, ts, v in rows
+              if kk == k and ts < cut]
+        nt, st = len(tr), sum(tr)
+        y = 0
+        for kk, eid, ts, v in sorted(
+            (r for r in rows if r[0] == k and r[2] >= cut),
+            key=lambda r: (r[2], r[1]),
+        ):
+            d = nt * round(v * 100) - st - nt * slack
+            y = max(0, y + d)
+            if y > nt * h:
+                want[(k, eid)] = y
+    assert got == want
+    assert want  # the case must actually flag something
