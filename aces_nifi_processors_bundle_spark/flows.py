@@ -47,6 +47,7 @@ JSON document folding into one Catalyst plan:
   {"op": "anomaly",     "group": "event_type", "k": 3}
   {"op": "anomaly_mad", "group": "event_type", "k": 3}
   {"op": "cusum",       "key": ..., "train_end_ts": ..., "h_cents": ...}
+  {"op": "pq_topk",     "right": "queries", "dim": 64, "m": 8}
   {"op": "active_users", "window_days": 7}
   {"op": "classify",    "n_buckets": 4096, "weights_path": ...}
   {"op": "transitions", "key": "user_id"}
@@ -815,6 +816,30 @@ def _anomaly(
 
     return anomaly_flags(
         df, group, value_col, k, tuple(id_cols or ("event_id",))
+    )
+
+
+@stage("pq_topk")
+def _pq_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-input stage: PQ ANN of the named query frame against the
+    current (corpus) frame — train, encode, ADC rank."""
+    from .pipeline.similarity import pq_topk
+
+    return pq_topk(
+        df, _named[right], dim, m, ksub, k, n_iter, None, vec_col, id_col
     )
 
 

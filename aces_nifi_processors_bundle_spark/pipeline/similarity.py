@@ -820,3 +820,273 @@ def semantic_dedup(
         "cluster_id",
         (~F.coalesce(F.col("_dropped"), F.lit(False))).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed-vector ANN.
+#
+# IVF above prunes WHICH vectors get scored; PQ compresses HOW each
+# vector is stored and scored: dim float32 components (256 B at
+# dim=64) become m uint8 codes (8 B at m=8) — a 32x memory/bandwidth
+# cut, which is what makes exhaustive re-ranking over billions of
+# vectors feasible (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011; the FAISS IVF-PQ pairing). ADC scoring
+# is a linear scan of the codes with per-query lookup tables — at
+# 100 TB you run it AFTER an IVF probe prune (compose: ivf_topk's cid
+# pruning feeding pq-encoded cells).
+#
+# Exactness contract (same discipline as the IVF trainer): codebook
+# training sums components in DECIMAL(38,18) (partial-agg-order
+# independent), every dot/distance fold accumulates dim-sequentially
+# (_cell_dots / F.aggregate / DuckDB list_inner_product all add in
+# index order), and ADC totals sum per-subspace decimals — so codes,
+# tables, and rankings are bit-reproducible and the full train→encode
+# →search pipeline is value-checked by the q_pq_topk DuckDB oracle.
+
+
+def _sq_norm_seq(arr) -> float:
+    """Sequential Σx² — the same fold order as list_inner_product."""
+    sq = 0.0
+    for x in arr:
+        sq += float(x) * float(x)
+    return sq
+
+
+def pq_init(
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic data-derived init: codebook[s][c] = subvector s
+    of the vector with the c-th smallest id (no RNG; 16 rows to the
+    driver). Shape (m, ksub, dim//m)."""
+    dsub = dim // m
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"pq_init: need >= {ksub} vectors, have {len(rows)}")
+    cb = np.zeros((m, ksub, dsub))
+    for c, r in enumerate(rows):
+        v = np.asarray(r["v"], dtype=np.float64)
+        for s in range(m):
+            cb[s, c] = v[s * dsub : (s + 1) * dsub]
+    return cb
+
+
+def _pq_subrows(
+    corpus: DataFrame, dim: int, m: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, sub, sv): each vector split into its m subvectors — a
+    static slice list (codegen), fanned out with ONE posexplode."""
+    dsub = dim // m
+    slices = F.array(
+        *[F.slice(as_double(F.col(vec_col)), s * dsub + 1, dsub) for s in range(m)]
+    )
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "sv")
+    )
+
+
+def pq_assign_udf(codebooks: "np.ndarray"):
+    """Arrow-vectorized per-subspace code assignment:
+    argmin_c |sv - cb[sub][c]|² computed as argmax of
+    dot(sv, c) - |c|²/2 (the |sv|² term is constant per row), with
+    dim-sequential accumulation and np.argmax's lowest-code
+    tie-break — exactly the oracle's ORDER BY lip - sqn/2 DESC, code."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    half_sqn = np.array(
+        [[_sq_norm_seq(cb[s, c]) for c in range(cb.shape[1])]
+         for s in range(cb.shape[0])]
+    ) * 0.5
+
+    @pandas_udf("int")
+    def _assign(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        subs = sub.to_numpy()
+        mat = np.stack(sv.to_numpy()).astype(np.float64)
+        out = np.zeros(len(subs), dtype=np.int32)
+        for s in np.unique(subs):
+            mask = subs == s
+            scores = _cell_dots(mat[mask], cb[s]) - half_sqn[s]
+            out[mask] = np.argmax(scores, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return _assign
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Per-subspace Lloyd's k-means on the subvectors (plain
+    Euclidean — PQ codebooks are not renormalized). All m subspaces
+    train in ONE distributed pass per iteration: subvector fan-out →
+    assignment UDF → per-(sub, code, pos) DECIMAL component sums;
+    only m·ksub·dsub aggregate rows (the codebook itself) reach the
+    driver. Empty cells keep their previous centroid."""
+    cb = pq_init(corpus, dim, m, ksub, vec_col, id_col)
+    dsub = dim // m
+    sub = _pq_subrows(corpus, dim, m, vec_col, id_col)
+    for _ in range(n_iter):
+        assign = pq_assign_udf(cb)
+        sums = (
+            sub.withColumn("code", assign(F.col("sub"), F.col("sv")))
+            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = cb.copy()
+        acc = np.zeros((m, ksub, dsub))
+        cnt = np.zeros((m, ksub))
+        for r in sums:
+            acc[r["sub"], r["code"], r["pos"]] = float(r["s"])
+            cnt[r["sub"], r["code"]] = r["n"]
+        for s in range(m):
+            for c in range(ksub):
+                if cnt[s, c] > 0:
+                    new[s, c] = acc[s, c] / cnt[s, c]
+        cb = new
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sub, code) rows — the compressed index (m small ints per
+    vector; persist partitioned however the serving layout needs)."""
+    m = int(np.asarray(codebooks).shape[0])
+    assign = pq_assign_udf(codebooks)
+    return _pq_subrows(corpus, dim, m, vec_col, id_col).select(
+        F.col(id_col),
+        "sub",
+        assign(F.col("sub"), F.col("sv")).alias("code"),
+    )
+
+
+def _topk_min_per_query(
+    scored: DataFrame, k: int, val_col: str, n_salts: int = 32
+) -> DataFrame:
+    """Exact per-query MIN-k over (query_id, neighbor_id, val) rows —
+    the ascending twin of _topk_per_query (same salted two-phase
+    hash-agg shape, same reason: no full-width window sort per
+    query). Ties break on neighbor_id; val's type (decimal here) is
+    compared exactly by the struct sort."""
+    entry = F.struct(
+        F.col(val_col).alias("_v"), F.col("neighbor_id").alias("neighbor_id")
+    )
+    local = (
+        scored.groupBy(
+            "query_id",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts)).alias("_salt"),
+        )
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("_top"))
+        .select("query_id", F.explode("_top").alias("_e"))
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list("_e")), 1, k).alias("_top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("_top").alias("_pos", "_e")
+    ).select(
+        "query_id",
+        F.col("_e.neighbor_id").alias("neighbor_id"),
+        F.col("_e._v").alias(val_col),
+        (F.col("_pos") + 1).alias("rank"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    n_iter: int = 2,
+    codebooks: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: train (or take) PQ codebooks,
+    encode the corpus to (id, sub, code), build each query's m×ksub
+    distance table against the RAW query subvectors, and rank
+    neighbors by the summed table lookups.
+
+    Scale: the distance tables (|queries|·m·ksub rows) broadcast; the
+    scan is encoded-codes ⨝ broadcast-table → groupBy(query,
+    neighbor) — map-side combined, never a |queries|×|corpus| sort.
+    Each per-subspace d² is the three-fold identity
+    |q|² - 2·q·c + |c|² (every fold dim-sequential) cast to
+    DECIMAL(38,18), so ADC totals are addition-order independent and
+    the ranking ties out bit-for-bit against the oracle. Returns
+    (query_id, neighbor_id, approx_d2 rounded, rank); self-matches
+    excluded."""
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must divide evenly into m ({m}) subspaces")
+    if codebooks is None:
+        codebooks = pq_train(corpus, dim, m, ksub, n_iter, vec_col, id_col)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    spark = corpus.sparkSession
+    cb_df = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s, c]])
+            for s in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ],
+        "sub int, code int, cv array<double>",
+    )
+    qsub = _pq_subrows(
+        queries, dim, m, vec_col, id_col
+    ).withColumnRenamed(id_col, "query_id")
+    fold_sq = lambda a: F.aggregate(  # noqa: E731 — Σx², sequential
+        a, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    fold_dot = lambda a, b: F.aggregate(  # noqa: E731 — Σaᵢbᵢ, sequential
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = (
+        fold_sq(F.col("sv"))
+        - F.lit(2.0) * fold_dot(F.col("sv"), F.col("cv"))
+        + fold_sq(F.col("cv"))
+    )
+    dtab = qsub.join(cb_df, "sub").select(
+        "query_id", "sub", "code", d2.cast("decimal(38,18)").alias("d2")
+    )
+    enc = pq_encode(corpus, dim, cb, vec_col, id_col)
+    scored = (
+        enc.join(F.broadcast(dtab), ["sub", "code"])
+        .where(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d2").alias("d2"))
+    )
+    out = _topk_min_per_query(scored, k, "d2")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("d2").cast("double"), 6).alias("approx_d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -3001,3 +3001,90 @@ SELECT event_id, event_type, us AS ts_us,
 FROM c2 WHERE cum - runmin > CAST(n_t AS HUGEINT) * 25000
 """
 )
+
+
+# Product quantization: the oracle re-runs the full PQ pipeline —
+# data-derived init (subvectors of the 16 smallest vec_ids), two
+# Lloyd's iterations per subspace (assign by lip - |c|^2/2, decimal
+# component means), encoding, per-query ADC distance tables via the
+# three-fold identity |q|^2 - 2 q.c + |c|^2, and exact-decimal ranked
+# sums. Every float op is a dim-sequential fold on both engines.
+
+
+def _pq_train_iteration(prev: str, new: str, tag: str) -> str:
+    return f"""
+a{tag} AS (
+  SELECT vec_id, sub, sv, code FROM (
+    SELECT s.vec_id, s.sub, s.sv, cb.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+              ORDER BY list_inner_product(s.sv, cb.cv) - cb.sqn/2 DESC,
+                       cb.code ASC) AS rn
+    FROM subv s JOIN {prev} cb ON cb.sub = s.sub) WHERE rn = 1
+),
+s{tag} AS (
+  SELECT sub, code, i AS pos,
+         SUM(CAST(sv[i] AS DECIMAL(38,18))) AS s, COUNT(*) AS n
+  FROM a{tag}, range(1, 9) t(i) GROUP BY sub, code, i
+),
+m{tag} AS (
+  SELECT sub, code, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS mv
+  FROM s{tag} GROUP BY sub, code
+),
+{new} AS (
+  SELECT p.sub, p.code, COALESCE(q.mv, p.cv) AS cv,
+         list_inner_product(COALESCE(q.mv, p.cv), COALESCE(q.mv, p.cv)) AS sqn
+  FROM {prev} p LEFT JOIN m{tag} q ON q.sub = p.sub AND q.code = p.code
+)"""
+
+
+oracle("q_pq_topk")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+  FROM vecs QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+subv AS (
+  SELECT vec_id, CAST(s AS INT) AS sub, v[(s*8+1):(s*8+8)] AS sv
+  FROM vecs, range(0, 8) t(s)
+),
+cb0 AS (
+  SELECT sv.sub, ids.code, sv.sv AS cv,
+         list_inner_product(sv.sv, sv.sv) AS sqn
+  FROM subv sv JOIN ids USING (vec_id)
+),
+{_pq_train_iteration('cb0', 'cb1', '0')},
+{_pq_train_iteration('cb1', 'cb2', '1')},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+              ORDER BY list_inner_product(s.sv, cb.cv) - cb.sqn/2 DESC,
+                       cb.code ASC) AS rn
+    FROM subv s JOIN cb2 cb ON cb.sub = s.sub) WHERE rn = 1
+),
+dtab AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.code,
+         CAST(list_inner_product(s.sv, s.sv)
+              - 2*list_inner_product(s.sv, cb.cv)
+              + list_inner_product(cb.cv, cb.cv) AS DECIMAL(38,18)) AS d2
+  FROM subv s JOIN cb2 cb ON cb.sub = s.sub
+  WHERE s.vec_id < 8
+),
+scored AS (
+  SELECT d.query_id, e.vec_id AS neighbor_id, SUM(d.d2) AS d2
+  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+  WHERE d.query_id <> e.vec_id
+  GROUP BY d.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(CAST(d2 AS DOUBLE), 6) AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)

@@ -3161,3 +3161,21 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "event_type", "ts", "value", "2024-01-10",
         h_cents=25000, slack_cents=2500,
     )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (pipeline/similarity.py::pq_topk):
+    8 subspaces x 16 codes trained with two Lloyd's iterations from a
+    data-derived deterministic init, corpus encoded to 8 small ints
+    per vector (32x compression vs float32), queries (vec_id < 8)
+    ranked by ADC lookup-table sums. The oracle re-derives the ENTIRE
+    train -> encode -> search pipeline in DuckDB — codebooks, code
+    assignments, distance tables, and ranking all tie out exactly
+    (decimal component sums, dim-sequential folds)."""
+    from ..pipeline.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), dim=64, m=8, ksub=16, k=5,
+        n_iter=2,
+    )

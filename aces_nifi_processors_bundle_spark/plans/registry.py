@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_rolling_active_users": q.q_rolling_active_users,
     "q_anomaly_mad": q.q_anomaly_mad,
     "q_changepoint_cusum": q.q_changepoint_cusum,
+    "q_pq_topk": q.q_pq_topk,
     "q_token_count_bpe": q.q_token_count_bpe,
     "q_sessionize_chunked": q.q_sessionize_chunked,
     "q_funnel_restart": q.q_funnel_restart,

@@ -2252,3 +2252,73 @@ def test_rolling_active_users_hand_case(spark):
     }
     # only observed days appear
     assert len(out) == 3
+
+
+# ----------------------------------------------------------------- pq ann
+
+
+def test_pq_shapes_and_encode_range(spark, sf_dir):
+    import numpy as np
+
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from aces_nifi_processors_bundle_spark.plans.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    cb = pq_train(emb, dim=64, m=8, ksub=16, n_iter=1)
+    assert cb.shape == (8, 16, 8)
+    enc = pq_encode(emb, 64, cb)
+    rows = enc.collect()
+    n_vec = emb.count()
+    assert len(rows) == n_vec * 8  # m codes per vector
+    assert all(0 <= r["code"] < 16 for r in rows)
+    subs = {r["sub"] for r in rows}
+    assert subs == set(range(8))
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from aces_nifi_processors_bundle_spark.plans.queries import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    # NOTE: brute force ranks by cosine, PQ by L2 over unnormalized
+    # vectors — compare against L2-true neighbors instead
+    truth = {}
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    for q in range(8):
+        ds = sorted(
+            (float(np.sum((vecs[q] - v) ** 2)), i)
+            for i, v in vecs.items() if i != q
+        )
+        truth[q] = {i for _, i in ds[:5]}
+    got = {}
+    for r in pq_topk(emb, qs, dim=64, m=8, ksub=16, k=5, n_iter=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(got[q] & truth[q]) for q in truth) / (5.0 * len(truth))
+    # The synthetic embeddings are iid noise — there is no cluster
+    # structure for the codebooks to exploit, so coarse 8x16 PQ recall
+    # sits near its floor (~0.22 measured; real corpora rank far
+    # higher). Chance recall@5 against 499 candidates is 5/499 ~ 0.01:
+    # demand PQ beat chance by an order of magnitude.
+    assert recall >= 0.15, f"PQ recall@5 collapsed: {recall}"
+
+
+def test_pq_validates_dim(spark, sf_dir):
+    import pytest as _pytest
+
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import pq_topk
+    from aces_nifi_processors_bundle_spark.plans.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="divide evenly"):
+        pq_topk(emb, emb.limit(1), dim=64, m=7)
