@@ -48,6 +48,7 @@ JSON document folding into one Catalyst plan:
   {"op": "anomaly_mad", "group": "event_type", "k": 3}
   {"op": "cusum",       "key": ..., "train_end_ts": ..., "h_cents": ...}
   {"op": "pq_topk",     "right": "queries", "dim": 64, "m": 8}
+  {"op": "ivfpq_topk",  "right": "queries", "dim": 64, "n_probe": 4}
   {"op": "active_users", "window_days": 7}
   {"op": "classify",    "n_buckets": 4096, "weights_path": ...}
   {"op": "transitions", "key": "user_id"}
@@ -843,6 +844,33 @@ def _pq_topk(
     )
 
 
+@stage("ivfpq_topk")
+def _ivfpq_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-input stage: IVF-pruned, PQ-compressed ANN of the named
+    query frame against the current (corpus) frame."""
+    from .pipeline.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        df, _named[right], dim, n_centroids, n_probe, m, ksub, k,
+        n_iter, None, vec_col, id_col,
+    )
+
+
 @stage("cusum")
 def _cusum(
     spark: SparkSession,
@@ -855,12 +883,13 @@ def _cusum(
     value_col: str = "value",
     slack_cents: int = 0,
     id_col: str = "event_id",
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     from .pipeline.timeseries import cusum_flags
 
     return cusum_flags(
         df, key, ts_col, value_col, train_end_ts, h_cents, slack_cents,
-        id_col,
+        id_col, chunk_sec,
     )
 
 

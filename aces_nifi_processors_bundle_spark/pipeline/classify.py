@@ -22,10 +22,12 @@ Scale design:
 
 - The weight vector (D rows, two ints) is broadcast — never shuffled,
   never collected. 4096..1M buckets is kilobytes-to-megabytes.
-- Feature extraction is regexp_extract_all + posexplode (codegen,
-  no Python). Bigrams come from lead() over (doc, position) — ONE
-  hash exchange on doc_id; the final per-doc sum reuses that same
-  partitioning (exchange reuse, map-side combined).
+- Feature extraction is pure codegen regex + one explode — no Python,
+  no window, NO shuffle before the final per-doc sum (bigrams use the
+  capturing-lookahead overlap trick, not lead()). The only exchange
+  in the whole operator is the map-side-combined groupBy(doc). The
+  window-free shape is also what makes the operator legal on a
+  streaming frame.
 - Weights are INTEGER MILLI-units and the logit is a bigint sum:
   exact, associative, partial-agg-order independent — the decision
   boundary (logit > threshold) is bit-reproducible on any cluster
@@ -37,10 +39,8 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-_WORD_RE = "[a-z0-9]+"
 
 
 def hash_weights(
@@ -83,37 +83,30 @@ def linear_text_classifier(
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(_WORD_RE), F.lit(0)
-            )
-        ).alias("pos", "w"),
+    # Normalize once: lowercase, non-alnum runs -> single space. Both
+    # gram arrays then come from pure codegen regex over the SAME
+    # normalized string — no window, no pre-groupBy shuffle, and
+    # therefore legal on a STREAMING frame (q_stream_classifier runs
+    # this unchanged; a lead()-window bigram would not be).
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
     )
+    unis = F.when(
+        norm == "", F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
     if bigrams:
-        # ONE text scan: the windowed rows emit both the unigram and
-        # (when a successor exists) the bigram — a union of a fresh
-        # unigram branch would re-read and re-tokenize the corpus
-        nxt = F.lead("w").over(Window.partitionBy(id_col).orderBy("pos"))
-        feats = (
-            toks.withColumn("__nxt", nxt)
-            .select(
-                id_col,
-                F.explode(
-                    F.array(
-                        F.col("w"),
-                        F.when(
-                            F.col("__nxt").isNotNull(),
-                            F.concat(F.col("w"), F.lit("_"), F.col("__nxt")),
-                        ),
-                    )
-                ).alias("f"),
-            )
-            .where(F.col("f").isNotNull())
+        # overlapping word pairs "a b" via capturing lookahead — the
+        # shingles trick (pipeline/text.py::_shingle_regex): one JVM
+        # regex pass, no interpreted per-element HOFs
+        bis = F.regexp_extract_all(
+            norm, F.lit(r"(?<=^|\s)(?=(\S+ \S+))"), F.lit(1)
         )
+        grams = F.concat(unis, bis)
     else:
-        feats = toks.select(id_col, F.col("w").alias("f"))
+        grams = unis
+    feats = df.select(
+        F.col(id_col), F.explode(grams).alias("f")
+    )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("bigint"),
         F.lit(n_buckets),

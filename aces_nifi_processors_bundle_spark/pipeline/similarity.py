@@ -1090,3 +1090,98 @@ def pq_topk(
         F.round(F.col("d2").cast("double"), 6).alias("approx_d2"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    n_iter: int = 2,
+    codebooks: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS-style serving shape: the coarse
+    quantizer (deterministic md5 centroids, same as ivf_topk's
+    untrained path) prunes WHICH vectors each query scores (n_probe of
+    n_centroids cells ~ a 4/16 = 75% scan cut here), and PQ codes
+    compress HOW the survivors are scored (ADC lookup sums over
+    m-byte codes instead of dim-float math). Candidates = corpus
+    vectors whose cell is probed; scoring and ranking are exactly
+    pq_topk's decimal ADC. Codes here quantize the RAW vectors (not
+    per-cell residuals — residual encoding would couple the codebooks
+    to the coarse assignment; at equal bytes it ranks tighter, but
+    raw-vector codes let ONE codebook serve any probe set and keep
+    the pipeline SQL-derivable end-to-end, which is what the oracle
+    value-checks).
+
+    At 100 TB: persist the encoded index partitioned by cid (the
+    ivf_write_index layout with (sub, code) columns instead of the
+    float vector) — the probe filter then becomes partition pruning
+    and the ADC scan reads only probed directories at 32x fewer bytes
+    per vector."""
+    cents = _ivf_centroids(dim, n_centroids)
+    assign = ivf_assign_udf(dim, n_centroids, centroids=cents)
+    probe = ivf_probe_udf(dim, n_centroids, n_probe, centroids=cents)
+    cassign = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), assign(as_double(F.col(vec_col))).alias("cid")
+    )
+    qprobe = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(as_double(F.col(vec_col)))).alias("cid"),
+    )
+    cands = (
+        qprobe.join(cassign, "cid")
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
+    if codebooks is None:
+        codebooks = pq_train(corpus, dim, m, ksub, n_iter, vec_col, id_col)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    spark = corpus.sparkSession
+    cb_df = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s, c]])
+            for s in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ],
+        "sub int, code int, cv array<double>",
+    )
+    qsub = _pq_subrows(
+        queries, dim, m, vec_col, id_col
+    ).withColumnRenamed(id_col, "query_id")
+    fold_sq = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    fold_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = (
+        fold_sq(F.col("sv"))
+        - F.lit(2.0) * fold_dot(F.col("sv"), F.col("cv"))
+        + fold_sq(F.col("cv"))
+    )
+    dtab = qsub.join(cb_df, "sub").select(
+        "query_id", "sub", "code", d2.cast("decimal(38,18)").alias("d2")
+    )
+    enc = pq_encode(corpus, dim, cb, vec_col, id_col)
+    scored = (
+        cands.join(enc, id_col)
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d2").alias("d2"))
+    )
+    out = _topk_min_per_query(scored, k, "d2")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("d2").cast("double"), 6).alias("approx_d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )

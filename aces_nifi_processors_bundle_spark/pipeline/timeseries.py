@@ -492,6 +492,7 @@ def cusum_flags(
     h_cents: int,
     slack_cents: int = 0,
     id_col: str = "event_id",
+    chunk_sec: int | None = None,
 ) -> DataFrame:
     """Upward mean-shift detection (one-sided CUSUM): per key, train a
     baseline mean on rows BEFORE `train_end_ts`, then over the scoring
@@ -520,6 +521,17 @@ def cusum_flags(
     Keys with no training rows have no baseline and emit nothing
     (inner join with the training stats). Returns flagged rows only:
     (id_col, key, ts_us, cusum_scaled, n_train).
+
+    chunk_sec — the MONSTER-KEY defense (the module-wide pattern).
+    The prefix scan itself chunks cleanly: per (key, time-chunk)
+    compute local prefix sums, then compose per-chunk summaries
+    (total T_c, min-prefix M_c) with one window over SUMMARY rows:
+        S_i      = O_c + s_loc_i          (O_c = Σ T of earlier chunks)
+        min S_j  = min(min_{c'<c}(O_c' + M_c'), O_c + runmin_loc_i)
+    Per-task window work is bounded by rows-per-key-per-chunk. Unlike
+    the EWMA chunk composition (reassociated FLOATS, toleranced),
+    decimal addition is exactly associative — the chunked output is
+    BIT-IDENTICAL to the sequential path and shares its oracle.
     """
     if h_cents <= 0:
         raise ValueError(f"h_cents must be positive, got {h_cents}")
@@ -544,20 +556,74 @@ def cusum_flags(
         - F.col("__st")
         - F.col("__nt") * F.lit(int(slack_cents))
     ).cast("decimal(38,0)")
-    w = Window.partitionBy(key).orderBy("__us", id_col)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c1 = score.join(F.broadcast(train), key).select(
-        id_col, key, "__us", "__nt", F.sum(d).over(wrun).alias("__cum")
-    )
-    c2 = c1.select(
-        id_col,
-        key,
-        "__us",
-        "__nt",
-        "__cum",
-        F.least(F.min("__cum").over(wrun), F.lit(0).cast("decimal(38,0)"))
-        .alias("__runmin"),
-    )
+    joined = score.join(F.broadcast(train), key)
+    zero = F.lit(0).cast("decimal(38,0)")
+    if chunk_sec is None:
+        w = Window.partitionBy(key).orderBy("__us", id_col)
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c1 = joined.select(
+            id_col, key, "__us", "__nt", F.sum(d).over(wrun).alias("__cum")
+        )
+        c2 = c1.select(
+            id_col,
+            key,
+            "__us",
+            "__nt",
+            "__cum",
+            F.least(F.min("__cum").over(wrun), zero).alias("__runmin"),
+        )
+    else:
+        if chunk_sec <= 0:
+            raise ValueError(f"chunk_sec must be positive, got {chunk_sec}")
+        cstep = chunk_sec * 1_000_000
+        rows = joined.select(
+            id_col, key, "__us", "__nt", d.alias("__d"),
+            _bucket_of(F.col("__us"), cstep).alias("__chunk"),
+        )
+        wloc = (
+            Window.partitionBy(key, "__chunk")
+            .orderBy("__us", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        loc = rows.select(
+            id_col, key, "__us", "__nt", "__chunk",
+            F.sum("__d").over(wloc).alias("__sloc"),
+        ).withColumn("__mloc", F.min("__sloc").over(wloc))
+        # per-chunk summaries in ONE aggregate over the local-scan rows:
+        # total T = the LAST row's local prefix sum (max_by on the sort
+        # key — plain max(sloc) would be wrong under negative
+        # deviations), min-prefix M = min local prefix sum
+        summ = loc.groupBy(key, "__chunk").agg(
+            F.max_by(
+                "__sloc", F.struct(F.col("__us"), F.col(id_col))
+            ).alias("__t"),
+            F.min("__sloc").alias("__m"),
+        )
+        wsum = Window.partitionBy(key).orderBy("__chunk")
+        off = F.coalesce(
+            F.sum("__t").over(
+                wsum.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            zero,
+        )
+        aprev = F.min(off + F.col("__m")).over(
+            wsum.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summ2 = summ.select(
+            key, "__chunk", off.alias("__off"), aprev.alias("__aprev")
+        )
+        c2 = loc.join(summ2, [key, "__chunk"]).select(
+            id_col,
+            key,
+            "__us",
+            "__nt",
+            (F.col("__off") + F.col("__sloc")).alias("__cum"),
+            F.least(
+                zero,
+                F.col("__aprev"),
+                F.col("__off") + F.col("__mloc"),
+            ).alias("__runmin"),
+        )
     y = F.col("__cum") - F.col("__runmin")
     return c2.where(
         y > (F.col("__nt") * F.lit(int(h_cents))).cast("decimal(38,0)")

@@ -2886,16 +2886,19 @@ oracle("q_quality_classifier")(
     """
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
-         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+         list_filter(
+           string_split(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '') AS w
   FROM documents
 ),
 feats AS (
-  SELECT doc_id, w AS f FROM toks
+  SELECT doc_id, unnest(w) AS f FROM toks
   UNION ALL
-  SELECT doc_id, w || '_' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS f
-  FROM toks
-  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> w[i+1] || ' ' || w[i+2])) AS f
+  FROM toks WHERE len(w) >= 2
 ),
 wt AS (
   SELECT i AS bucket,
@@ -3076,6 +3079,91 @@ scored AS (
   FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
   WHERE d.query_id <> e.vec_id
   GROUP BY d.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(CAST(d2 AS DOUBLE), 6) AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
+# Streaming classifier: identical semantics to the batch query.
+ORACLES["q_stream_classifier"] = ORACLES["q_quality_classifier"]
+
+# Chunked CUSUM is bit-identical to the sequential path.
+ORACLES["q_cusum_chunked"] = ORACLES["q_changepoint_cusum"]
+
+
+# IVF+PQ composition: untrained-IVF candidate pruning (the q_ivf_topk
+# assignment/probe CTEs) + the full PQ chain from q_pq_topk; scoring
+# runs only over probed-cell candidates.
+oracle("q_ivfpq_topk")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+centroids(cid, cv0) AS (VALUES
+  {_IVF_CENTROIDS}),
+iassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv0) DESC, cid ASC) AS rn
+    FROM vecs, centroids) WHERE rn = 1
+),
+iprobes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv0) DESC, cid ASC) AS rn
+    FROM vecs, centroids WHERE vec_id < 8) WHERE rn <= 4
+),
+cands AS (
+  SELECT p.query_id, a.vec_id
+  FROM iprobes p JOIN iassign a USING (cid)
+  WHERE p.query_id <> a.vec_id
+),
+ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+  FROM vecs QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+subv AS (
+  SELECT vec_id, CAST(s AS INT) AS sub, v[(s*8+1):(s*8+8)] AS sv
+  FROM vecs, range(0, 8) t(s)
+),
+cb0 AS (
+  SELECT sv.sub, ids.code, sv.sv AS cv,
+         list_inner_product(sv.sv, sv.sv) AS sqn
+  FROM subv sv JOIN ids USING (vec_id)
+),
+{_pq_train_iteration('cb0', 'cb1', '0')},
+{_pq_train_iteration('cb1', 'cb2', '1')},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+              ORDER BY list_inner_product(s.sv, cb.cv) - cb.sqn/2 DESC,
+                       cb.code ASC) AS rn
+    FROM subv s JOIN cb2 cb ON cb.sub = s.sub) WHERE rn = 1
+),
+dtab AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.code,
+         CAST(list_inner_product(s.sv, s.sv)
+              - 2*list_inner_product(s.sv, cb.cv)
+              + list_inner_product(cb.cv, cb.cv) AS DECIMAL(38,18)) AS d2
+  FROM subv s JOIN cb2 cb ON cb.sub = s.sub
+  WHERE s.vec_id < 8
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, SUM(d.d2) AS d2
+  FROM cands c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN dtab d ON d.query_id = c.query_id AND d.sub = e.sub AND d.code = e.code
+  GROUP BY c.query_id, c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, d2,

@@ -3179,3 +3179,66 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8), dim=64, m=8, ksub=16, k=5,
         n_iter=2,
     )
+
+
+def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference on a documents STREAM: the
+    window-free feature extraction (pipeline/classify.py) runs
+    unchanged on micro-batches; the weight vector is a broadcast
+    static side. The per-doc logit aggregation is a streaming
+    aggregate in update mode — each doc_id's text arrives in exactly
+    one micro-batch, so its group finalizes in that batch and the
+    update-mode memory sink holds one row per doc. Shares the batch
+    oracle verbatim: streaming is an execution mode, not a semantic
+    change."""
+    import uuid
+
+    from ..pipeline.classify import hash_weights, linear_text_classifier
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    out = linear_text_classifier(
+        stream, hash_weights(spark, 4096), n_buckets=4096
+    )
+    qname = f"classify_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(qname)
+
+
+def q_cusum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY CUSUM path under the full value-hash gate:
+    chunk_sec=86400 bounds each window task by rows-per-key-per-day;
+    per-chunk (total, min-prefix) summaries compose on a summary-row
+    window. Decimal addition is exactly associative, so the output is
+    BIT-IDENTICAL to q_changepoint_cusum and shares its oracle
+    verbatim."""
+    from ..pipeline.timeseries import cusum_flags
+
+    events = load_table(spark, sf_dir, "events")
+    return cusum_flags(
+        events, "event_type", "ts", "value", "2024-01-10",
+        h_cents=25000, slack_cents=2500, chunk_sec=86400,
+    )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (pipeline/similarity.py::ivfpq_topk): coarse
+    md5-centroid probe pruning (4 of 16 cells per query) + PQ ADC
+    scoring over the survivors — the FAISS-style serving shape where
+    pruning cuts WHICH vectors are scored and 32x code compression
+    cuts the bytes per scored vector. The oracle composes the
+    untrained-IVF assignment CTEs with the full PQ train/encode/table
+    chain, so the ENTIRE composition is value-checked."""
+    from ..pipeline.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), dim=64,
+        n_centroids=16, n_probe=4, m=8, ksub=16, k=5, n_iter=2,
+    )

@@ -36,6 +36,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_anomaly_mad": q.q_anomaly_mad,
     "q_changepoint_cusum": q.q_changepoint_cusum,
     "q_pq_topk": q.q_pq_topk,
+    "q_stream_classifier": q.q_stream_classifier,
+    "q_cusum_chunked": q.q_cusum_chunked,
+    "q_ivfpq_topk": q.q_ivfpq_topk,
     "q_token_count_bpe": q.q_token_count_bpe,
     "q_sessionize_chunked": q.q_sessionize_chunked,
     "q_funnel_restart": q.q_funnel_restart,

@@ -2322,3 +2322,55 @@ def test_pq_validates_dim(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="divide evenly"):
         pq_topk(emb, emb.limit(1), dim=64, m=7)
+
+
+def test_ivfpq_subset_of_pq_over_candidates(spark, sf_dir):
+    """IVF-PQ's neighbors must come from probed cells only, and within
+    the candidate set the ADC ordering must agree with plain PQ
+    (same codebooks — both train on the full corpus)."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ivf_assign_udf,
+        ivf_probe_udf,
+        as_double,
+        ivfpq_topk,
+        pq_topk,
+        pq_train,
+    )
+    from aces_nifi_processors_bundle_spark.plans.queries import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    cb = pq_train(emb, dim=64, m=8, ksub=16, n_iter=1)
+    composed = ivfpq_topk(
+        emb, qs, dim=64, n_probe=4, k=5, codebooks=cb
+    ).collect()
+    # candidate membership: every neighbor's cell is probed by its query
+    assign = ivf_assign_udf(64, 16)
+    probe = ivf_probe_udf(64, 16, 4)
+    cells = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", assign(as_double(F.col("embedding"))).alias("cid")
+        ).collect()
+    }
+    probes = {
+        r["vec_id"]: set(r["p"])
+        for r in qs.select(
+            "vec_id", probe(as_double(F.col("embedding"))).alias("p")
+        ).collect()
+    }
+    for r in composed:
+        assert cells[r["neighbor_id"]] in probes[r["query_id"]]
+    # ADC distance agreement with plain PQ on shared neighbors
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["approx_d2"]
+        for r in pq_topk(emb, qs, dim=64, k=100, codebooks=cb).collect()
+    }
+    hits = 0
+    for r in composed:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in full:
+            assert full[key] == r["approx_d2"]
+            hits += 1
+    assert hits > 0

@@ -605,3 +605,43 @@ def test_cusum_closed_form_matches_sequential_fold(spark):
                 want[(k, eid)] = y
     assert got == want
     assert want  # the case must actually flag something
+
+
+def test_cusum_chunked_equals_sequential(spark):
+    """Chunk composition must be bit-identical (decimal addition is
+    associative) — including chunks that start mid-excursion and keys
+    whose minimum prefix sits in an earlier chunk."""
+    import datetime as dt
+    import random
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        cusum_flags,
+    )
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(200):
+            rows.append(
+                (k, len(rows), t0 + dt.timedelta(minutes=13 * i),
+                 round(rng.uniform(0, 80), 2))
+            )
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts timestamp, value double"
+    )
+    kw = dict(h_cents=500, slack_cents=5)
+    seq = sorted(
+        tuple(r) for r in cusum_flags(
+            df, "k", "ts", "value", "2024-01-01 08:00:00", **kw
+        ).collect()
+    )
+    for chunk_sec in (3600, 7200, 999999):
+        chk = sorted(
+            tuple(r) for r in cusum_flags(
+                df, "k", "ts", "value", "2024-01-01 08:00:00",
+                chunk_sec=chunk_sec, **kw
+            ).collect()
+        )
+        assert chk == seq, f"chunk_sec={chunk_sec} diverged"
+    assert seq  # the case must flag something
