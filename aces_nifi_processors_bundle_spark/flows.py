@@ -46,6 +46,7 @@ JSON document folding into one Catalyst plan:
   {"op": "resample",    "bucket_sec": 3600, "how": "ffill"}
   {"op": "anomaly",     "group": "event_type", "k": 3}
   {"op": "anomaly_mad", "group": "event_type", "k": 3}
+  {"op": "quantiles",   "group": "event_type", "ps": [0.5, 0.95]}
   {"op": "cusum",       "key": ..., "train_end_ts": ..., "h_cents": ...}
   {"op": "pq_topk",     "right": "queries", "dim": 64, "m": 8}
   {"op": "ivfpq_topk",  "right": "queries", "dim": 64, "n_probe": 4}
@@ -890,6 +891,23 @@ def _cusum(
     return cusum_flags(
         df, key, ts_col, value_col, train_end_ts, h_cents, slack_cents,
         id_col, chunk_sec,
+    )
+
+
+@stage("quantiles")
+def _quantiles(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str = "value",
+    ps: list[float] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    from .pipeline.stats import group_quantiles
+
+    return group_quantiles(
+        df, group, value_col, tuple(ps or (0.25, 0.5, 0.75, 0.95)), scale
     )
 
 

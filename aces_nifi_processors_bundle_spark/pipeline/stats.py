@@ -84,3 +84,77 @@ def correlation_matrix(
         .select("r.*")
         .orderBy("col_x", "col_y")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    scale: int = 100,
+) -> DataFrame:
+    """EXACT per-group quantiles at scale — discrete (quantile_disc)
+    semantics: quantile p is the group's rank-ceil(n*p) smallest value
+    (an actual data value, no interpolation; matches DuckDB's
+    quantile_disc, empirically boundary-exact). Output: one row per
+    group with n plus a p<percent> bigint column per requested
+    quantile, values in scale-ed integer units (cents by default).
+
+    Why not percentile()/approx: Spark's exact percentile buffers a
+    whole group's values in one aggregation state (OOM on giant
+    groups); percentile_approx is a sketch. This is the third way —
+    the value-HISTOGRAM rank walk (same machinery as
+    timeseries.mad_flags): per-(group, value) counts, a window cumsum
+    over histogram rows (bounded by value CARDINALITY, not row
+    count), and each requested rank picked by interval membership.
+    All requested quantiles ride ONE histogram pass.
+
+    Ranks are computed in pure integer arithmetic — ceil(n*p) =
+    (n*p100 + 99) div 100 with p in hundredths — so boundary cases
+    (n*p an exact integer) can't float-flip. ps must therefore be
+    representable in hundredths.
+    """
+    from pyspark.sql import Window
+
+    p100s = []
+    for p in ps:
+        p100 = int(round(p * 100))
+        if not 0 < p100 <= 100 or abs(p100 - p * 100) > 1e-9:
+            raise ValueError(
+                f"group_quantiles: p={p} not representable in hundredths"
+            )
+        p100s.append(p100)
+    cents = F.round(F.col(value_col) * scale).cast("bigint")
+    counts = (
+        df.select(F.col(group), cents.alias("__v"))
+        .groupBy(group, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = Window.partitionBy(group).orderBy("__v")
+    wall = Window.partitionBy(group)
+    cum = F.sum("__c").over(wcum)
+    n = F.sum("__c").over(wall)
+    prev = cum - F.col("__c")
+
+    def rank_of(p100: int):
+        x = n * F.lit(p100) + F.lit(99)
+        return ((x - x % 100) / 100).cast("bigint")  # exact div
+
+    parts = [
+        (
+            F.col("__v")
+            * ((prev < rank_of(p)) & (rank_of(p) <= cum)).cast("bigint")
+        ).alias(f"__part{p}")
+        for p in p100s
+    ]
+    return (
+        counts.select(F.col(group), n.alias("__n"), *parts)
+        .groupBy(group)
+        .agg(
+            F.max("__n").cast("bigint").alias("n"),
+            *[
+                F.sum(f"__part{p}").cast("bigint").alias(f"p{p}")
+                for p in p100s
+            ],
+        )
+    )

@@ -3176,3 +3176,23 @@ SELECT query_id, neighbor_id, round(CAST(d2 AS DOUBLE), 6) AS approx_d2,
 FROM ranked WHERE rank <= 5
 """
 )
+
+
+# Exact group quantiles: DuckDB's native quantile_disc (rank
+# ceil(n*p), boundary-exact — probed empirically) is an INDEPENDENT
+# implementation of the statistic the rank walk computes.
+oracle("q_group_quantiles")(
+    """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(x, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(x, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(x, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(x, 0.95) AS BIGINT) AS p95,
+       CAST(quantile_disc(x, 0.99) AS BIGINT) AS p99
+FROM base GROUP BY event_type
+"""
+)

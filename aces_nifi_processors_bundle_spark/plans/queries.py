@@ -3242,3 +3242,19 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8), dim=64,
         n_centroids=16, n_probe=4, m=8, ksub=16, k=5, n_iter=2,
     )
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95/p99 of event value per event_type
+    (pipeline/stats.py::group_quantiles) — discrete order statistics
+    from the value-histogram rank walk: window work bounded by value
+    CARDINALITY per group, never a whole-group percentile buffer, all
+    five quantiles on one histogram pass with integer-exact
+    ceil(n*p) ranks. Oracle = DuckDB's native quantile_disc, an
+    independent implementation of the same statistic."""
+    from ..pipeline.stats import group_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    return group_quantiles(
+        events, "event_type", "value", ps=(0.25, 0.5, 0.75, 0.95, 0.99)
+    )

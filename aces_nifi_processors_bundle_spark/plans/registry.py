@@ -41,6 +41,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_classifier": q.q_stream_classifier,
     "q_cusum_chunked": q.q_cusum_chunked,
     "q_ivfpq_topk": q.q_ivfpq_topk,
+    "q_group_quantiles": q.q_group_quantiles,
     "q_token_count_bpe": q.q_token_count_bpe,
     "q_sessionize_chunked": q.q_sessionize_chunked,
     "q_funnel_restart": q.q_funnel_restart,

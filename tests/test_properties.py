@@ -645,3 +645,47 @@ def test_cusum_chunked_equals_sequential(spark):
         )
         assert chk == seq, f"chunk_sec={chunk_sec} diverged"
     assert seq  # the case must flag something
+
+
+def test_group_quantiles_matches_sorted_reference(spark):
+    """Rank walk == rank-ceil(n*p) order statistic on random data with
+    heavy ties, including boundary cases where n*p is an integer."""
+    import random
+
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        group_quantiles,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    # group sizes chosen so n*p hits exact integers for several ps
+    for g, size in (("a", 20), ("b", 100), ("c", 7), ("d", 1)):
+        for i in range(size):
+            rows.append((g, round(rng.choice([1.0, 2.5, 2.5, 7.25, 9.0]), 2)))
+    df = spark.createDataFrame(rows, "g string, value double")
+    ps = (0.25, 0.5, 0.75, 0.95)
+    got = {
+        r["g"]: r for r in group_quantiles(df, "g", "value", ps).collect()
+    }
+    byg = {}
+    for g, v in rows:
+        byg.setdefault(g, []).append(round(v * 100))
+    for g, vals in byg.items():
+        vals.sort()
+        n = len(vals)
+        assert got[g]["n"] == n
+        for p in ps:
+            r = (n * int(round(p * 100)) + 99) // 100  # ceil(n*p) exactly
+            assert got[g][f"p{int(round(p*100))}"] == vals[r - 1], (g, p)
+
+
+def test_group_quantiles_rejects_bad_p(spark):
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        group_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, value double")
+    with pytest.raises(ValueError, match="hundredths"):
+        group_quantiles(df, "g", "value", ps=(0.333,))
