@@ -963,6 +963,22 @@ def _classify(
 
     if weights_path is not None:
         w = spark.read.parquet(weights_path)
+        missing = {"bucket", "w_milli"} - set(w.columns)
+        if missing:
+            raise ValueError(
+                f"classify: weights at {weights_path!r} missing columns "
+                f"{sorted(missing)}"
+            )
+        # a duplicated bucket row would silently double-count both the
+        # weight and n_features; the table is broadcast-small, so the
+        # two counting actions here are cheap
+        n_rows = w.count()
+        n_keys = w.select("bucket").distinct().count()
+        if n_rows != n_keys:
+            raise ValueError(
+                f"classify: weights at {weights_path!r} carry duplicate "
+                f"bucket rows ({n_rows} rows, {n_keys} distinct buckets)"
+            )
     else:
         w = hash_weights(spark, n_buckets, weights_seed)
     return linear_text_classifier(

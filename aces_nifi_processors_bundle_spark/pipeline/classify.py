@@ -95,12 +95,12 @@ def linear_text_classifier(
         norm == "", F.array().cast("array<string>")
     ).otherwise(F.split(norm, " "))
     if bigrams:
-        # overlapping word pairs "a b" via capturing lookahead — the
-        # shingles trick (pipeline/text.py::_shingle_regex): one JVM
-        # regex pass, no interpreted per-element HOFs
-        bis = F.regexp_extract_all(
-            norm, F.lit(r"(?<=^|\s)(?=(\S+ \S+))"), F.lit(1)
-        )
+        # overlapping word pairs "a b" via the shared capturing-
+        # lookahead shingle regex: one JVM regex pass, no interpreted
+        # per-element HOFs
+        from .text import _shingle_regex
+
+        bis = F.regexp_extract_all(norm, F.lit(_shingle_regex(2)), F.lit(1))
         grams = F.concat(unis, bis)
     else:
         grams = unis

@@ -1047,6 +1047,26 @@ def pq_topk(
         raise ValueError(f"dim ({dim}) must divide evenly into m ({m}) subspaces")
     if codebooks is None:
         codebooks = pq_train(corpus, dim, m, ksub, n_iter, vec_col, id_col)
+    return _adc_rank(corpus, queries, dim, m, codebooks, k, vec_col, id_col)
+
+
+def _adc_rank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    codebooks: "np.ndarray",
+    k: int,
+    vec_col: str,
+    id_col: str,
+    cands: DataFrame | None = None,
+) -> DataFrame:
+    """The shared ADC scoring/ranking tail of pq_topk and ivfpq_topk —
+    ONE copy of the exactness-critical machinery (dim-sequential
+    folds, decimal(38,18) table entries, salted min-k). `cands` =
+    optional (query_id, id_col) candidate pairs to score (IVF probe
+    pruning); None scores every query against the whole encoded
+    corpus, self-matches excluded either way."""
     cb = np.asarray(codebooks, dtype=np.float64)
     spark = corpus.sparkSession
     cb_df = spark.createDataFrame(
@@ -1077,12 +1097,17 @@ def pq_topk(
         "query_id", "sub", "code", d2.cast("decimal(38,18)").alias("d2")
     )
     enc = pq_encode(corpus, dim, cb, vec_col, id_col)
-    scored = (
-        enc.join(F.broadcast(dtab), ["sub", "code"])
-        .where(F.col("query_id") != F.col(id_col))
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("d2").alias("d2"))
-    )
+    if cands is None:
+        scored_rows = enc.join(F.broadcast(dtab), ["sub", "code"]).where(
+            F.col("query_id") != F.col(id_col)
+        )
+    else:
+        scored_rows = cands.join(enc, id_col).join(
+            F.broadcast(dtab), ["query_id", "sub", "code"]
+        )
+    scored = scored_rows.groupBy(
+        "query_id", F.col(id_col).alias("neighbor_id")
+    ).agg(F.sum("d2").alias("d2"))
     out = _topk_min_per_query(scored, k, "d2")
     return out.select(
         "query_id",
@@ -1142,46 +1167,6 @@ def ivfpq_topk(
     )
     if codebooks is None:
         codebooks = pq_train(corpus, dim, m, ksub, n_iter, vec_col, id_col)
-    cb = np.asarray(codebooks, dtype=np.float64)
-    spark = corpus.sparkSession
-    cb_df = spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in cb[s, c]])
-            for s in range(cb.shape[0])
-            for c in range(cb.shape[1])
-        ],
-        "sub int, code int, cv array<double>",
-    )
-    qsub = _pq_subrows(
-        queries, dim, m, vec_col, id_col
-    ).withColumnRenamed(id_col, "query_id")
-    fold_sq = lambda a: F.aggregate(  # noqa: E731
-        a, F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    fold_dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d2 = (
-        fold_sq(F.col("sv"))
-        - F.lit(2.0) * fold_dot(F.col("sv"), F.col("cv"))
-        + fold_sq(F.col("cv"))
-    )
-    dtab = qsub.join(cb_df, "sub").select(
-        "query_id", "sub", "code", d2.cast("decimal(38,18)").alias("d2")
-    )
-    enc = pq_encode(corpus, dim, cb, vec_col, id_col)
-    scored = (
-        cands.join(enc, id_col)
-        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("d2").alias("d2"))
-    )
-    out = _topk_min_per_query(scored, k, "d2")
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round(F.col("d2").cast("double"), 6).alias("approx_d2"),
-        F.col("rank").cast("int").alias("rank"),
+    return _adc_rank(
+        corpus, queries, dim, m, codebooks, k, vec_col, id_col, cands=cands
     )

@@ -112,10 +112,10 @@ def group_quantiles(
     Ranks are computed in pure integer arithmetic — ceil(n*p) =
     (n*p100 + 99) div 100 with p in hundredths — so boundary cases
     (n*p an exact integer) can't float-flip. ps must therefore be
-    representable in hundredths.
+    representable in hundredths. NULL values are excluded (SQL
+    aggregate semantics — n counts non-null rows, like
+    quantile_disc/median do).
     """
-    from pyspark.sql import Window
-
     p100s = []
     for p in ps:
         p100 = int(round(p * 100))
@@ -124,37 +124,77 @@ def group_quantiles(
                 f"group_quantiles: p={p} not representable in hundredths"
             )
         p100s.append(p100)
+
+    def rank_of(p100: int):
+        def rank(n):
+            x = n * F.lit(p100) + F.lit(99)
+            return ((x - x % 100) / 100).cast("bigint")  # exact div
+
+        return rank
+
     cents = F.round(F.col(value_col) * scale).cast("bigint")
+    out = hist_order_stats(
+        df.select(F.col(group), cents.alias("__v")),
+        group,
+        "__v",
+        {f"p{p}": rank_of(p) for p in p100s},
+    )
+    return out.select(
+        F.col(group),
+        F.col("__n").alias("n"),
+        *[F.col(f"p{p}") for p in p100s],
+    )
+
+
+def hist_order_stats(
+    df: DataFrame,
+    group: str,
+    v_col: str,
+    ranks: dict,
+) -> DataFrame:
+    """The shared value-HISTOGRAM rank walk: per-(group, value)
+    counts (map-side combined; rows = distinct values per group, not
+    events), a window cumsum ordered by value, and each requested
+    ORDER STATISTIC picked by rank-interval membership — value v
+    covers rank r iff prev_cum < r <= cum. `ranks` maps output column
+    name -> fn(n: Column) -> rank Column (1-based); all requested
+    ranks ride ONE histogram pass. Returns (group, __n, <name>...)
+    with bigint values.
+
+    This is the scale-safe exact-order-statistic primitive behind
+    group_quantiles and timeseries.mad_flags: window work is bounded
+    by value CARDINALITY per group — never a whole-group percentile
+    buffer. NULL values are dropped before counting (SQL aggregate
+    semantics: a NULL would otherwise sort first and shift every real
+    rank, silently corrupting the statistic — and diverge from the
+    DuckDB median/quantile_disc oracles, which ignore NULLs)."""
+    from pyspark.sql import Window
+
     counts = (
-        df.select(F.col(group), cents.alias("__v"))
-        .groupBy(group, "__v")
+        df.where(F.col(v_col).isNotNull())
+        .groupBy(group, v_col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    wcum = Window.partitionBy(group).orderBy("__v")
+    wcum = Window.partitionBy(group).orderBy(v_col)
     wall = Window.partitionBy(group)
     cum = F.sum("__c").over(wcum)
     n = F.sum("__c").over(wall)
     prev = cum - F.col("__c")
-
-    def rank_of(p100: int):
-        x = n * F.lit(p100) + F.lit(99)
-        return ((x - x % 100) / 100).cast("bigint")  # exact div
-
     parts = [
         (
-            F.col("__v")
-            * ((prev < rank_of(p)) & (rank_of(p) <= cum)).cast("bigint")
-        ).alias(f"__part{p}")
-        for p in p100s
+            F.col(v_col)
+            * ((prev < rank_fn(n)) & (rank_fn(n) <= cum)).cast("bigint")
+        ).alias(f"__part_{name}")
+        for name, rank_fn in ranks.items()
     ]
     return (
         counts.select(F.col(group), n.alias("__n"), *parts)
         .groupBy(group)
         .agg(
-            F.max("__n").cast("bigint").alias("n"),
+            F.max("__n").cast("bigint").alias("__n"),
             *[
-                F.sum(f"__part{p}").cast("bigint").alias(f"p{p}")
-                for p in p100s
+                F.sum(f"__part_{name}").cast("bigint").alias(name)
+                for name in ranks
             ],
         )
     )

@@ -390,37 +390,32 @@ def anomaly_flags(
 def _hist_median2(
     df: DataFrame, group: str, v_col: str
 ) -> DataFrame:
-    """Twice-the-median per group, EXACTLY, via the value-histogram
-    rank walk: per-(group, value) counts (map-side combined; rows =
-    distinct values per group, not events), cumulative counts ordered
-    by value, and the two middle order statistics picked by rank
-    interval — v covers rank r iff prev_cum < r <= cum. med2 = the
-    rank-floor((n+1)/2) value + the rank-(floor(n/2)+1) value (equal
-    for odd n), an INTEGER — no interpolation, no floats, no
-    collecting a group's values into one buffer (percentile()'s
-    failure mode on 100 TB one-group data). Returns (group, __med2,
-    __n); windows run over histogram rows bounded by value
-    cardinality."""
-    counts = df.groupBy(group, v_col).agg(F.count(F.lit(1)).alias("__c"))
-    wcum = Window.partitionBy(group).orderBy(v_col)
-    wall = Window.partitionBy(group)
-    cum = F.sum("__c").over(wcum)
-    n = F.sum("__c").over(wall)
-    prev = cum - F.col("__c")
-    r1 = F.floor((n + F.lit(1)) / F.lit(2.0)).cast("bigint")
-    r2 = (F.floor(n / F.lit(2.0)) + F.lit(1)).cast("bigint")
-    covers = lambda r: ((prev < r) & (r <= cum)).cast("bigint")  # noqa: E731
-    return (
-        counts.select(
-            F.col(group),
-            n.alias("__n"),
-            (F.col(v_col) * (covers(r1) + covers(r2))).alias("__part"),
-        )
-        .groupBy(group)
-        .agg(
-            F.sum("__part").cast("bigint").alias("__med2"),
-            F.max("__n").cast("bigint").alias("__n"),
-        )
+    """Twice-the-median per group, EXACTLY: the two middle order
+    statistics (rank floor((n+1)/2) and rank floor(n/2)+1 — equal for
+    odd n) summed, an INTEGER with no interpolation. Runs on the
+    shared value-histogram rank walk (stats.hist_order_stats — which
+    also drops NULL values, matching DuckDB median()'s aggregate
+    semantics; n counts non-null rows). Returns (group, __med2,
+    __n)."""
+    from .stats import hist_order_stats
+
+    out = hist_order_stats(
+        df,
+        group,
+        v_col,
+        {
+            "__lo": lambda n: F.floor((n + F.lit(1)) / F.lit(2.0)).cast(
+                "bigint"
+            ),
+            "__hi": lambda n: (F.floor(n / F.lit(2.0)) + F.lit(1)).cast(
+                "bigint"
+            ),
+        },
+    )
+    return out.select(
+        F.col(group),
+        (F.col("__lo") + F.col("__hi")).cast("bigint").alias("__med2"),
+        F.col("__n"),
     )
 
 
@@ -515,8 +510,9 @@ def cusum_flags(
     and the threshold is y > n_t * h_cents. Running sums are
     decimal(38,0) (HUGEINT in the oracle): at 10^10 rows per key of
     10^5-cent deviations a bigint cumsum would overflow, decimal(38)
-    does not. Output cusum_scaled is the bigint-cast excess in
-    n_t*cents units (divide by n_t for cents).
+    does not. Output cusum_scaled stays decimal(38,0) for the same
+    reason — the excess is running-sum magnitude, in n_t*cents units
+    (divide by n_t for cents).
 
     Keys with no training rows have no baseline and emit nothing
     (inner join with the training stats). Returns flagged rows only:
@@ -631,6 +627,9 @@ def cusum_flags(
         id_col,
         key,
         F.col("__us").alias("ts_us"),
-        y.cast("bigint").alias("cusum_scaled"),
+        # decimal(38,0), NOT bigint: y is running-sum-magnitude — the
+        # exact regime the decimal cumsum exists for; a bigint cast
+        # would silently NULL (ANSI off) or throw on a long excursion
+        y.cast("decimal(38,0)").alias("cusum_scaled"),
         F.col("__nt").alias("n_train"),
     )

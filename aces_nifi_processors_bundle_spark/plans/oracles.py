@@ -2950,7 +2950,7 @@ WITH base AS (
 ),
 med AS (
   SELECT event_type, CAST(2 * median(x) AS BIGINT) AS med2,
-         CAST(count(*) AS BIGINT) AS n
+         CAST(count(x) AS BIGINT) AS n
   FROM base GROUP BY event_type
 ),
 dev AS (
@@ -2999,7 +2999,7 @@ c2 AS (
   FROM c1
 )
 SELECT event_id, event_type, us AS ts_us,
-       CAST(cum - runmin AS BIGINT) AS cusum_scaled,
+       CAST(cum - runmin AS DECIMAL(38,0)) AS cusum_scaled,
        n_t AS n_train
 FROM c2 WHERE cum - runmin > CAST(n_t AS HUGEINT) * 25000
 """
@@ -3187,7 +3187,7 @@ WITH base AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
 )
 SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(x) AS BIGINT) AS n,
        CAST(quantile_disc(x, 0.25) AS BIGINT) AS p25,
        CAST(quantile_disc(x, 0.50) AS BIGINT) AS p50,
        CAST(quantile_disc(x, 0.75) AS BIGINT) AS p75,

@@ -2279,20 +2279,17 @@ def test_pq_shapes_and_encode_range(spark, sf_dir):
 
 
 def test_pq_recall_vs_brute_force(spark, sf_dir):
-    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
-        brute_force_topk,
-        pq_topk,
-    )
+    import numpy as np
+
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import pq_topk
     from aces_nifi_processors_bundle_spark.plans.queries import load_table
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 8)
-    # NOTE: brute force ranks by cosine, PQ by L2 over unnormalized
-    # vectors — compare against L2-true neighbors instead
+    # PQ ranks by L2 over unnormalized vectors — compare against a
+    # local L2-true reference (brute_force_topk ranks by cosine)
     truth = {}
-    import numpy as np
-
     vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
             for r in emb.select("vec_id", "embedding").collect()}
     for q in range(8):
