@@ -56,6 +56,7 @@ JSON document folding into one Catalyst plan:
   {"op": "editdist_join", "id_col": ..., "str_col": ..., "k": 1}
   {"op": "corr_matrix",  "cols": ["l_quantity", "l_extendedprice"]}
   {"op": "triangle_count", "src": "src", "dst": "dst"}
+  {"op": "communities",  "src": "src", "dst": "dst", "n_iter": 3}
 
 Routed operators take a ``relationship`` key selecting which port
 continues down the flow — the analog of connecting a downstream
@@ -772,6 +773,21 @@ def _corr_matrix(
     from .pipeline.stats import correlation_matrix
 
     return correlation_matrix(df, cols, scale)
+
+
+@stage("communities")
+def _communities(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    checkpoint: str = "local",
+) -> DataFrame:
+    from .pipeline.graph import label_propagation
+
+    return label_propagation(df, n_iter, src, dst, checkpoint)
 
 
 @stage("triangle_count")

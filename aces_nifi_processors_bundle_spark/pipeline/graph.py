@@ -304,3 +304,64 @@ def triangle_count(
             .alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, made deterministic): every vertex starts labeled with
+    its own id; each round, all vertices SIMULTANEOUSLY adopt the most
+    frequent label among their neighbors, ties broken to the LOWEST
+    label (the randomized asynchronous original is not reproducible —
+    synchronous sweeps + a total tie order make every run, and the
+    SQL oracle, land on identical labels). Runs exactly n_iter rounds
+    (LPA oscillates on bipartite-ish structures; a fixed sweep count
+    is the standard determinism fix). Input edges are symmetrized and
+    deduplicated; self-loops dropped. Output: (vertex, label) for
+    every vertex with degree >= 1; community = the set sharing a
+    label. Vertex ids must be numeric (labels ARE vertex ids, and the
+    lowest-label tie-break negates them inside a max_by sort key).
+
+    Scale shape per round: one join of the edge list with the
+    current (vertex, label) frame (both hash-partitioned on the join
+    key) + one (vertex, label) count aggregate (map-side combined) +
+    one max_by pick per vertex — label counts per vertex are bounded
+    by degree, and the frame carried between rounds is one row per
+    vertex. Lineage is cut per round (iterative-plan growth, same as
+    pagerank); hub skew: a hot vertex's neighbor-label rows combine
+    map-side before the shuffle, so the reducer sees at most
+    distinct-labels-per-vertex rows.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    prepare_checkpoint(edges.sparkSession, checkpoint, checkpoint_dir)
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).where(F.col("s") != F.col("d"))
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+    )
+    sym = cut_lineage(sym, checkpoint)
+    labels = sym.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    for _ in range(n_iter):
+        counts = (
+            sym.join(labels, sym["d"] == labels["v"])
+            .groupBy(F.col("s").alias("v"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # most frequent neighbor label, ties to the LOWEST label:
+        # max_by on (c, -lab) — one aggregate, no per-vertex window
+        labels = counts.groupBy("v").agg(
+            F.max_by("lab", F.struct(F.col("c"), -F.col("lab"))).alias("lab")
+        )
+        labels = cut_lineage(labels, checkpoint)
+    return labels.select(F.col("v").alias("vertex"), F.col("lab").alias("label"))

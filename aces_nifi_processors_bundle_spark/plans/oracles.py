@@ -3196,3 +3196,56 @@ SELECT event_type,
 FROM base GROUP BY event_type
 """
 )
+
+
+# Label propagation: synchronous sweeps replayed as chained CTEs —
+# most-frequent neighbor label, lowest-label ties.
+oracle("q_communities")(
+    """
+WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+support AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS c
+  FROM pairs a JOIN pairs b USING (o) WHERE a.s < b.s GROUP BY a.s, b.s
+),
+tot AS (SELECT sum(c) AS sc, count(*) AS cc FROM support),
+edges AS (SELECT u, v FROM support, tot WHERE c * 4 * cc >= sc * 5),
+e AS (
+  SELECT u AS s, v AS d FROM edges
+  UNION
+  SELECT v AS s, u AS d FROM edges
+),
+verts AS (SELECT DISTINCT s AS v FROM e),
+l0 AS (SELECT v, v AS lab FROM verts),
+c1 AS (
+  SELECT e.s AS v, l.lab, count(*) AS c
+  FROM e JOIN l0 l ON l.v = e.d GROUP BY e.s, l.lab
+),
+l1 AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+    FROM c1) WHERE rn = 1
+),
+c2 AS (
+  SELECT e.s AS v, l.lab, count(*) AS c
+  FROM e JOIN l1 l ON l.v = e.d GROUP BY e.s, l.lab
+),
+l2 AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+    FROM c2) WHERE rn = 1
+),
+c3 AS (
+  SELECT e.s AS v, l.lab, count(*) AS c
+  FROM e JOIN l2 l ON l.v = e.d GROUP BY e.s, l.lab
+),
+l3 AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+    FROM c3) WHERE rn = 1
+)
+SELECT v AS vertex, lab AS label FROM l3
+"""
+)

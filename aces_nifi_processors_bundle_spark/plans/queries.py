@@ -3258,3 +3258,35 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(
         events, "event_type", "value", ps=(0.25, 0.5, 0.75, 0.95, 0.99)
     )
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier communities on the co-supply graph (same thresholded
+    edge set as q_triangle_count) via deterministic synchronous label
+    propagation, 3 sweeps (pipeline/graph.py::label_propagation). The
+    oracle replays the sweeps as chained CTEs — most-frequent neighbor
+    label with lowest-label tie-break is exactly mirrorable, which is
+    why the synchronous variant was chosen over the randomized
+    asynchronous original."""
+    from ..pipeline.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    support = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "o")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = support.agg(
+        F.sum("c").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
+    )
+    edges = (
+        support.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * 4 * F.col("__cnt") >= F.col("__sum") * 5)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return label_propagation(edges, n_iter=3)

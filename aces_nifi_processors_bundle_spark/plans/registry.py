@@ -8,7 +8,7 @@ rows-only check).
 ORDERING MATTERS: the round driver samples the FIRST 50 entries for
 its external CORRECTNESS check. Entries are therefore ordered by
 information value, not topic: (1) queries added this round (both
-waves — 26 entries, every one new to the external gate), (2) the
+waves — 27 entries, every one new to the external gate), (2) the
 stalest external grades (last checked round 3 — all sit on streaming
 plumbing consolidated/modified since), (3) queries whose underlying
 code round 6 modified (store txns + auto-compaction, funnel array
@@ -42,6 +42,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cusum_chunked": q.q_cusum_chunked,
     "q_ivfpq_topk": q.q_ivfpq_topk,
     "q_group_quantiles": q.q_group_quantiles,
+    "q_communities": q.q_communities,
     "q_token_count_bpe": q.q_token_count_bpe,
     "q_sessionize_chunked": q.q_sessionize_chunked,
     "q_funnel_restart": q.q_funnel_restart,
@@ -77,7 +78,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_store_history": q.q_store_history,
     "q_store_incremental_agg": q.q_store_incremental_agg,
     "q_geo_radius_join": q.q_geo_radius_join,
-    "q_geo_radius_auto": q.q_geo_radius_auto,
     "q_pagerank": q.q_pagerank,
     "q_pagerank_dangling": q.q_pagerank_dangling,
     "q_pagerank_weighted": q.q_pagerank_weighted,
@@ -90,11 +90,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_store_time_travel": q.q_store_time_travel,
     "q_store_put_if_absent": q.q_store_put_if_absent,
     "q_flow_store_merge": q.q_flow_store_merge,
-    # q_funnel_windowed shares the r6-exercised funnel code but that
-    # code is already covered in-window by q_funnel + q_stream_funnel +
-    # q_funnel_restart; rotated just below the fold to keep the window
-    # at exactly 50.
+    # These two share r6-exercised code that is already covered
+    # in-window by a sibling (q_funnel / q_geo_radius_join); rotated
+    # just below the fold to keep the window at exactly 50.
     "q_funnel_windowed": q.q_funnel_windowed,
+    "q_geo_radius_auto": q.q_geo_radius_auto,
     "q_partial_update": q.q_partial_update,
     "q_partial_update_nested": q.q_partial_update_nested,
     "q_partial_update_routing": q.q_partial_update_routing,

@@ -2371,3 +2371,69 @@ def test_ivfpq_subset_of_pq_over_candidates(spark, sf_dir):
             assert full[key] == r["approx_d2"]
             hits += 1
     assert hits > 0
+
+
+def test_order_stats_ignore_null_values(spark):
+    """NULL values must not shift ranks or count toward n — SQL
+    aggregate semantics (the DuckDB median/quantile_disc oracles
+    ignore NULLs)."""
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        group_quantiles,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        mad_flags,
+    )
+
+    rows = [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "g", None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t string, value double"
+    )
+    got = group_quantiles(df, "t", "value", ps=(0.5,)).collect()[0]
+    assert got["n"] == 3          # NULL not counted
+    assert got["p50"] == 200      # true median 2.0, not shifted to 1.0
+    # mad_flags: same histogram machinery; the null row itself never
+    # flags and does not perturb the median for real rows
+    flagged = {
+        r["event_id"]
+        for r in mad_flags(df, "t", "value", k=3).collect()
+    }
+    assert 4 not in flagged
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge must resolve into two
+    communities labeled by each clique's lowest id; the sweeps must
+    match a literal python simulation of the synchronous update."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import (
+        label_propagation,
+    )
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique1 + clique2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(df, n_iter=3).collect()
+    }
+    # python reference: synchronous, most-frequent, lowest-label ties
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for nb in ns:
+                cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        lab = new
+    assert got == lab
+    # and the structure is right: clique1 all share a label, clique2
+    # all share a label, and the two differ
+    l1 = {got[v] for v in range(4)}
+    l2 = {got[v] for v in range(10, 14)}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
