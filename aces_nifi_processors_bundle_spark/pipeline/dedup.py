@@ -686,3 +686,75 @@ def duplicate_passages(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the CCNet/RefinedWeb paragraph
+    pass: drop every line whose trimmed form repeats >= min_count
+    times ACROSS the corpus — boilerplate headers, nav bars, cookie
+    banners — then reassemble each document from its surviving lines).
+
+    Output: (id_col, kept_lines, dropped_lines, new_text) with
+    new_text the surviving lines re-joined by `delim` in original
+    order; empty/whitespace-only lines are structural, never counted
+    or dropped.
+
+    Scale shape — exactly two data shuffles, both on slim keys:
+    (1) duplicate detection groups by md5(line) (32 hex chars, never
+    the line text, so a 1 KB boilerplate line shuffles as 32 bytes),
+    with map-side partial counts; the resulting dup-hash set is
+    usually tiny and Catalyst broadcasts it back onto the exploded
+    lines under AQE. (2) reassembly groups by id. Nothing is
+    collected; the explode never materializes the corpus twice
+    because both consumers share one scan stage.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("tline", F.trim(F.col("line")))
+    hashed = lines.withColumn(
+        "lh", F.when(F.col("tline") != "", F.md5(F.col("tline")))
+    )
+    dup_hashes = (
+        hashed.where(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("lh")
+    )
+    marked = hashed.join(
+        dup_hashes.withColumn("_dup", F.lit(True)), "lh", "left"
+    ).withColumn("drop", F.coalesce(F.col("_dup"), F.lit(False)))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.when(~F.col("drop"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_lines"),
+            F.sum(F.when(F.col("drop"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                delim,
+            ).alias("new_text"),
+        )
+    )

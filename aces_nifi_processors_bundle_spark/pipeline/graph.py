@@ -365,3 +365,50 @@ def label_propagation(
         )
         labels = cut_lineage(labels, checkpoint)
     return labels.select(F.col("v").alias("vertex"), F.col("lab").alias("label"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: (v, dist) for every vertex reachable from any
+    seed within n_hops, dist = fewest edges (integer — no float drift,
+    trivially oracle-able by unrolled CTEs). `seeds` is a one-column
+    frame of starting vertices (dist 0).
+
+    The frontier pattern keeps each sweep's shuffle proportional to
+    the NEW frontier, not the visited set: only vertices first reached
+    in the previous hop expand (expanding settled vertices can only
+    rediscover larger distances — min() would discard them), then one
+    groupBy(v).min(dist) folds discoveries into the visited set.
+    Lineage is cut every sweep (local/reliable like pagerank —
+    unbounded plan growth is the classic iterative-Spark failure).
+    Directionality is the caller's contract: pass a symmetrized edge
+    list for undirected graphs.
+    """
+    prepare_checkpoint(edges.sparkSession, checkpoint, checkpoint_dir)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    e = cut_lineage(e, checkpoint)
+    dist = cut_lineage(
+        seeds.select(F.col(seeds.columns[0]).alias("v")).distinct()
+        .select("v", F.lit(0).cast("int").alias("dist")),
+        checkpoint,
+    )
+    for h in range(1, n_hops + 1):
+        frontier = dist.where(F.col("dist") == h - 1)
+        discovered = (
+            frontier.join(e, frontier.v == e._s)
+            .select(F.col("_d").alias("v"), F.lit(h).cast("int").alias("dist"))
+        )
+        dist = cut_lineage(
+            dist.unionByName(discovered).groupBy("v").agg(
+                F.min("dist").alias("dist")
+            ),
+            checkpoint,
+        )
+    return dist

@@ -94,3 +94,39 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist `df` as a BUCKETED (and optionally bucket-sorted)
+    external table: rows are hash-partitioned on `key` into
+    `n_buckets` files at WRITE time, and the catalog records the
+    layout. A later join or aggregation on `key` between two tables
+    bucketed the same way runs with ZERO exchange — the shuffle was
+    paid once, at write, and every subsequent query reuses it. At
+    100 TB this is the difference between re-shuffling the fact table
+    per query and never shuffling it at all (pre-partitioned
+    co-located joins; see CLUSTER.md).
+
+    The one-file-per-bucket discipline: repartition(n_buckets, key)
+    first, so each task holds exactly one bucket's rows and writes one
+    file — without it every task emits a file per bucket it touches
+    (tasks x buckets small-files explosion).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

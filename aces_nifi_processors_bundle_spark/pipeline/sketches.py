@@ -1,0 +1,229 @@
+"""Mergeable distributed sketches: HyperLogLog distinct counting and
+count-min frequency estimation.
+
+Why sketches at 100 TB: an exact `count(distinct k)` or exact per-key
+frequency over 10^12 rows shuffles every distinct key; a sketch
+shuffles a FIXED-size state per group (64 registers / d*w cells) that
+merges associatively, so partial sketches combine map-side and across
+days/sources/partitions without ever re-reading data. Both sketches
+here are built from the cross-engine md5->60-bit-bigint hash
+(the `splits.py` discipline: Spark `conv(substr(md5(x),1,15),16,10)`
+== DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` bit-for-bit) and all
+estimate math is integer-exact until ONE IEEE-754 division, so the
+DuckDB oracle reproduces every estimate bit-identically — an
+*approximate* algorithm with an *exact* correctness gate.
+
+No counterpart in the reference (its closest is the exact downstream
+counter at `aces-nifi-processors/src/main/java/net/acesinc/nifi/
+processors/counter/DataBinningProcessor.java:333-344`); this is the
+north-star extension surface (BASELINE.json: corpus statistics at
+scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shared 60-bit cross-engine hash ------------------------------------
+
+
+def _h60(col: Column, seed: str) -> Column:
+    """60-bit uniform hash of col's string form, bit-identical in
+    DuckDB (see module doc). 15 hex chars = 60 bits, fits signed 64."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+# --- HyperLogLog ---------------------------------------------------------
+
+# Flajolet et al. 2007 bias constants by precision p (m = 2^p).
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def hll_sketch(
+    df: DataFrame,
+    key: str,
+    groups: list[str] | None = None,
+    p: int = 6,
+    seed: str = "hll:",
+) -> DataFrame:
+    """Per-group HLL register state: (groups..., reg, r) with r =
+    max over keys of rho(key) — rho is 1 + the number of leading
+    zeros of the hash remainder in its (60-p)-bit field, computed
+    EXACTLY via the binary-string length (no floating log2, so no
+    boundary drift between engines).
+
+    The state is the sketch: m = 2^p rows per group at most,
+    regardless of input size — ONE map-side-combined hash aggregate,
+    the only shuffle keyed by (groups, reg). Merging sketches (across
+    days, sources, or a re-group to coarser keys) is the SAME
+    `groupBy(...).agg(max(r))`, which is why this scales: daily
+    sketches of a 100 TB corpus union + re-max in milliseconds.
+    """
+    if p not in _HLL_ALPHA:
+        raise ValueError(f"hll_sketch: p must be one of {sorted(_HLL_ALPHA)}")
+    groups = list(groups or [])
+    m = 1 << p
+    wbits = 60 - p
+    h = _h60(F.col(key), seed)
+    # m is a power of two, so div/mod are shift/mask — INTEGER ops;
+    # `h / m` would be a double division and h > 2^53 rounds.
+    reg = h.bitwiseAND(F.lit(m - 1)).alias("reg")
+    w = F.shiftright(h, p)
+    # bin(w) has no leading zeros: length = floor(log2 w)+1 for w>0.
+    rho = F.when(w > 0, F.lit(wbits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(wbits + 1)
+    )
+    return (
+        df.select(*groups, reg, rho.alias("rho"))
+        .groupBy(*groups, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(
+    sketch: DataFrame, groups: list[str] | None = None
+) -> DataFrame:
+    """Merge register states to coarser groups (or to one global
+    sketch with groups=[]): registers combine by max — associative,
+    commutative, idempotent, so re-merging or replaying is safe."""
+    groups = list(groups or [])
+    return sketch.groupBy(*groups, "reg").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    groups: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """Distinct-count estimate from a register state: the raw HLL
+    formula est = alpha_m * m^2 / sum_j 2^(-M_j), with empty
+    registers contributing 2^0 = 1.
+
+    Exactness: the harmonic denominator is computed as an INTEGER —
+    sum of 2^(wbits+1-r) (so the implicit scale 2^(wbits+1) cancels
+    in one final division) — because a float sum of powers of two is
+    order-dependent past 53 bits of spread, and shuffle order differs
+    between engines. The only float ops are three literal multiplies
+    and one division, IEEE-identical everywhere. The raw formula is
+    used unconditionally (no linear-counting small-range branch):
+    callers counting small groups should read `regs_hit` — when it is
+    well below m the estimate's bias is documented HLL behavior, and
+    the branch-free form keeps the oracle a pure expression.
+    Output: (groups..., regs_hit, est_distinct rounded to 6 dp).
+    """
+    if p not in _HLL_ALPHA:
+        raise ValueError(f"hll_estimate: p must be one of {sorted(_HLL_ALPHA)}")
+    groups = list(groups or [])
+    m = 1 << p
+    top = 60 - p + 1  # rho of an all-zero remainder; also empty-reg weight exponent
+    # SQL shiftleft takes a column shift; the PySpark wrapper doesn't.
+    term = F.expr(f"shiftleft(cast(1 as bigint), {top} - r)")
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("regs_hit"),
+        F.sum(term).alias("_s"),
+    )
+    # empty registers: rho = 0 => term = 2^top each
+    s_full = F.col("_s") + (F.lit(m) - F.col("regs_hit")) * F.shiftleft(
+        F.lit(1).cast("long"), top
+    )
+    est = (
+        F.lit(_HLL_ALPHA[p])
+        * F.lit(float(m * m))
+        * F.lit(float(1 << top))
+        / s_full.cast("double")
+    )
+    return agg.select(
+        *groups,
+        F.col("regs_hit").cast("bigint").alias("regs_hit"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: str,
+    groups: list[str] | None = None,
+    p: int = 6,
+    seed: str = "hll:",
+) -> DataFrame:
+    """sketch + estimate in one call (the common batch path)."""
+    return hll_estimate(hll_sketch(df, key, groups, p, seed), groups, p)
+
+
+# --- count-min sketch ----------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 512,
+    seed: str = "cms:",
+) -> DataFrame:
+    """Count-min state: (row, col, cnt) for d independent hash rows of
+    width w — at most d*w cells regardless of input size. One scan:
+    the d cell coordinates explode from an inline array (input rows
+    x d, map-side combined before the single (row, col) shuffle).
+    Merging two sketches (days, sources) is groupBy(row, col).sum —
+    see cms_merge."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (_h60(F.col(key), f"{seed}{i}:") % w).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine count-min states cell-wise (counts are additive)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 512,
+    seed: str = "cms:",
+) -> DataFrame:
+    """Frequency estimate for each key in `keys`: min over the d cells
+    the key hashes to. Guaranteed >= the true count (cells only ever
+    over-count via collisions). The sketch side is <= d*w rows, so
+    Catalyst broadcasts it onto the key frame — estimating any number
+    of keys is one broadcast join, no shuffle of the key frame."""
+    probes = keys.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (_h60(F.col(key), f"{seed}{i}:") % w).alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select(key, "c.row", "c.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )

@@ -198,3 +198,43 @@ def hist_order_stats(
             ],
         )
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group z-score feature normalization (the ML-feature prep
+    pass), exact enough to oracle: with xi = round(value*scale) as
+    integer, z = (n·xi − Σx) / sqrt(n·Σx² − (Σx)²) — the scale factor
+    cancels algebraically, every moment is an exact DECIMAL(38,0)
+    sum, and the only float ops are one subtraction-free cast, one
+    IEEE sqrt, one division. Population (not sample) variance, the
+    serving-time convention.
+
+    Shape: one map-side-combined groupBy for the k-row stats frame,
+    broadcast back onto the data — the data frame itself never
+    shuffles. Zero-variance groups emit NULL z (no division by 0).
+    Output: (id_col, group, z).
+    """
+    xi = F.round(F.col(value_col) * scale).cast("bigint").cast("decimal(38,0)")
+    stats = df.groupBy(group).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(xi).alias("_sx"),
+        F.sum(xi * xi).alias("_sxx"),
+    )
+    var_n = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    num = (F.col("_n") * xi - F.col("_sx")).cast("double")
+    return (
+        df.join(F.broadcast(stats), group)
+        .select(
+            id_col,
+            group,
+            F.when(var_n > 0, F.round(num / F.sqrt(var_n), 6)).alias("z"),
+        )
+    )

@@ -616,3 +616,125 @@ def lm_score(
             F.sum(F.round("p", 7).cast("decimal(38,18)")).cast("double") / n, 6
         ).alias("lm_score"),
     )
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality heuristics (Rae et al. 2021, table A1) as
+    ONE zero-shuffle projection — no UDFs, no groupBy; everything runs
+    inside the scan stage. Counting expressions are codegen'd
+    (length/regexp_replace); the per-word checks are higher-order
+    array expressions over each row's own word array — interpreted,
+    but array-local, which beats an explode+groupBy re-shuffle of the
+    whole corpus for a filter that reads every doc exactly once.
+    Rules: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ellipsis), bullet-line and
+    ellipsis-line fractions, fraction of words containing an
+    alphabetic character, and required-stop-word hits.
+
+    Output per doc: the measured stats, `keep`, and `fail_reasons`
+    (comma-joined stable rule names, '' when kept) so a 100 TB filter
+    sweep can report WHY mass was dropped per source (the
+    drop-reason histogram is one groupBy over this frame).
+
+    All ratio math is exact-int-to-double single divisions, so the
+    DuckDB oracle matches bit-for-bit. Empty docs (0 words) fail
+    word_count with NULL-free outputs.
+    """
+    ws = F.expr(f"filter(split({text_col}, '\\\\s+'), w -> w != '')")
+    lines = F.split(F.col(text_col), F.lit("\n"))
+    n_words = F.size(ws).cast("bigint")
+    # sum of word lengths == count of non-whitespace chars: a codegen'd
+    # regexp_replace instead of an interpreted aggregate() lambda
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), F.lit(r"\s+"), F.lit(""))
+    ).cast("bigint")
+    mean_wl = F.when(
+        n_words > 0, word_chars.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    hash_cnt = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    # '…' plus literal '...' (each '...' is 3 chars → /3)
+    uni_ell = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), F.lit("…"), F.lit(""))
+    )
+    dot_ell = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), F.lit("\\.\\.\\."), F.lit("")))
+    ) / F.lit(3)
+    symbols = (hash_cnt + uni_ell).cast("bigint") + dot_ell.cast("bigint")
+    symbol_ratio = F.when(
+        n_words > 0, symbols.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines).cast("bigint")
+    bullet_lines = F.expr(
+        f"size(filter(split({text_col}, '\\n'), "
+        "l -> trim(l) rlike '^[•\\\\-\\\\*]'))"
+    ).cast("bigint")
+    ellipsis_lines = F.expr(
+        f"size(filter(split({text_col}, '\\n'), "
+        "l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))"
+    ).cast("bigint")
+    bullet_frac = bullet_lines.cast("double") / n_lines.cast("double")
+    ellipsis_frac = ellipsis_lines.cast("double") / n_lines.cast("double")
+    alpha_words = F.expr(
+        f"size(filter(filter(split({text_col}, '\\\\s+'), w -> w != ''), "
+        "w -> w rlike '[a-zA-Z]'))"
+    ).cast("bigint")
+    alpha_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(ws, s))
+    ).cast("bigint")
+
+    rules = [
+        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
+        (
+            "mean_word_length",
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        ),
+        ("symbol_ratio", symbol_ratio < max_symbol_ratio),
+        ("bullet_lines", bullet_frac < max_bullet_frac),
+        ("ellipsis_lines", ellipsis_frac < max_ellipsis_frac),
+        ("alpha_words", alpha_frac >= min_alpha_frac),
+        ("stop_words", stop_hits >= min_stop_hits),
+    ]
+    keep = rules[0][1]
+    for _, c in rules[1:]:
+        keep = keep & c
+    fail_reasons = F.array_join(
+        F.array_compact(
+            F.array(
+                *[F.when(~cond, F.lit(name)) for name, cond in rules]
+            )
+        ),
+        ",",
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+        fail_reasons.alias("fail_reasons"),
+    )

@@ -3249,3 +3249,325 @@ l3 AS (
 SELECT v AS vertex, lab AS label FROM l3
 """
 )
+
+
+# --- round 7: mergeable sketches -----------------------------------------
+# The md5->60-bit-bigint hash is the splits.py cross-engine identity:
+# Spark conv(substr(md5(x),1,15),16,10) == DuckDB
+# ('0x'||substr(md5(x),1,15))::BIGINT. All sketch state is integer;
+# the single estimate division is IEEE-identical.
+
+def _hll_regs(key_expr: str, groups_sql: str) -> str:
+    """Shared register CTE body: p=6 (64 registers, 54-bit remainder,
+    rho in 1..55, empty-register weight 2^55). groups_sql '' builds a
+    single global sketch."""
+    g = f"{groups_sql}, " if groups_sql else ""
+    st_gby = f"GROUP BY {groups_sql}, reg" if groups_sql else "GROUP BY reg"
+    agg_gby = f"GROUP BY {groups_sql}" if groups_sql else ""
+    return f"""
+h AS (
+  SELECT {g}('0x' || substr(md5('hll:' || {key_expr}), 1, 15))::BIGINT AS h
+  FROM __SRC__
+),
+st AS (
+  SELECT {g}h & 63 AS reg,
+         max(CASE WHEN (h >> 6) > 0 THEN 55 - length(bin(h >> 6)) ELSE 55 END) AS r
+  FROM h {st_gby}
+),
+agg AS (
+  SELECT {g}CAST(count(*) AS BIGINT) AS regs_hit,
+         CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s
+  FROM st {agg_gby}
+)"""
+
+
+oracle("q_hll_distinct")(
+    f"""
+WITH {_hll_regs("CAST(user_id AS VARCHAR)", "event_type").replace("__SRC__", "events")}
+SELECT event_type, regs_hit,
+       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+             * CAST(36028797018963968 AS DOUBLE)
+             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+             6) AS est_distinct
+FROM agg
+"""
+)
+
+
+# Merging per-source register states by max equals computing the global
+# registers directly (max is associative/commutative/idempotent), so
+# the oracle skips the per-source intermediate.
+oracle("q_hll_merge")(
+    f"""
+WITH {_hll_regs("text", "").replace("__SRC__", "documents")}
+SELECT regs_hit,
+       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+             * CAST(36028797018963968 AS DOUBLE)
+             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+             6) AS est_distinct
+FROM agg
+"""
+)
+
+
+oracle("q_cms_counts")(
+    """
+WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+  SELECT i.row AS row,
+         ('0x' || substr(md5('cms:' || CAST(i.row AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 512 AS col
+  FROM events, rows4 i
+),
+sk AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+  FROM events GROUP BY user_id
+),
+keys AS (SELECT user_id, exact FROM exact ORDER BY exact DESC, user_id LIMIT 20),
+probes AS (
+  SELECT k.user_id, i.row AS row,
+         ('0x' || substr(md5('cms:' || CAST(i.row AS VARCHAR) || ':'
+                              || CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 512 AS col
+  FROM keys k, rows4 i
+)
+SELECT p.user_id, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est,
+       max(k.exact) AS exact
+FROM probes p
+LEFT JOIN sk s USING (row, col)
+JOIN keys k ON k.user_id = p.user_id
+GROUP BY p.user_id
+"""
+)
+
+
+# --- round 7: corpus line dedup + Gopher rules ----------------------------
+
+oracle("q_line_dedup")(
+    """
+WITH lined AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, (len(string_split(text, ' ')) + 11) // 12 + 1),
+           i -> array_to_string(string_split(text, ' ')[(i-1)*12+1 : i*12], ' ')
+         ) AS ls
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM lined
+),
+t AS (SELECT doc_id, pos, line, trim(line) AS tline FROM lines),
+dups AS (
+  SELECT tline FROM t WHERE tline <> ''
+  GROUP BY tline HAVING count(*) >= 2
+),
+marked AS (
+  SELECT t.doc_id, t.pos, t.line,
+         (t.tline <> '' AND d.tline IS NOT NULL) AS drop
+  FROM t LEFT JOIN dups d ON t.tline = d.tline
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN NOT drop THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+       coalesce(string_agg(CASE WHEN NOT drop THEN line END, chr(10) ORDER BY pos), '')
+         AS new_text
+FROM marked GROUP BY doc_id
+"""
+)
+
+
+oracle("q_gopher_rules")(
+    """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + length(text) - length(replace(text, chr(8230), '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+           AS symbols,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(ws, s))) AS BIGINT) AS stop_hits
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN n_words > 0
+              THEN CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS symbol_r,
+         CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_f,
+         CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_f,
+         CASE WHEN n_words > 0
+              THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS alpha_f,
+         stop_hits
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(symbol_r, 6) AS symbol_ratio,
+       round(alpha_f, 6) AS alpha_frac,
+       stop_hits,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_wl >= CAST(3.0 AS DOUBLE) AND mean_wl <= CAST(10.0 AS DOUBLE)
+        AND symbol_r < CAST(0.1 AS DOUBLE)
+        AND bullet_f < CAST(0.9 AS DOUBLE)
+        AND ellipsis_f < CAST(0.3 AS DOUBLE)
+        AND alpha_f >= CAST(0.8 AS DOUBLE)
+        AND stop_hits >= 2) AS keep,
+       array_to_string(list_filter([
+         CASE WHEN NOT (n_words >= 30 AND n_words <= 100000) THEN 'word_count' END,
+         CASE WHEN NOT (mean_wl >= CAST(3.0 AS DOUBLE) AND mean_wl <= CAST(10.0 AS DOUBLE)) THEN 'mean_word_length' END,
+         CASE WHEN NOT (symbol_r < CAST(0.1 AS DOUBLE)) THEN 'symbol_ratio' END,
+         CASE WHEN NOT (bullet_f < CAST(0.9 AS DOUBLE)) THEN 'bullet_lines' END,
+         CASE WHEN NOT (ellipsis_f < CAST(0.3 AS DOUBLE)) THEN 'ellipsis_lines' END,
+         CASE WHEN NOT (alpha_f >= CAST(0.8 AS DOUBLE)) THEN 'alpha_words' END,
+         CASE WHEN NOT (stop_hits >= 2) THEN 'stop_words' END
+       ], x -> x IS NOT NULL), ',') AS fail_reasons
+FROM r
+"""
+)
+
+
+# Streaming HLL state == batch HLL state (register max is a
+# semilattice; batch splits and replays cannot change it).
+ORACLES["q_stream_hll"] = ORACLES["q_hll_distinct"]
+
+
+oracle("q_zscore")(
+    """
+WITH xi AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT)::HUGEINT AS x
+  FROM events
+),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx,
+         sum(x * x) AS sxx
+  FROM xi GROUP BY event_type
+)
+SELECT xi.event_id, xi.event_type,
+       CASE WHEN CAST(CAST(st.n * st.sxx - st.sx * st.sx AS VARCHAR) AS DOUBLE) > 0
+            THEN round(
+              CAST(CAST(st.n * xi.x - st.sx AS VARCHAR) AS DOUBLE)
+              / sqrt(CAST(CAST(st.n * st.sxx - st.sx * st.sx AS VARCHAR) AS DOUBLE)),
+              6)
+       END AS z
+FROM xi JOIN st ON xi.event_type = st.event_type
+"""
+)
+
+
+oracle("q_unpivot")(
+    """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS total,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM long GROUP BY measure
+"""
+)
+
+
+oracle("q_props_parse")(
+    """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+)
+
+
+oracle("q_shortest_paths")(
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+d0 AS (
+  SELECT c_custkey * 2 AS v, 0 AS dist FROM customer WHERE c_custkey <= 3
+),
+n1 AS (
+  SELECT DISTINCT e.dst AS v, 1 AS dist
+  FROM d0 JOIN edges e ON d0.v = e.src WHERE d0.dist = 0
+),
+d1 AS (
+  SELECT v, min(dist) AS dist
+  FROM (SELECT * FROM d0 UNION ALL SELECT * FROM n1) GROUP BY v
+),
+n2 AS (
+  SELECT DISTINCT e.dst AS v, 2 AS dist
+  FROM d1 JOIN edges e ON d1.v = e.src WHERE d1.dist = 1
+),
+d2 AS (
+  SELECT v, min(dist) AS dist
+  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM n2) GROUP BY v
+),
+n3 AS (
+  SELECT DISTINCT e.dst AS v, 3 AS dist
+  FROM d2 JOIN edges e ON d2.v = e.src WHERE d2.dist = 2
+),
+d3 AS (
+  SELECT v, min(dist) AS dist
+  FROM (SELECT * FROM d2 UNION ALL SELECT * FROM n3) GROUP BY v
+),
+n4 AS (
+  SELECT DISTINCT e.dst AS v, 4 AS dist
+  FROM d3 JOIN edges e ON d3.v = e.src WHERE d3.dist = 3
+),
+d4 AS (
+  SELECT v, min(dist) AS dist
+  FROM (SELECT * FROM d3 UNION ALL SELECT * FROM n4) GROUP BY v
+)
+SELECT v, CAST(dist AS INTEGER) AS dist FROM d4
+"""
+)
+
+
+oracle("q_bucketed_join")(
+    """
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                     * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6))))
+                 AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+)

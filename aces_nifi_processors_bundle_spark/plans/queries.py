@@ -3290,3 +3290,232 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return label_propagation(edges, n_iter=3)
+
+
+# --- round 7: mergeable sketches ----------------------------------------
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-count HLL sketch (pipeline/sketches.py):
+    64-register state from the cross-engine md5 hash, estimated with
+    integer-exact harmonic sums — the approximate algorithm whose
+    every output bit the DuckDB oracle reproduces. The state is what
+    scales: one (group, reg) shuffle of <= 64 rows per group replaces
+    an exact count(distinct) shuffle of every distinct key."""
+    from ..pipeline.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, "user_id", ["event_type"])
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY end-to-end: per-source HLL states over
+    document texts, merged (groupBy max — associative/idempotent) to
+    one corpus-wide state, then estimated. At 100 TB this is the
+    daily-rollup pattern: keep per-partition sketches, merge on
+    demand; the oracle computes the global registers directly, which
+    equals the merge because max is a semilattice."""
+    from ..pipeline.sketches import hll_estimate, hll_merge, hll_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = hll_sketch(docs, "text", ["source"])
+    return hll_estimate(hll_merge(per_source, []), [])
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates vs exact counts for the top-20
+    hottest user keys: est >= exact always (collisions only inflate).
+    The sketch is d=4 x w=512 cells regardless of input size and the
+    probe is one broadcast join — frequency lookups at scale without
+    re-scanning, and mergeable across days (cms_merge)."""
+    from ..pipeline.sketches import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    keys = exact.orderBy(F.desc("exact"), F.asc("user_id")).limit(20)
+    sketch = cms_build(events, "user_id")
+    return cms_estimate(sketch, keys.select("user_id"), "user_id").join(
+        F.broadcast(keys), "user_id"
+    )
+
+
+# --- round 7: corpus line dedup + Gopher quality rules -------------------
+
+def _lined_documents(docs: DataFrame) -> DataFrame:
+    """documents.text re-chunked into 12-word pseudo-lines joined by
+    '\\n' (the corpus ships single-line texts; real web corpora carry
+    newlines already). Integer-exact chunk count both engines:
+    (n_words + 11) div 12."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(1, int((size(split(text, ' ')) + 11) div 12)), "
+            "i -> array_join(slice(split(text, ' '), (i - 1) * 12 + 1, 12), ' ')), '\\n')"
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus line deduplication
+    (pipeline/dedup.py::line_dedup): drop every line repeating >= 2
+    times across the corpus, reassemble docs, report kept/dropped.
+    Two slim-key shuffles total — md5(line) for detection, doc_id for
+    reassembly — never the line text itself."""
+    from ..pipeline.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(_lined_documents(docs), min_count=2)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule sweep (pipeline/text.py::gopher_quality)
+    with per-doc keep verdicts and fail-reason strings — the
+    drop-reason histogram for a 100 TB filter pass is one groupBy over
+    this zero-shuffle frame. min_words=30 fits the synthetic corpus'
+    30-120-word docs (the published 50 would be pure noise here);
+    every other threshold is the paper's."""
+    from ..pipeline.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs, min_words=30)
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register maintenance UNDER STRUCTURED STREAMING: the
+    events stream drives groupBy(group, reg).max(rho) in complete
+    mode — 64 rows of state per group in the JVM state store, updated
+    map-side per micro-batch; the estimate is computed once on the
+    final state. Because register max is associative/idempotent, the
+    final state is batch-split-independent and REPLAY-SAFE (a
+    re-delivered event can only re-assert an existing max), so the
+    oracle is the identical batch formula (q_hll_distinct's)."""
+    import uuid
+
+    from ..pipeline.sketches import hll_estimate, hll_sketch
+
+    stream = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    sk = hll_sketch(stream, "user_id", ["event_type"])
+    qname = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return hll_estimate(spark.table(qname), ["event_type"])
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (pipeline/stats.py::
+    zscore_normalize): scale-cancelling integer-moment math makes the
+    float output oracle-exact; the stats frame broadcasts so the fact
+    table never shuffles."""
+    from ..pipeline.stats import zscore_normalize
+
+    events = load_table(spark, sf_dir, "events")
+    return zscore_normalize(events, "event_type", "value", "event_id")
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape via the native unpivot (melt) operator, then
+    a per-measure profile — the 'melt every metric column and profile
+    them uniformly' pattern. Unpivot is a zero-shuffle expression
+    (explode of struct literals); only the 4-row profile aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,6)"))
+        .cast("double")
+        .alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling: from_json with an
+    EXPLICIT schema (never schema inference on the hot path) over
+    events.props, then a per-type rollup of the extracted field.
+    At scale the parse is codegen'd inside the scan stage and the
+    filter on the parsed field pushes no worse than a string filter."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (pipeline/graph.py::shortest_paths) over the
+    symmetrized customer-supplier bipartite graph: hop distance from
+    3 seed customers, 4 sweeps, frontier-only expansion with per-sweep
+    lineage cuts. Integer distances — the oracle unrolls the sweeps
+    as CTEs with zero float involvement."""
+    from ..pipeline.graph import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = cust.where(F.col("c_custkey") <= 3).select(
+        (F.col("c_custkey") * 2).alias("v")
+    )
+    return shortest_paths(edges, seeds, n_hops=4)
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-partitioned co-located join (pipeline/layout.py::
+    write_bucketed): orders and lineitem are written bucketed by
+    order key (8 buckets each, one file per bucket), so the join
+    consumes the write-time layout with ZERO join-side exchange —
+    the 'pay the fact-table shuffle once' pattern
+    (tests/test_plans.py asserts the exchange-free plan). Output is
+    a revenue rollup per order status."""
+    import uuid
+
+    from ..pipeline.layout import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sfx = uuid.uuid4().hex[:8]
+    root = _scratch("bucketed_")
+    write_bucketed(o, f"bj_orders_{sfx}", f"{root}/orders", "o_orderkey")
+    write_bucketed(li, f"bj_lineitem_{sfx}", f"{root}/lineitem", "l_orderkey")
+    ot = spark.table(f"bj_orders_{sfx}")
+    lt = spark.table(f"bj_lineitem_{sfx}")
+    rev = F.col("l_extendedprice").cast("decimal(12,6)") * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+    return (
+        lt.join(ot, lt.l_orderkey == ot.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

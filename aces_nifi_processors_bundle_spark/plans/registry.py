@@ -32,6 +32,18 @@ from . import queries as q
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
+    # --- (0) added in round 7 ------------------------------------------
+    "q_hll_distinct": q.q_hll_distinct,
+    "q_hll_merge": q.q_hll_merge,
+    "q_cms_counts": q.q_cms_counts,
+    "q_line_dedup": q.q_line_dedup,
+    "q_gopher_rules": q.q_gopher_rules,
+    "q_stream_hll": q.q_stream_hll,
+    "q_zscore": q.q_zscore,
+    "q_unpivot": q.q_unpivot,
+    "q_props_parse": q.q_props_parse,
+    "q_shortest_paths": q.q_shortest_paths,
+    "q_bucketed_join": q.q_bucketed_join,
     # --- (1) added in round 6 ------------------------------------------
     "q_quality_classifier": q.q_quality_classifier,
     "q_rolling_active_users": q.q_rolling_active_users,

@@ -2437,3 +2437,146 @@ def test_label_propagation_two_cliques(spark):
     l1 = {got[v] for v in range(4)}
     l2 = {got[v] for v in range(10, 14)}
     assert len(l1) == 1 and len(l2) == 1 and l1 != l2
+
+
+# --- round 7: sketches, line dedup, gopher rules -------------------------
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Merging per-group register states == sketching globally (max is
+    a semilattice), so daily-rollup sketches are exact re: the global
+    sketch."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g=i % 3, k=f"key{i % 40}") for i in range(200)]
+    )
+    direct = hll_estimate(hll_sketch(df, "k"), []).collect()[0]
+    merged = hll_estimate(
+        hll_merge(hll_sketch(df, "k", ["g"]), []), []
+    ).collect()[0]
+    assert direct == merged
+
+
+def test_hll_relative_error_reasonable(spark):
+    """p=6 → ~13% standard error; assert the estimate lands within
+    3 sigma of the truth on a 5k-distinct set."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import hll_distinct
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    est = hll_distinct(df, "k").collect()[0]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.4
+
+
+def test_cms_never_undercounts(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([Row(k=f"key{i % 25}") for i in range(500)])
+    exact = df.groupBy("k").count()
+    sk = cms_build(df, "k")
+    est = cms_estimate(sk, exact.select("k"), "k")
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == 25
+    assert all(r["est"] >= r["count"] for r in joined)
+    # merging a sketch with itself doubles every estimate's floor
+    est2 = cms_estimate(cms_merge(sk, sk), exact.select("k"), "k")
+    j2 = {r["k"]: r["est"] for r in est2.collect()}
+    assert all(j2[r["k"]] == 2 * r["est"] for r in joined)
+
+
+def test_line_dedup_drops_cross_doc_boilerplate(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="COOKIE BANNER\nreal content one\n\nfooter"),
+            Row(doc_id=2, text="COOKIE BANNER\nreal content two\nfooter"),
+            Row(doc_id=3, text="unique doc"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # boilerplate + footer dropped everywhere; empty line is structural
+    assert out[1]["new_text"] == "real content one\n"
+    assert out[1]["kept_lines"] == 2 and out[1]["dropped_lines"] == 2
+    assert out[2]["new_text"] == "real content two"
+    assert out[3]["new_text"] == "unique doc"
+    assert out[3]["dropped_lines"] == 0
+
+
+def test_gopher_rules_fail_reasons(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.text import gopher_quality
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text="short text with the and of"),
+            Row(doc_id=3, text="#### " * 80),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, min_words=50).collect()}
+    assert out[1]["keep"] and out[1]["fail_reasons"] == ""
+    assert not out[2]["keep"] and "word_count" in out[2]["fail_reasons"]
+    assert not out[3]["keep"]
+    assert "symbol_ratio" in out[3]["fail_reasons"]
+    assert "alpha_words" in out[3]["fail_reasons"]
+    assert "stop_words" in out[3]["fail_reasons"]
+    assert not out[4]["keep"] and out[4]["n_words"] == 0
+
+
+def test_shortest_paths_hand_graph(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.graph import shortest_paths
+
+    # path 1-2-3-4-5 plus isolated 9; undirected via symmetrization
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in raw] + [Row(src=b, dst=a) for a, b in raw]
+    )
+    seeds = spark.createDataFrame([Row(v=1), Row(v=9)])
+    out = {r["v"]: r["dist"] for r in shortest_paths(edges, seeds, n_hops=3).collect()}
+    assert out == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond 3 hops
+
+
+def test_shortest_paths_min_over_multiple_seeds(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.graph import shortest_paths
+
+    raw = [(1, 2), (2, 3), (3, 4), (5, 4)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in raw] + [Row(src=b, dst=a) for a, b in raw]
+    )
+    seeds = spark.createDataFrame([Row(v=1), Row(v=5)])
+    out = {r["v"]: r["dist"] for r in shortest_paths(edges, seeds, n_hops=4).collect()}
+    assert out[4] == 1  # via 5, not 3 hops via 1
+    assert out[3] == 2  # min(2 via 1, 2 via 5)
+
+
+def test_zscore_hand_case_and_degenerate_group(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.stats import zscore_normalize
+
+    df = spark.createDataFrame(
+        [
+            Row(i=1, g="a", v=1.0),
+            Row(i=2, g="a", v=2.0),
+            Row(i=3, g="a", v=3.0),
+            Row(i=4, g="b", v=7.0),
+            Row(i=5, g="b", v=7.0),
+        ]
+    )
+    out = {r["i"]: r["z"] for r in zscore_normalize(df, "g", "v", "i").collect()}
+    import math
+
+    assert abs(out[1] - (-math.sqrt(1.5))) < 1e-6
+    assert out[2] == 0.0
+    assert abs(out[3] - math.sqrt(1.5)) < 1e-6
+    assert out[4] is None and out[5] is None  # zero variance -> NULL

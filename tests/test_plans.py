@@ -10,6 +10,9 @@ every value check and still be 100x slower at scale.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -429,3 +432,37 @@ def test_pq_adc_broadcast_tables_no_window(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    """write_bucketed pays the shuffle at write time; the join of two
+    co-bucketed tables must then plan WITHOUT a join-side exchange
+    even when broadcast is impossible. Only the tiny post-join
+    groupBy(status) may shuffle."""
+    import uuid
+
+    from aces_nifi_processors_bundle_spark.pipeline.layout import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sfx = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="bucketed_plan_")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(o, f"bjt_o_{sfx}", f"{root}/o", "o_orderkey")
+        write_bucketed(li, f"bjt_l_{sfx}", f"{root}/l", "l_orderkey")
+        ot, lt = spark.table(f"bjt_o_{sfx}"), spark.table(f"bjt_l_{sfx}")
+        j = lt.join(ot, lt.l_orderkey == ot.o_orderkey).select(
+            "o_orderstatus", "l_extendedprice"
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # bucket pruning metadata actually reached the scan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or "bucket" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS bjt_o_{sfx}")
+        spark.sql(f"DROP TABLE IF EXISTS bjt_l_{sfx}")
+        shutil.rmtree(root, ignore_errors=True)
