@@ -1049,6 +1049,89 @@ def _pagerank(
     return pagerank(df, n_iter, damping, src, dst)
 
 
+@stage("hll_distinct")
+def _hll_distinct(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str,
+    groups: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    from .pipeline.sketches import hll_distinct
+
+    return hll_distinct(df, key, groups, p)
+
+
+@stage("line_dedup")
+def _line_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    from .pipeline.dedup import line_dedup
+
+    return line_dedup(df, text_col, id_col, min_count=min_count)
+
+
+@stage("gopher_quality")
+def _gopher_quality(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    from .pipeline.text import gopher_quality
+
+    return gopher_quality(
+        df,
+        text_col,
+        id_col,
+        min_words=min_words,
+        min_stop_hits=min_stop_hits,
+        min_alpha_frac=min_alpha_frac,
+    )
+
+
+@stage("zscore")
+def _zscore(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    from .pipeline.stats import zscore_normalize
+
+    return zscore_normalize(df, group, value_col, id_col)
+
+
+@stage("shortest_paths")
+def _shortest_paths(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    n_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Two-input stage: BFS over the current (edge) frame from the
+    seed-vertex frame tagged `right`."""
+    from .pipeline.graph import shortest_paths
+
+    return shortest_paths(df, _named[right], n_hops, src, dst)
+
+
 def build_flow(
     spark: SparkSession, flow: list[dict[str, Any]], sf_dir: str
 ) -> DataFrame:

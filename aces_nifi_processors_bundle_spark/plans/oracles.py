@@ -3430,16 +3430,16 @@ SELECT doc_id, n_words,
         AND bullet_f < CAST(0.9 AS DOUBLE)
         AND ellipsis_f < CAST(0.3 AS DOUBLE)
         AND alpha_f >= CAST(0.8 AS DOUBLE)
-        AND stop_hits >= 2) AS keep,
-       array_to_string(list_filter([
+        AND stop_hits >= 1) AS keep,
+       coalesce(array_to_string(list_filter([
          CASE WHEN NOT (n_words >= 30 AND n_words <= 100000) THEN 'word_count' END,
          CASE WHEN NOT (mean_wl >= CAST(3.0 AS DOUBLE) AND mean_wl <= CAST(10.0 AS DOUBLE)) THEN 'mean_word_length' END,
          CASE WHEN NOT (symbol_r < CAST(0.1 AS DOUBLE)) THEN 'symbol_ratio' END,
          CASE WHEN NOT (bullet_f < CAST(0.9 AS DOUBLE)) THEN 'bullet_lines' END,
          CASE WHEN NOT (ellipsis_f < CAST(0.3 AS DOUBLE)) THEN 'ellipsis_lines' END,
          CASE WHEN NOT (alpha_f >= CAST(0.8 AS DOUBLE)) THEN 'alpha_words' END,
-         CASE WHEN NOT (stop_hits >= 2) THEN 'stop_words' END
-       ], x -> x IS NOT NULL), ',') AS fail_reasons
+         CASE WHEN NOT (stop_hits >= 1) THEN 'stop_words' END
+       ], x -> x IS NOT NULL), ','), '') AS fail_reasons
 FROM r
 """
 )
@@ -3569,5 +3569,70 @@ SELECT o.o_orderstatus,
                  AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
+"""
+)
+
+
+# Q8 share: both engines compute per-year totals as exact decimal
+# sums; each share is one double division of VARCHAR-hopped doubles.
+oracle("q_market_share")(
+    """
+WITH base AS (
+  SELECT year(o.o_orderdate) AS o_year, n.n_name AS nation,
+         CAST(l.l_extendedprice AS DECIMAL(12,6))
+           * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6))) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+per AS (
+  SELECT o_year, nation, sum(rev) AS r FROM base GROUP BY 1, 2
+)
+SELECT o_year, nation,
+       CAST(CAST(r AS VARCHAR) AS DOUBLE) AS revenue,
+       round(CAST(CAST(r AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(r) OVER (PARTITION BY o_year) AS VARCHAR) AS DOUBLE),
+             6) AS share
+FROM per
+"""
+)
+
+
+oracle("q_returned_items")(
+    """
+WITH agg AS (
+  SELECT o.o_custkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+             * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6)))) AS r,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND year(o.o_orderdate) = 1997
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(CAST(a.r AS VARCHAR) AS DOUBLE) AS revenue,
+       a.n_items
+FROM agg a
+JOIN customer c ON a.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+)
+
+
+oracle("q_topk_per_group")(
+    """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+)
+WHERE rk <= 3
 """
 )

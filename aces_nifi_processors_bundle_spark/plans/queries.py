@@ -3373,12 +3373,14 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-doc keep verdicts and fail-reason strings — the
     drop-reason histogram for a 100 TB filter pass is one groupBy over
     this zero-shuffle frame. min_words=30 fits the synthetic corpus'
-    30-120-word docs (the published 50 would be pure noise here);
-    every other threshold is the paper's."""
+    30-120-word docs and min_stop_hits=1 its SQL-token vocabulary
+    (only 'the' from the stop list occurs; the paper's 50/2 would
+    fail every doc identically — thresholds are config, the RULES are
+    the operator); every other threshold is the paper's."""
     from ..pipeline.text import gopher_quality
 
     docs = load_table(spark, sf_dir, "documents")
-    return gopher_quality(docs, min_words=30)
+    return gopher_quality(docs, min_words=30, min_stop_hits=1)
 
 
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,4 +3520,99 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
             F.sum(rev).cast("double").alias("revenue"),
         )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: per order-year, each supplier
+    nation's share of PROMO-part revenue. Star-join shape: the three
+    dimensions (part filtered to PROMO, supplier, nation) broadcast;
+    only the lineitem-orders fact join shuffles. Share = per-nation
+    decimal-exact revenue / per-year total, one window over the
+    25-nation-x-7-year result frame (post-aggregation, metadata
+    sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,6)") * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+    base = (
+        li.join(F.broadcast(p.where(F.col("p_type") == "PROMO")),
+                li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name").alias("nation"),
+            rev.alias("rev"),
+        )
+    )
+    per = base.groupBy("o_year", "nation").agg(F.sum("rev").alias("_r"))
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("o_year")
+    return per.select(
+        "o_year",
+        "nation",
+        F.col("_r").cast("double").alias("revenue"),
+        F.round(
+            F.col("_r").cast("double") / F.sum("_r").over(tot).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returns
+    in one order-year — selective fact filters first (returnflag,
+    year), customer/nation dims broadcast onto the small aggregate,
+    deterministic (revenue DESC, custkey ASC) top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,6)") * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+    agg = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o.where(F.year("o_orderdate") == 1997), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    )
+    return (
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name").alias("nation"),
+            F.col("_r").cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group top-k (top-3 parts per brand by retail
+    price, partkey tie-break): ONE window — Spark plans rank-limit
+    windows with a partial WindowGroupLimit below the shuffle since
+    3.5, so each map task pre-trims to k rows before any exchange;
+    state per group is k rows, never the group."""
+    p = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", F.col("rk").cast("int").alias("rk"))
     )

@@ -7,17 +7,16 @@ rows-only check).
 
 ORDERING MATTERS: the round driver samples the FIRST 50 entries for
 its external CORRECTNESS check. Entries are therefore ordered by
-information value, not topic: (1) queries added this round (both
-waves — 27 entries, every one new to the external gate), (2) the
-stalest external grades (last checked round 3 — all sit on streaming
-plumbing consolidated/modified since), (3) queries whose underlying
-code round 6 modified (store txns + auto-compaction, funnel array
-path, geo guard, pagerank dangling, flow route validation), (4) the
-three keyed-store queries riding keyed_table.py (changed r5 AND r6).
-That fills the 50 exactly; the partial-update family (code untouched
-since its r4 green) and the r4/r5-checked stable remainder sit below
-the fold and rotate up in later rounds. Every entry passes the
-identical DuckDB-oracle comparison in
+information value, not topic: (0) queries added in round 7 (16
+entries — sketches, corpus line dedup, Gopher rules, streaming HLL,
+zscore, unpivot, JSON props, BFS, bucketed join, TPC-H Q8/Q10
+shapes, per-group top-k), then (1) the round-6 additions — the
+round-6 driver pass never ran, so all 27 are STILL unchecked
+externally, (2) the stalest external grades (last checked round 3),
+(3) queries whose underlying code round 6 modified, (4) the
+keyed-store queries riding keyed_table.py. 16+27 fills 43 of the 50;
+the next 7 r3-stale streaming entries complete the window. Every
+entry passes the identical DuckDB-oracle comparison in
 tests/test_queries_vs_oracle.py regardless of position.
 """
 
@@ -44,6 +43,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_props_parse": q.q_props_parse,
     "q_shortest_paths": q.q_shortest_paths,
     "q_bucketed_join": q.q_bucketed_join,
+    "q_market_share": q.q_market_share,
+    "q_returned_items": q.q_returned_items,
+    "q_topk_per_group": q.q_topk_per_group,
     # --- (1) added in round 6 ------------------------------------------
     "q_quality_classifier": q.q_quality_classifier,
     "q_rolling_active_users": q.q_rolling_active_users,

@@ -476,3 +476,45 @@ def test_flow_corr_and_triangle_stages(spark, sf_dir):
     ], sf_dir)
     rows = got.collect()
     assert rows and all(r["degree"] >= 1 for r in rows)
+
+
+def test_flow_round7_stages_match_direct_calls(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import hll_distinct
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "hll_distinct", "key": "user_id", "groups": ["event_type"]},
+    ], sf_dir).collect()
+    want = hll_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "gopher_quality", "min_words": 30},
+    ], sf_dir)
+    rows = got.collect()
+    assert rows and {"keep", "fail_reasons"} <= set(got.columns)
+
+    # two-input BFS: seeds tagged, edges current
+    got = build_flow(spark, [
+        {"op": "load", "table": "customer"},
+        {"op": "sql", "query": "SELECT c_custkey * 2 AS v FROM __this__ WHERE c_custkey <= 3"},
+        {"op": "tag", "name": "seeds"},
+        {"op": "load", "table": "lineitem"},
+        {"op": "sql", "query": "SELECT l_orderkey AS o_orderkey, l_suppkey FROM __this__"},
+        {"op": "tag", "name": "li"},
+        {"op": "load", "table": "orders"},
+        {"op": "join", "right": "li", "on": "o_orderkey"},
+        {"op": "sql", "query": (
+            "SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM __this__ "
+            "UNION ALL "
+            "SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst FROM __this__"
+        )},
+        {"op": "shortest_paths", "right": "seeds", "n_hops": 2},
+    ], sf_dir)
+    dists = {r["dist"] for r in got.collect()}
+    assert dists == {0, 1, 2}
