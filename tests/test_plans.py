@@ -466,3 +466,46 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS bjt_o_{sfx}")
         spark.sql(f"DROP TABLE IF EXISTS bjt_l_{sfx}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_hll_sketch_single_exchange_on_register_key(spark, sf_dir):
+    """The ONLY data shuffle in an HLL sketch+estimate is keyed by
+    (groups, reg) — i.e. the state, never the raw keys; both hash
+    aggregates show map-side partials."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(hll_distinct(events, "user_id", ["event_type"]))
+    ex = _scan_lines(plan, "Exchange")
+    # one exchange for (event_type, reg), one for the estimate's
+    # groupBy(event_type) over <=64*5 state rows
+    assert len([l for l in ex if "hashpartitioning" in l]) <= 2, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_zscore_broadcasts_stats_fact_never_shuffles(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.stats import zscore_normalize
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(zscore_normalize(events, "event_type", "value", "event_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact side reaches the join scan-direct: no hashpartitioning
+    # exchange other than the tiny stats aggregate's
+    fact_ex = [
+        l for l in _scan_lines(plan, "Exchange hashpartitioning")
+        if "event_id" in l
+    ]
+    assert not fact_ex, plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sk = cms_build(events, "user_id")
+    keys = events.select("user_id").distinct().limit(10)
+    plan = plan_of(cms_estimate(sk, keys, "user_id"))
+    assert "BroadcastHashJoin" in plan, plan
