@@ -79,7 +79,10 @@ def hll_sketch(
         F.lit(wbits + 1)
     )
     return (
-        df.select(*groups, reg, rho.alias("rho"))
+        # NULL keys are ignored (count-distinct semantics); without the
+        # filter a NULL hash would land a bogus reg=NULL state row.
+        df.where(F.col(key).isNotNull())
+        .select(*groups, reg, rho.alias("rho"))
         .groupBy(*groups, "reg")
         .agg(F.max("rho").alias("r"))
     )
@@ -181,7 +184,8 @@ def cms_build(
         ]
     )
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.where(F.col(key).isNotNull())  # NULL keys don't count
+        .select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

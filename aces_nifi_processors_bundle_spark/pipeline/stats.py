@@ -222,7 +222,9 @@ def zscore_normalize(
     """
     xi = F.round(F.col(value_col) * scale).cast("bigint").cast("decimal(38,0)")
     stats = df.groupBy(group).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        # count(xi), not count(*): a NULL value must be absent from n
+        # AND the sums, or the moments disagree (its own z is NULL).
+        F.count(xi).cast("decimal(38,0)").alias("_n"),
         F.sum(xi).alias("_sx"),
         F.sum(xi * xi).alias("_sxx"),
     )

@@ -3267,7 +3267,7 @@ def _hll_regs(key_expr: str, groups_sql: str) -> str:
     return f"""
 h AS (
   SELECT {g}('0x' || substr(md5('hll:' || {key_expr}), 1, 15))::BIGINT AS h
-  FROM __SRC__
+  FROM __SRC__ WHERE {key_expr} IS NOT NULL
 ),
 st AS (
   SELECT {g}h & 63 AS reg,
@@ -3318,7 +3318,7 @@ cells AS (
          ('0x' || substr(md5('cms:' || CAST(i.row AS VARCHAR) || ':'
                               || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
            % 512 AS col
-  FROM events, rows4 i
+  FROM events, rows4 i WHERE user_id IS NOT NULL
 ),
 sk AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
 exact AS (
@@ -3459,7 +3459,7 @@ WITH xi AS (
 ),
 st AS (
   SELECT event_type,
-         CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(x) AS HUGEINT) AS n,
          sum(x) AS sx,
          sum(x * x) AS sxx
   FROM xi GROUP BY event_type

@@ -2580,3 +2580,29 @@ def test_zscore_hand_case_and_degenerate_group(spark):
     assert out[2] == 0.0
     assert abs(out[3] - math.sqrt(1.5)) < 1e-6
     assert out[4] is None and out[5] is None  # zero variance -> NULL
+
+
+def test_sketches_and_zscore_ignore_null_inputs(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cms_build,
+        hll_sketch,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.stats import zscore_normalize
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=1.0), Row(k=None, v=2.0), Row(k="b", v=None)]
+    )
+    clean = df.where(F.col("k").isNotNull())
+    assert sorted(map(tuple, hll_sketch(df, "k").collect())) == sorted(
+        map(tuple, hll_sketch(clean, "k").collect())
+    )
+    assert sorted(map(tuple, cms_build(df, "k").collect())) == sorted(
+        map(tuple, cms_build(clean, "k").collect())
+    )
+    # null value: excluded from the moments, own z is NULL
+    zdf = spark.createDataFrame(
+        [Row(i=1, g="x", v=1.0), Row(i=2, g="x", v=3.0), Row(i=3, g="x", v=None)]
+    )
+    out = {r["i"]: r["z"] for r in zscore_normalize(zdf, "g", "v", "i").collect()}
+    assert out[3] is None
+    assert out[1] == -1.0 and out[2] == 1.0  # moments over the 2 non-nulls
