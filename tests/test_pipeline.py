@@ -2606,3 +2606,13 @@ def test_sketches_and_zscore_ignore_null_inputs(spark):
     out = {r["i"]: r["z"] for r in zscore_normalize(zdf, "g", "v", "i").collect()}
     assert out[3] is None
     assert out[1] == -1.0 and out[2] == 1.0  # moments over the 2 non-nulls
+
+
+def test_hll_higher_precision_tightens_error(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import hll_distinct
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    est10 = hll_distinct(df, "k", p=10).collect()[0]["est_distinct"]
+    assert abs(est10 - 20_000) / 20_000 < 0.12  # ~3 sigma at p=10
+    with pytest.raises(ValueError):
+        hll_distinct(df, "k", p=3)
