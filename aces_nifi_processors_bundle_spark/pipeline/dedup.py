@@ -703,7 +703,11 @@ def line_dedup(
     Output: (id_col, kept_lines, dropped_lines, new_text) with
     new_text the surviving lines re-joined by `delim` in original
     order; empty/whitespace-only lines are structural, never counted
-    or dropped.
+    or dropped. `delim` is a split REGEX (escape regex metachars when
+    splitting on one literally); rejoin uses it verbatim, so keep it
+    a plain literal like the default newline. Docs with a NULL
+    text_col produce no lines and are absent from the output (the
+    posexplode drops them) — coalesce to '' upstream to keep them.
 
     Scale shape — exactly two data shuffles, both on slim keys:
     (1) duplicate detection groups by md5(line) (32 hex chars, never

@@ -3636,3 +3636,19 @@ FROM (
 WHERE rk <= 3
 """
 )
+
+
+oracle("q_stream_hll_windowed")(
+    f"""
+WITH src AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id FROM events
+),
+{_hll_regs("CAST(user_id AS VARCHAR)", "day").replace("__SRC__", "src")}
+SELECT day, regs_hit,
+       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+             * CAST(36028797018963968 AS DOUBLE)
+             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+             6) AS est_distinct
+FROM agg
+"""
+)

@@ -3616,3 +3616,34 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def q_stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-per-DAY maintained as a streaming HLL: the
+    event-time tumbling window is just another sketch group, so state
+    is 64 registers x |days| and the per-day estimate is available
+    continuously — the production 'unique visitors per hour at
+    100 TB/day' shape, where exact streaming count(distinct) state
+    would grow with users. Batch-split-independent (register max), so
+    the oracle is the per-day batch formula."""
+    import uuid
+
+    from ..pipeline.sketches import hll_estimate, hll_sketch
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.date_format(F.window("ts", "1 day").getField("start"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    sk = hll_sketch(stream, "user_id", ["day"])
+    qname = f"stream_hll_w_{uuid.uuid4().hex[:8]}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return hll_estimate(spark.table(qname), ["day"])

@@ -38,6 +38,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_line_dedup": q.q_line_dedup,
     "q_gopher_rules": q.q_gopher_rules,
     "q_stream_hll": q.q_stream_hll,
+    "q_stream_hll_windowed": q.q_stream_hll_windowed,
     "q_zscore": q.q_zscore,
     "q_unpivot": q.q_unpivot,
     "q_props_parse": q.q_props_parse,

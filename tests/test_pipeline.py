@@ -2616,3 +2616,23 @@ def test_hll_higher_precision_tightens_error(spark):
     assert abs(est10 - 20_000) / 20_000 < 0.12  # ~3 sigma at p=10
     with pytest.raises(ValueError):
         hll_distinct(df, "k", p=3)
+
+
+def test_hll_sketch_survives_parquet_round_trip(spark, tmp_path):
+    """The register state is a durable artifact: persist per-group
+    sketches, read back, merge, estimate — identical to the direct
+    computation (the daily-sketch-table pattern)."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [Row(day=i % 4, k=f"u{i % 300}") for i in range(1200)]
+    )
+    path = str(tmp_path / "daily_sketches")
+    hll_sketch(df, "k", ["day"]).write.parquet(path)
+    merged = hll_estimate(hll_merge(spark.read.parquet(path), []), [])
+    direct = hll_estimate(hll_sketch(df, "k"), [])
+    assert merged.collect() == direct.collect()

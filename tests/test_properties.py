@@ -689,3 +689,42 @@ def test_group_quantiles_rejects_bad_p(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, value double")
     with pytest.raises(ValueError, match="hundredths"):
         group_quantiles(df, "g", "value", ps=(0.333,))
+
+
+@PROP
+@given(
+    st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=5),
+)
+def test_hll_partition_invariance(spark, keys, n_parts):
+    """Splitting the data arbitrarily, sketching each part, and
+    merging == sketching everything at once — the semilattice law the
+    daily-rollup pattern depends on, for ANY key multiset."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rows = [(i % n_parts, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["part", "k"])
+    merged = hll_estimate(hll_merge(hll_sketch(df, "k", ["part"]), []), [])
+    direct = hll_estimate(hll_sketch(df, "k"), [])
+    assert merged.collect() == direct.collect()
+
+
+@PROP
+@given(st.lists(st.text(min_size=1, max_size=4), min_size=1, max_size=50))
+def test_cms_upper_bounds_every_true_count(spark, keys):
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    est = cms_estimate(cms_build(df, "k"), exact.select("k"), "k")
+    for r in est.join(exact, "k").collect():
+        assert r["est"] >= r["c"]
