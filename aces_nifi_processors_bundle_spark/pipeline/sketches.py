@@ -125,10 +125,12 @@ def hll_estimate(
     order-dependent past 53 bits of spread, and shuffle order differs
     between engines. The only float ops are three literal multiplies
     and one division, IEEE-identical everywhere. The raw formula is
-    used unconditionally (no linear-counting small-range branch):
-    callers counting small groups should read `regs_hit` — when it is
-    well below m the estimate's bias is documented HLL behavior, and
-    the branch-free form keeps the oracle a pure expression.
+    used unconditionally (no linear-counting small-range branch): the
+    raw formula is accurate for n > ~2.5*m and biased HIGH below that
+    (the regime linear counting would normally serve) — callers
+    counting small groups should read `regs_hit` (well below m ⇒
+    small-range regime) and pick a smaller p or an exact count; the
+    branch-free form keeps the oracle a pure expression.
     Output: (groups..., regs_hit, est_distinct rounded to 6 dp).
     """
     groups = list(groups or [])
@@ -240,4 +242,43 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )
+
+
+def hll_union_intersection(
+    sketch_a: DataFrame, sketch_b: DataFrame, p: int = 6
+) -> DataFrame:
+    """Set algebra on two GLOBAL register states (columns reg, r):
+    one row (est_a, est_b, est_union, est_intersection) — union is the
+    exact register max-merge; intersection is inclusion-exclusion
+    (est_a + est_b - est_union), the standard HLL composition. Error
+    on the intersection grows with |union|/|intersection| (documented
+    HLL behavior — use a higher p when intersecting skewed sizes).
+    All arithmetic happens on three deterministic estimates, so the
+    result is as oracle-stable as the estimates themselves.
+    """
+    a = hll_estimate(sketch_a, [], p).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    b = hll_estimate(sketch_b, [], p).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    u = hll_estimate(hll_merge(sketch_a.unionByName(sketch_b), []), [], p).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("est_intersection"),
+        )
     )

@@ -2636,3 +2636,21 @@ def test_hll_sketch_survives_parquet_round_trip(spark, tmp_path):
     merged = hll_estimate(hll_merge(spark.read.parquet(path), []), [])
     direct = hll_estimate(hll_sketch(df, "k"), [])
     assert merged.collect() == direct.collect()
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        hll_sketch,
+        hll_union_intersection,
+    )
+
+    # |A ∩ B| = 3000, |A ∪ B| = 9000 — all three sets sit above the
+    # raw-formula validity floor n > 2.5*m (2560 at p=10)
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").cast("string").alias("k"))
+    row = hll_union_intersection(
+        hll_sketch(a, "k", p=10), hll_sketch(b, "k", p=10), p=10
+    ).collect()[0]
+    assert abs(row["est_union"] - 9000) / 9000 < 0.15
+    assert abs(row["est_intersection"] - 3000) / 3000 < 0.5  # I-E noise amplifies
+    assert row["est_intersection"] >= 0
