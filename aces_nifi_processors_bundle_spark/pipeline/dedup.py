@@ -709,14 +709,18 @@ def line_dedup(
     text_col produce no lines and are absent from the output (the
     posexplode drops them) — coalesce to '' upstream to keep them.
 
-    Scale shape — exactly two data shuffles, both on slim keys:
+    Scale shape — two slim-key shuffles plus two corpus scans:
     (1) duplicate detection groups by md5(line) (32 hex chars, never
     the line text, so a 1 KB boilerplate line shuffles as 32 bytes),
     with map-side partial counts; the resulting dup-hash set is
     usually tiny and Catalyst broadcasts it back onto the exploded
-    lines under AQE. (2) reassembly groups by id. Nothing is
-    collected; the explode never materializes the corpus twice
-    because both consumers share one scan stage.
+    lines. (2) reassembly groups by id. The text+explode subtree is
+    DELIBERATELY recomputed for the count side and the probe side
+    (plan-audited: no shared exchange) — forcing reuse would mean
+    exchanging or checkpointing the full exploded line text, and a
+    second columnar scan is cheaper than a full-width shuffle at any
+    scale where this op matters; persist() the input upstream if the
+    source is not a re-scannable table. Nothing is collected.
     """
     lines = df.select(
         F.col(id_col),
