@@ -1132,6 +1132,48 @@ def _shortest_paths(
     return shortest_paths(df, _named[right], n_hops, src, dst)
 
 
+@stage("unpivot")
+def _unpivot(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    ids: list[str],
+    values: list[str],
+    var_col: str = "measure",
+    value_col: str = "value",
+) -> DataFrame:
+    return df.unpivot(ids, values, var_col, value_col)
+
+
+@stage("topk")
+def _topk(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    order_by: str,
+    k: int = 3,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-group top-k via a rank-limit window (partial
+    WindowGroupLimit pre-trims map-side). Pass `tiebreak` (a unique
+    column) to make the cut deterministic; without it, which of the
+    tied rows crosses the k boundary varies with partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.desc(order_by) if descending else F.asc(order_by)]
+    if tiebreak:
+        order.append(F.asc(tiebreak))
+    w = Window.partitionBy(group).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def build_flow(
     spark: SparkSession, flow: list[dict[str, Any]], sf_dir: str
 ) -> DataFrame:

@@ -518,3 +518,26 @@ def test_flow_round7_stages_match_direct_calls(spark, sf_dir):
     ], sf_dir)
     dists = {r["dist"] for r in got.collect()}
     assert dists == {0, 1, 2}
+
+
+def test_flow_unpivot_and_topk_stages(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "part"},
+        {"op": "topk", "group": "p_brand", "order_by": "p_retailprice",
+         "k": 2, "tiebreak": "p_partkey"},
+    ], sf_dir)
+    rows = got.collect()
+    brands = {}
+    for r in rows:
+        brands.setdefault(r["p_brand"], []).append(r["p_retailprice"])
+    assert all(len(v) <= 2 for v in brands.values())
+
+    melted = build_flow(spark, [
+        {"op": "load", "table": "lineitem"},
+        {"op": "unpivot", "ids": ["l_orderkey"],
+         "values": ["l_quantity", "l_tax"]},
+    ], sf_dir)
+    assert set(melted.columns) == {"l_orderkey", "measure", "value"}
+    assert melted.select("measure").distinct().count() == 2
