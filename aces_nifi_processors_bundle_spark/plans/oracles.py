@@ -3652,3 +3652,27 @@ SELECT day, regs_hit,
 FROM agg
 """
 )
+
+
+oracle("q_approx_distinct_profile")(
+    f"""
+WITH src AS (
+  SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
+),
+{_hll_regs("v", '"column"').replace("__SRC__", "src")}
+SELECT "column", regs_hit,
+       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+             * CAST(36028797018963968 AS DOUBLE)
+             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+             6) AS est_distinct
+FROM agg
+"""
+)

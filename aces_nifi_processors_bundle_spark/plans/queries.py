@@ -3647,3 +3647,18 @@ def q_stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_stream(q)
     return hll_estimate(spark.table(qname), ["day"])
+
+
+def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct-cardinality profile of lineitem via one
+    grouped HLL pass (pipeline/sketches.py::approx_distinct_profile):
+    the exact q_table_profile answers this with one shuffle PER
+    column's distinct values; this ships 64 registers per column —
+    the 100 TB data-catalog shape."""
+    from ..pipeline.sketches import approx_distinct_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_distinct_profile(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate"],
+    )

@@ -47,6 +47,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_market_share": q.q_market_share,
     "q_returned_items": q.q_returned_items,
     "q_topk_per_group": q.q_topk_per_group,
+    "q_approx_distinct_profile": q.q_approx_distinct_profile,
     # --- (1) added in round 6 ------------------------------------------
     "q_quality_classifier": q.q_quality_classifier,
     "q_rolling_active_users": q.q_rolling_active_users,
