@@ -1170,3 +1170,46 @@ def ivfpq_topk(
     return _adc_rank(
         corpus, queries, dim, m, codebooks, k, vec_col, id_col, cands=cands
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval decontamination: flag every CORPUS vector
+    whose best cosine against the (small) eval set reaches
+    `threshold` — the semantic analog of the exact/bloom n-gram
+    decontamination in pipeline/dedup.py, catching paraphrased or
+    re-tokenized benchmark leakage that text hashing misses.
+
+    Join orientation is the scale contract: the EVAL set broadcasts
+    (benchmarks are small), the corpus streams through one scan and
+    never shuffles full-width — per-corpus-row best-of is the salted
+    two-phase top-k (k=1) from _topk_per_query, never a window over
+    |corpus| x |evals| rows. Output: (id_col, eval_id, cos) for
+    flagged rows only, deterministic (cos desc, eval_id asc) choice
+    among ties.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    e = evals.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ev")
+    )
+    scored = c.join(F.broadcast(e)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("cv"), F.col("ev")).alias("cos"),
+    )
+    best = _topk_per_query(scored, k=1)
+    return (
+        best.where(F.col("cos") >= threshold)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("neighbor_id").alias("eval_id"),
+            F.round(F.col("cos"), 6).alias("cos"),
+        )
+    )

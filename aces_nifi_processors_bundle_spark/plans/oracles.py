@@ -3676,3 +3676,111 @@ SELECT "column", regs_hit,
 FROM agg
 """
 )
+
+
+oracle("q_semantic_decontaminate")(
+    """
+WITH e AS (
+  SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT c.vec_id, e.eid, list_cosine_similarity(cv, ev) AS cos FROM c, e
+),
+best AS (
+  SELECT vec_id, eid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid ASC) AS rn
+  FROM scored WHERE cos IS NOT NULL
+)
+SELECT vec_id, eid AS eval_id, round(cos, 6) AS cos
+FROM best WHERE rn = 1 AND cos >= 0.9
+"""
+)
+
+
+# Composes the ENTIRE q_lm_score oracle (train->score) as a subquery,
+# then ranks/buckets — one value-checked chain end to end.
+oracle("q_quality_buckets")(
+    """
+WITH lmout AS (
+WITH docs AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= 3
+),
+tri AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+  FROM docs, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) s
+),
+tc AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+bc AS (SELECT substr(tri, 1, 2) AS bi, CAST(sum(c3) AS BIGINT) AS c2
+       FROM tc GROUP BY 1),
+model AS (
+  SELECT tri, c3 / c2 AS p FROM tc JOIN bc ON substr(tc.tri, 1, 2) = bc.bi
+),
+scored AS (
+  SELECT d.doc_id, coalesce(m.p, 1e-6) AS p
+  FROM tri d LEFT JOIN model m USING (tri)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(CAST(SUM(CAST(round(p, 7) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS lm_score
+FROM scored GROUP BY doc_id
+),
+j AS (
+  SELECT l.doc_id, l.lm_score, d.lang
+  FROM lmout l JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT lang, lm_score,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY lm_score DESC, doc_id ASC) AS nt
+  FROM j
+)
+SELECT lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(lm_score) AS worst,
+       max(lm_score) AS best
+FROM b GROUP BY 1, 2
+"""
+)
+
+
+# Reads the ORIGINAL parquet — the Spark side must survive its own
+# JSONL encode/decode hop to match.
+oracle("q_jsonl_roundtrip")(
+    """
+WITH src AS (
+  SELECT event_id, user_id, event_type,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+         round(value, 6) AS value
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(ts_iso) AS first_ts,
+       max(ts_iso) AS last_ts,
+       CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM src GROUP BY event_type
+"""
+)
+
+
+oracle("q_union_evolve")(
+    """
+WITH merged AS (
+  SELECT event_id, event_type, NULL::DOUBLE AS value
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, round(value, 6) AS value
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_with_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM merged GROUP BY event_type
+"""
+)

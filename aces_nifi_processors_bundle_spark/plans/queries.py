@@ -3662,3 +3662,115 @@ def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate"],
     )
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (pipeline/similarity.py::
+    semantic_decontaminate): flag corpus vectors whose best cosine
+    against a broadcast eval set reaches 0.9 — catches paraphrased /
+    re-tokenized benchmark leakage the n-gram decontaminators
+    (q_decontaminate*) can't. Corpus never shuffles full-width; the
+    per-row best-of is the salted two-phase top-k."""
+    from ..pipeline.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(emb, evals, threshold=0.9)
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing: rank every doc
+    by its trigram-LM score WITHIN its language, ntile into thirds,
+    report per-(lang, bucket) counts and score ranges — the corpus
+    curation split that feeds quality-weighted sampling. Deterministic
+    total order (rounded score desc, doc_id asc); the oracle composes
+    the full q_lm_score SQL as a subquery, so the entire
+    train->score->rank->bucket chain is value-checked."""
+    from pyspark.sql import Window
+
+    from ..pipeline.text import lm_score, train_char_trigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_char_trigram_lm(docs)
+    scored = lm_score(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_score"), F.asc("doc_id")
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("lm_score").alias("worst"),
+            F.max("lm_score").alias("best"),
+        )
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage under the oracle gate: export a filtered
+    events slice as JSON-lines, read it back through the engine's
+    declared-schema JSONL source (sources/flowfile.py::read_jsonl —
+    PERMISSIVE mode, explicit schema, never inferSchema), aggregate.
+    The oracle reads the ORIGINAL parquet: any drift introduced by the
+    JSON encode/decode hop (timestamp formats, float text round-trip,
+    column loss) fails the value hash."""
+    from ..sources.flowfile import read_jsonl
+
+    events = load_table(spark, sf_dir, "events")
+    path = _scratch("jsonl_") + "/events"
+    (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+            F.round("value", 6).alias("value"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = read_jsonl(
+        spark,
+        path,
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "ts_iso STRING, value DOUBLE",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("ts_iso").alias("first_ts"),
+        F.max("ts_iso").alias("last_ts"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine two generations of the events
+    feed — the legacy slice lacking `value`, the current slice
+    carrying it — via unionByName(allowMissingColumns=True), the
+    DataFrame analog of reading mixed-schema batches. Missing columns
+    null-fill; the rollup counts both generations and sums only the
+    present values."""
+    events = load_table(spark, sf_dir, "events")
+    legacy = events.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    )
+    current = events.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    merged = legacy.unionByName(current, allowMissingColumns=True)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("value").cast("bigint").alias("n_with_value"),
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("sum_value"),
+    )

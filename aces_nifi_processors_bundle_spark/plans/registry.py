@@ -7,15 +7,17 @@ rows-only check).
 
 ORDERING MATTERS: the round driver samples the FIRST 50 entries for
 its external CORRECTNESS check. Entries are therefore ordered by
-information value, not topic: (0) queries added in round 7 (16
-entries — sketches, corpus line dedup, Gopher rules, streaming HLL,
-zscore, unpivot, JSON props, BFS, bucketed join, TPC-H Q8/Q10
-shapes, per-group top-k), then (1) the round-6 additions — the
+information value, not topic: (0) queries added in round 7
+(sketches incl. streaming/windowed HLL and the per-column distinct
+profile, corpus line dedup, Gopher rules, zscore, unpivot, JSON
+props, BFS, bucketed join, TPC-H Q8/Q10 shapes, per-group top-k,
+semantic decontamination, CCNet quality buckets, JSONL round-trip,
+schema-evolution union), then (1) the round-6 additions — the
 round-6 driver pass never ran, so all 27 are STILL unchecked
 externally, (2) the stalest external grades (last checked round 3),
 (3) queries whose underlying code round 6 modified, (4) the
-keyed-store queries riding keyed_table.py. 16+27 fills 43 of the 50;
-the next 7 r3-stale streaming entries complete the window. Every
+keyed-store queries riding keyed_table.py. 20+27 fills 47 of the 50;
+the next 3 r3-stale streaming entries complete the window. Every
 entry passes the identical DuckDB-oracle comparison in
 tests/test_queries_vs_oracle.py regardless of position.
 """
@@ -48,6 +50,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_returned_items": q.q_returned_items,
     "q_topk_per_group": q.q_topk_per_group,
     "q_approx_distinct_profile": q.q_approx_distinct_profile,
+    "q_semantic_decontaminate": q.q_semantic_decontaminate,
+    "q_quality_buckets": q.q_quality_buckets,
+    "q_jsonl_roundtrip": q.q_jsonl_roundtrip,
+    "q_union_evolve": q.q_union_evolve,
     # --- (1) added in round 6 ------------------------------------------
     "q_quality_classifier": q.q_quality_classifier,
     "q_rolling_active_users": q.q_rolling_active_users,
