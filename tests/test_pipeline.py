@@ -2654,3 +2654,21 @@ def test_hll_intersection_inclusion_exclusion(spark):
     assert abs(row["est_union"] - 9000) / 9000 < 0.15
     assert abs(row["est_intersection"] - 3000) / 3000 < 0.5  # I-E noise amplifies
     assert row["est_intersection"] >= 0
+
+
+def test_semantic_decontaminate_flags_planted_duplicate(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        semantic_decontaminate,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+    )
+    evals = spark.createDataFrame([(100, base)], ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, evals, threshold=0.95).collect()}
+    assert set(out) == {1, 2}  # exact + near flagged, orthogonal not
+    assert out[1]["cos"] == 1.0 and out[1]["eval_id"] == 100

@@ -509,3 +509,20 @@ def test_cms_estimate_broadcasts_sketch(spark, sf_dir):
     keys = events.select("user_id").distinct().limit(10)
     plan = plan_of(cms_estimate(sk, keys, "user_id"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semantic_decontaminate_broadcasts_evals_not_corpus(spark, sf_dir):
+    """The eval side must broadcast (BuildRight of the nested-loop);
+    the corpus side streams — broadcasting the corpus would be the
+    100 TB anti-pattern."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.where(F.col("vec_id") < 4)
+    plan = plan_of(semantic_decontaminate(emb, evals, 0.5))
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan
+    # best-of runs as the salted two-phase agg, not a row_number window
+    assert "Window" not in plan, plan
