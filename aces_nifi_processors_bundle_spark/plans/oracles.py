@@ -3784,3 +3784,17 @@ SELECT event_type,
 FROM merged GROUP BY event_type
 """
 )
+
+
+oracle("q_csv_roundtrip")(
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id,
+       CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events WHERE event_type IN ('view', 'signup')
+GROUP BY event_type
+"""
+)

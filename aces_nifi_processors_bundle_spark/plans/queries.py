@@ -3774,3 +3774,41 @@ def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").cast("bigint").alias("n_with_value"),
         F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("sum_value"),
     )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source coverage under the oracle gate (the q_jsonl_roundtrip
+    pattern): export, read back with an EXPLICIT schema + header
+    (never inferSchema — a second full scan at 100 TB), aggregate;
+    the oracle reads the original parquet so any encode/decode drift
+    (quoting, float text, header handling) fails the value hash."""
+    events = load_table(spark, sf_dir, "events")
+    path = _scratch("csv_") + "/events"
+    (
+        events.where(F.col("event_type").isin("view", "signup"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

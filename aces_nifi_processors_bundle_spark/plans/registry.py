@@ -16,8 +16,8 @@ schema-evolution union), then (1) the round-6 additions — the
 round-6 driver pass never ran, so all 27 are STILL unchecked
 externally, (2) the stalest external grades (last checked round 3),
 (3) queries whose underlying code round 6 modified, (4) the
-keyed-store queries riding keyed_table.py. 20+27 fills 47 of the 50;
-the next 3 r3-stale streaming entries complete the window. Every
+keyed-store queries riding keyed_table.py. 21+27 fills 48 of the 50;
+the next 2 r3-stale streaming entries complete the window. Every
 entry passes the identical DuckDB-oracle comparison in
 tests/test_queries_vs_oracle.py regardless of position.
 """
@@ -54,6 +54,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality_buckets": q.q_quality_buckets,
     "q_jsonl_roundtrip": q.q_jsonl_roundtrip,
     "q_union_evolve": q.q_union_evolve,
+    "q_csv_roundtrip": q.q_csv_roundtrip,
     # --- (1) added in round 6 ------------------------------------------
     "q_quality_classifier": q.q_quality_classifier,
     "q_rolling_active_users": q.q_rolling_active_users,
