@@ -159,10 +159,32 @@ def hll_estimate(
         * F.lit(float(1 << top))
         / s_full.cast("double")
     )
+    # lazy mismatch guard: a sketch built at a HIGHER p than the
+    # estimate's has > m register rows per group — without the check
+    # (m - regs_hit) goes negative and the estimate is silent garbage.
+    # (The opposite mismatch — sketch p lower than estimate p — is
+    # indistinguishable from a small-range sketch and stays the
+    # caller's contract: pass the SAME p to sketch and estimate.)
+    regs_checked = F.when(
+        F.col("regs_hit") > m,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hll_estimate: group has more than {m} registers — "
+                    f"the sketch was built with a higher p than p={p}; "
+                    "pass the build-time p"
+                )
+            )
+        ).cast("long"),
+    ).otherwise(F.col("regs_hit"))
     return agg.select(
         *groups,
-        F.col("regs_hit").cast("bigint").alias("regs_hit"),
-        F.round(est, 6).alias("est_distinct"),
+        regs_checked.cast("bigint").alias("regs_hit"),
+        # an empty GLOBAL sketch aggregates to one row with sum=NULL;
+        # the true answer there is 0, not NULL (and not alpha*m)
+        F.when(F.col("regs_hit") == 0, F.lit(0.0))
+        .otherwise(F.round(est, 6))
+        .alias("est_distinct"),
     )
 
 
@@ -228,7 +250,12 @@ def cms_estimate(
 ) -> DataFrame:
     """Frequency estimate for each key in `keys`: min over the d cells
     the key hashes to. Guaranteed >= the true count (cells only ever
-    over-count via collisions). The sketch side is <= d*w rows, so
+    over-count via collisions) — PROVIDED d, w, and seed match the
+    build call exactly: a mismatch re-hashes probes into cells the
+    build never wrote, the left join misses, and the estimate silently
+    collapses to 0 (an absent (row,col) cell is legitimately zero for
+    never-inserted keys, so a mismatch is undetectable data-side —
+    the parameters are the contract). The sketch side is <= d*w rows, so
     Catalyst broadcasts it onto the key frame — estimating any number
     of keys is one broadcast join, no shuffle of the key frame."""
     probes = keys.select(

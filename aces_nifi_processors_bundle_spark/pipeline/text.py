@@ -656,13 +656,17 @@ def gopher_quality(
     DuckDB oracle matches bit-for-bit. Empty docs (0 words) fail
     word_count with NULL-free outputs.
     """
-    ws = F.expr(f"filter(split({text_col}, '\\\\s+'), w -> w != '')")
+    # '[ \\t\\n\\x0B\\f\\r]' spelled explicitly: Java's \\s includes
+    # \\x0B, RE2's (the DuckDB oracle) does not — an explicit class is
+    # the only way both engines split identically on ANY input.
+    WS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"
+    ws = F.expr(f"filter(split({text_col}, '{WS}'), w -> w != '')")
     lines = F.split(F.col(text_col), F.lit("\n"))
     n_words = F.size(ws).cast("bigint")
     # sum of word lengths == count of non-whitespace chars: a codegen'd
     # regexp_replace instead of an interpreted aggregate() lambda
     word_chars = F.length(
-        F.regexp_replace(F.col(text_col), F.lit(r"\s+"), F.lit(""))
+        F.regexp_replace(F.col(text_col), F.lit("[ \\t\\n\\x0B\\f\\r]+"), F.lit(""))
     ).cast("bigint")
     mean_wl = F.when(
         n_words > 0, word_chars.cast("double") / n_words.cast("double")
@@ -689,12 +693,12 @@ def gopher_quality(
     ).cast("bigint")
     ellipsis_lines = F.expr(
         f"size(filter(split({text_col}, '\\n'), "
-        "l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))"
+        "l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)\\\\z'))"
     ).cast("bigint")
     bullet_frac = bullet_lines.cast("double") / n_lines.cast("double")
     ellipsis_frac = ellipsis_lines.cast("double") / n_lines.cast("double")
     alpha_words = F.expr(
-        f"size(filter(filter(split({text_col}, '\\\\s+'), w -> w != ''), "
+        f"size(filter(filter(split({text_col}, '{WS}'), w -> w != ''), "
         "w -> w rlike '[a-zA-Z]'))"
     ).cast("bigint")
     alpha_frac = F.when(

@@ -3285,10 +3285,11 @@ oracle("q_hll_distinct")(
     f"""
 WITH {_hll_regs("CAST(user_id AS VARCHAR)", "event_type").replace("__SRC__", "events")}
 SELECT event_type, regs_hit,
-       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-             * CAST(36028797018963968 AS DOUBLE)
-             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
-             6) AS est_distinct
+       CASE WHEN regs_hit = 0 THEN 0.0
+            ELSE round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                       * CAST(36028797018963968 AS DOUBLE)
+                       / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+                       6) END AS est_distinct
 FROM agg
 """
 )
@@ -3301,10 +3302,11 @@ oracle("q_hll_merge")(
     f"""
 WITH {_hll_regs("text", "").replace("__SRC__", "documents")}
 SELECT regs_hit,
-       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-             * CAST(36028797018963968 AS DOUBLE)
-             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
-             6) AS est_distinct
+       CASE WHEN regs_hit = 0 THEN 0.0
+            ELSE round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                       * CAST(36028797018963968 AS DOUBLE)
+                       / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+                       6) END AS est_distinct
 FROM agg
 """
 )
@@ -3383,14 +3385,14 @@ oracle("q_gopher_rules")(
     """
 WITH base AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws,
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS ws,
          string_split(text, chr(10)) AS ls
   FROM documents
 ),
 m AS (
   SELECT doc_id,
          CAST(len(ws) AS BIGINT) AS n_words,
-         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+         CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS BIGINT) AS word_chars,
          CAST(length(text) - length(replace(text, '#', ''))
               + length(text) - length(replace(text, chr(8230), '')) AS BIGINT)
            + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
@@ -3497,14 +3499,29 @@ FROM long GROUP BY measure
 )
 
 
+# Mirrors Spark from_json('k INT') STRICTNESS exactly: only an
+# unquoted JSON integer literal yields a value — a quoted "12" or a
+# float 3.7 is NULL in Spark, while DuckDB's json_extract_string +
+# CAST would accept '12' and round 3.7 to 4. json_valid guards the
+# malformed-document case (Spark: null struct; raw json_extract:
+# error).
 oracle("q_props_parse")(
     """
+WITH k AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+               AND regexp_matches(CAST(json_extract(props, '$.k') AS VARCHAR),
+                                  '^-?[0-9]+$')
+              THEN TRY_CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INTEGER)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-FROM events GROUP BY event_type
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM k GROUP BY event_type
 """
 )
 
@@ -3645,10 +3662,11 @@ WITH src AS (
 ),
 {_hll_regs("CAST(user_id AS VARCHAR)", "day").replace("__SRC__", "src")}
 SELECT day, regs_hit,
-       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-             * CAST(36028797018963968 AS DOUBLE)
-             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
-             6) AS est_distinct
+       CASE WHEN regs_hit = 0 THEN 0.0
+            ELSE round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                       * CAST(36028797018963968 AS DOUBLE)
+                       / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+                       6) END AS est_distinct
 FROM agg
 """
 )
@@ -3669,10 +3687,11 @@ WITH src AS (
 ),
 {_hll_regs("v", '"column"').replace("__SRC__", "src")}
 SELECT "column", regs_hit,
-       round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-             * CAST(36028797018963968 AS DOUBLE)
-             / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
-             6) AS est_distinct
+       CASE WHEN regs_hit = 0 THEN 0.0
+            ELSE round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                       * CAST(36028797018963968 AS DOUBLE)
+                       / CAST(s + (64 - regs_hit) * (CAST(1 AS BIGINT) << 55) AS DOUBLE),
+                       6) END AS est_distinct
 FROM agg
 """
 )

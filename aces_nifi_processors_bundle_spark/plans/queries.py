@@ -3498,18 +3498,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'pay the fact-table shuffle once' pattern
     (tests/test_plans.py asserts the exchange-free plan). Output is
     a revenue rollup per order status."""
-    import uuid
-
     from ..pipeline.layout import write_bucketed
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    sfx = uuid.uuid4().hex[:8]
+    # FIXED table names, replaced per run (write_bucketed drops first):
+    # uuid-suffixed names would leak two catalog entries per invocation
+    # in a long-lived session. Repeat runs in one session are
+    # sequential (driver gate / bench / tests), so replace-in-place is
+    # safe; the parquet itself lives under the scratch root.
     root = _scratch("bucketed_")
-    write_bucketed(o, f"bj_orders_{sfx}", f"{root}/orders", "o_orderkey")
-    write_bucketed(li, f"bj_lineitem_{sfx}", f"{root}/lineitem", "l_orderkey")
-    ot = spark.table(f"bj_orders_{sfx}")
-    lt = spark.table(f"bj_lineitem_{sfx}")
+    write_bucketed(o, "bj_orders_r7", f"{root}/orders", "o_orderkey")
+    write_bucketed(li, "bj_lineitem_r7", f"{root}/lineitem", "l_orderkey")
+    ot = spark.table("bj_orders_r7")
+    lt = spark.table("bj_lineitem_r7")
     rev = F.col("l_extendedprice").cast("decimal(12,6)") * (
         F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
     )

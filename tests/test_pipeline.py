@@ -2672,3 +2672,63 @@ def test_semantic_decontaminate_flags_planted_duplicate(spark):
            semantic_decontaminate(corpus, evals, threshold=0.95).collect()}
     assert set(out) == {1, 2}  # exact + near flagged, orthogonal not
     assert out[1]["cos"] == 1.0 and out[1]["eval_id"] == 100
+
+
+def test_gopher_handles_java_only_whitespace_and_crlf(spark, duck):
+    """Regression for the Java-\\s-vs-RE2 divergence: vertical tabs and
+    CR line endings must produce identical stats in both engines (the
+    explicit [ \\t\\n\\x0B\\f\\r] class and the \\z end anchor)."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import gopher_quality
+
+    rows = [
+        (1, "alpha\x0bbeta gamma"),          # \x0B is a word separator
+        (2, "ends with dots...\r"),           # CR: NOT an ellipsis line end
+        (3, "real ellipsis line..."),
+        (4, "plain words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           gopher_quality(df, min_words=1, min_stop_hits=0).collect()}
+    assert out[1]["n_words"] == 3  # alpha | beta | gamma
+    # mean_word_len excludes the \x0B from word_chars
+    assert out[1]["mean_word_len"] == round(len("alphabetagamma") / 3, 6)
+    duck_words = duck.execute(
+        r"SELECT len(list_filter(regexp_split_to_array('alpha' || chr(11) ||"
+        r" 'beta gamma', '[ \t\n\x0B\f\r]+'), w -> w <> ''))"
+    ).fetchone()[0]
+    assert duck_words == 3
+    # CR-terminated line is not ellipsis-ended (\z semantics), the
+    # true ellipsis is — visible via the symbol counts, not rules here
+    assert "ellipsis" not in (out[2]["fail_reasons"] or "")
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_sketch,
+        hll_union_intersection,
+    )
+
+    empty = spark.createDataFrame([], "k string")
+    row = hll_distinct(empty, "k").collect()[0]
+    assert row["regs_hit"] == 0 and row["est_distinct"] == 0.0
+    some = spark.createDataFrame([Row(k="a"), Row(k="b")])
+    out = hll_union_intersection(
+        hll_sketch(some, "k"), hll_sketch(empty, "k")
+    ).collect()[0]
+    assert out["est_b"] == 0.0
+    assert out["est_union"] == out["est_a"]
+    assert out["est_intersection"] == 0.0
+
+
+def test_hll_estimate_rejects_higher_precision_sketch(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    import py4j.protocol
+
+    df = spark.createDataFrame([Row(k=f"u{i}") for i in range(500)])
+    sk10 = hll_sketch(df, "k", p=10)
+    with pytest.raises(Exception, match="higher p|USER_RAISED"):
+        hll_estimate(sk10, p=6).collect()  # noqa: B017 — py4j wraps it
