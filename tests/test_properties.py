@@ -728,3 +728,37 @@ def test_cms_upper_bounds_every_true_count(spark, keys):
     est = cms_estimate(cms_build(df, "k"), exact.select("k"), "k")
     for r in est.join(exact, "k").collect():
         assert r["est"] >= r["c"]
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="\n", blacklist_categories=("Cs",)
+                ),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dedup_identity_when_threshold_unreachable(spark, docs):
+    """With min_count above the corpus line count nothing can be
+    dropped, so split->mark->reassemble must return every document's
+    text VERBATIM (any unicode, any whitespace, empty lines included)
+    — the reassembly-fidelity law."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    total_lines = sum(len(lines) for lines in docs)
+    out = line_dedup(df, min_count=total_lines + 1)
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i, lines in enumerate(docs):
+        assert got[i]["new_text"] == "\n".join(lines)
+        assert got[i]["dropped_lines"] == 0
