@@ -814,10 +814,11 @@ def _resample(
     value_col: str = "value",
     bucket_sec: int = 3600,
     how: str = "zero",
+    id_col: str = "event_id",
 ) -> DataFrame:
     from .pipeline.timeseries import resample_gapfill
 
-    return resample_gapfill(df, key, ts_col, value_col, bucket_sec, how)
+    return resample_gapfill(df, key, ts_col, value_col, bucket_sec, how, id_col)
 
 
 @stage("anomaly")
@@ -985,16 +986,43 @@ def _classify(
                 f"classify: weights at {weights_path!r} missing columns "
                 f"{sorted(missing)}"
             )
-        # a duplicated bucket row would silently double-count both the
-        # weight and n_features; the table is broadcast-small, so the
-        # two counting actions here are cheap
-        n_rows = w.count()
-        n_keys = w.select("bucket").distinct().count()
-        if n_rows != n_keys:
-            raise ValueError(
-                f"classify: weights at {weights_path!r} carry duplicate "
-                f"bucket rows ({n_rows} rows, {n_keys} distinct buckets)"
+        # LAZY in-plan guards (the flows contract: no driver jobs at
+        # construction — same pattern as geo_radius_join's zoom guard):
+        # a duplicated bucket would silently double-count its weight,
+        # and a bucket outside [0, n_buckets) — a model trained for a
+        # different n_buckets — would silently never join (the logits
+        # would come from whatever slice happens to fit). Both now
+        # raise at first execution instead.
+        from pyspark.sql import Window as _W
+
+        _dups = F.count(F.lit(1)).over(_W.partitionBy("bucket"))
+        w = w.select(
+            F.when(
+                (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "classify: weights bucket out of range for "
+                            f"n_buckets={n_buckets} (model trained for a "
+                            "different bucket count?): "
+                        ),
+                        F.col("bucket").cast("string"),
+                    )
+                ).cast("long"),
             )
+            .when(
+                _dups > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("classify: duplicate weights bucket "),
+                        F.col("bucket").cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("bucket"))
+            .alias("bucket"),
+            "w_milli",
+        )
     else:
         w = hash_weights(spark, n_buckets, weights_seed)
     return linear_text_classifier(

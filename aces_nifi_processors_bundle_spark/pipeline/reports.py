@@ -48,7 +48,9 @@ def frequent_keys(
         src = df.sample(fraction=sample_fraction, seed=42)
         scale = 1.0 / sample_fraction
     counts = src.groupBy(*cols).agg(
-        (F.count(F.lit(1)) * F.lit(scale)).cast("bigint").alias("n")
+        # round, don't floor: a truncating cast biases every sampled
+        # estimate (and the derived shares) downward
+        F.round(F.count(F.lit(1)) * F.lit(scale)).cast("bigint").alias("n")
     )
     total = counts.agg(F.sum("n").alias("_tot"))
     out = counts.crossJoin(F.broadcast(total)).select(

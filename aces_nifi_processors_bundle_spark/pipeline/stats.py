@@ -56,27 +56,48 @@ def correlation_matrix(
     scalars = complete.agg(*aggs)
 
     n = F.col("__n")
+
+    def _mom(px: str, sx: str, sy: str):
+        # try_* arithmetic: in range it returns the identical exact
+        # decimal; past decimal(38,0) it yields NULL under ANY ANSI
+        # mode instead of (ANSI on) throwing a generic overflow or
+        # (ANSI off) silently nulling — the NULL is then converted to
+        # a LOUD error below, because a silent NULL corr would violate
+        # the module's exactness contract at extreme n*value^2 scale.
+        return F.try_subtract(
+            F.try_multiply(n, F.col(px)),
+            F.try_multiply(F.col(sx), F.col(sy)),
+        )
+
+    overflow_err = F.raise_error(
+        F.lit(
+            "correlation_matrix: decimal(38,0) moment overflow — lower "
+            "`scale` or pre-aggregate; a silent NULL corr is not allowed"
+        )
+    ).cast("double")
     rows = []
     for i, j in idx:
         a, b = cols[i], cols[j]
-        cov_n = (n * F.col(f"__p{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")).cast(
-            "double"
-        )
-        varx_n = (n * F.col(f"__q{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")).cast(
-            "double"
-        )
-        vary_n = (n * F.col(f"__q{j}") - F.col(f"__s{j}") * F.col(f"__s{j}")).cast(
-            "double"
-        )
+        cov_d = _mom(f"__p{i}_{j}", f"__s{i}", f"__s{j}")
+        varx_d = _mom(f"__q{i}", f"__s{i}", f"__s{i}")
+        vary_d = _mom(f"__q{j}", f"__s{j}", f"__s{j}")
+        cov_n = cov_d.cast("double")
+        varx_n = varx_d.cast("double")
+        vary_n = vary_d.cast("double")
         rows.append(
             F.struct(
                 F.lit(a).alias("col_x"),
                 F.lit(b).alias("col_y"),
                 n.cast("bigint").alias("n"),
                 F.when(
+                    cov_d.isNull() | varx_d.isNull() | vary_d.isNull(),
+                    overflow_err,
+                )
+                .when(
                     (varx_n > 0) & (vary_n > 0),
                     cov_n / F.sqrt(varx_n * vary_n),
-                ).alias("corr"),
+                )
+                .alias("corr"),
             )
         )
     return (

@@ -260,6 +260,7 @@ def resample_gapfill(
     value_col: str,
     bucket_sec: int,
     how: str = "zero",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Regularize each key's series onto a bucket_sec grid spanning
     that key's [min, max] bucket, emitting one row per (key, bucket):
@@ -279,7 +280,9 @@ def resample_gapfill(
     observed = df.groupBy(F.col(key), bucket.alias("bucket_us")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents).alias("sum_cents"),
-        F.max_by(cents, F.struct(F.col(ts_col), F.col("event_id"))).alias(
+        # id_col is the within-timestamp tie-breaker (same contract as
+        # rolling_aggregates/cusum_flags/anomaly_flags' id columns)
+        F.max_by(cents, F.struct(F.col(ts_col), F.col(id_col))).alias(
             "__last"
         ),
     )

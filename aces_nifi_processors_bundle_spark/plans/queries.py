@@ -3041,16 +3041,13 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle counts + local clustering coefficient on
-    the co-supply graph (suppliers co-appearing in an order, kept when
-    support >= 1.25x the mean — stated exactly as 4*c*n >= 5*sum(c) so
-    the cutoff is integer arithmetic, scale-free across SFs).
-    Degree-ordered orientation bounds the wedge join at O(m^1.5)
-    regardless of hub skew (pipeline/graph.py::triangle_count)."""
-    from ..pipeline.graph import triangle_count
-
-    li = load_table(spark, sf_dir, "lineitem")
+def _cosupply_edges(li: DataFrame) -> DataFrame:
+    """Thresholded co-supply graph shared by q_triangle_count and
+    q_communities (single-sourced so the two queries — and their
+    oracle mirrors — can never desynchronize): suppliers co-appearing
+    in an order, kept when support >= 1.25x the mean, stated as
+    4*c*n >= 5*sum(c) so the cutoff is integer arithmetic and
+    scale-free across SFs."""
     pairs = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
     ).distinct()
@@ -3064,12 +3061,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = support.agg(
         F.sum("c").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
     )
-    edges = (
+    return (
         support.crossJoin(F.broadcast(tot))
         .where(F.col("c") * 4 * F.col("__cnt") >= F.col("__sum") * 5)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
-    return triangle_count(edges)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts + local clustering coefficient on
+    the thresholded co-supply graph (_cosupply_edges). Degree-ordered
+    orientation bounds the wedge join at O(m^1.5) regardless of hub
+    skew (pipeline/graph.py::triangle_count)."""
+    from ..pipeline.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(_cosupply_edges(li))
 
 
 def q_rolling_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3271,25 +3278,7 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    support = (
-        pairs.alias("a")
-        .join(pairs.alias("b"), "o")
-        .where(F.col("a.s") < F.col("b.s"))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = support.agg(
-        F.sum("c").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
-    )
-    edges = (
-        support.crossJoin(F.broadcast(tot))
-        .where(F.col("c") * 4 * F.col("__cnt") >= F.col("__sum") * 5)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
-    return label_propagation(edges, n_iter=3)
+    return label_propagation(_cosupply_edges(li), n_iter=3)
 
 
 # --- round 7: mergeable sketches ----------------------------------------

@@ -2732,3 +2732,30 @@ def test_hll_estimate_rejects_higher_precision_sketch(spark):
     sk10 = hll_sketch(df, "k", p=10)
     with pytest.raises(Exception, match="higher p|USER_RAISED"):
         hll_estimate(sk10, p=6).collect()  # noqa: B017 — py4j wraps it
+
+
+def test_corr_matrix_raises_loudly_on_moment_overflow(spark):
+    """Decimal(38,0) moment overflow must be a LOUD error, not a
+    silent NULL corr (exactness contract)."""
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        correlation_matrix,
+    )
+
+    big = 9.3e15  # cents ~9.3e17; squared ~8.6e35; x a few rows -> >1e38
+    df = spark.createDataFrame(
+        [Row(x=big + i, y=big - i) for i in range(500)]
+    )
+    # ANSI on: Spark's own aggregate overflow error (already loud).
+    with pytest.raises(
+        Exception, match="overflow|USER_RAISED|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        correlation_matrix(df, ["x", "y"]).collect()
+    # ANSI off (the silent-NULL regime the guard exists for): the
+    # try_* moments null out and the in-plan raise_error fires.
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="overflow|USER_RAISED"):
+            correlation_matrix(df, ["x", "y"]).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
