@@ -136,11 +136,39 @@ class KeyedParquetStore:
     # part-file count bounded without an operator remembering to call
     # compact(). None = manual compaction only.
     auto_compact_files: int | None = None
+    # GC amortization: _gc parses every RETAINED manifest and lists
+    # every segment dir — O(versions-in-retention-window) driver I/O.
+    # At the default 1 it runs on every commit (strictest reclamation,
+    # what the tests pin); a tight foreachBatch ingest (5s batches x
+    # 1h retention = ~720 retained manifests) should raise this to ~16
+    # so only every Nth commit pays the sweep — retention semantics
+    # are unchanged, deletion is merely deferred <= N commits.
+    gc_every_commits: int = 1
     # Test seam: called after a commit's segment write but before its
     # manifest publish — the window concurrent-reader tests probe.
     _pre_publish_hook: Callable[[], None] | None = field(
         default=None, repr=False, compare=False
     )
+
+    def __post_init__(self) -> None:
+        # the bucket count REQUESTED at construction: _require_manifest
+        # adopts the table's layout into self.n_buckets (any read/merge
+        # does), but a subsequent init() must honor what the caller
+        # asked for, not the layout of the table being replaced.
+        self._requested_n_buckets = self.n_buckets
+        self._commits_since_gc = 0
+
+    def _reject_reserved(self, df: DataFrame, op: str) -> None:
+        clash = [c for c in df.columns if c in (BUCKET_COL, ROUTE_COL)]
+        if clash:
+            raise ValueError(
+                f"store {self.path}: {op} input carries reserved "
+                f"column(s) {clash} — {BUCKET_COL!r} is the bucket "
+                f"partition id (a user column of that name would be "
+                f"overwritten by the hash and read back NULL, since it "
+                f"lands in directory names, not data files) and "
+                f"{ROUTE_COL!r} is the internal routing tag; rename them"
+            )
 
     def _bucket_of(self) -> Column:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
@@ -518,6 +546,10 @@ class KeyedParquetStore:
         `read(version=)` time travel is sound for every
         still-retained version (the Delta VACUUM-retention
         contract)."""
+        self._commits_since_gc += 1
+        if self._commits_since_gc < self.gc_every_commits:
+            return
+        self._commits_since_gc = 0
         root = Path(self.path)
         if not fs.exists(root):
             return
@@ -584,7 +616,11 @@ class KeyedParquetStore:
     # --- public API ----------------------------------------------------
 
     def init(self, df: DataFrame) -> None:
-        """Full (re)write of the table, bucketed by key hash."""
+        """Full (re)write of the table, bucketed by key hash — at the
+        CONSTRUCTOR's n_buckets even if an earlier read of the old
+        table adopted a different layout into this handle."""
+        self._reject_reserved(df, "init")
+        self.n_buckets = self._requested_n_buckets
         with self._write_lock():
             fs, Path = self._fs()
             self._gc(fs, Path)
@@ -779,6 +815,7 @@ class KeyedParquetStore:
                 f"store keys={self.keys} (bucket pruning hashes the store "
                 "keys; a mismatched merge would read the wrong buckets)"
             )
+        self._reject_reserved(source, "merge")
         with self.provenance.send(self.path, detail="merge") as ctx, self._write_lock():
             fs, Path = self._fs()
             self._gc(fs, Path)
@@ -872,7 +909,11 @@ class KeyedParquetStore:
                 {
                     **man,
                     "version": man["version"] + 1,
-                    "schema": self._evolved_schema(man, out),
+                    # `evolved` was already computed for the widening
+                    # check from the same frame (out minus the bucket
+                    # col) — recomputing _evolved_schema here would be
+                    # duplicate JVM work and a drift risk.
+                    "schema": evolved.json(),
                     "buckets": new_buckets,
                     "txns": self._txn_advance(man, txn),
                 },
@@ -880,7 +921,16 @@ class KeyedParquetStore:
             )
             ctx["n_rows"] = int(m["updated"] or 0) + int(m["inserted"] or 0)
         if self.auto_compact_files is not None:
-            self.compact_if(self.auto_compact_files)
+            # Best-effort maintenance AFTER the published commit: a
+            # concurrent writer grabbing the lock here must not make a
+            # SUCCESSFUL merge look failed — a foreachBatch caller
+            # would replay the batch (and without a txn id, double-
+            # apply $inc). The skipped compaction happens on a later
+            # commit.
+            try:
+                self.compact_if(self.auto_compact_files)
+            except ConcurrentWriterError:
+                pass
         return MergeMetrics(
             updated=int(m["updated"] or 0),
             unmodified=int(m["unmodified"] or 0),
@@ -904,6 +954,7 @@ class KeyedParquetStore:
         naturally replay-safe ONLY when the replayed batch carries the
         same keys; the txn guard makes it safe unconditionally and
         skips the duplicate-check read entirely on replay)."""
+        self._reject_reserved(source, "put_if_absent")
         with self.provenance.send(self.path, detail="put-if-absent") as ctx, self._write_lock():
             fs, Path = self._fs()
             self._gc(fs, Path)
@@ -925,16 +976,32 @@ class KeyedParquetStore:
             # them silently would lose data, and an added column is a
             # scan-safe evolution (old files read it as NULL). The
             # evolved-schema union below picks the new fields up.
-            base_fields = self._schema(man).fieldNames()
+            base = self._schema(man)
+            base_fields = base.fieldNames()
             extra_fields = [
                 c
                 for c in source.columns
                 if c not in base_fields and c != ROUTE_COL
             ]
+            # Partial documents are legal inserts (the reference's
+            # insertOne accepts any document shape): base columns the
+            # source lacks are NULL-filled at the table's type — the
+            # same contract merge()'s upsert path applies — instead of
+            # failing the whole batch on an unresolvable column. Keys
+            # are always present (the dedup anti-join resolved them).
+            src_cols = set(source.columns)
             inserted_rows = (
                 observed.filter(route == "success")
                 .drop(ROUTE_COL)
-                .select(*base_fields, *extra_fields)
+                .select(
+                    *[
+                        F.col(f.name)
+                        if f.name in src_cols
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in base.fields
+                    ],
+                    *extra_fields,
+                )
             )
             evolved = StructType.fromJson(
                 json.loads(self._evolved_schema(man, inserted_rows))
@@ -1011,7 +1078,10 @@ class KeyedParquetStore:
             )
             ctx["n_rows"] = int(m["inserted"] or 0)
         if self.auto_compact_files is not None:
-            self.compact_if(self.auto_compact_files)
+            try:  # best-effort post-commit maintenance (see merge())
+                self.compact_if(self.auto_compact_files)
+            except ConcurrentWriterError:
+                pass
         return MergeMetrics(
             updated=0,
             unmodified=int(m["dupes"] or 0),

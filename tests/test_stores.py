@@ -951,3 +951,106 @@ def test_auto_compact_bounds_bucket_files(spark, tmp_path):
     assert store.compact_if(max_files=1) >= 1
     assert store._max_bucket_files() == 1
     assert store.read().count() == 24
+
+
+# --- round-7 review hardening -------------------------------------------
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    """A user column named _bucket would be overwritten by the hash
+    and read back NULL (it lands in directory names); _route is the
+    internal tag. Both are rejected loudly on every write path."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    bad = spark.createDataFrame([Row(k=1, _bucket=9)])
+    with pytest.raises(ValueError, match="reserved"):
+        store.init(bad)
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    with pytest.raises(ValueError, match="reserved"):
+        store.merge(bad.withColumnRenamed("_bucket", "_route"), cfg)
+    with pytest.raises(ValueError, match="reserved"):
+        store.put_if_absent(bad)
+
+
+def test_put_if_absent_accepts_partial_documents(spark, tmp_path):
+    """Insert-with-duplicate-check takes ANY document shape (the
+    reference's insertOne contract): base columns the batch lacks are
+    NULL-filled at the table's type instead of failing the batch."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=4
+    )
+    store.init(
+        spark.createDataFrame([Row(k=1, v=1.0, extra="a")])
+    )
+    m = store.put_if_absent(spark.createDataFrame([Row(k=2, v=2.0)]))
+    assert m.inserted == 1
+    got = {r["k"]: r for r in store.read().collect()}
+    assert got[2]["extra"] is None and got[1]["extra"] == "a"
+
+
+def test_reinit_honors_constructor_bucket_count(spark, tmp_path):
+    """read() adopts the existing table's layout into the handle, but
+    a subsequent init() must use the CONSTRUCTOR's n_buckets — the
+    caller asked for a re-bucketing, not a copy of the old layout."""
+    path = str(tmp_path / "t")
+    old = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=16)
+    old.init(spark.createDataFrame([Row(k=i) for i in range(10)]))
+    new = KeyedParquetStore(spark=spark, path=path, keys=["k"], n_buckets=4)
+    assert new.read().count() == 10  # adoption: handle now carries 16
+    new.init(spark.createDataFrame([Row(k=i) for i in range(10)]))
+    fs, Path = new._fs()
+    assert int(new._latest_manifest(fs, Path)["n_buckets"]) == 4
+
+
+def test_gc_every_commits_amortizes_the_sweep(spark, tmp_path, monkeypatch):
+    """gc_every_commits=N runs the full GC sweep only every Nth
+    commit (retention unchanged, deletion deferred <= N commits)."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2,
+        gc_every_commits=3,
+    )
+    sweeps = {"n": 0}
+    orig = KeyedParquetStore._latest_manifest
+
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+    # count sweeps via the root-listing the full pass always does:
+    # instrument _manifest_droppable (only called inside the sweep)
+    orig_drop = KeyedParquetStore._manifest_droppable
+
+    def counting(self, *a, **kw):
+        sweeps["n"] += 1
+        return orig_drop(self, *a, **kw)
+
+    monkeypatch.setattr(KeyedParquetStore, "_manifest_droppable", counting)
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    for i in range(6):
+        store.merge(spark.createDataFrame([Row(k=1, v=float(i))]), cfg)
+    assert sweeps["n"] == 2  # 6 commits / every 3rd
+
+
+def test_merge_succeeds_even_if_auto_compaction_loses_the_lock(
+    spark, tmp_path, monkeypatch
+):
+    """Auto-compaction runs AFTER the manifest published; a concurrent
+    writer racing it must not turn the committed merge into an error
+    (a foreachBatch caller would replay the batch)."""
+    from aces_nifi_processors_bundle_spark.stores.keyed_table import (
+        ConcurrentWriterError,
+    )
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2,
+        auto_compact_files=1,
+    )
+    store.init(spark.createDataFrame([Row(k=1, v=1.0)]))
+
+    def raise_concurrent(self, max_files=4):
+        raise ConcurrentWriterError("second writer holds the lock")
+
+    monkeypatch.setattr(KeyedParquetStore, "compact_if", raise_concurrent)
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"}, upsert=True)
+    m = store.merge(spark.createDataFrame([Row(k=1, v=9.0)]), cfg)
+    assert m.updated == 1  # the commit is reported, not the race
+    assert store.read().collect()[0]["v"] == 9.0
