@@ -193,11 +193,26 @@ def _sql(spark: SparkSession, df: DataFrame, *, query: str) -> DataFrame:
         spark.catalog.dropTempView(view)
 
 
+def _pick_relationship(routed, relationship: str, op: str) -> DataFrame:
+    """Select one port of a routed result with an actionable error —
+    the same contract the `route` stage gives mis-typed port names."""
+    have = routed.relationships()
+    if relationship not in have:
+        raise KeyError(
+            f"{op}: no relationship {relationship!r}; have {sorted(have)}"
+        )
+    return routed[relationship]
+
+
 @stage("attrs_to_json")
 def _attrs(
     spark: SparkSession, df: DataFrame, *, relationship: str = "success", **cfg: Any
 ) -> DataFrame:
-    return attributes_to_json(df, AttributesToJsonConfig(**cfg))[relationship]
+    return _pick_relationship(
+        attributes_to_json(df, AttributesToJsonConfig(**cfg)),
+        relationship,
+        "attrs_to_json",
+    )
 
 
 @stage("security_marking")
@@ -209,9 +224,11 @@ def _marking(
     marking_col: str,
     **cfg: Any,
 ) -> DataFrame:
-    return convert_security_marking(df, marking_col, SecurityMarkingConfig(**cfg))[
-        relationship
-    ]
+    return _pick_relationship(
+        convert_security_marking(df, marking_col, SecurityMarkingConfig(**cfg)),
+        relationship,
+        "security_marking",
+    )
 
 
 @stage("bin")
@@ -681,9 +698,16 @@ _ROUTED_OPS: dict[str, Callable[..., Any]] = {
         df, AttributesToJsonConfig(**cfg)
     ),
     "security_marking": lambda spark, df, cfg: convert_security_marking(
-        df, cfg.pop("marking_col"), SecurityMarkingConfig(**cfg)
+        df, _require_cfg(cfg, "marking_col", "security_marking"),
+        SecurityMarkingConfig(**cfg),
     ),
 }
+
+
+def _require_cfg(cfg: dict, key: str, op: str):
+    if key not in cfg:
+        raise KeyError(f"route using {op!r}: missing required key {key!r}")
+    return cfg.pop(key)
 
 
 @stage("validate")
@@ -709,12 +733,19 @@ def _validate(
     for c in checks:
         c = dict(c)
         kind = c.pop("kind")
-        ctor = getattr(V, kind, None)
-        if ctor is None or kind in ("run_checks", "Check"):
+        # ALLOWLIST, not getattr-with-blocklist: the module namespace
+        # also holds F/dataclass/etc., and a typo like "field" would
+        # otherwise construct an unrelated object that explodes later
+        # without this stage's contextual message.
+        allowed = (
+            "not_null", "unique", "in_range", "accepted_values",
+            "matches_regex", "satisfies", "foreign_key",
+        )
+        ctor = getattr(V, kind, None) if kind in allowed else None
+        if ctor is None:
             raise KeyError(
                 f"validate: unknown check kind {kind!r}; have "
-                "not_null/unique/in_range/accepted_values/matches_regex/"
-                "satisfies/foreign_key"
+                + "/".join(allowed)
             )
         if kind == "foreign_key":
             tag = c["parent"]
@@ -738,11 +769,12 @@ def _rolling(
     value_col: str = "value",
     window_sec: int = 3600,
     chunk_sec: int | None = None,
+    id_col: str = "event_id",
 ) -> DataFrame:
     from .pipeline.timeseries import rolling_aggregates
 
     return rolling_aggregates(df, key, ts_col, value_col, window_sec,
-                              chunk_sec)
+                              chunk_sec, id_col)
 
 
 @stage("ewma")
@@ -994,6 +1026,7 @@ def _classify(
         # would come from whatever slice happens to fit). Both now
         # raise at first execution instead.
         from pyspark.sql import Window as _W
+        from pyspark.sql import functions as F
 
         _dups = F.count(F.lit(1)).over(_W.partitionBy("bucket"))
         w = w.select(
@@ -1195,10 +1228,13 @@ def _topk(
     if tiebreak:
         order.append(F.asc(tiebreak))
     w = Window.partitionBy(group).orderBy(*order)
+    rk = "__rk"
+    while rk in df.columns:  # never clobber a user column
+        rk += "_"
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= k)
+        .drop(rk)
     )
 
 
@@ -1223,6 +1259,8 @@ def build_flow(
         if op == "tag":
             if df is None:
                 raise ValueError(f"stage {i}: 'tag' before any frame exists")
+            if "name" not in spec:
+                raise KeyError(f"stage {i}: 'tag' needs a 'name' key")
             named[spec["name"]] = df
             continue
         if op == "route":
@@ -1263,6 +1301,8 @@ def build_flow(
         if op == "use":
             # Resume a tagged branch as the mainline — wiring any
             # stored relationship into the next downstream stage.
+            if "tag" not in spec:
+                raise KeyError(f"stage {i}: 'use' needs a 'tag' key")
             name = spec["tag"]
             if name not in named:
                 raise KeyError(

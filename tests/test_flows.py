@@ -541,3 +541,56 @@ def test_flow_unpivot_and_topk_stages(spark, sf_dir):
     ], sf_dir)
     assert set(melted.columns) == {"l_orderkey", "measure", "value"}
     assert melted.select("measure").distinct().count() == 2
+
+
+def test_flow_error_paths_carry_context_and_classify_weights_work(
+    spark, sf_dir, tmp_path
+):
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.classify import hash_weights
+
+    # classify with a weights_path parquet (the production path —
+    # previously crashed with NameError on the F import)
+    wpath = str(tmp_path / "weights")
+    hash_weights(spark, 64, 7).write.parquet(wpath)
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "classify", "n_buckets": 64, "weights_path": wpath},
+    ], sf_dir)
+    assert out.count() > 0
+
+    # out-of-range weight bucket raises LAZILY with a clear message
+    bad = str(tmp_path / "bad_weights")
+    hash_weights(spark, 4096, 7).write.parquet(bad)
+    lazy = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "classify", "n_buckets": 64, "weights_path": bad},
+    ], sf_dir)
+    with pytest.raises(Exception, match="out of range|USER_RAISED"):
+        lazy.collect()
+
+    # typo'd relationship names get actionable errors
+    with pytest.raises(KeyError, match="no relationship 'succes'"):
+        build_flow(spark, [
+            {"op": "load", "table": "events"},
+            {"op": "attrs_to_json", "relationship": "succes",
+             "string_attrs": ["event_type"]},
+        ], sf_dir)
+    # tag/use missing keys carry stage context
+    with pytest.raises(KeyError, match="stage 1: 'tag' needs"):
+        build_flow(spark, [{"op": "load", "table": "events"},
+                           {"op": "tag"}], sf_dir)
+    # validate rejects namespace attrs that aren't check kinds
+    with pytest.raises(KeyError, match="unknown check kind 'field'"):
+        build_flow(spark, [
+            {"op": "load", "table": "orders"},
+            {"op": "validate", "checks": [{"kind": "field"}]},
+        ], sf_dir)
+    # topk never clobbers a user __rk column
+    got = build_flow(spark, [
+        {"op": "load", "table": "part"},
+        {"op": "sql", "query": "SELECT p_brand, p_partkey, p_retailprice, 1 AS __rk FROM __this__"},
+        {"op": "topk", "group": "p_brand", "order_by": "p_retailprice",
+         "k": 1, "tiebreak": "p_partkey"},
+    ], sf_dir)
+    assert "__rk" in got.columns and got.count() > 0
