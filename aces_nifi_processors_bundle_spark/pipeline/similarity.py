@@ -13,8 +13,11 @@ Two paths, per the north star:
   the whole corpus (all-pairs). Sketches are computed by an
   Arrow-vectorized pandas UDF (one numpy matmul per batch: measured
   ~100× faster than per-element Catalyst lambdas for 64 planes), then
-  candidates are pre-filtered by sketch Hamming distance (bit_count of
-  xor — pure codegen) so the exact cosine only runs on survivors.
+  in the near-dup/SemDeDup paths candidates are additionally
+  pre-filtered by sketch Hamming distance (bit_count of xor — pure
+  codegen) so the exact cosine only runs on survivors; lsh_topk skips
+  the prefilter (its band join already bounds candidates and a top-k
+  needs every surviving score anyway).
 
 Exact cosine uses F.aggregate over F.zip_with — a sequential fold,
 bit-identical to DuckDB's list_cosine_similarity on DOUBLE lists,
@@ -176,7 +179,12 @@ def sketch_udf(dim: int, n_planes: int = 64):
 def _band_keys(sk: Column, n_planes: int, n_bands: int) -> Column:
     """Array of per-band integer keys from a sketch (band id in the
     high bits so keys from different bands never collide)."""
-    assert n_planes % n_bands == 0
+    if n_bands < 1 or n_planes % n_bands != 0:
+        # not an assert: under python -O a silent band_bits=0 would
+        # degenerate every band join to the full n^2 cross product
+        raise ValueError(
+            f"n_bands must divide n_planes, got {n_planes=} {n_bands=}"
+        )
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
     return F.array(
@@ -366,8 +374,6 @@ def ivf_train(
     squared norm sequentially over dim — the same fold order as
     DuckDB's list_inner_product — keeping every derived double
     bit-exact across engines."""
-    import math
-
     cents = _ivf_centroids(dim, n_centroids)
     v = corpus.filter(F.col(vec_col).isNotNull()).select(
         as_double(F.col(vec_col)).alias("v")
@@ -417,11 +423,15 @@ def ivf_objective(
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pd.Series(np.max(_cell_dots(mat, cents), axis=1))
 
-    return float(
-        corpus.select(_best(as_double(F.col(vec_col))).alias("b"))
-        .agg(F.avg("b"))
+    row = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(_best(as_double(F.col(vec_col))).alias("b"))
+        .agg(F.avg(F.when(~F.isnan("b"), F.col("b"))))
         .collect()[0][0]
     )
+    if row is None:
+        raise ValueError("ivf_objective: no non-null vectors to score")
+    return float(row)
 
 
 def ivf_write_index(
@@ -597,10 +607,16 @@ def ivf_topk(
     listed (plan-asserted in tests/test_pipeline.py); the per-query
     cid join then refines within the pruned read."""
     probe = ivf_probe_udf(dim, n_centroids, n_probe, centroids)
-    probes = queries.filter(F.col(vec_col).isNotNull()).select(
+    # the n_probe fan-out carries ONLY (query_id, cid); the dim-wide
+    # vector joins back at scoring time, so the broadcast is
+    # |queries| x dim once — not duplicated per probed cell (the same
+    # don't-ship-vectors-through-the-fanout rule lsh_topk documents)
+    qframe = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-        F.explode(probe(as_double(F.col(vec_col)))).alias("cid"),
+    )
+    probes = qframe.select(
+        "query_id", F.explode(probe(F.col("qv"))).alias("cid")
     )
     if cells_path is not None:
         spark = corpus.sparkSession
@@ -634,6 +650,7 @@ def ivf_topk(
         F.broadcast(probes)
         .join(cells, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qframe), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -698,9 +715,15 @@ def embedding_near_dups(
     va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     survivors = pairs.select("id_a", "id_b").join(va, "id_a").join(vb, "id_b")
-    return survivors.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
-    ).filter(F.col("cos") >= threshold)
+    return (
+        survivors.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        # Spark orders NaN above every value, so a NaN cosine (a NaN
+        # vector component; zero-norms are already NULL) would pass a
+        # bare >= threshold and flag a false near-dup
+        .filter(~F.isnan("cos") & (F.col("cos") >= threshold))
+    )
 
 
 def cluster_corpus(
@@ -809,17 +832,27 @@ def semantic_dedup(
             "cluster_id", F.col("vid").alias("id_b"), F.col("v").alias("vb")
         )
         pairs = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    pair_cos = cosine(F.col("va"), F.col("vb"))
     dropped = (
-        pairs.filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        pairs.filter(~F.isnan(pair_cos) & (pair_cos >= F.lit(threshold)))
         .select(F.col("id_b").alias("vid"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )
-    return base.join(dropped, "vid", "left").select(
+    verdicts = base.join(dropped, "vid", "left").select(
         F.col("vid").alias(id_col),
         "cluster_id",
         (~F.coalesce(F.col("_dropped"), F.lit(False))).alias("keep"),
     )
+    # NULL-embedding docs are not semantic duplicates of anything: emit
+    # them with keep=true (cluster NULL) instead of silently omitting
+    # them — a curator semi-joining on keep=true must not lose them.
+    nulls = df.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    return verdicts.unionByName(nulls)
 
 
 # --------------------------------------------------------------------------
@@ -886,6 +919,11 @@ def _pq_subrows(
 ) -> DataFrame:
     """(id, sub, sv): each vector split into its m subvectors — a
     static slice list (codegen), fanned out with ONE posexplode."""
+    if m < 1 or dim % m != 0:
+        # validated HERE (the shared fan-out every PQ path goes
+        # through) so ivfpq_topk / pq_train / pq_encode can't silently
+        # truncate the vector tail the way a bare dim // m would
+        raise ValueError(f"dim ({dim}) must divide evenly into m ({m}) subspaces")
     dsub = dim // m
     slices = F.array(
         *[F.slice(as_double(F.col(vec_col)), s * dsub + 1, dsub) for s in range(m)]
@@ -1080,18 +1118,13 @@ def _adc_rank(
     qsub = _pq_subrows(
         queries, dim, m, vec_col, id_col
     ).withColumnRenamed(id_col, "query_id")
-    fold_sq = lambda a: F.aggregate(  # noqa: E731 — Σx², sequential
-        a, F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    fold_dot = lambda a, b: F.aggregate(  # noqa: E731 — Σaᵢbᵢ, sequential
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # dot() IS the module's exactness-critical sequential fold; the
+    # squared norm is dot(a, a) (same multiply-then-accumulate order),
+    # so the ADC tables share one implementation with the cosine path.
     d2 = (
-        fold_sq(F.col("sv"))
-        - F.lit(2.0) * fold_dot(F.col("sv"), F.col("cv"))
-        + fold_sq(F.col("cv"))
+        dot(F.col("sv"), F.col("sv"))
+        - F.lit(2.0) * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
     )
     dtab = qsub.join(cb_df, "sub").select(
         "query_id", "sub", "code", d2.cast("decimal(38,18)").alias("d2")
@@ -1206,7 +1239,7 @@ def semantic_decontaminate(
     )
     best = _topk_per_query(scored, k=1)
     return (
-        best.where(F.col("cos") >= threshold)
+        best.where(~F.isnan("cos") & (F.col("cos") >= threshold))
         .select(
             F.col("query_id").alias(id_col),
             F.col("neighbor_id").alias("eval_id"),

@@ -163,8 +163,10 @@ def test_ivf_topk_cells_path_prunes_and_matches_inline(spark, sf_dir, tmp_path):
     )
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
-    seg = plan.split("PartitionFilters", 1)[1][:300]
-    assert "cid" in seg and "IN" in seg.upper()
+    # the plan carries several parquet scans (queries, index); the
+    # cid-partitioned INDEX scan must show the IN-list pruning
+    segs = [sg[:300] for sg in plan.split("PartitionFilters")[1:]]
+    assert any("cid" in sg and "IN" in sg.upper() for sg in segs), plan
 
 
 def test_ivf_append_index_searchable_and_still_pruned(spark, sf_dir, tmp_path):
@@ -2759,3 +2761,36 @@ def test_corr_matrix_raises_loudly_on_moment_overflow(spark):
             correlation_matrix(df, ["x", "y"]).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_nan_vectors_never_flag_false_positives(spark):
+    """Spark orders NaN above every value, so a NaN cosine must be
+    rejected explicitly by every >= threshold path (near-dups,
+    SemDeDup, semantic decontamination)."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        semantic_decontaminate,
+        semantic_dedup,
+    )
+
+    nan = float("nan")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [nan, 1.0]), (3, [0.0, 1.0]), (4, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [nan, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert semantic_decontaminate(corpus, evals, 0.5).count() == 0
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(corpus, dim=2, n_centroids=2, threshold=0.9).collect()}
+    assert all(r["keep"] for r in out.values())  # NaN pairs drop nothing
+    assert 4 in out and out[4]["keep"]  # NULL embedding present, kept
+
+
+def test_ivfpq_rejects_nondividing_dim(spark, sf_dir):
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="divide evenly"):
+        # dim % m != 0 previously truncated the vector tail silently
+        ivfpq_topk(emb, emb.limit(2), dim=63, m=8).collect()
