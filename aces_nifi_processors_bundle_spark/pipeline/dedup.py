@@ -52,16 +52,16 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one doc per identical text (the min-id row)."""
+    """Keep one doc per identical text (the min-id row). Ids are
+    unique, so the semi-join needs only the elected keeper ids — and
+    joining on the id alone is also NULL-SAFE: the previous
+    hash-equality condition (md5(NULL) = NULL is never true) silently
+    deleted EVERY null-text doc, keeper included, instead of keeping
+    one."""
     groups = exact_dup_groups(df, text_col, id_col).select(
-        "text_hash", F.col("keeper").alias(id_col)
+        F.col("keeper").alias(id_col)
     )
-    return df.join(
-        groups,
-        (F.md5(F.col(text_col)) == F.col("text_hash"))
-        & (df[id_col] == groups[id_col]),
-        "left_semi",
-    )
+    return df.join(groups, id_col, "left_semi")
 
 
 def minhash_signatures(
@@ -120,7 +120,12 @@ def minhash_lsh_candidates(
     docs still pair via their other, more selective bands). None = off,
     which keeps the operator exact for the oracle-checked queries.
     """
-    assert num_hashes % band_size == 0
+    if band_size < 1 or num_hashes % band_size != 0:
+        # not an assert: under python -O silently unbanded hashes
+        # would lower recall with no error
+        raise ValueError(
+            f"band_size must divide num_hashes, got {num_hashes=} {band_size=}"
+        )
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     n_bands = num_hashes // band_size
     band_entries = sigs.select(
@@ -233,16 +238,19 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
 
-    persist_intermediates: at corpus scale the candidate set feeds two
-    joins and the shingle sets feed both sides of the verify join —
-    without persistence Spark recomputes the whole upstream per
-    consumer (profiled 3× total work at 100k docs). Lazy-exact for the
+    persist_intermediates: at corpus scale the shingle-set frame
+    feeds BOTH sides of the verify join — without persistence Spark
+    recomputes the whole upstream per consumer (profiled 3x total work
+    at 100k docs). The candidate frame itself appears exactly once in
+    the final plan, so it is deliberately NOT persisted (caching a
+    potentially huge pair set that is never re-read would be pure
+    block-manager overhead). Persisted frames live until the session
+    drops them — long-lived sessions calling this repeatedly should
+    spark.catalog.clearCache() between corpora. Lazy-exact for the
     oracle either way."""
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, band_size, k, max_bucket
     )
-    if persist_intermediates:
-        cands = cands.persist()
     verified = ngram_jaccard(
         df, cands, text_col, id_col, k, persist_sets=persist_intermediates
     )
@@ -294,8 +302,8 @@ def near_dup_pairs_ngram(
     cands = _pairs_within_groups(
         rows, "shingle", id_col, bounded=max_df is not None
     )
-    if persist_intermediates:
-        cands = cands.persist()
+    # cands is consumed once (see near_dup_pairs_minhash) — only the
+    # doubly-consumed rows/sets frames earn their cache
     verified = ngram_jaccard(
         df, cands, text_col, id_col, k, persist_sets=persist_intermediates
     )
@@ -386,6 +394,18 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: min-label
+        # propagation advances one hop per round, so a component whose
+        # BFS depth exceeds max_iter would SILENTLY splinter into
+        # multiple clusters (dedup would keep extra copies) — the
+        # no-silent-caps rule says fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters: labels still changing after "
+            f"{max_iter} sweeps (a component's diameter exceeds "
+            "max_iter) — raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
@@ -457,6 +477,12 @@ def simhash_near_dups(
     the one-shuffle in-task strategy, safe because the cap bounds the
     per-bucket array. None = exact (every collision considered).
     """
+    if not 0 <= max_hamming < SIMHASH_BITS // 2:
+        # seg_bits = 0 would give every doc identical segment keys —
+        # the join degenerates to a full corpus self-join, silently
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BITS // 2}), got {max_hamming}"
+        )
     n_seg = max_hamming + 1
     seg_bits = SIMHASH_BITS // n_seg
     fp = simhash_fingerprints(df, text_col, id_col, k)
@@ -677,6 +703,13 @@ def duplicate_passages(
     from .text import chunk_documents
 
     chunks = chunk_documents(df, text_col, id_col, passage_tokens, overlap=0)
+    # contentless chunks are not shared passages: without the filter,
+    # every empty/whitespace doc lands in the md5('') group and every
+    # NULL-text doc in a NULL-hash group — on a real crawl those two
+    # junk rows would dominate the report with n_docs in the millions
+    chunks = chunks.where(
+        F.col("chunk_text").isNotNull() & (F.trim(F.col("chunk_text")) != "")
+    )
     return (
         chunks.groupBy(F.md5(F.col("chunk_text")).alias("passage_hash"))
         .agg(

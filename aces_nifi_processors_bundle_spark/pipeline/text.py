@@ -294,8 +294,17 @@ def shingle_rows(
     downstream groupBy(id) aggregations combine map-side back to ~one
     row per doc before any shuffle, so the exploded form never crosses
     the wire. (The alternative — window functions over posexploded
-    words — shuffles every word.)"""
-    return df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    words — shuffles every word.)
+
+    NULL-text docs produce ZERO rows (the whole-text fallback shingle
+    of a NULL text is NULL — not content): without the filter they
+    all shared one NULL shingle, giving every null-text doc identical
+    MinHash signatures and SimHash fingerprint 0 — n^2 spurious
+    "near-dup" pairs of contentless documents. Exact dedup still
+    handles them (md5-group semantics)."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def fingerprint(text: Column, k: int = 3) -> Column:

@@ -987,7 +987,10 @@ def test_similarity_paths_tolerate_null_and_zero_vectors(spark):
     lsh_topk(df, q, dim=4, k=2, n_planes=16, n_bands=4).collect()
     embedding_near_dups(df, dim=4, threshold=0.9, n_planes=16, n_bands=4).collect()
     out = semantic_dedup(df, dim=4, n_centroids=2, threshold=0.99, n_planes=16)
-    assert out.filter("vec_id = 3").count() == 0     # null row excluded, not fatal
+    nrow = out.filter("vec_id = 3").collect()
+    # null-embedding doc present with keep=true (it is no one's
+    # semantic duplicate) — a keep=true semi-join must not lose it
+    assert len(nrow) == 1 and nrow[0]["keep"] and nrow[0]["cluster_id"] is None
     cluster_corpus(df, dim=4, n_centroids=2).collect()
 
 
@@ -2794,3 +2797,40 @@ def test_ivfpq_rejects_nondividing_dim(spark, sf_dir):
     with pytest.raises(ValueError, match="divide evenly"):
         # dim % m != 0 previously truncated the vector tail silently
         ivfpq_topk(emb, emb.limit(2), dim=63, m=8).collect()
+
+
+def test_dedup_paths_handle_null_and_empty_text(spark):
+    """NULL-text docs: exact dedup keeps the keeper (it previously
+    deleted the whole group); near-dup paths produce NO contentless
+    pairs; duplicate_passages reports no junk groups; non-convergent
+    clustering raises instead of silently splintering."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        dedup_exact,
+        duplicate_passages,
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        simhash_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None),
+         (5, ""), (6, ""), (7, "other words entirely")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert 3 in kept and 4 not in kept          # NULL group deduped, not lost
+    assert 5 in kept and 6 not in kept          # empty-text group too
+    mh = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df).collect()}
+    sh = {(r.id_a, r.id_b) for r in simhash_near_dups(df).collect()}
+    assert (3, 4) not in mh and (3, 4) not in sh  # no contentless pairs
+    assert (1, 2) in mh and (1, 2) in sh          # real dups still pair
+    assert duplicate_passages(df, passage_tokens=3).count() == 1  # only 'same text'
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        near_dup_clusters(chain, max_iter=3)
+    with pytest.raises(ValueError, match="band_size"):
+        minhash_lsh_candidates(df, num_hashes=8, band_size=3)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(df, max_hamming=60)
