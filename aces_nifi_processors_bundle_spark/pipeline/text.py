@@ -69,10 +69,11 @@ def token_count_bpe_ish(text: Column) -> Column:
 #
 # Scale shape: the fold runs once per DISTINCT word piece (the Zipf
 # economy of natural text — token counting is vocabulary-bounded, not
-# corpus-bounded), with a contains() prune so each word only pays for
-# merges whose concatenation appears in it as a substring (adjacent
-# symbols are always contiguous in the original word). The merges
-# table itself is a literal in the expression — effectively broadcast.
+# corpus-bounded). Every distinct word pays the full replace chain
+# (one literal replace per merge — a contains() prune was considered
+# and rejected: the branch costs as much as the no-op replace). The
+# merges table itself is a literal in the expression — effectively
+# broadcast.
 
 BPE_MERGES: list[tuple[str, str]] = [
     # single-char pairs (any order valid)
@@ -183,14 +184,21 @@ def bpe_token_counts(
 
 
 def occurrences(text: Column, word: str) -> Column:
-    r"""Whole-word occurrence count via a \s-delimited regex. Known
-    approximation: the pattern consumes its trailing space, so n
+    r"""Whole-word occurrence count via a whitespace-delimited regex.
+    Known approximation: the pattern consumes its trailing space, so n
     ADJACENT repeats ('the the the') count ceil(n/2) — acceptable for
     ratio features (repetition_ratio catches pathological repeats),
     and kept because the lookaround fix is inexpressible in RE2, which
-    the DuckDB oracle runs on. Both engines mirror the same rule."""
+    the DuckDB oracle runs on. The whitespace class is spelled
+    explicitly (Java's \s includes \x0B, RE2's does not — the
+    gopher_quality divergence) and the word is regex-escaped (a
+    metachar in a caller-supplied stopword must match literally, not
+    crash RE2)."""
+    import re as _re
+
+    ws = r"[ \t\n\x0B\f\r]"
     padded = F.concat(F.lit(" "), text, F.lit(" "))
-    return F.regexp_count(padded, F.lit(rf"\s{word}\s"))
+    return F.regexp_count(padded, F.lit(ws + _re.escape(word) + ws))
 
 
 def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
@@ -278,10 +286,19 @@ def _shingle_regex(k: int) -> str:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle array; documents shorter than k words get one
-    whole-text shingle. regexp_extract_all does the overlapping-window
-    work in a single codegen'd pass (see _shingle_regex)."""
-    grams = F.regexp_extract_all(F.trim(text), F.lit(_shingle_regex(k)), 1)
-    return F.when(F.size(grams) > 0, grams).otherwise(F.array(F.trim(text)))
+    whole-text shingle; NULL/empty/whitespace-only docs get the EMPTY
+    array — a contentless fallback shingle would give every such doc
+    identical signatures and n^2 spurious near-dup pairs (same failure
+    class as the NULL-shingle filter in shingle_rows). regexp_extract_all
+    does the overlapping-window work in a single codegen'd pass (see
+    _shingle_regex)."""
+    t = F.trim(text)
+    grams = F.regexp_extract_all(t, F.lit(_shingle_regex(k)), 1)
+    return (
+        F.when(F.size(grams) > 0, grams)
+        .when(t.isNotNull() & (t != ""), F.array(t))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def shingle_rows(
@@ -356,11 +373,20 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-kind match counts (audit trail for the scrub)."""
-    return {
-        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(kind)
-        for kind, pat, _ in PII_PATTERNS
-    }
+    """Per-kind REDACTION counts — each pattern is counted on the text
+    AFTER the preceding patterns' replacements (the same sequential
+    order redact_pii applies), so the counts equal what the scrub
+    actually replaced. Independent raw-text counts would double-book
+    overlaps (an email's digit tail also matching the phone pattern
+    claims a phone redaction that never happens)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for kind, pat, repl in PII_PATTERNS:
+        out[kind] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+        ).alias(kind)
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
 
 
 # --- Corpus-statistics term extraction ---------------------------------
@@ -459,8 +485,15 @@ def chunk_documents(
     higher-order functions evaluate interpreted per element, while
     the Generate row copies stay inside codegen.
     """
-    assert 0 <= overlap < chunk_tokens
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap=} {chunk_tokens=}")
     stride = chunk_tokens - overlap
+    # contentless docs yield ZERO chunks: split('', ' ') is [''] (one
+    # bogus 1-token chunk) and a NULL text slips a chunk_tokens-sized
+    # phantom through least()'s NULL-skipping into token accounting
+    df = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
     words = F.split(F.trim(F.col(text_col)), " ")
     n = F.size(words)
     n_chunks = F.greatest(
@@ -553,7 +586,7 @@ def canonical_text(text: Column) -> Column:
 
 
 def char_trigram_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str | None = "doc_id"
 ) -> DataFrame:
     """(id, tri) rows — every overlapping character trigram. Uses
     sequence+substring explode (codegen generator) rather than a
@@ -562,14 +595,16 @@ def char_trigram_rows(
     NOT normalized: Java and utf8proc lowercasing disagree on enough
     of Unicode to poison cross-engine checks, and a case-sensitive
     model is fine for ranking."""
-    base = df.select(F.col(id_col), F.col(text_col).alias("_t")).filter(
+    ids = [F.col(id_col)] if id_col is not None else []
+    id_names = [id_col] if id_col is not None else []
+    base = df.select(*ids, F.col(text_col).alias("_t")).filter(
         F.length("_t") >= 3
     )
     return base.select(
-        id_col,
+        *id_names,
         F.expr("explode(sequence(1, length(_t) - 2))").alias("_i"),
         F.col("_t"),
-    ).select(id_col, F.expr("substring(_t, _i, 3)").alias("tri"))
+    ).select(*id_names, F.expr("substring(_t, _i, 3)").alias("tri"))
 
 
 def train_char_trigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -588,7 +623,9 @@ def train_char_trigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     to ≤|charset|³ rows — and the model frame stays broadcastable
     (even a full 8-bit charset is ≤16M rows; real corpora are far
     smaller)."""
-    tris = char_trigram_rows(df, text_col).select("tri")
+    # id_col=None: training needs only trigrams — no hidden doc_id
+    # schema requirement on the training frame
+    tris = char_trigram_rows(df, text_col, id_col=None).select("tri")
     tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
     bc = tc.groupBy(F.substring("tri", 1, 2).alias("bi")).agg(
         F.sum("c3").alias("c2")
@@ -608,7 +645,10 @@ def lm_score(
     """Score each document by its mean trigram probability under a
     trained model (higher = more natural under the training corpus;
     the perplexity-filter ranking). Returns (id, n_trigrams,
-    lm_score); unseen trigrams contribute `unseen_p`.
+    lm_score); unseen trigrams contribute `unseen_p`. Documents
+    shorter than 3 chars (and NULL texts) have no trigrams and are
+    ABSENT from the output — left-join back and decide their fate
+    (usually drop) in the filter policy.
 
     The model side is broadcast; the per-trigram rows never shuffle —
     the groupBy(id) mean combines map-side back to one row per doc.
@@ -669,27 +709,31 @@ def gopher_quality(
     # \\x0B, RE2's (the DuckDB oracle) does not — an explicit class is
     # the only way both engines split identically on ANY input.
     WS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"
-    ws = F.expr(f"filter(split({text_col}, '{WS}'), w -> w != '')")
-    lines = F.split(F.col(text_col), F.lit("\n"))
+    t = f"coalesce({text_col}, '')"  # NULL text == empty text: every
+    # stat stays NULL-free and the word_count rule fires (NULL
+    # comparisons would silently vanish from keep AND fail_reasons)
+    tc = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.expr(f"filter(split({t}, '{WS}'), w -> w != '')")
+    lines = F.split(tc, F.lit("\n"))
     n_words = F.size(ws).cast("bigint")
     # sum of word lengths == count of non-whitespace chars: a codegen'd
     # regexp_replace instead of an interpreted aggregate() lambda
     word_chars = F.length(
-        F.regexp_replace(F.col(text_col), F.lit("[ \\t\\n\\x0B\\f\\r]+"), F.lit(""))
+        F.regexp_replace(tc, F.lit("[ \\t\\n\\x0B\\f\\r]+"), F.lit(""))
     ).cast("bigint")
     mean_wl = F.when(
         n_words > 0, word_chars.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    hash_cnt = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), F.lit("#"), F.lit(""))
+    hash_cnt = F.length(tc) - F.length(
+        F.regexp_replace(tc, F.lit("#"), F.lit(""))
     )
     # '…' plus literal '...' (each '...' is 3 chars → /3)
-    uni_ell = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), F.lit("…"), F.lit(""))
+    uni_ell = F.length(tc) - F.length(
+        F.regexp_replace(tc, F.lit("…"), F.lit(""))
     )
     dot_ell = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), F.lit("\\.\\.\\."), F.lit("")))
+        F.length(tc)
+        - F.length(F.regexp_replace(tc, F.lit("\\.\\.\\."), F.lit("")))
     ) / F.lit(3)
     symbols = (hash_cnt + uni_ell).cast("bigint") + dot_ell.cast("bigint")
     symbol_ratio = F.when(
@@ -697,17 +741,17 @@ def gopher_quality(
     ).otherwise(F.lit(0.0))
     n_lines = F.size(lines).cast("bigint")
     bullet_lines = F.expr(
-        f"size(filter(split({text_col}, '\\n'), "
+        f"size(filter(split({t}, '\\n'), "
         "l -> trim(l) rlike '^[•\\\\-\\\\*]'))"
     ).cast("bigint")
     ellipsis_lines = F.expr(
-        f"size(filter(split({text_col}, '\\n'), "
+        f"size(filter(split({t}, '\\n'), "
         "l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)\\\\z'))"
     ).cast("bigint")
     bullet_frac = bullet_lines.cast("double") / n_lines.cast("double")
     ellipsis_frac = ellipsis_lines.cast("double") / n_lines.cast("double")
     alpha_words = F.expr(
-        f"size(filter(filter(split({text_col}, '{WS}'), w -> w != ''), "
+        f"size(filter(filter(split({t}, '{WS}'), w -> w != ''), "
         "w -> w rlike '[a-zA-Z]'))"
     ).cast("bigint")
     alpha_frac = F.when(

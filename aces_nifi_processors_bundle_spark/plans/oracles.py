@@ -391,7 +391,10 @@ FROM per_doc GROUP BY lang, source
 
 
 def _occ(word: str) -> str:
-    return f"len(regexp_extract_all(' ' || text || ' ', '\\s{word}\\s'))"
+    # explicit whitespace class, mirroring text.py::occurrences (Java
+    # \s includes \x0B, RE2's does not)
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    return f"len(regexp_extract_all(' ' || text || ' ', '{ws}{word}{ws}'))"
 
 
 _LANG_SCORES = {
@@ -1026,8 +1029,13 @@ SELECT doc_id,
            '{_PHONE}', '<PHONE>', 'g'),
            '{_IP}', '<IP>', 'g')) AS redacted_md5,
        CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(text, '{_PHONE}')) AS INT) AS n_phone,
-       CAST(len(regexp_extract_all(text, '{_IP}')) AS INT) AS n_ip
+       CAST(len(regexp_extract_all(
+           regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+           '{_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(
+           regexp_replace(regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PHONE}', '<PHONE>', 'g'),
+           '{_IP}')) AS INT) AS n_ip
 FROM salted
 """
 )

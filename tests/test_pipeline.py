@@ -2834,3 +2834,44 @@ def test_dedup_paths_handle_null_and_empty_text(spark):
         minhash_lsh_candidates(df, num_hashes=8, band_size=3)
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dups(df, max_hamming=60)
+
+
+def test_text_operators_contentless_and_metachar_hygiene(spark):
+    """Round-7 review regressions: contentless docs yield zero
+    chunks/shingles, gopher stays NULL-free with word_count attributed,
+    pii counts equal actual redactions, stopwords with metachars match
+    literally, LM training needs no id column."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        chunk_documents,
+        gopher_quality,
+        occurrences,
+        pii_counts,
+        shingles,
+        train_char_trigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    assert chunk_documents(df).count() >= 1  # only doc 4 chunks
+    assert chunk_documents(df).filter("doc_id != 4").count() == 0
+    sh = df.select(F.size(shingles(F.col("text"))).alias("n")).collect()
+    assert [r["n"] for r in sh] == [0, 0, 0, 1]
+    g = {r["doc_id"]: r for r in gopher_quality(df, min_words=2).collect()}
+    assert g[1]["n_words"] == 0 and "word_count" in g[1]["fail_reasons"]
+    assert all(v is not None for v in g[1].asDict().values())
+    # pii: the email's digit tail must not also claim a phone redaction
+    pdf = spark.createDataFrame(
+        [("contact 555-123-4567@example.com now",)], ["text"]
+    )
+    c = pdf.select(*pii_counts(F.col("text")).values()).collect()[0]
+    assert c["email"] == 1 and c["phone"] == 0 and c["ipv4"] == 0
+    # metachar stopword matches literally (and doesn't crash RE2-style)
+    odf = spark.createDataFrame([("pay c++ not cxx here",)], ["text"])
+    n = odf.select(occurrences(F.col("text"), "c++").alias("n")).collect()[0]["n"]
+    assert n == 1
+    # training frame without a doc_id column
+    assert train_char_trigram_lm(
+        spark.createDataFrame([("hello world text",)], ["text"])
+    ).count() > 0
