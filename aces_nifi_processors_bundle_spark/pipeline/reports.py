@@ -47,11 +47,14 @@ def frequent_keys(
             )
         src = df.sample(fraction=sample_fraction, seed=42)
         scale = 1.0 / sample_fraction
-    counts = src.groupBy(*cols).agg(
+    est = (
+        F.count(F.lit(1))  # exact path: never leaves bigint
+        if sample_fraction is None
         # round, don't floor: a truncating cast biases every sampled
         # estimate (and the derived shares) downward
-        F.round(F.count(F.lit(1)) * F.lit(scale)).cast("bigint").alias("n")
+        else F.round(F.count(F.lit(1)) * F.lit(scale))
     )
+    counts = src.groupBy(*cols).agg(est.cast("bigint").alias("n"))
     total = counts.agg(F.sum("n").alias("_tot"))
     out = counts.crossJoin(F.broadcast(total)).select(
         *cols,
@@ -85,11 +88,17 @@ def vocab_stats(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("term").alias("n_terms"),
     )
-    # LEFT join: a group whose docs produce zero terms (empty texts, or
-    # scripts outside the ASCII tokenizer) must still appear on the
-    # card with n_tokens=0, not vanish.
-    return docs.join(terms, group_col, "left").select(
-        group_col,
+    # LEFT join, NULL-SAFE on the group key: a group whose docs
+    # produce zero terms (empty texts, scripts outside the ASCII
+    # tokenizer) must still appear on the card with n_tokens=0, and
+    # the NULL group must match its own term counts (plain equality
+    # would zero it out).
+    return docs.join(
+        terms.withColumnRenamed(group_col, "_tg"),
+        docs[group_col].eqNullSafe(F.col("_tg")),
+        "left",
+    ).select(
+        docs[group_col],
         "n_docs",
         F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         F.coalesce("n_terms", F.lit(0)).cast("bigint").alias("n_terms"),
@@ -137,7 +146,10 @@ def cross_source_dups(
     candidate generator, which distincts pairs globally — because the
     report counts texts PER pair, not mere pair existence."""
     srcs = (
-        df.select(
+        # NULL texts are contentless, not a shared text (md5(NULL)
+        # would otherwise pool them all into one phantom "duplicate")
+        df.where(F.col(text_col).isNotNull())
+        .select(
             F.md5(F.col(text_col)).alias("text_hash"), F.col(source_col)
         )
         .groupBy("text_hash")
@@ -195,6 +207,10 @@ def equidepth_histogram(
     """
     if method not in ("auto", "exact", "approx"):
         raise ValueError(f"equidepth_histogram: unknown method {method!r}")
+    if n_buckets < 1:
+        # approx would silently emit one bucket (empty boundary list);
+        # exact would throw an opaque ntile error at runtime
+        raise ValueError(f"equidepth_histogram: n_buckets must be >= 1, got {n_buckets}")
     if method == "auto":
         biggest = (
             df.groupBy(group_col)
@@ -220,9 +236,14 @@ def equidepth_histogram(
         )
         bcols = [F.col("_b")[k].alias(f"_b{k}") for k in range(n_buckets - 1)]
         bounds = bounds.select(group_col, *bcols)
+        # NULL-group rows must keep matching their own boundaries: a
+        # plain equality join drops the whole NULL group while the
+        # exact path's Window keeps it — method='auto' would then flip
+        # a group in/out of the report purely by row volume
         joined = df.select(group_col, value_col).join(
-            F.broadcast(bounds), group_col
-        )
+            F.broadcast(bounds.withColumnRenamed(group_col, "_bg")),
+            F.col(group_col).eqNullSafe(F.col("_bg")),
+        ).drop("_bg")
         tile = F.lit(1)
         for k in range(n_buckets - 1):
             tile = tile + F.when(
@@ -274,9 +295,29 @@ def sessionize(
     an event at a chunk's start opens a new session iff the gap from
     the PREVIOUS NON-EMPTY chunk's last event exceeds gap_sec, exactly
     the lag() rule. Cost: one extra small window + a co-partitioned
-    join — worth it only under real key skew."""
+    join — worth it only under real key skew. The summary branch
+    collect_lists every (user, chunk) timestamp into ONE aggregation
+    buffer, so chunk_sec must bound events-per-user-per-chunk to what
+    a task's memory holds (a 53M-event user in one chunk is the
+    window path's problem all over again) — pick a chunk well under
+    hot-key burst density; see CLUSTER.md."""
     from pyspark.sql import Window
 
+    if gap_sec <= 0:
+        raise ValueError(f"sessionize: gap_sec must be > 0, got {gap_sec}")
+    if chunk_sec is not None and chunk_sec <= 0:
+        # chunk 0 divides by zero: NULL chunks (every event one chunk)
+        # under non-ANSI, a runtime error under Spark 4's ANSI default
+        raise ValueError(f"sessionize: chunk_sec must be > 0, got {chunk_sec}")
+    reserved = {"_us", "_ck", "_b", "_bi", "_first_in_ck", "session_seq"}
+    clash = reserved & set(df.columns)
+    if clash - {"session_seq"} or "session_seq" in df.columns:
+        # withColumn would silently overwrite caller data with the
+        # helper values and the restore-select would return garbage
+        raise ValueError(
+            f"sessionize: input carries reserved column(s) {sorted(clash)}"
+            " — rename them"
+        )
     us = F.unix_micros(F.col(ts_col))
     order = [us.asc()] + ([F.col(tie_col).asc()] if tie_col else [])
     gap_us = F.lit(int(gap_sec) * 1_000_000)
@@ -398,10 +439,22 @@ def _funnel_times_chained(
     )
     for i, s in enumerate(steps[1:], start=1):
         ev = df.select(user_col, type_col, us.alias("_us"))
+        # a REPEATED step compares strictly (>): with >= the single
+        # event that anchored step i-1 would satisfy step i too (one
+        # 'view' completing a view->view funnel). Distinct consecutive
+        # steps keep >= — same-timestamp progress across different
+        # event types is the conventional funnel reading. Two same-type
+        # events at an identical timestamp therefore do NOT chain;
+        # use a higher-resolution ts if that matters.
+        _cmp = (
+            (F.col("_us") > F.col(f"_s{i-1}"))
+            if s == steps[i - 1]
+            else (F.col("_us") >= F.col(f"_s{i-1}"))
+        )
         _step_cond = (
             (F.col(type_col) == s)
             & F.col(f"_s{i-1}").isNotNull()
-            & (F.col("_us") >= F.col(f"_s{i-1}"))
+            & _cmp
         )
         if window_sec is not None:
             _step_cond = _step_cond & (
@@ -706,10 +759,13 @@ def event_transitions(
 
     w = Window.partitionBy(key).orderBy(ts_col, tie_col)
     pairs = (
+        # row_number (not lag-IS-NULL) decides "first event": a
+        # mid-sequence predecessor whose TYPE is NULL must keep its
+        # NULL label, not masquerade as start_label
         df.select(
-            F.coalesce(
-                F.lag(type_col).over(w), F.lit(start_label)
-            ).alias("prev_type"),
+            F.when(
+                F.row_number().over(w) == 1, F.lit(start_label)
+            ).otherwise(F.lag(type_col).over(w)).alias("prev_type"),
             F.col(type_col).alias("event_type"),
         )
         .groupBy("prev_type", "event_type")
@@ -718,7 +774,12 @@ def event_transitions(
     totals = pairs.groupBy("prev_type").agg(
         F.sum("n").alias("total_from_prev")
     )
-    return pairs.join(F.broadcast(totals), "prev_type").select(
+    # NULL-SAFE join: a NULL prev_type (mid-sequence NULL-typed
+    # predecessor) must match its own outgoing total, not vanish
+    return pairs.join(
+        F.broadcast(totals.withColumnRenamed("prev_type", "_pt")),
+        F.col("prev_type").eqNullSafe(F.col("_pt")),
+    ).select(
         "prev_type",
         "event_type",
         "n",

@@ -2746,9 +2746,15 @@ WHERE s.n >= 2
 oracle("q_event_transitions")(
     """
 WITH seq AS (
-  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id),
-                  '__start__') AS prev_type,
+  -- row_number (not lag-IS-NULL) decides "first event", mirroring
+  -- reports.py::event_transitions: a mid-sequence NULL-typed
+  -- predecessor keeps its NULL label
+  SELECT CASE WHEN row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN '__start__'
+              ELSE lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+         END AS prev_type,
          event_type
   FROM events
 ), pairs AS (

@@ -2875,3 +2875,64 @@ def test_text_operators_contentless_and_metachar_hygiene(spark):
     assert train_char_trigram_lm(
         spark.createDataFrame([("hello world text",)], ["text"])
     ).count() > 0
+
+
+def test_reports_null_and_repeat_hygiene(spark):
+    """Round-7 review regressions across the reports module."""
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        cross_source_dups,
+        equidepth_histogram,
+        event_transitions,
+        funnel,
+        sessionize,
+        vocab_stats,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    # NULL texts are not shared texts across sources
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "same", "a"), (4, "same", "b")],
+        "doc_id long, text string, source string",
+    )
+    dup = cross_source_dups(docs).collect()
+    assert len(dup) == 1 and dup[0]["n_shared_texts"] == 1
+
+    # NULL group keeps its token counts on the vocab card
+    v = {r[0]: r for r in vocab_stats(
+        spark.createDataFrame([("words here", None)], "text string, lang string")
+    ).collect()}
+    assert v[None]["n_tokens"] == 2
+
+    # one event can't satisfy two consecutive REPEATED funnel steps
+    ev = spark.createDataFrame(
+        [(1, "view", t0), (1, "view", t0 + dt.timedelta(seconds=5))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    f1 = {r["step"]: r["n_users"] for r in
+          funnel(ev.limit(1), ["view", "view"], method="chained").collect()}
+    assert f1 == {1: 1, 2: 0}  # single event: step 2 unreached
+    f2 = {r["step"]: r["n_users"] for r in
+          funnel(ev, ["view", "view"], method="chained").collect()}
+    assert f2 == {1: 1, 2: 1}  # two distinct views chain
+
+    # mid-sequence NULL event_type is not '__start__'
+    seq = spark.createDataFrame(
+        [(1, 1, None, t0), (1, 2, "x", t0 + dt.timedelta(seconds=1))],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    tr = {(r["prev_type"], r["event_type"]) for r in
+          event_transitions(seq, "user_id", "ts", "event_type", "event_id").collect()}
+    assert ("__start__", None) in tr and (None, "x") in tr
+    assert ("__start__", "x") not in tr
+
+    # parameter validation
+    with pytest.raises(ValueError, match="gap_sec"):
+        sessionize(ev, gap_sec=0)
+    with pytest.raises(ValueError, match="chunk_sec"):
+        sessionize(ev, chunk_sec=0)
+    with pytest.raises(ValueError, match="reserved"):
+        sessionize(ev.withColumn("_us", F.lit(1)))
+    with pytest.raises(ValueError, match="n_buckets"):
+        equidepth_histogram(ev, "event_type", "user_id", n_buckets=0)

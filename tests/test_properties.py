@@ -111,15 +111,20 @@ def test_quadkey_prefix_property(spark, points, zoom):
 )
 def test_shingles_model(spark, docs):
     """Word-3-gram shingles: n>=3 words → n-2 overlapping grams in
-    order; shorter docs → one whole-text shingle."""
+    order; shorter non-empty docs → one whole-text shingle;
+    contentless (empty/whitespace) docs → the EMPTY array (a shared
+    fallback shingle would pair every contentless doc with every
+    other)."""
     texts = [" ".join(words) for words in docs]
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r["s"] for r in df.select(shingles(F.col("t")).alias("s")).collect()]
     for words, t, g in zip(docs, texts, got):
         if len(words) >= 3:
             want = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
-        else:
+        elif t.strip():
             want = [t.strip()]
+        else:
+            want = []
         assert g == want, (t, g, want)
 
 
