@@ -53,13 +53,15 @@ def _cents(col: Column) -> Column:
 
 
 def _bucket_of(us: Column, step_us: int) -> Column:
-    """Exact floor(us / step) for non-negative bigint microseconds.
-    Plain `(us / step).cast("bigint")` rounds the double quotient,
-    which sits within half-ulp of flipping a boundary for
-    ~2^53-magnitude timestamps with second-scale buckets; subtracting
-    the modulus first makes the dividend an exact multiple, whose
-    double quotient is exact."""
-    return ((us - us % F.lit(step_us)) / F.lit(step_us)).cast("bigint")
+    """Exact floor(us / step) for ANY bigint microseconds (pre-1970
+    included): pmod's non-negative remainder makes the subtraction a
+    true floor — `%` truncates toward zero for negative us, which
+    misassigned chunk-boundary context rows. Plain
+    `(us / step).cast("bigint")` would also round the double quotient
+    (half-ulp boundary flips at ~2^53); subtracting the remainder
+    first makes the dividend an exact multiple, whose double quotient
+    is exact."""
+    return ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us)).cast("bigint")
 
 
 def rolling_aggregates(
@@ -281,10 +283,17 @@ def resample_gapfill(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents).alias("sum_cents"),
         # id_col is the within-timestamp tie-breaker (same contract as
-        # rolling_aggregates/cusum_flags/anomaly_flags' id columns)
-        F.max_by(cents, F.struct(F.col(ts_col), F.col(id_col))).alias(
-            "__last"
-        ),
+        # rolling_aggregates/cusum_flags/anomaly_flags' id columns).
+        # NULL-valued rows are excluded from the ordering (a NULL
+        # ordering key is skipped by max_by): otherwise a bucket whose
+        # LATEST row is NULL-valued forward-fills as if the bucket had
+        # no observations at all.
+        F.max_by(
+            cents,
+            F.when(
+                cents.isNotNull(), F.struct(F.col(ts_col), F.col(id_col))
+            ),
+        ).alias("__last"),
     )
     grid = (
         observed.groupBy(key)
@@ -300,8 +309,18 @@ def resample_gapfill(
     )
     out = (
         grid.join(observed, [key, "bucket_us"], "left")
-        .na.fill({"n_events": 0, "sum_cents": 0})
-        .select(key, "bucket_us", "n_events", "sum_cents", "__last")
+        .select(
+            key,
+            "bucket_us",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            # fill 0 for GRID GAPS only (no observed row): a bucket
+            # whose observations are all NULL-valued keeps a NULL sum
+            # — 0 would be indistinguishable from a real zero total
+            F.when(F.col("n_events").isNull(), F.lit(0))
+            .otherwise(F.col("sum_cents"))
+            .alias("sum_cents"),
+            "__last",
+        )
     )
     if how == "zero":
         return out.drop("__last")
@@ -355,9 +374,12 @@ def anomaly_flags(
         raise ValueError(f"k must be >= 1, got {k}")
     cents = _cents(F.col(value_col)).cast("decimal(38,0)")
     stats = (train_df if train_df is not None else df).groupBy(group).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
-        F.sum(cents).alias("__s1"),
-        F.sum(cents * cents).alias("__s2"),
+        # count(cents), not count(*): a NULL value must be absent from
+        # n AND the sums, or the mean/variance dilute and every real
+        # row looks anomalous
+        F.count(cents).cast("decimal(38,0)").alias("__n"),
+        F.try_sum(cents).alias("__s1"),
+        F.try_sum(cents * cents).alias("__s2"),
     )
     n = stats["__n"]
     dev = F.try_subtract(F.try_multiply(n, cents), F.col("__s1"))
@@ -375,8 +397,19 @@ def anomaly_flags(
     s1d, s2d = F.col("__s1").cast("double"), F.col("__s2").cast("double")
     dev_d = nd * cd - s1d
     flag_d = (nd - 1) * dev_d * dev_d > k * k * nd * (nd * s2d - s1d * s1d)
-    flagged = F.when(lhs.isNotNull() & rhs.isNotNull(), lhs > rhs).otherwise(
-        flag_d
+    overflow_err = F.raise_error(
+        F.lit(
+            "anomaly_flags: decimal stats sum overflow — values beyond "
+            "~1e17 need a coarser value unit (the float fallback covers "
+            "PRODUCT overflow only; a silent NULL sum would drop the "
+            "whole group's flags)"
+        )
+    ).cast("boolean")
+    flagged = (
+        F.when((n > 0) & (F.col("__s1").isNull() | F.col("__s2").isNull()),
+               overflow_err)
+        .when(lhs.isNotNull() & rhs.isNotNull(), lhs > rhs)
+        .otherwise(flag_d)
     )
     return (
         df.join(F.broadcast(stats), group)
@@ -535,13 +568,27 @@ def cusum_flags(
     if h_cents <= 0:
         raise ValueError(f"h_cents must be positive, got {h_cents}")
     cents = _cents(F.col(value_col))
+    import datetime as _dt
+
+    try:  # eager: a malformed string must not surface as a mid-job
+        # ANSI cast error (or, ANSI off, a silent empty result)
+        _dt.datetime.fromisoformat(str(train_end_ts))
+    except ValueError as exc:
+        raise ValueError(
+            f"cusum_flags: train_end_ts {train_end_ts!r} is not an "
+            "ISO timestamp"
+        ) from exc
     cutoff = F.lit(train_end_ts).cast("timestamp")
     train = (
         df.where(F.col(ts_col) < cutoff)
         .groupBy(key)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("__nt"),
-            F.sum(cents).cast("bigint").alias("__st"),
+            # count(cents): NULL-valued training rows are absent from
+            # the sum, so they must be absent from n too
+            F.count(cents).cast("bigint").alias("__nt"),
+            # decimal BEFORE the sum: a bigint cents sum overflows at
+            # exactly the magnitudes the decimal design targets
+            F.sum(cents.cast("decimal(38,0)")).alias("__st"),
         )
     )
     score = df.where(F.col(ts_col) >= cutoff).select(
@@ -550,11 +597,15 @@ def cusum_flags(
         F.unix_micros(F.col(ts_col)).alias("__us"),
         cents.alias("__x"),
     )
+    dec = "decimal(38,0)"
     d = (
-        F.col("__nt") * F.col("__x")
-        - F.col("__st")
-        - F.col("__nt") * F.lit(int(slack_cents))
-    ).cast("decimal(38,0)")
+        # every operand decimal BEFORE multiplying: bigint nt*x threw
+        # (ANSI) or wrapped (non-ANSI) at large magnitudes, defeating
+        # the decimal cumsum design one expression upstream
+        F.col("__nt").cast(dec) * F.col("__x").cast(dec)
+        - F.col("__st").cast(dec)
+        - F.col("__nt").cast(dec) * F.lit(int(slack_cents)).cast(dec)
+    ).cast(dec)
     joined = score.join(F.broadcast(train), key)
     zero = F.lit(0).cast("decimal(38,0)")
     if chunk_sec is None:
@@ -625,7 +676,9 @@ def cusum_flags(
         )
     y = F.col("__cum") - F.col("__runmin")
     return c2.where(
-        y > (F.col("__nt") * F.lit(int(h_cents))).cast("decimal(38,0)")
+        y
+        > F.col("__nt").cast("decimal(38,0)")
+        * F.lit(int(h_cents)).cast("decimal(38,0)")
     ).select(
         id_col,
         key,

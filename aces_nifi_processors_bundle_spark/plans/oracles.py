@@ -2727,7 +2727,9 @@ WITH c AS (
   SELECT event_id, event_type, CAST(round(value*100) AS HUGEINT) AS x
   FROM events
 ), s AS (
-  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+  -- count(x): NULL values are absent from n AND the sums (mirrors
+  -- timeseries.py::anomaly_flags)
+  SELECT event_type, CAST(count(x) AS HUGEINT) AS n,
          sum(x) AS s1, sum(x*x) AS s2
   FROM c GROUP BY 1
 )

@@ -2936,3 +2936,86 @@ def test_reports_null_and_repeat_hygiene(spark):
         sessionize(ev.withColumn("_us", F.lit(1)))
     with pytest.raises(ValueError, match="n_buckets"):
         equidepth_histogram(ev, "event_type", "user_id", n_buckets=0)
+
+
+def test_timeseries_null_values_and_extreme_magnitudes(spark):
+    """Round-7 review regressions: NULL values are absent from n AND
+    the sums (anomaly + cusum trainers), a NULL-latest bucket still
+    forward-fills from its real observations, all-NULL buckets keep a
+    NULL sum, negative timestamps bucket by true floor, cusum stays
+    decimal-exact at magnitudes that overflowed bigint."""
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        anomaly_flags,
+        cusum_flags,
+        resample_gapfill,
+        rolling_aggregates,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    # anomaly: 1000 NULL rows must not dilute the stats
+    rows = [(i, "g", 100.0, t0) for i in range(20)] + [(20, "g", 110.0, t0)]
+    rows += [(100 + i, "g", None, t0) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+    flagged = anomaly_flags(df, "event_type", "value", k=3)
+    assert [r["event_id"] for r in flagged.collect()] == [20]
+
+    # cusum: NULL training rows absent from the baseline
+    cdf = spark.createDataFrame(
+        [(1, "k", 10.0, t0), (2, "k", 10.0, t0), (3, "k", None, t0),
+         (4, "k", 10.6, t0 + dt.timedelta(days=2))],
+        "event_id long, key string, value double, ts timestamp",
+    )
+    out = cusum_flags(cdf, "key", "ts", "value", "2025-01-02T00:00:00",
+                      h_cents=100)
+    assert out.count() == 0  # deviation 60 < h=100; dilution would flag
+    with pytest.raises(ValueError, match="ISO timestamp"):
+        cusum_flags(cdf, "key", "ts", "value", "not-a-date", h_cents=1)
+
+    # cusum magnitudes: decimal-first arithmetic (bigint overflowed)
+    big = spark.createDataFrame(
+        [(1, "k", 9.0e16, t0), (2, "k", 9.0e16, t0),
+         (3, "k", 9.1e16, t0 + dt.timedelta(days=2))],
+        "event_id long, key string, value double, ts timestamp",
+    )
+    assert cusum_flags(big, "key", "ts", "value", "2025-01-02T00:00:00",
+                       h_cents=1).count() == 1
+
+    # resample ffill: NULL-latest bucket carries its real observation
+    rdf = spark.createDataFrame(
+        [(1, "u", 10.0, t0), (2, "u", 7.5, t0 + dt.timedelta(seconds=5)),
+         (3, "u", None, t0 + dt.timedelta(seconds=5, microseconds=500_000)),
+         (4, "u", 1.0, t0 + dt.timedelta(seconds=15))],
+        "event_id long, user_id string, value double, ts timestamp",
+    )
+    g = {r["bucket_us"]: r for r in resample_gapfill(
+        rdf, "user_id", "ts", "value", bucket_sec=5, how="ffill"
+    ).collect()}
+    b1 = sorted(g)[1]
+    assert g[b1]["last_cents"] == 750  # not bucket 0's 1000
+    # all-NULL bucket: NULL sum (distinguishable from a gap's 0)
+    ndf = spark.createDataFrame(
+        [(1, "u", None, t0), (2, "u", 5.0, t0 + dt.timedelta(seconds=10))],
+        "event_id long, user_id string, value double, ts timestamp",
+    )
+    rows2 = {r["bucket_us"]: r for r in resample_gapfill(
+        ndf, "user_id", "ts", "value", bucket_sec=5
+    ).collect()}
+    ks = sorted(rows2)
+    assert rows2[ks[0]]["sum_cents"] is None and rows2[ks[0]]["n_events"] == 1
+    assert rows2[ks[1]]["sum_cents"] == 0 and rows2[ks[1]]["n_events"] == 0
+
+    # pre-1970 timestamps: chunked rolling == sequential
+    neg = spark.createDataFrame(
+        [(i, "k", float(i), dt.datetime(1969, 12, 31, 23, 59, 30)
+          + dt.timedelta(seconds=3 * i)) for i in range(20)],
+        "event_id long, key string, value double, ts timestamp",
+    )
+    seq = sorted(map(tuple, rolling_aggregates(neg, "key", "ts", "value", 10).collect()))
+    chk = sorted(map(tuple, rolling_aggregates(neg, "key", "ts", "value", 10,
+                                               chunk_sec=10).collect()))
+    assert seq == chk
