@@ -85,12 +85,29 @@ def asof_join(
             "different `suffix` (chained enrichments need distinct suffixes)"
         )
 
+    ldt, rdt = dict(left.dtypes)[left_ts], dict(right.dtypes)[right_ts]
+    if ldt.startswith("timestamp") != rdt.startswith("timestamp"):
+        # fail at the API boundary: the union below would otherwise
+        # throw a type-mismatch error naming an internal column
+        raise ValueError(
+            f"asof_join: {left_ts} is {ldt} but {right_ts} is {rdt} — "
+            "both sides must be timestamps, or both numeric epochs"
+        )
     l2 = (
         left.withColumn(_T, F.col(left_ts))
         .withColumn(_SIDE, F.lit(1))
         .withColumn(_TB, F.lit(None).cast(dict(right.dtypes)[tiebreak]))
     )
-    r2 = right.select(
+    # SQL join semantics on dirty data: a right row with a NULL
+    # timestamp (sorts NULLS-FIRST before everything — every early
+    # left row would carry its values) or a NULL join key (NULL never
+    # equals NULL in a join; the window PARTITION would group them)
+    # can never be a match. NULL-key LEFT rows still pass through
+    # unmatched, like a left join.
+    _clean = F.col(right_ts).isNotNull()
+    for k in on:
+        _clean = _clean & F.col(k).isNotNull()
+    r2 = right.filter(_clean).select(
         *on,
         F.col(right_ts).alias(_T),
         F.lit(0).alias(_SIDE),
@@ -172,16 +189,47 @@ def range_join(
             return F.expr(f"`{col}` div {int(band)}")
         return F.floor(F.col(col) / F.lit(band)).cast("long")
 
+    def bucket_right(frame: DataFrame, col: str) -> Column:
+        if both_integral and float(band).is_integer():
+            return F.expr(f"`{col}` div {int(band)}")
+        return F.floor(frame[col] / F.lit(band)).cast("long")
+
     lb = bucket(left_val)
     l3 = left.withColumn(
         "_rj_b", F.explode(F.array(lb - 1, lb, lb + 1))
     )
-    r3 = right.withColumn("_rj_b", bucket(right_val))
+    # same-named value columns (the self-schema band case — sensor vs
+    # sensor) are joined via an internal rename and restored as
+    # <name>_right, the geo_radius_join collision convention
+    rv_out = right_val
+    r3 = right
+    if right_val == left_val or right_val in left.columns:
+        rv_out = f"{right_val}_right"
+        if rv_out in left.columns or rv_out in right.columns:
+            raise ValueError(
+                f"range_join: both {right_val!r} and {rv_out!r} exist — "
+                "rename one side"
+            )
+        r3 = right.withColumnRenamed(right_val, rv_out)
+    r3 = r3.withColumn("_rj_b", bucket_right(r3, rv_out))
     return (
         l3.join(r3, [*on, "_rj_b"])
-        .filter(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(band))
+        .filter(F.abs(F.col(left_val) - F.col(rv_out)) <= F.lit(band))
         .drop("_rj_b")
     )
+
+
+def _salt_hash(left: DataFrame, n_salts: int):
+    """Per-row spread for the fact side's hot keys. xxhash64 rejects
+    MapType inputs, so maps are excluded; if NOTHING hashable remains,
+    a nondeterministic spread is fine — the salt only balances
+    partitions, the JOIN RESULT is salt-independent."""
+    hashable = [
+        F.col(c) for c, t in left.dtypes if not t.startswith("map<")
+    ]
+    if hashable:
+        return F.xxhash64(*hashable)
+    return (F.rand(seed=7) * F.lit(float(n_salts))).cast("long")
 
 
 def salted_join(
@@ -222,6 +270,10 @@ def salted_join(
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join: how={how!r} would duplicate unmatched "
                          "replicated right rows; use inner or left")
+    if n_salts < 1:
+        # 0 divides by zero (ANSI) or NULLs every hot salt so inner
+        # joins silently drop the hot rows (non-ANSI)
+        raise ValueError(f"salted_join: n_salts must be >= 1, got {n_salts}")
     spark = left.sparkSession
     if hot_keys is None:
         raise ValueError("salted_join: pass the hot key set (small DataFrame "
@@ -238,7 +290,7 @@ def salted_join(
     # whole row's columns so the spread is even without needing an id.
     lsalt = F.when(
         F.col("_hot").isNotNull(),
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+        F.pmod(_salt_hash(left, n_salts), F.lit(n_salts)),
     ).otherwise(F.lit(0))
     l2 = left.join(hot, on, "left").withColumn("_salt", lsalt.cast("int")).drop("_hot")
 
@@ -339,9 +391,15 @@ def geo_radius_join(
     defaults): the right side's coordinates are renamed to internal
     names for the join and restored in the OUTPUT as `<name>_right`
     when they would collide with a left column, original names
-    otherwise — the result never contains duplicate column names.
+    otherwise — the COORDINATE columns never collide. Other columns
+    shared by both sides are the caller's to disambiguate (select or
+    rename before joining), as with any Spark join.
     """
     on = [on] if isinstance(on, str) else list(on)
+    if ring < 1:
+        # ring=0 makes the lazy zoom guard's log2(...*0) NULL — the
+        # when() falls through PERMISSIVELY and pairs silently vanish
+        raise ValueError(f"geo_radius_join: ring must be >= 1, got {ring}")
     from ..functions.geotile import tile_x, tile_y
 
     def _zoom_guard(lat_col: Column) -> Column:
@@ -412,15 +470,21 @@ def geo_radius_join(
     n = 2**zoom
     lx, ly = tile_x(F.col(left_lon), zoom), tile_y(F.col(left_lat), zoom)
     span = range(-ring, ring + 1)
-    neighbors = F.array(
-        *[
-            F.struct(
-                F.pmod(lx + dx, F.lit(n)).alias("jx"),
-                (ly + dy).alias("jy"),  # y never wraps (mercator clamp)
-            )
-            for dx in span
-            for dy in span
-        ]
+    # array_distinct: at coarse zooms (2^zoom <= 2*ring+1) the pmod
+    # antimeridian wrap folds distinct dx offsets onto the SAME tile —
+    # without the dedup a qualifying pair is emitted once per
+    # colliding offset (silent duplicate output rows)
+    neighbors = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.pmod(lx + dx, F.lit(n)).alias("jx"),
+                    (ly + dy).alias("jy"),  # y never wraps (mercator clamp)
+                )
+                for dx in span
+                for dy in span
+            ]
+        )
     )
     l3 = left.withColumn("_gj", F.explode(neighbors)).select(
         "*", F.col("_gj.jx").alias("_gjx"), F.col("_gj.jy").alias("_gjy")

@@ -357,3 +357,71 @@ def test_salted_join_with_frequent_keys_hot_set(spark, sf_dir):
     assert sorted(map(tuple, out.select(*plain.columns).collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# --- round-7 review hardening --------------------------------------------
+
+import pytest
+
+
+def test_asof_join_ignores_null_keys_and_null_timestamps(spark):
+    """SQL join semantics on dirty data: NULL right timestamps and
+    NULL join keys never match; NULL-key left rows pass through
+    unmatched."""
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.operators.joins import asof_join
+
+    t = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t), (None, t)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", None, 99, 7.0), (None, t, 42, 1.0)],
+        "k string, ts timestamp, rid long, v double",
+    )
+    out = {r["k"]: r for r in
+           asof_join(left, right, "k", "ts", values=["rid", "v"]).collect()}
+    assert out["a"]["rid_matched"] is None   # NULL-ts right row is no match
+    assert out[None]["rid_matched"] is None  # NULL keys never join
+    # mismatched ts dtypes fail fast with a clear message
+    nleft = spark.createDataFrame([("a", 5)], "k string, ts bigint")
+    with pytest.raises(ValueError, match="both sides must be"):
+        asof_join(nleft, right, "k", "ts", values=["rid"])
+
+
+def test_range_join_same_named_value_columns(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import range_join
+
+    x = spark.createDataFrame([("k", 1.0), ("k", 5.0)], "k string, val double")
+    out = range_join(x, x, "k", "val", "val", band=2.0)
+    assert "val_right" in out.columns
+    pairs = {(r["val"], r["val_right"]) for r in out.collect()}
+    assert (1.0, 1.0) in pairs and (1.0, 5.0) not in pairs
+
+
+def test_salted_join_map_columns_and_n_salts_validation(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(7, {"a": "b"}), (7, {"c": "d"}), (1, {"e": "f"})],
+        "k long, attrs map<string,string>",
+    )
+    right = spark.createDataFrame([(7, "hot"), (1, "cold")], "k long, v string")
+    out = salted_join(left, right, "k", hot_keys=[7])
+    assert out.count() == 3  # map column no longer breaks the salt hash
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(left, right, "k", hot_keys=[7], n_salts=0)
+
+
+def test_geo_radius_join_coarse_zoom_no_duplicate_pairs(spark):
+    from aces_nifi_processors_bundle_spark.operators.joins import (
+        geo_radius_join,
+    )
+
+    a = spark.createDataFrame([("k", 0.0, 10.0)], "k string, lat double, lon double")
+    b = spark.createDataFrame([("k", 0.0, -60.0)], "k string, lat double, lon double")
+    out = geo_radius_join(a, b, "k", radius_km=15000.0).collect()
+    assert len(out) == 1  # antimeridian wrap previously emitted it twice
+    with pytest.raises(ValueError, match="ring"):
+        geo_radius_join(a, b, "k", radius_km=100.0, zoom=8, ring=0)
