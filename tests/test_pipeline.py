@@ -629,12 +629,12 @@ def test_chunk_documents_windows_and_edges(spark):
             Row(doc_id=1, text=w(5)),    # < chunk -> 1 chunk of 5
             Row(doc_id=2, text=w(10)),   # == chunk -> 1 chunk
             Row(doc_id=3, text=w(17)),   # ceil((17-4)/6)=3 chunks
-            Row(doc_id=4, text=""),      # empty -> 1 chunk of ['']
+            Row(doc_id=4, text=""),      # contentless -> ZERO chunks
         ]
     )
     out = chunk_documents(df, chunk_tokens=10, overlap=4)
     rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
-    assert sorted(rows) == [(1, 0), (2, 0), (3, 0), (3, 1), (3, 2), (4, 0)]
+    assert sorted(rows) == [(1, 0), (2, 0), (3, 0), (3, 1), (3, 2)]
     assert rows[(1, 0)]["n_chunk_tokens"] == 5
     assert rows[(2, 0)]["chunk_text"] == w(10)
     # chunk 1 of doc 3 starts at word 6 (stride 6) and spans 10 words
