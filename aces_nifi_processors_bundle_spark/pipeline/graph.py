@@ -203,6 +203,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-vertex triangle counts and local clustering coefficient
     over an undirected simple graph, via DEGREE-ORDERED ORIENTATION:
@@ -234,7 +235,11 @@ def triangle_count(
     the local-mode default) or "reliable" (HDFS/S3-backed
     df.checkpoint for long cluster runs), same contract as pagerank.
     """
-    from .lineage import cut_lineage
+    # validate the mode up front (a typo'd mode would silently fall
+    # through to localCheckpoint) and wire checkpoint_dir — the
+    # contract every sibling (pagerank/label_propagation/
+    # shortest_paths) already honors via prepare_checkpoint
+    prepare_checkpoint(edges.sparkSession, checkpoint, checkpoint_dir)
 
     u, v = F.col(src), F.col(dst)
     canon = (
@@ -399,16 +404,25 @@ def shortest_paths(
         .select("v", F.lit(0).cast("int").alias("dist")),
         checkpoint,
     )
+    frontier = dist.select("v")
     for h in range(1, n_hops + 1):
-        frontier = dist.where(F.col("dist") == h - 1)
+        # anti-join keeps only FIRST-TIME vertices, then APPEND: the
+        # settled visited set is never re-aggregated (a groupBy-min
+        # over all of dist would shuffle O(V) rows per hop to fold in
+        # a frontier that usually shrinks to near-empty). BFS
+        # first-discovery IS the min distance, so the result set is
+        # identical.
         discovered = (
             frontier.join(e, frontier.v == e._s)
-            .select(F.col("_d").alias("v"), F.lit(h).cast("int").alias("dist"))
+            .select(F.col("_d").alias("v"))
+            .distinct()
         )
-        dist = cut_lineage(
-            dist.unionByName(discovered).groupBy("v").agg(
-                F.min("dist").alias("dist")
+        new = cut_lineage(
+            discovered.join(dist, "v", "left_anti").select(
+                "v", F.lit(h).cast("int").alias("dist")
             ),
             checkpoint,
         )
+        dist = cut_lineage(dist.unionByName(new), checkpoint)
+        frontier = new.select("v")
     return dist

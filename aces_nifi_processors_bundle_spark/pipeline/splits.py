@@ -56,6 +56,13 @@ def hash_split(
     pass; the split can be used as a partition column downstream.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bad = {k: w for k, w in weights.items() if not w > 0}
+    if bad:
+        # a negative weight can still sum to 1.0 but makes the
+        # cumulative CASE bounds non-monotonic — a later split
+        # silently receives ZERO rows (the exact eval-contamination
+        # failure this guard exists for)
+        raise ValueError(f"hash_split: weights must be > 0, got {bad}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         # Fail fast: weights summing under 1 would leave the tail of
@@ -204,7 +211,6 @@ def write_split_dataset(
     files_per_partition tasks, so the file count is
     |partition values| x files_per_partition by construction.
     """
-    from pyspark.sql import functions as F
 
     cols = partition_cols or ["split"]
     keys = [F.col(c) for c in cols]
@@ -227,8 +233,13 @@ def write_split_dataset(
             if n_partition_values is not None
             else df.select(*keys).distinct().count()
         )
+        # maps are unhashable (xxhash64 rejects MapType); exclude
+        # them — any remaining columns spread rows just as well
+        hashable = [
+            F.col(c) for c, t in df.dtypes if not t.startswith("map<")
+        ]
         salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.xxhash64(*hashable) if hashable else F.lit(0),
             F.lit(files_per_partition),
         )
         out = df.repartition(n_values * files_per_partition, *keys, salt)

@@ -90,7 +90,12 @@ def correlation_matrix(
                 F.lit(b).alias("col_y"),
                 n.cast("bigint").alias("n"),
                 F.when(
-                    cov_d.isNull() | varx_d.isNull() | vary_d.isNull(),
+                    # n > 0 distinguishes real overflow from the
+                    # all-rows-deleted case (empty aggregate sums are
+                    # NULL too — that is n=0 with NULL corr, not an
+                    # error telling the user to lower scale)
+                    (n > 0)
+                    & (cov_d.isNull() | varx_d.isNull() | vary_d.isNull()),
                     overflow_err,
                 )
                 .when(
@@ -153,7 +158,13 @@ def group_quantiles(
 
         return rank
 
-    cents = F.round(F.col(value_col) * scale).cast("bigint")
+    v = F.col(value_col)
+    # NaN-safe: cast(NaN as bigint) is 0 under non-ANSI — a phantom
+    # zero shifting every rank; NaN rows are excluded like NULLs
+    cents = F.when(
+        v.isNotNull() & ~F.isnan(v.cast("double")),
+        F.round(v * scale).cast("bigint"),
+    )
     out = hist_order_stats(
         df.select(F.col(group), cents.alias("__v")),
         group,
@@ -241,18 +252,37 @@ def zscore_normalize(
     shuffles. Zero-variance groups emit NULL z (no division by 0).
     Output: (id_col, group, z).
     """
-    xi = F.round(F.col(value_col) * scale).cast("bigint").cast("decimal(38,0)")
+    v = F.col(value_col)
+    # NaN-safe AND NULL-safe: cast(NaN as bigint) is 0 under non-ANSI
+    # (a phantom zero value in the moments) and an ANSI error; a NaN
+    # value row is excluded like a NULL one (its own z stays NULL)
+    xi = F.when(
+        v.isNotNull() & ~F.isnan(v.cast("double")),
+        F.round(v * scale).cast("bigint").cast("decimal(38,0)"),
+    )
     stats = df.groupBy(group).agg(
         # count(xi), not count(*): a NULL value must be absent from n
         # AND the sums, or the moments disagree (its own z is NULL).
         F.count(xi).cast("decimal(38,0)").alias("_n"),
-        F.sum(xi).alias("_sx"),
-        F.sum(xi * xi).alias("_sxx"),
+        F.try_sum(xi).alias("_sx"),
+        F.try_sum(F.try_multiply(xi, xi)).alias("_sxx"),
     )
-    var_n = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+    var_n_dec = F.try_subtract(
+        F.try_multiply(F.col("_n"), F.col("_sxx")),
+        F.try_multiply(F.col("_sx"), F.col("_sx")),
+    )
+    overflow_err = F.raise_error(
+        F.lit(
+            "zscore_normalize: decimal moment overflow — lower `scale` "
+            "(a silent NULL z would violate the exactness contract)"
+        )
+    ).cast("double")
+    var_n = F.when(
+        (F.col("_n") > 0) & var_n_dec.isNull(), overflow_err
+    ).otherwise(var_n_dec.cast("double"))
+    num = F.try_subtract(F.try_multiply(F.col("_n"), xi), F.col("_sx")).cast(
         "double"
     )
-    num = (F.col("_n") * xi - F.col("_sx")).cast("double")
     return (
         df.join(F.broadcast(stats), group)
         .select(

