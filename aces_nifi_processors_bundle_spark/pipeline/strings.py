@@ -89,7 +89,11 @@ def edit_distance_join(
     length-band |len1-len2| <= k prunes before the verify (a distance
     <= k cannot bridge a larger length gap).
     """
-    v = deletion_variants(df, id_col, str_col, k)
+    # the k-round variant fan-out (the dominant cost) is consumed by
+    # BOTH join sides — and a third time by the bucket-count aggregate
+    # when max_bucket is set; without a lineage cut Spark re-executes
+    # it per consumer (verified: no ReusedExchange is planned)
+    v = deletion_variants(df, id_col, str_col, k).localCheckpoint(eager=False)
     if max_bucket is not None:
         counts = v.groupBy("__var").agg(F.count(F.lit(1)).alias("__bn"))
         v = (

@@ -96,7 +96,10 @@ def in_range(
 
 
 def accepted_values(col: str, values: list) -> Check:
-    vals = ",".join(str(v) for v in sorted(values))
+    # sort the STRINGIFIED values: mixed-type or None-bearing lists
+    # raise TypeError under plain sorted(); the name just needs to be
+    # deterministic
+    vals = ",".join(sorted(str(v) for v in values))
     return Check(
         name=f"accepted_values({col},[{vals}])",
         target=col,
@@ -254,6 +257,10 @@ def run_checks(
                 (viol == 0).alias("passed"),
             )
         )
+    if not rows:
+        # F.array() of zero structs is array<void> — star-expanding it
+        # fails with a baffling AnalysisException far from the cause
+        raise ValueError("run_checks: empty check list")
     return (
         scalars.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")

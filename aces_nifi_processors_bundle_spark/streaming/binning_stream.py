@@ -24,14 +24,13 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.binning import BinnerConfig, bin_records
 
-_GRAN_TO_WINDOW = {
-    "YEAR": "365 days",
-    "MONTH": "30 days",
-    "DAY": "1 day",
-    "HOUR": "1 hour",
-    "MIN": "1 minute",
-    "SEC": "1 second",
-}
+def _ensure_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
+    """readStream on driver parquet can surface TIMESTAMP_NTZ (fixtures
+    ship timestamp[us] with no zone), which withWatermark rejects; the
+    session zone is pinned UTC so the cast is value-preserving."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df
 
 
 def stream_bin_count(
@@ -50,11 +49,7 @@ def stream_bin_count(
     window/slide of them — hopping counts for dashboards); default is
     tumbling. Output: (window, name, total).
     """
-    # readStream on driver parquet can surface TIMESTAMP_NTZ (fixtures
-    # ship timestamp[us] with no zone), which withWatermark rejects;
-    # session zone is pinned UTC so the cast is value-preserving.
-    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
-        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream_df = _ensure_event_time(stream_df, ts_col)
     recs = bin_records(
         stream_df.withWatermark(ts_col, watermark), binners, keep=[ts_col]
     )
@@ -123,8 +118,7 @@ def stream_session_counts(
     first never matters, only event times, so the emitted session set
     is oracle-able with a gaps-and-islands SQL rewrite plus the
     watermark cutoff (last_event + gap <= max_ts - delay)."""
-    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
-        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream_df = _ensure_event_time(stream_df, ts_col)
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(

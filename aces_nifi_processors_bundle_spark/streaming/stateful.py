@@ -25,6 +25,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -183,7 +184,13 @@ def stream_funnel_chain(
             columns=[user_col, "n_seen", *[f"_s{i}" for i in range(n_steps)]],
         )
 
-    return stream_df.groupBy(user_col).applyInPandasWithState(
+    # a NULL timestamp/step would reach the Python worker as NaN and
+    # int(NaN) KILLS the whole streaming query, not just the row —
+    # dirty rows are dropped plan-side (they can't chain anyway)
+    clean = stream_df.where(
+        F.col(us_col).isNotNull() & F.col(si_col).isNotNull()
+    )
+    return clean.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="uss array<bigint>, sis array<int>",

@@ -360,3 +360,32 @@ def test_stream_funnel_chain_batch_split_independent(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_funnel_drops_dirty_rows_instead_of_dying(spark, sf_dir, tmp_path):
+    """A NULL timestamp/step reaching the Python state worker as NaN
+    previously killed the WHOLE streaming query (int(NaN)); dirty rows
+    are now dropped plan-side."""
+    import pyspark.sql.functions as F
+
+    from aces_nifi_processors_bundle_spark.streaming.stateful import (
+        stream_funnel_chain,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 0, 1_000_000), (1, 1, None), (1, 1, 2_000_000)],
+        "user_id long, _si int, _us bigint",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, _si int, _us bigint").parquet(src)
+    out = stream_funnel_chain(stream, n_steps=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dirty_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("dirty_funnel").collect()
+    assert rows and rows[0]["_s1"] == 2_000_000  # clean rows still chain
