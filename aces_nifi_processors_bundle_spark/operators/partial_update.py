@@ -122,6 +122,7 @@ def _combine_sources(src: DataFrame, cfg: PartialUpdateConfig) -> DataFrame:
         aggs = {c: _pick(c) for c in others}
         return src.groupBy(*cfg.keys).agg(*aggs.values())
     src_types = dict(src.dtypes)
+    src_schema = {f.name: f.dataType for f in src.schema.fields}
     aggs: dict[str, Column] = {}
     for prop, op in cfg.operations.items():
         parent, _child = _split_path(prop)
@@ -129,6 +130,24 @@ def _combine_sources(src: DataFrame, cfg: PartialUpdateConfig) -> DataFrame:
             continue
         if op == "$inc" and _child is None:
             aggs[parent] = F.sum(F.col(parent)).alias(parent)
+        elif op == "$addToSet" and _child is not None:
+            # struct parent: merge each source row's CHILD values into
+            # one set and rebuild a struct carrying just that field —
+            # the merge reads it back with getField(child). (collect_set
+            # over the whole parent struct would make array<struct>,
+            # which the downstream array_union cannot consume.)
+            inner = F.col(parent).getField(_child)
+            ctype = next(
+                str(f.dataType.simpleString())
+                for f in src_schema[parent].fields
+                if f.name == _child
+            )
+            merged_child = (
+                F.array_distinct(F.flatten(F.collect_list(inner)))
+                if ctype.startswith("array")
+                else F.collect_set(inner)
+            )
+            aggs[parent] = F.struct(merged_child.alias(_child)).alias(parent)
         elif op == "$addToSet" and not src_types.get(parent, "").startswith("array"):
             aggs[parent] = F.collect_set(F.col(parent)).alias(parent)
         elif op == "$addToSet":
@@ -170,15 +189,44 @@ def partial_update(
     src_types = dict(src.dtypes)
     tgt_types = dict(target.dtypes)
 
-    t, s = target.alias("t"), src.alias("s")
+    # EXPLICIT presence markers: deriving matched/source_only from
+    # keys[0] nullness breaks on null-key rows — a null-key TARGET row
+    # looked source_only and was replaced by an all-null insert (or
+    # dropped outright with upsert=False), and a null-key source row
+    # matching via eqNullSafe was misclassified the same way.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = src.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
 
-    matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
-    source_only = F.col(f"t.{keys[0]}").isNull()
+    matched = (
+        F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+    )
+    source_only = F.col("t._t_present").isNull()
+
+    if cfg.mode == "one":
+        # updateOne (PartialUpdateMongo.java:469-471, the reference
+        # DEFAULT): at most one matched target row per key takes the
+        # update. Mongo's pick is unspecified; ours is deterministic
+        # when any orderable non-key column distinguishes the rows
+        # (maps are unorderable and excluded from the tiebreak).
+        from pyspark.sql import Window as _W
+
+        orderable = [
+            F.col(f"t.{c}")
+            for c, typ in tgt_types.items()
+            if c not in keys and not typ.startswith("map<")
+        ]
+        rn = F.row_number().over(
+            _W.partitionBy(*[F.col(f"t.{k}") for k in keys]).orderBy(
+                F.col("t._t_present").asc_nulls_last(),
+                *[o.asc_nulls_first() for o in orderable],
+            )
+        )
+        matched = matched & (rn == 1)
 
     ops = dict(cfg.operations)
     whole_doc = ops.pop("*", None) == "$set"
@@ -200,8 +248,17 @@ def partial_update(
                 continue
             has_src = parent in src_types
             scol = F.col(f"s.{parent}") if has_src else F.lit(None)
-            if op == "$currentDate":
+            if op == "$currentDate" and child is None:
                 new_val = F.when(matched, F.lit(cfg.now).cast("timestamp")).otherwise(new_val)
+            elif op == "$currentDate":
+                # {$currentDate: {"parent.child": true}} stamps the
+                # NESTED field (the reference passes the dotted path
+                # straight to Mongo) — replacing the whole struct with
+                # a timestamp wouldn't even analyze
+                new_val = F.when(
+                    matched,
+                    new_val.withField(child, F.lit(cfg.now).cast("timestamp")),
+                ).otherwise(new_val)
             elif not has_src:
                 continue  # skip-when-absent (:344-349,361-366)
             elif op == "$set" and child is None:
@@ -287,10 +344,48 @@ def partial_update(
     currentdate_props = {
         _split_path(p)[0] for p, op in cfg.operations.items() if op == "$currentDate"
     }
+    addtoset_top = {
+        _split_path(p)[0]
+        for p, op in cfg.operations.items()
+        if op == "$addToSet" and _split_path(p)[1] is None
+    }
+    currentdate_dot = {
+        _split_path(p)[0]: _split_path(p)[1]
+        for p, op in cfg.operations.items()
+        if op == "$currentDate" and _split_path(p)[1] is not None
+    }
     insert_vals: dict[str, Column] = {}
     for col_name in target.columns:
-        if col_name in currentdate_props:
+        if col_name in currentdate_props and col_name not in currentdate_dot:
             insert_vals[col_name] = F.lit(cfg.now).cast("timestamp").cast(tgt_types[col_name])
+        elif col_name in currentdate_dot:
+            # dot-path $currentDate on upsert stamps the nested field
+            # of the inserted doc (casting the whole struct column to
+            # timestamp would not analyze)
+            base = (
+                F.col(f"s.{col_name}").cast(tgt_types[col_name])
+                if col_name in src_types
+                else F.struct(
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target.schema[col_name].dataType.fields
+                    ]
+                )
+            )
+            insert_vals[col_name] = base.withField(
+                currentdate_dot[col_name], F.lit(cfg.now).cast("timestamp")
+            )
+        elif col_name in src_types and col_name in addtoset_top:
+            # same shaping as the matched path: wrap scalars, run the
+            # epoch-millis fixup — a plain cast read millis as SECONDS
+            # on inserted docs (and scalar->array didn't analyze)
+            iv = F.col(f"s.{col_name}")
+            if not src_types[col_name].startswith("array"):
+                iv = F.array(iv)
+            elem = target.schema[col_name].dataType.elementType
+            if hasattr(elem, "fields"):
+                iv = _time_fixup(iv, [f.name for f in elem.fields], cfg)
+            insert_vals[col_name] = iv.cast(tgt_types[col_name])
         elif col_name in src_types:
             insert_vals[col_name] = F.col(f"s.{col_name}").cast(tgt_types[col_name])
         else:

@@ -368,3 +368,81 @@ def test_scd2_apply_point_in_time_reconstruction(spark):
     open_rows = state.filter("is_current").collect()
     assert sorted(r["k"] for r in open_rows) == [1, 2, 3]
     assert state.count() == 5  # 3 open + 2 closed versions
+
+
+def test_partial_update_null_keys_mode_one_and_dot_paths(spark):
+    """Round-7 review: null-key target rows survive the merge; mode=one
+    updates exactly one matched row; dot-path $addToSet/$currentDate
+    work end to end (previously failed analysis / clobbered structs)."""
+    import pyspark.sql.functions as F
+
+    from aces_nifi_processors_bundle_spark.operators.partial_update import (
+        PartialUpdateConfig,
+        partial_update,
+    )
+
+    # null-key target row must survive untouched, not become all-null
+    tgt = spark.createDataFrame(
+        [(1, "a"), (None, "nullkey")], "k long, v string"
+    )
+    src = spark.createDataFrame([(1, "A")], "k long, v string")
+    cfg = PartialUpdateConfig(keys=["k"], operations={"v": "$set"})
+    res = partial_update(tgt, src, cfg)
+    post = {r["k"]: r["v"] for r in res.post_state.collect()}
+    assert post[1] == "A" and post[None] == "nullkey"
+
+    # mode='one': exactly ONE of the matched rows updates (the
+    # reference's updateOne default); the other passes through
+    many_tgt = spark.createDataFrame(
+        [(7, "x", 1), (7, "y", 2)], "k long, v string, ord int"
+    )
+    many_src = spark.createDataFrame([(7, "Z")], "k long, v string")
+    one = partial_update(many_tgt, many_src,
+                         PartialUpdateConfig(keys=["k"], operations={"v": "$set"}))
+    vals = sorted(r["v"] for r in one.post_state.collect())
+    assert vals.count("Z") == 1 and len(vals) == 2
+    assert one.success.count() == 1
+    both = partial_update(many_tgt, many_src,
+                          PartialUpdateConfig(keys=["k"], operations={"v": "$set"},
+                                              mode="many"))
+    assert sorted(r["v"] for r in both.post_state.collect()) == ["Z", "Z"]
+
+    # dot-path $addToSet (previously AnalysisException at plan build)
+    stgt = spark.createDataFrame(
+        [(1, (["a"],))], "k long, p struct<tags:array<string>>"
+    )
+    ssrc = spark.createDataFrame(
+        [(1, (["b"],)), (1, (["c"],))], "k long, p struct<tags:array<string>>"
+    )
+    scfg = PartialUpdateConfig(keys=["k"], operations={"p.tags": "$addToSet"})
+    srow = partial_update(stgt, ssrc, scfg).post_state.collect()[0]
+    assert sorted(srow["p"]["tags"]) == ["a", "b", "c"]
+
+    # dot-path $currentDate stamps the CHILD, keeps siblings
+    dtgt = spark.createDataFrame(
+        [(1, ("keep", None))],
+        "k long, meta struct<note:string, updatedAt:timestamp>",
+    )
+    dsrc = spark.createDataFrame([(1,)], "k long")
+    dcfg = PartialUpdateConfig(
+        keys=["k"], operations={"meta.updatedAt": "$currentDate"},
+        now="2026-02-03 04:05:06",
+    )
+    drow = partial_update(dtgt, dsrc, dcfg).post_state.collect()[0]
+    assert drow["meta"]["note"] == "keep"
+    assert str(drow["meta"]["updatedAt"]) == "2026-02-03 04:05:06"
+
+    # insert path: $addToSet scalar wrap + epoch-millis fixup
+    itgt = spark.createDataFrame(
+        [], "k long, evs array<struct<eventTime:timestamp,val:string>>"
+    )
+    isrc = spark.createDataFrame(
+        [(5, [(1700000000000, "e")])],
+        "k long, evs array<struct<eventTime:bigint,val:string>>",
+    )
+    icfg = PartialUpdateConfig(
+        keys=["k"], operations={"evs": "$addToSet"},
+        time_fixup_fields=["eventTime"],
+    )
+    irow = partial_update(itgt, isrc, icfg).post_state.collect()[0]
+    assert irow["evs"][0]["eventTime"].year == 2023  # millis, not seconds
