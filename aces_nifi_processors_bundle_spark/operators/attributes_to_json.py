@@ -119,10 +119,22 @@ def attributes_to_json(df: DataFrame, cfg: AttributesToJsonConfig) -> Routed:
             out_cols.append(iso.alias(a))
         fail_checks.append(src.isNotNull() & F.trim(src).try_cast("long").isNull())
 
+    # a PRESENT but unparseable JSON array routes to failure like the
+    # reference (Jackson's readValue throws JsonProcessingException —
+    # an IOException — caught into REL_FAILURE); silently emitting a
+    # NULL sum into success accepted garbage
     for a in cfg.double_array_sum_attrs:
-        out_cols.append(array_sum_double(_get(df, a)).alias(a))
+        src = _get(df, a)
+        out_cols.append(array_sum_double(src).alias(a))
+        fail_checks.append(
+            src.isNotNull() & F.from_json(src, "array<double>").isNull()
+        )
     for a in cfg.int_array_sum_attrs:
-        out_cols.append(array_sum_int(_get(df, a)).alias(a))
+        src = _get(df, a)
+        out_cols.append(array_sum_int(src).alias(a))
+        fail_checks.append(
+            src.isNotNull() & F.from_json(src, "array<int>").isNull()
+        )
 
     projected = df.select(*out_cols) if not fail_checks else None
     if fail_checks:
@@ -141,5 +153,15 @@ def attributes_to_json(df: DataFrame, cfg: AttributesToJsonConfig) -> Routed:
     if cfg.emit_json_body:
         for rel in list(result.frames):
             f = result.frames[rel]
-            result.frames[rel] = f.withColumn("json_body", F.to_json(F.struct(*f.columns)))
+            # ignoreNullFields=false: the reference's Jackson writes
+            # explicit nulls (BetterAttributesToJSON.java:250 puts
+            # null values in the map); Spark's default would DROP the
+            # key — and DuckDB's to_json keeps nulls, so this also
+            # aligns the oracle comparison
+            result.frames[rel] = f.withColumn(
+                "json_body",
+                F.to_json(
+                    F.struct(*f.columns), {"ignoreNullFields": "false"}
+                ),
+            )
     return result

@@ -274,12 +274,14 @@ def with_bin_metadata(
     """Attach the reference's output FlowFile attributes as columns:
     `mime.type=application/json` (DataBinningProcessor.java:285,302)
     and the filename — `bin-<name>.json` per exploded bin in single
-    mode (:284) or `bins-<original filename>` in "mulitple" mode
+    mode (:284) or `bins-<original filename>.json` in "mulitple" mode
     (:301). Trivial concat expressions; declared §2.2 surface."""
     if output_mode.lower() in OUTPUT_MODES_MULTIPLE:
         if orig_filename_col is None:
             raise ValueError("mulitple-mode filenames need orig_filename_col")
-        fname = F.concat(F.lit("bins-"), F.col(orig_filename_col))
+        fname = F.concat(
+            F.lit("bins-"), F.col(orig_filename_col), F.lit(".json")
+        )
     else:
         fname = F.concat(F.lit("bin-"), F.col("name"), F.lit(".json"))
     return recs.withColumn("filename", fname).withColumn(

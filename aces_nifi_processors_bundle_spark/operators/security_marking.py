@@ -58,13 +58,21 @@ class SecurityMarkingConfig:
         alts = "|".join(
             re.escape(a) for a in (self.level_abbrevs_can_receive + self.levels_can_receive)
         )
-        suffix_class = "[A-Za-z" + re.escape(self.delimiter) + " ]*"
+        # FAITHFUL to the Java (:226): '[A-Za-z' + dlm + ']+' — no
+        # space in the class (a marking containing spaces does NOT
+        # full-match, level stays ''), and '+' not '*' (a bare level
+        # with no suffix does not match either — Matcher.matches()
+        # requires at least one suffix char).
+        suffix_class = "[A-Za-z" + re.escape(self.delimiter) + "]+"
         return f"^({alts}){suffix_class}$"
 
 
 def classification_expr(marking: Column, cfg: SecurityMarkingConfig) -> Column:
     """Build the classification struct column from a raw marking column."""
     d = cfg.delimiter
+    # the reference parses cleanRawMarking = rawSecurityMarking.trim()
+    # (:402) — every converter sees the trimmed string
+    marking = F.trim(marking)
 
     # 1. Level: full-match regex → captured token → first-letter map to canonical.
     captured = F.regexp_extract(marking, cfg.level_pattern(), 1)
@@ -97,11 +105,17 @@ def classification_expr(marking: Column, cfg: SecurityMarkingConfig) -> Column:
     dissem_found = _static_filter(
         cfg.dissemination_controls, lambda x: marking.contains(x)
     )
-    # Fallback rule (:268-277): none found + any releasability → 2nd control.
+    # Fallback rule (:268-277): none found + any releasability → 2nd
+    # control. The Java fallback probes contains(rel) WITHOUT the
+    # delimiter prefix (unlike the releasabilities parse above), so a
+    # marking carrying a rel token in any position still triggers it.
     if len(cfg.dissemination_controls) > 1:
+        rel_any = F.lit(False)
+        for r in cfg.releasabilities:
+            rel_any = rel_any | marking.contains(r)
         fallback = F.array(F.lit(cfg.dissemination_controls[1]))
         dissem = F.when(
-            (F.size(dissem_found) == 0) & (F.size(rels) > 0), fallback
+            (F.size(dissem_found) == 0) & rel_any, fallback
         ).otherwise(dissem_found)
     else:
         dissem = dissem_found

@@ -267,6 +267,9 @@ SELECT o_orderkey,
     WHEN 3 THEN 'C//ALPHA//BRAVO//ABC//RELTO' END AS marking,
   CASE o_orderkey % 5
     WHEN 0 THEN 'SECRET' WHEN 1 THEN 'TOPSECRET'
+    -- bare 'UNCLASS' still matches: the 'U' abbrev alternative
+    -- captures and 'NCLASS' satisfies the [A-Za-z//]+ suffix —
+    -- identical leftmost-alternation behavior in the Java regex
     WHEN 2 THEN 'UNCLASSIFIED' WHEN 3 THEN 'CONFIDENTIAL' END AS level,
   CASE o_orderkey % 5
     WHEN 0 THEN 'ALPHA' WHEN 1 THEN 'BRAVO'

@@ -446,3 +446,77 @@ def test_partial_update_null_keys_mode_one_and_dot_paths(spark):
     )
     irow = partial_update(itgt, isrc, icfg).post_state.collect()[0]
     assert irow["evs"][0]["eventTime"].year == 2023  # millis, not seconds
+
+
+def test_reference_parity_round7_fixes(spark):
+    """Markings with spaces fail the level match (Java full-match),
+    leading whitespace trims, the dissem fallback probes plain
+    contains; bad JSON arrays route to failure; json_body keeps
+    explicit nulls; multiple-mode filenames carry .json."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.operators.attributes_to_json import (
+        AttributesToJsonConfig,
+        attributes_to_json,
+    )
+    from aces_nifi_processors_bundle_spark.operators.binning import (
+        LiteralBinner,
+        bin_records,
+        with_bin_metadata,
+    )
+    from aces_nifi_processors_bundle_spark.operators.security_marking import (
+        SecurityMarkingConfig,
+        convert_security_marking,
+    )
+
+    cfg = SecurityMarkingConfig(
+        levels_to_convert_to=["UNCLASSIFIED", "SECRET"],
+        levels_can_receive=["UNCLASS", "SECRET"],
+        level_abbrevs_can_receive=["U", "S"],
+        compartments=["ALPHA"],
+        dissemination_controls=["NOFORN", "RELTO"],
+        releasabilities=["ABC"],
+        delimiter="//",
+    )
+    df = spark.createDataFrame(
+        [Row(marking="SECRET//REL TO ABC"), Row(marking="  SECRET//ALPHA"),
+         Row(marking="SECRET ABC")]
+    )
+    got = {r["marking"]: r for r in convert_security_marking(
+        df, "marking", cfg
+    ).success.select("marking", "classification.*").collect()}
+    assert got["SECRET//REL TO ABC"]["levels"] == []      # space breaks full-match
+    assert got["  SECRET//ALPHA"]["levels"] == ["SECRET"]  # trimmed first
+    assert got["SECRET ABC"]["disseminationControls"] == ["RELTO"]  # plain contains
+
+    # bad JSON array attr -> failure route (was silent null in success)
+    bag = spark.createDataFrame(
+        [Row(id="1", arr="[1.5,2.5]"), Row(id="2", arr="not json")]
+    )
+    routed = attributes_to_json(
+        bag, AttributesToJsonConfig(string_attrs=["id"],
+                                    double_array_sum_attrs=["arr"],
+                                    emit_json_body=True)
+    )
+    assert [r["id"] for r in routed.failure.collect()] == ["2"]
+    body = routed.success.collect()[0]["json_body"]
+    assert '"arr":4.0' in body
+
+    # json_body keeps explicit nulls (Jackson parity)
+    nbag = spark.createDataFrame([Row(id="1", n=None)], "id string, n string")
+    nrouted = attributes_to_json(
+        nbag, AttributesToJsonConfig(string_attrs=["id"], int_attrs=["n"],
+                                     emit_json_body=True)
+    )
+    assert '"n":null' in nrouted.success.collect()[0]["json_body"]
+
+    # multiple-mode filename: bins-<orig>.json
+    recs = bin_records(
+        spark.createDataFrame([Row(event_type="x", fn="data.txt")]),
+        [LiteralBinner(bin_name="t", data_field="event_type")],
+        output_mode="mulitple",
+        keep=["fn"],
+    )
+    meta = with_bin_metadata(recs, output_mode="mulitple", orig_filename_col="fn")
+    assert meta.collect()[0]["filename"] == "bins-data.txt.json"
