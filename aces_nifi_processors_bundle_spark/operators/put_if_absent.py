@@ -45,6 +45,15 @@ def tag_put_if_absent(
     (success | already-exists). Storage layers consume this directly so
     one observed write both appends and counts (stores/keyed_table.py).
     """
+    clash = {"_ord", "_rn", "_in_target"} & set(
+        set(source.columns) | set(target.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"put_if_absent: input carries reserved helper column(s) "
+            f"{sorted(clash)} — rename them (they would be overwritten "
+            "and dropped)"
+        )
     if order_col:
         ordered = source
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())

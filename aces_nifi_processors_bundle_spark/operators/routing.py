@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 ROUTE_COL = "_route"
 
@@ -48,7 +49,22 @@ def route_by(df: DataFrame, route_expr: Column, relationships: list[str]) -> Rou
     The route column is computed once; each output is a filter over the
     same cached logical subtree (Catalyst reuses the exchange under AQE).
     """
-    tagged = df.withColumn(ROUTE_COL, route_expr)
+    # TOTALITY guard (lazy): in the NiFi model every FlowFile lands
+    # on some relationship — a NULL route (a when() with no otherwise)
+    # or a value missing from `relationships` previously appeared in
+    # NO output frame, vanishing silently. raise_error at first
+    # evaluation instead.
+    checked = F.when(
+        route_expr.isin(relationships), route_expr
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"route_by: route value not in {relationships}: "),
+                F.coalesce(route_expr.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    tagged = df.withColumn(ROUTE_COL, checked)
     return Routed(
         {rel: tagged.filter(tagged[ROUTE_COL] == rel).drop(ROUTE_COL) for rel in relationships}
     )

@@ -57,6 +57,11 @@ def scd2_apply(
     silent fold.
     """
     cur = F.coalesce(F.col(is_current), F.lit(False))
+    if not keys or not compare_cols:
+        raise ValueError(
+            f"scd2_apply: keys and compare_cols must be non-empty "
+            f"(got keys={keys!r}, compare_cols={compare_cols!r})"
+        )
     open_rows = current.filter(cur)
     hist_rows = current.filter(~cur)
     b = batch.select(
@@ -70,9 +75,12 @@ def scd2_apply(
         .alias("_b_ts"),
         F.lit(True).alias("_b_present"),
     )
+    # eqNullSafe: a NULL natural key must match its own open row —
+    # plain == never matches NULL, leaving the old version open AND
+    # appending a new opener (two concurrent current rows per key)
     cond = reduce(
         lambda a, c: a & c,
-        [F.col(k) == F.col(f"_b_{k}") for k in keys],
+        [F.col(k).eqNullSafe(F.col(f"_b_{k}")) for k in keys],
     )
     j = open_rows.join(b, cond, "full")
     in_batch = F.col("_b_present").isNotNull()
@@ -85,11 +93,17 @@ def scd2_apply(
     keep_cols = [*keys, *compare_cols, valid_from, valid_to, is_current]
     ts_type = dict(current.dtypes)[valid_to]
     close_ts = F.when(
-        F.col("_b_ts") < F.col(valid_from),
+        # <= not <: an EQUAL timestamp would close the survivor into
+        # the empty interval [T, T) — unreachable by the documented
+        # `valid_from <= t AND t < valid_to` predicate, so the old
+        # version silently vanished from every point-in-time read.
+        # Same-instant versioning needs a finer effective_ts.
+        F.col("_b_ts") <= F.col(valid_from),
         F.raise_error(
             F.lit(
-                "scd2_apply: batch effective_ts precedes the open "
-                "version's valid_from (out-of-order batch)"
+                "scd2_apply: batch effective_ts is at or before the open "
+                "version's valid_from (out-of-order or same-instant "
+                "batch — use a finer-grained effective_ts)"
             )
         ).cast(ts_type),
     ).otherwise(F.col("_b_ts"))

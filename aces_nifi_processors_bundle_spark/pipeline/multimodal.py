@@ -141,15 +141,21 @@ def extract_features(
         else:
             decode = fake_decode_image
         for pdf in batches:
-            payloads = pdf["payload"]
+            # ONE python pass per batch (three .map passes tripled
+            # loop overhead and the fake path hashed every payload
+            # twice — the decode still receives the raw bytes)
+            rows = [
+                (len(b), hashlib.md5(b).hexdigest(), decode(b, dim))
+                for b in (p or b"" for p in pdf["payload"])
+            ]
             out = pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
-                    "payload_hash": payloads.map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": pd.Series(
+                        [r[0] for r in rows], dtype="int64"
                     ),
-                    "feat": payloads.map(lambda b: decode(b, dim)),
+                    "payload_hash": [r[1] for r in rows],
+                    "feat": [r[2] for r in rows],
                 }
             )
             yield out
@@ -163,15 +169,22 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     The sample-point fan-out is pure SQL (sequence + explode) — only
     the eventual frame decode is a stubbed UDF. This keeps the fan-out
     Catalyst-visible (predicates on sample_ms prune before decoding)."""
-    return media.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("sample_ms"),
+    # duration <= 0 or NULL ⇒ ZERO sample rows: the old greatest(.,0)
+    # clamp fabricated a sample at t=0 for media with no known frames
+    # and downstream decode would chase a frame that does not exist
+    return (
+        media.filter(
+            (F.col("kind") == "video") & (F.col("duration_ms") > 0)
+        ).select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("duration_ms") - 1,
+                    F.lit(every_ms),
+                )
+            ).alias("sample_ms"),
+        )
     )
 
 

@@ -166,7 +166,15 @@ class SocketIOSink:
             def client_for(u: str) -> Any:
                 if u not in clients:
                     c = factory()
-                    c.connect(u, timeout)
+                    # python-socketio's connect() takes the timeout as
+                    # the KEYWORD wait_timeout — its second positional
+                    # is `headers`, so c.connect(u, timeout) handed the
+                    # float to the header merge and crashed the real
+                    # client (only the test stubs matched positionally)
+                    try:
+                        c.connect(u, wait_timeout=timeout)
+                    except TypeError:
+                        c.connect(u)  # stub/simple clients: no kwarg
                     clients[u] = c
                 return clients[u]
 
@@ -187,7 +195,9 @@ class SocketIOSink:
         with self.provenance.send(self.url, detail=f"mode={mode}") as ctx:
             out.foreachPartition(push)
             ctx["n_rows"] = pushed.value
-        return self.provenance.events[-1].n_rows
+        # the accumulator is the local truth; events[-1] could be
+        # another sink's event when the ProvenanceLog is shared
+        return pushed.value
 
     def stream_writer(self, df: DataFrame, checkpoint: str, **options):
         """Streaming mode: foreachBatch wrapper over write_batch."""

@@ -76,7 +76,11 @@ def parse_content_auto(
     arr = F.when(
         c.startswith("["), F.from_json(c, ArrayType(elem_type))
     ).otherwise(F.array(F.from_json(c, elem_type)))
-    exploded = df.withColumn("_doc", F.explode(arr))
+    # explode_outer: malformed ARRAY content (from_json -> NULL array)
+    # must surface as an all-null row like malformed OBJECT content
+    # does (array(NULL) keeps one row) — plain explode silently
+    # deleted the whole FlowFile for one of the two shapes
+    exploded = df.withColumn("_doc", F.explode_outer(arr))
     return exploded.select(
         *[col for col in df.columns if col != content_col], "_doc.*"
     )

@@ -520,3 +520,49 @@ def test_reference_parity_round7_fixes(spark):
     )
     meta = with_bin_metadata(recs, output_mode="mulitple", orig_filename_col="fn")
     assert meta.collect()[0]["filename"] == "bins-data.txt.json"
+
+
+def test_routing_scd_pia_hygiene_round7(spark):
+    """route_by raises on unrouted rows; SCD2 handles NULL keys and
+    rejects same-instant closes; put_if_absent rejects reserved helper
+    columns."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.operators.put_if_absent import (
+        put_if_absent,
+    )
+    from aces_nifi_processors_bundle_spark.operators.routing import route_by
+    from aces_nifi_processors_bundle_spark.operators.scd import scd2_apply
+
+    df = spark.createDataFrame([Row(x=1), Row(x=2)])
+    routed = route_by(
+        df, F.when(F.col("x") == 1, "a"), ["a", "b"]
+    )  # x=2 routes to NULL
+    with pytest.raises(Exception, match="route_by|USER_RAISED"):
+        routed["b"].collect()
+
+    t = dt.datetime(2025, 1, 1)
+    cur = spark.createDataFrame(
+        [(None, "v1", t, None, True)],
+        "k string, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [(None, "v2", t + dt.timedelta(days=1))],
+        "k string, v string, ts timestamp",
+    )
+    out = scd2_apply(cur, batch, ["k"], ["v"], effective_ts_col="ts")
+    opens = out.filter("is_current").collect()
+    assert len(opens) == 1 and opens[0]["v"] == "v2"  # NULL key closed + versioned
+    same_t = spark.createDataFrame([(None, "v3", t)], "k string, v string, ts timestamp")
+    with pytest.raises(Exception, match="same-instant|USER_RAISED|at or before"):
+        scd2_apply(cur, same_t, ["k"], ["v"], effective_ts_col="ts").collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(cur, batch, ["k"], [], effective_ts_col="ts")
+
+    tgt = spark.createDataFrame([Row(k=1)])
+    src = spark.createDataFrame([Row(k=2, _ord=5)])
+    with pytest.raises(ValueError, match="reserved"):
+        put_if_absent(tgt, src, ["k"])
