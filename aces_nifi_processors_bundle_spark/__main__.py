@@ -21,10 +21,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def _session(get_spark, app_name):
     """Only stop the session on exit if the CLI created it — an
-    embedding process (tests, a notebook) keeps its own session."""
+    embedding process (tests, a notebook) keeps its own session.
+
+    getActiveSession is THREAD-LOCAL: an embedder that built its
+    session on another thread would look absent here and the CLI
+    would stop a shared session. Check the process-wide default
+    session too (private but stable; it is exactly the state
+    builder.getOrCreate() consults)."""
     from pyspark.sql import SparkSession
 
-    pre = SparkSession.getActiveSession()
+    pre = (
+        SparkSession.getActiveSession()
+        or getattr(SparkSession, "_instantiatedSession", None)
+    )
     return get_spark(app_name=app_name), pre is None
 
 
@@ -66,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         spark, owned = _session(get_spark, "aces-cli-store")
         try:
             store = KeyedParquetStore(
-                spark=spark, path=args.path, keys=args.keys.split(","),
+                spark=spark, path=args.path,
+                keys=[k.strip() for k in args.keys.split(",")],
                 n_buckets=args.n_buckets,
             )
             if args.action == "history":

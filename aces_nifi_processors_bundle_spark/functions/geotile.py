@@ -24,10 +24,14 @@ _MAX_LAT = 85.05112878
 
 
 def tile_x(lon: Column, zoom: int) -> Column:
-    """Tile X index at a fixed zoom: floor((lon+180)/360 * 2^zoom), clamped."""
+    """Tile X index at a fixed zoom: floor((lon+180)/360 * 2^zoom),
+    clamped. NULL/NaN longitudes yield NULL — greatest/least SKIP
+    nulls and order NaN above every double, so without the guard a
+    garbage coordinate landed on a valid edge tile."""
     n = F.lit(float(2**zoom))
     raw = F.floor((lon + 180.0) / 360.0 * n)
-    return F.greatest(F.lit(0), F.least(raw, F.lit(2**zoom - 1))).cast("long")
+    idx = F.greatest(F.lit(0), F.least(raw, F.lit(2**zoom - 1))).cast("long")
+    return F.when(lon.isNotNull() & ~F.isnan(lon.cast("double")), idx)
 
 
 def tile_y(lat: Column, zoom: int) -> Column:
@@ -40,7 +44,10 @@ def tile_y(lat: Column, zoom: int) -> Column:
     rad = F.radians(clamped)
     asinh_tan = F.log(F.tan(rad) + 1.0 / F.cos(rad))
     raw = F.floor((1.0 - asinh_tan / math.pi) / 2.0 * n)
-    return F.greatest(F.lit(0), F.least(raw, F.lit(2**zoom - 1))).cast("long")
+    idx = F.greatest(F.lit(0), F.least(raw, F.lit(2**zoom - 1))).cast("long")
+    # same NULL/NaN guard as tile_x (NaN ordered above _MAX_LAT would
+    # otherwise clamp to the y=0 corner tile)
+    return F.when(lat.isNotNull() & ~F.isnan(lat.cast("double")), idx)
 
 
 def quadkey(lon: Column, lat: Column, zoom: int) -> Column:

@@ -51,11 +51,14 @@ def epoch_millis_to_iso(col: Column) -> Column:
 
 
 def mongo_extended_date(col: Column) -> Column:
-    """Wrap an ISO date string as Mongo extended JSON {"$date": ...}.
+    """Wrap an ISO date string as Mongo extended JSON {"$date": ...};
+    a missing/unparseable epoch propagates NULL (the reference's map
+    holds a plain null — {"$date": null} would be a different shape).
 
     Ref: BetterAttributesToJSON.java:283-287 emits {"$date": "<iso>"}.
     """
-    return F.struct(epoch_millis_to_iso(col).alias("$date"))
+    iso = epoch_millis_to_iso(col)
+    return F.when(iso.isNotNull(), F.struct(iso.alias("$date")))
 
 
 def array_sum_double(col: Column) -> Column:
@@ -73,5 +76,11 @@ def array_sum_int(col: Column) -> Column:
     Ref: BetterAttributesToJSON.java:316-335 — intended semantics (the
     reference's guard bug is documented in the module docstring).
     """
-    arr = F.from_json(col, "array<bigint>")
-    return F.aggregate(arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    # array<int>, not bigint: Java parses Integer[] — a value past
+    # INT_MAX is unparseable there (and in the failure-routing guard,
+    # which uses the SAME schema; bigint here quietly summed what the
+    # guard had already routed to failure)
+    arr = F.from_json(col, "array<int>")
+    return F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+    )

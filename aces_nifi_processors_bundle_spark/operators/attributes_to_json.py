@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import (
+    mongo_extended_date,
     array_sum_double,
     array_sum_int,
     epoch_millis_to_iso,
@@ -112,11 +113,12 @@ def attributes_to_json(df: DataFrame, cfg: AttributesToJsonConfig) -> Routed:
 
     for a in cfg.epoch_date_attrs:
         src = _get(df, a)
-        iso = epoch_millis_to_iso(src)
         if cfg.mongo_extended_dates:
-            out_cols.append(F.struct(iso.alias("$date")).alias(a))
+            # the shared helper null-propagates: a missing epoch is a
+            # plain null, never {"$date": null}
+            out_cols.append(mongo_extended_date(src).alias(a))
         else:
-            out_cols.append(iso.alias(a))
+            out_cols.append(epoch_millis_to_iso(src).alias(a))
         fail_checks.append(src.isNotNull() & F.trim(src).try_cast("long").isNull())
 
     # a PRESENT but unparseable JSON array routes to failure like the

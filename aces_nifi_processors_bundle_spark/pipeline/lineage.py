@@ -40,6 +40,10 @@ def prepare_checkpoint(
 
 def cut_lineage(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
     """Truncate df's lineage using the chosen strategy."""
+    if mode not in _MODES:
+        # a typo'd mode must not silently downgrade to localCheckpoint
+        # (losing executor-failure recovery on a long cluster run)
+        raise ValueError(f"checkpoint mode must be one of {_MODES}, got {mode!r}")
     if mode == "reliable":
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

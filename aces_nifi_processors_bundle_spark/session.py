@@ -21,6 +21,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # If the process already has a session (an embedding notebook or
+    # server), return it UNTOUCHED: builder.getOrCreate() would apply
+    # every .config() below to the existing session's RuntimeConfig —
+    # silently flipping the embedder's timezone/shuffle tuning and log
+    # level. Engine correctness does not depend on session confs here:
+    # sources/registry.load_table pins UTC and the nanos handling per
+    # read. (getActiveSession is thread-local; also consult the
+    # process-wide default.)
+    pre = (
+        SparkSession.getActiveSession()
+        or getattr(SparkSession, "_instantiatedSession", None)
+    )
+    if pre is not None:
+        return pre
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

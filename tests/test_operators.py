@@ -566,3 +566,41 @@ def test_routing_scd_pia_hygiene_round7(spark):
     src = spark.createDataFrame([Row(k=2, _ord=5)])
     with pytest.raises(ValueError, match="reserved"):
         put_if_absent(tgt, src, ["k"])
+
+
+def test_functions_null_nan_and_range_hygiene(spark):
+    """Round-7 review: garbage coordinates yield NULL tiles (not valid
+    edge tiles); int-array sums share the failure guard's Integer
+    parse contract; missing epoch dates are plain NULL, never
+    {'$date': null}."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.functions.geotile import quadkey
+    from aces_nifi_processors_bundle_spark.functions.scalar import (
+        array_sum_int,
+        mongo_extended_date,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(None, 10.0), (10.0, nan), (10.0, 10.0)],
+        "lon double, lat double",
+    )
+    qs = [r["q"] for r in df.select(
+        quadkey(F.col("lon"), F.col("lat"), 4).alias("q")
+    ).collect()]
+    assert qs[0] is None and qs[1] is None and qs[2] is not None
+
+    vals = spark.createDataFrame(
+        [Row(a="[3000000000]"), Row(a="[1,2]")]
+    )
+    out = [r["s"] for r in vals.select(array_sum_int(F.col("a")).alias("s")).collect()]
+    assert out == [None, 3]  # > INT_MAX is unparseable, like Integer.parseInt
+
+    dates = spark.createDataFrame([Row(e=None), Row(e="1700000000000")],
+                                  "e string")
+    wrapped = [r["w"] for r in dates.select(
+        mongo_extended_date(F.col("e")).alias("w")).collect()]
+    assert wrapped[0] is None  # plain null, not {'$date': null}
+    assert wrapped[1]["$date"].startswith("2023-11-14")
