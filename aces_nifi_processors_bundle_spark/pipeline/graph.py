@@ -423,6 +423,10 @@ def shortest_paths(
             ),
             checkpoint,
         )
-        dist = cut_lineage(dist.unionByName(new), checkpoint)
+        # the union is NOT checkpointed: its children are all already
+        # materialized, so its plan depth grows only by one node per
+        # hop — eagerly writing the whole visited set each hop would
+        # reintroduce the O(V)-per-sweep cost the frontier fold avoids
+        dist = dist.unionByName(new)
         frontier = new.select("v")
     return dist
