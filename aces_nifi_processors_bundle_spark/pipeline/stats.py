@@ -232,6 +232,68 @@ def hist_order_stats(
     )
 
 
+def threshold_buckets(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group quality split at scale: k = len(labels)
+    buckets from best (labels[0], highest value) to worst. Instead of
+    ntile over Window.partitionBy(group) — which sorts an ENTIRE
+    group's fact rows in one task (one executor sorting a language's
+    billion docs at 100 TB) — this computes the k-1 boundary ORDER
+    STATISTICS per group with the value-histogram rank walk
+    (hist_order_stats: window work bounded by value CARDINALITY),
+    broadcasts the tiny (group, thresholds) frame back, and assigns
+    buckets by plain comparison. The fact rows never sort.
+
+    Boundary ranks are ntile's ceil(i*n/k) (i-th boundary, descending
+    order); s_i is the value at that rank. A row lands in bucket i iff
+    s_{i+1} <= value < s_i (value >= s_1 -> labels[0]). Rows TYING a
+    boundary value all take the better bucket — deterministic with no
+    per-row tie ordering, which is exactly what removes the per-group
+    sort; bucket sizes may differ from ntile's by the boundary tie
+    count. value_col must be an integer-discrete (bigint) column —
+    pre-round floats to fixed precision first, as group_quantiles
+    does. NULL values are excluded from rank computation by
+    hist_order_stats and land in the last bucket.
+
+    Output: df's columns plus `bucket` (string).
+    """
+    k = len(labels)
+    if k < 2:
+        raise ValueError("threshold_buckets needs at least 2 labels")
+
+    def rank_low(i: int):
+        # i-th descending boundary rank ceil(i*n/k), restated as an
+        # ASCENDING rank n - ceil(i*n/k) + 1 for the histogram walk;
+        # ceil is exact integer arithmetic: (i*n + k-1) div k.
+        def rank(n):
+            x = n * F.lit(i) + F.lit(k - 1)
+            ceil_ = ((x - x % k) / k).cast("bigint")
+            return n - ceil_ + F.lit(1)
+
+        return rank
+
+    thr = hist_order_stats(
+        df.select(group, value_col),
+        group,
+        value_col,
+        {f"__s{i}": rank_low(i) for i in range(1, k)},
+    )
+    v = F.col(value_col)
+    expr = F.when(v >= F.col("__s1"), F.lit(labels[0]))
+    for i in range(2, k):
+        expr = expr.when(v >= F.col(f"__s{i}"), F.lit(labels[i - 1]))
+    expr = expr.otherwise(F.lit(labels[k - 1]))
+    return (
+        df.join(F.broadcast(thr), group)
+        .withColumn("bucket", expr)
+        .drop("__n", *[f"__s{i}" for i in range(1, k)])
+    )
+
+
 def zscore_normalize(
     df: DataFrame,
     group: str,

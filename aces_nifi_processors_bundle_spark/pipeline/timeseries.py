@@ -675,6 +675,25 @@ def cusum_flags(
             ).alias("__runmin"),
         )
     y = F.col("__cum") - F.col("__runmin")
+    # The cumsum stays decimal(38,0) INTERNALLY (a bigint running sum
+    # would overflow on a long excursion), but the output boundary is
+    # bigint: the external hash gate renders Decimal and int
+    # differently, so an uncast decimal column can never hash-match
+    # the oracle's BIGINT (CORRECTNESS_r07's q_changepoint_cusum /
+    # q_cusum_chunked). y >= 0 always (runmin <= min(cum, 0)), so only
+    # the upper bound needs the loud-overflow guard — same contract as
+    # anomaly_flags' raise_error, and as DuckDB's raising
+    # HUGEINT->BIGINT cast on the oracle side.
+    y_big = F.when(
+        y > F.lit(2**63 - 1).cast("decimal(38,0)"),
+        F.raise_error(
+            F.lit(
+                "cusum_flags: cusum_scaled exceeds bigint range — the "
+                "excursion magnitude n_t*sum(dev) overflowed the "
+                "int64 output type; rescale the input or lower n_t"
+            )
+        ).cast("bigint"),
+    ).otherwise(y.cast("bigint"))
     return c2.where(
         y
         > F.col("__nt").cast("decimal(38,0)")
@@ -683,9 +702,6 @@ def cusum_flags(
         id_col,
         key,
         F.col("__us").alias("ts_us"),
-        # decimal(38,0), NOT bigint: y is running-sum-magnitude — the
-        # exact regime the decimal cumsum exists for; a bigint cast
-        # would silently NULL (ANSI off) or throw on a long excursion
-        y.cast("decimal(38,0)").alias("cusum_scaled"),
+        y_big.alias("cusum_scaled"),
         F.col("__nt").alias("n_train"),
     )

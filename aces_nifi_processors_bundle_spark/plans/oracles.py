@@ -2652,12 +2652,16 @@ SELECT * FROM (
 
 # Trailing-hour RANGE frame: the (N-1) PRECEDING bound mirrors the
 # Spark rangeBetween(-3600e6 + 1, 0) half-open trailing hour.
+# sum(...) OVER widens to HUGEINT in DuckDB; the driver's value hash
+# distinguishes integer representations, so cast the output back to
+# BIGINT (Spark emits bigint) — CORRECTNESS_r07 failed on exactly this.
 oracle("q_rolling_hourly")(
     """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        CAST(round(value*100) AS BIGINT) AS value_cents,
        count(*) OVER w AS n_window,
-       sum(CAST(round(value*100) AS BIGINT)) OVER w AS sum_cents,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents,
        min(CAST(round(value*100) AS BIGINT)) OVER w AS min_cents,
        max(CAST(round(value*100) AS BIGINT)) OVER w AS max_cents
 FROM events
@@ -2693,17 +2697,21 @@ oracle("q_resample_6h")(
 WITH c AS (
   SELECT user_id, (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
          CAST(round(value*100) AS BIGINT) AS x,
+         -- NULL-valued rows sort LAST so rn=1 is the latest non-NULL
+         -- observation, mirroring Spark's max_by over a NULL-skipping
+         -- ordering key (pipeline/timeseries.py::resample_gapfill)
          row_number() OVER (PARTITION BY user_id,
                             (epoch_us(ts) // 21600000000)
-                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                            ORDER BY (round(value*100) IS NULL),
+                                     epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events
 ), obs AS (
   -- DuckDB 1.0's arg_max has no composite-key overload, so the
   -- last-in-bucket pick rides a row_number instead.
   SELECT user_id, bucket_us,
          CAST(count(*) AS BIGINT) AS n_events,
-         sum(x) AS sum_cents,
-         max(CASE WHEN rn = 1 THEN x END) AS last_obs
+         CAST(sum(x) AS BIGINT) AS sum_cents,
+         max(CASE WHEN rn = 1 AND x IS NOT NULL THEN x END) AS last_obs
   FROM c GROUP BY 1, 2
 ), grid AS (
   SELECT user_id, unnest(generate_series(min(bucket_us), max(bucket_us),
@@ -2711,8 +2719,11 @@ WITH c AS (
   FROM obs GROUP BY user_id
 )
 SELECT g.user_id, g.bucket_us,
-       coalesce(o.n_events, 0) AS n_events,
-       coalesce(o.sum_cents, 0) AS sum_cents,
+       CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+       -- 0 only for GRID GAPS (no observed row); an observed bucket
+       -- whose values are all NULL keeps a NULL sum, like Spark
+       CAST(CASE WHEN o.n_events IS NULL THEN 0 ELSE o.sum_cents END
+            AS BIGINT) AS sum_cents,
        last_value(o.last_obs IGNORE NULLS) OVER (
          PARTITION BY g.user_id ORDER BY g.bucket_us
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_cents
@@ -3018,7 +3029,11 @@ c2 AS (
   FROM c1
 )
 SELECT event_id, event_type, us AS ts_us,
-       CAST(cum - runmin AS DECIMAL(38,0)) AS cusum_scaled,
+       -- BIGINT at the output boundary (HUGEINT internal): the
+       -- driver hash renders DECIMAL differently from Spark bigint.
+       -- DuckDB raises on an out-of-range HUGEINT->BIGINT cast, the
+       -- same loud-overflow contract as the Spark side's guard.
+       CAST(cum - runmin AS BIGINT) AS cusum_scaled,
        n_t AS n_train
 FROM c2 WHERE cum - runmin > CAST(n_t AS HUGEINT) * 25000
 """
@@ -3765,17 +3780,35 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
 FROM scored GROUP BY doc_id
 ),
 j AS (
-  SELECT l.doc_id, l.lm_score, d.lang
+  SELECT l.doc_id, l.lm_score, d.lang,
+         CAST(round(l.lm_score * 1000000) AS BIGINT) AS sm
   FROM lmout l JOIN documents d USING (doc_id)
 ),
-b AS (
-  SELECT lang, lm_score,
-         ntile(3) OVER (PARTITION BY lang
-                        ORDER BY lm_score DESC, doc_id ASC) AS nt
+-- Independent sort-based derivation of the ntile boundary order
+-- statistics (rank ceil(i*n/3) descending, value only — tie order
+-- irrelevant to the VALUE at a rank). The Spark side derives the
+-- same thresholds via the histogram rank walk; boundary ties take
+-- the better bucket on both sides.
+ranked AS (
+  SELECT lang, sm,
+         row_number() OVER (PARTITION BY lang ORDER BY sm DESC) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n
   FROM j
+),
+thr AS (
+  SELECT lang,
+         max(CASE WHEN rnk = (1*n + 2) // 3 THEN sm END) AS s1,
+         max(CASE WHEN rnk = (2*n + 2) // 3 THEN sm END) AS s2
+  FROM ranked GROUP BY lang
+),
+b AS (
+  SELECT j.lang, j.lm_score,
+         CASE WHEN j.sm >= t.s1 THEN 'head'
+              WHEN j.sm >= t.s2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM j JOIN thr t USING (lang)
 )
-SELECT lang,
-       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+SELECT lang, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(lm_score) AS worst,
        max(lm_score) AS best

@@ -7,19 +7,16 @@ rows-only check).
 
 ORDERING MATTERS: the round driver samples the FIRST 50 entries for
 its external CORRECTNESS check. Entries are therefore ordered by
-information value, not topic: (0) queries added in round 7
-(sketches incl. streaming/windowed HLL and the per-column distinct
-profile, corpus line dedup, Gopher rules, zscore, unpivot, JSON
-props, BFS, bucketed join, TPC-H Q8/Q10 shapes, per-group top-k,
-semantic decontamination, CCNet quality buckets, JSONL round-trip,
-schema-evolution union), then (1) the round-6 additions — the
-round-6 driver pass never ran, so all 27 are STILL unchecked
-externally, (2) the stalest external grades (last checked round 3),
-(3) queries whose underlying code round 6 modified, (4) the
-keyed-store queries riding keyed_table.py. 21+27 fills 48 of the 50;
-the next 2 r3-stale streaming entries complete the window. Every
-entry passes the identical DuckDB-oracle comparison in
-tests/test_queries_vs_oracle.py regardless of position.
+information value, not topic: (0) the five CORRECTNESS_r07 hash
+failures, fixed this round (oracle output typing: HUGEINT/DECIMAL ->
+BIGINT) — they must re-grade; (1) queries whose code round 8 changed
+or added (threshold-bucketed q_quality_buckets, new round-8 ops);
+(2) the stalest external grades — the round-4-graded §2 core
+(attrs/binning/security/partial-update/put-if-absent, TPC-H shapes,
+SCD2) and the round-4 text/profile/dedup set. Everything round 7
+graded green sits below the fold, freshest first, to rotate back up
+in later rounds. Every entry passes the identical DuckDB-oracle
+comparison in tests/test_queries_vs_oracle.py regardless of position.
 """
 
 from __future__ import annotations
@@ -33,120 +30,39 @@ from . import queries as q
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
-    # --- (0) added in round 7 ------------------------------------------
-    "q_hll_distinct": q.q_hll_distinct,
-    "q_hll_merge": q.q_hll_merge,
-    "q_cms_counts": q.q_cms_counts,
-    "q_line_dedup": q.q_line_dedup,
-    "q_gopher_rules": q.q_gopher_rules,
-    "q_stream_hll": q.q_stream_hll,
-    "q_stream_hll_windowed": q.q_stream_hll_windowed,
-    "q_zscore": q.q_zscore,
-    "q_unpivot": q.q_unpivot,
-    "q_props_parse": q.q_props_parse,
-    "q_shortest_paths": q.q_shortest_paths,
-    "q_bucketed_join": q.q_bucketed_join,
-    "q_market_share": q.q_market_share,
-    "q_returned_items": q.q_returned_items,
-    "q_topk_per_group": q.q_topk_per_group,
-    "q_approx_distinct_profile": q.q_approx_distinct_profile,
-    "q_semantic_decontaminate": q.q_semantic_decontaminate,
-    "q_quality_buckets": q.q_quality_buckets,
-    "q_jsonl_roundtrip": q.q_jsonl_roundtrip,
-    "q_union_evolve": q.q_union_evolve,
-    "q_csv_roundtrip": q.q_csv_roundtrip,
-    # --- (1) added in round 6 ------------------------------------------
-    "q_quality_classifier": q.q_quality_classifier,
-    "q_rolling_active_users": q.q_rolling_active_users,
-    "q_anomaly_mad": q.q_anomaly_mad,
-    "q_changepoint_cusum": q.q_changepoint_cusum,
-    "q_pq_topk": q.q_pq_topk,
-    "q_stream_classifier": q.q_stream_classifier,
-    "q_cusum_chunked": q.q_cusum_chunked,
-    "q_ivfpq_topk": q.q_ivfpq_topk,
-    "q_group_quantiles": q.q_group_quantiles,
-    "q_communities": q.q_communities,
-    "q_token_count_bpe": q.q_token_count_bpe,
-    "q_sessionize_chunked": q.q_sessionize_chunked,
-    "q_funnel_restart": q.q_funnel_restart,
-    "q_hot_keys": q.q_hot_keys,
-    "q_dedup_minhash_capped": q.q_dedup_minhash_capped,
-    "q_stream_funnel": q.q_stream_funnel,
-    "q_validate_orders": q.q_validate_orders,
+    # --- (0) CORRECTNESS_r07 hash failures, oracle typing fixed r8 ----
     "q_rolling_hourly": q.q_rolling_hourly,
     "q_rolling_chunked": q.q_rolling_chunked,
-    "q_ewma_value": q.q_ewma_value,
     "q_resample_6h": q.q_resample_6h,
-    "q_anomaly_values": q.q_anomaly_values,
-    "q_event_transitions": q.q_event_transitions,
-    "q_stream_anomaly": q.q_stream_anomaly,
-    "q_editdist_join": q.q_editdist_join,
-    "q_triangle_count": q.q_triangle_count,
-    "q_corr_matrix": q.q_corr_matrix,
-    # --- (2) last externally checked in round 3 ------------------------
-    "q_embedding_near_dups": q.q_embedding_near_dups,
-    "q_multimodal_features": q.q_multimodal_features,
-    "q_stream_bin_flagship": q.q_stream_bin_flagship,
-    "q_stream_bin_windowed": q.q_stream_bin_windowed,
-    "q_stream_bin_sliding": q.q_stream_bin_sliding,
-    "q_stream_first_seen": q.q_stream_first_seen,
-    "q_stream_sessions": q.q_stream_sessions,
-    # --- (3) code modified in round 6 ----------------------------------
-    "q_stream_store_merge": q.q_stream_store_merge,
-    "q_stream_ivf_append": q.q_stream_ivf_append,
-    "q_funnel": q.q_funnel,
-    "q_store_merge": q.q_store_merge,
-    "q_store_compact": q.q_store_compact,
-    "q_store_diff": q.q_store_diff,
-    "q_store_history": q.q_store_history,
-    "q_store_incremental_agg": q.q_store_incremental_agg,
-    "q_geo_radius_join": q.q_geo_radius_join,
-    "q_pagerank": q.q_pagerank,
-    "q_pagerank_dangling": q.q_pagerank_dangling,
-    "q_pagerank_weighted": q.q_pagerank_weighted,
-    "q_flow_routed": q.q_flow_routed,
-    # --- (4) r4-checked queries on keyed-store code (keyed_table.py
-    # changed in r5 AND r6 — txn watermarks, auto-compaction): these
-    # three must sit inside the first-50 window. The q_partial_update*
-    # family rides partial_update.py, untouched since its r4 green —
-    # rotated below the fold to make room for the round-6 additions.
-    "q_store_time_travel": q.q_store_time_travel,
-    "q_store_put_if_absent": q.q_store_put_if_absent,
-    "q_flow_store_merge": q.q_flow_store_merge,
-    # These two share r6-exercised code that is already covered
-    # in-window by a sibling (q_funnel / q_geo_radius_join); rotated
-    # just below the fold to keep the window at exactly 50.
-    "q_funnel_windowed": q.q_funnel_windowed,
-    "q_geo_radius_auto": q.q_geo_radius_auto,
-    "q_partial_update": q.q_partial_update,
-    "q_partial_update_nested": q.q_partial_update_nested,
-    "q_partial_update_routing": q.q_partial_update_routing,
-    "q_partial_update_many": q.q_partial_update_many,
-    "q_put_if_absent": q.q_put_if_absent,
-    # --- (5) oldest-checked slice of the round-4 set -------------------
-    "q_bin_flagship": q.q_bin_flagship,
-    "q_flow_flagship": q.q_flow_flagship,
-    "q_pricing_summary": q.q_pricing_summary,
-    "q_shipping_priority": q.q_shipping_priority,
-    "q_local_supplier_volume": q.q_local_supplier_volume,
-    "q_revenue_forecast": q.q_revenue_forecast,
-    "q_large_orders": q.q_large_orders,
+    "q_changepoint_cusum": q.q_changepoint_cusum,
+    "q_cusum_chunked": q.q_cusum_chunked,
+    # --- (1) code changed or added in round 8 -------------------------
+    "q_quality_buckets": q.q_quality_buckets,
+    # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
     "q_attrs_json_body": q.q_attrs_json_body,
     "q_security_marking": q.q_security_marking,
+    "q_bin_flagship": q.q_bin_flagship,
     "q_bin_numeric": q.q_bin_numeric,
     "q_bin_geotile": q.q_bin_geotile,
     "q_bin_multiple_mode": q.q_bin_multiple_mode,
     "q_bin_date_granularities": q.q_bin_date_granularities,
     "q_bin_failure_routing": q.q_bin_failure_routing,
     "q_bin_filenames": q.q_bin_filenames,
+    "q_partial_update": q.q_partial_update,
+    "q_partial_update_nested": q.q_partial_update_nested,
+    "q_partial_update_routing": q.q_partial_update_routing,
+    "q_partial_update_many": q.q_partial_update_many,
+    "q_put_if_absent": q.q_put_if_absent,
     "q_scd2_dimension": q.q_scd2_dimension,
     "q_temporal_dim_join": q.q_temporal_dim_join,
-    # ------------------------------------------------------------------
-    # Below the driver's first-50 fold: freshest external grades first
-    # to rotate up in later rounds.
-    # Remaining round-4-checked text/profile/dedup set:
+    "q_flow_flagship": q.q_flow_flagship,
+    "q_pricing_summary": q.q_pricing_summary,
+    "q_shipping_priority": q.q_shipping_priority,
+    "q_local_supplier_volume": q.q_local_supplier_volume,
+    "q_revenue_forecast": q.q_revenue_forecast,
+    "q_large_orders": q.q_large_orders,
     "q_text_stats": q.q_text_stats,
     "q_lang_id": q.q_lang_id,
     "q_quality": q.q_quality,
@@ -165,6 +81,80 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_canonical": q.q_dedup_canonical,
     "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
+    "q_dedup_simhash": q.q_dedup_simhash,
+    "q_dedup_near_clusters": q.q_dedup_near_clusters,
+    # ------------------------------------------------------------------
+    # Below the driver's first-50 fold: freshest external grades first
+    # to rotate up in later rounds.
+    # Round-7-graded green (CORRECTNESS_r07):
+    "q_hll_distinct": q.q_hll_distinct,
+    "q_hll_merge": q.q_hll_merge,
+    "q_cms_counts": q.q_cms_counts,
+    "q_line_dedup": q.q_line_dedup,
+    "q_gopher_rules": q.q_gopher_rules,
+    "q_stream_hll": q.q_stream_hll,
+    "q_stream_hll_windowed": q.q_stream_hll_windowed,
+    "q_zscore": q.q_zscore,
+    "q_unpivot": q.q_unpivot,
+    "q_props_parse": q.q_props_parse,
+    "q_shortest_paths": q.q_shortest_paths,
+    "q_bucketed_join": q.q_bucketed_join,
+    "q_market_share": q.q_market_share,
+    "q_returned_items": q.q_returned_items,
+    "q_topk_per_group": q.q_topk_per_group,
+    "q_approx_distinct_profile": q.q_approx_distinct_profile,
+    "q_semantic_decontaminate": q.q_semantic_decontaminate,
+    "q_jsonl_roundtrip": q.q_jsonl_roundtrip,
+    "q_union_evolve": q.q_union_evolve,
+    "q_csv_roundtrip": q.q_csv_roundtrip,
+    "q_quality_classifier": q.q_quality_classifier,
+    "q_rolling_active_users": q.q_rolling_active_users,
+    "q_anomaly_mad": q.q_anomaly_mad,
+    "q_pq_topk": q.q_pq_topk,
+    "q_stream_classifier": q.q_stream_classifier,
+    "q_ivfpq_topk": q.q_ivfpq_topk,
+    "q_group_quantiles": q.q_group_quantiles,
+    "q_communities": q.q_communities,
+    "q_token_count_bpe": q.q_token_count_bpe,
+    "q_sessionize_chunked": q.q_sessionize_chunked,
+    "q_funnel_restart": q.q_funnel_restart,
+    "q_hot_keys": q.q_hot_keys,
+    "q_dedup_minhash_capped": q.q_dedup_minhash_capped,
+    "q_stream_funnel": q.q_stream_funnel,
+    "q_validate_orders": q.q_validate_orders,
+    "q_ewma_value": q.q_ewma_value,
+    "q_anomaly_values": q.q_anomaly_values,
+    "q_event_transitions": q.q_event_transitions,
+    "q_stream_anomaly": q.q_stream_anomaly,
+    "q_editdist_join": q.q_editdist_join,
+    "q_triangle_count": q.q_triangle_count,
+    "q_corr_matrix": q.q_corr_matrix,
+    "q_embedding_near_dups": q.q_embedding_near_dups,
+    "q_multimodal_features": q.q_multimodal_features,
+    # Round-7-graded streaming + store + flow set:
+    "q_stream_bin_flagship": q.q_stream_bin_flagship,
+    "q_stream_bin_windowed": q.q_stream_bin_windowed,
+    "q_stream_bin_sliding": q.q_stream_bin_sliding,
+    "q_stream_first_seen": q.q_stream_first_seen,
+    "q_stream_sessions": q.q_stream_sessions,
+    "q_stream_store_merge": q.q_stream_store_merge,
+    "q_stream_ivf_append": q.q_stream_ivf_append,
+    "q_funnel": q.q_funnel,
+    "q_store_merge": q.q_store_merge,
+    "q_store_compact": q.q_store_compact,
+    "q_store_diff": q.q_store_diff,
+    "q_store_history": q.q_store_history,
+    "q_store_incremental_agg": q.q_store_incremental_agg,
+    "q_geo_radius_join": q.q_geo_radius_join,
+    "q_pagerank": q.q_pagerank,
+    "q_pagerank_dangling": q.q_pagerank_dangling,
+    "q_pagerank_weighted": q.q_pagerank_weighted,
+    "q_flow_routed": q.q_flow_routed,
+    "q_store_time_travel": q.q_store_time_travel,
+    "q_store_put_if_absent": q.q_store_put_if_absent,
+    "q_flow_store_merge": q.q_flow_store_merge,
+    "q_funnel_windowed": q.q_funnel_windowed,
+    "q_geo_radius_auto": q.q_geo_radius_auto,
     # Checked green in round 5, code untouched since:
     "q_asof_enrich": q.q_asof_enrich,
     "q_ann_topk": q.q_ann_topk,
@@ -198,8 +188,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_zorder_scan": q.q_zorder_scan,
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_equidepth_approx": q.q_equidepth_approx,
-    "q_dedup_simhash": q.q_dedup_simhash,
-    "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_sessionize": q.q_sessionize,
 }
 

@@ -34,6 +34,25 @@ def get_spark(
         or getattr(SparkSession, "_instantiatedSession", None)
     )
     if pre is not None:
+        # A caller who asked for specific tuning should LEARN it was
+        # not applied (the embedder's settings win) instead of silently
+        # debugging the wrong configuration.
+        import warnings
+
+        requested = {
+            "app_name": None if app_name == "aces-spark-engine" else app_name,
+            "master": master,
+            "shuffle_partitions": shuffle_partitions,
+            "extra_conf": extra_conf,
+        }
+        ignored = {k: v for k, v in requested.items() if v is not None}
+        if ignored:
+            warnings.warn(
+                "get_spark: returning the pre-existing SparkSession; "
+                f"requested settings NOT applied: {sorted(ignored)}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return pre
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"

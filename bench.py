@@ -110,10 +110,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - isolate per-query failures
             errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(timings.values()), 3)
+    # The driver keeps only the LAST ~2000 chars of output, and the
+    # full per-query map outgrew that around round 2 (BENCH_r02..r07
+    # all have "parsed": null). Print the full map first for humans /
+    # logs, then a compact summary — guaranteed to fit the tail — as
+    # the FINAL line, which is what the driver parses.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_time",
+                "metric": "headline_queries_total_time_full",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -122,6 +127,25 @@ def main() -> None:
             }
         )
     )
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": sorted(errors)[:5],
+        # driver-schema "queries" key, trimmed to the 10 slowest so the
+        # line stays well under the tail window
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
+    }
+    line = json.dumps(summary)
+    if len(line) > 1800:  # never outgrow the driver's 2000-char tail
+        summary["queries"] = {}
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -526,3 +526,69 @@ def test_semantic_decontaminate_broadcasts_evals_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # best-of runs as the salted two-phase agg, not a row_number window
     assert "Window" not in plan, plan
+
+
+def test_quality_buckets_no_fact_row_window_sort(spark, sf_dir):
+    """The round-7 verdict's scale defect: ntile over
+    Window.partitionBy(lang) sorted an entire language's corpus in one
+    task. The threshold re-plan must show NO ntile anywhere, and every
+    Window node must consume an aggregated (histogram / threshold)
+    frame, never the raw per-doc rows — asserted here by requiring the
+    plan's only Window inputs to sit above a HashAggregate."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_quality_buckets
+
+    df = q_quality_buckets(spark, sf_dir)
+    plan = plan_of(df)
+    assert "ntile" not in plan.lower(), plan
+    # the histogram walk's window runs over per-(lang, micro-score)
+    # aggregate rows; a simple-string plan of the whole query must
+    # still contain aggregates feeding any window
+    simple = plan_of(df, mode="simple")
+    if "Window" in simple:
+        # every Window must have an Aggregate somewhere beneath it:
+        # cheap structural check — the LAST Window occurrence is the
+        # deepest; an Aggregate must appear after it in the plan text
+        # (child nodes print below their parents in simple mode)
+        tail = simple[simple.rindex("Window"):]
+        assert "HashAggregate" in tail or "Aggregate" in tail, simple
+
+
+def test_threshold_buckets_semantics(spark):
+    """threshold_buckets: ntile boundary ranks, boundary ties take the
+    better bucket, NULL values land in the worst bucket."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.stats import (
+        threshold_buckets,
+    )
+
+    # group g: values 6,5,4,3,2,1 -> n=6, boundaries ceil(6/3)=2nd
+    # largest (5) and ceil(12/3)=4th largest (3): head={6,5},
+    # middle={4,3}, tail={2,1}
+    rows = [Row(g="g", v=i) for i in (6, 5, 4, 3, 2, 1)]
+    out = threshold_buckets(
+        spark.createDataFrame(rows), "g", "v", ("head", "middle", "tail")
+    )
+    got = {r["v"]: r["bucket"] for r in out.collect()}
+    assert got == {6: "head", 5: "head", 4: "middle", 3: "middle",
+                   2: "tail", 1: "tail"}
+
+    # ties at the boundary all take the better bucket: 4,4,4,1,1,1 ->
+    # s1 = 2nd largest = 4, s2 = 4th largest = 1; every 4 is head,
+    # every 1 is middle, tail empty
+    rows = [Row(g="t", v=x) for x in (4, 4, 4, 1, 1, 1)]
+    out = threshold_buckets(
+        spark.createDataFrame(rows), "g", "v", ("head", "middle", "tail")
+    )
+    got = sorted((r["v"], r["bucket"]) for r in out.collect())
+    assert got == [(1, "middle")] * 3 + [(4, "head")] * 3
+
+    # NULL values: excluded from rank math, land in the last bucket
+    rows = [Row(g="n", v=x) for x in (3, 2, 1, None)]
+    out = threshold_buckets(
+        spark.createDataFrame(rows, "g string, v bigint"),
+        "g", "v", ("head", "middle", "tail"),
+    )
+    got = {r["v"]: r["bucket"] for r in out.collect()}
+    assert got[3] == "head" and got[2] == "middle" and got[1] == "tail"
+    assert got[None] == "tail"

@@ -1,0 +1,169 @@
+"""SocketIO sink vs the REAL python-socketio client API.
+
+Round 7 shipped a crash only reachable with the real client:
+`c.connect(u, timeout)` handed the float to python-socketio's second
+positional (`headers`) — every injected test stub matched
+positionally, so nothing caught it (fixed: wait_timeout keyword,
+sinks/socketio.py:175). Two guards here:
+
+1. A SIGNATURE-FAITHFUL stub replicating python-socketio
+   ``Client.connect/emit/send`` keyword layouts and validating operand
+   types — catches positional/keyword misuse without the library.
+2. A true loopback integration test driving the production
+   ``socketio_client_factory`` against an in-process python-socketio
+   WSGI server — skipped when the library is absent (this container
+   ships without it; the plumbing is what real deployments run).
+
+Reference: SocketIOProcessor.java:258-298 (emit/send paths),
+:184-248 (connection setup).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from aces_nifi_processors_bundle_spark.sinks.socketio import (
+    SocketIOSink,
+    socketio_client_factory,
+)
+
+
+class SignatureFaithfulClient:
+    """Mirrors python-socketio v5 Client signatures EXACTLY, with
+    operand-type validation — a positional float where `headers`
+    belongs (the round-7 bug) raises here like the real client
+    eventually did."""
+
+    def __init__(self) -> None:
+        self.calls: list[tuple] = []
+        self.connected = False
+
+    def connect(
+        self,
+        url,
+        headers=None,
+        auth=None,
+        transports=None,
+        namespaces=None,
+        socketio_path="socket.io",
+        wait=True,
+        wait_timeout=1,
+        retry=False,
+    ) -> None:
+        if not isinstance(url, str):
+            raise TypeError(f"url must be str, got {type(url).__name__}")
+        if headers is not None and not isinstance(headers, dict):
+            # the real client crashes deeper (header merge); fail loud
+            # at the boundary with the same contract
+            raise TypeError(
+                f"headers must be a dict, got {type(headers).__name__}"
+            )
+        if not isinstance(wait_timeout, (int, float)):
+            raise TypeError("wait_timeout must be numeric")
+        self.connected = True
+        self.url = url
+        self.calls.append(("connect", url, wait_timeout))
+
+    def emit(self, event, data=None, namespace=None, callback=None) -> None:
+        if not isinstance(event, str):
+            raise TypeError(f"event must be str, got {type(event).__name__}")
+        if not self.connected:
+            raise RuntimeError("not connected")
+        self.calls.append(("emit", event, data))
+
+    def send(self, data, namespace=None, callback=None) -> None:
+        if not self.connected:
+            raise RuntimeError("not connected")
+        self.calls.append(("send", data))
+
+    def disconnect(self) -> None:
+        self.connected = False
+
+
+def test_sink_conforms_to_real_client_signatures(spark, tmp_path):
+    """write_batch against the signature-faithful stub: the sink's
+    connect/emit calls must bind cleanly under python-socketio's real
+    keyword layout (clients run in executor workers → file evidence)."""
+    import os
+
+    rec = str(tmp_path / "ok.log")
+
+    class RecordingStrictClient(SignatureFaithfulClient):
+        def emit(self, event, data=None, namespace=None, callback=None):
+            super().emit(event, data)
+            with open(rec, "a") as f:
+                f.write(f"{event}\t{data}\n")
+
+    sink = SocketIOSink(
+        url="http://127.0.0.1:1/stub",
+        payload_col="p",
+        event_col="e",
+        client_factory=RecordingStrictClient,
+    )
+    df = spark.createDataFrame(
+        [Row(p="m1", e="ev1"), Row(p="m2", e="ev2")]
+    ).coalesce(1)
+    assert sink.write_batch(df) == 2
+    lines = sorted(open(rec).read().splitlines())
+    assert lines == ["ev1\tm1", "ev2\tm2"]
+
+
+def test_old_positional_timeout_bug_is_caught_by_stub():
+    """Negative control: the pre-fix call shape connect(url, timeout)
+    raises against the faithful signature — proving this stub WOULD
+    have caught the round-7 regression that CollectingClient missed."""
+    c = SignatureFaithfulClient()
+    with pytest.raises(TypeError, match="headers"):
+        c.connect("http://127.0.0.1:1/x", 10.0)
+    c2 = SignatureFaithfulClient()
+    c2.connect("http://127.0.0.1:1/x", wait_timeout=10.0)  # the fix binds fine
+    assert c2.connected
+
+
+def test_loopback_real_socketio_server(spark):
+    """End-to-end against a REAL python-socketio server on 127.0.0.1:
+    per-record event names and payloads must arrive. Skipped when
+    python-socketio is not installed (this container); runs wherever
+    the production dependency exists."""
+    socketio = pytest.importorskip("socketio")
+
+    import threading
+    import time
+    from wsgiref.simple_server import WSGIRequestHandler, make_server
+
+    received: list[tuple[str, str]] = []
+    srv = socketio.Server(async_mode="threading", cors_allowed_origins="*")
+
+    @srv.on("*")
+    def catch_all(event, sid, data):  # noqa: ANN001
+        received.append((event, data))
+
+    app = socketio.WSGIApp(srv)
+
+    class QuietHandler(WSGIRequestHandler):
+        def log_message(self, *a):  # noqa: ANN002
+            pass
+
+    httpd = make_server("127.0.0.1", 0, app, handler_class=QuietHandler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        sink = SocketIOSink(
+            url=f"http://127.0.0.1:{port}",
+            payload_col="p",
+            event_col="e",
+            client_factory=socketio_client_factory,
+        )
+        df = spark.createDataFrame(
+            [Row(p='{"k":1}', e="alpha"), Row(p='{"k":2}', e="beta")]
+        ).coalesce(1)
+        assert sink.write_batch(df) == 2
+        deadline = time.time() + 10
+        while len(received) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert sorted(received) == [("alpha", '{"k":1}'), ("beta", '{"k":2}')]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
