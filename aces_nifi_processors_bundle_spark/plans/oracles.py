@@ -2852,6 +2852,8 @@ FROM deg LEFT JOIN pv ON pv.vertex = deg.x
 
 # Chunked rolling is byte-identical to the single-partition path.
 ORACLES["q_rolling_chunked"] = ORACLES["q_rolling_hourly"]
+# Streaming accumulate-then-scan equals the batch result exactly.
+ORACLES["q_stream_rolling"] = ORACLES["q_rolling_hourly"]
 
 
 # Correlation matrix: HUGEINT moment sums mirror the decimal(38,0)
@@ -3132,6 +3134,9 @@ ORACLES["q_stream_classifier"] = ORACLES["q_quality_classifier"]
 
 # Chunked CUSUM is bit-identical to the sequential path.
 ORACLES["q_cusum_chunked"] = ORACLES["q_changepoint_cusum"]
+# Streaming ingestion + closed-form scan over the accumulated history
+# must equal the batch result exactly (batch-split independence).
+ORACLES["q_stream_cusum"] = ORACLES["q_changepoint_cusum"]
 
 
 # IVF+PQ composition: untrained-IVF candidate pruning (the q_ivf_topk
@@ -3736,6 +3741,29 @@ oracle("q_semantic_decontaminate")(
 WITH e AS (
   SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS ev
   FROM embeddings WHERE vec_id % 97 = 0
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT c.vec_id, e.eid, list_cosine_similarity(cv, ev) AS cos FROM c, e
+),
+best AS (
+  SELECT vec_id, eid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid ASC) AS rn
+  FROM scored WHERE cos IS NOT NULL
+)
+SELECT vec_id, eid AS eval_id, round(cos, 6) AS cos
+FROM best WHERE rn = 1 AND cos >= 0.9
+"""
+)
+
+
+# Constant-size eval set (production shape: fixed benchmark suite,
+# growing corpus) — only the eval predicate differs from the sibling.
+oracle("q_semantic_decontaminate_fixed")(
+    """
+WITH e AS (
+  SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 64
 ),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 scored AS (

@@ -1047,6 +1047,78 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-CUSUM change monitoring fed by a STREAM: each micro-batch
+    lands idempotently in an epoch-partitioned history (foreachBatch
+    is at-least-once — a replayed epoch OVERWRITES its own epoch=<n>
+    dir instead of double-counting, the q_stream_ivf_append pattern),
+    and the decision function is the batch closed-form prefix scan
+    (pipeline/timeseries.py::cusum_flags) over the accumulated
+    history — the re-scan-on-trigger monitoring deployment, evaluated
+    here at stream end. Accumulate-then-scan is what makes a
+    CUMULATIVE statistic batch-split-independent: the cumsum needs
+    every key's full post-train prefix in event-time order, which no
+    single micro-batch can guarantee. Shares the q_changepoint_cusum
+    oracle VERBATIM; at 100 TB the per-trigger re-scan composes
+    incrementally instead via cusum_flags(chunk_sec=) per-chunk
+    (total, min-prefix) summaries over only the chunks a new batch
+    touched."""
+    from ..pipeline.timeseries import cusum_flags
+    from ..streaming.binning_stream import foreach_batch_merge
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    acc = _scratch("aces_stream_cusum_") + "/history"
+
+    def append_fn(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{acc}/epoch={epoch_id}")
+
+    q = (
+        foreach_batch_merge(stream, append_fn, _scratch("aces_fbm_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    history = spark.read.parquet(acc).drop("epoch")
+    return cusum_flags(
+        history, "event_type", "ts", "value", "2024-01-10",
+        h_cents=25000, slack_cents=2500,
+    )
+
+
+def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rolling aggregates fed by a STREAM, via the same
+    idempotent epoch-partitioned accumulate-then-scan as
+    q_stream_cusum: a trailing RANGE frame needs every key's
+    event-time-ordered history (late rows REWRITE earlier rows'
+    windows), so no per-micro-batch computation can be exact — the
+    honest streaming form is ingest + re-scan, evaluated at stream
+    end. Shares the q_rolling_hourly oracle VERBATIM
+    (batch-split-independence); the incremental path at scale is
+    rolling_aggregates(chunk_sec=) re-scanning only chunks a new
+    batch touched plus their boundary successors."""
+    from ..pipeline.timeseries import rolling_aggregates
+    from ..streaming.binning_stream import foreach_batch_merge
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    acc = _scratch("aces_stream_roll_") + "/history"
+
+    def append_fn(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{acc}/epoch={epoch_id}")
+
+    q = (
+        foreach_batch_merge(stream, append_fn, _scratch("aces_fbm_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    history = spark.read.parquet(acc).drop("epoch")
+    return rolling_aggregates(history, "user_id", "ts", "value", 3600)
+
+
 def q_stream_bin_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship binning executed under Structured Streaming
     (availableNow trigger → memory sink, complete mode): same
@@ -3682,6 +3754,22 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     evals = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(emb, evals, threshold=0.9)
+
+
+def q_semantic_decontaminate_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semantic_decontaminate with a CONSTANT-size eval set (the
+    first 64 vec_ids at every SF) — the production shape: benchmark
+    eval suites are fixed while the corpus grows, so cost is
+    corpus-linear. The sibling query's eval set grows with the corpus
+    (vec_id % 97), which made its sf0.1->sf1 bench ratio reflect the
+    fixture's quadratic pair growth rather than the operator
+    (SCALE.md r7); this variant is the one whose scaling ratio SHOULD
+    be read as the operator's."""
+    from ..pipeline.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.where(F.col("vec_id") < 64)
     return semantic_decontaminate(emb, evals, threshold=0.9)
 
 

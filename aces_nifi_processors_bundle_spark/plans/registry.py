@@ -38,6 +38,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_cusum_chunked": q.q_cusum_chunked,
     # --- (1) code changed or added in round 8 -------------------------
     "q_quality_buckets": q.q_quality_buckets,
+    "q_stream_cusum": q.q_stream_cusum,
+    "q_stream_rolling": q.q_stream_rolling,
+    "q_semantic_decontaminate_fixed": q.q_semantic_decontaminate_fixed,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
@@ -80,12 +83,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_exact": q.q_dedup_exact,
     "q_dedup_canonical": q.q_dedup_canonical,
     "q_dedup_minhash": q.q_dedup_minhash,
-    "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
-    "q_dedup_simhash": q.q_dedup_simhash,
-    "q_dedup_near_clusters": q.q_dedup_near_clusters,
     # ------------------------------------------------------------------
     # Below the driver's first-50 fold: freshest external grades first
     # to rotate up in later rounds.
+    # Round-4/5-graded, displaced from the window by the round-8 adds:
+    "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
+    "q_dedup_simhash": q.q_dedup_simhash,
+    "q_dedup_near_clusters": q.q_dedup_near_clusters,
     # Round-7-graded green (CORRECTNESS_r07):
     "q_hll_distinct": q.q_hll_distinct,
     "q_hll_merge": q.q_hll_merge,
