@@ -799,3 +799,85 @@ def line_dedup(
             ).alias("new_text"),
         )
     )
+
+
+def boilerplate_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    pct: int = 50,
+    delim: str = "\n",
+) -> DataFrame:
+    """Per-document boilerplate-line rate, the CCNet-style per-DOMAIN
+    signal: a line is boilerplate within its group (source/domain) iff
+    it occurs in at least pct% of that group's documents — nav bars
+    and cookie banners repeat across most of a domain's pages, real
+    content does not. Complements line_dedup (which thresholds on
+    absolute corpus-wide line count and rewrites text): this one
+    thresholds on the GROUP-RELATIVE document frequency and emits a
+    per-doc quality feature instead of a rewrite. Output:
+    (id, group, n_lines, n_boiler, boiler_rate) — rate is ONE IEEE
+    division of exact bigints; repeated occurrences of a boilerplate
+    line within one doc each count (instance semantics). Empty /
+    whitespace-only lines are structural and never counted; docs
+    whose text has no countable lines (or NULL text) are absent.
+
+    Scale shape — line text never crosses the wire:
+    (1) per-(group, line-hash) document frequencies: distinct
+        (group, hash, id) then a map-side-combined count — both
+        exchanges carry md5 hashes, not lines;
+    (2) group doc totals are an exact countDistinct over the tiny
+        group vocabulary, broadcast back;
+    (3) the boilerplate hash set (group, hash) is post-aggregation
+        small — AQE sees its runtime size and broadcasts the probe
+        join onto the line instances;
+    (4) final per-doc aggregate groups by (id, group). The
+        line-explode subtree is recomputed for the frequency and
+        probe branches — line_dedup's scan-twice-not-shuffle-text
+        tradeoff. Integer threshold (n_docs*100 >= group_docs*pct):
+        no float boundary jitter.
+    """
+    if not 0 < pct <= 100:
+        raise ValueError(f"pct must be in (0, 100], got {pct}")
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.split(F.col(text_col), F.lit(delim))).alias("line"),
+        )
+        .select(
+            id_col, group_col, F.md5(F.trim("line")).alias("lh"),
+            F.trim("line").alias("tline"),
+        )
+        .where(F.col("tline") != "")
+        .drop("tline")
+    )
+    docfreq = (
+        lines.distinct()
+        .groupBy(group_col, "lh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_docs"))
+    )
+    gsize = df.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("__g_docs")
+    )
+    boiler = (
+        docfreq.join(F.broadcast(gsize), group_col)
+        .where(F.col("__n_docs") * 100 >= F.col("__g_docs") * F.lit(pct))
+        .select(group_col, "lh", F.lit(True).alias("__b"))
+    )
+    marked = lines.join(boiler, [group_col, "lh"], "left")
+    agg = marked.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler"),
+    )
+    return agg.select(
+        id_col,
+        group_col,
+        "n_lines",
+        "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_lines").cast("double"))
+        .alias("boiler_rate"),
+    )

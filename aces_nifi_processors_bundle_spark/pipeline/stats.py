@@ -294,6 +294,65 @@ def threshold_buckets(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group winsorization (robust outlier clipping for feature
+    prep): clamp each row's value to its group's exact discrete
+    [p_lo, p_hi] quantiles — the standard defense before training on
+    heavy-tailed telemetry. Quantiles are rank-ceil(n*p) order
+    statistics from the value-histogram rank walk (group_quantiles'
+    machinery: window work bounded by value CARDINALITY per group,
+    never a whole-group percentile buffer), broadcast back onto the
+    rows; the clamp itself is two comparisons in the scan. Values
+    ride as exact scale-d integers end to end. NULL / NaN values pass
+    through as NULL clipped values (they carry no magnitude to clip).
+
+    Output: (id_col, group, value_cents [original, NULL for absent],
+    lo_cents, hi_cents, clipped_cents, was_clipped).
+    """
+    qdf = group_quantiles(
+        df, group, value_col,
+        ps=(p_lo, p_hi),
+        scale=scale,
+    )
+    p_lo_name = f"p{int(round(p_lo * 100))}"
+    p_hi_name = f"p{int(round(p_hi * 100))}"
+    thr = qdf.select(
+        F.col(group),
+        F.col(p_lo_name).alias("lo_cents"),
+        F.col(p_hi_name).alias("hi_cents"),
+    )
+    v = F.col(value_col)
+    cents = F.when(
+        v.isNotNull() & ~F.isnan(v.cast("double")),
+        F.round(v * scale).cast("bigint"),
+    )
+    rows = df.select(F.col(id_col), F.col(group), cents.alias("value_cents"))
+    # explicit NULL guard: Spark's greatest/least SKIP nulls, so
+    # greatest(NULL, lo) would fabricate lo for a missing value
+    clipped = F.when(
+        F.col("value_cents").isNotNull(),
+        F.least(F.greatest(F.col("value_cents"), F.col("lo_cents")),
+                F.col("hi_cents")),
+    )
+    return rows.join(F.broadcast(thr), group).select(
+        id_col,
+        group,
+        "value_cents",
+        "lo_cents",
+        "hi_cents",
+        clipped.alias("clipped_cents"),
+        (clipped != F.col("value_cents")).alias("was_clipped"),
+    )
+
+
 def zscore_normalize(
     df: DataFrame,
     group: str,

@@ -346,6 +346,55 @@ def fingerprint_rows(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the corpus-contribution signal
+    data curation ranks by: for each doc, the fraction of its DISTINCT
+    word k-gram shingles whose corpus-wide first owner (minimum id
+    among all docs containing the shingle) is this doc. A template
+    page re-instantiated a million times scores ~0 on every copy but
+    the first; genuinely new text scores ~1. Output:
+    (id, n_shingles [distinct], n_novel, novelty = n_novel/n_shingles
+    as ONE IEEE division of exact bigints — cross-engine hashable).
+
+    Scale shape — shingle text never crosses the wire:
+    (1) distinct (id, md5(shingle)) — the only wide-ish exchange, and
+        it carries 32-hex hashes, not shingle text;
+    (2) first owners: groupBy(hash) min(id) — map-side-combined,
+        partial mins merge;
+    (3) per-doc novel counts come from the OWNERS frame alone
+        (groupBy(owner) count — no join back on the shingle axis),
+        and per-doc totals from the distinct frame; the final join is
+        two one-row-per-doc frames. The shingle explode subtree is
+        recomputed for the two branches rather than exchanged —
+        the same scan-twice-not-shuffle-text tradeoff line_dedup
+        documents. Docs with NULL text have no shingles and are
+        absent from the output.
+    """
+    ds = (
+        shingle_rows(df, text_col, id_col, k)
+        .select(F.col(id_col), F.md5("shingle").alias("__h"))
+        .distinct()
+    )
+    owners = ds.groupBy("__h").agg(F.min(id_col).alias("__owner"))
+    novel = owners.groupBy(F.col("__owner").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    totals = ds.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return totals.join(novel, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        n_novel.alias("n_novel"),
+        (n_novel.cast("double") / F.col("n_shingles").cast("double")).alias(
+            "novelty"
+        ),
+    )
+
+
 # --- PII redaction ------------------------------------------------------
 #
 # Canonical pre-training scrub: structured-identifier patterns replaced

@@ -2732,6 +2732,38 @@ FROM grid g LEFT JOIN obs o USING (user_id, bucket_us)
 )
 
 
+# Winsorize: thresholds from DuckDB's NATIVE quantile_disc — an
+# independent implementation of the rank-ceil(n*p) statistic the
+# Spark histogram walk computes; clamp mirrored term for term.
+# Groups with zero non-NULL values have no thresholds on either side.
+oracle("q_winsorize")(
+    """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+              THEN CAST(round(value*100) AS BIGINT) END AS x
+  FROM events
+),
+thr AS (
+  SELECT event_type,
+         quantile_disc(x, 0.01) AS lo, quantile_disc(x, 0.99) AS hi
+  FROM base GROUP BY event_type
+  HAVING count(x) > 0
+)
+SELECT b.event_id, b.event_type, b.x AS value_cents,
+       t.lo AS lo_cents, t.hi AS hi_cents,
+       -- NULL guard mirrors the Spark side: greatest/least skip
+       -- nulls in both engines, which would fabricate lo for a
+       -- missing value
+       CASE WHEN b.x IS NOT NULL
+            THEN least(greatest(b.x, t.lo), t.hi) END AS clipped_cents,
+       CASE WHEN b.x IS NOT NULL
+            THEN least(greatest(b.x, t.lo), t.hi) <> b.x END AS was_clipped
+FROM base b JOIN thr t USING (event_type)
+"""
+)
+
+
 # Exact 3-sigma test in HUGEINT (dev*dev, NOT ^2 — DuckDB's power
 # operator returns DOUBLE and would break exactness): mirrors the
 # Spark decimal(38,0) inequality term for term.
@@ -3416,6 +3448,86 @@ SELECT doc_id,
        coalesce(string_agg(CASE WHEN NOT drop THEN line END, chr(10) ORDER BY pos), '')
          AS new_text
 FROM marked GROUP BY doc_id
+"""
+)
+
+
+# Novelty: first-owner = min doc_id per distinct shingle hash; per-doc
+# novel counts from the owners frame, totals from the distinct frame —
+# the same two-branch derivation as the Spark side, one IEEE division.
+oracle("q_ngram_novelty")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (
+  SELECT DISTINCT doc_id, md5(s) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+  WHERE s IS NOT NULL
+),
+own AS (SELECT h, min(doc_id) AS owner FROM shx GROUP BY h),
+nov AS (
+  SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM own GROUP BY owner
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM shx GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(n.n_novel, 0) AS DOUBLE)
+         / CAST(t.n_shingles AS DOUBLE) AS novelty
+FROM tot t LEFT JOIN nov n USING (doc_id)
+"""
+)
+
+
+# Mirrors q_boilerplate_rate's planting (per-source header on every
+# doc, rare footer on doc_id % 7 == 0) over the q_line_dedup 12-word
+# pseudo-line restructuring; integer threshold n_docs*100 >= g*pct.
+oracle("q_boilerplate_rate")(
+    """
+WITH lined AS (
+  SELECT doc_id, source,
+         'header banner for ' || source || chr(10) ||
+         array_to_string(list_transform(
+           range(1, (len(string_split(text, ' ')) + 11) // 12 + 1),
+           i -> array_to_string(string_split(text, ' ')[(i-1)*12+1 : i*12], ' ')
+         ), chr(10)) ||
+         CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'rare footer line'
+              ELSE '' END AS text
+  FROM documents
+),
+nl AS (
+  SELECT doc_id, source, md5(tline) AS lh
+  FROM (
+    SELECT doc_id, source,
+           trim(unnest(string_split(text, chr(10)))) AS tline
+    FROM lined
+  ) WHERE tline <> ''
+),
+dfq AS (
+  SELECT source, lh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM nl GROUP BY 1, 2
+),
+gs AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS g
+  FROM lined GROUP BY 1
+),
+boiler AS (
+  SELECT d.source, d.lh
+  FROM dfq d JOIN gs USING (source)
+  WHERE d.n_docs * 100 >= gs.g * 50
+),
+marked AS (
+  SELECT nl.doc_id, nl.source, (b.lh IS NOT NULL) AS isb
+  FROM nl LEFT JOIN boiler b ON b.source = nl.source AND b.lh = nl.lh
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS boiler_rate
+FROM marked GROUP BY 1, 2
 """
 )
 

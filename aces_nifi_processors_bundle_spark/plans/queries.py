@@ -3043,6 +3043,21 @@ def q_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization (pipeline/stats.py::winsorize):
+    clamp every event value to its type's exact discrete [p01, p99]
+    quantiles — heavy-tail defense before feature extraction. The
+    thresholds ride the value-histogram rank walk (bounded by value
+    cardinality per group, no whole-group percentile buffer) and
+    broadcast back; the oracle derives them independently with
+    DuckDB's native quantile_disc."""
+    from ..pipeline.stats import winsorize
+
+    events = load_table(spark, sf_dir, "events")
+    return winsorize(events, "event_type", "value", "event_id",
+                     p_lo=0.01, p_hi=0.99)
+
+
 def q_anomaly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events whose value sits more than 3 sample standard deviations
     from their event_type mean, decided in exact decimal arithmetic
@@ -3427,6 +3442,51 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return line_dedup(_lined_documents(docs), min_count=2)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram-shingle novelty
+    (pipeline/text.py::ngram_novelty): fraction of each doc's distinct
+    shingles first owned (min doc_id) by that doc — the
+    corpus-contribution ranking signal for data curation. Shuffles
+    carry only md5 hashes; per-doc novel counts come from the owners
+    frame alone, never a join back on the shingle axis."""
+    from ..pipeline.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs)
+
+
+def q_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate-line rate within each source
+    (pipeline/dedup.py::boilerplate_rate): lines occurring in >= 50%
+    of a source's docs are domain boilerplate — the CCNet-style
+    per-domain quality feature. The fixture plants a per-source
+    header on EVERY doc (must flag: 100% >= 50%) and a rare footer on
+    ~14% of docs (must not flag), on top of the 12-word pseudo-line
+    restructuring shared with q_line_dedup; the oracle mirrors the
+    planting, so both the threshold boundary and the rate arithmetic
+    are value-checked."""
+    from ..pipeline.dedup import boilerplate_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = _lined_documents(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    planted = lined.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("header banner for "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\nrare footer line")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return boilerplate_rate(planted, pct=50)
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

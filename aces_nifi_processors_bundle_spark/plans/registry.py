@@ -41,6 +41,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_cusum": q.q_stream_cusum,
     "q_stream_rolling": q.q_stream_rolling,
     "q_semantic_decontaminate_fixed": q.q_semantic_decontaminate_fixed,
+    "q_ngram_novelty": q.q_ngram_novelty,
+    "q_boilerplate_rate": q.q_boilerplate_rate,
+    "q_winsorize": q.q_winsorize,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
@@ -80,13 +83,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_vocab_stats": q.q_vocab_stats,
     "q_length_histogram": q.q_length_histogram,
     "q_cross_source_dups": q.q_cross_source_dups,
-    "q_dedup_exact": q.q_dedup_exact,
-    "q_dedup_canonical": q.q_dedup_canonical,
-    "q_dedup_minhash": q.q_dedup_minhash,
     # ------------------------------------------------------------------
     # Below the driver's first-50 fold: freshest external grades first
     # to rotate up in later rounds.
     # Round-4/5-graded, displaced from the window by the round-8 adds:
+    "q_dedup_exact": q.q_dedup_exact,
+    "q_dedup_canonical": q.q_dedup_canonical,
+    "q_dedup_minhash": q.q_dedup_minhash,
     "q_dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,

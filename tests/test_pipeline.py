@@ -3054,3 +3054,103 @@ def test_stats_splits_graph_review_regressions(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
     with pytest.raises(ValueError, match="checkpoint mode"):
         triangle_count(edges, checkpoint="relaible")
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    """Duplicate text scores 0 on every copy but the min-id first
+    owner; disjoint text scores 1; <3-word docs fall back to the
+    whole-text shingle."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),     # shingles: "a b c","b c d"
+            Row(doc_id=2, text="a b c d"),     # exact dup -> novelty 0
+            Row(doc_id=3, text="x y z w"),     # disjoint -> novelty 1
+            Row(doc_id=4, text="hi"),          # <3 words -> whole text
+        ]
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert got[1]["n_shingles"] == 2 and got[1]["n_novel"] == 2
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["n_shingles"] == 2 and got[2]["n_novel"] == 0
+    assert got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_shingles"] == 1 and got[4]["novelty"] == 1.0
+
+
+def test_boilerplate_rate_group_relative_threshold(spark):
+    """>= pct% of the GROUP's docs flags a line; the threshold is
+    integer-exact at the boundary (2 of 4 docs at pct=50 flags);
+    other groups' identical lines don't cross groups."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        boilerplate_rate,
+    )
+
+    rows = [
+        # group A, 4 docs: "nav" in all 4 (flag), "half" in exactly 2
+        # (50% of 4 -> boundary, flag), "rare" in 1 (no flag)
+        Row(doc_id=1, source="A", text="nav\nhalf\nrare\nu1"),
+        Row(doc_id=2, source="A", text="nav\nhalf\nu2"),
+        Row(doc_id=3, source="A", text="nav\nu3"),
+        Row(doc_id=4, source="A", text="nav\nu4"),
+        # group B, 1 doc: its single line is 100% of B -> flag, even
+        # though the same line is rare in A's terms
+        Row(doc_id=5, source="B", text="rare"),
+    ]
+    out = boilerplate_rate(spark.createDataFrame(rows), pct=50)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["n_boiler"] == 2  # nav+half
+    assert got[2]["n_boiler"] == 2 and got[2]["n_lines"] == 3
+    assert got[3]["n_boiler"] == 1 and got[4]["n_boiler"] == 1
+    assert got[5]["n_boiler"] == 1 and got[5]["boiler_rate"] == 1.0
+    assert got[1]["boiler_rate"] == 0.5
+
+
+def test_boilerplate_rate_instance_counting_and_empty_lines(spark):
+    """Repeated in-doc occurrences of a boilerplate line each count;
+    blank lines are structural (never counted)."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        boilerplate_rate,
+    )
+
+    rows = [
+        Row(doc_id=1, source="A", text="nav\n\nnav\n  \nu1"),
+        Row(doc_id=2, source="A", text="nav"),
+    ]
+    out = boilerplate_rate(spark.createDataFrame(rows), pct=100)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: lines nav, nav, u1 (blanks dropped); nav in 2/2 docs
+    assert got[1]["n_lines"] == 3 and got[1]["n_boiler"] == 2
+    assert got[2]["n_lines"] == 1 and got[2]["n_boiler"] == 1
+
+
+def test_winsorize_clamps_and_null_passthrough(spark):
+    """Clamp to exact discrete [p_lo, p_hi]; NULL/NaN values keep NULL
+    clipped values; groups with no non-NULL values are absent."""
+    from pyspark.sql import Row
+
+    from aces_nifi_processors_bundle_spark.pipeline.stats import winsorize
+
+    rows = [Row(id=i, g="a", v=float(i)) for i in range(1, 11)]
+    rows += [Row(id=99, g="a", v=None), Row(id=98, g="b", v=None)]
+    out = winsorize(
+        spark.createDataFrame(rows, "id bigint, g string, v double"),
+        "g", "v", "id", p_lo=0.10, p_hi=0.90,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    # n=10: p10 rank ceil(1)=1 -> 100 cents, p90 rank 9 -> 900 cents
+    assert got[1]["lo_cents"] == 100 and got[1]["hi_cents"] == 900
+    assert got[1]["clipped_cents"] == 100 and not got[1]["was_clipped"]
+    assert got[10]["clipped_cents"] == 900 and got[10]["was_clipped"]
+    assert got[5]["clipped_cents"] == 500 and not got[5]["was_clipped"]
+    # NULL value in a thresholded group: kept, NULL clip
+    assert got[99]["clipped_cents"] is None and got[99]["was_clipped"] is None
+    # group b has no non-NULL values -> absent entirely
+    assert 98 not in got
