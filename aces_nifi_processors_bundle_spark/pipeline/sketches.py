@@ -343,3 +343,157 @@ def approx_distinct_profile(
         ).alias("m")
     ).select("m.column", "m.v")
     return hll_distinct(melted, "v", ["column"], p, seed)
+
+
+# --- KMV (bottom-k / theta) distinct sketch ------------------------------
+# Bar-Yossef et al. 2002 / theta-sketch family: the k smallest distinct
+# 60-bit hashes of a set. Complements HLL: same mergeability, but the
+# state is an actual uniform SAMPLE of the key space, so two sketches
+# support direct Jaccard / intersection estimation (HLL only gets
+# intersections via inclusion-exclusion, whose error explodes when
+# |intersection| << |union|).
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    groups: list[str] | None = None,
+    k: int = 64,
+    seed: str = "kmv:",
+) -> DataFrame:
+    """Per-group bottom-k distinct-hash state: (groups..., h), at most
+    k rows per group. Two exchanges, both narrow: (1) the dedup
+    aggregate shuffles 8-byte hashes (map-side partially deduped — the
+    line-dedup discipline: never the keys themselves), (2) the rank
+    window shuffles at most k rows per (map task, group) because Spark
+    plans rank-limit windows with a partial WindowGroupLimit below the
+    exchange. Hash collisions merge distinct keys at ~n^2/2^61 — the
+    same contract every other sketch here accepts."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
+    groups = list(groups or [])
+    from pyspark.sql import Window
+
+    dedup = (
+        df.where(F.col(key).isNotNull())
+        .select(*groups, _h60(F.col(key), seed).alias("h"))
+        .groupBy(*groups, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy(*groups).orderBy("h") if groups else (
+        Window.partitionBy().orderBy("h")
+    )
+    return (
+        dedup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    groups: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Union two bottom-k states and re-trim: dedup by hash (the same
+    key appears in both sides' samples), rank, keep k. Associative and
+    idempotent, so day/source sketches fold in any order; every frame
+    involved is <= k rows per group."""
+    groups = list(groups or [])
+    from pyspark.sql import Window
+
+    u = (
+        sketch_a.unionByName(sketch_b)
+        .groupBy(*groups, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy(*groups).orderBy("h") if groups else (
+        Window.partitionBy().orderBy("h")
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    groups: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct estimate from a bottom-k state. Saturated groups
+    (n_hashes == k) use the classic unbiased (k-1) * 2^60 / h_(k)
+    — h_(k) is just max(h) over the k-row state; unsaturated groups
+    hold EVERY distinct hash, so the estimate is the exact count. All
+    inputs to the one double division are integers; the two float
+    literal factors ((k-1) and 2^60) are exactly representable, so the
+    estimate is bit-identical cross-engine. Output: (groups...,
+    n_hashes, est_distinct)."""
+    groups = list(groups or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.max("h").alias("_hk"),
+    )
+    est = (
+        F.lit(float(k - 1))
+        * F.lit(float(1 << 60))
+        / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        *groups,
+        "n_hashes",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(F.round(est, 6))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_set_relations(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 64,
+) -> DataFrame:
+    """Jaccard / union / intersection estimates from two GLOBAL
+    bottom-k states (column: h). The union sketch's hashes are a
+    uniform sample of A union B, and for any h <= theta_U membership
+    in A (resp. B) is decided EXACTLY by the A (resp. B) sketch —
+    theta_U <= theta_A because A's bottom-k is a subset of the union's
+    key space — so jaccard_est = |{h in bottomk(U): h in A and h in B}|
+    / |bottomk(U)| is the textbook unbiased estimator. Every join here
+    is k-row x k-row broadcast territory; est_intersection =
+    jaccard * est_union re-uses the kmv_estimate arithmetic. One
+    output row: (n_union_sample, jaccard, est_union,
+    est_intersection)."""
+    u = kmv_merge(sketch_a, sketch_b, [], k)
+    both = (
+        u.join(sketch_a.select(F.col("h").alias("_ha")), u.h == F.col("_ha"), "left_semi")
+        .join(sketch_b.select(F.col("h").alias("_hb")), u.h == F.col("_hb"), "left_semi")
+    )
+    n_u = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_union_sample"),
+                F.max("h").alias("_hk"))
+    n_b = both.agg(F.count(F.lit(1)).cast("bigint").alias("_nb"))
+    est_union = (
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_hk").cast("double")
+    )
+    return (
+        n_u.crossJoin(F.broadcast(n_b))
+        .select(
+            "n_union_sample",
+            F.round(F.col("_nb").cast("double") / F.col("n_union_sample").cast("double"), 6)
+            .alias("jaccard"),
+            F.when(F.col("n_union_sample") < k,
+                   F.col("n_union_sample").cast("double"))
+            .otherwise(F.round(est_union, 6))
+            .alias("est_union"),
+        )
+        .select(
+            "n_union_sample",
+            "jaccard",
+            "est_union",
+            F.round(F.col("jaccard") * F.col("est_union"), 6).alias("est_intersection"),
+        )
+    )

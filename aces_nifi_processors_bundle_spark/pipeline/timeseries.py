@@ -705,3 +705,75 @@ def cusum_flags(
         y_big.alias("cusum_scaled"),
         F.col("__nt").alias("n_train"),
     )
+
+
+# --- seasonal (time-of-week) profile and residual anomalies --------------
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group: str,
+) -> DataFrame:
+    """Time-of-week baseline per group: (group, dow, hour, n,
+    mean_value) over the (group x 7 x 24) slot grid — the 'what does
+    a normal Tuesday-9am look like' profile a monitoring pipeline
+    diffs live traffic against. One map-side-combined groupBy; the
+    output is slot-grid-sized (|groups| x 168) regardless of input
+    rows. The mean is the only division, done once per slot in double
+    and rounded; sums are exact integer cents. NULL values are absent
+    from n and the sum (count(x) semantics), matching AVG."""
+    cents = _cents(F.col(value_col))
+    return (
+        df.groupBy(
+            F.col(group),
+            F.dayofweek(F.col(ts_col)).cast("int").alias("dow"),
+            F.hour(F.col(ts_col)).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(cents).cast("bigint").alias("n"),
+            F.sum(cents).alias("__s1"),
+        )
+        .select(
+            group,
+            "dow",
+            "hour",
+            "n",
+            F.round(
+                F.col("__s1").cast("double") / (F.lit(100.0) * F.col("n").cast("double")),
+                6,
+            ).alias("mean_value"),
+        )
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group: str,
+    k: int = 3,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Rows deviating more than k sample standard deviations from
+    their (group, day-of-week, hour) slot — seasonality-aware
+    anomaly detection: a weekend-traffic dip that is 4 sigma against
+    the whole week is 0 sigma against its own slot. Delegates to
+    anomaly_flags on a composite slot key, so it inherits the exact
+    division/sqrt-free decimal inequality, the broadcast-stats
+    no-giant-window plan, and the overflow contract; slot stats are
+    |groups| x 168 rows — broadcast territory at any input size.
+    Output: (*id_cols, slot, value_cents, n_group), slot =
+    'group:dow:hour'."""
+    slot = F.concat_ws(
+        ":",
+        F.col(group).cast("string"),
+        F.dayofweek(F.col(ts_col)).cast("string"),
+        F.hour(F.col(ts_col)).cast("string"),
+    )
+    tagged = df.withColumn("__slot", slot)
+    return (
+        anomaly_flags(tagged, "__slot", value_col, k, id_cols)
+        .withColumnRenamed("__slot", "slot")
+    )

@@ -4009,3 +4009,317 @@ FROM events WHERE event_type IN ('view', 'signup')
 GROUP BY event_type
 """
 )
+
+
+# --- TPC-H decision-support shapes, round 8 ----------------------------
+# Same substitutions as the Spark queries: no partsupp (supplycost :=
+# 0.5 * p_retailprice), no commit/receipt dates ('late' := shipped 30
+# resp. 90 days after ordering). Decimal-exact revenue, VARCHAR-hop to
+# double at the boundary (DuckDB's direct DECIMAL->DOUBLE divides the
+# unscaled int in binary; the hop re-parses the exact decimal string,
+# matching Spark's BigDecimal.doubleValue).
+
+oracle("q_order_priority")(
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+)
+
+oracle("q_nation_volume")(
+    """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+                     * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6))))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+)
+
+oracle("q_product_profit")(
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(CAST(sum(
+         CAST(l.l_extendedprice AS DECIMAL(12,6))
+           * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6)))
+         - CAST(0.5 AS DECIMAL(2,1))
+           * CAST(p.p_retailprice AS DECIMAL(8,2))
+           * CAST(l.l_quantity AS DECIMAL(4,1))
+       ) AS VARCHAR) AS DOUBLE), 4) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+)
+
+oracle("q_order_count_dist")(
+    """
+WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+)
+
+oracle("q_promo_revenue")(
+    """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,6))
+                  * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6)))
+             ELSE CAST(0 AS DECIMAL(12,6)) END) AS promo,
+    sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+        * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6)))) AS total
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT round(100.0 * CAST(CAST(promo AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(total AS VARCHAR) AS DOUBLE), 6) AS promo_share
+FROM agg
+"""
+)
+
+oracle("q_top_supplier")(
+    """
+WITH agg AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,6))
+             * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(a.r AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM agg a
+JOIN supplier s ON a.l_suppkey = s.s_suppkey
+WHERE a.r = (SELECT max(r) FROM agg)
+ORDER BY s.s_suppkey
+"""
+)
+
+oracle("q_small_qty_revenue")(
+    """
+WITH li AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS q, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#3'
+),
+per AS (
+  SELECT l_partkey AS pk, sum(q) AS sum_q, count(*) AS n
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(12,6)))
+                  AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM li JOIN per ON li.l_partkey = per.pk
+WHERE 2 * per.n * li.q < per.sum_q
+"""
+)
+
+oracle("q_disjunctive_join")(
+    """
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,6))
+            * (CAST(1 AS DECIMAL(7,6)) - CAST(l.l_discount AS DECIMAL(7,6))))
+       AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+)
+
+oracle("q_waiting_orders")(
+    """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late t
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
+)
+
+oracle("q_inactive_customers")(
+    """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS b
+  FROM customer
+),
+pos AS (
+  SELECT sum(b) AS s, count(*) AS n FROM bal WHERE b > 0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(CAST(sum(b) AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM bal, pos
+WHERE bal.b * pos.n > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = bal.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+)
+
+
+oracle("q_kmv_distinct")(
+    """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h)
+  WHERE rn <= 64
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hashes,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 6)
+       END AS est_distinct
+FROM sk GROUP BY event_type ORDER BY event_type
+"""
+)
+
+oracle("q_kmv_overlap")(
+    """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ha) WHERE rn <= 64),
+skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM hb) WHERE rn <= 64),
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) rn
+    FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ) WHERE rn <= 64
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sample, max(h) AS hk,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM ska)
+                        AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u
+)
+SELECT n_union_sample,
+       round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6) AS jaccard,
+       CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
+            ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+       END AS est_union,
+       round(round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6)
+             * CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
+                    ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+               END, 6) AS est_intersection
+FROM stats
+"""
+)
+
+
+# DuckDB dayofweek() is 0=Sunday..6; Spark dayofweek() is 1=Sunday..7.
+oracle("q_seasonal_profile")(
+    """
+WITH c AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hour,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+)
+SELECT event_type, dow, hour,
+       CAST(count(x) AS BIGINT) AS n,
+       round(CAST(sum(x) AS DOUBLE) / (100.0 * CAST(count(x) AS DOUBLE)), 6)
+         AS mean_value
+FROM c GROUP BY 1, 2, 3
+"""
+)
+
+oracle("q_seasonal_anomaly")(
+    """
+WITH c AS (
+  SELECT event_id,
+         CAST(event_type AS VARCHAR) || ':'
+           || CAST(dayofweek(ts) + 1 AS VARCHAR) || ':'
+           || CAST(hour(ts) AS VARCHAR) AS slot,
+         CAST(round(value * 100) AS HUGEINT) AS x
+  FROM events
+), s AS (
+  SELECT slot, CAST(count(x) AS HUGEINT) AS n,
+         sum(x) AS s1, sum(x * x) AS s2
+  FROM c GROUP BY 1
+)
+SELECT c.event_id, c.slot, CAST(c.x AS BIGINT) AS value_cents,
+       CAST(s.n AS BIGINT) AS n_group
+FROM c JOIN s USING (slot)
+WHERE s.n >= 2
+  AND (s.n - 1) * (s.n * c.x - s.s1) * (s.n * c.x - s.s1)
+      > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1)
+"""
+)

@@ -3969,3 +3969,383 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --- TPC-H decision-support shapes, round 8 ----------------------------
+# Q4/Q7/Q9/Q13/Q14/Q15/Q17/Q19/Q21/Q22 analogs adapted to the fixture
+# schema (no partsupp / commitdate / receiptdate / phone columns — each
+# docstring states the substitution). Together with the existing
+# Q1/Q3/Q5/Q6/Q8/Q10/Q18 shapes they cover every relational idiom the
+# benchmark exercises: semi/anti joins, correlated and scalar
+# subqueries, conditional aggregation, disjunctive join predicates,
+# outer-join distributions. All revenue math is decimal-exact; every
+# dimension that is metadata-sized at 100 TB is broadcast, and every
+# fact-fact join shuffles on its natural key once.
+
+_DEC_REV = "decimal(12,6)"
+
+
+def _li_revenue() -> "F.Column":
+    """Exact TPC-H revenue term: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice").cast(_DEC_REV) * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: orders placed in 1997-Q1 that
+    had at least one line shipped 30+ days after ordering, counted per
+    priority. The EXISTS becomes a LEFT SEMI join on orderkey with the
+    lateness predicate inside the join condition — Catalyst keeps the
+    date filter on the orders scan (partition-prunable) and the semi
+    join short-circuits per key, so no duplicate elimination or
+    count-distinct is ever materialized."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped shipping volume between NATION_1 and NATION_2
+    per ship-year. Both nation maps pre-filter their side BEFORE the
+    fact joins: supplier x nation collapses to a broadcastable
+    (suppkey, supp_nation) list that prunes lineitem to 2/25 of its
+    rows at the scan join; the customer side stays a shuffle join
+    (customers are not metadata-sized at 100 TB) but is equally
+    pre-filtered, so the orders-customer exchange carries 8% of the
+    keyspace."""
+    pair = ("NATION_1", "NATION_2")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_li_revenue()).alias("_r"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("_r").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by supplier nation and
+    order-year for 'widget' parts. The fixture has no partsupp, so
+    supplycost is proxied as half the part's retail price (stated in
+    the oracle identically). part/supplier/nation all broadcast; the
+    only exchanges are lineitem-orders on orderkey and the final
+    25x7-group aggregate. Amounts stay decimal end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    # cost term in narrow decimals (retail is cents-exact, quantity is
+    # tenths-exact) so the DuckDB-side subtraction never overflows its
+    # intermediate precision
+    amount = _li_revenue() - (
+        F.lit("0.5").cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(8,2)")
+        * F.col("l_quantity").cast("decimal(4,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("_p"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("_p").cast("double"), 4).alias("profit"),
+        )
+    )
+
+
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly N non-'4-NOT SPECIFIED' orders, including
+    the zero bucket via a LEFT OUTER join from customer. First agg
+    shuffles on custkey (pre-aggregated map-side), the distribution agg
+    is metadata-sized (|distinct counts| rows)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share for September 1997: one
+    selective lineitem scan, part broadcast, conditional decimal
+    aggregation, single-row output. The month filter sits on the scan
+    (partition-prunable); the division happens once, driver-side scale,
+    in double with a fixed rounding."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _li_revenue()
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast(_DEC_REV))).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_share")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier revenue over
+    1997-Q1, then the supplier(s) achieving the maximum — the scalar
+    subquery becomes a broadcast of the one-row max joined back by
+    equality on the exact decimal total (no double compare, no total
+    sort). Supplier dim broadcast for the name."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = li.groupBy("l_suppkey").agg(F.sum(_li_revenue()).alias("_r"))
+    mx = agg.agg(F.max("_r").alias("_mx"))
+    return (
+        agg.join(F.broadcast(mx), agg._r == mx._mx)
+        .join(F.broadcast(s), agg.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_r").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue for Brand#3: lines with
+    quantity below half the part's average quantity. The correlated
+    AVG becomes a per-partkey aggregate of the already-brand-filtered
+    lines joined back on partkey — both sides share one shuffle key,
+    and the threshold test is integer-exact (2*n*qty < sum_qty, no
+    double average materialized)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", F.col("l_quantity").cast("bigint").alias("_q"),
+                "l_extendedprice")
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum("_q").alias("_sum_q"), F.count(F.lit(1)).alias("_n")
+    ).withColumnRenamed("l_partkey", "_pk")
+    return (
+        li.join(per, li.l_partkey == F.col("_pk"))
+        .where(F.lit(2) * F.col("_n") * F.col("_q") < F.col("_sum_q"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC_REV)).cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR blocks
+    over (brand, size, quantity) evaluated as a residual predicate on
+    a single broadcast part join — Catalyst pushes the common partkey
+    equi-condition into the hash join and keeps the disjunction as a
+    post-join filter, so lineitem is scanned once with no union of
+    three plans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    blocks = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(blocks)
+        .agg(F.sum(_li_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-orders: suppliers who were the SOLE
+    late shipper (90+ days after ordering) on a finalized multi-
+    supplier order. The fixture has no receipt/commit dates, so 'late'
+    is shipdate > orderdate + 90 days, stated identically in the
+    oracle. EXISTS -> LEFT SEMI on (orderkey, other-supplier),
+    NOT EXISTS -> LEFT ANTI on (orderkey, other-late-supplier); all
+    three lineitem passes and the orders join share the orderkey
+    shuffle key, the supplier name map broadcasts, and the top-20 is a
+    deterministic (numwait DESC, name ASC) limit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey
+    ).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_lok"), F.col("l_suppkey").alias("_lsk")
+    )
+    base = late.join(
+        others,
+        (late.l_orderkey == others._ok) & (late.l_suppkey != others._sk),
+        "left_semi",
+    ).join(
+        late_others,
+        (late.l_orderkey == late_others._lok) & (late.l_suppkey != late_others._lsk),
+        "left_anti",
+    )
+    return (
+        base.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant high-balance customers: accounts above
+    the positive-balance average with no order since 1999, grouped by
+    nation. The scalar AVG subquery is exact — the broadcast one-row
+    (sum, count) pair turns 'bal > avg' into the integer-safe decimal
+    inequality bal*n > sum — and the NOT EXISTS is a LEFT ANTI join
+    against post-1999 orders. Balance totals are decimal(12,2)-exact,
+    rendered to double only at the boundary."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("_bal"),
+    )
+    pos = c.where(F.col("_bal") > 0).agg(
+        F.sum("_bal").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("_bal") * F.col("_n") > F.col("_sum"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("_bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct users per event type: the theta-sketch
+    complement to q_hll_distinct — state is the k smallest distinct
+    60-bit hashes (a uniform key-space sample), estimate is one
+    integer-fed double division, exchanges carry hashes / k-row
+    states only (pipeline/sketches.py::kmv_sketch)."""
+    from ..pipeline.sketches import kmv_estimate, kmv_sketch
+
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(e, "user_id", ["event_type"], k=64)
+    return kmv_estimate(sk, ["event_type"], k=64).orderBy("event_type")
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap between click and purchase users via two KMV
+    sketches: Jaccard from the union sample's exact A/B membership
+    (k-row semi joins), intersection = jaccard x union estimate —
+    the set-algebra query HLL inclusion-exclusion answers poorly when
+    the overlap is small (pipeline/sketches.py::kmv_set_relations)."""
+    from ..pipeline.sketches import kmv_set_relations, kmv_sketch
+
+    e = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(e.where(F.col("event_type") == "click"), "user_id", [], k=64)
+    b = kmv_sketch(e.where(F.col("event_type") == "purchase"), "user_id", [], k=64)
+    return kmv_set_relations(a, b, k=64)
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-week traffic baseline: mean value per (event_type,
+    day-of-week, hour) slot — slot-grid-sized output from one
+    map-side-combined aggregate, exact cents sums, one rounded
+    division per slot (pipeline/timeseries.py::seasonal_profile)."""
+    from ..pipeline.timeseries import seasonal_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_profile(events, "ts", "value", "event_type")
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outliers: events more than 3 sigma from their
+    OWN (event_type, dow, hour) slot rather than the global type mean
+    — the same exact division/sqrt-free decimal inequality as
+    q_anomaly_values, slot stats broadcast
+    (pipeline/timeseries.py::seasonal_anomalies)."""
+    from ..pipeline.timeseries import seasonal_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(events, "ts", "value", "event_type", k=3)

@@ -44,6 +44,20 @@ QUERIES: dict[str, QueryFn] = {
     "q_ngram_novelty": q.q_ngram_novelty,
     "q_boilerplate_rate": q.q_boilerplate_rate,
     "q_winsorize": q.q_winsorize,
+    "q_order_priority": q.q_order_priority,
+    "q_nation_volume": q.q_nation_volume,
+    "q_product_profit": q.q_product_profit,
+    "q_order_count_dist": q.q_order_count_dist,
+    "q_promo_revenue": q.q_promo_revenue,
+    "q_top_supplier": q.q_top_supplier,
+    "q_small_qty_revenue": q.q_small_qty_revenue,
+    "q_disjunctive_join": q.q_disjunctive_join,
+    "q_waiting_orders": q.q_waiting_orders,
+    "q_inactive_customers": q.q_inactive_customers,
+    "q_kmv_distinct": q.q_kmv_distinct,
+    "q_kmv_overlap": q.q_kmv_overlap,
+    "q_seasonal_profile": q.q_seasonal_profile,
+    "q_seasonal_anomaly": q.q_seasonal_anomaly,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

@@ -3154,3 +3154,93 @@ def test_winsorize_clamps_and_null_passthrough(spark):
     assert got[99]["clipped_cents"] is None and got[99]["was_clipped"] is None
     # group b has no non-NULL values -> absent entirely
     assert 98 not in got
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Union-then-retrim of two bottom-k states == sketching the union
+    directly (bottom-k of distinct hashes is a semilattice), so
+    day/source sketches fold exactly."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([Row(k=f"key{i}") for i in range(150)])
+    b = spark.createDataFrame([Row(k=f"key{i}") for i in range(100, 260)])
+    direct = sorted(
+        r["h"] for r in kmv_sketch(a.union(b), "k", k=32).collect()
+    )
+    merged = sorted(
+        r["h"]
+        for r in kmv_merge(
+            kmv_sketch(a, "k", k=32), kmv_sketch(b, "k", k=32), [], k=32
+        ).collect()
+    )
+    assert direct == merged
+    assert len(direct) == 32
+
+
+def test_kmv_unsaturated_group_is_exact(spark):
+    """Below k distinct keys the state IS the distinct set — the
+    estimate must be the exact count, not the tail formula."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="small", k=f"s{i % 7}") for i in range(50)]
+        + [Row(g="big", k=f"b{i}") for i in range(500)]
+    )
+    out = {
+        r["g"]: r
+        for r in kmv_estimate(
+            kmv_sketch(df, "k", ["g"], k=64), ["g"], k=64
+        ).collect()
+    }
+    assert out["small"]["n_hashes"] == 7
+    assert out["small"]["est_distinct"] == 7.0
+    assert out["big"]["n_hashes"] == 64
+    assert abs(out["big"]["est_distinct"] - 500) / 500 < 0.5
+
+
+def test_kmv_null_keys_ignored(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k="a"), Row(k="b"), Row(k=None), Row(k="a")]
+    )
+    r = kmv_estimate(kmv_sketch(df, "k", k=8), [], k=8).collect()[0]
+    assert r["n_hashes"] == 2
+    assert r["est_distinct"] == 2.0
+
+
+def test_kmv_jaccard_exact_on_unsaturated_sets(spark):
+    """With both sets under k, the union sample is the whole universe
+    and jaccard/intersection are EXACT: A={0..29}, B={20..49} →
+    J = 10/50, intersection = 10."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_set_relations,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([Row(k=f"u{i}") for i in range(30)])
+    b = spark.createDataFrame([Row(k=f"u{i}") for i in range(20, 50)])
+    r = kmv_set_relations(
+        kmv_sketch(a, "k", k=64), kmv_sketch(b, "k", k=64), k=64
+    ).collect()[0]
+    assert r["n_union_sample"] == 50
+    assert r["jaccard"] == 0.2
+    assert r["est_union"] == 50.0
+    assert r["est_intersection"] == 10.0
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import kmv_sketch
+
+    df = spark.createDataFrame([Row(k="a")])
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_sketch(df, "k", k=1)
