@@ -13,7 +13,7 @@ in ANSI SQL for the DuckDB oracle (regexp_* + length arithmetic).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker vocabularies for the n-gram/stopword
@@ -843,4 +843,84 @@ def gopher_quality(
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
         fail_reasons.alias("fail_reasons"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms —
+    the lexical-retrieval side of a curation/decontamination pipeline
+    (find corpus documents 'about' an eval topic before the semantic
+    pass). Okapi BM25 with the Lucene idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Shape: tokenization shares term_rows (one definition of 'term');
+    per-doc lengths and (doc, query-term) tfs are two map-side-combined
+    aggregates over the SAME doc-key exchange; df/N/avgdl are
+    metadata-sized and broadcast. No inverted index is materialized —
+    at 100 TB the non-matching docs die at the broadcast semi filter
+    inside the scan stage.
+
+    Determinism: tf/dl/df/N are exact integers; avgdl is one IEEE
+    division; each per-term score is rounded to 7 dp and summed as
+    DECIMAL (order-independent — the lm_score discipline), ranked on
+    the exact decimal with doc_id tie-break, and rendered to 6 dp at
+    the boundary.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    qt = sorted({t.lower() for t in query_terms})
+    tokens = term_rows(df, text_col, id_col)
+    dl = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        tokens.where(F.col("term").isin(*qt))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = F.round(idf * tf_d * F.lit(k1 + 1.0) / norm, 7)
+    per_doc = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            F.sum(term_score.cast("decimal(38,18)")).alias("_s"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.col("_s").desc(), F.col(id_col).asc())
+    return (
+        per_doc.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            id_col,
+            "n_terms_hit",
+            F.col("_rk").cast("int").alias("rank"),
+            F.round(F.col("_s").cast("double"), 6).alias("bm25"),
+        )
     )

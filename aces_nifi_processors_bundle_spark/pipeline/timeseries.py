@@ -777,3 +777,68 @@ def seasonal_anomalies(
         anomaly_flags(tagged, "__slot", value_col, k, id_cols)
         .withColumnRenamed("__slot", "slot")
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-group OLS trend of bucketed totals: slope/intercept of
+    sum(value) per time bucket regressed on the bucket index — 'is
+    this series growing and how fast' per key, the screening pass
+    before any heavier forecasting.
+
+    Exactness: x is the integer epoch-bucket index, y the exact
+    integer-cents bucket total; the five regression sums (n, Σx, Σy,
+    Σxy, Σx²) are decimal(38)-exact, the closed-form numerator/
+    denominator n·Σxy − Σx·Σy and n·Σx² − (Σx)² are decimal products
+    of those sums, and ONLY the final slope/intercept divisions happen
+    in double (correctly rounded, cross-engine identical), rendered at
+    6 dp. Groups with a single bucket have no slope (NULL, not a
+    divide crash).
+
+    Scale: two map-side-combined aggregates — (group, bucket) then
+    (group) — shuffling bucket totals, never rows; no window, no sort.
+    """
+    if bucket not in ("day", "hour"):
+        raise ValueError(f"linear_trend: bucket must be day|hour, got {bucket}")
+    step = 86_400 if bucket == "day" else 3_600
+    x = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast("long")
+    cents = _cents(F.col(value_col))
+    daily = (
+        df.groupBy(F.col(group), x.alias("_x"))
+        .agg(F.sum(cents).alias("_y"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = daily.groupBy(group).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
+        # products in decimal BEFORE the sum: at 100 TB a bucket total
+        # times an epoch index overflows int64
+        F.sum(
+            F.col("_x").cast("decimal(38,0)") * F.col("_y").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(
+            F.col("_x").cast("decimal(38,0)") * F.col("_x").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_sxx"),
+    )
+    num = d("_n") * d("_sxy") - d("_sx") * d("_sy")
+    den = d("_n") * d("_sxx") - d("_sx") * d("_sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        d("_sy").cast("double") - slope * d("_sx").cast("double")
+    ) / d("_n").cast("double")
+    return sums.select(
+        group,
+        F.col("_n").cast("bigint").alias("n_buckets"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope / F.lit(100.0), 6))
+        .alias("slope_per_bucket"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(intercept / F.lit(100.0), 6))
+        .alias("intercept"),
+    )

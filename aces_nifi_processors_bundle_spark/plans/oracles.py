@@ -4323,3 +4323,90 @@ WHERE s.n >= 2
       > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1)
 """
 )
+
+
+oracle("q_bm25_topk")(
+    """
+WITH tok AS (
+  SELECT doc_id, term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('join', 'spark', 'stream')
+  GROUP BY doc_id, term
+),
+docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
+                    / (CAST(f.df_t AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / c.avgdl)),
+           7) AS term_score
+  FROM tf
+  JOIN docfreq f USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CAST(term_score AS DECIMAL(38,18))) AS s,
+         CAST(count(*) AS INTEGER) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms_hit, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+  FROM per_doc
+)
+SELECT doc_id, n_terms_hit, CAST(rk AS INTEGER) AS rank,
+       round(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS bm25
+FROM ranked WHERE rk <= 10
+"""
+)
+
+oracle("q_linear_trend")(
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS HUGEINT) AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM events
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM daily GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(n AS DOUBLE) AS nd
+  FROM sums
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_buckets,
+       CASE WHEN den = 0 THEN NULL
+            ELSE round((num / den) / 100.0, 6) END AS slope_per_bucket,
+       CASE WHEN den = 0 THEN NULL
+            ELSE round(((syd - (num / den) * sxd) / nd) / 100.0, 6)
+       END AS intercept
+FROM calc ORDER BY event_type
+"""
+)

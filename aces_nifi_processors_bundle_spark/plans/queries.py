@@ -4349,3 +4349,26 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return seasonal_anomalies(events, "ts", "value", "event_type", k=3)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a three-term query over the documents corpus:
+    lexical retrieval with broadcast df/avgdl stats, decimal
+    order-independent score sums, exact-key ranking
+    (pipeline/text.py::bm25_topk)."""
+    from ..pipeline.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "stream"], k=10)
+
+
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily totals: five decimal-exact
+    regression sums per group, closed-form slope/intercept with the
+    only divisions in double at the boundary — no window, no sort,
+    bucket totals are the largest thing shuffled
+    (pipeline/timeseries.py::linear_trend)."""
+    from ..pipeline.timeseries import linear_trend
+
+    events = load_table(spark, sf_dir, "events")
+    return linear_trend(events, "ts", "value", "event_type").orderBy("event_type")

@@ -58,6 +58,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_kmv_overlap": q.q_kmv_overlap,
     "q_seasonal_profile": q.q_seasonal_profile,
     "q_seasonal_anomaly": q.q_seasonal_anomaly,
+    "q_bm25_topk": q.q_bm25_topk,
+    "q_linear_trend": q.q_linear_trend,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

@@ -3244,3 +3244,104 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([Row(k="a")])
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_sketch(df, "k", k=1)
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark join"),
+            Row(doc_id=2, text="spark filler filler filler filler filler"),
+            Row(doc_id=3, text="nothing relevant here at all"),
+            Row(doc_id=4, text="join stream spark"),
+        ]
+    )
+    out = bm25_topk(df, ["spark", "join", "stream"], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 3 has no query terms -> absent entirely
+    assert 3 not in rows
+    # doc 4 hits all three terms, doc 1 two, doc 2 one
+    assert rows[4]["n_terms_hit"] == 3
+    assert rows[1]["n_terms_hit"] == 2
+    assert rows[2]["n_terms_hit"] == 1
+    assert rows[4]["rank"] == 1  # three distinct rare terms beat tf spam
+    # scores strictly ordered by rank
+    ordered = sorted(rows.values(), key=lambda r: r["rank"])
+    assert all(
+        a["bm25"] >= b["bm25"] for a, b in zip(ordered, ordered[1:])
+    )
+
+
+def test_bm25_rejects_empty_query(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.text import bm25_topk
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
+
+
+def test_linear_trend_recovers_exact_slope(spark):
+    """Perfectly linear daily totals -> exact slope/intercept (all
+    sums integer-exact, the closed form divides exactly)."""
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import linear_trend
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        # g1: total = 100 + 2*day cents, one event per day
+        Row(g="up", ts=base + dt.timedelta(days=i), value=(100 + 2 * i) / 100.0)
+        for i in range(30)
+    ] + [
+        # flat: constant 5.00
+        Row(g="flat", ts=base + dt.timedelta(days=i), value=5.0)
+        for i in range(10)
+    ] + [
+        # single bucket: slope undefined
+        Row(g="one", ts=base, value=1.0)
+    ]
+    out = {
+        r["g"]: r
+        for r in linear_trend(
+            spark.createDataFrame(rows), "ts", "value", "g"
+        ).collect()
+    }
+    assert out["up"]["n_buckets"] == 30
+    assert out["up"]["slope_per_bucket"] == 0.02
+    assert out["flat"]["slope_per_bucket"] == 0.0
+    assert out["flat"]["intercept"] == 5.0
+    assert out["one"]["slope_per_bucket"] is None
+    assert out["one"]["intercept"] is None
+
+
+def test_seasonal_anomaly_is_slot_relative(spark):
+    """A value normal for its own slot but extreme vs the global mean
+    must NOT flag; the same value inside a quiet slot must flag."""
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        seasonal_anomalies,
+    )
+
+    # Mondays 9am run hot (~100), Tuesdays 9am run cold (~1).
+    mon, tue = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows = [
+        Row(event_id=i, g="t", ts=mon + dt.timedelta(weeks=i),
+            value=100.0 + (i % 3))
+        for i in range(12)
+    ] + [
+        Row(event_id=100 + i, g="t", ts=tue + dt.timedelta(weeks=i),
+            value=1.0 + 0.01 * (i % 3))
+        for i in range(12)
+    ]
+    # one hot-slot-normal value dropped into the cold slot
+    rows.append(Row(event_id=999, g="t", ts=tue + dt.timedelta(weeks=20),
+                    value=100.0))
+    df = spark.createDataFrame(rows)
+    flagged = {r["event_id"] for r in
+               seasonal_anomalies(df, "ts", "value", "g", k=3).collect()}
+    assert 999 in flagged
+    # none of the regular hot-slot rows flag, despite being ~50x the
+    # global mean of the cold slot
+    assert not any(i in flagged for i in range(12))
