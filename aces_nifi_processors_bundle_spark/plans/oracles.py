@@ -4410,3 +4410,84 @@ SELECT event_type,
 FROM calc ORDER BY event_type
 """
 )
+
+
+oracle("q_hybrid_retrieval")(
+    """
+WITH tok AS (
+  SELECT doc_id, term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('join', 'spark', 'stream')
+  GROUP BY doc_id, term
+),
+docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
+                    / (CAST(f.df_t AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / c.avgdl)),
+           7) AS term_score
+  FROM tf
+  JOIN docfreq f USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+),
+bm_ranked AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (
+           ORDER BY sum(CAST(term_score AS DECIMAL(38,18))) DESC, doc_id ASC
+         ) AS INTEGER) AS bm25_rank
+  FROM scored GROUP BY doc_id
+),
+bm AS (SELECT id, bm25_rank FROM bm_ranked WHERE bm25_rank <= 20),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+ann_scored AS (
+  SELECT e.vec_id AS id, list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e, qv q WHERE e.vec_id <> 0
+),
+ann_ranked AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS INTEGER) AS ann_rank
+  FROM ann_scored
+),
+ann AS (SELECT id, ann_rank FROM ann_ranked WHERE ann_rank <= 20),
+fused AS (
+  SELECT coalesce(bm.id, ann.id) AS id, bm.bm25_rank, ann.ann_rank,
+         (CASE WHEN bm.bm25_rank IS NOT NULL
+               THEN 1.0 / (60.0 + CAST(bm.bm25_rank AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN ann.ann_rank IS NOT NULL
+                 THEN 1.0 / (60.0 + CAST(ann.ann_rank AS DOUBLE)) ELSE 0.0 END)
+           AS rrf
+  FROM bm FULL OUTER JOIN ann ON bm.id = ann.id
+)
+SELECT id, bm25_rank, ann_rank,
+       CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER) AS rank,
+       round(rrf, 6) AS rrf
+FROM fused
+QUALIFY rank <= 10
+"""
+)
+
+oracle("q_cube_profile")(
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(CAST(dayofweek(ts) + 1 AS INTEGER) AS VARCHAR), 'ALL') AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
+"""
+)

@@ -4372,3 +4372,78 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return linear_trend(events, "ts", "value", "event_type").orderBy("event_type")
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of lexical and semantic retrieval: BM25
+    top-20 (three-term query over documents) fused with brute-force
+    cosine top-20 (query vector = vec_id 0, sharing the doc id space)
+    by RRF = sum 1/(60 + rank) over the lists each doc appears in.
+    Both candidate lists are k-row frames, so the fusion is a k x k
+    full-outer join — metadata-sized regardless of corpus size; the
+    heavy lifting stays in the two retrieval passes, each with its own
+    scale design. Ranks are exact ints, the RRF score is a fixed-shape
+    IEEE expression over them (cross-engine identical), ties break on
+    doc id."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import brute_force_topk
+    from ..pipeline.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["spark", "join", "stream"], k=20).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("bm25_rank")
+    )
+    ann = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").cast("int").alias("ann_rank"),
+    )
+    rrf = F.when(
+        F.col("bm25_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(60.0) + F.col("bm25_rank").cast("double")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("ann_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(60.0) + F.col("ann_rank").cast("double")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy().orderBy(F.col("_rrf").desc(), F.col("id").asc())
+    return (
+        bm.join(ann, "id", "full_outer")
+        .withColumn("_rrf", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "id",
+            "bm25_rank",
+            "ann_rank",
+            "rank",
+            F.round(F.col("_rrf"), 6).alias("rrf"),
+        )
+    )
+
+
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE grouping-set aggregation: event counts and exact
+    cents totals over every subset of (event_type, day-of-week) —
+    Catalyst expands the grouping sets inside ONE aggregate (a single
+    shuffle with the grouping-id column), no union of four scans.
+    NULL grouping columns are rendered as 'ALL' to keep the driver
+    hash deterministic across engines' NULL conventions."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.cube(
+            F.col("event_type"),
+            F.dayofweek("ts").cast("int").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "sum_cents",
+        )
+    )

@@ -60,6 +60,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_seasonal_anomaly": q.q_seasonal_anomaly,
     "q_bm25_topk": q.q_bm25_topk,
     "q_linear_trend": q.q_linear_trend,
+    "q_hybrid_retrieval": q.q_hybrid_retrieval,
+    "q_cube_profile": q.q_cube_profile,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
