@@ -913,10 +913,14 @@ def bm25_topk(
             F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
         )
     )
+    # top-k FIRST via orderBy+limit — Spark plans TakeOrderedAndProject
+    # (per-task partial top-k, then a k-row merge), so the per-doc
+    # frame (one row per matching doc — unbounded at 100 TB) never
+    # gathers onto one task; the rank window then runs over k rows.
+    top = per_doc.orderBy(F.col("_s").desc(), F.col(id_col).asc()).limit(k)
     w = Window.partitionBy().orderBy(F.col("_s").desc(), F.col(id_col).asc())
     return (
-        per_doc.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
+        top.withColumn("_rk", F.row_number().over(w))
         .select(
             id_col,
             "n_terms_hit",

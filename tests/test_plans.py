@@ -592,3 +592,66 @@ def test_threshold_buckets_semantics(spark):
     got = {r["v"]: r["bucket"] for r in out.collect()}
     assert got[3] == "head" and got[2] == "middle" and got[1] == "tail"
     assert got[None] == "tail"
+
+
+def test_kmv_sketch_window_is_pretrimmed(spark, sf_dir):
+    """The KMV rank window must carry a WindowGroupLimit below the
+    final exchange: each map task pre-trims to k rows, so the
+    bottom-k gather is k-bounded however many distinct hashes exist."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import kmv_sketch
+
+    sk = kmv_sketch(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"], k=64
+    )
+    plan = plan_of(sk)
+    assert "WindowGroupLimit" in plan
+    # the dedup stage must shuffle hashes, not raw keys: the exchange
+    # carries the 60-bit h column
+    assert "conv(substring(md5" in plan or "conv(substr" in plan
+
+
+def test_seasonal_anomalies_broadcasts_slot_stats_no_window(spark, sf_dir):
+    """Slot stats must come back as a broadcast join — never a window
+    over the fact rows (a slot partition is unbounded at 100 TB)."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        seasonal_anomalies,
+    )
+
+    df = seasonal_anomalies(
+        load_table(spark, sf_dir, "events"), "ts", "value", "event_type", k=3
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_linear_trend_no_window_no_sort_of_rows(spark, sf_dir):
+    """Trend = two hash aggregates; there must be no window and no
+    per-row sort anywhere in the plan."""
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import linear_trend
+
+    df = linear_trend(
+        load_table(spark, sf_dir, "events"), "ts", "value", "event_type"
+    )
+    plan = plan_of(df)
+    assert "Window" not in plan
+    # the only Sort allowed is the output orderBy's — none is declared
+    # inside linear_trend itself (the query adds .orderBy separately)
+    assert "HashAggregate" in plan
+
+
+def test_bm25_broadcasts_stats_and_prunes_nonmatching_docs(spark, sf_dir):
+    """df/corpus stats must broadcast; the query-term filter must sit
+    in the scan stage (before any exchange), so non-matching docs die
+    map-side."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import bm25_topk
+
+    df = bm25_topk(
+        load_table(spark, sf_dir, "documents"), ["spark", "join"], k=5
+    )
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # global top-k must be TakeOrderedAndProject (per-task partial
+    # top-k) — the rank window then sees only k rows
+    assert "TakeOrderedAndProject" in plan
