@@ -4491,3 +4491,16 @@ FROM events
 GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
 """
 )
+
+
+oracle("q_dpp_join")(
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE dayofweek(date_trunc('day', ts)) + 1 = 2
+GROUP BY 1, 2
+"""
+)

@@ -4447,3 +4447,42 @@ def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: events land in a
+    date-partitioned layout (the standard 100 TB fact layout — one
+    directory per day), then join a dimension whose filter
+    ('Monday-only days') is NOT statically derivable on the fact
+    side. Catalyst plans a dynamicpruning subquery: the broadcast
+    dim's day list prunes fact PARTITIONS at runtime, so the scan
+    reads ~1/7 of the directories instead of all of them — the plan
+    is asserted in tests/test_plans.py. Counts per (day, event_type)
+    come decimal-exact off the pruned scan."""
+    events = load_table(spark, sf_dir, "events")
+    path = _scratch("aces_dpp_")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        # one file per day partition, not one per (task x day)
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    facts = spark.read.parquet(path)
+    # dim: the distinct Mondays — built from the SAME fixture so the
+    # oracle can rebuild it; the Monday-ness lives only in the dim,
+    # forcing runtime (not static) pruning of the fact partitions
+    dim = (
+        events.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .where(F.dayofweek(F.col("day")) == 2)
+    )
+    return (
+        facts.join(F.broadcast(dim), "day")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )

@@ -62,6 +62,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_linear_trend": q.q_linear_trend,
     "q_hybrid_retrieval": q.q_hybrid_retrieval,
     "q_cube_profile": q.q_cube_profile,
+    "q_dpp_join": q.q_dpp_join,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

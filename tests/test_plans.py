@@ -655,3 +655,15 @@ def test_bm25_broadcasts_stats_and_prunes_nonmatching_docs(spark, sf_dir):
     # global top-k must be TakeOrderedAndProject (per-task partial
     # top-k) — the rank window then sees only k rows
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dpp_join_plans_runtime_partition_pruning(spark, sf_dir):
+    """q_dpp_join's fact scan must carry a dynamicpruning subquery on
+    the partition column: the Monday list is only known at runtime
+    (it lives in the dim), so static pushdown cannot prune — DPP
+    must."""
+    from aces_nifi_processors_bundle_spark.plans.queries import q_dpp_join
+
+    plan = plan_of(q_dpp_join(spark, sf_dir))
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
