@@ -483,7 +483,16 @@ def kmv_set_relations(
         n_u.crossJoin(F.broadcast(n_b))
         .select(
             "n_union_sample",
-            F.round(F.col("_nb").cast("double") / F.col("n_union_sample").cast("double"), 6)
+            # empty union sample (both sketches empty): jaccard of two
+            # empty sets is 0 here, not 0/0 = NaN
+            F.when(F.col("n_union_sample") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("_nb").cast("double")
+                    / F.col("n_union_sample").cast("double"),
+                    6,
+                )
+            )
             .alias("jaccard"),
             F.when(F.col("n_union_sample") < k,
                    F.col("n_union_sample").cast("double"))

@@ -3345,3 +3345,22 @@ def test_seasonal_anomaly_is_slot_relative(spark):
     # none of the regular hot-slot rows flag, despite being ~50x the
     # global mean of the cold slot
     assert not any(i in flagged for i in range(12))
+
+
+def test_kmv_set_relations_empty_inputs_yield_zero(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_set_relations,
+        kmv_sketch,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("k", StringType())])
+    )
+    r = kmv_set_relations(
+        kmv_sketch(empty, "k", k=8), kmv_sketch(empty, "k", k=8), k=8
+    ).collect()[0]
+    assert r["n_union_sample"] == 0
+    assert r["jaccard"] == 0.0
+    assert r["est_union"] == 0.0
+    assert r["est_intersection"] == 0.0
