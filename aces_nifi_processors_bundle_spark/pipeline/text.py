@@ -865,8 +865,10 @@ def bm25_topk(
     per-doc lengths and (doc, query-term) tfs are two map-side-combined
     aggregates over the SAME doc-key exchange; df/N/avgdl are
     metadata-sized and broadcast. No inverted index is materialized —
-    at 100 TB the non-matching docs die at the broadcast semi filter
-    inside the scan stage.
+    the literal `term IN (...)` predicate runs map-side right after
+    the token explode, so non-matching tokens never reach an exchange
+    (the doc-length pass still scans every token — that is the avgdl
+    definition, not overhead).
 
     Determinism: tf/dl/df/N are exact integers; avgdl is one IEEE
     division; each per-term score is rounded to 7 dp and summed as

@@ -808,19 +808,20 @@ def linear_trend(
     step = 86_400 if bucket == "day" else 3_600
     x = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast("long")
     cents = _cents(F.col(value_col))
+    # every sum is decimal BEFORE accumulation: a long sum would wrap
+    # silently at 2^63 (non-ANSI) — at 100 TB a group's total cents or
+    # an epoch-index cross product both exceed int64
     daily = (
         df.groupBy(F.col(group), x.alias("_x"))
-        .agg(F.sum(cents).alias("_y"))
+        .agg(F.sum(cents.cast("decimal(38,0)")).alias("_y"))
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     sums = daily.groupBy(group).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("_sx"),
         F.sum("_y").cast("decimal(38,0)").alias("_sy"),
-        # products in decimal BEFORE the sum: at 100 TB a bucket total
-        # times an epoch index overflows int64
         F.sum(
-            F.col("_x").cast("decimal(38,0)") * F.col("_y").cast("decimal(38,0)")
+            F.col("_x").cast("decimal(38,0)") * F.col("_y")
         ).cast("decimal(38,0)").alias("_sxy"),
         F.sum(
             F.col("_x").cast("decimal(38,0)") * F.col("_x").cast("decimal(38,0)")

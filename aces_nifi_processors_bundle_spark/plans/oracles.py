@@ -4325,9 +4325,11 @@ WHERE s.n >= 2
 )
 
 
-oracle("q_bm25_topk")(
-    """
-WITH tok AS (
+# BM25 scoring pipeline as a reusable CTE chain — q_bm25_topk and
+# q_hybrid_retrieval MUST agree on what BM25 means (the _bpe_chain_sql
+# discipline: one definition, composed).
+def _bm25_scored_sql(terms: str = "'join', 'spark', 'stream'") -> str:
+    return f"""tok AS (
   SELECT doc_id, term
   FROM documents,
        unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
@@ -4341,7 +4343,7 @@ corpus AS (
 ),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM tok WHERE term IN ('join', 'spark', 'stream')
+  FROM tok WHERE term IN ({terms})
   GROUP BY doc_id, term
 ),
 docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
@@ -4358,7 +4360,12 @@ scored AS (
   JOIN docfreq f USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN corpus c
-),
+)"""
+
+
+oracle("q_bm25_topk")(
+    f"""
+WITH {_bm25_scored_sql()},
 per_doc AS (
   SELECT doc_id,
          sum(CAST(term_score AS DECIMAL(38,18))) AS s,
@@ -4413,39 +4420,8 @@ FROM calc ORDER BY event_type
 
 
 oracle("q_hybrid_retrieval")(
-    """
-WITH tok AS (
-  SELECT doc_id, term
-  FROM documents,
-       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
-  WHERE term <> ''
-),
-dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-corpus AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-  FROM dl
-),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM tok WHERE term IN ('join', 'spark', 'stream')
-  GROUP BY doc_id, term
-),
-docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
-         round(
-           ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
-                    / (CAST(f.df_t AS DOUBLE) + 0.5))
-           * CAST(tf.tf AS DOUBLE) * 2.2
-           / (CAST(tf.tf AS DOUBLE)
-              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / c.avgdl)),
-           7) AS term_score
-  FROM tf
-  JOIN docfreq f USING (term)
-  JOIN dl USING (doc_id)
-  CROSS JOIN corpus c
-),
+    f"""
+WITH {_bm25_scored_sql()},
 bm_ranked AS (
   SELECT doc_id AS id,
          CAST(row_number() OVER (

@@ -635,15 +635,17 @@ def test_linear_trend_no_window_no_sort_of_rows(spark, sf_dir):
     )
     plan = plan_of(df)
     assert "Window" not in plan
-    # the only Sort allowed is the output orderBy's — none is declared
-    # inside linear_trend itself (the query adds .orderBy separately)
+    # no orderBy is declared inside linear_trend itself (the registry
+    # query adds its own .orderBy separately), so ANY Sort here is a
+    # reintroduced per-row sort
+    assert "Sort" not in plan
     assert "HashAggregate" in plan
 
 
 def test_bm25_broadcasts_stats_and_prunes_nonmatching_docs(spark, sf_dir):
-    """df/corpus stats must broadcast; the query-term filter must sit
-    in the scan stage (before any exchange), so non-matching docs die
-    map-side."""
+    """df/corpus stats must broadcast; the global top-k must be a
+    per-task partial TakeOrdered, never a whole-frame single-partition
+    window; nothing may go cartesian."""
     from aces_nifi_processors_bundle_spark.pipeline.text import bm25_topk
 
     df = bm25_topk(
