@@ -4480,3 +4480,27 @@ WHERE dayofweek(date_trunc('day', ts)) + 1 = 2
 GROUP BY 1, 2
 """
 )
+
+
+# Streaming seasonal scoring must agree with the batch seasonal flag
+# row-for-row (batch-boundary independence).
+ORACLES["q_stream_seasonal_anomaly"] = ORACLES["q_seasonal_anomaly"]
+
+oracle("q_group_split")(
+    """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5('groupsplit' || CAST(source AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bk
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bk < 900000 THEN 'train'
+            WHEN bk < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+)

@@ -4496,3 +4496,66 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
         )
     )
+
+
+def q_stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / score-stream SEASONAL anomaly detection: the
+    (group, dow, hour) slot stats train on the static table and
+    broadcast into the events stream — each micro-batch evaluates the
+    exact slot-relative decimal test with zero streaming state, the
+    q_stream_anomaly pattern with the seasonal slot key. Shares
+    q_seasonal_anomaly's oracle verbatim, proving the seasonal flag
+    batch-boundary-independent too."""
+    import uuid
+
+    from ..pipeline.timeseries import seasonal_anomalies
+
+    static = load_table(spark, sf_dir, "events")
+    stream = _events_stream(spark, sf_dir)
+    # seasonal_anomalies delegates to anomaly_flags(train_df=...) via
+    # the same slot tagging on both frames
+    from ..pipeline.timeseries import anomaly_flags
+
+    def slot_of(df):
+        return df.withColumn(
+            "__slot",
+            F.concat_ws(
+                ":",
+                F.col("event_type").cast("string"),
+                F.dayofweek(F.col("ts")).cast("string"),
+                F.hour(F.col("ts")).cast("string"),
+            ),
+        )
+
+    out = anomaly_flags(
+        slot_of(stream), "__slot", "value", k=3, train_df=slot_of(static)
+    ).withColumnRenamed("__slot", "slot")
+    qname = f"seas_anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(qname)
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUPED train/val/test split (the GroupKFold
+    analog): the split hashes the SOURCE, not the document, so near-
+    duplicate documents from one crawl domain can never straddle the
+    train/eval boundary — the domain-level contamination the per-doc
+    split cannot prevent. Same zero-shuffle codegen expression as
+    q_hash_split, keyed on the group column; output proves every
+    source lands in exactly one split."""
+    from ..pipeline.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = hash_split(docs, id_col="source", seed="groupsplit")
+    return (
+        tagged.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "split")
+    )
