@@ -1246,3 +1246,59 @@ def semantic_decontaminate(
             F.round(F.col("cos"), 6).alias("cos"),
         )
     )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell distribution drift between two embedding snapshots —
+    the 'did my corpus move' monitor a training pipeline runs between
+    crawls: both snapshots are assigned to the SAME deterministic
+    md5-centroid codebook (the IVF cell space), and each cell reports
+    its share in A, share in B, and the share delta. At 100 TB the
+    exchange carries n_centroids partial counts per side — the
+    whole comparison is two map-side-combined aggregates plus a
+    cells-sized join; no pairwise anything.
+
+    Shares are one IEEE division of exact counts (cross-engine
+    identical), deltas rounded at 6 dp; cells absent from a snapshot
+    report 0. Output: (cid, n_a, n_b, share_a, share_b, drift),
+    drift = share_b - share_a.
+    """
+    assign = ivf_assign_udf(dim, n_centroids)
+
+    def cells(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(assign(as_double(F.col(vec_col))).alias("cid"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    a, b = cells(emb_a, "n_a"), cells(emb_b, "n_b")
+    tot = (
+        a.agg(F.sum("n_a").alias("_ta"))
+        .crossJoin(b.agg(F.sum("n_b").alias("_tb")))
+    )
+    joined = (
+        a.join(b, "cid", "full_outer")
+        .select(
+            "cid",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    share_a = F.col("n_a").cast("double") / F.col("_ta").cast("double")
+    share_b = F.col("n_b").cast("double") / F.col("_tb").cast("double")
+    return joined.select(
+        "cid",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(share_b - share_a, 6).alias("drift"),
+    ).orderBy("cid")

@@ -4504,3 +4504,37 @@ GROUP BY 1, 2
 ORDER BY source, split
 """
 )
+
+
+oracle("q_embedding_drift")(
+    f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+centroids(cid, cv) AS (VALUES
+  {_IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid ASC) AS rn
+    FROM vecs, centroids) WHERE rn = 1
+),
+a AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_a FROM assign
+      WHERE vec_id % 2 = 0 GROUP BY cid),
+b AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_b FROM assign
+      WHERE vec_id % 2 = 1 GROUP BY cid),
+tot AS (SELECT (SELECT sum(n_a) FROM a) AS ta, (SELECT sum(n_b) FROM b) AS tb),
+joined AS (
+  SELECT coalesce(a.cid, b.cid) AS cid,
+         CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL OUTER JOIN b ON a.cid = b.cid
+)
+SELECT cid, n_a, n_b,
+       round(CAST(n_a AS DOUBLE) / CAST(t.ta AS DOUBLE), 6) AS share_a,
+       round(CAST(n_b AS DOUBLE) / CAST(t.tb AS DOUBLE), 6) AS share_b,
+       round(CAST(n_b AS DOUBLE) / CAST(t.tb AS DOUBLE)
+             - CAST(n_a AS DOUBLE) / CAST(t.ta AS DOUBLE), 6) AS drift
+FROM joined, tot t
+ORDER BY cid
+"""
+)

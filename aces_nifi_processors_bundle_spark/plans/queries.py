@@ -4559,3 +4559,20 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift between two embedding snapshots (even vs odd
+    vec_ids as stand-ins for consecutive crawls): both sides assigned
+    to the SAME md5-centroid cell space, per-cell share deltas from
+    two map-side-combined aggregates + a cells-sized join
+    (pipeline/similarity.py::embedding_drift)."""
+    from ..pipeline.similarity import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        dim=64,
+        n_centroids=16,
+    )

@@ -65,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dpp_join": q.q_dpp_join,
     "q_stream_seasonal_anomaly": q.q_stream_seasonal_anomaly,
     "q_group_split": q.q_group_split,
+    "q_embedding_drift": q.q_embedding_drift,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

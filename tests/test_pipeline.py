@@ -3364,3 +3364,33 @@ def test_kmv_set_relations_empty_inputs_yield_zero(spark):
     assert r["jaccard"] == 0.0
     assert r["est_union"] == 0.0
     assert r["est_intersection"] == 0.0
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    """Snapshot B drops every vector of one cell: that cell's drift
+    must be the most negative; identical snapshots drift 0
+    everywhere."""
+    import numpy as np
+
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        _ivf_centroids,
+        embedding_drift,
+    )
+
+    cents = _ivf_centroids(8, 4)
+    rows = []
+    rid = 0
+    for c in range(4):
+        for _ in range(25):
+            v = (cents[c] * 10.0).tolist()
+            rows.append(Row(vec_id=rid, embedding=v))
+            rid += 1
+    df = spark.createDataFrame(rows)
+    same = embedding_drift(df, df, dim=8, n_centroids=4).collect()
+    assert all(r["drift"] == 0.0 for r in same)
+
+    b = df.where(F.col("vec_id") >= 25)  # drop cell 0's vectors
+    out = {r["cid"]: r for r in
+           embedding_drift(df, b, dim=8, n_centroids=4).collect()}
+    assert out[0]["n_b"] == 0 and out[0]["drift"] == -0.25
+    assert all(out[c]["drift"] > 0 for c in (1, 2, 3))
