@@ -1302,3 +1302,49 @@ def embedding_drift(
         F.round(share_b, 6).alias("share_b"),
         F.round(share_b - share_a, 6).alias("drift"),
     ).orderBy("cid")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    k most-similar corpus vectors with a DIFFERENT label — maximally
+    confusing negatives, the pair-mining pass an embedding-model
+    pipeline runs over its corpus. Same broadcast-queries /
+    corpus-never-moves shape as brute_force_topk with the label
+    inequality applied BEFORE scoring (so same-label pairs never cost
+    a dot product), and the same salted two-phase exact top-k.
+    Output: (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            # NULL-labeled vectors match nothing (unknown label is not
+            # evidence of a negative pair)
+            & F.col("_ql").isNotNull()
+            & F.col("_cl").isNotNull()
+            & (F.col("_ql") != F.col("_cl"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -4538,3 +4538,25 @@ FROM joined, tot t
 ORDER BY cid
 """
 )
+
+
+oracle("q_hard_negatives")(
+    """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+      FROM embeddings),
+scored AS (
+  SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+  FROM q, c
+  WHERE qid <> nid AND ql IS NOT NULL AND cl IS NOT NULL AND ql <> cl
+),
+ranked AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)

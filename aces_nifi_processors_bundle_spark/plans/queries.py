@@ -4576,3 +4576,18 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_centroids=16,
     )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per query vector, the top-5 most
+    similar vectors with a DIFFERENT label — label inequality applied
+    before any dot product, broadcast queries, salted exact top-k
+    (pipeline/similarity.py::hard_negatives)."""
+    from ..pipeline.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )

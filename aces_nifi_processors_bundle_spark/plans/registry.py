@@ -66,6 +66,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_seasonal_anomaly": q.q_stream_seasonal_anomaly,
     "q_group_split": q.q_group_split,
     "q_embedding_drift": q.q_embedding_drift,
+    "q_hard_negatives": q.q_hard_negatives,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

@@ -3394,3 +3394,22 @@ def test_embedding_drift_detects_planted_shift(spark):
            embedding_drift(df, b, dim=8, n_centroids=4).collect()}
     assert out[0]["n_b"] == 0 and out[0]["drift"] == -0.25
     assert all(out[c]["drift"] > 0 for c in (1, 2, 3))
+
+
+def test_hard_negatives_excludes_same_label_and_nulls(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[0.99, 0.1], label=1),   # same label: excluded
+        Row(vec_id=2, embedding=[0.9, 0.2], label=2),    # the hard negative
+        Row(vec_id=3, embedding=[0.0, 1.0], label=2),    # easy negative
+        Row(vec_id=4, embedding=[1.0, 0.01], label=None),  # NULL: excluded
+    ]
+    df = spark.createDataFrame(rows)
+    out = hard_negatives(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
