@@ -1238,6 +1238,159 @@ def _topk(
     )
 
 
+@stage("bm25")
+def _bm25(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval over the incoming corpus (round 8)."""
+    from .pipeline.text import bm25_topk
+
+    return bm25_topk(df, query_terms, k, k1, b, text_col, id_col)
+
+
+@stage("seasonal_anomaly")
+def _seasonal_anomaly(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group: str = "event_type",
+    k: int = 3,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slot-relative (group x dow x hour) anomaly flags (round 8)."""
+    from .pipeline.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(
+        df, ts_col, value_col, group, k, tuple(id_cols or ("event_id",))
+    )
+
+
+@stage("trend")
+def _trend(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group: str = "event_type",
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-group OLS trend of bucketed totals (round 8)."""
+    from .pipeline.timeseries import linear_trend
+
+    return linear_trend(df, ts_col, value_col, group, bucket)
+
+
+@stage("kmv_distinct")
+def _kmv_distinct(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str,
+    groups: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """KMV bottom-k distinct estimate per group (round 8)."""
+    from .pipeline.sketches import kmv_estimate, kmv_sketch
+
+    return kmv_estimate(kmv_sketch(df, key, groups, k), groups, k)
+
+
+@stage("winsorize")
+def _winsorize(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group quantile clipping (round 8)."""
+    from .pipeline.stats import winsorize
+
+    return winsorize(df, group, value_col, id_col, p_lo, p_hi)
+
+
+@stage("ngram_novelty")
+def _ngram_novelty(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc corpus-contribution novelty score (round 8)."""
+    from .pipeline.text import ngram_novelty
+
+    return ngram_novelty(df, text_col, id_col, k)
+
+
+@stage("boilerplate_rate")
+def _boilerplate_rate(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    pct: int = 50,
+) -> DataFrame:
+    """Per-doc group-relative boilerplate-line rate (round 8)."""
+    from .pipeline.dedup import boilerplate_rate
+
+    return boilerplate_rate(df, text_col, id_col, group_col, pct)
+
+
+@stage("hard_negatives")
+def _hard_negatives(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard negatives: corpus = mainline frame, queries =
+    tagged `right` branch (round 8)."""
+    from .pipeline.similarity import hard_negatives
+
+    return hard_negatives(df, _named[right], k, id_col, vec_col, label_col)
+
+
+@stage("embedding_drift")
+def _embedding_drift(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    right: str,
+    _named: dict[str, DataFrame],
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-share drift: snapshot A = mainline, snapshot B = tagged
+    `right` branch (round 8)."""
+    from .pipeline.similarity import embedding_drift
+
+    return embedding_drift(df, _named[right], dim, n_centroids, vec_col)
+
+
 def build_flow(
     spark: SparkSession, flow: list[dict[str, Any]], sf_dir: str
 ) -> DataFrame:

@@ -594,3 +594,34 @@ def test_flow_error_paths_carry_context_and_classify_weights_work(
          "k": 1, "tiebreak": "p_partkey"},
     ], sf_dir)
     assert "__rk" in got.columns and got.count() > 0
+
+
+def test_round8_stages_equal_direct_calls(spark, sf_dir):
+    """The round-8 flow stages must produce exactly what the direct
+    pipeline calls produce — flows are wiring, never semantics."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        hard_negatives,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import bm25_topk
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = sorted(map(tuple, bm25_topk(docs, ["spark", "join"], k=5).collect()))
+    flowed = sorted(map(tuple, build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "bm25", "query_terms": ["spark", "join"], "k": 5},
+    ], sf_dir).collect()))
+    assert direct == flowed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    direct_hn = sorted(map(tuple, hard_negatives(
+        emb, emb.filter("vec_id < 4"), k=3).collect()))
+    flowed_hn = sorted(map(tuple, build_flow(spark, [
+        {"op": "load", "table": "embeddings"},
+        {"op": "filter", "condition": "vec_id < 4"},
+        {"op": "tag", "name": "q"},
+        {"op": "load", "table": "embeddings"},
+        {"op": "hard_negatives", "right": "q", "k": 3},
+    ], sf_dir).collect()))
+    assert direct_hn == flowed_hn
