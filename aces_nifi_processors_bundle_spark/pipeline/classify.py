@@ -132,3 +132,82 @@ def linear_text_classifier(
             6,
         ).alias("prob"),
     )
+
+
+def chi2_terms(
+    df: DataFrame,
+    label_col: "Column | str",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Chi-squared term-label association — the feature-selection
+    pass before training a text classifier: for each term, the 2x2
+    contingency of document-frequency vs a binary label, scored
+    chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Exactness: a/b/c/d/N are exact document counts; the numerator is
+    built in decimal(38) (an (ad-bc)^2 at corpus scale overflows
+    int64), the denominator likewise, and the score is ONE IEEE
+    division of two exactly-computed doubles — bit-identical
+    cross-engine, so top-k by (chi2 DESC, term ASC) is deterministic.
+    Terms with a degenerate margin (present or absent in every doc)
+    score 0. min_df prunes the hapax tail BEFORE the contingency join
+    (the same guard top_terms uses).
+
+    Scale shape: distinct (doc, term) pairs shuffle once (map-side
+    combined), the two class totals broadcast as one row, and the
+    per-term contingency is a term-keyed aggregate — rows = vocabulary
+    size. Output: (term, df_pos, df_neg, chi2, rank).
+    """
+    from pyspark.sql import Window
+
+    from .text import term_rows
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    docs = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        lab.cast("int").alias("__y"),
+    ).where(F.col("__y").isNotNull())
+    totals = docs.agg(
+        F.sum("__y").cast("bigint").alias("__n1"),
+        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("__n0"),
+    )
+    doc_terms = (
+        term_rows(docs, text_col, id_col)
+        .distinct()
+        .join(docs.select(id_col, "__y"), id_col)
+    )
+    cont = (
+        doc_terms.groupBy("term")
+        .agg(
+            F.sum("__y").cast("bigint").alias("df_pos"),
+            F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("df_neg"),
+        )
+        .where(F.col("df_pos") + F.col("df_neg") >= min_df)
+        .crossJoin(F.broadcast(totals))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a, b = d(F.col("df_pos")), d(F.col("df_neg"))
+    c_, d_ = d(F.col("__n1")) - a, d(F.col("__n0")) - b
+    n = d(F.col("__n1")) + d(F.col("__n0"))
+    # det is exact decimal; the N*det^2 numerator moves to double
+    # AFTER det (N^5 overflows decimal(38) near N=10^8 while the
+    # double path is deterministic cross-engine). The decimal
+    # denominator (<= N^4) holds to N ~ 10^9 docs; beyond that, batch
+    # per corpus shard and merge contingencies first.
+    det_d = (a * d_ - b * c_).cast("double")
+    num_d = n.cast("double") * det_d * det_d
+    den = (a + b) * (c_ + d_) * (a + c_) * (b + d_)
+    chi2 = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round(num_d / den.cast("double"), 6)
+    )
+    scored = cont.select("term", "df_pos", "df_neg", chi2.alias("chi2"))
+    w = Window.partitionBy().orderBy(F.col("chi2").desc(), F.col("term").asc())
+    return (
+        scored.orderBy(F.col("chi2").desc(), F.col("term").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -412,3 +412,66 @@ def zscore_normalize(
             F.when(var_n > 0, F.round(num / F.sqrt(var_n), 6)).alias("z"),
         )
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group quantile-rank transform (sklearn QuantileTransformer
+    shape, exact): each row's value becomes its percent rank
+    (min_rank - 1) / (n - 1) within the group — the rank-based
+    normalization feature prep uses when magnitudes are heavy-tailed
+    and z-scores mislead.
+
+    Scale shape: the SAME value-histogram discipline as
+    hist_order_stats — per-(group, value) counts (rows = value
+    CARDINALITY, map-side combined), one cumsum window over that
+    histogram, then a join back onto the rows by (group, value). No
+    window ever sees fact rows, so a group with 10^10 rows and 10^4
+    distinct values costs a 10^4-row sort.
+
+    Exactness: values ride as round(value*scale) integers; min_rank
+    and n are exact bigints; the percent rank is ONE IEEE division,
+    rounded at 6 dp. Ties share their minimum rank (percent_rank
+    semantics, which the DuckDB oracle uses as an independent
+    implementation). NULL values yield NULL pct_rank and are absent
+    from n; single-row groups get 0.0 (percent_rank convention).
+    Output: (id_col, group, value_cents, pct_rank).
+    """
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col) * scale).cast("bigint")
+    tagged = df.select(F.col(id_col), F.col(group), v.alias("__v"))
+    counts = (
+        tagged.where(F.col("__v").isNotNull())
+        .groupBy(group, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = Window.partitionBy(group).orderBy("__v")
+    wall = Window.partitionBy(group)
+    hist = counts.select(
+        group,
+        "__v",
+        (F.sum("__c").over(wcum) - F.col("__c")).alias("__below"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    pct = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("__below").cast("double")
+            / (F.col("__n") - F.lit(1)).cast("double"),
+            6,
+        )
+    )
+    return (
+        tagged.join(hist, [group, "__v"], "left")
+        .select(
+            id_col,
+            group,
+            F.col("__v").alias("value_cents"),
+            pct.alias("pct_rank"),
+        )
+    )

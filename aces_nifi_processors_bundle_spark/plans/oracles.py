@@ -4560,3 +4560,72 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
 )
+
+
+oracle("q_rank_normalize")(
+    """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+nn AS (
+  SELECT event_id,
+         CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0.0
+              ELSE round(percent_rank() OVER (PARTITION BY event_type
+                                              ORDER BY v), 6)
+         END AS pr
+  FROM c WHERE v IS NOT NULL
+)
+SELECT c.event_id, c.event_type, c.v AS value_cents, nn.pr AS pct_rank
+FROM c LEFT JOIN nn USING (event_id)
+"""
+)
+
+oracle("q_chi2_terms")(
+    """
+WITH docs AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+tot AS (SELECT CAST(sum(y) AS HUGEINT) AS n1,
+               CAST(sum(1 - y) AS HUGEINT) AS n0 FROM docs),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM docs)
+  WHERE term <> ''
+),
+cont AS (
+  SELECT term,
+         CAST(sum(y) AS BIGINT) AS df_pos,
+         CAST(sum(1 - y) AS BIGINT) AS df_neg
+  FROM dt JOIN docs USING (doc_id)
+  GROUP BY term HAVING count(*) >= 2
+),
+parts AS (
+  SELECT term, df_pos, df_neg,
+         CAST(df_pos AS HUGEINT) AS a, CAST(df_neg AS HUGEINT) AS b,
+         t.n1 - df_pos AS c, t.n0 - df_neg AS d,
+         t.n1 + t.n0 AS n,
+         CAST(df_pos AS HUGEINT) * (t.n0 - df_neg)
+           - CAST(df_neg AS HUGEINT) * (t.n1 - df_pos) AS det
+  FROM cont, tot t
+),
+scored AS (
+  SELECT term, df_pos, df_neg,
+         CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0.0
+              ELSE round(CAST(n AS DOUBLE) * CAST(det AS DOUBLE)
+                         * CAST(det AS DOUBLE)
+                         / CAST((a + b) * (c + d) * (a + c) * (b + d)
+                                AS DOUBLE), 6)
+         END AS chi2
+  FROM parts
+)
+SELECT term, df_pos, df_neg, chi2,
+       CAST(row_number() OVER (ORDER BY chi2 DESC, term ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""
+)

@@ -4591,3 +4591,31 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile-rank transform of event values: the exact
+    percent rank via the value-histogram discipline — no window ever
+    sees fact rows; the oracle is DuckDB's native percent_rank, an
+    independent implementation (pipeline/stats.py::rank_normalize)."""
+    from ..pipeline.stats import rank_normalize
+
+    events = load_table(spark, sf_dir, "events")
+    return rank_normalize(events, "event_type", "value", "event_id")
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared term selection against a binary label (embedding
+    label < 5, joined on the shared id space): exact contingency
+    counts, decimal determinant, one IEEE division — the
+    feature-selection pass before training the hashed-linear
+    classifier (pipeline/classify.py::chi2_terms)."""
+    from ..pipeline.classify import chi2_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") < 5).cast("int").alias("y"),
+    )
+    joined = docs.join(emb, "doc_id")
+    return chi2_terms(joined, "y", "text", "doc_id", k=20, min_df=2)

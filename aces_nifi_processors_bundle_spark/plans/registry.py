@@ -67,6 +67,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_group_split": q.q_group_split,
     "q_embedding_drift": q.q_embedding_drift,
     "q_hard_negatives": q.q_hard_negatives,
+    "q_rank_normalize": q.q_rank_normalize,
+    "q_chi2_terms": q.q_chi2_terms,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

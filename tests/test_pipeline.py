@@ -3413,3 +3413,47 @@ def test_hard_negatives_excludes_same_label_and_nulls(spark):
     got = [(r["neighbor_id"], r["rank"]) for r in
            sorted(out, key=lambda r: r["rank"])]
     assert got == [(2, 1), (3, 2)]
+
+
+def test_rank_normalize_ties_and_nulls(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.stats import rank_normalize
+
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, g="a", value=1.0),
+            Row(event_id=2, g="a", value=2.0),
+            Row(event_id=3, g="a", value=2.0),   # tie shares min rank
+            Row(event_id=4, g="a", value=3.0),
+            Row(event_id=5, g="a", value=None),  # NULL -> NULL rank
+            Row(event_id=6, g="b", value=7.0),   # single row -> 0.0
+        ]
+    )
+    out = {r["event_id"]: r["pct_rank"]
+           for r in rank_normalize(df, "g", "value", "event_id").collect()}
+    # n=4 non-null in 'a': ranks (1-1)/3, (2-1)/3 shared, (4-1)/3
+    assert out[1] == 0.0
+    assert out[2] == out[3] == round(1 / 3, 6)
+    assert out[4] == 1.0
+    assert out[5] is None
+    assert out[6] == 0.0
+
+
+def test_chi2_terms_separates_class_markers(spark):
+    """A term exclusive to the positive class must outrank one spread
+    evenly across classes; degenerate everywhere-terms score 0."""
+    from aces_nifi_processors_bundle_spark.pipeline.classify import chi2_terms
+
+    rows = [
+        Row(doc_id=i, text="marker common filler" if i < 10
+            else "common filler other", y=1 if i < 10 else 0)
+        for i in range(20)
+    ]
+    out = {r["term"]: r for r in
+           chi2_terms(spark.createDataFrame(rows), "y", k=10).collect()}
+    assert out["marker"]["df_pos"] == 10 and out["marker"]["df_neg"] == 0
+    assert out["other"]["df_pos"] == 0 and out["other"]["df_neg"] == 10
+    # perfectly balanced terms: det = 0 -> chi2 0
+    assert out["common"]["chi2"] == 0.0
+    assert out["filler"]["chi2"] == 0.0
+    assert out["marker"]["chi2"] == 20.0  # perfect separation = N
+    assert {out["marker"]["rank"], out["other"]["rank"]} == {1, 2}
