@@ -4629,3 +4629,53 @@ FROM scored
 QUALIFY rank <= 20
 """
 )
+
+
+oracle("q_min_cost_supplier")(
+    """
+WITH sup_region AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+pairs AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(min((CAST(round(l.l_extendedprice * 100) AS BIGINT) * 10)
+                  // CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS unit_milli
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#5'
+  JOIN sup_region sr ON l.l_suppkey = sr.s_suppkey
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (SELECT l_partkey, min(unit_milli) AS b FROM pairs GROUP BY l_partkey)
+SELECT p.l_partkey AS p_partkey, sr.s_name, sr.n_name AS nation, p.unit_milli
+FROM pairs p
+JOIN best ON p.l_partkey = best.l_partkey AND p.unit_milli = best.b
+JOIN sup_region sr ON p.l_suppkey = sr.s_suppkey
+ORDER BY p_partkey, sr.s_name
+"""
+)
+
+oracle("q_set_ops")(
+    """
+WITH c97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+c98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+ia AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+  FROM (SELECT o_custkey FROM c97 INTERSECT ALL SELECT o_custkey FROM c98)
+  GROUP BY o_custkey
+),
+ea AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+  FROM (SELECT o_custkey FROM c97 EXCEPT ALL SELECT o_custkey FROM c98)
+  GROUP BY o_custkey
+),
+id_ AS (
+  SELECT o_custkey, CAST(1 AS BIGINT) AS n, 'intersect' AS op
+  FROM (SELECT o_custkey FROM c97 INTERSECT SELECT o_custkey FROM c98)
+)
+SELECT * FROM ia UNION ALL SELECT * FROM ea UNION ALL SELECT * FROM id_
+"""
+)

@@ -4619,3 +4619,82 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = docs.join(emb, "doc_id")
     return chi2_terms(joined, "y", "text", "doc_id", k=20, min_df=2)
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier: for each part of one brand,
+    the supplier(s) achieving the MINIMUM observed unit price in one
+    region — the correlated-aggregate-equality idiom (cost = (SELECT
+    min(cost) ... same part)). The fixture has no partsupp, so the
+    (part, supplier) catalog derives from observed lineitem with unit
+    price = min exact decimal l_extendedprice / l_quantity per pair
+    (stated identically in the oracle). The correlated MIN becomes a
+    per-part aggregate of the already-filtered pairs joined back on
+    partkey — the same one-shuffle-key shape as the Q17 correlated
+    AVG; region/nation/supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup_region = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    # unit price as an exact integer: decimal division is not exact in
+    # general (1/3), so the comparable is price-cents-per-10-units via
+    # integer div — a deterministic proxy stated identically in the
+    # oracle
+    pairs = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup_region), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        # integer `div`, not floor(a/b): the double quotient rounds
+        # near boundaries; div is exact on bigints in both engines
+        .agg(
+            F.min(F.expr(
+                "(cast(round(l_extendedprice * 100) as bigint) * 10) "
+                "div cast(l_quantity as bigint)"
+            )).cast("bigint").alias("unit_milli")
+        )
+    )
+    best = pairs.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_milli").alias("_best")
+    )
+    return (
+        pairs.join(best, (pairs.l_partkey == F.col("_pk"))
+                   & (pairs.unit_milli == F.col("_best")))
+        .join(F.broadcast(sup_region), pairs.l_suppkey == sup_region.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_milli",
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native multiset algebra: customers ordering in 1997 INTERSECT
+    ALL / EXCEPT ALL customers ordering in 1998, plus the distinct
+    INTERSECT — Catalyst plans these as semi/anti hash joins with
+    multiset counting, one tagged union output. The duplicate-
+    preserving ALL variants are the semantics a dedup pipeline
+    actually needs (how MANY order-events survive), which plain
+    semi-joins don't express."""
+    o = load_table(spark, sf_dir, "orders")
+    c97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    c98 = o.where(F.year("o_orderdate") == 1998).select("o_custkey")
+    both_all = c97.intersectAll(c98).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    only97_all = c97.exceptAll(c98).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    both_distinct = c97.intersect(c98).select(
+        "o_custkey", F.lit(1).cast("bigint").alias("n"),
+        F.lit("intersect").alias("op")
+    )
+    return both_all.unionByName(only97_all).unionByName(both_distinct)

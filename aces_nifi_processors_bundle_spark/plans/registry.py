@@ -69,6 +69,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_hard_negatives": q.q_hard_negatives,
     "q_rank_normalize": q.q_rank_normalize,
     "q_chi2_terms": q.q_chi2_terms,
+    "q_min_cost_supplier": q.q_min_cost_supplier,
+    "q_set_ops": q.q_set_ops,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
