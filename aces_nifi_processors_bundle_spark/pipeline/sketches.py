@@ -354,6 +354,31 @@ def approx_distinct_profile(
 # |intersection| << |union|).
 
 
+def _bottom_k_distinct(
+    hashed: DataFrame, groups: list[str], k: int
+) -> DataFrame:
+    """Shared bottom-k-distinct trim (sketch build AND merge use the
+    SAME discipline, so they cannot drift): dedup hashes with a
+    map-side-partial hash aggregate, then a rank-limit window Spark
+    pre-trims with WindowGroupLimit — at most k rows cross the final
+    exchange per (map task, group)."""
+    from pyspark.sql import Window
+
+    dedup = (
+        hashed.groupBy(*groups, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy(*groups).orderBy("h") if groups else (
+        Window.partitionBy().orderBy("h")
+    )
+    return (
+        dedup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     key: str,
@@ -372,23 +397,10 @@ def kmv_sketch(
     if k < 2:
         raise ValueError(f"kmv: k must be >= 2, got {k}")
     groups = list(groups or [])
-    from pyspark.sql import Window
-
-    dedup = (
-        df.where(F.col(key).isNotNull())
-        .select(*groups, _h60(F.col(key), seed).alias("h"))
-        .groupBy(*groups, "h")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+    hashed = df.where(F.col(key).isNotNull()).select(
+        *groups, _h60(F.col(key), seed).alias("h")
     )
-    w = Window.partitionBy(*groups).orderBy("h") if groups else (
-        Window.partitionBy().orderBy("h")
-    )
-    return (
-        dedup.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _bottom_k_distinct(hashed, groups, k)
 
 
 def kmv_merge(
@@ -401,23 +413,10 @@ def kmv_merge(
     key appears in both sides' samples), rank, keep k. Associative and
     idempotent, so day/source sketches fold in any order; every frame
     involved is <= k rows per group."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
     groups = list(groups or [])
-    from pyspark.sql import Window
-
-    u = (
-        sketch_a.unionByName(sketch_b)
-        .groupBy(*groups, "h")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
-    )
-    w = Window.partitionBy(*groups).orderBy("h") if groups else (
-        Window.partitionBy().orderBy("h")
-    )
-    return (
-        u.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _bottom_k_distinct(sketch_a.unionByName(sketch_b), groups, k)
 
 
 def kmv_estimate(

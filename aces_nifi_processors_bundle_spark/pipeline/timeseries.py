@@ -755,6 +755,7 @@ def seasonal_anomalies(
     group: str,
     k: int = 3,
     id_cols: tuple[str, ...] = ("event_id",),
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rows deviating more than k sample standard deviations from
     their (group, day-of-week, hour) slot — seasonality-aware
@@ -764,17 +765,39 @@ def seasonal_anomalies(
     division/sqrt-free decimal inequality, the broadcast-stats
     no-giant-window plan, and the overflow contract; slot stats are
     |groups| x 168 rows — broadcast territory at any input size.
-    Output: (*id_cols, slot, value_cents, n_group), slot =
-    'group:dow:hour'."""
-    slot = F.concat_ws(
-        ":",
-        F.col(group).cast("string"),
-        F.dayofweek(F.col(ts_col)).cast("string"),
-        F.hour(F.col(ts_col)).cast("string"),
-    )
-    tagged = df.withColumn("__slot", slot)
+    `train_df` separates training from scoring exactly as in
+    anomaly_flags (the streaming twin trains on the static table and
+    scores the stream). Output: (*id_cols, slot, value_cents,
+    n_group), slot = 'group:dow:hour'.
+
+    NULL semantics: a NULL group or NULL timestamp yields a NULL slot
+    (F.concat propagates NULL — deliberately NOT concat_ws, which
+    would silently pool every NULL-group row into malformed
+    two-segment slots), and NULL-slot rows never join slot stats, so
+    they cannot flag — mirroring the oracle's NULL-propagating '||'
+    concatenation."""
+
+    def tag(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "__slot",
+            F.concat(
+                F.col(group).cast("string"),
+                F.lit(":"),
+                F.dayofweek(F.col(ts_col)).cast("string"),
+                F.lit(":"),
+                F.hour(F.col(ts_col)).cast("string"),
+            ),
+        )
+
     return (
-        anomaly_flags(tagged, "__slot", value_col, k, id_cols)
+        anomaly_flags(
+            tag(df),
+            "__slot",
+            value_col,
+            k,
+            id_cols,
+            train_df=tag(train_df) if train_df is not None else None,
+        )
         .withColumnRenamed("__slot", "slot")
     )
 

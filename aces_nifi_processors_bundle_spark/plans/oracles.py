@@ -1226,7 +1226,8 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id, lang,
-       CASE WHEN bk < 900000 THEN 'train'
+       CASE WHEN bk IS NULL THEN NULL
+            WHEN bk < 900000 THEN 'train'
             WHEN bk < 950000 THEN 'val'
             ELSE 'test' END AS split
 FROM b
@@ -4270,14 +4271,20 @@ stats AS (
   FROM u
 )
 SELECT n_union_sample,
-       round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6) AS jaccard,
+       -- empty union sample: jaccard of two empty sets is 0, not 0/0
+       -- (mirrors kmv_set_relations' guard)
+       CASE WHEN n_union_sample = 0 THEN 0.0
+            ELSE round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6)
+       END AS jaccard,
        CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
             ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
        END AS est_union,
-       round(round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6)
-             * CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
-                    ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
-               END, 6) AS est_intersection
+       CASE WHEN n_union_sample = 0 THEN 0.0
+            ELSE round(round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6)
+                 * CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
+                        ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+                   END, 6)
+       END AS est_intersection
 FROM stats
 """
 )
@@ -4495,7 +4502,10 @@ WITH b AS (
   FROM documents
 )
 SELECT source,
-       CASE WHEN bk < 900000 THEN 'train'
+       -- NULL source hashes to NULL -> split NULL (hash_split's CASE
+       -- chain bottoms out at NULL), never a silent 'test' bucket
+       CASE WHEN bk IS NULL THEN NULL
+            WHEN bk < 900000 THEN 'train'
             WHEN bk < 950000 THEN 'val'
             ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs
@@ -4584,9 +4594,12 @@ FROM c LEFT JOIN nn USING (event_id)
 oracle("q_chi2_terms")(
     """
 WITH docs AS (
+  -- NULL labels are dropped, mirroring chi2_terms' __y.isNotNull()
+  -- filter (a NULL label is not evidence of either class)
   SELECT d.doc_id, d.text,
          CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE e.label IS NOT NULL
 ),
 tot AS (SELECT CAST(sum(y) AS HUGEINT) AS n1,
                CAST(sum(1 - y) AS HUGEINT) AS n0 FROM docs),

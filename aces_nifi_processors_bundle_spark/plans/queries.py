@@ -4512,24 +4512,12 @@ def q_stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     static = load_table(spark, sf_dir, "events")
     stream = _events_stream(spark, sf_dir)
-    # seasonal_anomalies delegates to anomaly_flags(train_df=...) via
-    # the same slot tagging on both frames
-    from ..pipeline.timeseries import anomaly_flags
-
-    def slot_of(df):
-        return df.withColumn(
-            "__slot",
-            F.concat_ws(
-                ":",
-                F.col("event_type").cast("string"),
-                F.dayofweek(F.col("ts")).cast("string"),
-                F.hour(F.col("ts")).cast("string"),
-            ),
-        )
-
-    out = anomaly_flags(
-        slot_of(stream), "__slot", "value", k=3, train_df=slot_of(static)
-    ).withColumnRenamed("__slot", "slot")
+    # ONE definition of the slot key: seasonal_anomalies tags both the
+    # scoring stream and the static training frame itself (train_df),
+    # so batch and stream can never disagree about what a slot is.
+    out = seasonal_anomalies(
+        stream, "ts", "value", "event_type", k=3, train_df=static
+    )
     qname = f"seas_anom_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")

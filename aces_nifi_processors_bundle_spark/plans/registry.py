@@ -10,7 +10,11 @@ its external CORRECTNESS check. Entries are therefore ordered by
 information value, not topic: (0) the five CORRECTNESS_r07 hash
 failures, fixed this round (oracle output typing: HUGEINT/DECIMAL ->
 BIGINT) — they must re-grade; (1) queries whose code round 8 changed
-or added (threshold-bucketed q_quality_buckets, new round-8 ops);
+or added (threshold-bucketed q_quality_buckets, streaming CUSUM/
+rolling twins, the ten TPC-H idiom shapes + Q2/set-ops, KMV sketches,
+seasonal ops, BM25/RRF retrieval, OLS trend, DPP layout, grouped
+split, embedding drift, hard negatives, rank normalization, chi2
+terms);
 (2) the stalest external grades — the round-4-graded §2 core
 (attrs/binning/security/partial-update/put-if-absent, TPC-H shapes,
 SCD2) and the round-4 text/profile/dedup set. Everything round 7

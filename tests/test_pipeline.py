@@ -3457,3 +3457,63 @@ def test_chi2_terms_separates_class_markers(spark):
     assert out["filler"]["chi2"] == 0.0
     assert out["marker"]["chi2"] == 20.0  # perfect separation = N
     assert {out["marker"]["rank"], out["other"]["rank"]} == {1, 2}
+
+
+def test_seasonal_anomalies_null_group_or_ts_never_flags(spark):
+    """NULL group/ts rows get a NULL slot (concat propagates) and can
+    never join slot stats — they must be absent from the output, not
+    pooled into malformed two-segment slots."""
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        seasonal_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        Row(event_id=i, g="t", ts=base + dt.timedelta(weeks=i), value=1.0)
+        for i in range(6)
+    ]
+    # an extreme value that WOULD flag, but its group is NULL
+    rows.append(Row(event_id=100, g=None, ts=base, value=9999.0))
+    rows.append(Row(event_id=101, g="t", ts=None, value=9999.0))
+    flagged = {r["event_id"] for r in seasonal_anomalies(
+        spark.createDataFrame(rows), "ts", "value", "g", k=3).collect()}
+    assert 100 not in flagged and 101 not in flagged
+
+
+def test_seasonal_anomalies_train_df_scores_like_stream(spark):
+    """train_df trains slot stats on one frame and scores another —
+    the batch/stream split — and must equal self-training when both
+    frames are the same."""
+    import datetime as dt
+
+    from aces_nifi_processors_bundle_spark.pipeline.timeseries import (
+        seasonal_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        Row(event_id=i, g="t", ts=base + dt.timedelta(weeks=i),
+            value=1.0 + 0.01 * (i % 3))
+        for i in range(12)
+    ] + [Row(event_id=99, g="t", ts=base + dt.timedelta(weeks=20), value=50.0)]
+    df = spark.createDataFrame(rows)
+    self_trained = sorted(map(tuple, seasonal_anomalies(
+        df, "ts", "value", "g", k=3).collect()))
+    split_trained = sorted(map(tuple, seasonal_anomalies(
+        df, "ts", "value", "g", k=3, train_df=df).collect()))
+    assert self_trained == split_trained
+    assert any(r[0] == 99 for r in self_trained)
+
+
+def test_kmv_merge_rejects_tiny_k(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([Row(k="a")])
+    sk = kmv_sketch(df, "k", k=8)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_merge(sk, sk, k=1)
