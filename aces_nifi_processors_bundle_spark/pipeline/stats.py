@@ -475,3 +475,56 @@ def rank_normalize(
             pct.alias("pct_rank"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    weight_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact per-group WEIGHTED lower median: the smallest value v
+    with cumulative weight(<= v) covering half the group's total
+    weight — 'the price half the shipped QUANTITY sits below', the
+    weighted analog of quantile_disc(0.5). Weights must be
+    non-negative integers at heart (quantities, token counts, cents);
+    they are cast to bigint exactly.
+
+    Same histogram discipline as hist_order_stats: per-(group, value)
+    weight sums (rows = value cardinality), one cumsum window over
+    that histogram, and the pick 2*cum >= W is an INTEGER comparison
+    — no W/2 division, no floats anywhere. NULL values and NULL/
+    negative weights are excluded (a NULL would sort first and shift
+    the cut; a negative weight has no mass semantics — excluding
+    beats silently corrupting the cumsum). Output: (group, total_w,
+    wmedian_cents).
+    """
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col) * scale).cast("bigint")
+    w = F.col(weight_col).cast("bigint")
+    hist = (
+        df.where(v.isNotNull() & w.isNotNull() & (w >= 0))
+        .select(F.col(group), v.alias("__v"), w.alias("__w"))
+        .groupBy(group, "__v")
+        .agg(F.sum("__w").alias("__wsum"))
+    )
+    wcum = Window.partitionBy(group).orderBy("__v")
+    wall = Window.partitionBy(group)
+    cum = hist.select(
+        group,
+        "__v",
+        F.sum("__wsum").over(wcum).alias("__cum"),
+        F.sum("__wsum").over(wall).alias("__tot"),
+    )
+    return (
+        cum.where(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .groupBy(group)
+        .agg(
+            F.max("__tot").cast("bigint").alias("total_w"),
+            F.min("__v").cast("bigint").alias("wmedian_cents"),
+        )
+        # zero-total-weight groups have no mass to take a median of
+        .where(F.col("total_w") > 0)
+    )

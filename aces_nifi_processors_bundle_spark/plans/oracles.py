@@ -4692,3 +4692,52 @@ id_ AS (
 SELECT * FROM ia UNION ALL SELECT * FROM ea UNION ALL SELECT * FROM id_
 """
 )
+
+
+oracle("q_weighted_median")(
+    """
+WITH h AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         sum(CAST(l_quantity AS BIGINT)) AS wsum
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity >= 0
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v,
+         sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(max(tot) AS BIGINT) AS total_w,
+       CAST(min(v) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cum >= tot
+GROUP BY 1 HAVING max(tot) > 0
+ORDER BY l_returnflag
+"""
+)
+
+oracle("q_last_touch")(
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_type, event_id
+  FROM events WHERE event_type <> 'purchase'
+),
+best AS (
+  SELECT p.event_id,
+         (SELECT t.event_type FROM t
+          WHERE t.user_id = p.user_id AND t.ts <= p.ts
+            AND epoch_us(p.ts) - epoch_us(t.ts) <= 3600000000
+          ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch
+  FROM p
+)
+SELECT coalesce(touch, 'none') AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM best GROUP BY 1 ORDER BY 1
+"""
+)

@@ -4686,3 +4686,54 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect").alias("op")
     )
     return both_all.unionByName(only97_all).unionByName(both_distinct)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median unit price per return flag, weighted by
+    shipped quantity — 'the price half the QUANTITY sits below'. The
+    histogram discipline keeps window work value-cardinality-bounded
+    and the 2*cum >= W cut is pure integer comparison
+    (pipeline/stats.py::weighted_median)."""
+    from ..pipeline.stats import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the
+    user's latest NON-purchase event within the preceding hour —
+    composed from the as-of join operator (single-shuffle
+    union-window plan), then a vocabulary-sized count by attributed
+    type with unattributed purchases kept as 'none'
+    (operators/joins.py::asof_join)."""
+    from ..operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        values=["touch_type"],
+        tolerance_sec=3600.0,
+        tiebreak="touch_id",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("touch_type_matched"), F.lit("none")).alias(
+                "attributed_type"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .orderBy("attributed_type")
+    )

@@ -75,6 +75,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_chi2_terms": q.q_chi2_terms,
     "q_min_cost_supplier": q.q_min_cost_supplier,
     "q_set_ops": q.q_set_ops,
+    "q_weighted_median": q.q_weighted_median,
+    "q_last_touch": q.q_last_touch,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

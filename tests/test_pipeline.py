@@ -3517,3 +3517,21 @@ def test_kmv_merge_rejects_tiny_k(spark):
     sk = kmv_sketch(df, "k", k=8)
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_merge(sk, sk, k=1)
+
+
+def test_weighted_median_hand_case(spark):
+    """v=1 w=1, v=2 w=1, v=10 w=3: total 5, half-mass cut at v=10
+    (cum 2 < 2.5 at v=2); equal-mass two-value case takes the LOWER
+    median; zero/negative/NULL weights carry no mass."""
+    from aces_nifi_processors_bundle_spark.pipeline.stats import weighted_median
+
+    rows = [
+        Row(g="a", v=0.01, w=1), Row(g="a", v=0.02, w=1), Row(g="a", v=0.10, w=3),
+        Row(g="b", v=1.00, w=2), Row(g="b", v=2.00, w=2),
+        Row(g="c", v=5.00, w=0), Row(g="c", v=6.00, w=-4), Row(g="c", v=7.00, w=None),
+    ]
+    out = {r["g"]: r for r in weighted_median(
+        spark.createDataFrame(rows), "g", "v", "w").collect()}
+    assert out["a"]["total_w"] == 5 and out["a"]["wmedian_cents"] == 10
+    assert out["b"]["total_w"] == 4 and out["b"]["wmedian_cents"] == 100
+    assert "c" not in out  # no positive mass -> no median row
