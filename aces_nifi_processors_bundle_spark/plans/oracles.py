@@ -4741,3 +4741,21 @@ SELECT coalesce(touch, 'none') AS attributed_type,
 FROM best GROUP BY 1 ORDER BY 1
 """
 )
+
+
+oracle("q_variant_props")(
+    """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k,
+       CAST(min(k) AS INTEGER) AS min_k,
+       CAST(max(k) AS INTEGER) AS max_k
+FROM k GROUP BY event_type ORDER BY event_type
+"""
+)

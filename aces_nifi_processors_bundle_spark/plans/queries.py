@@ -4737,3 +4737,28 @@ def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
         .orderBy("attributed_type")
     )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-LESS semi-structured access via Spark 4's VARIANT type:
+    try_parse_json keeps malformed payloads NULL instead of failing
+    the batch, variant_get extracts a typed path with no declared
+    schema — the modern lakehouse idiom complementing q_props_parse's
+    declared-schema from_json (when the shape is unknown or evolving,
+    variant defers typing to the access site; the binary variant
+    encoding also skips re-parsing per field). All expression-level:
+    runs inside the scan, one vocabulary-sized aggregate after."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("distinct_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

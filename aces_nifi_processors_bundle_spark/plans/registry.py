@@ -77,6 +77,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q.q_set_ops,
     "q_weighted_median": q.q_weighted_median,
     "q_last_touch": q.q_last_touch,
+    "q_variant_props": q.q_variant_props,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
