@@ -767,3 +767,102 @@ def test_line_dedup_identity_when_threshold_unreachable(spark, docs):
     for i, lines in enumerate(docs):
         assert got[i]["new_text"] == "\n".join(lines)
         assert got[i]["dropped_lines"] == 0
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # value cents
+            st.integers(min_value=0, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_model(spark, pairs):
+    """weighted_median == the brute-force model: smallest value whose
+    cumulative weight covers half the total (lower weighted median)."""
+    from aces_nifi_processors_bundle_spark.pipeline.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", c / 100.0, w) for c, w in pairs], "g string, v double, w int"
+    )
+    out = weighted_median(df, "g", "v", "w").collect()
+    total = sum(w for _, w in pairs)
+    if total == 0:
+        assert out == []
+        return
+    hist: dict[int, int] = {}
+    for c, w in pairs:
+        hist[c] = hist.get(c, 0) + w
+    cum = 0
+    want = None
+    for c in sorted(hist):
+        cum += hist[c]
+        if 2 * cum >= total:
+            want = c
+            break
+    assert len(out) == 1
+    assert out[0]["total_w"] == total
+    assert out[0]["wmedian_cents"] == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=15),  # value cents, tie-rich
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_rank_normalize_model(spark, cents):
+    """rank_normalize == (min_rank - 1)/(n - 1) computed in Python
+    with ties sharing their minimum rank."""
+    from aces_nifi_processors_bundle_spark.pipeline.stats import rank_normalize
+
+    df = spark.createDataFrame(
+        [(i, "g", c / 100.0) for i, c in enumerate(cents)],
+        "event_id long, g string, v double",
+    )
+    out = {r["event_id"]: r["pct_rank"]
+           for r in rank_normalize(df, "g", "v", "event_id").collect()}
+    n = len(cents)
+    s = sorted(cents)
+    for i, c in enumerate(cents):
+        min_rank = s.index(c) + 1
+        assert out[i] == round((min_rank - 1) / (n - 1), 6)
+
+
+@PROP
+@given(
+    st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+            min_size=0, max_size=30),
+    st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+            min_size=0, max_size=30),
+)
+def test_kmv_set_relations_exact_below_k(spark, sa, sb):
+    """With both sets under k the union sample is the whole universe:
+    jaccard and intersection are EXACT for arbitrary overlaps."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_set_relations,
+        kmv_sketch,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType())])
+    a = spark.createDataFrame([(x,) for x in sa], schema)
+    b = spark.createDataFrame([(x,) for x in sb], schema)
+    r = kmv_set_relations(
+        kmv_sketch(a, "k", k=64), kmv_sketch(b, "k", k=64), k=64
+    ).collect()[0]
+    union, inter = sa | sb, sa & sb
+    assert r["n_union_sample"] == len(union)
+    assert r["est_union"] == float(len(union))
+    if union:
+        assert r["jaccard"] == round(len(inter) / len(union), 6)
+        assert r["est_intersection"] == round(
+            round(len(inter) / len(union), 6) * float(len(union)), 6
+        )
+    else:
+        assert r["jaccard"] == 0.0 and r["est_intersection"] == 0.0
