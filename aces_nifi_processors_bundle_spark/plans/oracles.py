@@ -4759,3 +4759,26 @@ SELECT event_type,
 FROM k GROUP BY event_type ORDER BY event_type
 """
 )
+
+
+# GROUND-TRUTH oracle (not a candidate replay): every doc pair sharing
+# >= 1 shingle with exact Jaccard >= t — proving the prefix filter's
+# recall, not just mirroring it.
+oracle("q_dedup_ngram_prefix")(
+    f"""
+WITH {{shingles}},
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shx GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(c.i AS DOUBLE) / (sa.sz + sb.sz - c.i) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.i AS DOUBLE) / (sa.sz + sb.sz - c.i) >= 0.5
+""".replace("{shingles}", _SHINGLES_CTE)
+)

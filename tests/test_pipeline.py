@@ -3535,3 +3535,39 @@ def test_weighted_median_hand_case(spark):
     assert out["a"]["total_w"] == 5 and out["a"]["wmedian_cents"] == 10
     assert out["b"]["total_w"] == 4 and out["b"]["wmedian_cents"] == 100
     assert "c" not in out  # no positive mass -> no median row
+
+
+def test_ppjoin_equals_unpruned_exact_pairs(spark):
+    """Prefix filtering must return EXACTLY the unpruned inverted
+    index's verified pairs — the recall theorem, checked end-to-end,
+    including under a planted boilerplate flood (hot shingles leave
+    the prefixes but true near-dups still pair)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ngram,
+        near_dup_pairs_ppjoin,
+    )
+
+    flood = "cookie banner accept terms now please"
+    rows = [Row(doc_id=i, text=f"{flood} item {i}") for i in range(20)]
+    rows += [
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon eta"),
+        Row(doc_id=102, text="totally different words here entirely"),
+    ]
+    df = spark.createDataFrame(rows)
+    want = sorted(map(tuple, near_dup_pairs_ngram(
+        df, k=3, threshold=0.4, max_df=None).collect()))
+    got = sorted(map(tuple, near_dup_pairs_ppjoin(
+        df, k=3, threshold=0.4).collect()))
+    assert got == want
+    assert any(p[0] == 100 and p[1] == 101 for p in got)
+
+
+def test_ppjoin_rejects_bad_threshold(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ppjoin,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="threshold"):
+        near_dup_pairs_ppjoin(df, threshold=0.0)
