@@ -963,3 +963,127 @@ def near_dup_pairs_ppjoin(
         df, cands, text_col, id_col, k, persist_sets=persist_intermediates
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dedup(
+    store,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup against a PERSISTED SimHash signature
+    store — the production ingest shape: each arriving batch is
+    near-dup-checked against everything ever kept WITHOUT re-reading
+    any text (the store holds only (id, fp) signatures — 8 bytes of
+    state per document at any corpus size), survivors' signatures are
+    appended, and the next batch checks against them too.
+
+    Routing per new doc (deterministic):
+    - 'duplicate_store'  — within max_hamming of ANY stored signature
+      (checked via the same segment-banding pigeonhole as
+      simhash_near_dups: only band-colliding pairs pay a Hamming
+      verify);
+    - 'duplicate_batch'  — otherwise, within max_hamming of a
+      SMALLER-id doc of the same batch (the one-pass min-id-wins
+      convention put_if_absent uses for in-batch dupes);
+    - 'unique'           — else; its signature is appended to the
+      store via put_if_absent (idempotent under replay: a re-offered
+      id is simply already present).
+
+    Store-dup beats batch-dup when both hold. Docs that produce no
+    signature (NULL text) are absent from the output — route them by
+    policy upstream. Returns (id_col, fp, route); the append executes
+    eagerly inside this call, the returned frame is lazy.
+
+    Scale shape: the store side ships signatures only (no text);
+    band keys make the new-vs-store join an equi-join touching
+    colliding segments; the new-batch self-check is batch-sized. At
+    100 TB the store read is the dominant scan — bucket it on the
+    band key space if batches are small relative to history.
+    """
+    if not 0 <= max_hamming < SIMHASH_BITS // 2:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BITS // 2}), got {max_hamming}"
+        )
+    n_seg = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_seg
+
+    def with_segs(fp_df: DataFrame, idc: str, fpc: str) -> DataFrame:
+        return fp_df.select(
+            F.col(idc),
+            F.col(fpc),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "#",
+                            F.lit(str(s)),
+                            F.shiftright(F.col(fpc), s * seg_bits)
+                            .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                            .cast("string"),
+                        )
+                        for s in range(n_seg)
+                    ]
+                )
+            ).alias("seg_key"),
+        )
+
+    new_fp = simhash_fingerprints(new_docs, text_col, id_col).persist()
+    old_fp = store.read().select(
+        F.col(id_col).alias("_old_id"), F.col("fp").alias("_old_fp")
+    )
+    new_segs = with_segs(new_fp, id_col, "fp")
+    old_segs = with_segs(old_fp, "_old_id", "_old_fp").withColumnRenamed(
+        "seg_key", "seg_key"
+    )
+    ham = F.bit_count(F.col("fp").bitwiseXOR(F.col("_old_fp")))
+    store_dups = (
+        new_segs.join(old_segs, "seg_key")
+        .where(ham <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    a = new_segs.select(
+        "seg_key", F.col(id_col).alias("_ida"), F.col("fp").alias("_fpa")
+    )
+    b = new_segs.select(
+        "seg_key", F.col(id_col).alias("_idb"), F.col("fp").alias("_fpb")
+    )
+    batch_dups = (
+        a.join(b, "seg_key")
+        .where(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))) <= max_hamming)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    routed = (
+        new_fp.join(
+            store_dups.withColumn("_sd", F.lit(True)), id_col, "left"
+        )
+        .join(batch_dups.withColumn("_bd", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "fp",
+            F.when(F.col("_sd"), F.lit("duplicate_store"))
+            .when(F.col("_bd"), F.lit("duplicate_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("route"),
+        )
+    )
+    # The unique set's lineage READS the store (via the band join);
+    # offering it straight back to put_if_absent makes the write job's
+    # plan read the table it is mutating (observed to trip the
+    # Observation machinery, and semantically a moving snapshot).
+    # localCheckpoint materializes the survivors first — the offered
+    # batch is a fixed set, the write plan store-read-free.
+    unique = (
+        routed.where(F.col("route") == "unique")
+        .select(id_col, "fp")
+        .localCheckpoint(eager=True)
+    )
+    store.put_if_absent(unique)
+    return routed

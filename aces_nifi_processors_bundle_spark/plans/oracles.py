@@ -4782,3 +4782,42 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE CAST(c.i AS DOUBLE) / (sa.sz + sb.sz - c.i) >= 0.5
 """.replace("{shingles}", _SHINGLES_CTE)
 )
+
+
+oracle("q_incremental_near_dedup")(
+    f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SIMHASH_SHINGLES},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shx),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS fp FROM votes),
+old_segs AS (
+  SELECT doc_id, fp,
+         CAST(s AS VARCHAR) || '#' || CAST((fp >> (s * 15)) & 32767 AS VARCHAR) AS seg_key
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS s) WHERE doc_id < 250
+),
+new_segs AS (
+  SELECT doc_id, fp,
+         CAST(s AS VARCHAR) || '#' || CAST((fp >> (s * 15)) & 32767 AS VARCHAR) AS seg_key
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS s) WHERE doc_id >= 250
+),
+store_dup AS (
+  SELECT DISTINCT n.doc_id
+  FROM new_segs n JOIN old_segs o USING (seg_key)
+  WHERE bit_count(xor(n.fp, o.fp)) <= 3
+),
+batch_dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM new_segs a JOIN new_segs b USING (seg_key)
+  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+)
+SELECT f.doc_id, f.fp,
+       CASE WHEN f.doc_id IN (SELECT doc_id FROM store_dup)
+              THEN 'duplicate_store'
+            WHEN f.doc_id IN (SELECT doc_id FROM batch_dup)
+              THEN 'duplicate_batch'
+            ELSE 'unique' END AS route
+FROM fp f WHERE f.doc_id >= 250
+"""
+)

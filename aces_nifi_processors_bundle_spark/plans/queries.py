@@ -4778,3 +4778,26 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, threshold=0.5, persist_intermediates=True
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production incremental ingest: the signature store holds the
+    first half of the corpus (8 bytes/doc, no text); the second half
+    arrives as a batch and every doc routes to duplicate_store /
+    duplicate_batch / unique with the unique signatures appended for
+    the NEXT batch to check against
+    (pipeline/dedup.py::incremental_near_dedup)."""
+    from ..pipeline.dedup import incremental_near_dedup, simhash_fingerprints
+    from ..stores import KeyedParquetStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_incdedup_"),
+        keys=["doc_id"],
+        n_buckets=8,
+    )
+    store.init(simhash_fingerprints(old))
+    return incremental_near_dedup(store, new).select("doc_id", "fp", "route")

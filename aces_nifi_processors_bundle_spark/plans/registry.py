@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_last_touch": q.q_last_touch,
     "q_variant_props": q.q_variant_props,
     "q_dedup_ngram_prefix": q.q_dedup_ngram_prefix,
+    "q_incremental_near_dedup": q.q_incremental_near_dedup,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,

@@ -3571,3 +3571,44 @@ def test_ppjoin_rejects_bad_threshold(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     with pytest.raises(ValueError, match="threshold"):
         near_dup_pairs_ppjoin(df, threshold=0.0)
+
+
+def test_incremental_near_dedup_routes_and_accumulates(spark, tmp_path):
+    """Batch 1 seeds the store; batch 2's near-dup of a batch-1 doc
+    must route duplicate_store (caught via signatures alone, no text
+    re-read); an in-batch near-dup pair keeps the smaller id; and
+    replaying batch 2 routes EVERYTHING duplicate_store (its unique
+    survivors' signatures are now persisted)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        incremental_near_dedup,
+        simhash_fingerprints,
+    )
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    base = " ".join(
+        f"w{i} token{i % 7} item{i % 5}" for i in range(15)
+    )  # ~45 words: one appended word flips only a few fingerprint bits
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "sigstore"), keys=["doc_id"],
+        n_buckets=4,
+    )
+    b1 = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="completely different words in this one here now"),
+    ])
+    store.init(simhash_fingerprints(b1))
+    b2 = spark.createDataFrame([
+        Row(doc_id=10, text=base + " mu"),          # near-dup of stored 1
+        Row(doc_id=11, text=" ".join(f"z{i} q{i % 3} r{i % 11}" for i in range(15))),
+        Row(doc_id=12, text=" ".join(f"z{i} q{i % 3} r{i % 11}" for i in range(15)) + " extra"),
+    ])
+    r = {x["doc_id"]: x["route"]
+         for x in incremental_near_dedup(store, b2, max_hamming=9).collect()}
+    assert r[10] == "duplicate_store"
+    assert r[11] == "unique"
+    assert r[12] == "duplicate_batch"  # loses to smaller-id 11
+    # replay: 11's signature is persisted now, so the whole batch is
+    # store-duplicate (10 and 12 via their originals, 11 via itself)
+    r2 = {x["doc_id"]: x["route"]
+          for x in incremental_near_dedup(store, b2, max_hamming=9).collect()}
+    assert all(v == "duplicate_store" for v in r2.values())
