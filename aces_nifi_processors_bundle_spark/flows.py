@@ -1391,6 +1391,103 @@ def _embedding_drift(
     return embedding_drift(df, _named[right], dim, n_centroids, vec_col)
 
 
+@stage("ppjoin_dedup")
+def _ppjoin_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-recall near-dup pairs via prefix filtering (round 8)."""
+    from .pipeline.dedup import near_dup_pairs_ppjoin
+
+    return near_dup_pairs_ppjoin(df, text_col, id_col, k, threshold)
+
+
+@stage("incremental_near_dedup")
+def _incremental_near_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    k: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """ACTION: route the incoming batch against the persisted SimHash
+    signature store at `path` (created on first use), appending unique
+    survivors' signatures; hands the routed frame downstream
+    (round 8)."""
+    import os
+
+    from .pipeline.dedup import incremental_near_dedup, simhash_fingerprints
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(
+        spark=spark, path=path, keys=[id_col], n_buckets=n_buckets
+    )
+    if not os.path.exists(path) or not os.listdir(path):
+        # first batch: nothing kept yet — an empty signature store
+        store.init(
+            simhash_fingerprints(df, text_col, id_col).limit(0)
+        )
+    return incremental_near_dedup(
+        store, df, text_col, id_col, max_hamming, k
+    )
+
+
+@stage("weighted_median")
+def _weighted_median(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact per-group weighted median (round 8)."""
+    from .pipeline.stats import weighted_median
+
+    return weighted_median(df, group, value_col, weight_col)
+
+
+@stage("rank_normalize")
+def _rank_normalize(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group: str,
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact per-group percent-rank transform (round 8)."""
+    from .pipeline.stats import rank_normalize
+
+    return rank_normalize(df, group, value_col, id_col)
+
+
+@stage("chi2_terms")
+def _chi2_terms(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Chi-squared term-label feature selection (round 8)."""
+    from .pipeline.classify import chi2_terms
+
+    return chi2_terms(df, label_col, text_col, id_col, k, min_df)
+
+
 def build_flow(
     spark: SparkSession, flow: list[dict[str, Any]], sf_dir: str
 ) -> DataFrame:
