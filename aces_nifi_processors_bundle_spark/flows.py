@@ -1423,19 +1423,22 @@ def _incremental_near_dedup(
     signature store at `path` (created on first use), appending unique
     survivors' signatures; hands the routed frame downstream
     (round 8)."""
-    import os
-
     from .pipeline.dedup import incremental_near_dedup, simhash_fingerprints
     from .stores import KeyedParquetStore
+    from .stores.keyed_table import StoreNotInitializedError
 
     store = KeyedParquetStore(
         spark=spark, path=path, keys=[id_col], n_buckets=n_buckets
     )
-    if not os.path.exists(path) or not os.listdir(path):
-        # first batch: nothing kept yet — an empty signature store
-        store.init(
-            simhash_fingerprints(df, text_col, id_col).limit(0)
-        )
+    # store-LEVEL existence probe, not a local-filesystem one: an
+    # os.path check is always False for hdfs:// paths (every batch
+    # would re-init and WIPE the accumulated signatures), and a
+    # non-empty dir without a published manifest (crashed first write)
+    # must still init rather than fail every later batch
+    try:
+        store.read()
+    except StoreNotInitializedError:
+        store.init(simhash_fingerprints(df, text_col, id_col, k).limit(0))
     return incremental_near_dedup(
         store, df, text_col, id_col, max_hamming, k
     )

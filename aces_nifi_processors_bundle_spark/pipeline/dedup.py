@@ -455,6 +455,26 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.alias("fp"))
 
 
+def _simhash_seg_keys(fp: Column, n_seg: int, seg_bits: int) -> Column:
+    """Array of 'segment#value' band keys for a fingerprint — ONE
+    definition shared by the batch near-dup join, the incremental
+    store path, and (via mirrored SQL) their oracles: the store
+    persists signatures that later calls re-band, so the layout must
+    never fork."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "#",
+                F.lit(str(s)),
+                F.shiftright(fp, s * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                .cast("string"),
+            )
+            for s in range(n_seg)
+        ]
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -490,18 +510,7 @@ def simhash_near_dups(
         id_col,
         "fp",
         F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "#",
-                        F.lit(str(s)),
-                        F.shiftright(F.col("fp"), s * seg_bits)
-                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
-                        .cast("string"),
-                    )
-                    for s in range(n_seg)
-                ]
-            )
+            _simhash_seg_keys(F.col("fp"), n_seg, seg_bits)
         ).alias("seg_key"),
     )
     if max_bucket is not None:
@@ -935,8 +944,14 @@ def near_dup_pairs_ppjoin(
         .withColumn("_rk", F.row_number().over(order))
         .withColumn("_sz", F.count(F.lit(1)).over(sized))
         .where(
+            # the same conservative 1e-9 slack INSIDE the ceil: IEEE
+            # overshoot (0.55*100 = 55.000...01 -> ceil 56) would
+            # SHORTEN the prefix and silently drop qualifying pairs;
+            # the slack can only lengthen it
             F.col("_rk")
-            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+            <= F.col("_sz")
+            - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+            + 1
         )
         .select("shingle", F.col(id_col), "_sz")
     )
@@ -1015,29 +1030,16 @@ def incremental_near_dedup(
             F.col(idc),
             F.col(fpc),
             F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "#",
-                            F.lit(str(s)),
-                            F.shiftright(F.col(fpc), s * seg_bits)
-                            .bitwiseAND(F.lit((1 << seg_bits) - 1))
-                            .cast("string"),
-                        )
-                        for s in range(n_seg)
-                    ]
-                )
+                _simhash_seg_keys(F.col(fpc), n_seg, seg_bits)
             ).alias("seg_key"),
         )
 
-    new_fp = simhash_fingerprints(new_docs, text_col, id_col).persist()
+    new_fp = simhash_fingerprints(new_docs, text_col, id_col, k).persist()
     old_fp = store.read().select(
         F.col(id_col).alias("_old_id"), F.col("fp").alias("_old_fp")
     )
     new_segs = with_segs(new_fp, id_col, "fp")
-    old_segs = with_segs(old_fp, "_old_id", "_old_fp").withColumnRenamed(
-        "seg_key", "seg_key"
-    )
+    old_segs = with_segs(old_fp, "_old_id", "_old_fp")
     ham = F.bit_count(F.col("fp").bitwiseXOR(F.col("_old_fp")))
     store_dups = (
         new_segs.join(old_segs, "seg_key")

@@ -3612,3 +3612,16 @@ def test_incremental_near_dedup_routes_and_accumulates(spark, tmp_path):
     r2 = {x["doc_id"]: x["route"]
           for x in incremental_near_dedup(store, b2, max_hamming=9).collect()}
     assert all(v == "duplicate_store" for v in r2.values())
+
+
+def test_ppjoin_prefix_length_float_guard(spark):
+    """0.55*100 is 55.000...01 in IEEE double: a bare ceil yields 56
+    and SHORTENS the prefix below |X|-ceil(t|X|)+1 (dropping
+    qualifying pairs); the 1e-9 slack restores the exact bound."""
+    out = spark.range(1).select(
+        (F.lit(100) - F.ceil(F.lit(0.55) * F.lit(100) - F.lit(1e-9)) + 1)
+        .alias("guarded"),
+        (F.lit(100) - F.ceil(F.lit(0.55) * F.lit(100)) + 1).alias("bare"),
+    ).collect()[0]
+    assert out["guarded"] == 46  # |X| - ceil(t*|X|) + 1 = 100 - 55 + 1
+    assert out["bare"] == 45     # the silent recall loss the slack prevents
