@@ -57,6 +57,8 @@ class Check:
     fk_parent: str | None = None  # kind == 'fk': parents[] key
     fk_parent_col: str | None = None
     fk_broadcast: bool = field(default=True)
+    group_cols: list[str] | None = None  # kind == 'group'
+    group_min: int | None = None
 
 
 def not_null(col: str) -> Check:
@@ -143,6 +145,27 @@ def unique(col: str) -> Check:
     return Check(name=f"unique({col})", target=col, kind="unique")
 
 
+def min_group_size(cols: list[str], k: int) -> Check:
+    """k-anonymity-style constraint: every combination of the
+    quasi-identifier columns must cover at least k rows — rows in
+    under-k groups are the re-identifiable ones and count as
+    violations (so the metric reads 'fraction of rows k-anonymous').
+    Runs as ONE separate map-side-combined groupBy job whose output is
+    group-cardinality-sized; NULL quasi-identifier values form groups
+    like any other value (NULL is itself identifying)."""
+    if k < 1:
+        raise ValueError(f"min_group_size: k must be >= 1, got {k}")
+    if not cols:
+        raise ValueError("min_group_size: need at least one column")
+    return Check(
+        name=f"min_group_size([{','.join(cols)}],{k})",
+        target=",".join(cols),
+        kind="group",
+        group_cols=list(cols),
+        group_min=k,
+    )
+
+
 def foreign_key(
     col: str, parent: str, parent_col: str, broadcast: bool = True
 ) -> Check:
@@ -205,6 +228,10 @@ def run_checks(
             # Totals for the FK metric come from this same pass; the
             # violation count joins in below.
             aggs.append(F.count(F.col(ck.target)).alias(f"__t{i}"))
+        elif ck.kind == "group":
+            # totals = all rows (every row belongs to some group); the
+            # under-k row count joins in below.
+            aggs.append(F.count(F.lit(1)).alias(f"__t{i}"))
         else:  # pragma: no cover - constructor functions fix the kinds
             raise ValueError(f"unknown check kind {ck.kind!r}")
     scalars = df.agg(*aggs)
@@ -231,6 +258,27 @@ def run_checks(
             .agg(F.count(F.lit(1)).alias(f"__v{i}"))
         )
         scalars = scalars.crossJoin(orphans)
+
+    # One group-cardinality-sized job per min_group_size check:
+    # violations = rows living in groups smaller than k.
+    for i, ck in enumerate(checks):
+        if ck.kind != "group":
+            continue
+        under = (
+            df.groupBy(*[F.col(c) for c in ck.group_cols])
+            .agg(F.count(F.lit(1)).alias("__gn"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__gn") < ck.group_min, F.col("__gn")
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias(f"__v{i}")
+            )
+        )
+        scalars = scalars.crossJoin(under)
 
     rows = []
     for i, ck in enumerate(checks):

@@ -2602,6 +2602,10 @@ WITH s AS (
   SELECT CAST(count(*) AS BIGINT) AS v_fk FROM orders o
   WHERE o.o_custkey IS NOT NULL
     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), grp AS (
+  -- rows living in (custkey, priority) groups smaller than 3
+  SELECT CAST(coalesce(sum(CASE WHEN gn < 3 THEN gn ELSE 0 END), 0) AS BIGINT) AS v_grp
+  FROM (SELECT count(*) AS gn FROM orders GROUP BY o_custkey, o_orderpriority)
 )
 SELECT * FROM (
   SELECT 'not_null(o_custkey)' AS "constraint", 'o_custkey' AS target,
@@ -2646,6 +2650,13 @@ SELECT * FROM (
               ELSE CAST(1.0 AS DOUBLE) END,
          v_fk = 0
   FROM s, fk
+  UNION ALL
+  SELECT 'min_group_size([o_custkey,o_orderpriority],3)',
+         'o_custkey,o_orderpriority', n_all, v_grp,
+         CASE WHEN n_all > 0 THEN CAST(1.0 AS DOUBLE) - v_grp / n_all
+              ELSE CAST(1.0 AS DOUBLE) END,
+         v_grp = 0
+  FROM s, grp
 ) ORDER BY "constraint"
 """
 )

@@ -2986,6 +2986,7 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key,
         in_range,
         matches_regex,
+        min_group_size,
         not_null,
         run_checks,
         satisfies,
@@ -3002,6 +3003,10 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches_regex("o_orderpriority", "^[1-3]-"),
         satisfies("positive_price", "o_totalprice > 0"),
         foreign_key("o_custkey", "customer", "c_custkey"),
+        # k-anonymity over the (customer, priority) quasi-identifier:
+        # ~2 rows/group on the fixture, so the report carries a large
+        # nonzero violation count (see the suite-level comment above)
+        min_group_size(["o_custkey", "o_orderpriority"], 3),
     ]
     return run_checks(orders, checks, parents={"customer": customer})
 

@@ -3625,3 +3625,30 @@ def test_ppjoin_prefix_length_float_guard(spark):
     ).collect()[0]
     assert out["guarded"] == 46  # |X| - ceil(t*|X|) + 1 = 100 - 55 + 1
     assert out["bare"] == 45     # the silent recall loss the slack prevents
+
+
+def test_min_group_size_counts_rows_in_small_groups(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.validate import (
+        min_group_size,
+        not_null,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [Row(qa="a", qb=1)] * 5        # group of 5: fine at k=3
+        + [Row(qa="b", qb=1)] * 2      # group of 2: 2 violating rows
+        + [Row(qa=None, qb=2)]         # NULL group of 1: 1 violating row
+    )
+    out = {r["constraint"]: r for r in run_checks(
+        df, [min_group_size(["qa", "qb"], 3), not_null("qa")]).collect()}
+    g = out["min_group_size([qa,qb],3)"]
+    assert g["total"] == 8
+    assert g["violations"] == 3
+    assert g["passed"] is False
+    assert g["metric"] == 1.0 - 3 / 8
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        min_group_size(["qa"], 0)
+    with _pytest.raises(ValueError, match="at least one column"):
+        min_group_size([], 3)
