@@ -669,3 +669,38 @@ def test_dpp_join_plans_runtime_partition_pruning(spark, sf_dir):
     plan = plan_of(q_dpp_join(spark, sf_dir))
     assert "dynamicpruning" in plan
     assert "PartitionFilters" in plan
+
+
+def test_fact_joins_are_runtime_bloom_filter_compatible(spark, sf_dir):
+    """At 100 TB Spark injects a runtime bloom filter on the fact side
+    of a selective shuffle join (default thresholds: 10 MB creation /
+    10 GB application — far above local fixtures, so we force them).
+    This pins that our canonical fact-join shape keeps the BARE join
+    key on the fact side: wrapping it in any expression would silently
+    disqualify the join from runtime filtering forever."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower(), (
+            "runtime bloom filter not injected — the fact join key is "
+            "no longer a bare column"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
