@@ -4832,3 +4832,20 @@ SELECT f.doc_id, f.fp,
 FROM fp f WHERE f.doc_id >= 250
 """
 )
+
+
+oracle("q_grouping_sets")(
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       CAST(grouping(event_type) * 2 + grouping(dow) AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+"""
+)

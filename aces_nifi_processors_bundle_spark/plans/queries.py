@@ -4806,3 +4806,30 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.init(simhash_fingerprints(old))
     return incremental_near_dedup(store, new).select("doc_id", "fp", "route")
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric aggregate cube/rollup
+    can't express: (type x day-of-week), (type), and (dow) WITHOUT the
+    grand total, in ONE Expand+aggregate pass. grouping_id()
+    disambiguates real NULL group keys from grouping-set NULLs (the
+    reason 'ALL' coalescing alone is unsafe in general)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    sql_df = events.select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        cents.alias("cents"),
+    )
+    sql_df.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(dow AS STRING), 'ALL') AS dow,
+               CAST(grouping_id(event_type, dow) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+        """
+    )

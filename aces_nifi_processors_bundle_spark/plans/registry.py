@@ -80,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_variant_props": q.q_variant_props,
     "q_dedup_ngram_prefix": q.q_dedup_ngram_prefix,
     "q_incremental_near_dedup": q.q_incremental_near_dedup,
+    "q_grouping_sets": q.q_grouping_sets,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
