@@ -326,10 +326,11 @@ def test_resample_grid_adds_no_extra_exchange(spark, sf_dir):
 
 
 def test_validate_row_checks_share_one_aggregate(spark, sf_dir):
-    """Seven constraints, but row/unique checks ride ONE aggregate
-    over ONE scan of orders; only the FK adds a second orders scan
-    (anti-join probe). More HashAggregate pairs than that means the
-    suite degenerated into per-constraint jobs."""
+    """Eight constraints, but row/unique checks ride ONE aggregate
+    over ONE scan of orders; the FK adds a second orders scan
+    (anti-join probe) and min_group_size a third (its own
+    group-cardinality-sized aggregate). More scans than that means
+    the suite degenerated into per-constraint jobs."""
     from aces_nifi_processors_bundle_spark.plans.queries import (
         q_validate_orders,
     )
@@ -338,7 +339,9 @@ def test_validate_row_checks_share_one_aggregate(spark, sf_dir):
     n_orders = sum(
         "orders.parquet" in ln for ln in _scan_lines(plan, "Location:")
     )
-    assert n_orders == 2, f"expected 2 orders scans (agg + FK), got {n_orders}"
+    assert n_orders == 3, (
+        f"expected 3 orders scans (shared agg + FK + group), got {n_orders}"
+    )
     assert "BroadcastHashJoin" in plan  # FK anti-join builds customer side
 
 
