@@ -4849,3 +4849,49 @@ FROM (
 GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
 """
 )
+
+
+oracle("q_sla_bands")(
+    """
+WITH c AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, day,
+       CAST(count(v) AS BIGINT) AS n,
+       CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(v, 0.95) AS BIGINT) AS p95_cents
+FROM c GROUP BY event_type, day
+"""
+)
+
+oracle("q_time_to_convert")(
+    """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+),
+d AS (
+  SELECT CAST(year(signup_ts) AS VARCHAR) || '-w'
+           || lpad(CAST(weekofyear(signup_ts) AS VARCHAR), 2, '0')
+           AS cohort_week,
+         (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) // 60000000
+           AS minutes
+  FROM fp
+)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(minutes, 0.5) AS BIGINT) AS p50_minutes,
+       CAST(quantile_disc(minutes, 0.9) AS BIGINT) AS p90_minutes
+FROM d GROUP BY cohort_week ORDER BY cohort_week
+"""
+)

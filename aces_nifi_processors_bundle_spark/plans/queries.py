@@ -4833,3 +4833,76 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
         """
     )
+
+
+def q_sla_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily latency-SLA dashboard shape: exact p50/p95 value bands
+    per (event_type, day) — the quantile machinery over a composite
+    time grain. One histogram pass per the group_quantiles discipline
+    (window work bounded by per-slot value CARDINALITY, never rows);
+    the composite key keeps slots small, which is exactly why this
+    never needs a sketch (pipeline/stats.py::group_quantiles)."""
+    from ..pipeline.stats import group_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.withColumn(
+        "_slot",
+        F.concat_ws(
+            "|", F.col("event_type"), F.date_format("ts", "yyyy-MM-dd")
+        ),
+    )
+    out = group_quantiles(tagged, "_slot", "value", ps=(0.5, 0.95))
+    return out.select(
+        F.split("_slot", "\\|").getItem(0).alias("event_type"),
+        F.split("_slot", "\\|").getItem(1).alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("p50").cast("bigint").alias("p50_cents"),
+        F.col("p95").cast("bigint").alias("p95_cents"),
+    )
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event funnel metric: per signup-week cohort, the exact
+    median and p90 minutes from each user's FIRST signup to their
+    first subsequent purchase. Firsts are min-aggregates on one
+    user_id exchange; deltas bucket to integer minutes so the cohort
+    quantiles ride the same value-histogram rank walk (distinct
+    minute-deltas per cohort, never raw rows); non-converting users
+    are simply absent (survival analysis handles them — this is the
+    converted-population latency)."""
+    from ..pipeline.stats import group_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"), F.col("ts").alias("purchase_ts")
+    )
+    first_purchase = (
+        s.join(p, (s.user_id == F.col("_pu"))
+               & (F.col("purchase_ts") >= F.col("signup_ts")))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("purchase_ts").alias("first_purchase_ts"))
+    )
+    deltas = first_purchase.select(
+        F.concat(
+            F.year("signup_ts").cast("string"),
+            F.lit("-w"),
+            F.lpad(F.weekofyear("signup_ts").cast("string"), 2, "0"),
+        ).alias("cohort_week"),
+        (
+            (F.unix_timestamp("first_purchase_ts")
+             - F.unix_timestamp("signup_ts"))
+            / F.lit(60)
+        ).cast("bigint").alias("minutes"),
+    )
+    out = group_quantiles(deltas, "cohort_week", "minutes", ps=(0.5, 0.9), scale=1)
+    return out.select(
+        "cohort_week",
+        F.col("n").cast("bigint").alias("n_converted"),
+        F.col("p50").cast("bigint").alias("p50_minutes"),
+        F.col("p90").cast("bigint").alias("p90_minutes"),
+    ).orderBy("cohort_week")

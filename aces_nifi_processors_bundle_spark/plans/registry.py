@@ -81,6 +81,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_ngram_prefix": q.q_dedup_ngram_prefix,
     "q_incremental_near_dedup": q.q_incremental_near_dedup,
     "q_grouping_sets": q.q_grouping_sets,
+    "q_sla_bands": q.q_sla_bands,
+    "q_time_to_convert": q.q_time_to_convert,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
