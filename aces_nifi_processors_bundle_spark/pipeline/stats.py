@@ -420,6 +420,7 @@ def rank_normalize(
     value_col: str,
     id_col: str,
     scale: int = 100,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group quantile-rank transform (sklearn QuantileTransformer
     shape, exact): each row's value becomes its percent rank
@@ -446,8 +447,15 @@ def rank_normalize(
 
     v = F.round(F.col(value_col) * scale).cast("bigint")
     tagged = df.select(F.col(id_col), F.col(group), v.alias("__v"))
+    # train_df separates histogram training from scoring (the
+    # anomaly_flags train/score pattern): the streaming twin builds
+    # the histogram on the static table and scores the stream rows
+    # against it via the broadcast join below — stateless per batch.
+    train = tagged if train_df is None else train_df.select(
+        F.col(group), v.alias("__v")
+    )
     counts = (
-        tagged.where(F.col("__v").isNotNull())
+        train.where(F.col("__v").isNotNull())
         .groupBy(group, "__v")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -4895,3 +4895,7 @@ SELECT cohort_week,
 FROM d GROUP BY cohort_week ORDER BY cohort_week
 """
 )
+
+
+# Streaming rank transform must equal the batch transform row-for-row.
+ORACLES["q_stream_rank_normalize"] = ORACLES["q_rank_normalize"]

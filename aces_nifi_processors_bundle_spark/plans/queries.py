@@ -4906,3 +4906,31 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50").cast("bigint").alias("p50_minutes"),
         F.col("p90").cast("bigint").alias("p90_minutes"),
     ).orderBy("cohort_week")
+
+
+def q_stream_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / score-stream quantile-rank transform: the value
+    histogram trains on the STATIC table (the anomaly-twin pattern)
+    and broadcasts into the events stream, where each micro-batch
+    ranks its rows statelessly — values unseen in training would rank
+    NULL, which availableNow-over-the-same-table proves cannot happen
+    here. Shares the batch oracle verbatim: batch-split
+    independence."""
+    import uuid
+
+    from ..pipeline.stats import rank_normalize
+
+    static = load_table(spark, sf_dir, "events")
+    stream = _events_stream(spark, sf_dir)
+    out = rank_normalize(stream, "event_type", "value", "event_id",
+                         train_df=static)
+    qname = f"rknorm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(qname)

@@ -83,6 +83,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_grouping_sets": q.q_grouping_sets,
     "q_sla_bands": q.q_sla_bands,
     "q_time_to_convert": q.q_time_to_convert,
+    "q_stream_rank_normalize": q.q_stream_rank_normalize,
     # --- (2) stalest external grades (round 4) ------------------------
     "q_attrs_typed": q.q_attrs_typed,
     "q_attrs_failure_routing": q.q_attrs_failure_routing,
