@@ -257,6 +257,121 @@ def near_dup_pairs_minhash(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_prune_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+) -> DataFrame:
+    """What would near_dup_pairs_ngram's df-prune DROP on this corpus —
+    the observability half of the "no silent caps" discipline. The
+    max_df cap is an absolute count, so its recall cost silently
+    drifts with the corpus df distribution (measured in SCALE.md: the
+    same max_df=20 that is lossless at sf0.1 discards 92% of true
+    pairs at sf1, where document frequencies are 10× higher, and the
+    oracle gate cannot see it because the oracle mirrors the cap).
+    Run this BEFORE trusting a max_df choice, or use
+    near_dup_pairs_ppjoin, which needs no cap at all.
+
+    One row: (df_cutoff, n_shingles, n_shingles_dropped,
+    n_index_rows_dropped, docs_affected, docs_total) — every number a
+    metadata-sized aggregate over the (shingle, df) frame the prune
+    itself computes, so the report costs one extra pass over data the
+    caller was already going to scan. docs_affected counts documents
+    that LOSE at least one indexed shingle — the population whose
+    candidate recall the cap can touch."""
+    rows = shingle_rows(df, text_col, id_col, k).dropDuplicates(
+        [id_col, "shingle"]
+    )
+    dfreq = rows.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    cutoff = _df_cutoff(dfreq, max_df, max_df_quantile)
+    marked = dfreq.crossJoin(F.broadcast(cutoff))
+    dropped_rows = (
+        rows.join(
+            marked.where(F.col("_df") > F.col("df_cutoff")).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    )
+    shingle_stats = marked.agg(
+        F.first("df_cutoff").alias("df_cutoff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(
+            F.when(F.col("_df") > F.col("df_cutoff"), 1).otherwise(0)
+        ).cast("bigint").alias("n_shingles_dropped"),
+        F.sum(
+            F.when(F.col("_df") > F.col("df_cutoff"), F.col("_df")).otherwise(0)
+        ).cast("bigint").alias("n_index_rows_dropped"),
+    )
+    doc_stats = dropped_rows.agg(
+        F.countDistinct(id_col).cast("bigint").alias("docs_affected")
+    )
+    total_docs = df.agg(
+        F.countDistinct(id_col).cast("bigint").alias("docs_total")
+    )
+    return (
+        shingle_stats.crossJoin(F.broadcast(doc_stats))
+        .crossJoin(F.broadcast(total_docs))
+    )
+
+
+def _df_cutoff(
+    dfreq: DataFrame,
+    max_df: int | None,
+    max_df_quantile: float | None,
+) -> DataFrame:
+    """One-row (df_cutoff bigint) frame from either an absolute cap or
+    a corpus df-distribution quantile. The quantile form is the
+    scale-stable knob: `max_df_quantile=0.999` means "drop the hottest
+    0.1% of shingles" at EVERY corpus size, where an absolute
+    `max_df=20` silently tightens as the corpus (and with it every
+    df) grows. Computed over the distinct-shingle df frame —
+    vocabulary-sized, never fact-sized — and returned as a frame so
+    the caller stays lazy (broadcast one-row crossJoin, no collect)."""
+    if (max_df is None) == (max_df_quantile is None):
+        raise ValueError(
+            "exactly one of max_df / max_df_quantile must be set"
+        )
+    if max_df is not None:
+        if max_df < 1:
+            raise ValueError(f"max_df must be >= 1, got {max_df}")
+        return dfreq.sparkSession.range(1).select(
+            F.lit(max_df).cast("bigint").alias("df_cutoff")
+        )
+    if not 0 < max_df_quantile <= 1:
+        raise ValueError(
+            f"max_df_quantile must be in (0, 1], got {max_df_quantile}"
+        )
+    # exact quantile of the df multiset: the ceil(q*n)-th smallest df.
+    # A rank-limit window over the vocabulary-sized (df) aggregate —
+    # never touches fact rows.
+    ranked = (
+        dfreq.groupBy("_df")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .withColumn(
+            "_cum",
+            F.sum("_n").over(
+                Window.orderBy("_df").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    total = ranked.agg(F.sum("_n").alias("_tot"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_cum")
+            >= F.ceil(F.lit(max_df_quantile) * F.col("_tot") - F.lit(1e-9))
+        )
+        .agg(F.min("_df").cast("bigint").alias("df_cutoff"))
+    )
+
+
 def near_dup_pairs_ngram(
     df: DataFrame,
     text_col: str = "text",
@@ -264,6 +379,7 @@ def near_dup_pairs_ngram(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_quantile: float | None = None,
     persist_intermediates: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index
@@ -281,26 +397,46 @@ def near_dup_pairs_ngram(
     minhash's max_bucket, and the standard inverted-index trick
     (ubiquitous shingles are boilerplate; a pair whose ONLY common
     shingles exceed max_df is a template match, not a content
-    near-dup). With k-shingles and threshold t, a true near-dup pair
-    shares many shingles, so pruning the few hottest ones costs recall
-    only on pathological corpora — measure per-corpus.
+    near-dup).
+
+    RECALL WARNING — an absolute max_df SILENTLY TIGHTENS as the
+    corpus grows: every shingle's df scales with corpus size, so the
+    cap that is lossless on this month's crawl discards real near-dup
+    families on next year's (measured: the max_df=20 that loses
+    nothing at sf0.1 drops 92% of true pairs at sf1 — SCALE.md
+    §ppjoin). Prefer one of:
+    - max_df_quantile (e.g. 0.999 = "drop the hottest 0.1% of
+      shingles") — the cutoff then tracks the corpus df distribution;
+    - near_dup_pairs_ppjoin — exact recall, no cap at all (the flow
+      default);
+    and audit any cap with ngram_prune_stats, which reports exactly
+    how many shingles/index rows/documents the prune touches.
 
     Verification is exact Jaccard over the full (unpruned) shingle
     sets, so pruning affects candidate RECALL only, never precision.
     """
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("set at most one of max_df / max_df_quantile")
     rows = shingle_rows(df, text_col, id_col, k).dropDuplicates([id_col, "shingle"])
     if persist_intermediates:
         rows = rows.persist()
-    if max_df is not None:
-        keep = (
-            rows.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
+    pruned = max_df is not None or max_df_quantile is not None
+    if pruned:
+        dfreq = rows.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_df")
         )
+        if max_df is not None:
+            keep = dfreq.filter(F.col("_df") <= max_df).select("shingle")
+        else:
+            cutoff = _df_cutoff(dfreq, None, max_df_quantile)
+            keep = (
+                dfreq.crossJoin(F.broadcast(cutoff))
+                .filter(F.col("_df") <= F.col("df_cutoff"))
+                .select("shingle")
+            )
         rows = rows.join(keep, "shingle", "left_semi")
     cands = _pairs_within_groups(
-        rows, "shingle", id_col, bounded=max_df is not None
+        rows, "shingle", id_col, bounded=pruned
     )
     # cands is consumed once (see near_dup_pairs_minhash) — only the
     # doubly-consumed rows/sets frames earn their cache
@@ -923,8 +1059,18 @@ def near_dup_pairs_ppjoin(
     Scale shape: df counts are a map-side-combined aggregate joined
     back in broadcast territory per-shingle; the per-doc rank window
     partitions by doc (bounded by the doc's own shingle-set size); the
-    self-join runs on the prefix index only; verification is exact
-    Jaccard over FULL sets via the shared ngram_jaccard. Output:
+    self-join runs on the prefix index only; the POSITIONAL filter
+    (Xiao §3.2, see inline derivation) then prunes candidates using
+    only the prefix ranks and sizes already on the matched rows —
+    before any full shingle set is shipped to the verify join.
+    Verification is exact Jaccard over FULL sets via the shared
+    ngram_jaccard. Xiao's SUFFIX filter (§3.3) is deliberately NOT
+    implemented: it is a divide-and-conquer probe over the suffix
+    token arrays, so expressing it set-orientedly means joining the
+    full sorted shingle arrays onto every candidate — the exact cost
+    of this engine's verify step (one array_intersect per pair), which
+    the suffix filter exists to avoid in RECORD-AT-A-TIME engines
+    where verify is a merge-scan it can short-circuit. Output:
     (id_a, id_b, jaccard) for all pairs with jaccard >= threshold.
     """
     if not 0 < threshold <= 1:
@@ -953,13 +1099,39 @@ def near_dup_pairs_ppjoin(
             - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
             + 1
         )
-        .select("shingle", F.col(id_col), "_sz")
+        .select("shingle", F.col(id_col), "_sz", "_rk")
     )
     a = prefix.select(
-        "shingle", F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")
+        "shingle", F.col(id_col).alias("id_a"),
+        F.col("_sz").alias("_sza"), F.col("_rk").alias("_rka"),
     )
     b = prefix.select(
-        "shingle", F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")
+        "shingle", F.col(id_col).alias("id_b"),
+        F.col("_sz").alias("_szb"), F.col("_rk").alias("_rkb"),
+    )
+    # POSITIONAL FILTER (Xiao et al. 2008 §3.2): a match on prefix
+    # token w at per-doc ranks (i, j) under the GLOBAL (df, shingle)
+    # order bounds the whole overlap — shared tokens are w itself,
+    # tokens strictly O-before w (at most min(i-1, j-1): x holds
+    # exactly i-1 of them, y exactly j-1), and tokens strictly O-after
+    # (at most min(|x|-i, |y|-j)). Each match yields a valid bound, so
+    # the pair survives only if the TIGHTEST one still reaches the
+    # J >= t overlap requirement alpha = ceil(t/(1+t) * (|x|+|y|)).
+    # Both slacks are conservative: alpha's -1e-9 can only LOWER the
+    # requirement and the size-ratio slack only ADMITS boundary pairs
+    # — float rounding can never drop a qualifying pair.
+    overlap_bound = (
+        F.lit(1)
+        + F.least(F.col("_rka") - 1, F.col("_rkb") - 1)
+        + F.least(
+            F.col("_sza") - F.col("_rka"), F.col("_szb") - F.col("_rkb")
+        )
+    )
+    alpha = F.ceil(
+        F.lit(threshold)
+        * (F.col("_sza") + F.col("_szb")).cast("double")
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
     )
     cands = (
         a.join(b, "shingle")
@@ -971,8 +1143,13 @@ def near_dup_pairs_ppjoin(
             & (F.col("_sza").cast("double")
                >= F.lit(threshold) * F.col("_szb").cast("double") - F.lit(1e-9))
         )
+        .groupBy("id_a", "id_b")
+        # min over every matched prefix token's bound — the same
+        # (id_a, id_b) hash aggregate the old .distinct() paid for,
+        # now carrying the positional prune for free
+        .agg(F.min(overlap_bound).alias("_ub"), F.min(alpha).alias("_alpha"))
+        .where(F.col("_ub") >= F.col("_alpha"))
         .select("id_a", "id_b")
-        .distinct()
     )
     verified = ngram_jaccard(
         df, cands, text_col, id_col, k, persist_sets=persist_intermediates

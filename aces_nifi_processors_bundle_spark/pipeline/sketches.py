@@ -505,3 +505,156 @@ def kmv_set_relations(
             F.round(F.col("jaccard") * F.col("est_union"), 6).alias("est_intersection"),
         )
     )
+
+
+# --- mergeable quantile digest (equal-weight cluster digest) -------------
+
+
+def cluster_digest(
+    df: DataFrame,
+    value_col: str,
+    groups: list[str] | None = None,
+    m: int = 32,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-group mergeable QUANTILE state: m equal-weight value
+    clusters — a t-digest with the uniform (k0) scale function, made
+    DETERMINISTIC so build and merge replay exactly in SQL (the same
+    property that lets HLL/CMS/KMV here carry a value-hash oracle; the
+    classic KLL/t-digest randomized compactions cannot). Rows rank by
+    (value, tie_col) inside each group; row r of n lands in cluster
+    c = ((r-1)*m) div n — integer arithmetic, so the cluster boundary
+    can never drift cross-engine. State per (group, cluster): weight,
+    a decimal(38,18) value sum over round(v, 7) terms (order-
+    independent — the lm_score discipline), and the min/max covered
+    values. At most m rows of state per group, any corpus size.
+
+    The rank window sorts each group's fact rows — at scale build
+    digests per (group, chunk) instead (day, file, partition: any
+    subdivision bounds the sort) and fold them with digest_merge; the
+    result is a digest of the SAME m-cluster shape, which is the whole
+    point of mergeability. Rank error after one merge level is at most
+    n/m per boundary (each input cluster's rows are contiguous in the
+    value order up to overlap between input digests' value ranges).
+
+    No counterpart in the reference; extends the sketch register
+    family (HLL distincts / CMS frequencies / KMV set relations) with
+    quantiles — the one register the SLA-band and rank-normalize
+    histogram walks lacked as persisted store state.
+    """
+    from pyspark.sql import Window
+
+    if m < 2:
+        raise ValueError(f"cluster_digest: m must be >= 2, got {m}")
+    groups = list(groups or [])
+    order = [F.col(value_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    part = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_r", F.row_number().over(part.orderBy(*order)))
+        .withColumn("_n", F.count(F.lit(1)).over(part))
+    )
+    c = F.expr(f"(( _r - 1 ) * {m}) div _n").cast("bigint")
+    return (
+        vals.groupBy(*groups, c.alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+            F.sum(F.round(value_col, 7).cast("decimal(38,18)")).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+    )
+
+
+def digest_merge(
+    cent: DataFrame,
+    groups: list[str] | None = None,
+    m: int = 32,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold sub-digests (e.g. one per day) into one m-cluster digest
+    per group, deterministically: order every input cluster by
+    (vmin, vmax, *order_cols) — order_cols are the sub-digest key
+    columns (['day', 'c'], say), needed only to break exact value-range
+    ties — then re-cluster by CUMULATIVE weight: a cluster whose
+    predecessors weigh cumb of the group total W lands in
+    c = (cumb*m) div W. All integer, so the merged boundaries replay
+    exactly in SQL; weights add, decimal sums add (order-independent),
+    min/max combine. Input clusters never split, so one merge level
+    adds at most one cluster's width of rank error — the standard
+    digest-merge trade, bought deterministically.
+
+    Every frame here is digest-sized (m rows per sub-digest), never
+    fact-sized: merging a year of daily digests for a million groups
+    exchanges 365*m rows per group, independent of row count."""
+    from pyspark.sql import Window
+
+    if m < 2:
+        raise ValueError(f"digest_merge: m must be >= 2, got {m}")
+    groups = list(groups or [])
+    order = [F.col("vmin").asc(), F.col("vmax").asc()]
+    for oc in order_cols or []:
+        order.append(F.col(oc).asc())
+    part = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_ord = part.orderBy(*order)
+    ranked = (
+        cent.withColumn(
+            "_cumb",
+            F.coalesce(
+                F.sum("w").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn("_W", F.sum("w").over(part))
+    )
+    c2 = F.expr(f"( _cumb * {m}) div _W").cast("bigint")
+    return (
+        ranked.groupBy(*groups, c2.alias("c"))
+        .agg(
+            F.sum("w").cast("bigint").alias("w"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def digest_quantiles(
+    cent: DataFrame,
+    groups: list[str] | None = None,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a digest: for each q the estimate is
+    the MEAN of the cluster containing rank ceil(q*n) (cluster means
+    are vsum/w — one double division per cluster, rounded, after the
+    exact decimal/integer pipeline; no interpolation, so there is
+    exactly one float op to mirror). The -1e-9 slack inside ceil keeps
+    an IEEE overshoot of q*n (0.9*n can land at 9000.000...01) from
+    shifting the target rank — it can only ever LOWER it back to the
+    intended integer. Output: (groups..., n, q50, q90, ... one column
+    per requested q). Digest-sized input, group-sized output."""
+    from pyspark.sql import Window
+
+    groups = list(groups or [])
+    part = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_ord = part.orderBy(F.col("c").asc())
+    ranked = (
+        cent.withColumn("_cum", F.sum("w").over(w_ord))
+        .withColumn("_n", F.sum("w").over(part))
+    )
+    mean = F.round(
+        F.col("vsum").cast("double") / F.col("w").cast("double"), round_to
+    )
+    aggs = [F.max("_n").cast("bigint").alias("n")]
+    for q in qs:
+        t = F.ceil(F.lit(q) * F.col("_n").cast("double") - F.lit(1e-9))
+        hit = (F.col("_cum") - F.col("w") < t) & (t <= F.col("_cum"))
+        aggs.append(
+            F.min(F.when(hit, mean)).alias(f"q{int(round(q * 100)):02d}")
+        )
+    return ranked.groupBy(*groups).agg(*aggs)

@@ -4899,3 +4899,87 @@ FROM d GROUP BY cohort_week ORDER BY cohort_week
 
 # Streaming rank transform must equal the batch transform row-for-row.
 ORACLES["q_stream_rank_normalize"] = ORACLES["q_rank_normalize"]
+
+
+# Replays cluster_digest's deterministic build exactly: rank by
+# (value, event_id) inside (type, day), cluster c = ((r-1)*m) div n in
+# integer arithmetic, then the per-cluster state — count, a
+# DECIMAL(38,18) sum of round(v,7) terms (order-independent), min/max —
+# and the one rounded double division for the mean.
+oracle("q_tdigest_daily")(
+    """
+WITH v AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value AS v, event_id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, day, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY v, event_id) AS rr,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM v
+), cent AS (
+  SELECT event_type, day, CAST(((rr - 1) * 16) // n AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS w,
+         SUM(CAST(ROUND(v, 7) AS DECIMAL(38,18))) AS vsum,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT event_type, day, c, w, vmin, vmax,
+       ROUND(CAST(vsum AS DOUBLE) / w, 6) AS mean
+FROM cent
+"""
+)
+
+
+# Replays build + digest_merge + digest_quantiles: daily clusters
+# reorder by (vmin, vmax, day, c), re-cluster by integer cumulative
+# weight (cumb*m) div W, and each quantile reads the mean of the
+# cluster containing rank ceil(q*n - 1e-9) — the slack mirrors the
+# Spark side so an IEEE overshoot of q*n can never shift the target.
+oracle("q_tdigest_merge")(
+    """
+WITH v AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value AS v, event_id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, day, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY v, event_id) AS rr,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM v
+), cent AS (
+  SELECT event_type, day, ((rr - 1) * 16) // n AS c,
+         COUNT(*) AS w,
+         SUM(CAST(ROUND(v, 7) AS DECIMAL(38,18))) AS vsum,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM r GROUP BY 1, 2, 3
+), mg AS (
+  SELECT event_type, w, vsum,
+         COALESCE(SUM(w) OVER (
+           PARTITION BY event_type ORDER BY vmin, vmax, day, c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM cent
+), mc AS (
+  SELECT event_type, (cumb * 16) // tw AS c,
+         SUM(w) AS w, SUM(vsum) AS vsum
+  FROM mg GROUP BY 1, 2
+), qr AS (
+  SELECT event_type, c, w, vsum,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+         SUM(w) OVER (PARTITION BY event_type) AS n
+  FROM mc
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  MIN(CASE WHEN cum - w < CEIL(0.5 * n - 1e-9)
+            AND CEIL(0.5 * n - 1e-9) <= cum
+           THEN ROUND(CAST(vsum AS DOUBLE) / w, 6) END) AS q50,
+  MIN(CASE WHEN cum - w < CEIL(0.9 * n - 1e-9)
+            AND CEIL(0.9 * n - 1e-9) <= cum
+           THEN ROUND(CAST(vsum AS DOUBLE) / w, 6) END) AS q90,
+  MIN(CASE WHEN cum - w < CEIL(0.99 * n - 1e-9)
+            AND CEIL(0.99 * n - 1e-9) <= cum
+           THEN ROUND(CAST(vsum AS DOUBLE) / w, 6) END) AS q99
+FROM qr GROUP BY event_type
+"""
+)

@@ -4934,3 +4934,63 @@ def q_stream_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_stream(q)
     return spark.table(qname)
+
+
+def q_tdigest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-digest BUILD, the daily-register shape: one
+    16-cluster equal-weight digest per (event_type, day) over event
+    values (pipeline/sketches.py::cluster_digest — the deterministic
+    t-digest/k0 whose build and merge replay exactly in SQL). The rank
+    window sorts only within a (type, day) chunk — bounded work per
+    key, the reason the daily grain IS the production build grain; the
+    persisted state is 16 rows per slot whatever the row count."""
+    from ..pipeline.sketches import cluster_digest
+
+    events = load_table(spark, sf_dir, "events")
+    cent = cluster_digest(
+        events.withColumn("day", F.to_date("ts")),
+        "value",
+        ["event_type", "day"],
+        m=16,
+        tie_col="event_id",
+    )
+    return cent.select(
+        "event_type",
+        "day",
+        "c",
+        "w",
+        "vmin",
+        "vmax",
+        F.round(
+            F.col("vsum").cast("double") / F.col("w").cast("double"), 6
+        ).alias("mean"),
+    )
+
+
+def q_tdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-digest MERGE + query — the store-and-merge-daily shape
+    the HLL register path has, now for quantiles: fold the 30 daily
+    digests per event_type into one 16-cluster digest (digest-sized
+    exchanges only: 30*16 rows per type) and read p50/p90/p99 off the
+    merged state. Every boundary is integer cumulative-weight
+    arithmetic and every cluster mean one rounded double division, so
+    the DuckDB oracle replays build, merge, and query exactly — an
+    approximate sketch under the full value-hash gate."""
+    from ..pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+        digest_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = cluster_digest(
+        events.withColumn("day", F.to_date("ts")),
+        "value",
+        ["event_type", "day"],
+        m=16,
+        tie_col="event_id",
+    )
+    merged = digest_merge(
+        daily, ["event_type"], m=16, order_cols=["day", "c"]
+    )
+    return digest_quantiles(merged, ["event_type"], qs=(0.5, 0.9, 0.99))

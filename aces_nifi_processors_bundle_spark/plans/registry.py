@@ -236,6 +236,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_equidepth_approx": q.q_equidepth_approx,
     "q_sessionize": q.q_sessionize,
+    "q_tdigest_daily": q.q_tdigest_daily,
+    "q_tdigest_merge": q.q_tdigest_merge,
 }
 
 

@@ -3,6 +3,7 @@ similarity recall, multimodal plumbing, and the SocketIO sink."""
 
 from __future__ import annotations
 
+import math
 import os
 
 import pytest
@@ -525,6 +526,116 @@ def test_ngram_max_df_prunes_boilerplate_only(spark):
     assert len(unpruned) == 45 + 1  # boilerplate clique + the rare pair
     got = {(r["id_a"], r["id_b"]) for r in pruned}
     assert got == {(100, 101)}  # clique suppressed, rare pair survives
+
+
+def test_ngram_prune_stats_makes_max_df_drop_observable(spark):
+    """The max_df recall foot-gun must be OBSERVABLE: on the
+    boilerplate-clique corpus the stats row reports exactly which
+    population the cap touches (every clique doc loses its shingles),
+    and a cap above every df reports zero drop — the 'no silent caps'
+    discipline applied to the prune itself."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        ngram_prune_stats,
+    )
+
+    boiler = "all rights reserved licensed under the apache license"
+    rows = [Row(doc_id=i, text=boiler) for i in range(10)]
+    rows += [
+        Row(doc_id=100, text="rare payload alpha beta gamma delta epsilon"),
+        Row(doc_id=101, text="rare payload alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    s = ngram_prune_stats(df, k=3, max_df=5).collect()[0]
+    assert s["df_cutoff"] == 5
+    # the clique's 6 shared 3-shingles all have df=10 > 5
+    assert s["n_shingles_dropped"] == 6
+    assert s["n_index_rows_dropped"] == 60
+    assert s["docs_affected"] == 10  # every clique doc loses shingles
+    assert s["docs_total"] == 12
+    loose = ngram_prune_stats(df, k=3, max_df=1000).collect()[0]
+    assert loose["n_shingles_dropped"] == 0
+    assert loose["docs_affected"] == 0
+    assert loose["n_shingles"] == s["n_shingles"]
+
+
+def test_ngram_max_df_quantile_tracks_corpus_distribution(spark):
+    """max_df_quantile derives the cutoff from the corpus df
+    distribution, so the SAME knob keeps prunes proportionate as the
+    corpus (and every absolute df) grows — the scale-stable form of
+    the cap. quantile=1.0 must be a no-op (cutoff = max df)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ngram,
+        ngram_prune_stats,
+    )
+
+    boiler = "all rights reserved licensed under the apache license"
+    rows = [Row(doc_id=i, text=boiler) for i in range(10)]
+    rows += [
+        Row(doc_id=100, text="rare payload alpha beta gamma delta epsilon"),
+        Row(doc_id=101, text="rare payload alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    unpruned = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_ngram(df, k=3, threshold=0.5).collect()
+    }
+    noop = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_ngram(
+            df, k=3, threshold=0.5, max_df_quantile=1.0
+        ).collect()
+    }
+    assert noop == unpruned
+    # df multiset = {1,1,2,2,2,2,10,10,10,10,10,10}: the 0.5-quantile
+    # (6th smallest) is 2, so the cutoff expels exactly the 6 clique
+    # shingles (df=10) and keeps every rare-pair shingle
+    s = ngram_prune_stats(df, k=3, max_df_quantile=0.5).collect()[0]
+    assert s["df_cutoff"] == 2
+    assert s["n_shingles_dropped"] == 6
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_ngram(
+            df, k=3, threshold=0.5, max_df_quantile=0.5
+        ).collect()
+    }
+    assert tight == {(100, 101)}
+    with pytest.raises(ValueError, match="at most one"):
+        near_dup_pairs_ngram(df, max_df=5, max_df_quantile=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        ngram_prune_stats(df, k=3)
+
+
+def test_ppjoin_positional_filter_randomized_recall(spark):
+    """Randomized adversarial check on the positional filter: 30 docs
+    over a tiny shared vocabulary maximize boundary pairs (sizes and
+    ranks collide constantly); ppjoin must still return EXACTLY the
+    unpruned inverted index's verified pairs at two thresholds.
+    Deterministic seed — failures reproduce."""
+    import random
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ngram,
+        near_dup_pairs_ppjoin,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 14))),
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    for t in (0.3, 0.6):
+        want = sorted(
+            map(tuple, near_dup_pairs_ngram(df, k=3, threshold=t).collect())
+        )
+        got = sorted(
+            map(tuple, near_dup_pairs_ppjoin(df, k=3, threshold=t).collect())
+        )
+        assert got == want, f"threshold={t}"
 
 
 def test_hash_split_stable_under_corpus_growth(spark):
@@ -3652,3 +3763,99 @@ def test_min_group_size_counts_rows_in_small_groups(spark):
         min_group_size(["qa"], 0)
     with _pytest.raises(ValueError, match="at least one column"):
         min_group_size([], 3)
+
+
+def test_cluster_digest_quantile_rank_error_bound(spark):
+    """A single-level m-cluster digest answers any quantile with rank
+    error < n/m: the reported cluster mean lies between the cluster's
+    own min and max, and the cluster covers ranks within ceil(n/m) of
+    the target. Checked against exact order statistics on a skewed
+    (quadratic-gap) value set where equal-width bins would fail."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_quantiles,
+    )
+
+    n, m = 1000, 20
+    vals = [(i, float(i * i)) for i in range(n)]  # skewed gaps
+    df = spark.createDataFrame(vals, ["id", "v"])
+    cent = cluster_digest(df, "v", [], m=m, tie_col="id")
+    out = digest_quantiles(cent, [], qs=(0.5, 0.9, 0.99)).collect()[0]
+    assert out["n"] == n
+    svals = sorted(v for _, v in vals)
+    for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        target = math.ceil(q * n)
+        lo = svals[max(0, target - 1 - n // m)]
+        hi = svals[min(n - 1, target - 1 + n // m)]
+        assert lo <= out[col] <= hi, (q, out[col], lo, hi)
+
+
+def test_digest_merge_is_input_order_independent(spark):
+    """digest_merge's canonical (vmin, vmax, order_cols) ordering makes
+    the merged state a pure function of the input cluster SET — daily
+    digests fold to the same result whatever order the days arrive,
+    which is what makes the state safe to persist and fold
+    incrementally."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+        digest_quantiles,
+    )
+
+    rows = [(i, i % 7, float((i * 37) % 500)) for i in range(800)]
+    df = spark.createDataFrame(rows, ["id", "day", "v"])
+    daily = cluster_digest(df, "v", ["day"], m=8, tie_col="id")
+    fwd = digest_merge(daily, [], m=8, order_cols=["day", "c"])
+    bwd = digest_merge(
+        daily.orderBy(F.col("day").desc(), F.col("c").desc()),
+        [], m=8, order_cols=["day", "c"],
+    )
+    key = lambda r: r["c"]  # noqa: E731
+    a = sorted(fwd.collect(), key=key)
+    b = sorted(bwd.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    qa = digest_quantiles(fwd, [], qs=(0.5,)).collect()
+    qb = digest_quantiles(bwd, [], qs=(0.5,)).collect()
+    assert qa == qb
+
+
+def test_cluster_digest_persists_and_folds_through_store(spark, tmp_path):
+    """The store-and-merge-daily register shape: daily digest states
+    land in a KeyedParquetStore, a later session reads them back,
+    folds with digest_merge, and answers quantiles — without ever
+    re-reading fact rows. The folded answer must equal the answer from
+    digests built directly in one pass over the same data."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+        digest_quantiles,
+    )
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    rows = [(i, i % 5, "t", float((i * 13) % 97)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "day", "g", "v"])
+    daily = cluster_digest(df, "v", ["g", "day"], m=8, tie_col="id")
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "digests"),
+        keys=["g", "day", "c"], n_buckets=2,
+    )
+    store.init(daily)
+    replayed = store.read()
+    merged = digest_merge(replayed, ["g"], m=8, order_cols=["day", "c"])
+    direct = digest_merge(daily, ["g"], m=8, order_cols=["day", "c"])
+    got = digest_quantiles(merged, ["g"], qs=(0.5, 0.9)).collect()
+    want = digest_quantiles(direct, ["g"], qs=(0.5, 0.9)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_cluster_digest_rejects_tiny_m(spark):
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    with pytest.raises(ValueError, match="m must be"):
+        cluster_digest(df, "v", [], m=1)
+    with pytest.raises(ValueError, match="m must be"):
+        digest_merge(df, [], m=0)
