@@ -4983,3 +4983,48 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
 FROM qr GROUP BY event_type
 """
 )
+
+
+# Replays the PINNED watermark late-data semantics (empirically probed
+# on Spark 4, see q_stream_late_data's docstring) over the same 3-batch
+# split: the late filter for the straggler batch is max(b0) - 1 day
+# (one batch of lag — b1's rows have not entered it yet), a straggler
+# survives iff its DAY WINDOW'S END beats that watermark, and append
+# mode emits exactly the windows whose end the final watermark
+# max(all) - 1 day passed. Millisecond truncation mirrors Spark's
+# ms-resolution event-time stats (irrelevant at day boundaries, kept
+# for exactness).
+oracle("q_stream_late_data")(
+    """
+WITH b0 AS (
+  SELECT ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-23'
+    AND NOT (ts >= TIMESTAMP '2024-01-21' AND ts < TIMESTAMP '2024-01-22')
+), b1 AS (
+  SELECT ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-23' AND ts < TIMESTAMP '2024-01-24'
+), b2 AS (
+  SELECT ts, event_type FROM events
+  WHERE ts < TIMESTAMP '2024-01-10'
+     OR (ts >= TIMESTAMP '2024-01-21' AND ts < TIMESTAMP '2024-01-22')
+     OR ts >= TIMESTAMP '2024-01-24'
+), wlate AS (
+  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 DAY AS w FROM b0
+), wfinal AS (
+  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 DAY AS w
+  FROM events
+), kept AS (
+  SELECT ts, event_type FROM b0
+  UNION ALL
+  SELECT ts, event_type FROM b1
+  UNION ALL
+  SELECT b2.ts, b2.event_type FROM b2, wlate
+  WHERE date_trunc('day', b2.ts) + INTERVAL 1 DAY > wlate.w
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM kept, wfinal
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wfinal.w
+GROUP BY 1, 2
+"""
+)

@@ -4994,3 +4994,101 @@ def q_tdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, ["event_type"], m=16, order_cols=["day", "c"]
     )
     return digest_quantiles(merged, ["event_type"], qs=(0.5, 0.9, 0.99))
+
+
+_LATE_SRC_DIRS: dict[str, str] = {}
+
+
+def _late_events_stream(spark: SparkSession, sf_dir: str):
+    """Three-file staged events source engineered to exercise the
+    watermark LATE-DATA path (the clean one-batch staging of
+    _table_stream can never drop anything — watermark starts at 0):
+    - b0 "history":  ts in [01-10, 01-23) minus day 21
+    - b1 "tick":     ts in [01-23, 01-24) — one batch whose only job
+      is to move the late-event filter forward (see below)
+    - b2 "stragglers": everything else — rows older than 01-10
+      (deliberately late beyond the allowance), day-21 rows (late but
+      inside the allowance), and ts >= 01-24 (fresh).
+    Files get fixed mtimes 1000 s apart and maxFilesPerTrigger=1, so
+    the file source replays them as three deterministic micro-batches
+    in exactly this order."""
+    import glob as _glob
+    import os
+    import shutil
+
+    key = f"{sf_dir}#late_events"
+    if key not in _LATE_SRC_DIRS:
+        events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+        t = F.col("ts")
+        day21 = (t >= F.lit("2024-01-21").cast("timestamp")) & (
+            t < F.lit("2024-01-22").cast("timestamp")
+        )
+        in_b0 = (
+            (t >= F.lit("2024-01-10").cast("timestamp"))
+            & (t < F.lit("2024-01-23").cast("timestamp"))
+            & ~day21
+        )
+        in_b1 = (t >= F.lit("2024-01-23").cast("timestamp")) & (
+            t < F.lit("2024-01-24").cast("timestamp")
+        )
+        src = _scratch("aces_stream_late_")
+        for i, pred in enumerate([in_b0, in_b1, ~(in_b0 | in_b1)]):
+            tmp = f"{src}/_tmp{i}"
+            events.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            shutil.rmtree(tmp)
+            mtime = 1_000_000_000 + i * 1000
+            os.utime(dst, (mtime, mtime))
+        _LATE_SRC_DIRS[key] = src
+    return (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_LATE_SRC_DIRS[key])
+    )
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the full value-hash gate —
+    the one streaming behavior the clean availableNow twins never
+    exercise, pinned here against empirically verified Spark 4
+    micro-batch rules (probed with numRowsDroppedByWatermark):
+    (1) the EVICTION watermark of batch N is max(event time through
+        batch N-1) - delay; (2) the LATE-EVENT filter of batch N uses
+        batch N-1's eviction watermark (one batch of lag — which is
+        why the b1 "tick" batch exists: it arms the filter for b2
+        without moving it past day 21); (3) a row is dropped iff its
+        WINDOW END <= the late watermark (a row whose event time is
+        behind the watermark but whose window is still open is KEPT);
+        (4) the lag makes double-emission impossible: a window emitted
+        at batch N has end <= evict(N), and any later row needs
+        end > late(N+1) = evict(N).
+    Resulting contract on the 3-batch fixture, which the oracle
+    replays literally: pre-01-10 rows are DROPPED (their windows
+    closed before they arrived), day-21 rows are KEPT (window end
+    01-22 is past the late watermark max(b0)-1d ~ 01-21.9x), and
+    append mode emits exactly the windows whose end the final
+    watermark max(all)-1d passed."""
+    import uuid
+
+    stream = _late_events_stream(spark, sf_dir)
+    out = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = f"late_data_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(qname).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+    )

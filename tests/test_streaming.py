@@ -389,3 +389,42 @@ def test_stream_funnel_drops_dirty_rows_instead_of_dying(spark, sf_dir, tmp_path
     assert q.awaitTermination(120)
     rows = spark.table("dirty_funnel").collect()
     assert rows and rows[0]["_s1"] == 2_000_000  # clean rows still chain
+
+
+def test_late_data_policy_drops_closed_windows_keeps_open_ones(spark, sf_dir):
+    """Pins the engine's declared late-data policy end-to-end on the
+    3-batch straggler fixture (q_stream_late_data): pre-01-10
+    stragglers arrive AFTER the late watermark passed their day
+    windows and must vanish without trace; day-21 stragglers arrive
+    equally out of order but their window is still open (end 01-22 >
+    max(b0) - 1d), so every one of them must be counted; and append
+    mode emits no window the final watermark has not passed."""
+    from aces_nifi_processors_bundle_spark.plans.queries import (
+        q_stream_late_data,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = q_stream_late_data(spark, sf_dir).collect()
+    by_day = {}
+    for r in rows:
+        by_day[r["day"]] = by_day.get(r["day"], 0) + r["n"]
+    # DROPPED: nothing before 01-10 survives, though the source holds
+    # hundreds of such rows
+    n_old = events.where(F.col("ts") < F.lit("2024-01-10").cast("timestamp")).count()
+    assert n_old > 0
+    assert all(d >= "2024-01-10" for d in by_day)
+    # KEPT: the day-21 stragglers are complete, not sampled
+    n_d21 = events.where(
+        (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-22").cast("timestamp"))
+    ).count()
+    assert by_day.get("2024-01-21") == n_d21
+    # EMITTED: exactly the windows the final watermark closed — the
+    # last full day before max(ts) - 1d, never day 29/30
+    assert max(by_day) == "2024-01-28"
+    # on-time days pass through complete
+    n_d15 = events.where(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    ).count()
+    assert by_day.get("2024-01-15") == n_d15
