@@ -1407,6 +1407,47 @@ def _ppjoin_dedup(
     return near_dup_pairs_ppjoin(df, text_col, id_col, k, threshold)
 
 
+@stage("quantile_digest")
+def _quantile_digest(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    value_col: str,
+    groups: list[str] | None = None,
+    m: int = 32,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Build per-group mergeable quantile-digest state (round 9):
+    m equal-weight clusters per group — include the chunk key (day,
+    source) in `groups` so the rank sort stays chunk-bounded; fold
+    chunks downstream with `digest_fold`."""
+    from .pipeline.sketches import cluster_digest
+
+    return cluster_digest(df, value_col, groups, m, tie_col)
+
+
+@stage("digest_fold")
+def _digest_fold(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    groups: list[str] | None = None,
+    m: int = 32,
+    order_cols: list[str] | None = None,
+    qs: list[float] | None = None,
+) -> DataFrame:
+    """Fold sub-digests into one m-cluster digest per group and, when
+    `qs` is given, read the quantile estimates off the merged state
+    (round 9). order_cols = the sub-digest key columns (['day', 'c'])
+    for deterministic tie-breaks."""
+    from .pipeline.sketches import digest_merge, digest_quantiles
+
+    merged = digest_merge(df, groups, m, order_cols)
+    if qs is None:
+        return merged
+    return digest_quantiles(merged, groups, qs=tuple(qs))
+
+
 @stage("incremental_near_dedup")
 def _incremental_near_dedup(
     spark: SparkSession,

@@ -111,6 +111,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - isolate per-query failures
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             return None
+        finally:
+            # Per-query cache isolation: queries that persist
+            # intermediates (the near-dup family, store queries) would
+            # otherwise leave their frames pinned in the block manager
+            # for the REST of the run — 190 queries in, storage steals
+            # enough unified memory that q_dedup_ngram_prefix measured
+            # 142.7 s inside the full sweep vs 42.9 s in a fresh
+            # session (sf1, same code). Clearing between queries makes
+            # each timing a fresh-session-equivalent measurement.
+            spark.catalog.clearCache()
 
     # Pass 1: every query once. Pass 2 (min-merge): the q_stream_*
     # family again, keeping the per-query MIN — the micro-batch

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from aces_nifi_processors_bundle_spark.flows import build_flow
 from aces_nifi_processors_bundle_spark.plans.queries import FLAGSHIP_BINNERS
@@ -625,3 +626,35 @@ def test_round8_stages_equal_direct_calls(spark, sf_dir):
         {"op": "hard_negatives", "right": "q", "k": 3},
     ], sf_dir).collect()))
     assert direct_hn == flowed_hn
+
+
+def test_flow_quantile_digest_stages_match_direct_calls(spark, sf_dir):
+    """round 9: build daily digests + fold + quantile read through the
+    flow canvas must equal the direct sketch calls."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+        digest_quantiles,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "events"},
+        {"op": "sql", "query": (
+            "SELECT event_type, CAST(ts AS DATE) AS day, value, event_id "
+            "FROM __this__"
+        )},
+        {"op": "quantile_digest", "value_col": "value",
+         "groups": ["event_type", "day"], "m": 8, "tie_col": "event_id"},
+        {"op": "digest_fold", "groups": ["event_type"], "m": 8,
+         "order_cols": ["day", "c"], "qs": [0.5, 0.9]},
+    ], sf_dir).collect()
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = cluster_digest(events, "value", ["event_type", "day"], m=8,
+                           tie_col="event_id")
+    merged = digest_merge(daily, ["event_type"], m=8, order_cols=["day", "c"])
+    want = digest_quantiles(merged, ["event_type"], qs=(0.5, 0.9)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

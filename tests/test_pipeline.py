@@ -3859,3 +3859,37 @@ def test_cluster_digest_rejects_tiny_m(spark):
         cluster_digest(df, "v", [], m=1)
     with pytest.raises(ValueError, match="m must be"):
         digest_merge(df, [], m=0)
+
+
+def test_ngram_jaccard_hashed_equals_string_verify(spark):
+    """The hashed verify path (xxhash64 shingle arrays) must return
+    exactly the string-set path's pairs AND jaccard values on a corpus
+    with shared boilerplate, partial overlaps, and disjoint docs —
+    collisions aside (probability ~n²/2^64), the two are the same
+    math over smaller bytes."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        near_dup_pairs_ngram,
+    )
+
+    rows = [Row(doc_id=i, text=f"shared prefix tokens here item {i} tail {i % 3}")
+            for i in range(12)]
+    rows += [Row(doc_id=100, text="utterly unrelated content entirely")]
+    df = spark.createDataFrame(rows)
+    # near_dup_pairs_ngram -> ngram_jaccard(hashed=True) is the default
+    hashed = sorted(map(tuple, near_dup_pairs_ngram(df, k=2, threshold=0.3).collect()))
+    # string path: force hashed=False through the underlying verify
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        _pairs_within_groups,
+        ngram_jaccard,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import shingle_rows
+
+    idx = shingle_rows(df, "text", "doc_id", 2).dropDuplicates(["doc_id", "shingle"])
+    cands = _pairs_within_groups(idx, "shingle", "doc_id", bounded=False)
+    strings = sorted(
+        map(tuple,
+            ngram_jaccard(df, cands, "text", "doc_id", 2, hashed=False)
+            .filter(F.col("jaccard") >= 0.3).collect())
+    )
+    assert hashed == strings
+    assert len(hashed) > 0

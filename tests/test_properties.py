@@ -866,3 +866,38 @@ def test_kmv_set_relations_exact_below_k(spark, sa, sb):
         )
     else:
         assert r["jaccard"] == 0.0 and r["est_intersection"] == 0.0
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1, max_size=300,
+    ),
+    m=st.sampled_from([4, 16]),
+)
+def test_cluster_digest_median_rank_error_bound(spark, vals, m):
+    """Property: a single-level m-cluster digest's p50 estimate lies
+    between the true order statistics at ranks target ± ceil(n/m) —
+    the equal-weight cluster width bounds the rank error, whatever the
+    value distribution (duplicates, skew, negatives)."""
+    import math as _math
+
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    cent = cluster_digest(df, "v", [], m=m, tie_col="id")
+    out = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
+    n = len(vals)
+    assert out["n"] == n
+    svals = sorted(vals)
+    target = _math.ceil(0.5 * n)
+    width = -(-n // m)  # ceil(n/m)
+    lo = svals[max(0, target - 1 - width)]
+    hi = svals[min(n - 1, target - 1 + width)]
+    assert lo <= out["q50"] <= hi
