@@ -1287,3 +1287,49 @@ def incremental_near_dedup(
     )
     store.put_if_absent(unique)
     return routed
+
+
+def cap_duplicates(
+    df: DataFrame,
+    clusters: DataFrame,
+    max_copies: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT dedup — cap each near-dup cluster at max_copies survivors
+    instead of collapsing to one: the training-mixture middle ground
+    between hard dedup (loses benign template diversity) and keeping
+    boilerplate floods intact (Lee et al.'s dedup-improves-LMs result
+    is about the flood tail, not the first few copies). `clusters` is
+    near_dup_clusters' (node, cluster) output; docs absent from it
+    (no near-dup partner) form singleton clusters of themselves and
+    always survive.
+
+    Survivor choice is deterministic and corpus-stable: rank within
+    cluster by (md5(id), id) — a uniform shuffle that does not favor
+    low ids — and keep rank <= max_copies. One group-bounded rank
+    window over the cluster-membership frame (cluster-sized, not
+    corpus-sized: only clustered docs enter it). Output: (id, cluster,
+    copy_rank) for every KEPT doc."""
+    if max_copies < 1:
+        raise ValueError(f"max_copies must be >= 1, got {max_copies}")
+    labeled = (
+        df.select(F.col(id_col))
+        .join(
+            clusters.select(
+                F.col("node").alias(id_col), F.col("cluster")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("copy_rank", F.row_number().over(w))
+        .where(F.col("copy_rank") <= max_copies)
+    )

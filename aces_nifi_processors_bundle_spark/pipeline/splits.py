@@ -299,3 +299,66 @@ def pack_sequences(
             F.pmod(F.col("tokens_before"), F.lit(seq_tokens)).cast("bigint"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column,
+    budget_tokens: int,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Multinomial TEMPERATURE sampling across sources — the standard
+    multilingual/multi-source training-mixture recipe (mT5/XLM-R
+    style): source s with token mass m_s is sampled with probability
+    p_s ∝ m_s^alpha (alpha = 1/T < 1 UPSAMPLES low-resource sources
+    relative to their natural share), and each doc keeps
+    independently with probability min(1, budget·p_s / m_s), so the
+    expected kept token mass is ~budget, mixed at the tempered rates.
+
+    Deterministic and replayable: membership is a pure function of
+    (id, its source's mass, the corpus totals) via the shared
+    md5-bucket hash — the weighted_sample discipline. m_s^alpha is
+    computed as exp(alpha·ln(m_s)) with the op order mirrored exactly
+    in the oracle (exp/ln are bit-identical cross-engine here, unlike
+    libm pow); the cross-source normalizer sums per-source terms
+    rounded to 7dp in DECIMAL(38,18), so addition order cannot matter.
+
+    Scale shape: one map-side-combined aggregate per source (the only
+    shuffle, group-count-sized), broadcast back as a one-row-per-source
+    frame; the keep decision is a zero-shuffle codegen filter. Output:
+    the kept rows + (n_tokens, keep_prob)."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    toks = df.select(
+        F.col(id_col), F.col(group_col),
+        token_col.cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    mass = toks.groupBy(group_col).agg(
+        F.sum("n_tokens").cast("bigint").alias("_m")
+    )
+    pw = F.round(F.exp(F.lit(alpha) * F.log(F.col("_m").cast("double"))), 7)
+    mass = mass.withColumn("_pw", pw)
+    tot = mass.agg(
+        F.sum(F.col("_pw").cast("decimal(38,18)")).cast("double").alias("_tot")
+    )
+    rates = mass.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "_m",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens))
+            * (F.col("_pw") / F.col("_tot"))
+            / F.col("_m").cast("double"),
+        ).alias("keep_prob"),
+    )
+    u = _hash_bucket(F.col(id_col), seed)
+    return (
+        toks.join(F.broadcast(rates), group_col)
+        .where(u.cast("double") < F.col("keep_prob") * F.lit(float(_HASH_MOD)))
+        .select(id_col, group_col, "n_tokens", F.round("keep_prob", 6).alias("keep_prob"))
+    )

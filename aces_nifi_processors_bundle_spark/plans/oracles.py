@@ -5028,3 +5028,104 @@ WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wfinal.w
 GROUP BY 1, 2
 """
 )
+
+
+# Mirrors temperature_mix op by op: per-source token mass (exact
+# bigint), m^0.3 as EXP(0.3*LN(m)) (bit-identical cross-engine, unlike
+# libm pow), the cross-source normalizer as a 7dp-rounded
+# DECIMAL(38,18) sum (addition-order-proof), keep_prob =
+# min(1, budget*p/m), membership = md5-bucket < keep_prob*1e6.
+oracle("q_mix_temperature")(
+    """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+              END AS BIGINT) AS n_tokens
+  FROM documents
+), t AS (
+  SELECT * FROM toks WHERE n_tokens > 0
+), mass AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS m,
+         ROUND(EXP(0.3 * LN(CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE))), 7) AS pw
+  FROM t GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(CAST(pw AS DECIMAL(38,18))) AS DOUBLE) AS tt FROM mass
+), rates AS (
+  SELECT lang, m,
+         LEAST(1.0, 3000.0 * (pw / tt) / CAST(m AS DOUBLE)) AS keep_prob
+  FROM mass, tot
+)
+SELECT t.doc_id, t.lang, t.n_tokens, ROUND(r.keep_prob, 6) AS keep_prob
+FROM t JOIN rates r ON t.lang = r.lang
+WHERE CAST(('0x' || substr(md5('tmix' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 AS DOUBLE) < r.keep_prob * 1000000.0
+"""
+)
+
+
+# q_dedup_near_clusters' recursive-CTE component labeling, extended
+# with the soft-dedup cap: singletons label themselves, survivors rank
+# by (md5(id), id) within cluster, rank <= 3 kept.
+oracle("q_dedup_cap")(
+    """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3, min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7 FROM shx GROUP BY doc_id),
+bands AS (SELECT doc_id, '0' || '#' || mh0 || '#' || mh1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1' || '#' || mh2 || '#' || mh3 AS bk FROM sig
+  UNION ALL SELECT doc_id, '2' || '#' || mh4 || '#' || mh5 AS bk FROM sig
+  UNION ALL SELECT doc_id, '3' || '#' || mh6 || '#' || mh7 AS bk FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS copy_rank
+  FROM labeled
+)
+SELECT doc_id, cluster, copy_rank FROM ranked WHERE copy_rank <= 3
+"""
+)

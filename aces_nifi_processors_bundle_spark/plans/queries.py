@@ -5092,3 +5092,45 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled training mixture (pipeline/splits.py::
+    temperature_mix, the mT5/XLM-R recipe): source sampling rates
+    ∝ token_mass^0.3 under a 3000-token budget — low-resource
+    languages keep a larger share than their natural mass. One
+    source-count-sized aggregate + a zero-shuffle hash filter; the
+    oracle mirrors the exp/ln/rounded-decimal-sum arithmetic op by
+    op."""
+    from ..pipeline.splits import temperature_mix
+    from ..pipeline.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return temperature_mix(
+        docs, "lang", word_count(F.col("text")),
+        budget_tokens=3000, alpha=0.3,
+    )
+
+
+def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (pipeline/dedup.py::cap_duplicates): near-dup
+    clusters capped at 3 survivors each instead of collapsed to one —
+    the training-mixture middle ground. Clusters come from the
+    oracle-proven minhash→verify→connected-components chain;
+    survivors rank by (md5(id), id) so the cap is a uniform,
+    corpus-stable draw. Output: every kept doc with its cluster and
+    copy rank."""
+    from ..pipeline.dedup import (
+        cap_duplicates,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+    clusters = near_dup_clusters(pairs)
+    return cap_duplicates(docs, clusters, max_copies=3)

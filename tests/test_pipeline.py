@@ -3893,3 +3893,100 @@ def test_ngram_jaccard_hashed_equals_string_verify(spark):
     )
     assert hashed == strings
     assert len(hashed) > 0
+
+
+def test_temperature_mix_upsamples_low_resource_sources(spark):
+    """alpha < 1 must give the low-resource source a HIGHER sampling
+    rate than the high-resource one (that is the point of temperature
+    mixing), and expected kept tokens must be ~budget: sum over
+    sources of keep_prob * mass = budget when no source saturates."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        temperature_mix,
+    )
+
+    rows = [Row(doc_id=i, lang="en", text="w " * 50) for i in range(200)]
+    rows += [Row(doc_id=1000 + i, lang="is", text="w " * 50) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    from aces_nifi_processors_bundle_spark.pipeline.text import word_count
+
+    out = temperature_mix(
+        df, "lang", word_count(F.col("text")), budget_tokens=2000, alpha=0.3
+    )
+    probs = {
+        r["lang"]: r["keep_prob"]
+        for r in out.select("lang", "keep_prob").distinct().collect()
+    }
+    assert probs["is"] > probs["en"]  # upsampled relative to mass
+    # natural share of 'is' is 10/210 ~ 4.8%; tempered share must beat it
+    masses = {"en": 200 * 50, "is": 10 * 50}
+    if all(p < 1.0 for p in probs.values()):
+        expected = sum(probs[s] * masses[s] for s in probs)
+        assert abs(expected - 2000) < 1.0
+        share_is = probs["is"] * masses["is"] / expected
+        assert share_is > 10 / 210
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "lang", word_count(F.col("text")), 100, alpha=0.0)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mix(df, "lang", word_count(F.col("text")), 0)
+
+
+def test_cap_duplicates_caps_clusters_keeps_singletons(spark):
+    """A 10-copy near-dup family keeps exactly max_copies survivors;
+    docs with no near-dup partner always survive as their own
+    cluster; survivor choice is md5-rank, not lowest-id."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        cap_duplicates,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+    )
+
+    fam = "identical boilerplate family text repeated verbatim here"
+    rows = [Row(doc_id=i, text=fam) for i in range(10)]
+    rows += [
+        Row(doc_id=100, text="one of a kind document alpha beta"),
+        Row(doc_id=101, text="another singleton entirely different gamma"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = near_dup_pairs_minhash(df, num_hashes=8, band_size=2, k=3,
+                                   threshold=0.5)
+    clusters = near_dup_clusters(pairs)
+    kept = cap_duplicates(df, clusters, max_copies=3).collect()
+    by_cluster = {}
+    for r in kept:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster[0]) == 3          # family capped at 3
+    assert {r["copy_rank"] for r in by_cluster[0]} == {1, 2, 3}
+    assert len(by_cluster[100]) == 1 and len(by_cluster[101]) == 1
+    with pytest.raises(ValueError, match="max_copies"):
+        cap_duplicates(df, clusters, max_copies=0)
+
+
+def test_cluster_digest_edge_cases(spark):
+    """All-equal values (every cluster mean = the value, quantiles
+    exact), n < m (one cluster per row, quantiles = exact order
+    statistics), and NULL values (excluded from state and counts)."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_quantiles,
+    )
+
+    eq = spark.createDataFrame([(i, 7.5) for i in range(100)], ["id", "v"])
+    out = digest_quantiles(
+        cluster_digest(eq, "v", [], m=8, tie_col="id"), [], qs=(0.5, 0.99)
+    ).collect()[0]
+    assert out["q50"] == 7.5 and out["q99"] == 7.5 and out["n"] == 100
+
+    tiny = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], ["id", "v"]
+    )
+    cent = cluster_digest(tiny, "v", [], m=16, tie_col="id")
+    assert cent.count() == 3  # one cluster per row when n < m
+    q = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
+    assert q["q50"] == 2.0  # exact median
+
+    withnull = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, v double"
+    )
+    cent = cluster_digest(withnull, "v", [], m=4, tie_col="id")
+    q = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
+    assert q["n"] == 2  # NULL excluded
