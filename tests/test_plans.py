@@ -707,3 +707,72 @@ def test_fact_joins_are_runtime_bloom_filter_compatible(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_temperature_mix_fact_side_never_shuffles(spark, sf_dir):
+    """temperature_mix's scale contract: the doc-side work is a
+    zero-shuffle broadcast-join + filter — the ONLY exchanges in the
+    plan belong to the source-count-sized mass aggregate (and its
+    one-row total). Asserted by requiring the rates side to arrive
+    via BroadcastExchange and the fact side to carry no Sort at all."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        temperature_mix,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import word_count
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = temperature_mix(
+        docs, "lang", word_count(F.col("text")), budget_tokens=3000
+    )
+    plan = plan_of(out, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Sort " not in plan, plan  # no sort anywhere: agg is hash-based
+
+
+def test_tdigest_build_window_is_chunk_partitioned(spark, sf_dir):
+    """The digest build's rank window must partition by the FULL
+    (group, day) chunk key — a window partitioned by event_type alone
+    would sort each type's entire fact history in one task (the
+    round-7 ntile defect shape). Asserted on the window spec in the
+    formatted plan."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    cent = cluster_digest(
+        events, "value", ["event_type", "day"], m=16, tie_col="event_id"
+    )
+    plan = plan_of(cent)
+    win_lines = _scan_lines(plan, "row_number()")
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "event_type" in ln and "day" in ln, ln
+
+
+def test_dedup_cap_rank_window_partitions_by_cluster(spark, sf_dir):
+    """cap_duplicates' rank window partitions by cluster label (group
+    sizes = near-dup family sizes, never corpus-sized) and its sort
+    keys are the md5 draw + id — no full-corpus ordering anywhere."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        cap_duplicates,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], ["node", "cluster"]
+    )
+    out = cap_duplicates(docs, clusters, max_copies=2)
+    plan = plan_of(out)
+    lines = _scan_lines(plan, "row_number()")
+    assert lines, plan
+    for ln in lines:
+        assert "cluster" in ln, ln
