@@ -5129,3 +5129,8 @@ ranked AS (
 SELECT doc_id, cluster, copy_rank FROM ranked WHERE copy_rank <= 3
 """
 )
+
+
+# Batch-split independence: the streaming digest register shares the
+# batch oracle verbatim (build grain is event-time-deterministic).
+ORACLES["q_stream_tdigest"] = ORACLES["q_tdigest_merge"]

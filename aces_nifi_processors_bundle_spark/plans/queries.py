@@ -5134,3 +5134,51 @@ def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = near_dup_clusters(pairs)
     return cap_duplicates(docs, clusters, max_copies=3)
+
+
+def q_stream_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-digest register maintained from a STREAM — the
+    q_stream_hll symmetry for the round-9 digest family: events land
+    idempotently in an epoch-partitioned history (foreachBatch is
+    at-least-once; a replayed epoch OVERWRITES its own dir — the
+    q_stream_cusum pattern), and at stream end the daily digests are
+    built over the accumulated history and folded per event_type.
+    Build grain = (type, day) — a DETERMINISTIC function of event
+    time, not of batch boundaries — which is exactly what makes the
+    digest state batch-split-independent and lets this share
+    q_tdigest_merge's oracle VERBATIM. The true incremental fold
+    (merge each micro-batch's digest into persisted state) is the
+    same digest_merge call per trigger; its result depends on the
+    batch split (digest merging is lossy), so the honest oracle-gated
+    form is this accumulate-then-build."""
+    from ..pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+        digest_quantiles,
+    )
+    from ..streaming.binning_stream import foreach_batch_merge
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    acc = _scratch("aces_stream_tdigest_") + "/history"
+
+    def append_fn(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{acc}/epoch={epoch_id}")
+
+    q = (
+        foreach_batch_merge(stream, append_fn, _scratch("aces_fbm_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    history = spark.read.parquet(acc).drop("epoch")
+    daily = cluster_digest(
+        history.withColumn("day", F.to_date("ts")),
+        "value",
+        ["event_type", "day"],
+        m=16,
+        tie_col="event_id",
+    )
+    merged = digest_merge(daily, ["event_type"], m=16, order_cols=["day", "c"])
+    return digest_quantiles(merged, ["event_type"], qs=(0.5, 0.9, 0.99))
