@@ -131,17 +131,32 @@ def main() -> None:
     # non-stream queries stay single-run to keep the wall-clock of the
     # full 190+-query registry bounded.
     rerun_passes = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "2"))
+    # Hard wall-clock budget for the OPTIONAL rerun pass: the sweep
+    # must never outgrow the driver's process timeout just to de-noise
+    # stream timings. Reruns run noisiest-first and stop (recording
+    # rerun_truncated) once the budget is spent; pass-1 coverage is
+    # never sacrificed.
+    rerun_budget_s = float(os.environ.get("SPARK_GRAFT_RERUN_BUDGET", "420"))
+    t_start = time.perf_counter()
     for name, fn in sorted(selected.items()):
         t = _run_once(name, fn)
         if t is not None:
             timings[name] = t
-    for name, fn in sorted(selected.items()):
-        if not name.startswith("q_stream_") or name in errors:
-            continue
+    rerun_truncated = False
+    stream_names = [
+        n for n in sorted(selected, key=lambda n: -timings.get(n, 0.0))
+        if n.startswith("q_stream_") and n not in errors
+    ]
+    for name in stream_names:
         for _ in range(rerun_passes - 1):
-            t = _run_once(name, fn)
+            if time.perf_counter() - t_start > rerun_budget_s:
+                rerun_truncated = True
+                break
+            t = _run_once(name, selected[name])
             if t is not None and t < timings.get(name, float("inf")):
                 timings[name] = t
+        if rerun_truncated:
+            break
     total = round(sum(timings.values()), 3)
     # The driver keeps only the LAST ~2000 chars of output, and the
     # full per-query map outgrew that around round 2 (BENCH_r02..r07
@@ -158,6 +173,7 @@ def main() -> None:
                 "errors": errors,
                 "sf": sf,
                 "runs": rerun_passes,
+                "rerun_truncated": rerun_truncated,
             }
         )
     )
@@ -169,6 +185,7 @@ def main() -> None:
         # q_stream_* timings are min-of-`runs` (micro-batch machinery
         # noise dominates there); everything else is single-run.
         "runs": rerun_passes,
+        "rerun_truncated": rerun_truncated,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": sorted(errors)[:5],
