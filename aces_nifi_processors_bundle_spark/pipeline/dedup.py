@@ -1306,9 +1306,11 @@ def cap_duplicates(
 
     Survivor choice is deterministic and corpus-stable: rank within
     cluster by (md5(id), id) — a uniform shuffle that does not favor
-    low ids — and keep rank <= max_copies. One group-bounded rank
-    window over the cluster-membership frame (cluster-sized, not
-    corpus-sized: only clustered docs enter it). Output: (id, cluster,
+    low ids — and keep rank <= max_copies. Spark plans the rank<=k
+    filter with WindowGroupLimit partial+final (plan-asserted), so a
+    web-scale boilerplate family — 10^8 docs in ONE cluster — ships
+    at most ~max_copies rows per map task across the exchange instead
+    of the whole family into one window sort. Output: (id, cluster,
     copy_rank) for every KEPT doc."""
     if max_copies < 1:
         raise ValueError(f"max_copies must be >= 1, got {max_copies}")

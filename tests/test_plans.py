@@ -776,3 +776,21 @@ def test_dedup_cap_rank_window_partitions_by_cluster(spark, sf_dir):
     assert lines, plan
     for ln in lines:
         assert "cluster" in ln, ln
+
+
+def test_dedup_cap_rank_window_is_pretrimmed(spark, sf_dir):
+    """cap_duplicates' rank<=k filter must plan with WindowGroupLimit
+    BOTH below and above the exchange (partial + final): a web-scale
+    boilerplate family (10^8 near-identical docs in ONE cluster) then
+    ships at most ~max_copies rows per map task instead of the whole
+    family into a single window sort — the same pre-trim the KMV
+    bottom-k relies on."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        cap_duplicates,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["node", "cluster"])
+    plan = plan_of(cap_duplicates(docs, clusters, max_copies=2))
+    assert plan.count("WindowGroupLimit") >= 2, plan
