@@ -1448,6 +1448,62 @@ def _digest_fold(
     return digest_quantiles(merged, groups, qs=tuple(qs))
 
 
+@stage("cap_duplicates")
+def _cap_duplicates(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    max_copies: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Soft dedup (round 9): near-dup clusters via the minhash chain,
+    capped at max_copies survivors per cluster; singletons pass."""
+    from .pipeline.dedup import (
+        cap_duplicates,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+    )
+
+    pairs = near_dup_pairs_minhash(
+        df, text_col, id_col, num_hashes, band_size, k, threshold
+    )
+    kept = cap_duplicates(df, near_dup_clusters(pairs), max_copies, id_col)
+    return df.join(kept.select(id_col, "cluster", "copy_rank"), id_col)
+
+
+@stage("temperature_mix")
+def _temperature_mix(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    group_col: str,
+    budget_tokens: int,
+    alpha: float = 0.3,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature mixture sampling (round 9): source rates ∝
+    mass^alpha under a token budget. token_col names a precomputed
+    count column; default counts whitespace tokens of text_col."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.splits import temperature_mix
+    from .pipeline.text import word_count
+
+    tokens = (
+        F.col(token_col) if token_col else word_count(F.col(text_col))
+    )
+    return temperature_mix(
+        df, group_col, tokens, budget_tokens, alpha, id_col
+    )
+
+
 @stage("incremental_near_dedup")
 def _incremental_near_dedup(
     spark: SparkSession,

@@ -658,3 +658,39 @@ def test_flow_quantile_digest_stages_match_direct_calls(spark, sf_dir):
     merged = digest_merge(daily, ["event_type"], m=8, order_cols=["day", "c"])
     want = digest_quantiles(merged, ["event_type"], qs=(0.5, 0.9)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_flow_cap_and_temperature_stages_match_direct_calls(spark, sf_dir):
+    """round 9: soft-dedup cap + temperature mix through the canvas
+    equal the direct pipeline calls."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        cap_duplicates,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        temperature_mix,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import word_count
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "cap_duplicates", "max_copies": 2},
+        {"op": "sql", "query": "SELECT doc_id, cluster, copy_rank FROM __this__"},
+    ], sf_dir).collect()
+    pairs = near_dup_pairs_minhash(docs, num_hashes=8, band_size=2, k=3,
+                                   threshold=0.5)
+    want = cap_duplicates(docs, near_dup_clusters(pairs), 2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "temperature_mix", "group_col": "lang",
+         "budget_tokens": 3000, "alpha": 0.3},
+    ], sf_dir).collect()
+    want = temperature_mix(docs, "lang", word_count(F.col("text")),
+                           3000, 0.3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
