@@ -1490,7 +1490,9 @@ def _temperature_mix(
 ) -> DataFrame:
     """Temperature mixture sampling (round 9): source rates ∝
     mass^alpha under a token budget. token_col names a precomputed
-    count column; default counts whitespace tokens of text_col."""
+    count column; default counts whitespace tokens of text_col. The
+    kept rows carry every input column plus (n_tokens, keep_prob),
+    so text-consuming stages can follow this one."""
     from pyspark.sql import functions as F
 
     from .pipeline.splits import temperature_mix

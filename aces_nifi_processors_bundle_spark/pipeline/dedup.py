@@ -456,8 +456,16 @@ def near_dup_pairs_ngram(
                 .select("shingle")
             )
         rows = rows.join(keep, "shingle", "left_semi")
+    # Pair-generation strategy: only an ABSOLUTE max_df proves every
+    # posting list is short enough for the in-task collect_list pairing
+    # (bounded=True). A quantile cutoff is data-dependent — a loose
+    # quantile (1.0 is legal and means "no prune") leaves the hottest
+    # boilerplate shingles in the index, and materializing such a
+    # posting list as one array is exactly the quadratic in-task blowup
+    # the join strategy exists to stream through. Output is identical
+    # either way (_pairs_within_groups contract).
     cands = _pairs_within_groups(
-        rows, "shingle", id_col, bounded=pruned
+        rows, "shingle", id_col, bounded=max_df is not None
     )
     # cands is consumed once (see near_dup_pairs_minhash) — only the
     # doubly-consumed rows/sets frames earn their cache

@@ -516,6 +516,7 @@ def cluster_digest(
     groups: list[str] | None = None,
     m: int = 32,
     tie_col: str | None = None,
+    allow_global_sort: bool = False,
 ) -> DataFrame:
     """Per-group mergeable QUANTILE state: m equal-weight value
     clusters — a t-digest with the uniform (k0) scale function, made
@@ -547,6 +548,20 @@ def cluster_digest(
     if m < 2:
         raise ValueError(f"cluster_digest: m must be >= 2, got {m}")
     groups = list(groups or [])
+    if not groups and not allow_global_sort:
+        # groups=[] ranks EVERY fact row in ONE unpartitioned window —
+        # a single-task global sort that silently serializes the whole
+        # corpus through one executor at scale. The scale path is to
+        # build per-chunk digests (any event-time/file subdivision as
+        # the group) and digest_merge them; an explicit
+        # allow_global_sort=True acknowledges the input is known-small
+        # (a test fixture, an already-aggregated frame).
+        raise ValueError(
+            "cluster_digest: groups=[] would globally sort every fact "
+            "row through one task — build per-chunk digests (e.g. "
+            "groups=['day']) and fold with digest_merge, or pass "
+            "allow_global_sort=True if the input is known-small"
+        )
     order = [F.col(value_col).asc()]
     if tie_col is not None:
         order.append(F.col(tie_col).asc())
@@ -576,9 +591,12 @@ def digest_merge(
 ) -> DataFrame:
     """Fold sub-digests (e.g. one per day) into one m-cluster digest
     per group, deterministically: order every input cluster by
-    (vmin, vmax, *order_cols) — order_cols are the sub-digest key
-    columns (['day', 'c'], say), needed only to break exact value-range
-    ties — then re-cluster by CUMULATIVE weight: a cluster whose
+    (vmin, vmax, *order_cols, w, vsum) — order_cols are the sub-digest
+    key columns (['day', 'c'], say) that break exact value-range ties;
+    the trailing (w, vsum) keep the order TOTAL even without them
+    (clusters tying on all five are indistinguishable in every
+    aggregated quantity, so their order cannot change the output) —
+    then re-cluster by CUMULATIVE weight: a cluster whose
     predecessors weigh cumb of the group total W lands in
     c = (cumb*m) div W. All integer, so the merged boundaries replay
     exactly in SQL; weights add, decimal sums add (order-independent),
@@ -597,6 +615,16 @@ def digest_merge(
     order = [F.col("vmin").asc(), F.col("vmax").asc()]
     for oc in order_cols or []:
         order.append(F.col(oc).asc())
+    # Trailing (w, vsum) tie-breakers make the canonical order TOTAL
+    # even when the caller omits order_cols: two clusters tying on
+    # (vmin, vmax, *order_cols, w, vsum) are indistinguishable in
+    # every aggregated quantity, so their relative order cannot change
+    # the merged state — without this, a (vmin, vmax) tie with
+    # different weights left the cumulative-weight assignment
+    # run-order-dependent, breaking the replays-exactly-in-SQL
+    # contract. Appended AFTER order_cols, so callers that already
+    # pass a unique key (['day', 'c']) see bit-identical output.
+    order.extend([F.col("w").asc(), F.col("vsum").asc()])
     part = Window.partitionBy(*groups) if groups else Window.partitionBy()
     w_ord = part.orderBy(*order)
     ranked = (

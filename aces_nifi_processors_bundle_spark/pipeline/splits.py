@@ -329,15 +329,21 @@ def temperature_mix(
     Scale shape: one map-side-combined aggregate per source (the only
     shuffle, group-count-sized), broadcast back as a one-row-per-source
     frame; the keep decision is a zero-shuffle codegen filter. Output:
-    the kept rows + (n_tokens, keep_prob)."""
+    the kept rows — EVERY input column (text included, so downstream
+    text-consuming stages can follow this as a flow stage) — plus
+    (n_tokens, keep_prob). A pre-existing n_tokens column is replaced
+    by the computed count. Rows whose token count is NULL or <= 0
+    carry no samplable mass and are dropped."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    toks = df.select(
-        F.col(id_col), F.col(group_col),
-        token_col.cast("bigint").alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
+    passthrough = [c for c in df.columns if c != "n_tokens"]
+    toks = (
+        df.select(*passthrough)
+        .withColumn("n_tokens", token_col.cast("bigint"))
+        .where(F.col("n_tokens") > 0)
+    )
     mass = toks.groupBy(group_col).agg(
         F.sum("n_tokens").cast("bigint").alias("_m")
     )
@@ -357,8 +363,12 @@ def temperature_mix(
         ).alias("keep_prob"),
     )
     u = _hash_bucket(F.col(id_col), seed)
+    kept_cols = [c for c in passthrough if c != group_col]
     return (
         toks.join(F.broadcast(rates), group_col)
         .where(u.cast("double") < F.col("keep_prob") * F.lit(float(_HASH_MOD)))
-        .select(id_col, group_col, "n_tokens", F.round("keep_prob", 6).alias("keep_prob"))
+        .select(
+            group_col, *kept_cols, "n_tokens",
+            F.round("keep_prob", 6).alias("keep_prob"),
+        )
     )

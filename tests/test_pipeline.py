@@ -3779,7 +3779,7 @@ def test_cluster_digest_quantile_rank_error_bound(spark):
     n, m = 1000, 20
     vals = [(i, float(i * i)) for i in range(n)]  # skewed gaps
     df = spark.createDataFrame(vals, ["id", "v"])
-    cent = cluster_digest(df, "v", [], m=m, tie_col="id")
+    cent = cluster_digest(df, "v", [], m=m, tie_col="id", allow_global_sort=True)
     out = digest_quantiles(cent, [], qs=(0.5, 0.9, 0.99)).collect()[0]
     assert out["n"] == n
     svals = sorted(v for _, v in vals)
@@ -3856,9 +3856,55 @@ def test_cluster_digest_rejects_tiny_m(spark):
 
     df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
     with pytest.raises(ValueError, match="m must be"):
-        cluster_digest(df, "v", [], m=1)
+        cluster_digest(df, "v", [], m=1, allow_global_sort=True)
     with pytest.raises(ValueError, match="m must be"):
         digest_merge(df, [], m=0)
+
+
+def test_cluster_digest_guards_ungrouped_global_sort(spark):
+    """groups=[] ranks every fact row through ONE unpartitioned window
+    — a single-task global sort at corpus scale. The guard demands an
+    explicit allow_global_sort=True acknowledgment (or per-chunk
+    groups + digest_merge, the scale path)."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "v"])
+    with pytest.raises(ValueError, match="global"):
+        cluster_digest(df, "v", [], m=4, tie_col="id")
+    # the acknowledged form still works
+    assert (
+        cluster_digest(df, "v", [], m=4, tie_col="id", allow_global_sort=True)
+        .count()
+        == 4
+    )
+
+
+def test_digest_merge_deterministic_without_order_cols(spark):
+    """Two sub-digest clusters tying on (vmin, vmax) but differing in
+    (w, vsum) must merge identically whatever order they arrive —
+    the trailing (w, vsum) tie-breakers keep the canonical order total
+    when the caller omits order_cols."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        digest_merge,
+    )
+
+    from decimal import Decimal
+
+    rows = [
+        # (c, w, vsum, vmin, vmax): two clusters with IDENTICAL value
+        # ranges but different weights/sums — the ADVICE tie case.
+        (0, 4, Decimal("8.0"), 1.0, 3.0),
+        (1, 2, Decimal("5.0"), 1.0, 3.0),
+        (2, 3, Decimal("12.0"), 4.0, 6.0),
+    ]
+    schema = "c bigint, w bigint, vsum decimal(38,18), vmin double, vmax double"
+    fwd = spark.createDataFrame(rows, schema)
+    rev = spark.createDataFrame(list(reversed(rows)), schema).repartition(3)
+    a = sorted(map(tuple, digest_merge(fwd, [], m=2).collect()))
+    b = sorted(map(tuple, digest_merge(rev, [], m=2).collect()))
+    assert a == b
 
 
 def test_ngram_jaccard_hashed_equals_string_verify(spark):
@@ -3930,6 +3976,34 @@ def test_temperature_mix_upsamples_low_resource_sources(spark):
         temperature_mix(df, "lang", word_count(F.col("text")), 0)
 
 
+def test_temperature_mix_passes_input_columns_through(spark):
+    """As a flow stage, temperature_mix must not strand downstream
+    text consumers: every input column (text included, extras too)
+    survives into the kept rows alongside (n_tokens, keep_prob), and
+    a pre-existing n_tokens column is REPLACED by the computed count,
+    not duplicated."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        temperature_mix,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import word_count
+
+    rows = [
+        Row(doc_id=i, lang="en", text="a b c d e", extra=i * 2, n_tokens=999)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    out = temperature_mix(
+        df, "lang", word_count(F.col("text")), budget_tokens=50, alpha=0.5
+    )
+    assert sorted(out.columns) == sorted(
+        ["doc_id", "lang", "text", "extra", "n_tokens", "keep_prob"]
+    )
+    got = out.orderBy("doc_id").first()
+    assert got["text"] == "a b c d e"
+    assert got["extra"] == got["doc_id"] * 2
+    assert got["n_tokens"] == 5  # computed, not the stale 999
+
+
 def test_cap_duplicates_caps_clusters_keeps_singletons(spark):
     """A 10-copy near-dup family keeps exactly max_copies survivors;
     docs with no near-dup partner always survive as their own
@@ -3972,14 +4046,15 @@ def test_cluster_digest_edge_cases(spark):
 
     eq = spark.createDataFrame([(i, 7.5) for i in range(100)], ["id", "v"])
     out = digest_quantiles(
-        cluster_digest(eq, "v", [], m=8, tie_col="id"), [], qs=(0.5, 0.99)
+        cluster_digest(eq, "v", [], m=8, tie_col="id",
+                       allow_global_sort=True), [], qs=(0.5, 0.99)
     ).collect()[0]
     assert out["q50"] == 7.5 and out["q99"] == 7.5 and out["n"] == 100
 
     tiny = spark.createDataFrame(
         [(1, 1.0), (2, 2.0), (3, 3.0)], ["id", "v"]
     )
-    cent = cluster_digest(tiny, "v", [], m=16, tie_col="id")
+    cent = cluster_digest(tiny, "v", [], m=16, tie_col="id", allow_global_sort=True)
     assert cent.count() == 3  # one cluster per row when n < m
     q = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
     assert q["q50"] == 2.0  # exact median
@@ -3987,6 +4062,6 @@ def test_cluster_digest_edge_cases(spark):
     withnull = spark.createDataFrame(
         [(1, 1.0), (2, None), (3, 3.0)], "id long, v double"
     )
-    cent = cluster_digest(withnull, "v", [], m=4, tie_col="id")
+    cent = cluster_digest(withnull, "v", [], m=4, tie_col="id", allow_global_sort=True)
     q = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
     assert q["n"] == 2  # NULL excluded

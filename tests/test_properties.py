@@ -891,7 +891,7 @@ def test_cluster_digest_median_rank_error_bound(spark, vals, m):
     df = spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
     )
-    cent = cluster_digest(df, "v", [], m=m, tie_col="id")
+    cent = cluster_digest(df, "v", [], m=m, tie_col="id", allow_global_sort=True)
     out = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
     n = len(vals)
     assert out["n"] == n

@@ -1,7 +1,7 @@
 """Driver-contract simulator: runs every __spark_entry__ query at
 sf0.01 under a default (ANSI, host-TZ) session and compares against
 the DuckDB oracle with the conftest type-strict normalizer.
-Usage: TZ=America/New_York python /tmp/driversim.py [only_prefix...]"""
+Usage: TZ=America/New_York python tools/driversim.py [only_prefix...|@firstN]"""
 import datetime
 import decimal
 import math
