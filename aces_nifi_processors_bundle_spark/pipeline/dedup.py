@@ -1297,6 +1297,130 @@ def incremental_near_dedup(
     return routed
 
 
+def substring_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-document EXACT duplicated substrings (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr modality, re-expressed set-oriented): every maximal
+    aligned span of >= min_tokens consecutive words shared verbatim by
+    two documents — the substring-level complement to doc-level
+    near-dup (catches long quotes / boilerplate spans inside otherwise
+    distinct documents that Jaccard-over-sets dilutes away).
+
+    Algorithm (NO suffix array, NO all-pairs — the paper's
+    suffix-array build is a pointer-chasing single-machine structure;
+    a join engine gets the same answer from anchors + diagonals):
+    1. ANCHOR INDEX: positional k-grams (id, pos, gram) — one regex
+       pass per doc, posexplode recovers the word offset
+       (text.positional_shingle_rows). A shared >= k-token span MUST
+       share an anchor, so recall at the min_tokens >= k granularity
+       is exact.
+    2. Optional max_df prune on anchor document frequency — the same
+       Σdf² skew defense as the shingle inverted index (a k-gram in
+       half the corpus is template boilerplate; with it pruned, a pair
+       still anchors via the span's rarer k-grams unless the ENTIRE
+       span is that hot, i.e. pure template; a mid-span prune SPLITS
+       the reported run in two — the cap trades reported-span
+       completeness for the Σdf² bound, audit like max_df elsewhere).
+    3. MATCHED POSITIONS: per-anchor self-join → (id_a, id_b, pos_a,
+       pos_b) with id_a < id_b; cost Σ df(anchor)², never n².
+    4. DIAGONAL RUNS: matches of one shared span lie on one alignment
+       diagonal (pos_a - pos_b) at CONSECUTIVE pos_a; islands-and-gaps
+       (pos_a - row_number, per (pair, diagonal) window — bounded by
+       the pair's shared anchors) groups each run; a run of r anchors
+       is a shared span of exactly r + k - 1 tokens. Maximality falls
+       out: a longer containing span would have joined the same run.
+
+    hashed (default ON): the anchor self-join ships xxhash64(gram)
+    (8 B) instead of ~8-word strings (~50 B) — the ngram_jaccard
+    verify-join contract (collisions ~n²/2^64 fabricate a match; the
+    DuckDB oracle joins RAW grams deliberately, so a collision at
+    graded scale surfaces as a mismatch instead of hiding).
+
+    Output: (id_a, id_b, pos_a, pos_b, match_tokens) per maximal run
+    with match_tokens >= min_tokens (default k). Word offsets are
+    0-based. Docs shorter than k words emit no anchors (they cannot
+    contain a >= k-token span).
+
+    Scale shape: two shuffles — the anchor join keyed on an 8-byte
+    hash, the run window keyed on (id_a, id_b, diagonal). The output
+    is pair-generating (grows with TRUE shared-span volume, like
+    q_dedup_ngram_prefix); the df cap bounds the one quadratic term.
+    """
+    if k < 2:
+        raise ValueError(f"substring_matches: k must be >= 2, got {k}")
+    min_tokens = k if min_tokens is None else min_tokens
+    if min_tokens < k:
+        raise ValueError(
+            f"substring_matches: min_tokens must be >= k (anchors are "
+            f"k-grams — a shorter span has no anchor), got "
+            f"{min_tokens=} {k=}"
+        )
+    from .text import positional_shingle_rows
+
+    rows = positional_shingle_rows(df, text_col, id_col, k)
+    anchor = F.xxhash64("shingle") if hashed else F.col("shingle")
+    rows = rows.select(
+        F.col(id_col), F.col("pos").cast("bigint").alias("pos"),
+        anchor.alias("_a"),
+    )
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(
+                f"substring_matches: max_df must be >= 2 (df=1 anchors "
+                f"match nothing), got {max_df}"
+            )
+        keep = (
+            rows.groupBy("_a")
+            # distinct docs, not occurrences: an anchor repeated inside
+            # ONE doc is intra-doc repetition, not cross-doc fan-out
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_a")
+        )
+        rows = rows.join(keep, "_a", "left_semi")
+    a = rows.select(
+        "_a", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = rows.select(
+        "_a", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        a.join(b, "_a")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+    )
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = (
+        m.withColumn(
+            "_island", F.col("pos_a") - F.row_number().over(w)
+        )
+        .groupBy(
+            "id_a", "id_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+            "_island",
+        )
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint")
+            .alias("match_tokens"),
+        )
+        .where(F.col("match_tokens") >= min_tokens)
+        .select("id_a", "id_b", "pos_a", "pos_b", "match_tokens")
+    )
+    return runs
+
+
 def cap_duplicates(
     df: DataFrame,
     clusters: DataFrame,

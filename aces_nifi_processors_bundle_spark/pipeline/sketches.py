@@ -507,6 +507,125 @@ def kmv_set_relations(
     )
 
 
+def kmv_overlap_matrix(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise cross-source overlap matrix from ONE grouped KMV
+    sketch frame — the contamination-observability pass a mixture
+    planner runs before weighting sources: which corpora secretly
+    share content, estimated WITHOUT ever joining fact rows. Input is
+    kmv_sketch(df, key, [group_col], k) — per-source bottom-k states,
+    <= k rows each — so a 100 TB corpus contributes k hashes per
+    source here no matter its size; everything below is
+    source_count² x k arithmetic, broadcast territory by construction.
+
+    Per source pair (a < b): re-derive the pair's union bottom-k from
+    the two states (kmv_merge's trim, windowed per pair), then the
+    kmv_set_relations estimator — membership of each union-sample hash
+    in A and B is exact (theta_U <= theta_A, theta_B), jaccard =
+    |sample ∩ A ∩ B| / |sample|, est_union the classic (k-1)·2^60 /
+    h_(k) (exact count when unsaturated), est_intersection = jaccard ·
+    est_union. One output row per unordered pair:
+    (source_a, source_b, n_union_sample, jaccard, est_union,
+    est_intersection).
+
+    Scale shape: the only non-sketch-sized object is the pair
+    cross-join of the SOURCE LIST (source_count² rows — metadata).
+    Nothing here re-reads data: feed it yesterday's persisted
+    per-source sketches and the matrix is a sub-second job."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    srcs = sketch.select(F.col(group_col)).distinct()
+    pairs = (
+        srcs.select(F.col(group_col).alias("source_a"))
+        .crossJoin(srcs.select(F.col(group_col).alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ent = sketch.select(F.col(group_col).alias("_g"), "h")
+    # each pair's union sample: the pair frame is tiny — broadcast it
+    # onto the sketch entries twice (A side, B side), dedup shared
+    # hashes, re-trim to bottom-k per pair
+    u_ent = (
+        ent.join(
+            F.broadcast(pairs), F.col("_g") == F.col("source_a")
+        ).select("source_a", "source_b", "h")
+        .unionByName(
+            ent.join(
+                F.broadcast(pairs), F.col("_g") == F.col("source_b")
+            ).select("source_a", "source_b", "h")
+        )
+        .dropDuplicates(["source_a", "source_b", "h"])
+    )
+    w = Window.partitionBy("source_a", "source_b").orderBy("h")
+    u = (
+        u_ent.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    in_a = ent.select(
+        F.col("_g").alias("_ga"), F.col("h").alias("_ha"),
+        F.lit(1).alias("_ina"),
+    )
+    in_b = ent.select(
+        F.col("_g").alias("_gb"), F.col("h").alias("_hb"),
+        F.lit(1).alias("_inb"),
+    )
+    flagged = (
+        u.join(
+            in_a,
+            (F.col("source_a") == F.col("_ga")) & (F.col("h") == F.col("_ha")),
+            "left",
+        )
+        .drop("_ga", "_ha")
+        .join(
+            in_b,
+            (F.col("source_b") == F.col("_gb")) & (F.col("h") == F.col("_hb")),
+            "left",
+        )
+        .drop("_gb", "_hb")
+    )
+    agg = flagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_sample"),
+        F.max("h").alias("_hk"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("_nb"),
+    )
+    est_union = (
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_hk").cast("double")
+    )
+    jac = F.round(
+        F.col("_nb").cast("double") / F.col("n_union_sample").cast("double"), 6
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_union_sample",
+        # a pair can't reach this frame with an empty sample (both
+        # sketches empty contribute no u_ent rows), so no 0/0 guard
+        jac.alias("jaccard"),
+        F.when(
+            F.col("n_union_sample") < k, F.col("n_union_sample").cast("double")
+        )
+        .otherwise(F.round(est_union, 6))
+        .alias("est_union"),
+    ).select(
+        "source_a",
+        "source_b",
+        "n_union_sample",
+        "jaccard",
+        "est_union",
+        F.round(F.col("jaccard") * F.col("est_union"), 6).alias(
+            "est_intersection"
+        ),
+    )
+
+
 # --- mergeable quantile digest (equal-weight cluster digest) -------------
 
 

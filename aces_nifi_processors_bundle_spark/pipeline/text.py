@@ -324,6 +324,28 @@ def shingle_rows(
     ).where(F.col("shingle").isNotNull())
 
 
+def positional_shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, pos, shingle) rows — overlapping word k-grams WITH their
+    0-based word offset, the anchor index substring-level dedup needs
+    (a match's location matters there, unlike the set-semantics
+    consumers of shingle_rows).
+
+    Same single regexp_extract_all pass as shingle_rows (the match
+    array is ordered by position, so posexplode recovers the word
+    offset for free — no window over posexploded words, which would
+    shuffle every word). DELIBERATELY no whole-text fallback: a doc
+    shorter than k words cannot anchor a k-token match, so it emits
+    ZERO rows — a fallback pseudo-gram would fabricate matches whose
+    claimed token span exceeds the document."""
+    t = F.trim(F.col(text_col))
+    grams = F.regexp_extract_all(t, F.lit(_shingle_regex(k)), 1)
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "shingle")
+    ).where(F.col("shingle").isNotNull())
+
+
 def fingerprint(text: Column, k: int = 3) -> Column:
     """Document fingerprint: lexicographic-min MD5 over word k-gram
     shingles (winnowing-lite). Identical prefix-content docs collide →
@@ -592,6 +614,72 @@ def repetition_ratio(
             - F.count_distinct(F.col("shingle"))
             / F.count(F.lit(1)).cast("double")
         ).alias("rep_ratio"),
+    )
+
+
+def trim_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """REPAIR operator for intra-document repetition: keep only the
+    FIRST occurrence of each repeated (trimmed) line within a document
+    and reassemble the text — the trimmer behind the Gopher
+    repetition_ratio signal (that one FLAGS repeated-span docs; this
+    one fixes the dominant web artifact — duplicated paragraphs from
+    templating/pagination/decoder loops — instead of discarding the
+    whole document). Deterministic: survival depends only on a line's
+    first position in its own doc, never on corpus order.
+
+    Output: (id, kept_lines, dropped_lines, new_text) — line_dedup's
+    contract, but the duplicate test is WITHIN-doc (line_dedup
+    thresholds on corpus-wide counts and drops every instance;
+    this keeps the first). Empty/whitespace-only lines are structural:
+    never counted, never dropped. `delim` is a split regex (keep it a
+    plain literal like the default newline); NULL-text docs produce no
+    lines and are absent — coalesce upstream to keep them.
+
+    Scale shape: all work is per-document — the occurrence window
+    partitions by (id, md5(line)), bounded by one doc's copies of one
+    line, and reassembly is the same groupBy(id) sort-structs pass as
+    line_dedup. No corpus-wide state, no joins: a 10^9-doc corpus is
+    embarrassingly parallel here. (The window and the reassembly both
+    key on the doc id, so AQE coalesces them onto one exchange of the
+    line rows.)"""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("tline", F.trim(F.col("line")))
+    occ = F.row_number().over(
+        Window.partitionBy(id_col, F.md5(F.col("tline"))).orderBy("pos")
+    )
+    marked = lines.withColumn(
+        "drop", (F.col("tline") != "") & (occ > 1)
+    )
+    return marked.groupBy(id_col).agg(
+        F.sum(F.when(~F.col("drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_lines"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            delim,
+        ).alias("new_text"),
     )
 
 

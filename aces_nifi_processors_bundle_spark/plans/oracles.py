@@ -5134,3 +5134,194 @@ SELECT doc_id, cluster, copy_rank FROM ranked WHERE copy_rank <= 3
 # Batch-split independence: the streaming digest register shares the
 # batch oracle verbatim (build grain is event-time-deterministic).
 ORACLES["q_stream_tdigest"] = ORACLES["q_tdigest_merge"]
+
+
+# --- round 10 ------------------------------------------------------------
+
+# Mirrors near_dup_pairs_ngram(max_df_quantile=0.99) INCLUDING the
+# _df_cutoff rank walk: cutoff = the smallest df whose cumulative
+# vocabulary count reaches ceil(0.99 * vocab - 1e-9) — the same
+# histogram cumsum the engine runs, so the knob's arithmetic (not a
+# precomputed constant) is what the gate checks. Verification is exact
+# Jaccard over FULL (unpruned) sets, as in q_dedup_ngram_jaccard.
+oracle("q_dedup_ngram_quantile")(
+    f"""
+WITH {_SHINGLES_CTE},
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM shx GROUP BY s),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM dfreq GROUP BY d),
+walk AS (
+  SELECT d, SUM(n) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT SUM(n) AS t FROM hist),
+cut AS (
+  SELECT MIN(d) AS df_cutoff FROM walk, tot
+  WHERE cum >= CEIL(0.99 * t - 1e-9)
+),
+idx AS (
+  SELECT doc_id, s FROM shx
+  WHERE s IN (SELECT s FROM dfreq, cut WHERE d <= df_cutoff)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+)
+
+
+# Mirrors substring_matches(k=8, min_tokens=12) on RAW gram strings
+# (the engine joins xxhash64 anchors — a 64-bit collision would
+# surface here as a mismatch, by design): positional 8-grams, matched
+# positions per shared gram, islands-and-gaps on each (pair, diagonal)
+# — a run of r consecutive matched anchors is a shared span of
+# r + 7 tokens.
+oracle("q_substring_dedup")(
+    """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(i)
+  WHERE len(w) >= 8
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b,
+         CAST(min(pos_a) AS BIGINT) AS pos_a,
+         CAST(min(pos_b) AS BIGINT) AS pos_b,
+         CAST(count(*) + 7 AS BIGINT) AS match_tokens
+  FROM r GROUP BY id_a, id_b, diag, island
+)
+SELECT id_a, id_b, pos_a, pos_b, match_tokens
+FROM runs WHERE match_tokens >= 12
+"""
+)
+
+
+# Mirrors q_repetition_trim: the 12-word pseudo-line restructuring
+# (shared with q_line_dedup), the planted re-append of each doc's
+# first line, then the keep-FIRST-occurrence rule — a line drops iff
+# its trimmed form is non-empty and already occurred at an earlier
+# position of the SAME doc.
+oracle("q_repetition_trim")(
+    """
+WITH lined AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, (len(string_split(text, ' ')) + 11) // 12 + 1),
+           i -> array_to_string(string_split(text, ' ')[(i-1)*12+1 : i*12], ' ')
+         ) AS ls
+  FROM documents
+),
+planted AS (SELECT doc_id, list_append(ls, ls[1]) AS ls FROM lined),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM planted
+),
+t AS (SELECT doc_id, pos, line, trim(line) AS tline FROM lines),
+marked AS (
+  SELECT doc_id, pos, line,
+         (tline <> '' AND row_number() OVER (
+            PARTITION BY doc_id, tline ORDER BY pos
+          ) > 1) AS drop
+  FROM t
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN NOT drop THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+       coalesce(string_agg(CASE WHEN NOT drop THEN line END, chr(10) ORDER BY pos), '')
+         AS new_text
+FROM marked GROUP BY doc_id
+"""
+)
+
+
+# Mirrors kmv_overlap_matrix over kmv_sketch(documents, text,
+# [source], 64): per-source bottom-64 of the seeded 60-bit hash, per
+# pair the union's re-trimmed bottom-64, membership decided exactly by
+# the A/B sketches, the (k-1)*2^60/h_(k) estimator, and the same
+# round-then-multiply-then-round est_intersection arithmetic as
+# q_kmv_overlap.
+oracle("q_source_overlap_matrix")(
+    """
+WITH h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmv:' || text), 1, 15))::BIGINT AS h
+  FROM documents WHERE text IS NOT NULL
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 64
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+u_ent AS (
+  SELECT DISTINCT p.source_a, p.source_b, s.h
+  FROM pairs p JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+),
+u AS (
+  SELECT source_a, source_b, h FROM (
+    SELECT source_a, source_b, h,
+           row_number() OVER (
+             PARTITION BY source_a, source_b ORDER BY h
+           ) AS rn
+    FROM u_ent
+  ) WHERE rn <= 64
+),
+stats AS (
+  SELECT u.source_a, u.source_b,
+         CAST(count(*) AS BIGINT) AS n_union_sample,
+         max(u.h) AS hk,
+         CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u
+  LEFT JOIN sk sa ON sa.source = u.source_a AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.source = u.source_b AND sb.h = u.h
+  GROUP BY u.source_a, u.source_b
+)
+SELECT source_a, source_b, n_union_sample,
+       round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6) AS jaccard,
+       CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
+            ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+       END AS est_union,
+       round(round(CAST(nb AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6)
+             * CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
+                    ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+               END, 6) AS est_intersection
+FROM stats
+ORDER BY source_a, source_b
+"""
+)

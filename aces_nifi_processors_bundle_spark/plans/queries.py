@@ -5186,3 +5186,84 @@ def q_stream_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = digest_merge(daily, ["event_type"], m=16, order_cols=["day", "c"])
     return digest_quantiles(merged, ["event_type"], qs=(0.5, 0.9, 0.99))
+
+
+# --- round 10 ------------------------------------------------------------
+
+
+def q_dedup_ngram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-stable df-prune knob under the oracle gate: exact
+    n-gram Jaccard near-dup pairs with the index pruned at
+    max_df_quantile=0.99 — the cutoff is the exact 99th-percentile of
+    the vocabulary's df multiset (pipeline/dedup.py::_df_cutoff rank
+    walk), so it tracks the corpus df distribution where an absolute
+    max_df silently tightens as the corpus grows. The oracle mirrors
+    the rank walk itself (histogram cumsum -> min df reaching
+    ceil(q*n)), not a precomputed cutoff — the knob's arithmetic is
+    what is being graded. 0.99 (not a looser 0.999) so the prune
+    actually FIRES at the graded scale: at sf0.01 the cutoff lands
+    mid-distribution and drops real hot shingles, exercising both
+    sides of the keep boundary."""
+    from ..pipeline.dedup import near_dup_pairs_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = near_dup_pairs_ngram(
+        docs, k=3, threshold=0.5, max_df_quantile=0.99,
+        persist_intermediates=True,
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring spans (pipeline/dedup.py::
+    substring_matches — the Lee et al. 2022 ExactSubstr modality,
+    set-oriented): maximal aligned runs of >= 12 consecutive shared
+    words, found via positional 8-gram anchors + diagonal
+    islands-and-gaps — no suffix array, no all-pairs, cost bounded by
+    Sigma df(anchor)^2 and the true shared-span volume. The engine
+    joins anchors as xxhash64; the oracle joins RAW gram strings, so
+    a 64-bit collision at graded scale surfaces as a mismatch."""
+    from ..pipeline.dedup import substring_matches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_matches(docs, k=8, min_tokens=12)
+
+
+def q_repetition_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition REPAIR (pipeline/text.py::
+    trim_repeated_lines): keep the first occurrence of each repeated
+    line within a doc, reassemble the text — the trimmer behind the
+    repetition_ratio signal. Fixture plants a guaranteed repetition
+    (each doc's first 12-word pseudo-line re-appended at the end), so
+    every doc exercises the drop path on top of any natural internal
+    repeats; the oracle replays the planting and the keep-first rule
+    verbatim."""
+    from ..pipeline.text import trim_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = _lined_documents(docs)
+    planted = lined.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.element_at(F.split(F.col("text"), "\n"), 1),
+        ).alias("text"),
+    )
+    return trim_repeated_lines(planted)
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (pipeline/sketches.py::
+    kmv_overlap_matrix): pairwise estimated text overlap/Jaccard
+    across ALL 20 sources from ONE grouped KMV sketch — k hashes per
+    source regardless of corpus size, so the 190-pair matrix is
+    sketch-arithmetic, never a fact join. The observability pass a
+    mixture planner runs before weighting sources."""
+    from ..pipeline.sketches import kmv_overlap_matrix, kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, "text", ["source"], k=64)
+    return kmv_overlap_matrix(sk, "source", k=64).orderBy(
+        "source_a", "source_b"
+    )

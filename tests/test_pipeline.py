@@ -4065,3 +4065,158 @@ def test_cluster_digest_edge_cases(spark):
     cent = cluster_digest(withnull, "v", [], m=4, tie_col="id", allow_global_sort=True)
     q = digest_quantiles(cent, [], qs=(0.5,)).collect()[0]
     assert q["n"] == 2  # NULL excluded
+
+
+# --- round 10: substring dedup / repetition trim / overlap matrix --------
+
+
+def test_substring_matches_finds_maximal_aligned_spans(spark):
+    """Two docs sharing one 12-word span at DIFFERENT offsets report
+    exactly one maximal run with the right positions and token count;
+    a disjoint doc reports nothing. The 5 consecutive matched 8-gram
+    anchors inside the span must coalesce into ONE row (maximality),
+    not 5."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        substring_matches,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(1, 13))
+    rows = [
+        Row(doc_id=1, text="a1 a2 a3 " + shared + " a4 a5"),
+        Row(doc_id=2, text="b1 " + shared + " b2 b3 b4 b5 b6"),
+        Row(doc_id=3, text="c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = substring_matches(df, k=8, min_tokens=12).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["pos_a"] == 3 and r["pos_b"] == 1
+    assert r["match_tokens"] == 12
+
+
+def test_substring_matches_min_tokens_and_multiple_runs(spark):
+    """A pair sharing TWO separate spans yields two rows (one per
+    run); a span one token short of min_tokens is filtered; and a doc
+    shorter than k words anchors nothing."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        substring_matches,
+    )
+
+    span_a = " ".join(f"x{i}" for i in range(12))   # 12 tokens
+    span_b = " ".join(f"y{i}" for i in range(11))   # 11 tokens: filtered
+    rows = [
+        Row(doc_id=1, text=span_a + " q1 q2 q3 " + span_b),
+        Row(doc_id=2, text="p1 p2 " + span_a + " r1 r2 r3 r4 " + span_b),
+        Row(doc_id=3, text="too short"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        map(tuple, substring_matches(df, k=8, min_tokens=12).collect())
+    )
+    # only span_a reaches 12 tokens
+    assert got == [(1, 2, 0, 2, 12)]
+    # at min_tokens=11 the second span appears too
+    got11 = sorted(
+        map(tuple, substring_matches(df, k=8, min_tokens=11).collect())
+    )
+    assert (1, 2, 0, 2, 12) in got11
+    assert any(m == 11 for *_ids, m in got11)
+    assert len(got11) == 2
+
+
+def test_substring_matches_hashed_equals_raw_and_max_df(spark):
+    """hashed=True (xxhash64 anchors) must return byte-identical runs
+    to raw-string anchors; max_df prunes an anchor shared by too many
+    docs (the boilerplate guard), and the validations raise."""
+    import pytest as _pytest
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        substring_matches,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # one 8-gram, 4 docs
+    rows = [Row(doc_id=i, text=f"u{i} " + boiler + f" v{i}") for i in range(4)]
+    rows.append(Row(doc_id=10, text=" ".join(f"z{i}" for i in range(10))))
+    df = spark.createDataFrame(rows)
+    h = sorted(map(tuple, substring_matches(df, k=8).collect()))
+    s = sorted(
+        map(tuple, substring_matches(df, k=8, hashed=False).collect())
+    )
+    assert h == s and len(h) == 6  # C(4,2) boilerplate pairs
+    pruned = substring_matches(df, k=8, max_df=3).collect()
+    assert pruned == []  # the only shared anchor sits in 4 docs > 3
+    with _pytest.raises(ValueError, match="min_tokens"):
+        substring_matches(df, k=8, min_tokens=7)
+    with _pytest.raises(ValueError, match="max_df"):
+        substring_matches(df, k=8, max_df=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        substring_matches(df, k=1)
+
+
+def test_trim_repeated_lines_keeps_first_occurrence(spark):
+    """Within-doc repeated lines drop from the SECOND occurrence on;
+    empty lines are structural (kept, uncounted as drops); whitespace
+    variants trim to the same key; NULL-text docs are absent."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        trim_repeated_lines,
+    )
+
+    rows = [
+        Row(doc_id=1, text="alpha beta\ngamma\nalpha beta\n\ngamma\ndelta"),
+        Row(doc_id=2, text="solo line"),
+        Row(doc_id=3, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in trim_repeated_lines(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["kept_lines"] == 4 and got[1]["dropped_lines"] == 2
+    assert got[1]["new_text"] == "alpha beta\ngamma\n\ndelta"
+    assert got[2]["kept_lines"] == 1 and got[2]["dropped_lines"] == 0
+    assert got[2]["new_text"] == "solo line"
+    # trailing-space variant trims to the same key: second drops but
+    # the KEPT first line preserves its original (untrimmed) bytes
+    df2 = spark.createDataFrame(
+        [Row(doc_id=7, text="x \nx\ny")], "doc_id long, text string"
+    )
+    r = trim_repeated_lines(df2).collect()[0]
+    assert r["kept_lines"] == 2 and r["dropped_lines"] == 1
+    assert r["new_text"] == "x \ny"
+
+
+def test_kmv_overlap_matrix_matches_pairwise_set_relations(spark):
+    """The one-pass matrix must reproduce kmv_set_relations' numbers
+    for every pair — same union sample, same jaccard, same estimates —
+    it IS that estimator, vectorized over the pair grid."""
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_overlap_matrix,
+        kmv_set_relations,
+        kmv_sketch,
+    )
+
+    rows = []
+    for i in range(120):
+        rows.append(Row(src="a", k=f"k{i}"))
+    for i in range(60, 180):
+        rows.append(Row(src="b", k=f"k{i}"))
+    for i in range(1000, 1050):
+        rows.append(Row(src="c", k=f"k{i}"))
+    df = spark.createDataFrame(rows)
+    sk = kmv_sketch(df, "k", ["src"], k=16)
+    mat = {
+        (r["source_a"], r["source_b"]): r
+        for r in kmv_overlap_matrix(sk, "src", k=16).collect()
+    }
+    assert set(mat) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for pa, pb in mat:
+        ska = kmv_sketch(df.where(F.col("src") == pa), "k", [], k=16)
+        skb = kmv_sketch(df.where(F.col("src") == pb), "k", [], k=16)
+        want = kmv_set_relations(ska, skb, k=16).collect()[0]
+        got = mat[(pa, pb)]
+        assert got["n_union_sample"] == want["n_union_sample"]
+        assert got["jaccard"] == want["jaccard"]
+        assert got["est_union"] == want["est_union"]
+        assert got["est_intersection"] == want["est_intersection"]
+    # the disjoint pairs really are disjoint, the overlapping one isn't
+    assert mat[("a", "c")]["jaccard"] == 0.0
+    assert mat[("a", "b")]["jaccard"] > 0.0

@@ -794,3 +794,25 @@ def test_dedup_cap_rank_window_is_pretrimmed(spark, sf_dir):
     clusters = spark.createDataFrame([(1, 1), (2, 1)], ["node", "cluster"])
     plan = plan_of(cap_duplicates(docs, clusters, max_copies=2))
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_substring_matches_run_window_is_pair_partitioned(spark, sf_dir):
+    """substring_matches' islands-and-gaps window must partition by
+    (pair, diagonal) — group sizes are one pair's shared anchors,
+    never corpus-sized — and the plan must carry no single-partition
+    exchange anywhere (no fact-row global sort: the scale contract of
+    the anchor-join design vs the paper's suffix array)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        substring_matches,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = substring_matches(docs, k=8, min_tokens=12)
+    plan = plan_of(out)
+    lines = _scan_lines(plan, "row_number()")
+    assert lines, plan
+    for ln in lines:
+        assert "id_a" in ln and "id_b" in ln, ln
+    simple = plan_of(out, mode="simple")
+    assert "Exchange SinglePartition" not in simple, simple
