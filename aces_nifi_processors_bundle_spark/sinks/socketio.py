@@ -52,22 +52,39 @@ class CollectingClient:
         self.connected = False
 
 
-def socketio_client_factory(tls: dict[str, Any] | None = None) -> Any:  # pragma: no cover
-    """Production factory: python-socketio if installed (it is not in
-    this container — import-gated per the environment contract).
+def socketio_client_factory(tls: dict[str, Any] | None = None) -> Any:
+    """Production factory: python-socketio when installed; otherwise
+    the vendored stdlib-only polling client (sinks/socketio_polling.py
+    — the same public Socket.IO v5 wire protocol over HTTP
+    long-polling, so the sink stays functional AND loopback-testable
+    in environments that never install the optional extra, this
+    container included).
 
     ``tls`` mirrors the reference's SSL context service
     (SocketIOProcessor.java:200-214 builds an SSLContext from the
     configured service and hands it to the client): keys ``verify``
     (bool or CA bundle path) and ``client_cert`` ((cert, key) path
-    tuple), applied via a requests session — python-socketio's TLS
-    surface."""
+    tuple) — applied via a requests session on python-socketio, via an
+    ssl.SSLContext on the vendored client."""
     try:
         import socketio  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "python-socketio not installed; pass a custom client_factory"
-        ) from e
+    except ImportError:
+        import ssl
+
+        from .socketio_polling import PollingSocketIOClient
+
+        ctx: Any = None
+        if tls:
+            if tls.get("verify") is False:
+                ctx = ssl.create_default_context()
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            elif isinstance(tls.get("verify"), str):
+                ctx = ssl.create_default_context(cafile=tls["verify"])
+            if tls.get("client_cert"):
+                ctx = ctx or ssl.create_default_context()
+                ctx.load_cert_chain(*tls["client_cert"])
+        return PollingSocketIOClient(ssl_context=ctx)
     if not tls:
         return socketio.Client()
     import requests  # type: ignore  # ships with python-socketio's deps

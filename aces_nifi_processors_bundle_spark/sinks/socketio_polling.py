@@ -1,0 +1,151 @@
+"""Stdlib-only Socket.IO client over HTTP long-polling.
+
+The SocketIO sink's production path (sinks/socketio.py) prefers the
+python-socketio package, but that package is an OPTIONAL extra and the
+sink's contract — push records to any Socket.IO v5 server — should not
+silently degrade to "untested" where the extra is absent. This module
+implements the client side of the PUBLIC Socket.IO v5 / Engine.IO v4
+wire protocol (socket.io protocol documentation; the same bytes the
+reference's Java client emits) for the polling transport only, on
+nothing but urllib/json/ssl:
+
+Engine.IO v4 polling frames (one HTTP body = packets joined by the
+0x1e record separator):
+    0{json}   handshake OPEN (server → client, carries the sid)
+    2 / 3     ping / pong
+    4<data>   MESSAGE — the Socket.IO layer rides inside
+    6         noop
+Socket.IO v5 packets (inside Engine.IO MESSAGE, so on the wire they
+appear as '4' + packet):
+    0{json}   namespace CONNECT        → wire '40...'
+    1         namespace DISCONNECT     → wire '41'
+    2[json]   EVENT [name, ...args]    → wire '42["event","payload"]'
+    4{json}   CONNECT_ERROR            → wire '44...'
+
+Long-polling is plain HTTP: emit = POST, receive = GET. No websocket
+upgrade is attempted (the client advertises none), which keeps this
+~150 lines and dependency-free while remaining a real protocol
+implementation any compliant server accepts — the loopback test in
+tests/test_socketio_loopback.py drives it against an equally
+stdlib-only server, and against python-socketio's server wherever
+that package exists.
+
+API mirrors python-socketio v5 ``Client`` (connect/emit/send/
+disconnect with the same keyword layout) so the sink's
+``client_factory`` injection point treats both interchangeably.
+"""
+
+from __future__ import annotations
+
+import json
+import ssl
+import time
+import urllib.parse
+import urllib.request
+
+RS = "\x1e"  # Engine.IO v4 payload record separator
+
+
+class PollingSocketIOClient:
+    """Socket.IO v5 client, polling transport, stdlib only.
+
+    Keyword layout copies python-socketio's ``Client.connect`` so the
+    sink's ``connect(url, wait_timeout=...)`` call binds identically
+    against either implementation (the round-7 positional-timeout bug
+    class is held off by the shared signature)."""
+
+    def __init__(
+        self,
+        ssl_context: ssl.SSLContext | None = None,
+        request_timeout: float = 10.0,
+    ) -> None:
+        self.connected = False
+        self._sid: str | None = None
+        self._base: str | None = None
+        self._ctx = ssl_context
+        self._timeout = request_timeout
+
+    # -- transport ---------------------------------------------------------
+
+    def _http(self, payload: str | None = None) -> str:
+        assert self._base is not None
+        url = self._base + (f"&sid={self._sid}" if self._sid else "")
+        # the t= cache-buster every Engine.IO client sends (proxies
+        # love caching identical polling GETs)
+        url += f"&t={time.monotonic_ns():x}"
+        req = urllib.request.Request(
+            url,
+            data=payload.encode("utf-8") if payload is not None else None,
+            headers={"Content-Type": "text/plain;charset=UTF-8"},
+            method="POST" if payload is not None else "GET",
+        )
+        with urllib.request.urlopen(
+            req, timeout=self._timeout, context=self._ctx
+        ) as resp:
+            return resp.read().decode("utf-8")
+
+    def _poll(self) -> list[str]:
+        return [p for p in self._http().split(RS) if p]
+
+    # -- python-socketio-shaped API ---------------------------------------
+
+    def connect(
+        self,
+        url,
+        headers=None,
+        auth=None,
+        transports=None,
+        namespaces=None,
+        socketio_path="socket.io",
+        wait=True,
+        wait_timeout=1,
+        retry=False,
+    ) -> None:
+        base = url.rstrip("/")
+        self._base = (
+            f"{base}/{socketio_path.strip('/')}/?EIO=4&transport=polling"
+        )
+        open_pkt = next(iter(self._http().split(RS)), "")
+        if not open_pkt.startswith("0"):
+            raise ConnectionError(
+                f"engine.io handshake: expected OPEN packet, got "
+                f"{open_pkt[:40]!r}"
+            )
+        self._sid = json.loads(open_pkt[1:])["sid"]
+        # Socket.IO namespace CONNECT ('40'), ack arrives via polling
+        self._http("40" + (json.dumps(auth) if auth is not None else ""))
+        deadline = time.monotonic() + float(wait_timeout)
+        while True:
+            for pkt in self._poll():
+                if pkt.startswith("44"):
+                    raise ConnectionError(f"connect refused: {pkt[2:]}")
+                if pkt.startswith("40"):
+                    self.connected = True
+                    return
+                if pkt == "2":  # engine.io ping → pong
+                    self._http("3")
+            if time.monotonic() >= deadline:
+                if wait:
+                    raise ConnectionError(
+                        "no namespace CONNECT ack within wait_timeout"
+                    )
+                self.connected = True  # fire-and-forget mode
+                return
+
+    def emit(self, event, data=None, namespace=None, callback=None) -> None:
+        if not self.connected:
+            raise RuntimeError("not connected")
+        arr = [event] if data is None else [event, data]
+        self._http("42" + json.dumps(arr, separators=(",", ":")))
+
+    def send(self, data, namespace=None, callback=None) -> None:
+        # Socket.IO's send() is sugar for the reserved 'message' event
+        self.emit("message", data)
+
+    def disconnect(self) -> None:
+        if self.connected:
+            try:
+                self._http("41")
+            except OSError:
+                pass  # server already gone — disconnect is best-effort
+            self.connected = False
