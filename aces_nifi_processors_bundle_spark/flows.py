@@ -308,12 +308,25 @@ def _store_put_if_absent(
     keys: list[str],
     n_buckets: int = 64,
     order_col: str | None = None,
+    init_if_absent: bool = False,
 ) -> DataFrame:
     """ACTION: duplicate-checked insert into a keyed store (O5 as a
-    flow sink); hands the post-state downstream."""
+    flow sink); hands the post-state downstream. init_if_absent=True
+    creates the store from the batch schema on first use (the
+    register-accumulation pattern — examples/digest_register.flow.json;
+    the incremental_near_dedup stage's store-level existence probe,
+    NOT an os.path check, so hdfs:// paths and crashed-first-write
+    dirs behave). Default False: a missing store raises, preserving
+    O5's insert-into-an-existing-table contract."""
     from .stores import KeyedParquetStore
+    from .stores.keyed_table import StoreNotInitializedError
 
     store = KeyedParquetStore(spark=spark, path=path, keys=keys, n_buckets=n_buckets)
+    if init_if_absent:
+        try:
+            store.read()
+        except StoreNotInitializedError:
+            store.init(df.limit(0))
     store.put_if_absent(df, order_col=order_col)
     return store.read()
 

@@ -481,6 +481,25 @@ class KeyedParquetStore:
             *[f"{self.path}/{d}" for d in dirs]
         )
 
+    @staticmethod
+    def _observed_or_recompute(obs: Observation, src: DataFrame, aggs) -> dict:
+        """An Observation's metrics, tolerating Spark's empty-write
+        metrics loss: under AQE, a segment write whose post-route
+        output is EMPTY (an all-duplicate put_if_absent batch, an
+        all-drop merge) propagates the empty relation over the
+        CollectMetrics node — the node vanishes from the final
+        executed plan, the observed row arrives schemaless, and
+        Observation.get dies in PythonSQLUtils.toPyRow's
+        GenericRowWithSchema assertion. The fallback reruns the SAME
+        aggregate expressions as one extra (tiny) job; it can only
+        disagree with what the write saw for a nondeterministic
+        source, and both commit paths already abort on those (the
+        touched-bucket guard). The happy path stays one job."""
+        try:
+            return obs.get
+        except Exception:
+            return src.agg(*aggs).collect()[0].asDict()
+
     def _write_segment(self, out: DataFrame) -> tuple[str, set[int]]:
         """Write a new immutable segment; returns (rel dir, bucket ids
         present in the output — a bucket all of whose rows dropped has
@@ -864,21 +883,23 @@ class KeyedParquetStore:
                 res = partial_update(target, source, cfg)
             obs = Observation()
             route = F.col(ROUTE_COL)
-            observed = res.merged.observe(
-                obs,
+            merge_aggs = [
                 F.sum(F.when(route == "success", 1).otherwise(0)).alias("updated"),
                 F.sum(F.when(route == "success-unmodified", 1).otherwise(0)).alias(
                     "unmodified"
                 ),
                 F.sum(F.when(route == "insert", 1).otherwise(0)).alias("inserted"),
-            )
+            ]
+            observed = res.merged.observe(obs, *merge_aggs)
             out = (
                 observed.filter(route != "drop")
                 .drop(ROUTE_COL)
                 .withColumn(BUCKET_COL, self._bucket_of())
             )
             seg, present = self._write_segment(out)
-            m = obs.get  # metrics fired by the segment-write job
+            # metrics fired by the segment-write job (recomputed only
+            # on the empty-write AQE edge — see _observed_or_recompute)
+            m = self._observed_or_recompute(obs, res.merged, merge_aggs)
             if self._pre_publish_hook is not None:
                 self._pre_publish_hook()
             # The touched-bucket list and the segment write execute the
@@ -967,11 +988,11 @@ class KeyedParquetStore:
             tagged = tag_put_if_absent(target, source, self.keys, order_col)
             obs = Observation()
             route = F.col(ROUTE_COL)
-            observed = tagged.observe(
-                obs,
+            pia_aggs = [
                 F.sum(F.when(route == "success", 1).otherwise(0)).alias("inserted"),
                 F.sum(F.when(route == "already-exists", 1).otherwise(0)).alias("dupes"),
-            )
+            ]
+            observed = tagged.observe(obs, *pia_aggs)
             # Keep source columns BEYOND the manifest schema: dropping
             # them silently would lose data, and an added column is a
             # scan-safe evolution (old files read it as NULL). The
@@ -1037,7 +1058,7 @@ class KeyedParquetStore:
                 body = inserted_rows
             out = body.withColumn(BUCKET_COL, self._bucket_of())
             seg, present = self._write_segment(out)
-            m = obs.get
+            m = self._observed_or_recompute(obs, tagged, pia_aggs)
             if self._pre_publish_hook is not None:
                 self._pre_publish_hook()
             # Same nondeterministic-source hazard as merge(): a row

@@ -694,3 +694,63 @@ def test_flow_cap_and_temperature_stages_match_direct_calls(spark, sf_dir):
     want = temperature_mix(docs, "lang", word_count(F.col("text")),
                            3000, 0.3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_flow_digest_register_two_run_lifecycle(spark, sf_dir, tmp_path):
+    """round 10 (examples/digest_register.flow.json): the daily
+    quantile-register lifecycle across TWO ingest runs — each run
+    builds (event_type, day) digests for ITS slice of days and
+    put-if-absents them into the keyed store (a day's digest is
+    deterministic and immutable, so replays are no-ops), then folds
+    the store's ENTIRE accumulated state. Run 2's quantiles must equal
+    the one-shot batch computation over all events — the proof that
+    the register accumulates correctly instead of just echoing the
+    current batch."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        cluster_digest,
+        digest_merge,
+        digest_quantiles,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    store = str(tmp_path / "digest_register")
+    cut = "2024-01-15"
+
+    def run(day_filter: str):
+        return build_flow(spark, [
+            {"op": "load", "table": "events"},
+            {"op": "sql", "query": (
+                "SELECT event_type, CAST(ts AS DATE) AS day, value, "
+                "event_id FROM __this__ WHERE value IS NOT NULL"
+            )},
+            {"op": "filter", "condition": day_filter},
+            {"op": "quantile_digest", "value_col": "value",
+             "groups": ["event_type", "day"], "m": 16,
+             "tie_col": "event_id"},
+            {"op": "store_put_if_absent", "path": store,
+             "keys": ["event_type", "day", "c"], "n_buckets": 8,
+             "init_if_absent": True},
+            {"op": "digest_fold", "groups": ["event_type"], "m": 16,
+             "order_cols": ["day", "c"], "qs": [0.5, 0.9, 0.99]},
+        ], sf_dir).collect()
+
+    run(f"day < DATE'{cut}'")                    # ingest 1: early days
+    got = run(f"day >= DATE'{cut}'")             # ingest 2: the rest
+    # replaying ingest 2 must change nothing (immutable day digests)
+    replay = run(f"day >= DATE'{cut}'")
+    assert sorted(map(tuple, replay)) == sorted(map(tuple, got))
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    daily = cluster_digest(
+        events, "value", ["event_type", "day"], m=16, tie_col="event_id"
+    )
+    merged = digest_merge(daily, ["event_type"], m=16, order_cols=["day", "c"])
+    want = digest_quantiles(
+        merged, ["event_type"], qs=(0.5, 0.9, 0.99)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

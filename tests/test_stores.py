@@ -1054,3 +1054,42 @@ def test_merge_succeeds_even_if_auto_compaction_loses_the_lock(
     m = store.merge(spark.createDataFrame([Row(k=1, v=9.0)]), cfg)
     assert m.updated == 1  # the commit is reported, not the race
     assert store.read().collect()[0]["v"] == 9.0
+
+
+def test_put_if_absent_all_duplicate_batch_without_txn(spark, tmp_path):
+    """round 10 regression: an all-duplicate batch WITHOUT a txn guard
+    (the natural-replay path — e.g. re-offering a day's immutable
+    digest clusters) must return (inserted=0, unmodified=n) and leave
+    the table untouched. Previously this DIED inside Observation.get:
+    the empty post-route write let AQE propagate an empty relation
+    over the CollectMetrics node, the metrics row arrived schemaless,
+    and toPyRow's assertion fired — the _observed_or_recompute
+    fallback now recomputes the counts as one extra job."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "alldupe"), keys=["k"], n_buckets=4
+    )
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)])
+    store.init(df.limit(0))
+    assert store.put_if_absent(df).inserted == 10
+    m = store.put_if_absent(df)  # full replay, no txn id
+    assert (m.inserted, m.unmodified) == (0, 10)
+    assert store.read().count() == 10
+
+
+def test_merge_all_drop_batch_metrics(spark, tmp_path):
+    """round 10 regression, merge flavor of the same AQE empty-write
+    metrics loss: update-only merge (upsert=False) into an EMPTY store
+    routes every source row 'drop' — zero rows reach the segment
+    write, and the metrics must still come back as all-zero instead of
+    raising."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "alldrop"), keys=["k"], n_buckets=4
+    )
+    df = spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)])
+    store.init(df.limit(0))
+    cfg = PartialUpdateConfig(
+        keys=["k"], operations={"v": "$set"}, upsert=False
+    )
+    m = store.merge(df, cfg)
+    assert (m.updated, m.unmodified, m.inserted) == (0, 0, 0)
+    assert store.read().count() == 0
