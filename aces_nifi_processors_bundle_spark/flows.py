@@ -1556,6 +1556,70 @@ def _incremental_near_dedup(
     )
 
 
+@stage("substring_dedup")
+def _substring_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact duplicated substrings (round 10): maximal
+    aligned spans of >= min_tokens shared words via positional k-gram
+    anchors + diagonal runs — the Lee et al. ExactSubstr modality.
+    Emits the (id_a, id_b, pos_a, pos_b, match_tokens) span report;
+    feed it to a downstream trim/filter policy stage."""
+    from .pipeline.dedup import substring_matches
+
+    return substring_matches(df, text_col, id_col, k, min_tokens, max_df)
+
+
+@stage("trim_repetitions")
+def _trim_repetitions(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Intra-doc repetition REPAIR (round 10): keep the first
+    occurrence of each repeated line, REWRITE text_col in place and
+    pass every other column through — so quality/token stages chain
+    after the repair (the flow-canvas contract temperature_mix also
+    follows). Adds (kept_lines, dropped_lines) as repair evidence."""
+    from .pipeline.text import trim_repeated_lines
+
+    trimmed = trim_repeated_lines(df, text_col, id_col, delim)
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*passthrough)
+        .join(trimmed, id_col)
+        .withColumnRenamed("new_text", text_col)
+        .select(*df.columns, "kept_lines", "dropped_lines")
+    )
+
+
+@stage("source_overlap")
+def _source_overlap(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key: str = "text",
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Cross-source contamination matrix (round 10): per-source KMV
+    bottom-k sketch → pairwise overlap/Jaccard estimates, everything
+    sketch-sized. The mixture-planning observability pass."""
+    from .pipeline.sketches import kmv_overlap_matrix, kmv_sketch
+
+    return kmv_overlap_matrix(kmv_sketch(df, key, [group_col], k), group_col, k)
+
+
 @stage("weighted_median")
 def _weighted_median(
     spark: SparkSession,

@@ -754,3 +754,60 @@ def test_flow_digest_register_two_run_lifecycle(spark, sf_dir, tmp_path):
         merged, ["event_type"], qs=(0.5, 0.9, 0.99)
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_flow_round10_stages_match_direct_calls(spark, sf_dir):
+    """round 10: substring_dedup, trim_repetitions, and source_overlap
+    through the flow canvas equal the direct pipeline calls; the
+    repair stage must REWRITE text in place and keep every other
+    column so downstream text consumers still work."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        substring_matches,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        trim_repeated_lines,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "substring_dedup", "k": 8, "min_tokens": 12},
+    ], sf_dir).collect()
+    want = substring_matches(docs, k=8, min_tokens=12).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "trim_repetitions"},
+        {"op": "sql", "query": (
+            "SELECT doc_id, text, lang, kept_lines, dropped_lines "
+            "FROM __this__"
+        )},
+    ], sf_dir).collect()
+    trimmed = trim_repeated_lines(docs)
+    want = (
+        docs.select("doc_id", "lang")
+        .join(trimmed, "doc_id")
+        .selectExpr(
+            "doc_id", "new_text AS text", "lang", "kept_lines",
+            "dropped_lines",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "source_overlap", "k": 64},
+    ], sf_dir).collect()
+    want = kmv_overlap_matrix(
+        kmv_sketch(docs, "text", ["source"], 64), "source", 64
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
