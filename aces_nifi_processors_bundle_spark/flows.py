@@ -1603,6 +1603,35 @@ def _trim_repetitions(
     )
 
 
+@stage("repair_substrings")
+def _repair_substrings(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document substring REPAIR (round 10): cut every shared
+    >= min_tokens span from all but its lowest-id owner
+    (remove_duplicate_spans), rewrite text_col in place, pass every
+    other column through, and add (n_tokens, removed_tokens) as
+    repair evidence — trim_repetitions' contract, applied across
+    documents instead of within one."""
+    from .pipeline.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(df, None, text_col, id_col, k, min_tokens, max_df)
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*passthrough)
+        .join(out, id_col)
+        .withColumnRenamed("new_text", text_col)
+        .select(*df.columns, "n_tokens", "removed_tokens")
+    )
+
+
 @stage("source_overlap")
 def _source_overlap(
     spark: SparkSession,

@@ -1421,6 +1421,129 @@ def substring_matches(
     return runs
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    matches: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The REPAIR half of substring-level dedup (Lee et al. 2022 cut
+    the duplicated substring out of the training text, they did not
+    drop whole documents): for every cross-document shared span found
+    by substring_matches, the LOWEST-id owner keeps its copy and every
+    higher-id doc has the span's words removed — keep-first-owner, the
+    same min-id-wins convention as dedup_exact/put_if_absent, and
+    transitively consistent because a chain doc1~doc2~doc3 sharing one
+    span also produces the (doc1, doc3) run directly.
+
+    `matches` is substring_matches' (id_a, id_b, pos_a, pos_b,
+    match_tokens) output (recomputed here when None). Per affected
+    doc, the id_b-side spans [pos_b, pos_b + match_tokens) merge into
+    disjoint intervals (gaps-and-islands over the doc's own spans:
+    running-max end, new island when a span starts past it — windows
+    partitioned per doc, bounded by the doc's span count), surviving
+    words rebuild the text space-joined. Documents with nothing to
+    remove pass their text through BYTE-IDENTICAL (no split/rejoin
+    round trip — the repair touches only the docs the matcher
+    implicates); affected docs are rebuilt from the same
+    whitespace tokenization the anchors used. Intra-doc repetition is
+    deliberately out of scope (trim_repeated_lines owns it).
+
+    Output: (id, n_tokens, removed_tokens, new_text) for EVERY doc —
+    n_tokens the doc's whitespace word count, removed_tokens how many
+    words the repair cut (0 for untouched docs, NULL-text docs keep
+    NULL text and count 0 tokens).
+
+    Scale shape: everything per-doc after the matcher — the interval
+    merge and the word drop join are keyed on the doc id, group sizes
+    bounded by one doc's spans/words; the one corpus-wide object is
+    the matcher's output, whose cost model substring_matches
+    documents."""
+    if matches is None:
+        matches = substring_matches(
+            df, text_col, id_col, k, min_tokens, max_df
+        )
+    spans = matches.select(
+        F.col("id_b").alias(id_col),
+        F.col("pos_b").alias("_s"),
+        (F.col("pos_b") + F.col("match_tokens")).alias("_e"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy(F.col("_s").asc(), F.col("_e").asc())
+    run_end = F.max("_e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = spans.withColumn(
+        "_new", F.when(run_end.isNull() | (F.col("_s") > run_end), 1).otherwise(0)
+    ).withColumn(
+        "_isl", F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islanded.groupBy(id_col, "_isl").agg(
+        F.min("_s").alias("_s"), F.max("_e").alias("_e")
+    )
+    affected_words = (
+        df.join(merged.select(id_col).distinct(), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "pos", "word"
+            ),
+        )
+    )
+    dropped = (
+        affected_words.join(merged, id_col)
+        .where(
+            (F.col("pos") >= F.col("_s")) & (F.col("pos") < F.col("_e"))
+        )
+        .select(id_col, "pos")
+        .distinct()
+    )
+    rebuilt = (
+        affected_words.join(dropped.withColumn("_d", F.lit(1)), [id_col, "pos"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_d").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_d").isNull(),
+                                F.struct(F.col("pos"), F.col("word")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("word"),
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    from .text import word_count
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("n_tokens"),
+                word_count(F.col(text_col)).cast("bigint"),
+                F.lit(0).cast("bigint"),  # NULL text: 0 tokens
+            ).alias("n_tokens"),
+            F.coalesce(F.col("removed_tokens"), F.lit(0).cast("bigint")).alias(
+                "removed_tokens"
+            ),
+            F.coalesce(F.col("new_text"), F.col(text_col)).alias("new_text"),
+        )
+    )
+
+
 def cap_duplicates(
     df: DataFrame,
     clusters: DataFrame,

@@ -5325,3 +5325,87 @@ FROM stats
 ORDER BY source_a, source_b
 """
 )
+
+
+# Mirrors remove_duplicate_spans(k=8, min_tokens=12): the
+# q_substring_dedup run derivation, the id_b-side spans merged by
+# gaps-and-islands per doc, words inside merged intervals dropped,
+# text rebuilt space-joined in word order; untouched docs pass through
+# byte-identical with removed_tokens = 0.
+oracle("q_substring_repair")(
+    """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(i)
+  WHERE len(w) >= 8
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+         count(*) + 7 AS match_tokens
+  FROM r GROUP BY id_a, id_b, diag, island
+  HAVING count(*) + 7 >= 12
+),
+spans AS (
+  SELECT id_b AS doc_id, pos_b AS s, pos_b + match_tokens AS e FROM runs
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM spans
+  )
+),
+merged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, grp),
+aw AS (
+  SELECT words.doc_id, i AS pos, w[i+1] AS word
+  FROM words, unnest(range(len(w))) AS t(i)
+  WHERE words.doc_id IN (SELECT doc_id FROM merged)
+),
+dropped AS (
+  SELECT DISTINCT aw.doc_id, aw.pos
+  FROM aw JOIN merged ON merged.doc_id = aw.doc_id
+  WHERE aw.pos >= merged.s AND aw.pos < merged.e
+),
+rebuilt AS (
+  SELECT aw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS removed_tokens,
+         coalesce(string_agg(CASE WHEN d.pos IS NULL THEN aw.word END,
+                             ' ' ORDER BY aw.pos), '') AS new_text
+  FROM aw LEFT JOIN dropped d ON d.doc_id = aw.doc_id AND d.pos = aw.pos
+  GROUP BY aw.doc_id
+)
+SELECT doc.doc_id,
+       coalesce(r.n_tokens,
+                CAST(CASE WHEN length(trim(doc.text)) = 0 THEN 0
+                     ELSE length(trim(doc.text))
+                          - length(replace(trim(doc.text), ' ', '')) + 1
+                     END AS BIGINT),
+                0) AS n_tokens,
+       coalesce(r.removed_tokens, 0) AS removed_tokens,
+       coalesce(r.new_text, doc.text) AS new_text
+FROM documents doc LEFT JOIN rebuilt r ON r.doc_id = doc.doc_id
+"""
+)

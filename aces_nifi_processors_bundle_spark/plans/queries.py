@@ -5267,3 +5267,17 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_matrix(sk, "source", k=64).orderBy(
         "source_a", "source_b"
     )
+
+
+def q_substring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair half of substring dedup (pipeline/dedup.py::
+    remove_duplicate_spans): every >= 12-token cross-document span is
+    CUT from all but its lowest-id owner — Lee et al.'s actual dedup
+    action (they removed the substring, not the document). Interval
+    merge and word drop are per-doc bounded; untouched docs pass
+    byte-identical. Output: every doc with (n_tokens, removed_tokens,
+    new_text)."""
+    from ..pipeline.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, k=8, min_tokens=12)

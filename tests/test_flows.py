@@ -811,3 +811,30 @@ def test_flow_round10_stages_match_direct_calls(spark, sf_dir):
         kmv_sketch(docs, "text", ["source"], 64), "source", 64
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_flow_repair_substrings_stage(spark, sf_dir):
+    """round 10: the cross-doc substring repair stage rewrites text in
+    place, keeps other columns, and equals the direct call."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "repair_substrings", "k": 8, "min_tokens": 12},
+        {"op": "sql", "query": (
+            "SELECT doc_id, text, source, removed_tokens FROM __this__"
+        )},
+    ], sf_dir).collect()
+    rep = remove_duplicate_spans(docs, k=8, min_tokens=12)
+    want = (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .selectExpr("doc_id", "new_text AS text", "source", "removed_tokens")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

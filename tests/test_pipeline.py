@@ -4220,3 +4220,66 @@ def test_kmv_overlap_matrix_matches_pairwise_set_relations(spark):
     # the disjoint pairs really are disjoint, the overlapping one isn't
     assert mat[("a", "c")]["jaccard"] == 0.0
     assert mat[("a", "b")]["jaccard"] > 0.0
+
+
+def test_remove_duplicate_spans_keep_first_owner(spark):
+    """The lowest-id owner keeps its copy; every higher-id doc has the
+    span's words cut; untouched docs pass BYTE-identical (weird
+    spacing preserved — no split/rejoin round trip); a 3-doc chain is
+    transitively consistent; NULL text survives as NULL with 0
+    tokens."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        Row(doc_id=1, text="a1 a2 " + shared + " a3"),
+        Row(doc_id=2, text="b1 " + shared + " b2 b3"),
+        Row(doc_id=3, text=shared + " c1 c2 c3"),
+        Row(doc_id=4, text="untouched   doc  with   odd spacing"),
+        Row(doc_id=5, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=8, min_tokens=12).collect()
+    }
+    assert got[1]["removed_tokens"] == 0
+    assert got[1]["new_text"] == "a1 a2 " + shared + " a3"  # owner keeps
+    assert got[2]["removed_tokens"] == 12
+    assert got[2]["new_text"] == "b1 b2 b3"
+    assert got[3]["removed_tokens"] == 12
+    assert got[3]["new_text"] == "c1 c2 c3"
+    assert got[4]["new_text"] == "untouched   doc  with   odd spacing"
+    assert got[4]["removed_tokens"] == 0
+    assert got[5]["new_text"] is None and got[5]["n_tokens"] == 0
+
+
+def test_remove_duplicate_spans_merges_overlapping_intervals(spark):
+    """A doc losing two OVERLAPPING spans (to two different owners)
+    must cut the merged interval once — removed_tokens counts each
+    word once, not per span."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+
+    w = [f"t{i}" for i in range(20)]
+    # doc 3 shares words 0..11 with doc 1 and words 6..17 with doc 2
+    rows = [
+        Row(doc_id=1, text="x1 x2 " + " ".join(w[0:12])),
+        Row(doc_id=2, text=" ".join(w[6:18]) + " y1 y2"),
+        Row(doc_id=3, text=" ".join(w) + " z1 z2"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=8, min_tokens=12).collect()
+    }
+    # doc 3 loses the union [0, 18) = 18 words, kept: t18 t19 z1 z2
+    assert got[3]["removed_tokens"] == 18
+    assert got[3]["new_text"] == "t18 t19 z1 z2"
+    # doc 2 loses its overlap with doc 1? words 6..11 shared with doc 1
+    # is only 6 tokens < min 12, so doc 2 keeps everything
+    assert got[2]["removed_tokens"] == 0
+    assert got[1]["removed_tokens"] == 0
