@@ -1649,6 +1649,38 @@ def _source_overlap(
     return kmv_overlap_matrix(kmv_sketch(df, key, [group_col], k), group_col, k)
 
 
+@stage("incremental_substring_dedup")
+def _incremental_substring_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int = 12,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """ACTION (round 10): route the incoming batch against the
+    persisted positional-anchor store at `path` (created on first
+    use — the incremental_near_dedup store-level probe), appending
+    unique survivors' anchors; hands the routed frame downstream."""
+    from .pipeline.dedup import anchor_rows, incremental_substring_dedup
+    from .stores import KeyedParquetStore
+    from .stores.keyed_table import StoreNotInitializedError
+
+    store = KeyedParquetStore(
+        spark=spark, path=path, keys=[id_col, "pos"], n_buckets=n_buckets
+    )
+    try:
+        store.read()
+    except StoreNotInitializedError:
+        store.init(anchor_rows(df, text_col, id_col, k).limit(0))
+    return incremental_substring_dedup(
+        store, df, text_col, id_col, k, min_tokens
+    )
+
+
 @stage("weighted_median")
 def _weighted_median(
     spark: SparkSession,

@@ -1421,6 +1421,159 @@ def substring_matches(
     return runs
 
 
+def anchor_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, a) positional xxhash64 k-gram anchors — the persisted
+    state unit of incremental substring dedup. O(corpus tokens) rows
+    at 8 B of hash + two ids each: the same asymptotic footprint the
+    suffix-array approach pays (Lee et al. store ~5 B/token), here as
+    an appendable table instead of a rebuilt monolith."""
+    from .text import positional_shingle_rows
+
+    return positional_shingle_rows(df, text_col, id_col, k).select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.xxhash64("shingle").alias("a"),
+    )
+
+
+def incremental_substring_dedup(
+    store,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Incremental SUBSTRING-level dedup against a persisted anchor
+    store — the production-ingest twin of incremental_near_dedup, for
+    the exact-span modality: each arriving batch is checked for
+    >= min_tokens verbatim spans shared with EVERYTHING ever kept,
+    without re-reading any historical text (the store holds positional
+    anchors only — anchor_rows), and survivors' anchors are appended
+    for the next batch to check against.
+
+    Routing per new doc, store-dup beating batch-dup (the
+    incremental_near_dedup contract):
+    - 'duplicate_store' — shares a >= min_tokens span with ANY stored
+      doc; store_match_tokens reports the longest such span;
+    - 'duplicate_batch' — otherwise, shares one with a SMALLER-id doc
+      of the same batch (min-id-wins, as everywhere in this engine);
+    - 'unique' — else; its anchors are appended via put_if_absent on
+      the (doc, pos) natural key, so replays are no-ops.
+
+    Every new doc appears in the output (docs too short to anchor
+    cannot share a span — they route 'unique' and contribute no
+    state). Span detection is the substring_matches diagonal-run
+    machinery applied across the store boundary: anchor equi-join on
+    the 8-byte hash, islands-and-gaps per (new doc, old doc,
+    diagonal) — a run of r matched anchors is a shared span of
+    r + k - 1 tokens.
+
+    Scale shape: the store scan ships (id, pos, hash) triples — wide
+    compared to the 8-bytes-per-DOC simhash store, but that is the
+    honest price of exact substring recall (the paper's suffix array
+    is the same order); both joins are hash equi-joins whose skew
+    defense is the anchors' natural selectivity (boilerplate-heavy
+    corpora should df-prune at build time via
+    substring_matches(max_df=...) policy upstream). The append is
+    localCheckpointed first so the write plan never reads the store
+    it mutates (the incremental_near_dedup lesson)."""
+    min_tokens = k if min_tokens is None else min_tokens
+    if min_tokens < k:
+        raise ValueError(
+            f"incremental_substring_dedup: min_tokens must be >= k, got "
+            f"{min_tokens=} {k=}"
+        )
+    need = min_tokens - k + 1  # anchors per qualifying run
+    new_rows = anchor_rows(new_docs, text_col, id_col, k).persist()
+    old_rows = store.read().select(
+        F.col(id_col).alias("_old_id"),
+        F.col("pos").alias("_old_pos"),
+        F.col("a"),
+    )
+
+    def runs(a_side: DataFrame, b_side: DataFrame, ia: str, ib: str,
+             pa: str, pb: str, cond: Column | None = None) -> DataFrame:
+        m = a_side.join(b_side, "a")
+        if cond is not None:
+            # pair constraint applied BEFORE the run window: the batch
+            # self-join would otherwise drag every self-match (a doc
+            # vs itself is one full-length diagonal) and both
+            # orientations of every pair through the shuffle
+            m = m.where(cond)
+        m = m.select(ia, ib, pa, pb)
+        w = Window.partitionBy(
+            ia, ib, F.col(pa) - F.col(pb)
+        ).orderBy(pa)
+        return (
+            m.withColumn("_isl", F.col(pa) - F.row_number().over(w))
+            .groupBy(
+                ia, ib, (F.col(pa) - F.col(pb)).alias("_diag"), "_isl"
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= need)
+            .select(
+                F.col(ia), F.col(ib),
+                (F.col("_n") + F.lit(k - 1)).cast("bigint")
+                .alias("match_tokens"),
+            )
+        )
+
+    store_runs = runs(
+        new_rows.select(F.col(id_col).alias("_new_id"),
+                        F.col("pos").alias("_new_pos"), "a"),
+        old_rows,
+        "_new_id", "_old_id", "_new_pos", "_old_pos",
+    )
+    store_hits = store_runs.groupBy(
+        F.col("_new_id").alias(id_col)
+    ).agg(F.max("match_tokens").alias("store_match_tokens"))
+    a_new = new_rows.select(
+        F.col(id_col).alias("_ida"), F.col("pos").alias("_pa"), "a"
+    )
+    b_new = new_rows.select(
+        F.col(id_col).alias("_idb"), F.col("pos").alias("_pb"), "a"
+    )
+    batch_runs = runs(
+        a_new, b_new, "_ida", "_idb", "_pa", "_pb",
+        cond=F.col("_ida") < F.col("_idb"),
+    )
+    batch_hits = batch_runs.select(
+        F.col("_idb").alias(id_col)
+    ).distinct().withColumn("_bd", F.lit(True))
+    routed = (
+        new_docs.select(F.col(id_col))
+        .join(store_hits, id_col, "left")
+        .join(batch_hits, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("store_match_tokens").isNotNull(),
+                F.lit("duplicate_store"),
+            )
+            .when(F.col("_bd"), F.lit("duplicate_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("route"),
+            "store_match_tokens",
+        )
+    )
+    unique_anchors = (
+        new_rows.join(
+            routed.where(F.col("route") == "unique").select(id_col),
+            id_col,
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    store.put_if_absent(unique_anchors)
+    return routed
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     matches: DataFrame | None = None,

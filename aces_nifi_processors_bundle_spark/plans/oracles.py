@@ -5409,3 +5409,55 @@ SELECT doc.doc_id,
 FROM documents doc LEFT JOIN rebuilt r ON r.doc_id = doc.doc_id
 """
 )
+
+
+# Mirrors q_incremental_substring on RAW gram strings: the run table
+# over the WHOLE corpus (id-ordered pairs), then the fixture's id
+# split makes routing pure algebra — store-side pairs are exactly
+# (id_a < 250 <= id_b), batch-side pairs have both ids >= 250. Store
+# beats batch; longest store-side span reported; docs in no pair are
+# unique.
+oracle("q_incremental_substring")(
+    """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(i)
+  WHERE len(w) >= 8
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, count(*) + 7 AS match_tokens
+  FROM r GROUP BY id_a, id_b, diag, island
+  HAVING count(*) + 7 >= 12
+),
+store_hits AS (
+  SELECT id_b AS doc_id, CAST(max(match_tokens) AS BIGINT) AS store_match_tokens
+  FROM runs WHERE id_a < 250 AND id_b >= 250 GROUP BY id_b
+),
+batch_hits AS (
+  SELECT DISTINCT id_b AS doc_id FROM runs WHERE id_a >= 250
+)
+SELECT d.doc_id,
+       CASE WHEN s.doc_id IS NOT NULL THEN 'duplicate_store'
+            WHEN b.doc_id IS NOT NULL THEN 'duplicate_batch'
+            ELSE 'unique' END AS route,
+       s.store_match_tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN store_hits s ON s.doc_id = d.doc_id
+LEFT JOIN batch_hits b ON b.doc_id = d.doc_id
+"""
+)

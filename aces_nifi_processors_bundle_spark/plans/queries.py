@@ -5281,3 +5281,28 @@ def q_substring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_duplicate_spans(docs, k=8, min_tokens=12)
+
+
+def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring-level dedup against a persisted anchor
+    store (pipeline/dedup.py::incremental_substring_dedup): the store
+    holds positional 8-gram anchors of the first half of the corpus
+    (no text); the second half arrives as a batch, every doc routes
+    duplicate_store / duplicate_batch / unique on >= 12-token shared
+    spans (longest store-side span reported), and unique docs'
+    anchors are appended for the next batch. The production-ingest
+    twin of q_incremental_near_dedup, exact-span modality."""
+    from ..pipeline.dedup import anchor_rows, incremental_substring_dedup
+    from ..stores import KeyedParquetStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_incsub_"),
+        keys=["doc_id", "pos"],
+        n_buckets=8,
+    )
+    store.init(anchor_rows(old))
+    return incremental_substring_dedup(store, new, k=8, min_tokens=12)

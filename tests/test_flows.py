@@ -838,3 +838,29 @@ def test_flow_repair_substrings_stage(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_flow_incremental_substring_stage_accumulates(spark, sf_dir, tmp_path):
+    """round 10: the anchor-store stage creates the store on first
+    use and catches a second flow run's span against the FIRST run's
+    kept docs."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    store = str(tmp_path / "anchorstore")
+
+    def run(lo, hi):
+        return build_flow(spark, [
+            {"op": "load", "table": "documents"},
+            {"op": "select", "columns": ["doc_id", "text"]},
+            {"op": "filter", "condition": f"doc_id >= {lo} AND doc_id < {hi}"},
+            {"op": "incremental_substring_dedup", "path": store,
+             "k": 8, "min_tokens": 12, "n_buckets": 4},
+        ], sf_dir).collect()
+
+    first = run(0, 250)
+    assert all(r["route"] in ("duplicate_batch", "unique") for r in first)
+    second = run(0, 250)  # replay: every kept doc now matches ITSELF
+    kept = {r["doc_id"] for r in first if r["route"] == "unique"}
+    for r in second:
+        if r["doc_id"] in kept and r["store_match_tokens"] is not None:
+            assert r["route"] == "duplicate_store"

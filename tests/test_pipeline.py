@@ -4283,3 +4283,62 @@ def test_remove_duplicate_spans_merges_overlapping_intervals(spark):
     # is only 6 tokens < min 12, so doc 2 keeps everything
     assert got[2]["removed_tokens"] == 0
     assert got[1]["removed_tokens"] == 0
+
+
+def test_incremental_substring_dedup_cross_batch_and_replay(spark, tmp_path):
+    """Spans must be caught against STORE history (cross-batch), the
+    in-batch check follows min-id-wins, unique survivors' anchors
+    accumulate (a later batch matches a PREVIOUS batch's unique doc),
+    short docs route unique with no state, and offering a batch twice
+    is state-idempotent."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        anchor_rows,
+        incremental_substring_dedup,
+    )
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    s1 = " ".join(f"s{i}" for i in range(12))
+    s2 = " ".join(f"u{i}" for i in range(12))
+    old = spark.createDataFrame([Row(doc_id=1, text="o1 " + s1 + " o2")])
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "anchors"),
+        keys=["doc_id", "pos"], n_buckets=4,
+    )
+    store.init(anchor_rows(old))
+
+    batch1 = spark.createDataFrame([
+        Row(doc_id=10, text="x1 x2 " + s1),            # vs store
+        Row(doc_id=11, text=s2 + " y1"),               # first owner in batch
+        Row(doc_id=12, text="z1 z2 z3 " + s2),         # vs smaller batch id
+        Row(doc_id=13, text=" ".join(f"c{i}" for i in range(15))),
+        Row(doc_id=14, text="too short"),
+    ])
+    got = {
+        r["doc_id"]: r
+        for r in incremental_substring_dedup(
+            store, batch1, k=8, min_tokens=12
+        ).collect()
+    }
+    assert got[10]["route"] == "duplicate_store"
+    assert got[10]["store_match_tokens"] == 12
+    assert got[11]["route"] == "unique"
+    assert got[12]["route"] == "duplicate_batch"
+    assert got[12]["store_match_tokens"] is None
+    assert got[13]["route"] == "unique"
+    assert got[14]["route"] == "unique"  # no anchors, no partners
+
+    # cross-batch: doc 20 shares s2 with doc 11, kept LAST batch
+    batch2 = spark.createDataFrame([Row(doc_id=20, text=s2 + " w1 w2")])
+    got2 = incremental_substring_dedup(
+        store, batch2, k=8, min_tokens=12
+    ).collect()[0]
+    assert got2["route"] == "duplicate_store"
+    assert got2["store_match_tokens"] == 12
+
+    n_state = store.read().count()
+    # replay batch2: doc 20 still a store-dup, state unchanged
+    replay = incremental_substring_dedup(
+        store, batch2, k=8, min_tokens=12
+    ).collect()[0]
+    assert replay["route"] == "duplicate_store"
+    assert store.read().count() == n_state
