@@ -816,3 +816,23 @@ def test_substring_matches_run_window_is_pair_partitioned(spark, sf_dir):
         assert "id_a" in ln and "id_b" in ln, ln
     simple = plan_of(out, mode="simple")
     assert "Exchange SinglePartition" not in simple, simple
+
+
+def test_remove_duplicate_spans_windows_are_doc_partitioned(spark, sf_dir):
+    """The repair's interval-merge windows partition by the doc id
+    (group sizes = one doc's spans, never corpus-sized) and the plan
+    carries no single-partition exchange — the repair inherits the
+    matcher's scale contract."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicate_spans(docs, k=8, min_tokens=12)
+    plan = plan_of(out)
+    # every window in the plan (matcher's run window + the interval
+    # merge's running-max/island windows) must carry a partition spec
+    assert "Window" in plan, plan
+    simple = plan_of(out, mode="simple")
+    assert "Exchange SinglePartition" not in simple, simple
