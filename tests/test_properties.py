@@ -901,3 +901,160 @@ def test_cluster_digest_median_rank_error_bound(spark, vals, m):
     lo = svals[max(0, target - 1 - width)]
     hi = svals[min(n - 1, target - 1 + width)]
     assert lo <= out["q50"] <= hi
+
+
+def _brute_substring_runs(docs, k, min_tokens):
+    """Independent Python model of substring_matches: for every doc
+    pair and every alignment offset, walk the maximal runs of
+    position-wise equal tokens; report runs >= min_tokens."""
+    toks = {i: t.split() for i, t in docs.items()}
+    out = set()
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            wa, wb = toks[a], toks[b]
+            for diag in range(-(len(wb)), len(wa) + 1):
+                run = 0
+                start = None
+                # positions where wa[p] aligns wb[p - diag]
+                for p in range(max(0, diag), min(len(wa), len(wb) + diag)):
+                    if wa[p] == wb[p - diag]:
+                        if run == 0:
+                            start = p
+                        run += 1
+                    else:
+                        if run >= min_tokens:
+                            out.add((a, b, start, start - diag, run))
+                        run = 0
+                if run >= min_tokens:
+                    out.add((a, b, start, start - diag, run))
+    return out
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]),  # tiny alphabet → matches
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_substring_matches_model(spark, token_lists):
+    """substring_matches vs an independent brute-force alignment walk
+    over every (pair, diagonal): identical maximal-run sets. The tiny
+    token alphabet forces dense anchor collisions, repeated grams
+    within docs, and overlapping diagonals — the hard cases for the
+    islands-and-gaps formulation."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        substring_matches,
+    )
+
+    k, min_tokens = 3, 4
+    docs = {i: " ".join(ts) for i, ts in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["pos_a"], r["pos_b"], r["match_tokens"])
+        for r in substring_matches(
+            df, k=k, min_tokens=min_tokens, hashed=False
+        ).collect()
+    }
+    want = _brute_substring_runs(docs, k, min_tokens)
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_remove_duplicate_spans_model(spark, token_lists):
+    """remove_duplicate_spans vs the independent model: cut the
+    brute-force runs' id_b-side intervals (merged) from each doc,
+    rebuild space-joined; untouched docs byte-identical."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+
+    k, min_tokens = 3, 4
+    docs = {i: " ".join(ts) for i, ts in enumerate(token_lists)}
+    runs = _brute_substring_runs(docs, k, min_tokens)
+    cut: dict[int, set[int]] = {}
+    for _a, b, _pa, pb, mt in runs:
+        cut.setdefault(b, set()).update(range(pb, pb + mt))
+    want = {}
+    for i, t in docs.items():
+        ws = t.split()
+        removed = cut.get(i, set())
+        kept = [w for p, w in enumerate(ws) if p not in removed]
+        new_text = " ".join(kept) if i in cut else t
+        want[i] = (len(ws), len(removed), new_text)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["new_text"])
+        for r in remove_duplicate_spans(
+            df, k=k, min_tokens=min_tokens
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["line one", "line two", "x", "", "  "]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_trim_repeated_lines_model(spark, docs_lines):
+    """trim_repeated_lines vs the Python model: first occurrence of
+    each non-blank trimmed line survives, blanks are structural, the
+    rebuild preserves original bytes and order."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        trim_repeated_lines,
+    )
+
+    docs = {i: "\n".join(ls) for i, ls in enumerate(docs_lines)}
+    want = {}
+    for i, t in docs.items():
+        lines = t.split("\n")
+        seen: set[str] = set()
+        kept_lines = []
+        dropped = 0
+        for ln in lines:
+            tl = ln.strip()
+            if tl and tl in seen:
+                dropped += 1
+            else:
+                if tl:
+                    seen.add(tl)
+                kept_lines.append(ln)
+        want[i] = (len(kept_lines), dropped, "\n".join(kept_lines))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["kept_lines"], r["dropped_lines"], r["new_text"])
+        for r in trim_repeated_lines(df).collect()
+    }
+    assert got == want
