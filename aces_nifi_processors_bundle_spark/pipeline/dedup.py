@@ -475,6 +475,98 @@ def near_dup_pairs_ngram(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+    persist_intermediates: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT (Broder's
+    containment coefficient): C = |A ∩ B| / min(|A|, |B|) — the
+    doc-inside-doc detector symmetric Jaccard structurally misses (a
+    200-word quote wholly inside a 10,000-word page has J ≈ 0.02 but
+    containment 1.0; quote farms, syndicated excerpts, and
+    boilerplate-wrapped reposts are exactly this shape). Substring
+    dedup catches the CONTIGUOUS version of this; containment catches
+    it even when the smaller doc's content is scattered through the
+    larger one.
+
+    Same candidate machinery as near_dup_pairs_ngram (a pair with
+    C >= t > 0 shares a shingle, so the inverted index has exact
+    recall unpruned; max_df / max_df_quantile are the same Σdf² skew
+    knobs with the same recall caveats), same hashed verify as
+    ngram_jaccard — only the final ratio differs: intersection over
+    the SMALLER set instead of the union. Output: (id_a, id_b,
+    containment, jaccard) for pairs with containment >= threshold —
+    jaccard rides along for free (same intersect/union arithmetic)
+    so downstream policy can distinguish true near-dups from
+    subset relations."""
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"containment: threshold must be in (0, 1], got {threshold}"
+        )
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("set at most one of max_df / max_df_quantile")
+    rows = shingle_rows(df, text_col, id_col, k).dropDuplicates(
+        [id_col, "shingle"]
+    )
+    if persist_intermediates:
+        rows = rows.persist()
+    if max_df is not None or max_df_quantile is not None:
+        dfreq = rows.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_df")
+        )
+        if max_df is not None:
+            keep = dfreq.filter(F.col("_df") <= max_df).select("shingle")
+        else:
+            cutoff = _df_cutoff(dfreq, None, max_df_quantile)
+            keep = (
+                dfreq.crossJoin(F.broadcast(cutoff))
+                .filter(F.col("_df") <= F.col("df_cutoff"))
+                .select("shingle")
+            )
+        rows = rows.join(keep, "shingle", "left_semi")
+    cands = _pairs_within_groups(
+        rows, "shingle", id_col, bounded=max_df is not None
+    )
+    sh = shingle_sets(df, text_col, id_col, k, hashed=True)
+    if persist_intermediates:
+        sh = sh.persist()
+    out = (
+        cands.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            F.when(smaller > 0, inter.cast("double") / smaller)
+            .otherwise(F.lit(0.0))
+            .alias("containment"),
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+        # plain >= like every verify threshold here (ngram_jaccard,
+        # minhash): the ratio is ONE IEEE division both engines
+        # compute identically, so the compare cannot drift — a slack
+        # would instead DESYNC engine and oracle at the boundary
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     max_iter: int = 20,

@@ -5461,3 +5461,56 @@ LEFT JOIN store_hits s ON s.doc_id = d.doc_id
 LEFT JOIN batch_hits b ON b.doc_id = d.doc_id
 """
 )
+
+
+# Mirrors q_dedup_containment: the planted excerpt corpus (every 20th
+# doc's words 5..25 under id+100000), the unpruned shingle inverted
+# index (exact recall: C >= t > 0 requires a shared shingle), and the
+# intersect-over-smaller-set ratio with jaccard alongside.
+oracle("q_dedup_containment")(
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(trim(text), ' ')[5:25], ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        WHERE len(shingles) > 0 AND shingles[1] <> ''),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+v AS (
+  SELECT id_a, id_b,
+         CASE WHEN least(len(sa.ss), len(sb.ss)) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / least(len(sa.ss), len(sb.ss))
+              ELSE 0.0 END AS containment,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+)
+SELECT id_a, id_b, round(containment, 6) AS containment,
+       round(jaccard, 6) AS jaccard
+FROM v WHERE containment >= 0.8
+"""
+)

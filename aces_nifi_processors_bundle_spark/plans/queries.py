@@ -5306,3 +5306,33 @@ def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.init(anchor_rows(old))
     return incremental_substring_dedup(store, new, k=8, min_tokens=12)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (pipeline/dedup.py::
+    containment_pairs): C = |A∩B| / min(|A|,|B|) — the doc-inside-doc
+    detector symmetric Jaccard misses. The fixture PLANTS the
+    asymmetry (the natural corpus has none: at sf0.01 every
+    containment >= 0.8 pair is also jaccard >= 0.5): every 20th doc
+    contributes a 21-word excerpt (words 5..25, id + 100000) whose
+    shingles are a strict subset of its source's — containment 1.0,
+    jaccard tiny. Threshold 0.8; jaccard rides along so the oracle
+    checks both ratios."""
+    from ..pipeline.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), " "), 5, 21), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    out = containment_pairs(
+        corpus, k=3, threshold=0.8, persist_intermediates=True
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )

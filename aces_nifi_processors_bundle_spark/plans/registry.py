@@ -11,14 +11,14 @@ grade-freshness rotation the round-9 verdict prescribed: the three
 round-9 late additions that have never been externally graded
 (temperature mix, duplicate cap, streaming digest), the one query
 whose latest grade predates the type-strict oracle era
-(q_profile_values_approx, r4), this round's six NEW queries
-(quantile-knob dedup prune, substring-level dedup match + repair +
-incremental store variant, repetition trim, KMV source-overlap
-matrix), and 40 of the round-5-graded block. The window holds
-exactly 50, so the LAST 10 round-5 entries (weighted_sample through
-sessionize) could not fit alongside the new queries — they sit
-immediately below the fold, FIRST in line for round 11's window
-together with the round-7 block. Freshest grades (round 8, then the
+(q_profile_values_approx, r4), this round's seven NEW queries
+(quantile-knob dedup prune, containment dedup, substring-level dedup
+match + repair + incremental store variant, repetition trim, KMV
+source-overlap matrix), and 39 of the round-5-graded block. The
+window holds exactly 50, so the LAST 11 round-5 entries
+(repetition_ratio through sessionize) could not fit alongside the
+new queries — they sit immediately below the fold, FIRST in line for
+round 11's window together with the round-7 block. Freshest grades (round 8, then the
 round-9-graded §2 core/streaming/digest set) come last. Every entry
 passes the identical type-strict DuckDB-oracle comparison in
 tests/test_queries_vs_oracle.py regardless of position.
@@ -43,12 +43,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_profile_values_approx": q.q_profile_values_approx,
     # --- (3) new this round
     "q_dedup_ngram_quantile": q.q_dedup_ngram_quantile,
+    "q_dedup_containment": q.q_dedup_containment,
     "q_substring_dedup": q.q_substring_dedup,
     "q_substring_repair": q.q_substring_repair,
     "q_incremental_substring": q.q_incremental_substring,
     "q_repetition_trim": q.q_repetition_trim,
     "q_source_overlap_matrix": q.q_source_overlap_matrix,
-    # --- (4) round-5-graded rotation (40 of 50 fit this window)
+    # --- (4) round-5-graded rotation (39 of 50 fit this window)
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_stream_store_merge": q.q_stream_store_merge,
@@ -88,9 +89,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_pack_sequences": q.q_pack_sequences,
     "q_decontaminate": q.q_decontaminate,
     "q_decontaminate_bloom": q.q_decontaminate_bloom,
-    "q_repetition_ratio": q.q_repetition_ratio,
     # --- below the driver's first-50 fold ------------------------------
     # round-5-graded remainder — first in line for the round-11 window:
+    "q_repetition_ratio": q.q_repetition_ratio,
     "q_weighted_sample": q.q_weighted_sample,
     "q_range_pairs": q.q_range_pairs,
     "q_bin_rollup": q.q_bin_rollup,
@@ -101,7 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_equidepth_approx": q.q_equidepth_approx,
     "q_sessionize": q.q_sessionize,
-    # round-7-graded (rotates into round 11 after the eight above):
+    # round-7-graded (rotates into round 11 after the eleven above):
     "q_hll_distinct": q.q_hll_distinct,
     "q_hll_merge": q.q_hll_merge,
     "q_cms_counts": q.q_cms_counts,

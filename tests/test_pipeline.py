@@ -4342,3 +4342,37 @@ def test_incremental_substring_dedup_cross_batch_and_replay(spark, tmp_path):
     ).collect()[0]
     assert replay["route"] == "duplicate_store"
     assert store.read().count() == n_state
+
+
+def test_containment_pairs_catches_doc_inside_doc(spark):
+    """A short quote wholly inside a long page must pair at
+    containment ~1.0 while its jaccard stays far below any useful
+    symmetric threshold — the case jaccard dedup structurally misses;
+    unrelated docs must not pair; the prune knobs validate."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        containment_pairs,
+        near_dup_pairs_ngram,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    page = " ".join(f"p{i}" for i in range(120)) + " " + quote + " " + " ".join(
+        f"r{i}" for i in range(120)
+    )
+    rows = [
+        Row(doc_id=1, text=page),
+        Row(doc_id=2, text=quote),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows)
+    got = containment_pairs(df, k=3, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.05
+    # symmetric jaccard at the standard 0.5 threshold misses it
+    assert near_dup_pairs_ngram(df, k=3, threshold=0.5).collect() == []
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError, match="at most one"):
+        containment_pairs(df, max_df=5, max_df_quantile=0.9)
