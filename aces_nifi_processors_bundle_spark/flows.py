@@ -1681,6 +1681,22 @@ def _incremental_substring_dedup(
     )
 
 
+@stage("source_divergence")
+def _source_divergence(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (round 10) — the lexical counterpart of
+    source_overlap on the corpus-card canvas."""
+    from .pipeline.reports import source_divergence_matrix
+
+    return source_divergence_matrix(df, text_col, group_col)
+
+
 @stage("weighted_median")
 def _weighted_median(
     spark: SparkSession,

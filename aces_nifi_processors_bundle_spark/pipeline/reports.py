@@ -109,6 +109,106 @@ def vocab_stats(
     )
 
 
+def source_divergence_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_terms: int = 9,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source UNIGRAM
+    DISTRIBUTIONS — the lexical complement to kmv_overlap_matrix
+    (that one estimates exact-document overlap; this one measures
+    how differently two sources USE LANGUAGE even when they share no
+    document, the signal mixture planning and domain-weighting read).
+    Output per unordered source pair: (source_a, source_b,
+    n_shared_terms, jsd_bits) with jsd_bits the base-2-normalized
+    JSD in [0, 1] (0 = identical distributions, 1 = disjoint
+    vocabularies).
+
+    Only SHARED terms are ever joined: for terms private to one side,
+    KL(p‖m) contributes p·ln2 exactly, so the private mass folds into
+    the closed form jsd = Σ_shared ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    + ½·ln2·(2 − P_shared − Q_shared) — no outer join, no absent-term
+    enumeration. Tokenization is term_rows', shared with
+    vocab_stats/top_terms.
+
+    Engine-exactness discipline (the temperature_mix/lm_score
+    pattern): probabilities are single IEEE divisions; each term's
+    contribution is rounded to `round_terms` decimals and summed in
+    DECIMAL(38,18), so addition order cannot matter and the DuckDB
+    oracle replays the sum bit-for-bit (both engines apply identical
+    rounding — the cross-engine identity holds at any scale; the
+    rounding's error vs TRUE JSD is bounded by vocab·5e-10 and sits
+    far below the 6 dp output rounding at fixture scales).
+
+    Scale shape: the fact scan ends at the per-(source, term) count
+    (map-side combined); everything after is vocabulary-sized. The
+    shared-term join produces Σ_term (sources containing term)² rows
+    — the df² shape; at thousands of sources, df-prune ubiquitous
+    terms first (they carry near-zero JSD signal) or bucket the term
+    join. Sources with zero tokens have no distribution and are
+    absent (they would make every ratio 0/0)."""
+    import math
+
+    from .text import term_rows
+
+    ln2 = math.log(2.0)
+    toks = term_rows(df, text_col, group_col)
+    counts = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c").cast("bigint").alias("_T")
+    )
+    p = counts.join(F.broadcast(totals), group_col).select(
+        F.col(group_col),
+        "term",
+        (F.col("c").cast("double") / F.col("_T").cast("double")).alias("p"),
+    )
+    a = p.select(
+        F.col(group_col).alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col(group_col).alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    m2 = F.col("pa") + F.col("pb")
+    term_jsd = F.lit(0.5) * (
+        F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / m2)
+        + F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / m2)
+    )
+    dec = "decimal(38,18)"
+    shared = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(F.round(term_jsd, round_terms).cast(dec)).alias("_S"),
+            F.sum(F.round(F.col("pa"), round_terms).cast(dec)).alias("_Pa"),
+            F.sum(F.round(F.col("pb"), round_terms).cast(dec)).alias("_Pb"),
+        )
+    )
+    srcs = totals.select(F.col(group_col))
+    grid = (
+        srcs.select(F.col(group_col).alias("source_a"))
+        .crossJoin(srcs.select(F.col(group_col).alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    out = grid.join(shared, ["source_a", "source_b"], "left")
+    s = F.coalesce(F.col("_S").cast("double"), F.lit(0.0))
+    pa_sh = F.coalesce(F.col("_Pa").cast("double"), F.lit(0.0))
+    pb_sh = F.coalesce(F.col("_Pb").cast("double"), F.lit(0.0))
+    jsd = s + F.lit(0.5 * ln2) * (F.lit(2.0) - pa_sh - pb_sh)
+    return out.select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_terms", F.lit(0).cast("bigint")).alias(
+            "n_shared_terms"
+        ),
+        F.round(jsd / F.lit(ln2), 6).alias("jsd_bits"),
+    )
+
+
 def length_histogram(
     df: DataFrame, text_col: str = "text", group_col: str = "lang"
 ) -> DataFrame:

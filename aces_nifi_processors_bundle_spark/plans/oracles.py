@@ -5514,3 +5514,55 @@ SELECT id_a, id_b, round(containment, 6) AS containment,
 FROM v WHERE containment >= 0.8
 """
 )
+
+
+# Mirrors source_divergence_matrix op by op: term_rows tokenization,
+# per-source unigram probabilities (one IEEE division), per-shared-term
+# JSD contributions rounded to 9 dp and summed in DECIMAL(38,18)
+# (order-proof), the private-mass closed form
+# 0.5*ln2*(2 - P_shared - Q_shared), base-2 normalization.
+oracle("q_source_divergence")(
+    """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+t AS (SELECT source, term FROM toks WHERE term <> ''),
+counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2
+),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tt FROM counts GROUP BY 1),
+p AS (
+  SELECT counts.source, term,
+         CAST(c AS DOUBLE) / CAST(tt AS DOUBLE) AS p
+  FROM counts JOIN totals ON totals.source = counts.source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         SUM(CAST(round(0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+                             + b.p * ln(2.0 * b.p / (a.p + b.p))), 9)
+                  AS DECIMAL(38,18))) AS s,
+         SUM(CAST(round(a.p, 9) AS DECIMAL(38,18))) AS pa,
+         SUM(CAST(round(b.p, 9) AS DECIMAL(38,18))) AS pb
+  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM totals a JOIN totals b ON a.source < b.source
+)
+SELECT g.source_a, g.source_b,
+       CAST(coalesce(sh.n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+       round((coalesce(CAST(sh.s AS DOUBLE), 0.0)
+              + 0.5 * LN(2.0)
+                * (2.0 - coalesce(CAST(sh.pa AS DOUBLE), 0.0)
+                       - coalesce(CAST(sh.pb AS DOUBLE), 0.0)))
+             / LN(2.0), 6) AS jsd_bits
+FROM grid g
+LEFT JOIN shared sh
+  ON sh.source_a = g.source_a AND sh.source_b = g.source_b
+ORDER BY g.source_a, g.source_b
+"""
+)

@@ -5336,3 +5336,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (pipeline/reports.py::source_divergence_matrix) —
+    the lexical complement to q_source_overlap_matrix: KMV estimates
+    exact-document overlap, JSD measures how differently two sources
+    use language even with zero shared documents. Shared-term-only
+    join (private mass folds into a closed form); order-proof
+    rounded-decimal sums make an information-theoretic quantity
+    value-hash gradeable."""
+    from ..pipeline.reports import source_divergence_matrix
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return source_divergence_matrix(docs).orderBy("source_a", "source_b")

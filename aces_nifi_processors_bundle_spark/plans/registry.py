@@ -11,12 +11,12 @@ grade-freshness rotation the round-9 verdict prescribed: the three
 round-9 late additions that have never been externally graded
 (temperature mix, duplicate cap, streaming digest), the one query
 whose latest grade predates the type-strict oracle era
-(q_profile_values_approx, r4), this round's seven NEW queries
+(q_profile_values_approx, r4), this round's eight NEW queries
 (quantile-knob dedup prune, containment dedup, substring-level dedup
 match + repair + incremental store variant, repetition trim, KMV
-source-overlap matrix), and 39 of the round-5-graded block. The
-window holds exactly 50, so the LAST 11 round-5 entries
-(repetition_ratio through sessionize) could not fit alongside the
+source-overlap matrix, JS source-divergence matrix), and 38 of the
+round-5-graded block. The window holds exactly 50, so the LAST 12
+round-5 entries (decontaminate_bloom through sessionize) could not fit alongside the
 new queries — they sit immediately below the fold, FIRST in line for
 round 11's window together with the round-7 block. Freshest grades (round 8, then the
 round-9-graded §2 core/streaming/digest set) come last. Every entry
@@ -49,7 +49,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_incremental_substring": q.q_incremental_substring,
     "q_repetition_trim": q.q_repetition_trim,
     "q_source_overlap_matrix": q.q_source_overlap_matrix,
-    # --- (4) round-5-graded rotation (39 of 50 fit this window)
+    "q_source_divergence": q.q_source_divergence,
+    # --- (4) round-5-graded rotation (38 of 50 fit this window)
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_stream_store_merge": q.q_stream_store_merge,
@@ -88,9 +89,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_chunk_documents": q.q_chunk_documents,
     "q_pack_sequences": q.q_pack_sequences,
     "q_decontaminate": q.q_decontaminate,
-    "q_decontaminate_bloom": q.q_decontaminate_bloom,
     # --- below the driver's first-50 fold ------------------------------
     # round-5-graded remainder — first in line for the round-11 window:
+    "q_decontaminate_bloom": q.q_decontaminate_bloom,
     "q_repetition_ratio": q.q_repetition_ratio,
     "q_weighted_sample": q.q_weighted_sample,
     "q_range_pairs": q.q_range_pairs,
@@ -102,7 +103,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_equidepth_approx": q.q_equidepth_approx,
     "q_sessionize": q.q_sessionize,
-    # round-7-graded (rotates into round 11 after the eleven above):
+    # round-7-graded (rotates into round 11 after the twelve above):
     "q_hll_distinct": q.q_hll_distinct,
     "q_hll_merge": q.q_hll_merge,
     "q_cms_counts": q.q_cms_counts,

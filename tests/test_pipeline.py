@@ -4376,3 +4376,48 @@ def test_containment_pairs_catches_doc_inside_doc(spark):
         containment_pairs(df, threshold=0.0)
     with pytest.raises(ValueError, match="at most one"):
         containment_pairs(df, max_df=5, max_df_quantile=0.9)
+
+
+def test_source_divergence_matrix_model(spark):
+    """JSD basics against an independent Python model: identical
+    distributions → 0, disjoint vocabularies → 1, a partial overlap
+    matches the closed-form computation to the rounding discipline."""
+    import math
+
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        source_divergence_matrix,
+    )
+
+    rows = [
+        Row(source="a", text="x x y z"),
+        Row(source="b", text="x x y z"),       # identical to a
+        Row(source="c", text="p q r r"),       # disjoint from a/b
+        Row(source="d", text="x x x y p"),     # overlaps a and c
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_divergence_matrix(df).collect()
+    }
+    assert len(got) == 6
+    assert got[("a", "b")]["jsd_bits"] == 0.0
+    assert got[("a", "c")]["jsd_bits"] == 1.0
+    assert got[("a", "c")]["n_shared_terms"] == 0
+    for r in got.values():
+        assert 0.0 <= r["jsd_bits"] <= 1.0
+
+    def model(p, q):
+        terms = set(p) | set(q)
+        out = 0.0
+        for t in terms:
+            pp, qq = p.get(t, 0.0), q.get(t, 0.0)
+            m = (pp + qq) / 2
+            if pp:
+                out += 0.5 * pp * math.log(pp / m)
+            if qq:
+                out += 0.5 * qq * math.log(qq / m)
+        return out / math.log(2)
+
+    pa = {"x": 2 / 4, "y": 1 / 4, "z": 1 / 4}
+    pd = {"x": 3 / 5, "y": 1 / 5, "p": 1 / 5}
+    assert abs(got[("a", "d")]["jsd_bits"] - model(pa, pd)) < 1e-6
