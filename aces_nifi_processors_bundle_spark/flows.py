@@ -1603,6 +1603,28 @@ def _trim_repetitions(
     )
 
 
+@stage("containment_dedup")
+def _containment_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs (round 10): the
+    doc-inside-doc detector — emits (id_a, id_b, containment,
+    jaccard) for downstream keep/drop policy."""
+    from .pipeline.dedup import containment_pairs
+
+    return containment_pairs(
+        df, text_col, id_col, k, threshold, max_df, max_df_quantile
+    )
+
+
 @stage("repair_substrings")
 def _repair_substrings(
     spark: SparkSession,
