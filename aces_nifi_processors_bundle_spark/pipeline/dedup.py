@@ -1716,6 +1716,18 @@ def remove_duplicate_spans(
         F.col("pos_b").alias("_s"),
         (F.col("pos_b") + F.col("match_tokens")).alias("_e"),
     )
+    return _cut_word_spans(df, spans, text_col, id_col)
+
+
+def _cut_word_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared repair tail: merge each doc's (id, _s, _e) word
+    intervals (gaps-and-islands), drop the covered words, rebuild
+    space-joined; docs with no interval pass byte-identical. Output:
+    (id, n_tokens, removed_tokens, new_text) for every doc — the
+    contract remove_duplicate_spans documents (the cross-doc and
+    intra-doc repairs share this tail verbatim)."""
     w_ord = Window.partitionBy(id_col).orderBy(F.col("_s").asc(), F.col("_e").asc())
     run_end = F.max("_e").over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -1787,6 +1799,92 @@ def remove_duplicate_spans(
             F.coalesce(F.col("new_text"), F.col(text_col)).alias("new_text"),
         )
     )
+
+
+def intra_doc_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """WITHIN-document repeated spans: every maximal pair of aligned
+    occurrences of the same >= min_tokens word sequence inside ONE
+    document — the span-level repetition the line trimmer cannot see
+    (repeats not aligned to line boundaries: templated paragraphs,
+    decoder loops, pagination stutter) and repetition_ratio can only
+    SCORE, not locate. Completes the repetition triad: cross-doc
+    spans (substring_matches), intra-doc lines (trim_repeated_lines),
+    intra-doc spans (this).
+
+    Same diagonal machinery as substring_matches, self-applied: the
+    anchor join keys on (doc, gram) — strictly WITHIN a document, so
+    there is no cross-doc Σdf² term at all; cost is per-doc
+    Σ df_doc(gram)², bounded by each doc's own internal repetition.
+    Runs group by (doc, offset pos_b − pos_a > 0); a periodic region
+    (period < span) reports the maximal run per offset, and the
+    keep-first repair below collapses it correctly through the
+    interval merge. Output: (id, pos_first, pos_repeat, match_tokens)
+    per maximal run — pos_first < pos_repeat, 0-based word offsets.
+    """
+    if k < 2:
+        raise ValueError(f"intra_doc_repeats: k must be >= 2, got {k}")
+    min_tokens = k if min_tokens is None else min_tokens
+    if min_tokens < k:
+        raise ValueError(
+            f"intra_doc_repeats: min_tokens must be >= k, got "
+            f"{min_tokens=} {k=}"
+        )
+    rows = anchor_rows(df, text_col, id_col, k)
+    a = rows.select(F.col(id_col), F.col("pos").alias("_pa"), "a")
+    b = rows.select(F.col(id_col), F.col("pos").alias("_pb"), "a")
+    m = (
+        a.join(b, [id_col, "a"])
+        .where(F.col("_pa") < F.col("_pb"))
+        .select(id_col, "_pa", "_pb")
+    )
+    w = Window.partitionBy(
+        id_col, F.col("_pb") - F.col("_pa")
+    ).orderBy("_pa")
+    return (
+        m.withColumn("_isl", F.col("_pa") - F.row_number().over(w))
+        .groupBy(
+            id_col, (F.col("_pb") - F.col("_pa")).alias("_diag"), "_isl"
+        )
+        .agg(
+            F.min("_pa").alias("pos_first"),
+            F.min("_pb").alias("pos_repeat"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint")
+            .alias("match_tokens"),
+        )
+        .where(F.col("match_tokens") >= min_tokens)
+        .select(id_col, "pos_first", "pos_repeat", "match_tokens")
+    )
+
+
+def trim_intra_doc_repeats(
+    df: DataFrame,
+    repeats: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """REPAIR for within-doc repeated spans: cut every LATER
+    occurrence ([pos_repeat, pos_repeat + match_tokens)), keep the
+    first — remove_duplicate_spans' keep-first rule turned inward,
+    sharing its interval-merge/word-drop tail verbatim (_cut_word_spans),
+    so overlapping and periodic repeats collapse once each. Output:
+    (id, n_tokens, removed_tokens, new_text) for every doc; untouched
+    docs byte-identical."""
+    if repeats is None:
+        repeats = intra_doc_repeats(df, text_col, id_col, k, min_tokens)
+    spans = repeats.select(
+        F.col(id_col),
+        F.col("pos_repeat").alias("_s"),
+        (F.col("pos_repeat") + F.col("match_tokens")).alias("_e"),
+    )
+    return _cut_word_spans(df, spans, text_col, id_col)
 
 
 def cap_duplicates(

@@ -5566,3 +5566,109 @@ LEFT JOIN shared sh
 ORDER BY g.source_a, g.source_b
 """
 )
+
+
+_INTRA_PLANT_CTE = """
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(trim(text), ' ')) >= 28
+              THEN text || ' '
+                   || array_to_string(string_split(trim(text), ' ')[9:28], ' ')
+              ELSE text END AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(i)
+  WHERE len(w) >= 8
+),
+m AS (
+  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b
+    ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos
+),
+r AS (
+  SELECT *, pb - pa AS diag,
+         pa - row_number() OVER (
+           PARTITION BY doc_id, pb - pa ORDER BY pa
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT doc_id,
+         CAST(min(pa) AS BIGINT) AS pos_first,
+         CAST(min(pb) AS BIGINT) AS pos_repeat,
+         CAST(count(*) + 7 AS BIGINT) AS match_tokens
+  FROM r GROUP BY doc_id, diag, island
+  HAVING count(*) + 7 >= 12
+)"""
+
+
+# Mirrors q_intra_repeats: the >= 28-word replant fixture + the
+# self-diagonal run walk on raw gram strings.
+oracle("q_intra_repeats")(
+    f"""
+WITH {_INTRA_PLANT_CTE}
+SELECT doc_id, pos_first, pos_repeat, match_tokens FROM runs
+"""
+)
+
+
+# Mirrors q_intra_repeat_trim: the runs' LATER occurrences merge per
+# doc (gaps-and-islands) and their words drop — the
+# q_substring_repair rebuild tail, applied within the doc.
+oracle("q_intra_repeat_trim")(
+    f"""
+WITH {_INTRA_PLANT_CTE},
+spans AS (
+  SELECT doc_id, pos_repeat AS s, pos_repeat + match_tokens AS e FROM runs
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM spans
+  )
+),
+merged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, grp),
+aw AS (
+  SELECT words.doc_id, i AS pos, w[i+1] AS word
+  FROM words, unnest(range(len(w))) AS t(i)
+  WHERE words.doc_id IN (SELECT doc_id FROM merged)
+),
+dropped AS (
+  SELECT DISTINCT aw.doc_id, aw.pos
+  FROM aw JOIN merged ON merged.doc_id = aw.doc_id
+  WHERE aw.pos >= merged.s AND aw.pos < merged.e
+),
+rebuilt AS (
+  SELECT aw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS removed_tokens,
+         coalesce(string_agg(CASE WHEN d.pos IS NULL THEN aw.word END,
+                             ' ' ORDER BY aw.pos), '') AS new_text
+  FROM aw LEFT JOIN dropped d ON d.doc_id = aw.doc_id AND d.pos = aw.pos
+  GROUP BY aw.doc_id
+)
+SELECT c.doc_id,
+       coalesce(r.n_tokens,
+                CAST(CASE WHEN length(trim(c.text)) = 0 THEN 0
+                     ELSE length(trim(c.text))
+                          - length(replace(trim(c.text), ' ', '')) + 1
+                     END AS BIGINT),
+                0) AS n_tokens,
+       coalesce(r.removed_tokens, 0) AS removed_tokens,
+       coalesce(r.new_text, c.text) AS new_text
+FROM corpus c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+"""
+)

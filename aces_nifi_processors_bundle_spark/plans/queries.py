@@ -5351,3 +5351,51 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return source_divergence_matrix(docs).orderBy("source_a", "source_b")
+
+
+def _replanted_documents(docs: DataFrame) -> DataFrame:
+    """Fixture for the intra-doc span family: docs with >= 28 words get
+    words 9..28 (1-based slice, 20 words) re-appended at the end — a
+    guaranteed unaligned within-doc repeat (the natural corpus has
+    none at the 8-gram grain); shorter docs pass unmodified."""
+    words = F.split(F.trim("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.size(words) >= 28,
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.array_join(F.slice(words, 9, 20), " "),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_intra_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-span REPORT (pipeline/dedup.py::
+    intra_doc_repeats): maximal aligned self-repeats >= 12 tokens —
+    the span-level repetition signal the line trimmer can't see and
+    repetition_ratio can only score. Fixture plants a 20-word
+    unaligned replant per (>= 28-word) doc; the oracle replays the
+    planting and the self-diagonal runs."""
+    from ..pipeline.dedup import intra_doc_repeats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return intra_doc_repeats(
+        _replanted_documents(docs), k=8, min_tokens=12
+    )
+
+
+def q_intra_repeat_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-span REPAIR (pipeline/dedup.py::
+    trim_intra_doc_repeats): cut every later occurrence, keep the
+    first — on the same planted fixture, so every planted doc must
+    come back with its replant removed (and the repair's output text
+    equals the original for docs the matcher implicates only via the
+    plant)."""
+    from ..pipeline.dedup import trim_intra_doc_repeats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trim_intra_doc_repeats(
+        _replanted_documents(docs), k=8, min_tokens=12
+    )

@@ -4421,3 +4421,45 @@ def test_source_divergence_matrix_model(spark):
     pa = {"x": 2 / 4, "y": 1 / 4, "z": 1 / 4}
     pd = {"x": 3 / 5, "y": 1 / 5, "p": 1 / 5}
     assert abs(got[("a", "d")]["jsd_bits"] - model(pa, pd)) < 1e-6
+
+
+def test_intra_doc_repeats_report_and_trim(spark):
+    """A doc repeating a 12-word span must report one maximal run at
+    the right offsets and trim back to one occurrence; a PERIODIC
+    region (period < span) collapses to its first period; clean and
+    short docs pass byte-identical."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        intra_doc_repeats,
+        trim_intra_doc_repeats,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))
+    periodic = " ".join(["x y"] * 10)  # x y x y ... (20 words, period 2)
+    rows = [
+        Row(doc_id=1, text="a1 a2 " + span + " mid1 mid2 " + span + " z"),
+        Row(doc_id=2, text=periodic),
+        Row(doc_id=3, text=" ".join(f"c{i}" for i in range(20))),
+        Row(doc_id=4, text="short text"),
+    ]
+    df = spark.createDataFrame(rows)
+    rep = intra_doc_repeats(df, k=3, min_tokens=12)
+    got1 = [r for r in rep.collect() if r["doc_id"] == 1]
+    assert any(
+        (r["pos_first"], r["pos_repeat"], r["match_tokens"]) == (2, 16, 12)
+        for r in got1
+    )
+    trimmed = {
+        r["doc_id"]: r
+        for r in trim_intra_doc_repeats(df, k=3, min_tokens=12).collect()
+    }
+    assert trimmed[1]["new_text"] == "a1 a2 " + span + " mid1 mid2 z"
+    assert trimmed[1]["removed_tokens"] == 12
+    # periodic: keep-first interval merge collapses the repetition to
+    # the leading period(s) — everything covered by a later-occurrence
+    # interval is cut
+    assert trimmed[2]["removed_tokens"] > 0
+    t2 = trimmed[2]["new_text"].split()
+    assert len(t2) < 20 and t2[:2] == ["x", "y"]
+    assert trimmed[3]["new_text"] == rows[2]["text"]
+    assert trimmed[3]["removed_tokens"] == 0
+    assert trimmed[4]["new_text"] == "short text"

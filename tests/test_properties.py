@@ -1058,3 +1058,70 @@ def test_trim_repeated_lines_model(spark, docs_lines):
         for r in trim_repeated_lines(df).collect()
     }
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb"]),  # 2-token alphabet: dense
+            min_size=0,                      # periodic self-repeats
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_intra_doc_repeats_model(spark, token_lists):
+    """intra_doc_repeats + trim vs an independent per-diagonal walk:
+    identical maximal self-run sets, and the trim equals cutting the
+    merged later-occurrence intervals."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        intra_doc_repeats,
+        trim_intra_doc_repeats,
+    )
+
+    k, min_tokens = 3, 4
+    docs = {i: " ".join(ts) for i, ts in enumerate(token_lists)}
+    want_runs = set()
+    cut: dict[int, set[int]] = {}
+    for i, t in docs.items():
+        ws = t.split()
+        for diag in range(1, len(ws)):
+            run, start = 0, None
+            for p in range(diag, len(ws)):
+                if ws[p] == ws[p - diag]:
+                    if run == 0:
+                        start = p - diag
+                    run += 1
+                else:
+                    if run >= min_tokens:
+                        want_runs.add((i, start, start + diag, run))
+                        cut.setdefault(i, set()).update(
+                            range(start + diag, start + diag + run)
+                        )
+                    run = 0
+            if run >= min_tokens:
+                want_runs.add((i, start, start + diag, run))
+                cut.setdefault(i, set()).update(
+                    range(start + diag, start + diag + run)
+                )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got_runs = set(
+        map(tuple, intra_doc_repeats(df, k=k, min_tokens=min_tokens).collect())
+    )
+    assert got_runs == want_runs
+    got_trim = {
+        r["doc_id"]: (r["removed_tokens"], r["new_text"])
+        for r in trim_intra_doc_repeats(
+            df, k=k, min_tokens=min_tokens
+        ).collect()
+    }
+    for i, t in docs.items():
+        ws = t.split()
+        removed = cut.get(i, set())
+        kept = [w for p, w in enumerate(ws) if p not in removed]
+        expect = " ".join(kept) if i in cut else t
+        assert got_trim[i] == (len(removed), expect)
