@@ -1654,6 +1654,48 @@ def _repair_substrings(
     )
 
 
+@stage("intra_repeats")
+def _intra_repeats(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Within-doc repeated-span REPORT (round 10): (id, pos_first,
+    pos_repeat, match_tokens) per maximal self-repeat."""
+    from .pipeline.dedup import intra_doc_repeats
+
+    return intra_doc_repeats(df, text_col, id_col, k, min_tokens)
+
+
+@stage("trim_intra_repeats")
+def _trim_intra_repeats(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Within-doc repeated-span REPAIR (round 10): cut later
+    occurrences, rewrite text_col in place, keep every other column —
+    the repair_substrings contract turned inward."""
+    from .pipeline.dedup import trim_intra_doc_repeats
+
+    out = trim_intra_doc_repeats(df, None, text_col, id_col, k, min_tokens)
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*passthrough)
+        .join(out, id_col)
+        .withColumnRenamed("new_text", text_col)
+        .select(*df.columns, "n_tokens", "removed_tokens")
+    )
+
+
 @stage("source_overlap")
 def _source_overlap(
     spark: SparkSession,

@@ -892,3 +892,32 @@ def test_flow_containment_dedup_stage(spark, sf_dir):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert got  # the natural corpus has symmetric high-containment pairs
+
+
+def test_flow_intra_repeat_stages(spark, sf_dir):
+    """round 10: the intra-doc report and repair stages equal the
+    direct calls; the repair rewrites text in place with columns
+    preserved."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        trim_intra_doc_repeats,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "trim_intra_repeats", "k": 8, "min_tokens": 12},
+        {"op": "sql", "query": (
+            "SELECT doc_id, text, lang, removed_tokens FROM __this__"
+        )},
+    ], sf_dir).collect()
+    rep = trim_intra_doc_repeats(docs.select("doc_id", "text"), k=8,
+                                 min_tokens=12)
+    want = (
+        docs.select("doc_id", "lang")
+        .join(rep, "doc_id")
+        .selectExpr("doc_id", "new_text AS text", "lang", "removed_tokens")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
