@@ -1654,6 +1654,30 @@ def _repair_substrings(
     )
 
 
+@stage("nfc_normalize")
+def _nfc_normalize(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization (round 10): rewrite text_col to its
+    composed form in place, keep every other column, add `changed` as
+    the denormalization-rate signal — run this IN FRONT of exact/
+    canonical dedup so normalization variants hash identically."""
+    from .pipeline.text import nfc_normalize
+
+    out = nfc_normalize(df, text_col, id_col)
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*passthrough)
+        .join(out, id_col)
+        .withColumnRenamed("new_text", text_col)
+        .select(*df.columns, "changed")
+    )
+
+
 @stage("intra_repeats")
 def _intra_repeats(
     spark: SparkSession,

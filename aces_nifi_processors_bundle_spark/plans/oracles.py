@@ -5672,3 +5672,23 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
 """
 )
+
+
+# Mirrors q_nfc_normalize: the decomposed plant (combining acute/
+# diaeresis via chr codepoints) and DuckDB's nfc_normalize — the same
+# public Unicode NFC the engine's pandas UDF applies.
+oracle("q_nfc_normalize")(
+    """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' cafe' || chr(769) || ' u' || chr(776)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text) AS new_text,
+       (text IS DISTINCT FROM nfc_normalize(text)) AS changed
+FROM planted
+"""
+)

@@ -5399,3 +5399,25 @@ def q_intra_repeat_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_intra_doc_repeats(
         _replanted_documents(docs), k=8, min_tokens=12
     )
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (pipeline/text.py::nfc_normalize) —
+    the engine's Arrow-batched text path under the oracle gate: every
+    5th doc gets a DECOMPOSED suffix (' cafe' + combining acute
+    U+0301 + ' u' + combining diaeresis U+0308) planted; NFC must
+    compose both ('café ü'), flag those docs changed, and pass the
+    untouched ASCII docs through byte-identical with changed=false.
+    Oracle: DuckDB nfc_normalize over the same plant (combining marks
+    via chr(codepoint))."""
+    from ..pipeline.text import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" café ü")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return nfc_normalize(planted)

@@ -4463,3 +4463,28 @@ def test_intra_doc_repeats_report_and_trim(spark):
     assert trimmed[3]["new_text"] == rows[2]["text"]
     assert trimmed[3]["removed_tokens"] == 0
     assert trimmed[4]["new_text"] == "short text"
+
+
+def test_nfc_normalize_composes_and_flags(spark):
+    """Decomposed sequences compose (e+U+0301 -> é), already-NFC text
+    passes byte-identical with changed=false, NULL stays NULL; the
+    UDF appears ONCE in the plan (no duplicated Python eval)."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        nfc_normalize,
+    )
+
+    rows = [
+        (1, "café du parc"),
+        (2, "plain ascii"),
+        (3, "café already composed"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_normalize(df).collect()}
+    assert got[1]["new_text"] == "café du parc"
+    assert got[1]["changed"] is True
+    assert got[2]["new_text"] == "plain ascii" and got[2]["changed"] is False
+    assert got[3]["changed"] is False
+    assert got[4]["new_text"] is None and got[4]["changed"] is False
+    plan = nfc_normalize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_nfc") <= 2  # one eval + one attr ref, not two evals
