@@ -4488,3 +4488,47 @@ def test_nfc_normalize_composes_and_flags(spark):
     assert got[4]["new_text"] is None and got[4]["changed"] is False
     plan = nfc_normalize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("_nfc") <= 2  # one eval + one attr ref, not two evals
+
+
+def test_round10_operators_degenerate_inputs(spark):
+    """Degenerate-input sweep for the round-10 family: single-source /
+    empty / all-short corpora must produce empty-but-well-formed
+    results, never errors."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        containment_pairs,
+        intra_doc_repeats,
+        remove_duplicate_spans,
+        substring_matches,
+        trim_intra_doc_repeats,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.reports import (
+        source_divergence_matrix,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.sketches import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    one_source = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c", source="only")],
+        "doc_id long, text string, source string",
+    )
+    # one source → no pairs, not an error
+    sk = kmv_sketch(one_source, "text", ["source"], k=8)
+    assert kmv_overlap_matrix(sk, "source", k=8).collect() == []
+    assert source_divergence_matrix(one_source).collect() == []
+
+    short = spark.createDataFrame(
+        [Row(doc_id=i, text="too short") for i in range(3)],
+        "doc_id long, text string",
+    )
+    assert substring_matches(short, k=8).collect() == []
+    assert intra_doc_repeats(short, k=8).collect() == []
+    # repairs on an unaffected corpus: identity with zero removals
+    rep = {r["doc_id"]: r for r in remove_duplicate_spans(short, k=8).collect()}
+    assert all(r["removed_tokens"] == 0 and r["new_text"] == "too short"
+               for r in rep.values())
+    trm = {r["doc_id"]: r
+           for r in trim_intra_doc_repeats(short, k=8).collect()}
+    assert all(r["removed_tokens"] == 0 for r in trm.values())
+    assert containment_pairs(short.limit(1), k=3).collect() == []

@@ -1125,3 +1125,56 @@ def test_intra_doc_repeats_model(spark, token_lists):
         kept = [w for p, w in enumerate(ws) if p not in removed]
         expect = " ".join(kept) if i in cut else t
         assert got_trim[i] == (len(removed), expect)
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_containment_pairs_model(spark, token_lists):
+    """containment_pairs vs the set-arithmetic Python model: same
+    pairs, same containment and jaccard values (one IEEE division
+    each), candidates exact (any pair with C >= t shares a shingle)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        containment_pairs,
+    )
+
+    k, t = 2, 0.5
+    docs = {i: ts for i, ts in enumerate(token_lists)}
+
+    def sh(ts):
+        if len(ts) >= k:
+            return {" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)}
+        joined = " ".join(ts)
+        return {joined} if joined else set()
+
+    want = {}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            sa, sb = sh(docs[a]), sh(docs[b])
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            c = inter / min(len(sa), len(sb))
+            j = inter / len(sa | sb)
+            if c >= t:
+                want[(a, b)] = (c, j)
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(df, k=k, threshold=t).collect()
+    }
+    assert got == want
