@@ -101,7 +101,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from .operators.attributes_to_json import AttributesToJsonConfig, attributes_to_json
 from .operators.binning import (
@@ -1429,14 +1429,19 @@ def _quantile_digest(
     groups: list[str] | None = None,
     m: int = 32,
     tie_col: str | None = None,
+    allow_global_sort: bool = False,
 ) -> DataFrame:
     """Build per-group mergeable quantile-digest state (round 9):
     m equal-weight clusters per group — include the chunk key (day,
     source) in `groups` so the rank sort stays chunk-bounded; fold
-    chunks downstream with `digest_fold`."""
+    chunks downstream with `digest_fold`. groups omitted/empty needs
+    an explicit "allow_global_sort": true in the stage config (round
+    10 guard: an ungrouped build sorts every fact row in one task —
+    acknowledge a known-small input, or chunk + digest_fold)."""
     from .pipeline.sketches import cluster_digest
 
-    return cluster_digest(df, value_col, groups, m, tie_col)
+    return cluster_digest(df, value_col, groups, m, tie_col,
+                          allow_global_sort=allow_global_sort)
 
 
 @stage("digest_fold")
@@ -1594,12 +1599,10 @@ def _trim_repetitions(
     from .pipeline.text import trim_repeated_lines
 
     trimmed = trim_repeated_lines(df, text_col, id_col, delim)
-    passthrough = [c for c in df.columns if c != text_col]
-    return (
-        df.select(*passthrough)
-        .join(trimmed, id_col)
-        .withColumnRenamed("new_text", text_col)
-        .select(*df.columns, "kept_lines", "dropped_lines")
+    return _rewrite_text_in_place(
+        df, trimmed, text_col, id_col,
+        ["kept_lines", "dropped_lines"],
+        zero_fill=("kept_lines", "dropped_lines"),
     )
 
 
@@ -1645,13 +1648,50 @@ def _repair_substrings(
     from .pipeline.dedup import remove_duplicate_spans
 
     out = remove_duplicate_spans(df, None, text_col, id_col, k, min_tokens, max_df)
-    passthrough = [c for c in df.columns if c != text_col]
-    return (
-        df.select(*passthrough)
-        .join(out, id_col)
-        .withColumnRenamed("new_text", text_col)
-        .select(*df.columns, "n_tokens", "removed_tokens")
+    return _rewrite_text_in_place(
+        df, out, text_col, id_col, ["n_tokens", "removed_tokens"]
     )
+
+
+def _rewrite_text_in_place(
+    df: DataFrame,
+    out: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols: list[str],
+    zero_fill: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared tail of every repair stage (trim_repetitions,
+    repair_substrings, trim_intra_repeats, nfc_normalize): replace
+    text_col with the repair's new_text, keep every other input
+    column, append the repair-evidence columns. ONE definition so the
+    NULL-doc policy cannot fork per stage: the join is LEFT — a doc
+    the repair op emitted no row for (trim_repeated_lines drops
+    NULL-text docs by contract) survives with its ORIGINAL text
+    instead of silently vanishing from the canvas, and its evidence
+    columns in `zero_fill` coalesce to 0."""
+    from pyspark.sql import functions as F
+
+    passthrough = [c for c in df.columns if c != text_col]
+    joined = df.select(
+        *passthrough, F.col(text_col).alias("__orig")
+    ).join(out, id_col, "left")
+    sel: list[Column] = []
+    for c in df.columns:
+        if c == text_col:
+            sel.append(
+                F.coalesce(F.col("new_text"), F.col("__orig")).alias(text_col)
+            )
+        else:
+            sel.append(F.col(c))
+    for c in extra_cols:
+        if c in zero_fill:
+            sel.append(
+                F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
+            )
+        else:
+            sel.append(F.col(c))
+    return joined.select(*sel)
 
 
 @stage("nfc_normalize")
@@ -1669,13 +1709,7 @@ def _nfc_normalize(
     from .pipeline.text import nfc_normalize
 
     out = nfc_normalize(df, text_col, id_col)
-    passthrough = [c for c in df.columns if c != text_col]
-    return (
-        df.select(*passthrough)
-        .join(out, id_col)
-        .withColumnRenamed("new_text", text_col)
-        .select(*df.columns, "changed")
-    )
+    return _rewrite_text_in_place(df, out, text_col, id_col, ["changed"])
 
 
 @stage("intra_repeats")
@@ -1711,12 +1745,8 @@ def _trim_intra_repeats(
     from .pipeline.dedup import trim_intra_doc_repeats
 
     out = trim_intra_doc_repeats(df, None, text_col, id_col, k, min_tokens)
-    passthrough = [c for c in df.columns if c != text_col]
-    return (
-        df.select(*passthrough)
-        .join(out, id_col)
-        .withColumnRenamed("new_text", text_col)
-        .select(*df.columns, "n_tokens", "removed_tokens")
+    return _rewrite_text_in_place(
+        df, out, text_col, id_col, ["n_tokens", "removed_tokens"]
     )
 
 

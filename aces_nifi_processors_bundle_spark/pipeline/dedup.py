@@ -393,6 +393,83 @@ def _df_cutoff(
     )
 
 
+
+def _df_pruned_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_df: int | None,
+    max_df_quantile: float | None,
+    persist_intermediates: bool,
+) -> DataFrame:
+    """Shared candidate generation of the inverted-index dedup family
+    (near_dup_pairs_ngram, containment_pairs): distinct-shingle index,
+    optional absolute/quantile df prune, per-shingle pairing. ONE
+    definition so the prune arithmetic and the bounded-vs-join pair
+    strategy (only an absolute max_df proves posting lists short
+    enough for the in-task collect_list pairing; a quantile cutoff is
+    data-dependent) cannot drift between the Jaccard and containment
+    paths. Returns distinct (id_a, id_b)."""
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("set at most one of max_df / max_df_quantile")
+    rows = shingle_rows(df, text_col, id_col, k).dropDuplicates(
+        [id_col, "shingle"]
+    )
+    if persist_intermediates:
+        rows = rows.persist()
+    if max_df is not None or max_df_quantile is not None:
+        dfreq = rows.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_df")
+        )
+        if max_df is not None:
+            keep = dfreq.filter(F.col("_df") <= max_df).select("shingle")
+        else:
+            cutoff = _df_cutoff(dfreq, None, max_df_quantile)
+            keep = (
+                dfreq.crossJoin(F.broadcast(cutoff))
+                .filter(F.col("_df") <= F.col("df_cutoff"))
+                .select("shingle")
+            )
+        rows = rows.join(keep, "shingle", "left_semi")
+    return _pairs_within_groups(
+        rows, "shingle", id_col, bounded=max_df is not None
+    )
+
+
+def _diagonal_runs(
+    m: DataFrame,
+    keys: list[str],
+    pa: str,
+    pb: str,
+    k: int,
+    min_tokens: int,
+) -> DataFrame:
+    """Islands-and-gaps maximal-run detection on alignment diagonals —
+    THE shared core of every substring operator (cross-doc matcher,
+    store-incremental variant, intra-doc repeats): matched anchor
+    positions of one shared span lie on one diagonal (pa - pb) at
+    consecutive pa; a run of r anchors is a span of r + k - 1 tokens.
+    Input m carries (*keys, pa, pb); output (*keys, pa, pb,
+    match_tokens) with the run's MIN positions under the input column
+    names, filtered to match_tokens >= min_tokens. The window
+    partitions by (*keys, diagonal) — bounded by one key-group's
+    shared anchors, never corpus-sized."""
+    diag = F.col(pa) - F.col(pb)
+    w = Window.partitionBy(*keys, diag).orderBy(pa)
+    return (
+        m.withColumn("_isl", F.col(pa) - F.row_number().over(w))
+        .groupBy(*keys, diag.alias("_diag"), "_isl")
+        .agg(
+            F.min(pa).alias(pa),
+            F.min(pb).alias(pb),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint")
+            .alias("match_tokens"),
+        )
+        .where(F.col("match_tokens") >= min_tokens)
+        .select(*keys, pa, pb, "match_tokens")
+    )
+
 def near_dup_pairs_ngram(
     df: DataFrame,
     text_col: str = "text",
@@ -436,36 +513,9 @@ def near_dup_pairs_ngram(
     Verification is exact Jaccard over the full (unpruned) shingle
     sets, so pruning affects candidate RECALL only, never precision.
     """
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("set at most one of max_df / max_df_quantile")
-    rows = shingle_rows(df, text_col, id_col, k).dropDuplicates([id_col, "shingle"])
-    if persist_intermediates:
-        rows = rows.persist()
-    pruned = max_df is not None or max_df_quantile is not None
-    if pruned:
-        dfreq = rows.groupBy("shingle").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_df")
-        )
-        if max_df is not None:
-            keep = dfreq.filter(F.col("_df") <= max_df).select("shingle")
-        else:
-            cutoff = _df_cutoff(dfreq, None, max_df_quantile)
-            keep = (
-                dfreq.crossJoin(F.broadcast(cutoff))
-                .filter(F.col("_df") <= F.col("df_cutoff"))
-                .select("shingle")
-            )
-        rows = rows.join(keep, "shingle", "left_semi")
-    # Pair-generation strategy: only an ABSOLUTE max_df proves every
-    # posting list is short enough for the in-task collect_list pairing
-    # (bounded=True). A quantile cutoff is data-dependent — a loose
-    # quantile (1.0 is legal and means "no prune") leaves the hottest
-    # boilerplate shingles in the index, and materializing such a
-    # posting list as one array is exactly the quadratic in-task blowup
-    # the join strategy exists to stream through. Output is identical
-    # either way (_pairs_within_groups contract).
-    cands = _pairs_within_groups(
-        rows, "shingle", id_col, bounded=max_df is not None
+    cands = _df_pruned_candidates(
+        df, text_col, id_col, k, max_df, max_df_quantile,
+        persist_intermediates,
     )
     # cands is consumed once (see near_dup_pairs_minhash) — only the
     # doubly-consumed rows/sets frames earn their cache
@@ -509,29 +559,9 @@ def containment_pairs(
         raise ValueError(
             f"containment: threshold must be in (0, 1], got {threshold}"
         )
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("set at most one of max_df / max_df_quantile")
-    rows = shingle_rows(df, text_col, id_col, k).dropDuplicates(
-        [id_col, "shingle"]
-    )
-    if persist_intermediates:
-        rows = rows.persist()
-    if max_df is not None or max_df_quantile is not None:
-        dfreq = rows.groupBy("shingle").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_df")
-        )
-        if max_df is not None:
-            keep = dfreq.filter(F.col("_df") <= max_df).select("shingle")
-        else:
-            cutoff = _df_cutoff(dfreq, None, max_df_quantile)
-            keep = (
-                dfreq.crossJoin(F.broadcast(cutoff))
-                .filter(F.col("_df") <= F.col("df_cutoff"))
-                .select("shingle")
-            )
-        rows = rows.join(keep, "shingle", "left_semi")
-    cands = _pairs_within_groups(
-        rows, "shingle", id_col, bounded=max_df is not None
+    cands = _df_pruned_candidates(
+        df, text_col, id_col, k, max_df, max_df_quantile,
+        persist_intermediates,
     )
     sh = shingle_sets(df, text_col, id_col, k, hashed=True)
     if persist_intermediates:
@@ -1489,28 +1519,9 @@ def substring_matches(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pos_a", "pos_b")
     )
-    w = Window.partitionBy(
-        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
-    ).orderBy("pos_a")
-    runs = (
-        m.withColumn(
-            "_island", F.col("pos_a") - F.row_number().over(w)
-        )
-        .groupBy(
-            "id_a", "id_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
-            "_island",
-        )
-        .agg(
-            F.min("pos_a").alias("pos_a"),
-            F.min("pos_b").alias("pos_b"),
-            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint")
-            .alias("match_tokens"),
-        )
-        .where(F.col("match_tokens") >= min_tokens)
-        .select("id_a", "id_b", "pos_a", "pos_b", "match_tokens")
+    return _diagonal_runs(
+        m, ["id_a", "id_b"], "pos_a", "pos_b", k, min_tokens
     )
-    return runs
 
 
 def anchor_rows(
@@ -1581,7 +1592,6 @@ def incremental_substring_dedup(
             f"incremental_substring_dedup: min_tokens must be >= k, got "
             f"{min_tokens=} {k=}"
         )
-    need = min_tokens - k + 1  # anchors per qualifying run
     new_rows = anchor_rows(new_docs, text_col, id_col, k).persist()
     old_rows = store.read().select(
         F.col(id_col).alias("_old_id"),
@@ -1598,23 +1608,9 @@ def incremental_substring_dedup(
             # vs itself is one full-length diagonal) and both
             # orientations of every pair through the shuffle
             m = m.where(cond)
-        m = m.select(ia, ib, pa, pb)
-        w = Window.partitionBy(
-            ia, ib, F.col(pa) - F.col(pb)
-        ).orderBy(pa)
-        return (
-            m.withColumn("_isl", F.col(pa) - F.row_number().over(w))
-            .groupBy(
-                ia, ib, (F.col(pa) - F.col(pb)).alias("_diag"), "_isl"
-            )
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") >= need)
-            .select(
-                F.col(ia), F.col(ib),
-                (F.col("_n") + F.lit(k - 1)).cast("bigint")
-                .alias("match_tokens"),
-            )
-        )
+        return _diagonal_runs(
+            m.select(ia, ib, pa, pb), [ia, ib], pa, pb, k, min_tokens
+        ).select(ia, ib, "match_tokens")
 
     store_runs = runs(
         new_rows.select(F.col(id_col).alias("_new_id"),
@@ -1843,22 +1839,16 @@ def intra_doc_repeats(
         .where(F.col("_pa") < F.col("_pb"))
         .select(id_col, "_pa", "_pb")
     )
-    w = Window.partitionBy(
-        id_col, F.col("_pb") - F.col("_pa")
-    ).orderBy("_pa")
-    return (
-        m.withColumn("_isl", F.col("_pa") - F.row_number().over(w))
-        .groupBy(
-            id_col, (F.col("_pb") - F.col("_pa")).alias("_diag"), "_isl"
-        )
-        .agg(
-            F.min("_pa").alias("pos_first"),
-            F.min("_pb").alias("pos_repeat"),
-            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint")
-            .alias("match_tokens"),
-        )
-        .where(F.col("match_tokens") >= min_tokens)
-        .select(id_col, "pos_first", "pos_repeat", "match_tokens")
+    # NOTE the diagonal here is _pa - _pb (negative, = -offset): the
+    # helper's (pa - pb) grouping key is equivalent to grouping by the
+    # repeat offset, and the min positions per run are unchanged.
+    return _diagonal_runs(
+        m, [id_col], "_pa", "_pb", k, min_tokens
+    ).select(
+        id_col,
+        F.col("_pa").alias("pos_first"),
+        F.col("_pb").alias("pos_repeat"),
+        "match_tokens",
     )
 
 

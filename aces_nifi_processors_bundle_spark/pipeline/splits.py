@@ -338,12 +338,16 @@ def temperature_mix(
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    passthrough = [c for c in df.columns if c != "n_tokens"]
+    # evaluate token_col against the FULL input first (it may read a
+    # pre-existing n_tokens column — the documented precomputed-count
+    # case), then drop that original and claim the name
     toks = (
-        df.select(*passthrough)
-        .withColumn("n_tokens", token_col.cast("bigint"))
+        df.withColumn("__tm_tokens", token_col.cast("bigint"))
+        .drop("n_tokens")
+        .withColumnRenamed("__tm_tokens", "n_tokens")
         .where(F.col("n_tokens") > 0)
     )
+    passthrough = [c for c in df.columns if c != "n_tokens"]
     mass = toks.groupBy(group_col).agg(
         F.sum("n_tokens").cast("bigint").alias("_m")
     )

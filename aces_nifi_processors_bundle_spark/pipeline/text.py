@@ -333,14 +333,24 @@ def positional_shingle_rows(
     (a match's location matters there, unlike the set-semantics
     consumers of shingle_rows).
 
-    Same single regexp_extract_all pass as shingle_rows (the match
+    Whitespace is COLLAPSED to single spaces before gram extraction —
+    load-bearing for positional correctness, not cosmetics: the
+    overlapping-gram regex joins words with literal single spaces, so
+    on raw text a word followed by a newline/tab/double space anchors
+    NO gram and every later position silently shifts down — the
+    reported offset would then disagree with the \\s+-split word index
+    the repair operators cut by (_cut_word_spans), deleting the wrong
+    words. After normalization, match index == word index of the
+    \\s+ tokenization, exactly.
+
+    Same single regexp pass as shingle_rows otherwise (the match
     array is ordered by position, so posexplode recovers the word
     offset for free — no window over posexploded words, which would
     shuffle every word). DELIBERATELY no whole-text fallback: a doc
     shorter than k words cannot anchor a k-token match, so it emits
     ZERO rows — a fallback pseudo-gram would fabricate matches whose
     claimed token span exceeds the document."""
-    t = F.trim(F.col(text_col))
+    t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     grams = F.regexp_extract_all(t, F.lit(_shingle_regex(k)), 1)
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "shingle")

@@ -64,6 +64,20 @@ class PollingSocketIOClient:
         self._base: str | None = None
         self._ctx = ssl_context
         self._timeout = request_timeout
+        # Engine.IO heartbeat bookkeeping: servers ping every
+        # pingInterval and DROP the session if no pong lands within
+        # pingTimeout. This client has no background thread, so it
+        # services the ping channel OPPORTUNISTICALLY — emit()/send()
+        # poll-and-pong once a full ping interval has elapsed —
+        # which keeps long foreachPartition batches alive (records
+        # keep flowing, so so do pongs). A connection idle longer
+        # than pingTimeout with NO emits can still be dropped
+        # server-side; the sink's burst usage (connect, emit the
+        # partition, disconnect) never idles like that. Deployments
+        # with long idle gaps should install python-socketio, whose
+        # background thread services pings unconditionally.
+        self._ping_interval = 25.0
+        self._last_rx = 0.0
 
     # -- transport ---------------------------------------------------------
 
@@ -111,7 +125,10 @@ class PollingSocketIOClient:
                 f"engine.io handshake: expected OPEN packet, got "
                 f"{open_pkt[:40]!r}"
             )
-        self._sid = json.loads(open_pkt[1:])["sid"]
+        hs = json.loads(open_pkt[1:])
+        self._sid = hs["sid"]
+        self._ping_interval = float(hs.get("pingInterval", 25000)) / 1000.0
+        self._last_rx = time.monotonic()
         # Socket.IO namespace CONNECT ('40'), ack arrives via polling
         self._http("40" + (json.dumps(auth) if auth is not None else ""))
         deadline = time.monotonic() + float(wait_timeout)
@@ -132,9 +149,24 @@ class PollingSocketIOClient:
                 self.connected = True  # fire-and-forget mode
                 return
 
+    def _service_heartbeat(self) -> None:
+        """Drain the polling channel and answer any pending ping —
+        called from emit() once a FULL ping interval has elapsed: the
+        server's ping is then already pending (or imminently due), so
+        the long-polling GET returns promptly instead of parking the
+        emit for up to half an interval (polling any earlier would
+        block an idle channel until the server sends SOMETHING)."""
+        if time.monotonic() - self._last_rx < self._ping_interval:
+            return
+        for pkt in self._poll():
+            if pkt == "2":
+                self._http("3")
+        self._last_rx = time.monotonic()
+
     def emit(self, event, data=None, namespace=None, callback=None) -> None:
         if not self.connected:
             raise RuntimeError("not connected")
+        self._service_heartbeat()
         arr = [event] if data is None else [event, data]
         self._http("42" + json.dumps(arr, separators=(",", ":")))
 

@@ -921,3 +921,22 @@ def test_flow_intra_repeat_stages(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_repair_stages_keep_null_text_docs(spark, tmp_path):
+    """round-10 review regression: every repair stage must pass a
+    NULL-text doc through (original text, zeroed evidence) instead of
+    silently dropping it — trim_repetitions' underlying op emits no
+    row for NULL docs, so the shared stage tail LEFT-joins."""
+    from aces_nifi_processors_bundle_spark.flows import STAGES
+
+    df = spark.createDataFrame(
+        [(1, "x\nx\ny", "s1"), (2, None, "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = STAGES["trim_repetitions"](spark, df).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 2}
+    assert got[2]["text"] is None
+    assert got[2]["kept_lines"] == 0 and got[2]["dropped_lines"] == 0
+    assert got[1]["text"] == "x\ny" and got[1]["dropped_lines"] == 1

@@ -4532,3 +4532,53 @@ def test_round10_operators_degenerate_inputs(spark):
            for r in trim_intra_doc_repeats(short, k=8).collect()}
     assert all(r["removed_tokens"] == 0 for r in trm.values())
     assert containment_pairs(short.limit(1), k=3).collect() == []
+
+
+def test_substring_positions_survive_irregular_whitespace(spark):
+    """round-10 review regression: anchor positions must equal the
+    \\s+-split word index even when the text mixes newlines, tabs and
+    double spaces — the matcher normalizes whitespace before gram
+    extraction, so the repair cuts exactly the duplicated span and
+    never neighboring unique words."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+        substring_matches,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))
+    messy = "a1  a2\t" + span.replace(" ", "\n", 1) + " z1"
+    # messy words via \s+: [a1, a2, s0, s1..s11, z1] — span at offset 2
+    rows = [
+        Row(doc_id=1, text=span + " tail1 tail2"),   # owner, clean
+        Row(doc_id=2, text=messy),                   # loser, messy ws
+    ]
+    df = spark.createDataFrame(rows)
+    got = substring_matches(df, k=8, min_tokens=12).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["pos_a"], r["pos_b"], r["match_tokens"]) == (0, 2, 12)
+    rep = {x["doc_id"]: x for x in
+           remove_duplicate_spans(df, k=8, min_tokens=12).collect()}
+    assert rep[2]["removed_tokens"] == 12
+    assert rep[2]["new_text"] == "a1 a2 z1"  # span cut, neighbors kept
+    assert rep[1]["new_text"] == span + " tail1 tail2"  # owner untouched
+
+
+def test_temperature_mix_precomputed_n_tokens_column(spark):
+    """round-10 review regression: token_col may NAME the existing
+    n_tokens column (the documented precomputed-count case) — the mix
+    must read it, not crash on an unresolved column."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", n_tokens=10) for i in range(20)]
+        + [Row(doc_id=100 + i, lang="is", n_tokens=10) for i in range(2)]
+    )
+    out = temperature_mix(
+        df, "lang", F.col("n_tokens"), budget_tokens=100, alpha=0.3
+    )
+    rows = out.collect()
+    assert rows and all(r["n_tokens"] == 10 for r in rows)
+    assert sorted(out.columns) == ["doc_id", "keep_prob", "lang", "n_tokens"]
