@@ -1524,6 +1524,55 @@ def substring_matches(
     )
 
 
+def anchor_prune_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """What substring_matches(max_df=...) would DROP on this corpus —
+    ngram_prune_stats' "no silent caps" discipline applied to the
+    anchor index (the substring matcher's one recall knob; remember a
+    mid-span prune also SPLITS reported runs). One row: (df_cutoff,
+    n_anchors, n_anchors_dropped, n_index_rows_dropped,
+    docs_affected, docs_total) — every number a vocabulary-sized
+    aggregate over the (anchor, df) frame the prune itself computes.
+    df counts DISTINCT docs per anchor, matching the prune's own
+    rule."""
+    from .text import positional_shingle_rows
+
+    rows = positional_shingle_rows(df, text_col, id_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("_a")
+    )
+    dfreq = rows.groupBy("_a").agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("_df"),
+        F.count(F.lit(1)).cast("bigint").alias("_occ"),
+    )
+    hot = dfreq.where(F.col("_df") > max_df)
+    anchor_stats = dfreq.agg(
+        F.lit(max_df).cast("bigint").alias("df_cutoff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum(F.when(F.col("_df") > max_df, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anchors_dropped"),
+        F.sum(F.when(F.col("_df") > max_df, F.col("_occ")).otherwise(0))
+        .cast("bigint")
+        .alias("n_index_rows_dropped"),
+    )
+    doc_stats = (
+        rows.join(hot.select("_a"), "_a", "left_semi")
+        .agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("docs_affected"))
+    )
+    total = df.agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("docs_total")
+    )
+    return (
+        anchor_stats.crossJoin(F.broadcast(doc_stats))
+        .crossJoin(F.broadcast(total))
+    )
+
+
 def anchor_rows(
     df: DataFrame,
     text_col: str = "text",

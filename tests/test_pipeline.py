@@ -4582,3 +4582,24 @@ def test_temperature_mix_precomputed_n_tokens_column(spark):
     rows = out.collect()
     assert rows and all(r["n_tokens"] == 10 for r in rows)
     assert sorted(out.columns) == ["doc_id", "keep_prob", "lang", "n_tokens"]
+
+
+def test_anchor_prune_stats_reports_the_flood(spark):
+    """The substring anchor-prune observability report: a boilerplate
+    8-gram in 4 docs under max_df=3 shows up as dropped, with every
+    sharing doc counted affected; a lossless cap reports zeros."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        anchor_prune_stats,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [Row(doc_id=i, text=f"u{i} " + boiler + f" v{i}") for i in range(4)]
+    rows.append(Row(doc_id=10, text=" ".join(f"z{i}" for i in range(10))))
+    df = spark.createDataFrame(rows)
+    r = anchor_prune_stats(df, k=8, max_df=3).collect()[0]
+    assert r["df_cutoff"] == 3
+    assert r["n_anchors_dropped"] == 1       # the boilerplate anchor
+    assert r["n_index_rows_dropped"] == 4    # its four occurrences
+    assert r["docs_affected"] == 4 and r["docs_total"] == 5
+    r2 = anchor_prune_stats(df, k=8, max_df=10).collect()[0]
+    assert r2["n_anchors_dropped"] == 0 and r2["docs_affected"] == 0
