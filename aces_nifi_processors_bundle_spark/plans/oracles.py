@@ -5692,3 +5692,75 @@ SELECT doc_id,
 FROM planted
 """
 )
+
+
+# Mirrors q_stream_substring_ingest's TWO-PHASE routing algebra on raw
+# gram strings: batch 1 (docs < 250) has an empty store — its dups are
+# purely in-batch (min-id-wins) and only its UNIQUE docs' anchors
+# persist; batch 2's store-dups therefore match only batch-1 uniques,
+# its batch-dups only smaller ids >= 250; store beats batch; the
+# longest store-side span is reported for batch-2 store-dups.
+oracle("q_stream_substring_ingest")(
+    """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(i)
+  WHERE len(w) >= 8
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, count(*) + 7 AS match_tokens
+  FROM r GROUP BY id_a, id_b, diag, island
+  HAVING count(*) + 7 >= 12
+),
+pairs AS (
+  SELECT id_a, id_b, max(match_tokens) AS mt FROM runs GROUP BY id_a, id_b
+),
+b1_dupes AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs
+  WHERE id_a < 250 AND id_b < 250
+),
+uniq1 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < 250
+    AND doc_id NOT IN (SELECT doc_id FROM b1_dupes)
+),
+store_hits AS (
+  SELECT p.id_b AS doc_id, CAST(max(p.mt) AS BIGINT) AS smt
+  FROM pairs p JOIN uniq1 u ON u.doc_id = p.id_a
+  WHERE p.id_b >= 250
+  GROUP BY p.id_b
+),
+b2_dupes AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs WHERE id_a >= 250
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id < 250 THEN
+              CASE WHEN b1.doc_id IS NOT NULL THEN 'duplicate_batch'
+                   ELSE 'unique' END
+            ELSE
+              CASE WHEN s.doc_id IS NOT NULL THEN 'duplicate_store'
+                   WHEN b2.doc_id IS NOT NULL THEN 'duplicate_batch'
+                   ELSE 'unique' END
+       END AS route,
+       CASE WHEN d.doc_id >= 250 THEN s.smt END AS store_match_tokens
+FROM documents d
+LEFT JOIN store_hits s ON s.doc_id = d.doc_id
+LEFT JOIN b1_dupes b1 ON b1.doc_id = d.doc_id
+LEFT JOIN b2_dupes b2 ON b2.doc_id = d.doc_id
+"""
+)

@@ -5421,3 +5421,86 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return nfc_normalize(planted)
+
+
+_SUBSTR_STREAM_DIRS: dict[str, str] = {}
+
+
+def _two_batch_documents_stream(spark: SparkSession, sf_dir: str):
+    """Two-file staged documents source: b0 = doc_id < 250, b1 = the
+    rest, fixed mtimes 1000 s apart + maxFilesPerTrigger=1 — the
+    _late_events_stream staging trick, so the file source replays
+    exactly two deterministic micro-batches in id order and the
+    streaming ingest's routing becomes oracle-replayable algebra."""
+    import glob as _glob
+    import os
+    import shutil
+
+    key = f"{sf_dir}#substr_docs"
+    if key not in _SUBSTR_STREAM_DIRS:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = _scratch("aces_stream_subsrc_")
+        for i, pred in enumerate(
+            [F.col("doc_id") < 250, F.col("doc_id") >= 250]
+        ):
+            tmp = f"{src}/_tmp{i}"
+            docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            shutil.rmtree(tmp)
+            mtime = 1_000_000_000 + i * 1000
+            os.utime(dst, (mtime, mtime))
+        _SUBSTR_STREAM_DIRS[key] = src
+    return (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_SUBSTR_STREAM_DIRS[key])
+    )
+
+
+def q_stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-store substring dedup under STREAMING ingest — the
+    production shape incremental_substring_dedup exists for: each
+    micro-batch routes against everything ever kept and appends its
+    unique survivors' anchors, inside foreachBatch. Two deterministic
+    batches (docs < 250, then the rest), so the oracle replays the
+    two-phase routing algebra: batch-2 store-dups match only batch-1
+    docs that were themselves kept UNIQUE (a batch-1 duplicate's
+    anchors were never stored — the property that distinguishes the
+    streaming register from q_incremental_substring's init-with-
+    everything fixture). Routed frames land epoch-partitioned
+    (overwrite per epoch: at-least-once replays are idempotent, the
+    q_stream_cusum pattern); the store's manifest-pinned snapshot
+    reads keep each batch's routing plan isolated from its own
+    append."""
+    from ..pipeline.dedup import anchor_rows, incremental_substring_dedup
+    from ..stores import KeyedParquetStore
+    from ..streaming.binning_stream import foreach_batch_merge
+
+    stream = _two_batch_documents_stream(spark, sf_dir)
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_stream_substr_"),
+        keys=["doc_id", "pos"],
+        n_buckets=8,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store.init(anchor_rows(docs.limit(0)))
+    acc = _scratch("aces_stream_subacc_") + "/routes"
+
+    def handle(batch_df, epoch_id):
+        routed = incremental_substring_dedup(
+            store, batch_df, k=8, min_tokens=12
+        )
+        routed.write.mode("overwrite").parquet(f"{acc}/epoch={epoch_id}")
+
+    q = (
+        foreach_batch_merge(stream, handle, _scratch("aces_fbm_sub_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(acc).select(
+        "doc_id", "route", "store_match_tokens"
+    )
