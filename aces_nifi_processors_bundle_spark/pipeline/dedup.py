@@ -697,6 +697,90 @@ def near_dup_clusters(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def dedup_report(
+    df: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level dedup summary — the one-row dashboard every dedup
+    run ends with (what fraction of the corpus is duplicated, how big
+    the families are, how many tokens hard dedup would reclaim),
+    computed from near_dup_clusters' (node, cluster) labels without
+    re-running any pairing. Output:
+    (docs_total, docs_in_clusters, n_clusters, max_cluster_size,
+    duplication_rate, tokens_total, tokens_removable) where
+    n_clusters counts MULTI-member families only,
+    duplication_rate = docs_in_clusters / docs_total (ONE IEEE
+    division), and tokens_removable sums every non-keeper (non-min-id)
+    member's whitespace token count — the reclaim of a keep-one
+    policy. Every number is a metadata-sized aggregate; the only scan
+    is one token-count projection over the clustered docs."""
+    from .text import word_count
+
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.min("node").alias("_keeper"),
+    )
+    multi = sizes.where(F.col("_n") > 1)
+    cluster_stats = multi.agg(
+        F.sum("_n").cast("bigint").alias("docs_in_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias(
+            "max_cluster_size"
+        ),
+    )
+    losers = (
+        clusters.join(
+            multi.select("cluster", "_keeper"), "cluster", "left_semi"
+        )
+        .join(
+            multi.select(F.col("_keeper").alias("node")),
+            "node",
+            "left_anti",
+        )
+        .select(F.col("node").alias(id_col))
+    )
+    tok = df.select(
+        F.col(id_col), word_count(F.col(text_col)).alias("_t")
+    )
+    tokens_total = tok.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("tokens_total")
+    )
+    tokens_removable = (
+        tok.join(losers, id_col, "left_semi")
+        .agg(
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint")
+            .alias("tokens_removable")
+        )
+    )
+    docs_total = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total")
+    )
+    return (
+        docs_total.crossJoin(F.broadcast(cluster_stats))
+        .crossJoin(F.broadcast(tokens_total))
+        .crossJoin(F.broadcast(tokens_removable))
+        .select(
+            "docs_total",
+            F.coalesce("docs_in_clusters", F.lit(0).cast("bigint")).alias(
+                "docs_in_clusters"
+            ),
+            F.coalesce("n_clusters", F.lit(0).cast("bigint")).alias(
+                "n_clusters"
+            ),
+            "max_cluster_size",
+            F.when(
+                F.col("docs_total") > 0,
+                F.coalesce("docs_in_clusters", F.lit(0)).cast("double")
+                / F.col("docs_total").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("duplication_rate"),
+            "tokens_total",
+            "tokens_removable",
+        )
+    )
+
+
 def dedup_near(
     df: DataFrame,
     pairs: DataFrame,

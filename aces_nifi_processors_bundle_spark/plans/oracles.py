@@ -5764,3 +5764,87 @@ LEFT JOIN b1_dupes b1 ON b1.doc_id = d.doc_id
 LEFT JOIN b2_dupes b2 ON b2.doc_id = d.doc_id
 """
 )
+
+
+# Mirrors q_dedup_report: q_dedup_cap's recursive-CTE component
+# labels, then the dashboard algebra — multi-member family sizes,
+# keepers = min node, losers' whitespace token counts summed.
+oracle("q_dedup_report")(
+    """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3, min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7 FROM shx GROUP BY doc_id),
+bands AS (SELECT doc_id, '0' || '#' || mh0 || '#' || mh1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1' || '#' || mh2 || '#' || mh3 AS bk FROM sig
+  UNION ALL SELECT doc_id, '2' || '#' || mh4 || '#' || mh5 AS bk FROM sig
+  UNION ALL SELECT doc_id, '3' || '#' || mh6 || '#' || mh7 AS bk FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n, min(node) AS keeper
+  FROM comp GROUP BY cluster
+),
+multi AS (SELECT * FROM sizes WHERE n > 1),
+tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text))
+                   - length(replace(trim(text), ' ', '')) + 1
+              END AS BIGINT) AS t
+  FROM documents
+),
+losers AS (
+  SELECT node FROM comp JOIN multi USING (cluster) WHERE node <> keeper
+)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_total,
+       CAST(coalesce((SELECT sum(n) FROM multi), 0) AS BIGINT)
+         AS docs_in_clusters,
+       CAST((SELECT count(*) FROM multi) AS BIGINT) AS n_clusters,
+       CAST(coalesce((SELECT max(n) FROM multi), 0) AS BIGINT)
+         AS max_cluster_size,
+       CAST(coalesce((SELECT sum(n) FROM multi), 0) AS DOUBLE)
+         / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         AS duplication_rate,
+       CAST(coalesce((SELECT sum(t) FROM tok), 0) AS BIGINT)
+         AS tokens_total,
+       CAST(coalesce((SELECT sum(t) FROM tok
+                      JOIN losers ON losers.node = tok.doc_id), 0) AS BIGINT)
+         AS tokens_removable
+"""
+)

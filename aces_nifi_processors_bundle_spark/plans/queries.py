@@ -5504,3 +5504,24 @@ def q_stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(acc).select(
         "doc_id", "route", "store_match_tokens"
     )
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup dashboard (pipeline/dedup.py::dedup_report):
+    the one-row summary every dedup run ends with — duplicated-doc
+    fraction, family count and max size, and the token reclaim a
+    keep-one policy would get — computed from the oracle-proven
+    minhash→verify→connected-components labels without re-running any
+    pairing."""
+    from ..pipeline.dedup import (
+        dedup_report,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+    clusters = near_dup_clusters(pairs)
+    return dedup_report(docs.select("doc_id", "text"), clusters)

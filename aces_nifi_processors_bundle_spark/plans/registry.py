@@ -11,14 +11,14 @@ grade-freshness rotation the round-9 verdict prescribed: the three
 round-9 late additions that have never been externally graded
 (temperature mix, duplicate cap, streaming digest), the one query
 whose latest grade predates the type-strict oracle era
-(q_profile_values_approx, r4), this round's twelve NEW queries
+(q_profile_values_approx, r4), this round's thirteen NEW queries
 (quantile-knob dedup prune, containment dedup, substring-level dedup
 match + repair + incremental store variant, repetition trim,
 intra-doc span report + trim, KMV source-overlap matrix, JS
 source-divergence matrix, Arrow-path NFC normalization, the
-streaming anchor-store ingest twin), and 34 of the round-5-graded
-block. The window holds exactly 50, so the LAST 16 round-5 entries
-(mix_token_budget through sessionize) could not fit alongside the
+streaming anchor-store ingest twin, the corpus dedup dashboard), and
+33 of the round-5-graded block. The window holds exactly 50, so the
+LAST 17 round-5 entries (sample_stratified through sessionize) could not fit alongside the
 new queries — they sit immediately below the fold, FIRST in line for
 round 11's window together with the round-7 block. Freshest grades (round 8, then the
 round-9-graded §2 core/streaming/digest set) come last. Every entry
@@ -46,6 +46,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- (3) new this round
     "q_dedup_ngram_quantile": q.q_dedup_ngram_quantile,
     "q_dedup_containment": q.q_dedup_containment,
+    "q_dedup_report": q.q_dedup_report,
     "q_substring_dedup": q.q_substring_dedup,
     "q_substring_repair": q.q_substring_repair,
     "q_incremental_substring": q.q_incremental_substring,
@@ -56,7 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_source_overlap_matrix": q.q_source_overlap_matrix,
     "q_source_divergence": q.q_source_divergence,
     "q_nfc_normalize": q.q_nfc_normalize,
-    # --- (4) round-5-graded rotation (34 of 50 fit this window)
+    # --- (4) round-5-graded rotation (33 of 50 fit this window)
     "q_dedup_simhash": q.q_dedup_simhash,
     "q_dedup_near_clusters": q.q_dedup_near_clusters,
     "q_stream_store_merge": q.q_stream_store_merge,
@@ -90,9 +91,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_flow_asof": q.q_flow_asof,
     "q_duplicate_passages": q.q_duplicate_passages,
     "q_hash_split": q.q_hash_split,
-    "q_sample_stratified": q.q_sample_stratified,
     # --- below the driver's first-50 fold ------------------------------
     # round-5-graded remainder — first in line for the round-11 window:
+    "q_sample_stratified": q.q_sample_stratified,
     "q_mix_token_budget": q.q_mix_token_budget,
     "q_chunk_documents": q.q_chunk_documents,
     "q_pack_sequences": q.q_pack_sequences,
@@ -109,7 +110,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_equidepth_histogram": q.q_equidepth_histogram,
     "q_equidepth_approx": q.q_equidepth_approx,
     "q_sessionize": q.q_sessionize,
-    # round-7-graded (rotates into round 11 after the sixteen above):
+    # round-7-graded (rotates into round 11 after the seventeen above):
     "q_hll_distinct": q.q_hll_distinct,
     "q_hll_merge": q.q_hll_merge,
     "q_cms_counts": q.q_cms_counts,

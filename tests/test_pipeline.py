@@ -4603,3 +4603,34 @@ def test_anchor_prune_stats_reports_the_flood(spark):
     assert r["docs_affected"] == 4 and r["docs_total"] == 5
     r2 = anchor_prune_stats(df, k=8, max_df=10).collect()[0]
     assert r2["n_anchors_dropped"] == 0 and r2["docs_affected"] == 0
+
+
+def test_dedup_report_counts_and_reclaim(spark):
+    """A 3-copy family + a 2-copy family + singletons: the dashboard
+    must count 5 docs in 2 clusters, max size 3, and a token reclaim
+    equal to the non-keepers' word counts; an empty cluster frame
+    reports all zeros."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        dedup_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(1, 8)],
+        "doc_id long, text string",
+    )  # doc i has i+1 words... actually "w " * n has n words
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], ["node", "cluster"]
+    )
+    r = dedup_report(docs, clusters).collect()[0]
+    assert r["docs_total"] == 7
+    assert r["docs_in_clusters"] == 5
+    assert r["n_clusters"] == 2 and r["max_cluster_size"] == 3
+    assert abs(r["duplication_rate"] - 5 / 7) < 1e-12
+    # tokens: doc i has i+1 words ("w " * (i+1)); keepers are 1 and 5
+    assert r["tokens_total"] == sum(i + 1 for i in range(1, 8))
+    assert r["tokens_removable"] == 3 + 4 + 7  # docs 2, 3, 6
+    empty = spark.createDataFrame([], "node long, cluster long")
+    r0 = dedup_report(docs, empty).collect()[0]
+    assert (r0["docs_in_clusters"], r0["n_clusters"],
+            r0["max_cluster_size"], r0["tokens_removable"]) == (0, 0, 0, 0)
+    assert r0["duplication_rate"] == 0.0
