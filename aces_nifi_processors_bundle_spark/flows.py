@@ -1669,28 +1669,47 @@ def _rewrite_text_in_place(
     the repair op emitted no row for (trim_repeated_lines drops
     NULL-text docs by contract) survives with its ORIGINAL text
     instead of silently vanishing from the canvas, and its evidence
-    columns in `zero_fill` coalesce to 0."""
+    columns in `zero_fill` coalesce to 0.
+
+    Collision contract: the repair frame's columns enter the join
+    under unique ``__ev_`` aliases, so an input that ALREADY carries a
+    same-named column (a prior repair stage in the same flow —
+    temperature_mix emits n_tokens, trim_repetitions emits
+    removed_tokens, and new_text could survive a user projection)
+    never makes the select ambiguous; the fresh evidence OVERWRITES
+    the stale same-named input column in the output, which is what
+    re-running a repair means."""
     from pyspark.sql import functions as F
 
-    passthrough = [c for c in df.columns if c != text_col]
+    ev = "__ev_"
+    out_sel = out.select(
+        F.col(id_col),
+        F.col("new_text").alias(ev + "new_text"),
+        *[F.col(c).alias(ev + c) for c in extra_cols],
+    )
+    passthrough = [
+        c for c in df.columns if c != text_col and c not in extra_cols
+    ]
     joined = df.select(
-        *passthrough, F.col(text_col).alias("__orig")
-    ).join(out, id_col, "left")
+        *passthrough, F.col(text_col).alias(ev + "orig")
+    ).join(out_sel, id_col, "left")
     sel: list[Column] = []
     for c in df.columns:
         if c == text_col:
             sel.append(
-                F.coalesce(F.col("new_text"), F.col("__orig")).alias(text_col)
+                F.coalesce(
+                    F.col(ev + "new_text"), F.col(ev + "orig")
+                ).alias(text_col)
             )
-        else:
+        elif c not in extra_cols:
             sel.append(F.col(c))
     for c in extra_cols:
         if c in zero_fill:
             sel.append(
-                F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
+                F.coalesce(F.col(ev + c), F.lit(0).cast("bigint")).alias(c)
             )
         else:
-            sel.append(F.col(c))
+            sel.append(F.col(ev + c).alias(c))
     return joined.select(*sel)
 
 

@@ -410,7 +410,17 @@ def _df_pruned_candidates(
     strategy (only an absolute max_df proves posting lists short
     enough for the in-task collect_list pairing; a quantile cutoff is
     data-dependent) cannot drift between the Jaccard and containment
-    paths. Returns distinct (id_a, id_b)."""
+    paths. Returns distinct (id_a, id_b).
+
+    Changelog (round 10): extracting this helper CHANGED the physical
+    plan of near_dup_pairs_ngram's max_df_quantile path — it now uses
+    the self-JOIN pair strategy where it previously used the bounded
+    collect_list pairing. Results are identical; the rationale is that
+    a quantile cutoff is a data-dependent value the planner cannot use
+    to bound posting-list length, so the in-task collect_list could
+    OOM on a skewed shingle. The 9.7x sf0.1->sf1 wall-clock ratio
+    recorded for q_dedup_ngram_quantile in SCALE.md therefore reflects
+    this strategy switch as well as the replica-saturated corpus."""
     if max_df is not None and max_df_quantile is not None:
         raise ValueError("set at most one of max_df / max_df_quantile")
     rows = shingle_rows(df, text_col, id_col, k).dropDuplicates(
@@ -777,6 +787,81 @@ def dedup_report(
             ).otherwise(F.lit(0.0)).alias("duplication_rate"),
             "tokens_total",
             "tokens_removable",
+        )
+    )
+
+
+def dup_attribution(
+    df: DataFrame,
+    clusters: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source duplicate-mass ATTRIBUTION matrix (round 11) — which
+    sources copy which: near_dup_clusters' (node, cluster) labels
+    joined back to each doc's source tag, then, for every multi-member
+    family, each NON-keeper member (keeper = min-id node, the
+    keep-one policy everywhere in this engine) is charged to the cell
+    (keeper's source -> its own source). Output is the FULL
+    sources x sources grid (diagonal = self-duplication):
+    (source_a, source_b, n_dup_docs, dup_tokens) where source_a owns
+    the kept copy, source_b the redundant one, and dup_tokens is the
+    whitespace token mass a keep-one policy reclaims from that cell.
+
+    Completes the cross-source observability triangle: KMV overlap
+    (kmv_overlap_matrix) estimates shared-document mass, JS divergence
+    (source_divergence_matrix) measures lexical drift, and this matrix
+    says who would actually LOSE documents to dedup and to whom.
+
+    Scale shape: labels and sizes are cluster-sized; the only corpus
+    scan is one (id, source, token-count) projection; the matrix
+    aggregate is |sources|^2 rows of metadata — never a pair list."""
+    from .text import word_count
+
+    tagged = df.select(
+        F.col(id_col).alias("node"),
+        F.col(group_col).alias("_src"),
+        word_count(F.col(text_col)).alias("_t"),
+    )
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("node").alias("_keeper")
+    )
+    multi = sizes.where(F.col("_n") > 1).select("cluster", "_keeper")
+    keeper_src = (
+        multi.join(
+            tagged.select(F.col("node").alias("_keeper"),
+                          F.col("_src").alias("_src_a")),
+            "_keeper",
+        ).select("cluster", "_src_a")
+    )
+    losers = (
+        clusters.join(multi, "cluster")
+        .where(F.col("node") != F.col("_keeper"))
+        .join(tagged, "node")
+        .join(keeper_src, "cluster")
+    )
+    cells = losers.groupBy(
+        F.col("_src_a").alias("source_a"), F.col("_src").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+    srcs = df.select(F.col(group_col)).distinct()
+    grid = srcs.select(F.col(group_col).alias("source_a")).crossJoin(
+        srcs.select(F.col(group_col).alias("source_b"))
+    )
+    return (
+        grid.join(cells, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_dup_docs", F.lit(0).cast("bigint")).alias(
+                "n_dup_docs"
+            ),
+            F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias(
+                "dup_tokens"
+            ),
         )
     )
 
@@ -1725,6 +1810,11 @@ def incremental_substring_dedup(
             f"incremental_substring_dedup: min_tokens must be >= k, got "
             f"{min_tokens=} {k=}"
         )
+    # persisted for the THREE consumers below (store join, batch
+    # self-join, unique-anchor append); released in the finally so the
+    # advertised production path — one call per foreachBatch epoch in
+    # q_stream_substring_ingest — does not leak one cached frame per
+    # micro-batch for the stream's lifetime
     new_rows = anchor_rows(new_docs, text_col, id_col, k).persist()
     old_rows = store.read().select(
         F.col(id_col).alias("_old_id"),
@@ -1783,15 +1873,23 @@ def incremental_substring_dedup(
             "store_match_tokens",
         )
     )
-    unique_anchors = (
-        new_rows.join(
-            routed.where(F.col("route") == "unique").select(id_col),
-            id_col,
-            "left_semi",
+    try:
+        # pin the small routing table (one row per new doc) while the
+        # anchors are still cached, so unpersisting new_rows below
+        # cannot force the caller's consumption of `routed` to replay
+        # the anchor build + both joins from scratch
+        routed = routed.localCheckpoint(eager=True)
+        unique_anchors = (
+            new_rows.join(
+                routed.where(F.col("route") == "unique").select(id_col),
+                id_col,
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    store.put_if_absent(unique_anchors)
+        store.put_if_absent(unique_anchors)
+    finally:
+        new_rows.unpersist()
     return routed
 
 

@@ -5516,6 +5516,77 @@ FROM v WHERE containment >= 0.8
 )
 
 
+# Mirrors q_containment_quantile: the SAME planted-excerpt corpus and
+# full-set verification as q_dedup_containment, with candidate
+# generation pruned at the 0.99 df-quantile — the rank walk
+# (histogram cumsum -> min df whose cum reaches ceil(0.99*vocab-1e-9))
+# is replayed verbatim from the q_dedup_ngram_quantile oracle, so the
+# knob's arithmetic on the containment path is what the gate checks.
+oracle("q_containment_quantile")(
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(trim(text), ' ')[5:25], ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        WHERE len(shingles) > 0 AND shingles[1] <> ''),
+dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM shx GROUP BY s),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM dfreq GROUP BY d),
+walk AS (
+  SELECT d, SUM(n) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT SUM(n) AS t FROM hist),
+cut AS (
+  SELECT MIN(d) AS df_cutoff FROM walk, tot
+  WHERE cum >= CEIL(0.99 * t - 1e-9)
+),
+idx AS (
+  SELECT doc_id, s FROM shx
+  WHERE s IN (SELECT s FROM dfreq, cut WHERE d <= df_cutoff)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+v AS (
+  SELECT id_a, id_b,
+         CASE WHEN least(len(sa.ss), len(sb.ss)) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / least(len(sa.ss), len(sb.ss))
+              ELSE 0.0 END AS containment,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+)
+SELECT id_a, id_b, round(containment, 6) AS containment,
+       round(jaccard, 6) AS jaccard
+FROM v WHERE containment >= 0.8
+"""
+)
+
+
 # Mirrors source_divergence_matrix op by op: term_rows tokenization,
 # per-source unigram probabilities (one IEEE division), per-shared-term
 # JSD contributions rounded to 9 dp and summed in DECIMAL(38,18)
@@ -5846,5 +5917,95 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_total,
        CAST(coalesce((SELECT sum(t) FROM tok
                       JOIN losers ON losers.node = tok.doc_id), 0) AS BIGINT)
          AS tokens_removable
+"""
+)
+
+
+# Mirrors q_dup_attribution: the q_dedup_report oracle's recursive-CTE
+# component labels (minhash bands -> exact-Jaccard verify -> min-label
+# components), then the attribution algebra — every non-keeper member
+# of a multi-member family charged to (keeper source, own source) with
+# its whitespace token mass, left-joined onto the full source grid.
+oracle("q_dup_attribution")(
+    """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3, min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7 FROM shx GROUP BY doc_id),
+bands AS (SELECT doc_id, '0' || '#' || mh0 || '#' || mh1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1' || '#' || mh2 || '#' || mh3 AS bk FROM sig
+  UNION ALL SELECT doc_id, '2' || '#' || mh4 || '#' || mh5 AS bk FROM sig
+  UNION ALL SELECT doc_id, '3' || '#' || mh6 || '#' || mh7 AS bk FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id AS node, COALESCE(c.cluster, d.doc_id) AS cluster,
+         d.source,
+         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE length(trim(d.text))
+                   - length(replace(trim(d.text), ' ', '')) + 1
+              END AS BIGINT) AS t
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sizes AS (
+  SELECT cluster, count(*) AS n, min(node) AS keeper
+  FROM labeled GROUP BY cluster
+),
+multi AS (SELECT cluster, keeper FROM sizes WHERE n > 1),
+keeper_src AS (
+  SELECT m.cluster, l.source AS source_a
+  FROM multi m JOIN labeled l ON l.node = m.keeper
+),
+cells AS (
+  SELECT ks.source_a, l.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_dup_docs,
+         CAST(sum(l.t) AS BIGINT) AS dup_tokens
+  FROM labeled l
+  JOIN multi m ON m.cluster = l.cluster AND l.node <> m.keeper
+  JOIN keeper_src ks ON ks.cluster = l.cluster
+  GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(coalesce(c.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM srcs a CROSS JOIN srcs b
+LEFT JOIN cells c ON c.source_a = a.source AND c.source_b = b.source
+ORDER BY 1, 2
 """
 )

@@ -5338,6 +5338,39 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment detector under the PRODUCTION prune (round 11):
+    q_dedup_containment's planted-excerpt corpus with the index pruned
+    at max_df_quantile=0.99 — the same scale-stable rank-walk cutoff
+    q_dedup_ngram_quantile grades for the Jaccard path, here pinned on
+    the containment path (the two share _df_pruned_candidates, but the
+    graded composition did not exist until now: q_dedup_containment is
+    deliberately UNPRUNED for exact oracle recall and costs ~100 s at
+    sf1). The oracle composes the excerpt-corpus CTE with the
+    histogram rank walk, then verifies containment/jaccard over FULL
+    shingle sets — only candidate generation is pruned, exactly as in
+    the engine."""
+    from ..pipeline.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), " "), 5, 21), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    out = containment_pairs(
+        corpus, k=3, threshold=0.8, max_df_quantile=0.99,
+        persist_intermediates=True,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between source unigram
     distributions (pipeline/reports.py::source_divergence_matrix) —
@@ -5525,3 +5558,26 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = near_dup_clusters(pairs)
     return dedup_report(docs.select("doc_id", "text"), clusters)
+
+
+def q_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source duplicate-mass matrix (pipeline/dedup.py::
+    dup_attribution, round 11): the oracle-proven minhash -> verify ->
+    connected-components labels joined back to source tags — each
+    non-keeper family member charged to (keeper's source, own source)
+    with its token mass. The full 20x20 grid (400 rows, zeros
+    included) completes the cross-source observability triangle with
+    KMV overlap and JS divergence: who would LOSE documents to a
+    keep-one policy, and to whom."""
+    from ..pipeline.dedup import (
+        dup_attribution,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+    clusters = near_dup_clusters(pairs)
+    return dup_attribution(docs, clusters).orderBy("source_a", "source_b")

@@ -78,6 +78,10 @@ class PollingSocketIOClient:
         # background thread services pings unconditionally.
         self._ping_interval = 25.0
         self._last_rx = 0.0
+        # connect() stashes its arguments here so emit() can attempt
+        # ONE transparent re-handshake when the server has expired the
+        # session (upstream stalled past pingTimeout with no emits)
+        self._connect_args: tuple | None = None
 
     # -- transport ---------------------------------------------------------
 
@@ -116,6 +120,8 @@ class PollingSocketIOClient:
         retry=False,
     ) -> None:
         base = url.rstrip("/")
+        self._connect_args = (url, auth, socketio_path, wait, wait_timeout)
+        self._sid = None
         self._base = (
             f"{base}/{socketio_path.strip('/')}/?EIO=4&transport=polling"
         )
@@ -168,7 +174,31 @@ class PollingSocketIOClient:
             raise RuntimeError("not connected")
         self._service_heartbeat()
         arr = [event] if data is None else [event, data]
-        self._http("42" + json.dumps(arr, separators=(",", ":")))
+        payload = "42" + json.dumps(arr, separators=(",", ":"))
+        try:
+            self._http(payload)
+        except OSError as first:
+            # A failed POST on an established session almost always
+            # means the server dropped the sid (idle past pingTimeout —
+            # this client has no background heartbeat thread). Attempt
+            # ONE transparent reconnect (fresh Engine.IO handshake +
+            # namespace CONNECT) and retry; if that also fails, say
+            # what actually happened instead of an opaque HTTP error.
+            try:
+                url, auth, path, wait, wait_timeout = self._connect_args
+                self.connected = False
+                self.connect(
+                    url, auth=auth, socketio_path=path,
+                    wait=wait, wait_timeout=wait_timeout,
+                )
+                self._http(payload)
+            except OSError as retry_err:
+                raise ConnectionError(
+                    "socket.io polling session expired and one reconnect "
+                    "attempt failed; for idle-heavy workloads install "
+                    "python-socketio (background heartbeat thread). "
+                    f"original error: {first!r}"
+                ) from retry_err
 
     def send(self, data, namespace=None, callback=None) -> None:
         # Socket.IO's send() is sugar for the reserved 'message' event

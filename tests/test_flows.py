@@ -940,3 +940,40 @@ def test_repair_stages_keep_null_text_docs(spark, tmp_path):
     assert got[2]["text"] is None
     assert got[2]["kept_lines"] == 0 and got[2]["dropped_lines"] == 0
     assert got[1]["text"] == "x\ny" and got[1]["dropped_lines"] == 1
+
+
+def test_repair_stage_chains_after_evidence_emitting_stage(spark, sf_dir):
+    """round-11 ADVICE regression: a repair stage must be chainable
+    AFTER a stage that already emitted a same-named evidence column
+    (temperature_mix emits n_tokens; repair_substrings also emits
+    n_tokens) without AMBIGUOUS_REFERENCE — the fresh evidence
+    overwrites the stale column, and re-applying the SAME repair
+    (trim_repetitions twice) is likewise legal and idempotent."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "temperature_mix", "group_col": "source",
+         "budget_tokens": 20000},
+        {"op": "repair_substrings", "k": 8, "min_tokens": 12},
+    ], sf_dir)
+    rows = out.collect()
+    assert rows, "chained flow produced no rows"
+    assert out.columns.count("n_tokens") == 1
+    assert "removed_tokens" in out.columns
+
+    twice = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "trim_repetitions"},
+        {"op": "trim_repetitions"},
+    ], sf_dir)
+    once = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "trim_repetitions"},
+    ], sf_dir)
+    assert twice.columns == once.columns
+    t = {r["doc_id"]: r["text"] for r in twice.collect()}
+    o = {r["doc_id"]: r["text"] for r in once.collect()}
+    assert t == o, "re-applying the line trim must be a fixpoint"
+    # second pass finds nothing left to drop
+    assert all(r["dropped_lines"] == 0 for r in twice.collect())

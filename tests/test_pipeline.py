@@ -4634,3 +4634,36 @@ def test_dedup_report_counts_and_reclaim(spark):
     assert (r0["docs_in_clusters"], r0["n_clusters"],
             r0["max_cluster_size"], r0["tokens_removable"]) == (0, 0, 0, 0)
     assert r0["duplication_rate"] == 0.0
+
+
+def test_dup_attribution_matrix(spark):
+    """Keeper = min-id member; each non-keeper is charged to
+    (keeper source, own source) with its token mass; the grid is the
+    FULL sources^2 including zero cells and the diagonal."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        dup_attribution,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),       # keeper of cluster 1
+            (2, "a b c d", "s2"),     # loser -> (s1, s2), 4 tokens
+            (3, "a b", "s1"),         # loser -> (s1, s1), 2 tokens
+            (5, "x y z w v", "s2"),   # keeper of cluster 5
+            (6, "x y z", "s3"),       # loser -> (s2, s3), 3 tokens
+            (7, "lonely", "s3"),      # singleton
+        ],
+        "doc_id long, text string, source string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], ["node", "cluster"]
+    )
+    out = dup_attribution(docs, clusters)
+    rows = {(r["source_a"], r["source_b"]): (r["n_dup_docs"], r["dup_tokens"])
+            for r in out.collect()}
+    assert len(rows) == 9  # 3 sources -> full 3x3 grid
+    assert rows[("s1", "s2")] == (1, 4)
+    assert rows[("s1", "s1")] == (1, 2)
+    assert rows[("s2", "s3")] == (1, 3)
+    assert rows[("s2", "s2")] == (0, 0)
+    assert rows[("s3", "s1")] == (0, 0)
