@@ -1834,6 +1834,49 @@ def _source_divergence(
     return source_divergence_matrix(df, text_col, group_col)
 
 
+@stage("corpus_card")
+def _corpus_card(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    substring_k: int = 8,
+    min_tokens: int = 12,
+    containment_threshold: float = 0.8,
+    max_df_quantile: float | None = 0.99,
+) -> DataFrame:
+    """The one-row multi-modality corpus card (round 11): document
+    near-dup families (minhash chain), substring shared-span volume,
+    and quantile-pruned containment, folded into one hygiene row —
+    the terminal dashboard stage of a curation canvas."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.dedup import (
+        containment_pairs,
+        corpus_card,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+        substring_matches,
+    )
+
+    pairs = near_dup_pairs_minhash(
+        df, text_col, id_col, num_hashes, band_size, k, threshold
+    )
+    clusters = near_dup_clusters(pairs)
+    body = df.select(F.col(id_col), F.col(text_col))
+    spans = substring_matches(body, text_col, id_col, substring_k, min_tokens)
+    cpairs = containment_pairs(
+        body, text_col, id_col, k, containment_threshold,
+        None, max_df_quantile,
+    )
+    return corpus_card(body, clusters, spans, cpairs, text_col, id_col)
+
+
 @stage("weighted_median")
 def _weighted_median(
     spark: SparkSession,

@@ -791,6 +791,74 @@ def dedup_report(
     )
 
 
+def corpus_card(
+    df: DataFrame,
+    clusters: DataFrame,
+    spans: DataFrame | None = None,
+    cpairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The MULTI-MODALITY corpus card (round 11) — dedup_report's
+    one-row dashboard extended with the other two dedup modalities so
+    a run's hygiene is ONE row per corpus, not three reports:
+
+    - all seven dedup_report columns (document-level near-dup families
+      from `clusters`);
+    - substring modality (`spans` = substring_matches output):
+      n_substring_pairs = distinct doc pairs sharing a >= min_tokens
+      verbatim span, substring_span_tokens = total tokens inside
+      shared spans summed over (pair, span) — the volume Lee et al.'s
+      ExactSubstr repair would cut;
+    - containment modality (`cpairs` = containment_pairs output):
+      n_containment_pairs, n_contained_docs = distinct docs appearing
+      in any doc-inside-doc relation.
+
+    Either modality frame may be None (its columns report 0) so the
+    card degrades gracefully on pipelines that run fewer modalities.
+    Scale shape: every added number is an aggregate over ALREADY
+    pair-shaped modality outputs (bounded by their own df caps) —
+    metadata-sized one-row frames broadcast-cross-joined onto the
+    report, no new corpus scan."""
+    spark = df.sparkSession
+    base = dedup_report(df, clusters, text_col, id_col)
+    if spans is not None:
+        sub = spans.agg(
+            F.count_distinct("id_a", "id_b").cast("bigint").alias(
+                "n_substring_pairs"
+            ),
+            F.coalesce(F.sum("match_tokens"), F.lit(0)).cast("bigint")
+            .alias("substring_span_tokens"),
+        )
+    else:
+        sub = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_substring_pairs"),
+            F.lit(0).cast("bigint").alias("substring_span_tokens"),
+        )
+    if cpairs is not None:
+        docs_either = (
+            cpairs.select(F.col("id_a").alias("_d"))
+            .unionAll(cpairs.select(F.col("id_b").alias("_d")))
+        )
+        cont = cpairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_containment_pairs")
+        ).crossJoin(
+            F.broadcast(
+                docs_either.agg(
+                    F.count_distinct("_d").cast("bigint").alias(
+                        "n_contained_docs"
+                    )
+                )
+            )
+        )
+    else:
+        cont = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_containment_pairs"),
+            F.lit(0).cast("bigint").alias("n_contained_docs"),
+        )
+    return base.crossJoin(F.broadcast(sub)).crossJoin(F.broadcast(cont))
+
+
 def dup_attribution(
     df: DataFrame,
     clusters: DataFrame,

@@ -5921,6 +5921,156 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_total,
 )
 
 
+# Mirrors q_corpus_card: the q_dedup_report recursive-CTE component
+# labels and dashboard algebra, PLUS the q_substring_dedup 8-gram
+# islands-and-gaps chain (prefixed s*), PLUS the containment chain
+# under the 0.99 rank-walk prune (prefixed c*, verify over full sets)
+# — all three modalities over the same plain documents corpus, folded
+# into one row.
+oracle("q_corpus_card")(
+    """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3, min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7 FROM shx GROUP BY doc_id),
+bands AS (SELECT doc_id, '0' || '#' || mh0 || '#' || mh1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1' || '#' || mh2 || '#' || mh3 AS bk FROM sig
+  UNION ALL SELECT doc_id, '2' || '#' || mh4 || '#' || mh5 AS bk FROM sig
+  UNION ALL SELECT doc_id, '3' || '#' || mh6 || '#' || mh7 AS bk FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM cands
+  JOIN sets sa ON sa.doc_id = cands.id_a
+  JOIN sets sb ON sb.doc_id = cands.id_b
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n, min(node) AS keeper
+  FROM comp GROUP BY cluster
+),
+multi AS (SELECT * FROM sizes WHERE n > 1),
+tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text))
+                   - length(replace(trim(text), ' ', '')) + 1
+              END AS BIGINT) AS t
+  FROM documents
+),
+losers AS (
+  SELECT node FROM comp JOIN multi USING (cluster) WHERE node <> keeper
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS g
+  FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(i)
+  WHERE len(w) >= 8
+),
+sm AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+sr AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM sm
+),
+sruns AS (
+  SELECT id_a, id_b, CAST(count(*) + 7 AS BIGINT) AS match_tokens
+  FROM sr GROUP BY id_a, id_b, diag, island
+  HAVING count(*) + 7 >= 12
+),
+cshx AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+         WHERE len(shingles) > 0 AND shingles[1] <> ''),
+cdfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM cshx GROUP BY s),
+chist AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM cdfreq GROUP BY d),
+cwalk AS (
+  SELECT d, SUM(n) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chist
+),
+ctot AS (SELECT SUM(n) AS t FROM chist),
+ccut AS (
+  SELECT MIN(d) AS df_cutoff FROM cwalk, ctot
+  WHERE cum >= CEIL(0.99 * t - 1e-9)
+),
+cidx AS (
+  SELECT doc_id, s FROM cshx
+  WHERE s IN (SELECT s FROM cdfreq, ccut WHERE d <= df_cutoff)
+),
+ccands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cidx a JOIN cidx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+cv AS (
+  SELECT id_a, id_b,
+         CASE WHEN least(len(sa.ss), len(sb.ss)) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / least(len(sa.ss), len(sb.ss))
+              ELSE 0.0 END AS containment
+  FROM ccands
+  JOIN sets sa ON sa.doc_id = ccands.id_a
+  JOIN sets sb ON sb.doc_id = ccands.id_b
+),
+cp AS (SELECT id_a, id_b FROM cv WHERE containment >= 0.8)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_total,
+       CAST(coalesce((SELECT sum(n) FROM multi), 0) AS BIGINT)
+         AS docs_in_clusters,
+       CAST((SELECT count(*) FROM multi) AS BIGINT) AS n_clusters,
+       CAST(coalesce((SELECT max(n) FROM multi), 0) AS BIGINT)
+         AS max_cluster_size,
+       CAST(coalesce((SELECT sum(n) FROM multi), 0) AS DOUBLE)
+         / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         AS duplication_rate,
+       CAST(coalesce((SELECT sum(t) FROM tok), 0) AS BIGINT)
+         AS tokens_total,
+       CAST(coalesce((SELECT sum(t) FROM tok
+                      JOIN losers ON losers.node = tok.doc_id), 0) AS BIGINT)
+         AS tokens_removable,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM sruns))
+         AS BIGINT) AS n_substring_pairs,
+       CAST(coalesce((SELECT sum(match_tokens) FROM sruns), 0) AS BIGINT)
+         AS substring_span_tokens,
+       CAST((SELECT count(*) FROM cp) AS BIGINT) AS n_containment_pairs,
+       CAST((SELECT count(DISTINCT d) FROM (
+              SELECT id_a AS d FROM cp UNION ALL SELECT id_b FROM cp))
+         AS BIGINT) AS n_contained_docs
+"""
+)
+
+
 # Mirrors q_dup_attribution: the q_dedup_report oracle's recursive-CTE
 # component labels (minhash bands -> exact-Jaccard verify -> min-label
 # components), then the attribution algebra — every non-keeper member

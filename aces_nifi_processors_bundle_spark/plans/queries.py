@@ -5560,6 +5560,38 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_report(docs.select("doc_id", "text"), clusters)
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-modality corpus card (pipeline/dedup.py::corpus_card,
+    round 11): ONE row per corpus folding all three dedup modalities —
+    document-level near-dup families (minhash -> verify -> connected
+    components: the seven q_dedup_report columns), substring-level
+    shared-span volume (substring_matches k=8/min 12: pair count +
+    tokens inside shared spans), and doc-inside-doc containment under
+    the PRODUCTION 0.99 df-quantile prune (pair count + contained-doc
+    count). The oracle composes the three modalities' CTEs over the
+    same corpus; a run's hygiene is one row, not three reports."""
+    from ..pipeline.dedup import (
+        containment_pairs,
+        corpus_card,
+        near_dup_clusters,
+        near_dup_pairs_minhash,
+        substring_matches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+    clusters = near_dup_clusters(pairs)
+    body = docs.select("doc_id", "text")
+    spans = substring_matches(body, k=8, min_tokens=12)
+    cpairs = containment_pairs(
+        body, k=3, threshold=0.8, max_df_quantile=0.99,
+        persist_intermediates=True,
+    )
+    return corpus_card(body, clusters, spans, cpairs)
+
+
 def q_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source x source duplicate-mass matrix (pipeline/dedup.py::
     dup_attribution, round 11): the oracle-proven minhash -> verify ->

@@ -4667,3 +4667,36 @@ def test_dup_attribution_matrix(spark):
     assert rows[("s2", "s3")] == (1, 3)
     assert rows[("s2", "s2")] == (0, 0)
     assert rows[("s3", "s1")] == (0, 0)
+
+
+def test_corpus_card_folds_three_modalities(spark):
+    """dedup_report columns plus substring/containment summaries in
+    one row; None modality frames degrade to zero columns."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        corpus_card,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["node", "cluster"])
+    spans = spark.createDataFrame(
+        [(1, 2, 0, 0, 12), (1, 2, 30, 40, 20), (1, 3, 5, 9, 15)],
+        "id_a long, id_b long, pos_a long, pos_b long, match_tokens long",
+    )
+    cpairs = spark.createDataFrame(
+        [(1, 2, 1.0, 0.75), (2, 3, 0.9, 0.2)],
+        "id_a long, id_b long, containment double, jaccard double",
+    )
+    r = corpus_card(docs, clusters, spans, cpairs).collect()[0]
+    assert r["docs_total"] == 3 and r["docs_in_clusters"] == 2
+    assert r["n_substring_pairs"] == 2  # (1,2) and (1,3)
+    assert r["substring_span_tokens"] == 12 + 20 + 15
+    assert r["n_containment_pairs"] == 2
+    assert r["n_contained_docs"] == 3  # docs 1,2,3 all appear
+    r0 = corpus_card(docs, clusters, None, None).collect()[0]
+    assert (r0["n_substring_pairs"], r0["substring_span_tokens"],
+            r0["n_containment_pairs"], r0["n_contained_docs"]) == (0, 0, 0, 0)
+    # the report half is unchanged by missing modalities
+    assert r0["docs_in_clusters"] == r["docs_in_clusters"]
