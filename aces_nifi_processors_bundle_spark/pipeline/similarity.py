@@ -1348,3 +1348,46 @@ def hard_negatives(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def ann_recall_report(
+    index_topk: DataFrame,
+    brute_topk: DataFrame,
+    k: int,
+) -> DataFrame:
+    """ANN QUALITY report (round 11): one row grading an approximate
+    index's top-k against brute-force ground truth over the same query
+    set — the "no silent caps" discipline applied to ANN recall, which
+    until now lived only in pytest assertions. Inputs are two
+    (query_id, neighbor_id, rank) frames (brute = truth). Output:
+    (k, n_queries, n_truth, n_hits, recall_at_k,
+    mean_rank_displacement) where recall_at_k = hits / truth rows
+    (ONE IEEE division) and mean_rank_displacement averages
+    |index rank - true rank| over the hits (0.0 when no hits, so an
+    empty index reads as recall 0 / displacement 0 rather than NULL).
+
+    Scale shape: both inputs are already top-k-per-query sized
+    (n_queries x k rows); the join is on (query_id, neighbor_id) and
+    the report is one aggregate row — run it on a SAMPLED query set,
+    never the full corpus (ground truth is the quadratic part)."""
+    idx = index_topk.select(
+        "query_id", "neighbor_id", F.col("rank").alias("_ri")
+    )
+    truth = brute_topk.select(
+        "query_id", "neighbor_id", F.col("rank").alias("_rt")
+    )
+    joined = truth.join(idx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count("_ri").cast("bigint").alias("n_hits"),
+        (F.count("_ri").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall_at_k"),
+        F.round(
+            F.coalesce(
+                F.avg(F.abs(F.col("_ri") - F.col("_rt"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_rank_displacement"),
+    )

@@ -6159,3 +6159,26 @@ LEFT JOIN cells c ON c.source_a = a.source AND c.source_b = b.source
 ORDER BY 1, 2
 """
 )
+
+
+# Mirrors q_ann_recall by COMPOSING the two already-graded top-k
+# oracles as subqueries — brute force (q_sim_topk) is ground truth,
+# IVF (q_ivf_topk) the index under grade — then the report algebra:
+# recall = hits / truth rows (one IEEE division), displacement =
+# avg |index rank - true rank| over hits, 0.0 when no hits.
+ORACLES["q_ann_recall"] = f"""
+SELECT CAST(5 AS INT) AS k,
+       CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(i.ri) AS BIGINT) AS n_hits,
+       CAST(count(i.ri) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS recall_at_k,
+       round(coalesce(avg(CASE WHEN i.ri IS NOT NULL
+                               THEN abs(i.ri - t.rt) END), 0.0), 6)
+         AS mean_rank_displacement
+FROM (SELECT query_id, neighbor_id, rank AS rt
+      FROM ({ORACLES["q_sim_topk"]}) x) t
+LEFT JOIN (SELECT query_id, neighbor_id, rank AS ri
+           FROM ({ORACLES["q_ivf_topk"]}) y) i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+"""

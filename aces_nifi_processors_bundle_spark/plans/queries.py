@@ -1443,6 +1443,28 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall report under the oracle gate (pipeline/similarity.py
+    ::ann_recall_report, round 11): grades q_ivf_topk's index answers
+    (md5-seeded 16-cell IVF, 4 probes) against q_sim_topk's
+    brute-force ground truth over the same 8 query vectors — one row
+    of (recall@5, mean rank displacement). The recall claims for the
+    IVF family previously lived in pytest only; this puts the quality
+    number itself under the DuckDB gate (the oracle recomputes BOTH
+    top-k paths and the report algebra)."""
+    from ..pipeline.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = brute_force_topk(emb, queries, k=5)
+    index = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    return ann_recall_report(index, truth, k=5)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
     buckets + Hamming pre-filter. The synthetic embeddings have no

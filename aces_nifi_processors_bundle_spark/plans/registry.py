@@ -41,6 +41,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_containment_quantile": q.q_containment_quantile,
     "q_dup_attribution": q.q_dup_attribution,
     "q_corpus_card": q.q_corpus_card,
+    "q_ann_recall": q.q_ann_recall,
     # --- (1) never externally graded: round-9 late additions
     "q_mix_temperature": q.q_mix_temperature,
     "q_dedup_cap": q.q_dedup_cap,

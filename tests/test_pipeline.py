@@ -4700,3 +4700,31 @@ def test_corpus_card_folds_three_modalities(spark):
             r0["n_containment_pairs"], r0["n_contained_docs"]) == (0, 0, 0, 0)
     # the report half is unchanged by missing modalities
     assert r0["docs_in_clusters"] == r["docs_in_clusters"]
+
+
+def test_ann_recall_report_algebra(spark):
+    """Hits, recall division, and rank displacement on a hand case;
+    an empty index reports recall 0 / displacement 0, not NULL."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ann_recall_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    index = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (2, 21, 1), (2, 20, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    r = ann_recall_report(index, truth, k=2).collect()[0]
+    assert (r["k"], r["n_queries"], r["n_truth"], r["n_hits"]) == (2, 2, 4, 3)
+    assert abs(r["recall_at_k"] - 0.75) < 1e-12
+    # displacements: (1,10): |1-1|=0; (2,20): |2-1|=1; (2,21): |1-2|=1
+    assert abs(r["mean_rank_displacement"] - round(2 / 3, 6)) < 1e-9
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rank long"
+    )
+    r0 = ann_recall_report(empty, truth, k=2).collect()[0]
+    assert r0["n_hits"] == 0 and r0["recall_at_k"] == 0.0
+    assert r0["mean_rank_displacement"] == 0.0
