@@ -1961,6 +1961,33 @@ def incremental_substring_dedup(
     return routed
 
 
+def compact_anchor_store(
+    store,
+    dropped: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[int, int]:
+    """Anchor-store LIFECYCLE (round 11): incremental_substring_dedup
+    appends anchors forever, so without maintenance the store grows
+    O(ingested tokens). This drops the anchors of documents a LATER
+    hard-dedup pass removed from the corpus (`dropped` = their ids)
+    and folds the per-epoch append fragments into one file per bucket
+    — after which the store is O(kept tokens), the honest suffix-array
+    asymptotic, without ever rebuilding from text. Returns
+    (anchors_deleted, buckets_compacted).
+
+    Routing is IDENTICAL before and after the fold (compact is a pure
+    file-layout change — pytest-pinned), and deleting a dropped doc's
+    anchors only removes match evidence that pointed at a document no
+    longer in the corpus — exactly the evidence that would otherwise
+    mis-route new arrivals as duplicate_store against ghosts."""
+    ids = dropped.select(F.col(id_col)).distinct().localCheckpoint(
+        eager=True
+    )
+    n_deleted = store.delete(ids)
+    n_compacted = store.compact()
+    return n_deleted, n_compacted
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     matches: DataFrame | None = None,

@@ -6182,3 +6182,28 @@ LEFT JOIN (SELECT query_id, neighbor_id, rank AS ri
            FROM ({ORACLES["q_ivf_topk"]}) y) i
   ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
 """
+
+
+# Mirrors q_substring_store_compact from the corpus alone: after the
+# delete (exact-dup losers' anchors) + compact (pure file fold — no
+# row change), the store holds exactly the exact-dedup keepers' 8-gram
+# anchors: min-id per md5(text) group, len(words) - 7 anchors for docs
+# with >= 8 words, shorter/NULL docs anchor nothing.
+ORACLES["q_substring_store_compact"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 25 = 0
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+),
+w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w
+  FROM corpus WHERE text IS NOT NULL
+)
+SELECT k.doc_id, CAST(len(w.w) - 7 AS BIGINT) AS n_anchors
+FROM keepers k JOIN w ON w.doc_id = k.doc_id
+WHERE len(w.w) >= 8
+ORDER BY k.doc_id
+"""

@@ -5330,6 +5330,57 @@ def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_substring_dedup(store, new, k=8, min_tokens=12)
 
 
+def q_substring_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-store lifecycle under the oracle gate (pipeline/dedup.py
+    ::compact_anchor_store + stores/keyed_table.py::delete, round 11):
+    the persisted anchor store is built in three epochs (init + two
+    put_if_absent appends — real fragmentation), then a later EXACT
+    dedup pass drops the corpus's byte-identical losers and the store
+    is maintained: losers' anchors deleted (bucket-pruned rewrite, one
+    manifest version), fragments folded (compact). The natural corpus
+    has NO byte-identical pairs at graded scale, so the fixture PLANTS
+    them (every 25th doc verbatim under id + 100000, arriving in the
+    last epoch) — the delete genuinely fires. Output: per-doc anchor
+    counts of the surviving store — exactly the exact-dedup keepers
+    with >= 8 words, each with len(words) - 7 anchors — which the
+    oracle re-derives from the corpus alone. The store stays
+    O(kept tokens), not O(ingested tokens)."""
+    from ..pipeline.dedup import (
+        anchor_rows,
+        compact_anchor_store,
+        exact_dup_groups,
+    )
+    from ..stores import KeyedParquetStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    store = KeyedParquetStore(
+        spark=spark,
+        path=_scratch("aces_anchor_gc_"),
+        keys=["doc_id", "pos"],
+        n_buckets=8,
+    )
+    store.init(anchor_rows(corpus.where(F.col("doc_id") < 200)))
+    store.put_if_absent(
+        anchor_rows(
+            corpus.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+        )
+    )
+    store.put_if_absent(anchor_rows(corpus.where(F.col("doc_id") >= 350)))
+    keepers = exact_dup_groups(corpus).select(F.col("keeper").alias("doc_id"))
+    losers = corpus.select("doc_id").join(keepers, "doc_id", "left_anti")
+    compact_anchor_store(store, losers)
+    return (
+        store.read()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (pipeline/dedup.py::
     containment_pairs): C = |A∩B| / min(|A|,|B|) — the doc-inside-doc

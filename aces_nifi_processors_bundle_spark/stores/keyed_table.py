@@ -1109,6 +1109,76 @@ class KeyedParquetStore:
             inserted=int(m["inserted"] or 0),
         )
 
+    def delete(self, matches: DataFrame) -> int:
+        """Delta-style DELETE (round 11): remove every table row that
+        matches a row of `matches` on ALL of matches' columns (any
+        subset of the table's columns — pass just (doc_id) to drop a
+        document's whole key family). Rewrites only the buckets that
+        actually contain matches, publishes one new manifest version
+        (op='delete'), and returns the number of rows removed —
+        0 leaves the table untouched at the same version.
+
+        The anchor-store lifecycle primitive: incremental substring
+        dedup appends anchors forever; deleting the anchors of docs a
+        later hard-dedup pass dropped keeps the store O(kept tokens),
+        not O(ingested tokens). Like merge(), the lock covers the
+        match-finding read, and `matches` must be DETERMINISTIC (it is
+        evaluated twice: bucket census + rewrite) and must NOT be
+        derived from an un-checkpointed read of THIS store (the
+        rewrite would race its own input — localCheckpoint first, as
+        incremental_substring_dedup does for appends)."""
+        self._reject_reserved(matches, "delete")
+        with self.provenance.send(self.path, detail="delete") as ctx, self._write_lock():
+            fs, Path = self._fs()
+            self._gc(fs, Path)
+            man = self._require_manifest(fs, Path)
+            fields = self._schema(man).fieldNames()
+            unknown = [c for c in matches.columns if c not in fields]
+            if unknown:
+                raise ValueError(
+                    f"store {self.path}: delete matches on {unknown} — "
+                    f"not columns of the table ({fields})"
+                )
+            m = matches.dropDuplicates(matches.columns)
+            all_dirs = [d for dirs in man["buckets"].values() for d in dirs]
+            full = self._read_dirs(man, all_dirs).withColumn(
+                BUCKET_COL, self._bucket_of()
+            )
+            # one census job: which buckets hold matches, and how many
+            # rows go — bounded by n_buckets rows on the driver
+            census = {
+                int(r[BUCKET_COL]): int(r["n"])
+                for r in full.join(m, matches.columns, "left_semi")
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_deleted = sum(census.values())
+            if not n_deleted:
+                return 0
+            touched = sorted(census)
+            keep = full.where(F.col(BUCKET_COL).isin(touched)).join(
+                m, matches.columns, "left_anti"
+            )
+            seg, present = self._write_segment(keep)
+            new_buckets = dict(man["buckets"])
+            for b in touched:
+                new_buckets[str(b)] = (
+                    [f"{seg}/{BUCKET_COL}={b}"] if b in present else []
+                )
+            self._publish(
+                fs,
+                Path,
+                {
+                    **man,
+                    "version": man["version"] + 1,
+                    "buckets": new_buckets,
+                },
+                op="delete",
+            )
+            ctx["n_rows"] = n_deleted
+        return n_deleted
+
     def _bucket_file_counts(self, fs, Path, man: dict) -> dict[int, int]:
         """bucket id -> parquet part-file count for a manifest —
         driver-side metadata only (directory listings of the

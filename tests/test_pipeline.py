@@ -4728,3 +4728,57 @@ def test_ann_recall_report_algebra(spark):
     r0 = ann_recall_report(empty, truth, k=2).collect()[0]
     assert r0["n_hits"] == 0 and r0["recall_at_k"] == 0.0
     assert r0["mean_rank_displacement"] == 0.0
+
+
+def test_anchor_store_compaction_preserves_routing(spark, tmp_path):
+    """compact_anchor_store's fold half is a pure file-layout change:
+    a fragmented store and its compacted twin route the same batch
+    identically; the delete half removes exactly the dropped docs'
+    anchors (store becomes O(kept tokens))."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        anchor_rows,
+        compact_anchor_store,
+        incremental_substring_dedup,
+    )
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here now"),
+         (3, "totally different words " + " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, " ".join(f"q{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+
+    def build(path):
+        st = KeyedParquetStore(
+            spark=spark, path=str(path), keys=["doc_id", "pos"], n_buckets=2
+        )
+        st.init(anchor_rows(docs.where("doc_id = 1")))
+        st.put_if_absent(anchor_rows(docs.where("doc_id = 2")))
+        st.put_if_absent(anchor_rows(docs.where("doc_id = 3")))
+        return st
+
+    frag = build(tmp_path / "frag")
+    twin = build(tmp_path / "twin")
+    assert twin.compact() >= 1
+    route = lambda st: sorted(
+        map(tuple, incremental_substring_dedup(st, batch, k=8,
+                                               min_tokens=12).collect())
+    )
+    # routing parity: fold changed files, not answers (both stores
+    # also append the batch's unique doc symmetrically)
+    assert route(frag) == route(twin)
+    # delete half: dropping doc 2 removes exactly its anchors
+    before = frag.read().count()
+    n2 = frag.read().where("doc_id = 2").count()
+    n_del, _ = compact_anchor_store(
+        frag, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    assert n_del == n2 > 0
+    assert frag.read().count() == before - n2
+    assert frag.read().where("doc_id = 2").count() == 0

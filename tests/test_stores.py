@@ -1093,3 +1093,35 @@ def test_merge_all_drop_batch_metrics(spark, tmp_path):
     m = store.merge(df, cfg)
     assert (m.updated, m.unmodified, m.inserted) == (0, 0, 0)
     assert store.read().count() == 0
+
+
+def test_delete_removes_matching_rows_bucket_pruned(spark, tmp_path):
+    """delete() removes exactly the rows matching the frame's columns
+    (a key subset), rewrites only touched buckets, publishes one
+    manifest version, and is a no-op (same version) on zero matches."""
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k", "p"], n_buckets=4
+    )
+    store.init(
+        spark.createDataFrame(
+            [Row(k=i, p=j, v=i * 10 + j) for i in range(6) for j in range(3)]
+        )
+    )
+    v0 = store.history()[0]["version"]
+    # delete on a column SUBSET (k only) drops the whole key family
+    n = store.delete(spark.createDataFrame([Row(k=1), Row(k=4)]))
+    assert n == 6
+    rows = store.read().collect()
+    assert len(rows) == 12 and all(r["k"] not in (1, 4) for r in rows)
+    hist = store.history()
+    assert hist[0]["version"] == v0 + 1 and hist[0]["op"] == "delete"
+    ev = store.provenance.events[-1]
+    assert ev.event_type == "SEND" and ev.detail == "delete"
+    assert ev.n_rows == 6
+    # zero matches: no new version, 0 returned
+    assert store.delete(spark.createDataFrame([Row(k=99)])) == 0
+    assert store.history()[0]["version"] == v0 + 1
+    # unknown column rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not columns of the table"):
+        store.delete(spark.createDataFrame([Row(nope=1)]))
