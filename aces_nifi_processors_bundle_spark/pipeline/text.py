@@ -129,16 +129,28 @@ BPE_PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s\x01]"
 BPE_DELIM = "\x01"
 
 
-def bpe_token_count_expr(word: Column) -> Column:
-    """Token count of ONE lowercase word piece under BPE_MERGES:
-    delimiter-encode the characters (each in its own D...D wrap),
-    chain one literal replace per ranked merge, count surviving
+def _bpe_wrap(word: Column) -> Column:
+    """Delimiter-encode a word's characters, each in its own D...D
+    wrap (see the BPE_DELIM comment above for why PER-SYMBOL)."""
+    d = BPE_DELIM
+    return F.concat(
+        F.lit(d), F.array_join(F.split(word, ""), d + d), F.lit(d)
+    )
+
+
+def bpe_token_count_expr(
+    word: Column, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """Token count of ONE lowercase word piece under a ranked merges
+    table (BPE_MERGES when not given — bpe_train's output rows work
+    too): delimiter-encode the characters (each in its own D...D
+    wrap), chain one literal replace per ranked merge, count surviving
     delimiters / 2 (every symbol owns exactly two). Flat,
     codegen-friendly — still run it over the DISTINCT vocabulary, not
     per occurrence."""
     d = BPE_DELIM
-    s = F.concat(F.lit(d), F.array_join(F.split(word, ""), d + d), F.lit(d))
-    for a, b in BPE_MERGES:
+    s = _bpe_wrap(word)
+    for a, b in merges if merges is not None else BPE_MERGES:
         s = F.replace(s, F.lit(d + a + d + d + b + d), F.lit(d + a + b + d))
     n_delims = F.length(s) - F.length(F.replace(s, F.lit(d), F.lit("")))
     return F.when(F.length(word) == 0, F.lit(0)).otherwise(
@@ -146,41 +158,135 @@ def bpe_token_count_expr(word: Column) -> Column:
     )
 
 
-def bpe_token_counts(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document BPE token counts: (id_col, n_tokens_bpe).
-
-    Plan: explode word pieces → per-(doc, piece) occurrence counts →
-    tokenize the DISTINCT vocabulary once (the expensive fold runs
-    |vocab| times, not |corpus-tokens| times) → join back and sum.
-    Docs with no pieces (empty/whitespace text) report 0."""
-    pieces = df.select(
-        F.col(id_col),
+def _bpe_pieces(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
+    """(…extra, w) word-piece occurrences under the shared
+    pre-tokenizer — the single definition of 'what is a BPE word'."""
+    return df.select(
+        *extra,
         F.explode(
             F.regexp_extract_all(
                 F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
             )
         ).alias("w"),
     )
-    per_doc_word = pieces.groupBy(id_col, "w").agg(
-        F.count(F.lit(1)).alias("occ")
-    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """Per-document BPE token counts: (id_col, out_col), under the
+    fixed documented table by default or a TRAINED table (bpe_train)
+    when `merges` is passed.
+
+    Plan: explode word pieces → per-(doc, piece) occurrence counts →
+    tokenize the DISTINCT vocabulary once (the expensive fold runs
+    |vocab| times, not |corpus-tokens| times) → join back and sum.
+    Docs with no pieces (empty/whitespace text) report 0."""
+    per_doc_word = _bpe_pieces(df, text_col, [id_col]).groupBy(
+        id_col, "w"
+    ).agg(F.count(F.lit(1)).alias("occ"))
     vocab = (
         per_doc_word.select("w")
         .distinct()
-        .select("w", bpe_token_count_expr(F.col("w")).alias("nt"))
+        .select("w", bpe_token_count_expr(F.col("w"), merges).alias("nt"))
     )
     sums = (
         per_doc_word.join(vocab, "w")
         .groupBy(id_col)
-        .agg(F.sum(F.col("occ") * F.col("nt")).alias("n_tokens_bpe"))
+        .agg(F.sum(F.col("occ") * F.col("nt")).alias(out_col))
     )
     return df.select(id_col).join(sums, id_col, "left").select(
         F.col(id_col),
-        F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).cast("bigint").alias(
-            "n_tokens_bpe"
-        ),
+        F.coalesce(F.col(out_col), F.lit(0)).cast("bigint").alias(out_col),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 20,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """TRAIN a BPE merges table on the corpus (round 11) — the public
+    Sennrich et al. 2016 algorithm, distributed: start from the
+    per-symbol-wrapped character encoding of the DISTINCT word-piece
+    vocabulary (with occurrence counts — the Zipf economy: every
+    iteration works on |vocab| rows, never |corpus tokens|), then
+    num_merges times (a) count adjacent symbol pairs weighted by word
+    frequency — overlapping adjacencies count, exactly get_stats —
+    (b) elect the most frequent pair (ties broken lexicographically on
+    (left, right): a total, collation-free order — both engines
+    compare ASCII bytes), (c) merge it everywhere with the one
+    literal-replace scan bpe_token_count_expr replays.
+
+    Per-iteration shape: one vocab-sized groupBy (the pair count,
+    map-side combinable), one 1-row argmax collect (the merge IS a
+    driver decision — num_merges scheduling points, same as any
+    iterative algorithm here), one string replace + localCheckpoint
+    (keeps iteration i's scan from replaying i-1 replace chains).
+    Returns the ranked merge list — bounded driver state (num_merges
+    pairs), feed it straight to bpe_token_counts(merges=...) or
+    persist it as store state.
+
+    Raises when the pair inventory runs dry before num_merges (a toy
+    corpus asking for more merges than it has adjacencies is a config
+    error, not a silent shorter table)."""
+    if num_merges < 1:
+        raise ValueError(f"bpe_train: num_merges must be >= 1, got {num_merges}")
+    d = BPE_DELIM
+    vocab = (
+        _bpe_pieces(df, text_col, [])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("w", "c", _bpe_wrap(F.col("w")).alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(num_merges):
+        arr = F.split(
+            F.expr("substring(toks, 2, length(toks) - 2)"), d + d
+        )
+        n = F.greatest(F.size(arr) - 1, F.lit(0))
+        prs = F.zip_with(
+            F.slice(arr, 1, n),
+            F.slice(arr, 2, n),
+            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        )
+        best = (
+            vocab.select("c", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"bpe_train: pair inventory exhausted at merge {i} of "
+                f"{num_merges} — the corpus has no adjacent symbols left"
+            )
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        vocab = vocab.withColumn(
+            "toks",
+            F.replace(
+                F.col("toks"),
+                F.lit(d + left + d + d + right + d),
+                F.lit(d + left + right + d),
+            ),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The merges table as a (rank, lhs, rhs, merged) DataFrame — the
+    persistable/gradeable form of bpe_train's output."""
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string, merged string",
     )
 
 

@@ -6207,3 +6207,93 @@ FROM keepers k JOIN w ON w.doc_id = k.doc_id
 WHERE len(w.w) >= 8
 ORDER BY k.doc_id
 """
+
+
+# --- trained BPE (round 11) ----------------------------------------------
+#
+# The two oracles below are GENERATED: BPE training is inherently
+# iterative (merge i's election depends on merge i-1's application),
+# so the SQL mirror is num_merges chained CTE stages, emitted by a
+# Python loop here. Each stage recounts weighted adjacent symbol pairs
+# (overlapping, get_stats semantics), elects the argmax with the
+# lexicographic (l, r) tie-break — ASCII byte order in both engines —
+# and applies the merge with the same per-symbol-delimited replace the
+# engine uses (see text.py's BPE_DELIM comment). Stages are
+# MATERIALIZED: w{i} is referenced twice (pair count + next stage) and
+# inlining would re-evaluate the whole chain per reference.
+_BPE_RE_SQL = "'[a-z]+|[0-9]+|[^a-z0-9\\s' || chr(1) || ']'"
+
+
+def _bpe_train_ctes(n: int) -> str:
+    parts = [
+        "tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+        + _BPE_RE_SQL
+        + ")) AS w FROM documents),\n"
+        "w0 AS MATERIALIZED (\n"
+        "  SELECT w, CAST(count(*) AS BIGINT) AS c,\n"
+        "         chr(1) || array_to_string(string_split(w, ''),"
+        " chr(1) || chr(1)) || chr(1) AS toks\n"
+        "  FROM tok GROUP BY w\n"
+        ")"
+    ]
+    for i in range(n):
+        parts.append(
+            f"p{i} AS (\n"
+            f"  SELECT t[j+1] AS l, t[j+2] AS r,"
+            f" CAST(sum(c) AS BIGINT) AS cnt\n"
+            f"  FROM (SELECT c, string_split(substr(toks, 2,"
+            f" length(toks) - 2), chr(1) || chr(1)) AS t FROM w{i}) s,\n"
+            f"       unnest(range(len(s.t) - 1)) AS u(j)\n"
+            f"  GROUP BY 1, 2\n"
+            f"),\n"
+            f"b{i} AS MATERIALIZED (\n"
+            f"  SELECT l, r, l || r AS m FROM p{i}"
+            f" ORDER BY cnt DESC, l, r LIMIT 1\n"
+            f"),\n"
+            f"w{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT w, c, replace(toks,"
+            f" chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),"
+            f" chr(1) || b.l || b.r || chr(1)) AS toks\n"
+            f"  FROM w{i}, b{i} b\n"
+            f")"
+        )
+    return ",\n".join(parts)
+
+
+_BPE_N = 20
+
+ORACLES["q_bpe_train"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + "\nSELECT * FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, l AS lhs, r AS rhs,"
+        f" m AS merged FROM b{i}"
+        for i in range(_BPE_N)
+    )
+    + "\n) ORDER BY rank"
+)
+
+# Counting under the trained table reads each distinct word's token
+# count off the FINAL training state w{N} — valid because replaying
+# merges in rank order reproduces the training-time tokenization
+# (the classic-BPE equivalence the engine's counting fold rests on).
+ORACLES["q_token_count_trained"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL}))
+         AS w
+  FROM documents
+),
+pdw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM docw GROUP BY 1, 2
+),
+cnt AS (
+  SELECT doc_id,
+         sum(occ * ((length(toks)
+                     - length(replace(toks, chr(1), ''))) // 2)) AS n
+  FROM pdw JOIN w{_BPE_N} USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens_trained
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+ORDER BY d.doc_id"""
+)

@@ -859,6 +859,44 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED BPE merge table (pipeline/text.py::bpe_train, round 11):
+    the public Sennrich et al. 2016 algorithm run distributedly over
+    the documents corpus — 20 ranked merges, each elected by a
+    vocabulary-sized weighted pair count (overlapping adjacencies,
+    get_stats semantics) with a lexicographic tie-break, applied via
+    the same per-symbol-delimited literal-replace scan the counting
+    fold replays. The oracle re-derives every election: 20 chained
+    MATERIALIZED CTE stages, each recomputing pair counts and the
+    argmax — the training ARITHMETIC is what the gate checks, not a
+    stored table."""
+    from ..pipeline.text import bpe_merges_df, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_merges_df(spark, bpe_train(docs, num_merges=20)).orderBy(
+        "rank"
+    )
+
+
+def q_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRAINED merges table
+    (round 11): bpe_train's 20 corpus-learned merges replayed by
+    bpe_token_counts over the distinct vocabulary — the counts that
+    token-budget mixing (q_mix_token_budget, q_mix_temperature) should
+    allocate by once a real tokenizer is trained. The oracle trains
+    the same table in SQL and reads each word's token count off the
+    final training state (valid by the classic-BPE equivalence in the
+    text.py module comment: replaying merges in rank order reproduces
+    the training-time tokenization exactly)."""
+    from ..pipeline.text import bpe_token_counts, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    return bpe_token_counts(
+        docs, merges=merges, out_col="n_tokens_trained"
+    ).orderBy("doc_id")
+
+
 # --- North-star extensions: dedup ---------------------------------------
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:

@@ -4782,3 +4782,82 @@ def test_anchor_store_compaction_preserves_routing(spark, tmp_path):
     assert n_del == n2 > 0
     assert frag.read().count() == before - n2
     assert frag.read().where("doc_id = 2").count() == 0
+
+
+def _reference_bpe_train(texts, num_merges):
+    """Sennrich get_stats/merge loop in pure Python — cross-checks
+    bpe_train's distributed elections."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s\x01]", t.lower()):
+            vocab[w] += 1
+    state = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        stats = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += vocab[w]
+        if not stats:
+            break
+        best = min(stats, key=lambda p: (-stats[p], p))
+        merges.append(best)
+        a, b = best
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """Distributed bpe_train must elect the same 12 merges, in order,
+    as the pure-Python Sennrich loop on the real corpus; trained-table
+    counts must equal the reference tokenization lengths."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    texts = [r["text"] for r in docs.collect()]
+    want_merges, state = _reference_bpe_train(texts, 12)
+    got = bpe_train(docs, num_merges=12)
+    assert got == want_merges
+    counts = {
+        r["doc_id"]: r["nt"]
+        for r in bpe_token_counts(
+            docs, merges=got, out_col="nt"
+        ).collect()
+    }
+    import re
+    for r in docs.limit(20).collect():
+        t = r["text"]
+        want = 0 if t is None else sum(
+            len(state[w])
+            for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s\x01]", t.lower())
+        )
+        assert counts[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_bpe_train_raises_when_pairs_run_dry(spark):
+    """Asking for more merges than the corpus has adjacencies is a
+    loud config error, not a silently shorter table."""
+    import pytest as _pytest
+    from aces_nifi_processors_bundle_spark.pipeline.text import bpe_train
+
+    tiny = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    assert bpe_train(tiny, num_merges=1) == [("a", "b")]
+    with _pytest.raises(ValueError, match="pair inventory exhausted"):
+        bpe_train(tiny, num_merges=2)
