@@ -281,6 +281,65 @@ def bpe_train(
     return merges
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """ENCODE the corpus under a merges table (round 11) — the actual
+    tokenizer output, not just counts: (id, pos, token) rows where pos
+    is the 0-based token offset within the document and token is the
+    surface form (merged symbol string). BPE_MERGES by default; pass
+    bpe_train's output to encode under a corpus-trained table.
+
+    Plan: word pieces with their in-doc order (posexplode), the
+    replace fold over the DISTINCT vocabulary only (Zipf economy, same
+    as counting), tokens recovered by splitting the folded symbol
+    string, and one PER-DOCUMENT window to lay (word idx, sub idx)
+    into a flat token offset — partitioned by doc, so the sort is
+    bounded by one document's tokens, never corpus-global."""
+    d = BPE_DELIM
+    pw = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+            )
+        ).alias("_wpos", "w"),
+    )
+    folded = F.col("_enc")
+    vocab = (
+        pw.select("w")
+        .distinct()
+        .select("w", _bpe_wrap(F.col("w")).alias("_enc"))
+    )
+    for a, b in merges if merges is not None else BPE_MERGES:
+        vocab = vocab.withColumn(
+            "_enc",
+            F.replace(
+                folded, F.lit(d + a + d + d + b + d), F.lit(d + a + b + d)
+            ),
+        )
+    toks = F.split(
+        F.expr("substring(_enc, 2, length(_enc) - 2)"), d + d
+    )
+    w = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
+    return (
+        pw.join(vocab, "w")
+        .select(
+            F.col(id_col),
+            "_wpos",
+            F.posexplode(toks).alias("_tpos", "token"),
+        )
+        .select(
+            F.col(id_col),
+            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+            "token",
+        )
+    )
+
+
 def bpe_merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """The merges table as a (rank, lhs, rhs, merged) DataFrame — the
     persistable/gradeable form of bpe_train's output."""

@@ -6297,3 +6297,36 @@ SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens_trained
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 ORDER BY d.doc_id"""
 )
+
+
+# Mirrors q_bpe_encode: the same generated training chain, then each
+# sampled doc's words joined to the FINAL training state, token lists
+# split off the folded symbol strings, and (word idx, sub idx) laid
+# into flat 0-based offsets by a per-doc row_number.
+ORACLES["q_bpe_encode"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+pw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL})) AS w,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {_BPE_RE_SQL}), 1) - 1 AS wpos
+  FROM documents WHERE doc_id % 10 = 0
+),
+wt AS (
+  SELECT w, string_split(substr(toks, 2, length(toks) - 2),
+                         chr(1) || chr(1)) AS ts
+  FROM w{_BPE_N}
+),
+et AS (
+  SELECT pw.doc_id, pw.wpos,
+         unnest(wt.ts) AS token,
+         generate_subscripts(wt.ts, 1) - 1 AS tpos
+  FROM pw JOIN wt USING (w)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+       token
+FROM et
+ORDER BY doc_id, pos"""
+)

@@ -897,6 +897,25 @@ def q_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer ENCODING documents (pipeline/text.py::
+    bpe_encode, round 11): every 10th doc emitted as (doc_id, pos,
+    token) rows under the 20 corpus-trained merges — the actual
+    tokenizer output a sequence-packing stage consumes, not just
+    counts. The replace fold runs over the distinct vocabulary; the
+    only per-doc work is one doc-partitioned window laying (word idx,
+    sub-token idx) into flat offsets. The oracle re-trains the table
+    (the same 20 MATERIALIZED stages) and reads each word's token list
+    off the final training state."""
+    from ..pipeline.text import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    return bpe_encode(
+        docs.where(F.col("doc_id") % 10 == 0), merges=merges
+    ).orderBy("doc_id", "pos")
+
+
 # --- North-star extensions: dedup ---------------------------------------
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:

@@ -4861,3 +4861,38 @@ def test_bpe_train_raises_when_pairs_run_dry(spark):
     assert bpe_train(tiny, num_merges=1) == [("a", "b")]
     with _pytest.raises(ValueError, match="pair inventory exhausted"):
         bpe_train(tiny, num_merges=2)
+
+
+def test_bpe_encode_flat_offsets_and_consistency(spark):
+    """bpe_encode's (pos, token) stream must reassemble each doc's
+    pieces in order, and its per-doc token count must equal
+    bpe_token_counts under the same table."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the thin cat"), (2, "another thing"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=4)
+    enc = bpe_encode(docs, merges=merges).collect()
+    by_doc: dict = {}
+    for r in enc:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["token"]))
+    for doc, toks in by_doc.items():
+        poss = sorted(p for p, _ in toks)
+        assert poss == list(range(len(toks))), doc  # dense 0-based
+    # concatenated tokens reproduce the lowercased pieces
+    joined = "".join(t for _, t in sorted(by_doc[1]))
+    assert joined == "thethincat"
+    counts = {
+        r["doc_id"]: r["nt"]
+        for r in bpe_token_counts(docs, merges=merges, out_col="nt").collect()
+    }
+    for doc in (1, 2):
+        assert counts[doc] == len(by_doc[doc])
+    assert 3 not in by_doc and 4 not in by_doc  # no rows for empty/NULL
+    assert counts[3] == 0 and counts[4] == 0
