@@ -1834,6 +1834,83 @@ def _source_divergence(
     return source_divergence_matrix(df, text_col, group_col)
 
 
+@stage("bpe_train")
+def _bpe_train(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    num_merges: int = 20,
+    text_col: str = "text",
+    n_buckets: int = 1,
+) -> DataFrame:
+    """ACTION: train a BPE merges table on the incoming corpus and
+    PERSIST it as store state at `path` (keyed by rank — the
+    registered-tokenizer lifecycle: train once, every downstream
+    count/encode stage replays the same table); hands the merge table
+    downstream. Re-running retrains and re-initializes (a tokenizer
+    retrain is a new artifact version — the store keeps history)."""
+    from .pipeline.text import bpe_merges_df, bpe_train
+    from .stores import KeyedParquetStore
+
+    merges = bpe_train(df, num_merges, text_col)
+    store = KeyedParquetStore(
+        spark=spark, path=path, keys=["rank"], n_buckets=n_buckets
+    )
+    store.init(bpe_merges_df(spark, merges))
+    return store.read().orderBy("rank")
+
+
+def _read_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merges table back into the ranked list the
+    text.py fold consumes — num_merges rows, bounded driver state."""
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(spark=spark, path=path, keys=["rank"])
+    rows = store.read().select("rank", "lhs", "rhs").collect()
+    return [(r["lhs"], r["rhs"]) for r in sorted(rows, key=lambda r: r["rank"])]
+
+
+@stage("token_count_trained")
+def _token_count_trained(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "n_tokens_trained",
+) -> DataFrame:
+    """Per-doc token counts under the merges table PERSISTED at
+    `path` (a prior bpe_train stage or any registered tokenizer
+    artifact) — joined back onto every input column, so budget-mixing
+    stages downstream can allocate by real token counts."""
+    from .pipeline.text import bpe_token_counts
+
+    counts = bpe_token_counts(
+        df, text_col, id_col, merges=_read_merges(spark, path),
+        out_col=out_col,
+    )
+    return df.join(counts, id_col)
+
+
+@stage("bpe_encode")
+def _bpe_encode(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE the incoming docs under the merges table persisted at
+    `path`: (id, pos, token) rows — the sequence a packing stage
+    consumes."""
+    from .pipeline.text import bpe_encode
+
+    return bpe_encode(df, text_col, id_col, _read_merges(spark, path))
+
+
 @stage("corpus_card")
 def _corpus_card(
     spark: SparkSession,

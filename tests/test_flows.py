@@ -977,3 +977,57 @@ def test_repair_stage_chains_after_evidence_emitting_stage(spark, sf_dir):
     assert t == o, "re-applying the line trim must be a fixpoint"
     # second pass finds nothing left to drop
     assert all(r["dropped_lines"] == 0 for r in twice.collect())
+
+
+def test_bpe_flow_trains_persists_and_replays(spark, sf_dir, tmp_path):
+    """The tokenizer lifecycle on the canvas: bpe_train persists the
+    merge table as store state; token_count_trained and bpe_encode in
+    SEPARATE flows replay it from the store, matching direct calls."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_token_counts,
+        bpe_train,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    store = str(tmp_path / "merges")
+    table = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "bpe_train", "path": store, "num_merges": 8},
+    ], sf_dir).collect()
+    want_merges = bpe_train(
+        load_table(spark, sf_dir, "documents"), num_merges=8
+    )
+    assert [(r["lhs"], r["rhs"]) for r in table] == want_merges
+    assert [r["rank"] for r in table] == list(range(8))
+
+    counted = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "token_count_trained", "path": store},
+        {"op": "sql", "query":
+            "SELECT doc_id, source, n_tokens_trained FROM __this__"},
+    ], sf_dir)
+    assert "n_tokens_trained" in counted.columns
+    got = {r["doc_id"]: r["n_tokens_trained"] for r in counted.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r["doc_id"]: r["nt"]
+        for r in bpe_token_counts(
+            docs, merges=want_merges, out_col="nt"
+        ).collect()
+    }
+    assert got == want
+
+    enc = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "filter", "condition": "doc_id < 3"},
+        {"op": "bpe_encode", "path": store},
+    ], sf_dir)
+    rows = enc.collect()
+    assert rows and set(enc.columns) == {"doc_id", "pos", "token"}
+    # count consistency: encode stream length == trained counts
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    for d, n in per_doc.items():
+        assert n == want[d]
