@@ -1891,7 +1891,11 @@ def _token_count_trained(
         df, text_col, id_col, merges=_read_merges(spark, path),
         out_col=out_col,
     )
-    return df.join(counts, id_col)
+    # same collision contract as _rewrite_text_in_place: a prior count
+    # stage's out_col is OVERWRITTEN by the fresh count (re-counting
+    # after a retrain is what running this stage again means), never
+    # duplicated into an ambiguous column
+    return df.drop(out_col).join(counts, id_col)
 
 
 @stage("bpe_encode")

@@ -917,8 +917,23 @@ def dup_attribution(
     grid = srcs.select(F.col(group_col).alias("source_a")).crossJoin(
         srcs.select(F.col(group_col).alias("source_b"))
     )
+    cells_j = cells.select(
+        F.col("source_a").alias("_ca"),
+        F.col("source_b").alias("_cb"),
+        "n_dup_docs",
+        "dup_tokens",
+    )
     return (
-        grid.join(cells, ["source_a", "source_b"], "left")
+        # NULL-SAFE grid join: a NULL source tag forms a real grid row
+        # (distinct() keeps it) and its duplicate mass must land there
+        # — a plain equi-join would report the (a, NULL) cell as 0
+        # while silently discarding the counted tokens
+        grid.join(
+            cells_j,
+            grid["source_a"].eqNullSafe(cells_j["_ca"])
+            & grid["source_b"].eqNullSafe(cells_j["_cb"]),
+            "left",
+        )
         .select(
             "source_a",
             "source_b",

@@ -1382,8 +1382,14 @@ def ann_recall_report(
         F.count_distinct("query_id").cast("bigint").alias("n_queries"),
         F.count(F.lit(1)).cast("bigint").alias("n_truth"),
         F.count("_ri").cast("bigint").alias("n_hits"),
-        (F.count("_ri").cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("recall_at_k"),
+        # guarded division: an EMPTY truth frame must read as recall
+        # 0.0, not NULL (non-ANSI) or DIVIDE_BY_ZERO (the driver's
+        # ANSI session)
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.count("_ri").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("recall_at_k"),
         F.round(
             F.coalesce(
                 F.avg(F.abs(F.col("_ri") - F.col("_rt"))), F.lit(0.0)

@@ -170,15 +170,25 @@ class PollingSocketIOClient:
         self._last_rx = time.monotonic()
 
     def emit(self, event, data=None, namespace=None, callback=None) -> None:
+        """At-least-once on the retry path: when the first POST fails
+        AFTER the server processed it (response lost in transit), the
+        transparent reconnect re-sends the same event — duplicate
+        delivery. The polling transport has no emit acks to do better
+        with; python-socketio's reconnect logic has the same property.
+        Exactly-once consumers should dedup on an event key."""
         if not self.connected:
             raise RuntimeError("not connected")
-        self._service_heartbeat()
         arr = [event] if data is None else [event, data]
         payload = "42" + json.dumps(arr, separators=(",", ":"))
         try:
+            # heartbeat INSIDE the guarded block: on an expired sid the
+            # failure surfaces from the heartbeat's poll GET, not the
+            # POST — the idle-past-pingTimeout case is exactly the one
+            # the reconnect below exists for
+            self._service_heartbeat()
             self._http(payload)
         except OSError as first:
-            # A failed POST on an established session almost always
+            # A failed request on an established session almost always
             # means the server dropped the sid (idle past pingTimeout —
             # this client has no background heartbeat thread). Attempt
             # ONE transparent reconnect (fresh Engine.IO handshake +

@@ -1155,9 +1155,17 @@ class KeyedParquetStore:
             }
             n_deleted = sum(census.values())
             if not n_deleted:
+                ctx["skipped_no_match"] = True
                 return 0
             touched = sorted(census)
-            keep = full.where(F.col(BUCKET_COL).isin(touched)).join(
+            # rewrite reads ONLY the touched buckets' dirs (the census
+            # already told us which) — a bucket-column filter over the
+            # full scan cannot file-prune, since _bucket is recomputed
+            # per row, not stored
+            keep = self._read_dirs(
+                man,
+                [d for b in touched for d in man["buckets"][str(b)]],
+            ).withColumn(BUCKET_COL, self._bucket_of()).join(
                 m, matches.columns, "left_anti"
             )
             seg, present = self._write_segment(keep)

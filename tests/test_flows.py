@@ -1003,10 +1003,14 @@ def test_bpe_flow_trains_persists_and_replays(spark, sf_dir, tmp_path):
 
     counted = build_flow(spark, [
         {"op": "load", "table": "documents"},
+        # run the count stage TWICE: re-counting after a retrain must
+        # OVERWRITE the stale column, not duplicate it ambiguously
+        {"op": "token_count_trained", "path": store},
         {"op": "token_count_trained", "path": store},
         {"op": "sql", "query":
             "SELECT doc_id, source, n_tokens_trained FROM __this__"},
     ], sf_dir)
+    assert counted.columns.count("n_tokens_trained") == 1
     assert "n_tokens_trained" in counted.columns
     got = {r["doc_id"]: r["n_tokens_trained"] for r in counted.collect()}
     docs = load_table(spark, sf_dir, "documents")

@@ -4667,6 +4667,21 @@ def test_dup_attribution_matrix(spark):
     assert rows[("s2", "s3")] == (1, 3)
     assert rows[("s2", "s2")] == (0, 0)
     assert rows[("s3", "s1")] == (0, 0)
+    # NULL source tag: its duplicate mass lands on the NULL grid row
+    # (null-safe join), never silently discarded
+    docs_n = docs.unionByName(spark.createDataFrame(
+        [(8, "a b c e", None)], "doc_id long, text string, source string"
+    ))
+    clusters_n = clusters.unionByName(
+        spark.createDataFrame([(8, 1)], ["node", "cluster"])
+    )
+    out_n = dup_attribution(docs_n, clusters_n)
+    rows_n = {(r["source_a"], r["source_b"]): (r["n_dup_docs"], r["dup_tokens"])
+              for r in out_n.collect()}
+    assert len(rows_n) == 16  # 4 sources incl. NULL -> full 4x4 grid
+    assert rows_n[("s1", None)] == (1, 4)
+    total_tokens = sum(t for _, t in rows_n.values())
+    assert total_tokens == 4 + 2 + 3 + 4  # nothing dropped
 
 
 def test_corpus_card_folds_three_modalities(spark):
@@ -4728,6 +4743,10 @@ def test_ann_recall_report_algebra(spark):
     r0 = ann_recall_report(empty, truth, k=2).collect()[0]
     assert r0["n_hits"] == 0 and r0["recall_at_k"] == 0.0
     assert r0["mean_rank_displacement"] == 0.0
+    # EMPTY truth (zero sampled queries): recall reads 0.0, not NULL
+    # (non-ANSI) or a DIVIDE_BY_ZERO error (ANSI)
+    rt = ann_recall_report(index, empty, k=2).collect()[0]
+    assert (rt["n_truth"], rt["recall_at_k"]) == (0, 0.0)
 
 
 def test_anchor_store_compaction_preserves_routing(spark, tmp_path):
