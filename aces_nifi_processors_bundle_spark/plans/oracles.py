@@ -6330,3 +6330,43 @@ SELECT doc_id,
 FROM et
 ORDER BY doc_id, pos"""
 )
+
+
+# Mirrors q_mix_trained_budget: the generated training chain + per-doc
+# trained counts (exactly the q_token_count_trained tail) feeding the
+# q_mix_token_budget greedy hash-order prefix walk.
+ORACLES["q_mix_trained_budget"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL}))
+         AS w
+  FROM documents
+),
+pdw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM docw GROUP BY 1, 2
+),
+cnt AS (
+  SELECT doc_id,
+         sum(occ * ((length(toks)
+                     - length(replace(toks, chr(1), ''))) // 2)) AS n
+  FROM pdw JOIN w{_BPE_N} USING (w) GROUP BY doc_id
+),
+t AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+         md5('mix' || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+),
+walk AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, tokens_before
+FROM walk
+WHERE tokens_before < CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 4000 END"""
+)

@@ -1610,6 +1610,31 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tokens", "tokens_before")
 
 
+def q_mix_trained_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing allocated by the TRAINED tokenizer
+    (round 11): the q_mix_token_budget greedy hash-order prefix walk,
+    with each doc's cost the real bpe_train-table token count instead
+    of the whitespace heuristic — the integration the trained
+    tokenizer exists for (a budget in 'tokens' should mean tokens the
+    model will actually see). Oracle: the generated training chain +
+    per-doc trained counts feeding the same window walk."""
+    from ..pipeline.splits import token_budget_mix
+    from ..pipeline.text import bpe_token_counts, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    counts = bpe_token_counts(docs, merges=merges, out_col="_nt")
+    out = token_budget_mix(
+        docs.join(counts, "doc_id"),
+        "lang",
+        {"en": 8000, "zh": 4000},
+        token_col=F.col("_nt"),
+    )
+    return out.select("doc_id", "lang", "n_tokens", "tokens_before")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (pipeline/text.py::
     chunk_documents): chunk 40 / overlap 10 over documents — pure
