@@ -791,6 +791,43 @@ def dedup_report(
     )
 
 
+def dedup_recall_report(
+    approx_pairs: DataFrame,
+    exact_pairs: DataFrame,
+) -> DataFrame:
+    """Candidate-generation QUALITY report (round 11) — ann_recall's
+    discipline applied to the dedup funnel: one row grading an
+    approximate pair generator (minhash bands, simhash segments, a
+    df-pruned index) against exact ground truth over the same corpus
+    and threshold. Output: (n_exact, n_approx, n_hits, recall,
+    precision) with guarded divisions (empty inputs read 0.0, never
+    NULL or an ANSI divide error).
+
+    For generators that END with an exact verify step (this engine's
+    minhash/simhash/ngram paths all do), precision is 1.0 by
+    construction — the report then isolates CANDIDATE recall, which is
+    exactly the number the banding/prune knobs trade away and the one
+    worth watching per corpus. Scale shape: both inputs are pair
+    lists the funnels already bound; the join is pair-keyed and the
+    report one aggregate row. Run it on a SAMPLE at 100 TB — the
+    exact side is the Σdf²-bounded-but-unpruned part."""
+    e = exact_pairs.select("id_a", "id_b", F.lit(1).alias("_e"))
+    a = approx_pairs.select("id_a", "id_b", F.lit(1).alias("_a"))
+    j = e.join(a, ["id_a", "id_b"], "full")
+    hits = F.count(F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(),
+                          F.lit(1)))
+    n_e, n_a = F.count("_e"), F.count("_a")
+    return j.agg(
+        n_e.cast("bigint").alias("n_exact"),
+        n_a.cast("bigint").alias("n_approx"),
+        hits.cast("bigint").alias("n_hits"),
+        F.when(n_e > 0, hits.cast("double") / n_e.cast("double"))
+        .otherwise(F.lit(0.0)).alias("recall"),
+        F.when(n_a > 0, hits.cast("double") / n_a.cast("double"))
+        .otherwise(F.lit(0.0)).alias("precision"),
+    )
+
+
 def corpus_card(
     df: DataFrame,
     clusters: DataFrame,

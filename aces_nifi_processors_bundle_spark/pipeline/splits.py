@@ -376,3 +376,98 @@ def temperature_mix(
             F.round("keep_prob", 6).alias("keep_prob"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection with Importance Resampling weights (round 11 —
+    the public DSIR method, Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by how target-like its hashed n-gram profile
+    is. Features are word unigrams + bigrams hashed into `n_buckets`;
+    the two bucket distributions (target vs raw) get Laplace
+    smoothing (alpha = 1), and a document's importance is
+    sum over its feature hits of count * ln(p_target / p_raw) —
+    positive means "more target-like than the raw pool". Downstream,
+    sample-by-importance (weighted_sample_quality / temperature_mix)
+    does the actual selection; this op is the weight computation.
+
+    Determinism/oracle contract: buckets are md5-derived (the
+    bit-level trick DuckDB mirrors exactly), the per-bucket log-ratio
+    is ONE ieee expression rounded to 9 dp, and the per-doc sum runs
+    in DECIMAL(38,18) (order-proof) — the source_divergence_matrix
+    recipe, so an information-theoretic weight sits under the full
+    value-hash gate.
+
+    Scale shape: feature extraction is the one corpus scan (the same
+    one-regex-pass machinery as positional shingles); both
+    distribution tables are n_buckets rows (broadcast); the per-doc
+    aggregate combines map-side. Nothing driver-side, nothing
+    pair-shaped. Output: (id, n_features, importance) for every df
+    row — featureless docs (NULL/empty text) score 0.0."""
+    from .text import positional_shingle_rows
+
+    def feats(frame: DataFrame) -> DataFrame:
+        uni = positional_shingle_rows(frame, text_col, id_col, 1)
+        bi = positional_shingle_rows(frame, text_col, id_col, 2)
+        g = uni.unionAll(bi).select(
+            F.col(id_col),
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("bigint") % F.lit(n_buckets)
+            ).alias("_b"),
+        )
+        return g
+
+    raw_f = feats(df)
+    tgt_f = feats(target)
+    ct = tgt_f.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    cr = raw_f.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tot_t = ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_T"))
+    tot_r = cr.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_R"))
+    lam = (
+        ct.join(cr, "_b", "full")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("_ct", F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("_T").cast("double") + F.lit(float(n_buckets)))
+                    )
+                    / (
+                        (F.coalesce("_cr", F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("_R").cast("double") + F.lit(float(n_buckets)))
+                    )
+                ),
+                9,
+            ).alias("_lam"),
+        )
+    )
+    per_doc = (
+        raw_f.groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(lam), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_features"),
+            F.sum(
+                F.round(F.col("_n") * F.col("_lam"), 9).cast(
+                    "decimal(38,18)"
+                )
+            ).alias("_imp"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_features", F.lit(0).cast("bigint")).alias("n_features"),
+        F.round(
+            F.coalesce(F.col("_imp").cast("double"), F.lit(0.0)), 6
+        ).alias("importance"),
+    )

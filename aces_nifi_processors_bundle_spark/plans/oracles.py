@@ -6370,3 +6370,134 @@ SELECT doc_id, lang, n_tokens, tokens_before
 FROM walk
 WHERE tokens_before < CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 4000 END"""
 )
+
+
+# Mirrors q_dedup_recall: the q_dedup_report oracle's minhash band
+# funnel (approx side) and the unpruned exact inverted-index pair set
+# (ground truth), full-joined into the one-row recall/precision
+# report with guarded divisions.
+ORACLES["q_dedup_recall"] = """
+WITH words AS (
+  SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [t] END AS shingles
+  FROM words
+),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3, min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7 FROM shx GROUP BY doc_id),
+bands AS (SELECT doc_id, '0' || '#' || mh0 || '#' || mh1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1' || '#' || mh2 || '#' || mh3 AS bk FROM sig
+  UNION ALL SELECT doc_id, '2' || '#' || mh4 || '#' || mh5 AS bk FROM sig
+  UNION ALL SELECT doc_id, '3' || '#' || mh6 || '#' || mh7 AS bk FROM sig),
+acands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk) WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+averified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM acands
+  JOIN sets sa ON sa.doc_id = acands.id_a
+  JOIN sets sb ON sb.doc_id = acands.id_b
+),
+approx AS (SELECT id_a, id_b FROM averified WHERE jaccard >= 0.5),
+eshx AS (SELECT DISTINCT doc_id, s FROM shx),
+ecands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM eshx a JOIN eshx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+everified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+              THEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.ss, sb.ss)))
+              ELSE 0.0 END AS jaccard
+  FROM ecands
+  JOIN sets sa ON sa.doc_id = ecands.id_a
+  JOIN sets sb ON sb.doc_id = ecands.id_b
+),
+exact AS (SELECT id_a, id_b FROM everified WHERE jaccard >= 0.5),
+j AS (
+  SELECT coalesce(e.id_a, a.id_a) AS id_a,
+         coalesce(e.id_b, a.id_b) AS id_b,
+         e.id_a IS NOT NULL AS in_e, a.id_a IS NOT NULL AS in_a
+  FROM exact e FULL JOIN approx a
+    ON e.id_a = a.id_a AND e.id_b = a.id_b
+)
+SELECT CAST(sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CASE WHEN sum(CASE WHEN in_e THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(CASE WHEN in_e THEN 1 ELSE 0 END)
+            ELSE 0.0 END AS recall,
+       CASE WHEN sum(CASE WHEN in_a THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+            ELSE 0.0 END AS precision
+FROM j
+"""
+
+
+# Mirrors q_dsir_weights feature-for-feature: whitespace uni+bigrams,
+# md5-derived bucket ids (('0x'||substr(md5,1,15))::BIGINT == Spark
+# conv(substr(md5,1,15),16,10) — the established bit-level bridge),
+# Laplace-smoothed target/raw bucket distributions, the per-bucket
+# log-ratio rounded to 9 dp, and the order-proof DECIMAL(38,18)
+# per-doc sum.
+ORACLES["q_dsir_weights"] = """
+WITH raww AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+uni AS (SELECT doc_id, unnest(w) AS g FROM raww),
+bi AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+  FROM raww, unnest(range(len(w) - 1)) AS t(i)
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+ct AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM feats
+       WHERE doc_id % 50 = 0 GROUP BY b),
+cr AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM feats GROUP BY b),
+tt AS (SELECT coalesce(sum(n), 0) AS t FROM ct),
+tr AS (SELECT coalesce(sum(n), 0) AS t FROM cr),
+lam AS (
+  SELECT coalesce(ct.b, cr.b) AS b,
+         round(ln(((coalesce(ct.n, 0)::DOUBLE + 1.0)
+                   / (tt.t::DOUBLE + 1024.0))
+                  / ((coalesce(cr.n, 0)::DOUBLE + 1.0)
+                     / (tr.t::DOUBLE + 1024.0))), 9) AS l
+  FROM ct FULL JOIN cr ON ct.b = cr.b, tt, tr
+),
+pd AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+  FROM feats GROUP BY 1, 2
+),
+imp AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nf,
+         SUM(CAST(round(n * l, 9) AS DECIMAL(38,18))) AS s
+  FROM pd JOIN lam USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(i.nf, 0) AS BIGINT) AS n_features,
+       round(coalesce(CAST(i.s AS DOUBLE), 0.0), 6) AS importance
+FROM documents d LEFT JOIN imp i USING (doc_id)
+ORDER BY d.doc_id
+"""

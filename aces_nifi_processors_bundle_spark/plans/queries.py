@@ -1645,6 +1645,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=40, overlap=10)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (pipeline/splits.py::dsir_weights,
+    round 11 — Xie et al. 2023): every 50th doc plays the target
+    distribution (the decontaminate convention), every doc scored by
+    sum of hashed uni+bigram hits times the smoothed per-bucket
+    log-ratio ln(p_target/p_raw). The oracle mirrors the md5 bucket
+    arithmetic bit-for-bit and the rounded-decimal sum recipe, so a
+    data-selection weight sits under the full value-hash gate."""
+    from ..pipeline.splits import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 50 == 0)
+    return dsir_weights(docs, target).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (pipeline/dedup.py::decontaminate):
     every 50th doc plays the held-out eval set; training docs sharing
@@ -5745,6 +5760,32 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_intermediates=True,
     )
     return corpus_card(body, clusters, spans, cpairs)
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH candidate recall under the oracle gate
+    (pipeline/dedup.py::dedup_recall_report, round 11): the standard
+    8-hash/4-band funnel graded against the UNPRUNED exact n-gram
+    Jaccard pair set at the same 0.5 threshold — one row of
+    (n_exact, n_approx, n_hits, recall, precision). Both funnels end
+    with an exact verify, so precision is 1.0 by construction and the
+    number under grade is banding recall — exactly what the
+    num_hashes/band_size knobs trade away. The oracle recomputes BOTH
+    pair sets and the report algebra."""
+    from ..pipeline.dedup import (
+        dedup_recall_report,
+        near_dup_pairs_minhash,
+        near_dup_pairs_ngram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    approx = near_dup_pairs_minhash(
+        docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+    )
+    exact = near_dup_pairs_ngram(
+        docs, k=3, threshold=0.5, persist_intermediates=True
+    )
+    return dedup_recall_report(approx, exact)
 
 
 def q_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

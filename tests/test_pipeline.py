@@ -4915,3 +4915,57 @@ def test_bpe_encode_flat_offsets_and_consistency(spark):
         assert counts[doc] == len(by_doc[doc])
     assert 3 not in by_doc and 4 not in by_doc  # no rows for empty/NULL
     assert counts[3] == 0 and counts[4] == 0
+
+
+def test_dedup_recall_report_algebra(spark):
+    """Hits / recall / precision on a hand case; empty sides read 0.0
+    (guarded divisions, ANSI-safe)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        dedup_recall_report,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 2), (4, 5), (8, 9)], "id_a long, id_b long"
+    )
+    r = dedup_recall_report(approx, exact).collect()[0]
+    assert (r["n_exact"], r["n_approx"], r["n_hits"]) == (4, 3, 2)
+    assert abs(r["recall"] - 0.5) < 1e-12
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r0 = dedup_recall_report(empty, empty).collect()[0]
+    assert (r0["recall"], r0["precision"]) == (0.0, 0.0)
+
+
+def test_dsir_weights_direction_and_featureless_docs(spark):
+    """Target-like docs must score above off-target docs; docs with
+    no features (NULL/empty text) score 0.0 with 0 features."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_weights,
+    )
+
+    target_text = "alpha beta gamma alpha beta"
+    docs = spark.createDataFrame(
+        [
+            (0, target_text),                    # the target doc itself
+            (1, "alpha beta gamma delta"),       # target-like
+            (2, "xx yy zz ww vv uu tt"),         # off-target
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id = 0")
+    out = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    assert len(out) == 5
+    # only the ORDERING is guaranteed at toy scale (Laplace smoothing
+    # with B=1024 buckets dominates absolute values): target-like docs
+    # above off-target, the target doc itself highest
+    assert out[1]["importance"] > out[2]["importance"]
+    assert out[0]["importance"] > out[1]["importance"]
+    for d in (3, 4):
+        assert out[d]["n_features"] == 0 and out[d]["importance"] == 0.0
+    # n_features = unigrams + bigrams
+    assert out[1]["n_features"] == 4 + 3
