@@ -836,3 +836,24 @@ def test_remove_duplicate_spans_windows_are_doc_partitioned(spark, sf_dir):
     assert "Window" in plan, plan
     simple = plan_of(out, mode="simple")
     assert "Exchange SinglePartition" not in simple, simple
+
+
+def test_dsir_and_trained_bpe_count_plans_stay_jvm(spark, sf_dir):
+    """The selection/tokenizer hot paths are pure column ops: no
+    Python evaluation of any kind in either plan, and dsir's
+    bucket-lambda table (1024 rows) joins as a broadcast."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_weights,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(dsir_weights(docs, docs.where("doc_id % 50 = 0")))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(
+        bpe_token_counts(docs, merges=[("t", "h"), ("th", "e")])
+    )
+    assert "EvalPython" not in plan2
