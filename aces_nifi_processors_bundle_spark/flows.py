@@ -1834,6 +1834,30 @@ def _source_divergence(
     return source_divergence_matrix(df, text_col, group_col)
 
 
+@stage("dsir_weights")
+def _dsir_weights(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    target_condition: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights on the canvas (round 11): score every
+    incoming doc by target-likeness (hashed uni+bigram log-ratios
+    against the rows matching `target_condition`) and join
+    (n_features, importance) onto every input column — feed the
+    result to weighted_sample_quality / temperature_mix for the
+    actual selection."""
+    from .pipeline.splits import dsir_weights
+
+    weights = dsir_weights(
+        df, df.where(target_condition), text_col, id_col, n_buckets
+    )
+    return df.drop("n_features", "importance").join(weights, id_col)
+
+
 @stage("bpe_train")
 def _bpe_train(
     spark: SparkSession,

@@ -1035,3 +1035,30 @@ def test_bpe_flow_trains_persists_and_replays(spark, sf_dir, tmp_path):
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
     for d, n in per_doc.items():
         assert n == want[d]
+
+
+def test_dsir_weights_stage_joins_onto_input(spark, sf_dir):
+    """The canvas form scores against an in-frame target condition and
+    keeps every input column; equals the direct call."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_weights,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_weights", "target_condition": "doc_id % 50 = 0"},
+    ], sf_dir)
+    assert {"doc_id", "text", "lang", "source", "importance",
+            "n_features"} <= set(out.columns)
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_weights(
+            docs.select("doc_id", "text"),
+            docs.select("doc_id", "text").where("doc_id % 50 = 0"),
+        ).collect()
+    }
+    got = {r["doc_id"]: r["importance"] for r in out.collect()}
+    assert got == want
