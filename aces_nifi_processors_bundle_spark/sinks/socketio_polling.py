@@ -40,8 +40,10 @@ from __future__ import annotations
 import json
 import ssl
 import time
+import urllib.error
 import urllib.parse
 import urllib.request
+import warnings
 
 RS = "\x1e"  # Engine.IO v4 payload record separator
 
@@ -82,6 +84,11 @@ class PollingSocketIOClient:
         # ONE transparent re-handshake when the server has expired the
         # session (upstream stalled past pingTimeout with no emits)
         self._connect_args: tuple | None = None
+        # Opt-in escape hatch: also reconnect+resend on TRANSIENT
+        # OSErrors (timeouts, resets), accepting duplicate-delivery
+        # risk. Default False = at-most-once for transients; only a
+        # definite session expiry (HTTP 400) triggers the resend.
+        self.resend_transient = False
 
     # -- transport ---------------------------------------------------------
 
@@ -169,13 +176,29 @@ class PollingSocketIOClient:
                 self._http("3")
         self._last_rx = time.monotonic()
 
+    @staticmethod
+    def _is_session_expiry(err: OSError) -> bool:
+        """True only for the signals that mean the SERVER dropped the
+        sid: an HTTP 400 (Engine.IO answers 'Session ID unknown' /
+        'unsupported protocol' with 400) — the one case where a resend
+        cannot duplicate, because the failed request was never bound
+        to a live session. Timeouts and connection resets on a healthy
+        session are NOT expiry: the server may have processed the POST
+        and lost only the response, so resending risks duplicates."""
+        return (
+            isinstance(err, urllib.error.HTTPError) and err.code == 400
+        )
+
     def emit(self, event, data=None, namespace=None, callback=None) -> None:
-        """At-least-once on the retry path: when the first POST fails
-        AFTER the server processed it (response lost in transit), the
-        transparent reconnect re-sends the same event — duplicate
-        delivery. The polling transport has no emit acks to do better
-        with; python-socketio's reconnect logic has the same property.
-        Exactly-once consumers should dedup on an event key."""
+        """Delivery contract: at-most-once for transient failures
+        (timeout / reset on a healthy session — the error propagates,
+        no automatic resend, because the server may already have
+        processed the lost-response POST), with ONE transparent
+        re-handshake + resend ONLY on a definite session expiry
+        (HTTP 400 — see _is_session_expiry; no duplicate is possible
+        there). Callers who prefer old at-least-once behavior for ALL
+        OSErrors set ``resend_transient = True``; each such
+        duplicate-risk resend surfaces a RuntimeWarning."""
         if not self.connected:
             raise RuntimeError("not connected")
         arr = [event] if data is None else [event, data]
@@ -188,12 +211,19 @@ class PollingSocketIOClient:
             self._service_heartbeat()
             self._http(payload)
         except OSError as first:
-            # A failed request on an established session almost always
-            # means the server dropped the sid (idle past pingTimeout —
-            # this client has no background heartbeat thread). Attempt
-            # ONE transparent reconnect (fresh Engine.IO handshake +
-            # namespace CONNECT) and retry; if that also fails, say
-            # what actually happened instead of an opaque HTTP error.
+            # Reconnect+resend is gated on a definite expiry signal;
+            # a transient failure re-raises unless the caller opted in
+            # to at-least-once via resend_transient (then it warns).
+            if not self._is_session_expiry(first):
+                if not self.resend_transient:
+                    raise
+                warnings.warn(
+                    "socket.io polling emit failed with a transient "
+                    f"error ({first!r}); resend_transient=True — "
+                    "re-sending with duplicate-delivery risk",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             try:
                 url, auth, path, wait, wait_timeout = self._connect_args
                 self.connected = False

@@ -1140,6 +1140,23 @@ class KeyedParquetStore:
                     f"not columns of the table ({fields})"
                 )
             m = matches.dropDuplicates(matches.columns)
+            # NULL-keyed match rows would match NOTHING under the
+            # equi semi/anti joins below — a silent partial delete.
+            # Mirror the loud unknown-column check instead (round-11
+            # advice): callers who mean "delete rows where k IS NULL"
+            # don't have that semantics here and should filter first.
+            null_pred = None
+            for c in m.columns:
+                p = F.col(c).isNull()
+                null_pred = p if null_pred is None else (null_pred | p)
+            n_null = m.where(null_pred).limit(1).count()
+            if n_null:
+                raise ValueError(
+                    f"store {self.path}: delete matches contain NULLs "
+                    f"in a match column ({m.columns}); NULL never "
+                    "equi-joins, so those rows would silently delete "
+                    "nothing — drop or filter them explicitly"
+                )
             all_dirs = [d for dirs in man["buckets"].values() for d in dirs]
             full = self._read_dirs(man, all_dirs).withColumn(
                 BUCKET_COL, self._bucket_of()

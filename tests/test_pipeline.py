@@ -4684,6 +4684,52 @@ def test_dup_attribution_matrix(spark):
     assert total_tokens == 4 + 2 + 3 + 4  # nothing dropped
 
 
+def test_dup_attribution_superset_clusters_sentinel(spark):
+    """Clusters computed over a SUPERSET corpus: nodes absent from df
+    (both a keeper and a loser) must attribute their duplicate mass to
+    the visible '<unresolved>' row/column instead of vanishing through
+    an inner join (round-11 advice). When every node resolves, the
+    sentinel row/column must NOT appear (all-zero cells filtered)."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        UNRESOLVED_SOURCE,
+        dup_attribution,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (2, "a b c d", "s2"),     # loser of cluster 1 — keeper 1 absent
+            (5, "x y z w v", "s2"),   # keeper of cluster 5
+        ],
+        "doc_id long, text string, source string",
+    )
+    clusters = spark.createDataFrame(
+        # cluster 1: keeper 1 NOT in docs; cluster 5: loser 6 NOT in docs
+        [(1, 1), (2, 1), (5, 5), (6, 5)], ["node", "cluster"]
+    )
+    out = dup_attribution(docs, clusters)
+    rows = {(r["source_a"], r["source_b"]): (r["n_dup_docs"], r["dup_tokens"])
+            for r in out.collect()}
+    # absent keeper 1 -> its loser 2 charged to (<unresolved>, s2)
+    assert rows[(UNRESOLVED_SOURCE, "s2")] == (1, 4)
+    # absent loser 6 -> charged to (s2, <unresolved>) with 0 tokens
+    # (its token mass is unknowable from df)
+    assert rows[("s2", UNRESOLVED_SOURCE)] == (1, 0)
+    # total dup-doc mass conserved: both losers counted
+    assert sum(n for n, _ in rows.values()) == 2
+    # fully-resolved case: no sentinel row/column materializes
+    docs_full = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out_full = dup_attribution(
+        docs_full, spark.createDataFrame([(1, 1), (2, 1)], ["node", "cluster"])
+    )
+    labels = {
+        r["source_a"] for r in out_full.collect()
+    } | {r["source_b"] for r in out_full.collect()}
+    assert UNRESOLVED_SOURCE not in labels
+
+
 def test_corpus_card_folds_three_modalities(spark):
     """dedup_report columns plus substring/containment summaries in
     one row; None modality frames degrade to zero columns."""
@@ -4969,3 +5015,186 @@ def test_dsir_weights_direction_and_featureless_docs(spark):
         assert out[d]["n_features"] == 0 and out[d]["importance"] == 0.0
     # n_features = unigrams + bigrams
     assert out[1]["n_features"] == 4 + 3
+    # config error, not modulo-by-zero: n_buckets must be >= 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(docs, target, n_buckets=0)
+
+
+def test_bpe_train_tiebreak_utf8_bytes_and_non_ascii_corpus(spark):
+    """bpe_train's elections tie-break on UTF-8 BYTES (the encode()
+    sort key): a corpus engineered so round 1 is a pure count tie
+    among several ASCII pairs must elect the byte-smallest, matching
+    the pure-Python loop exactly — and non-ASCII pieces (a high-BMP
+    ligature and a supplementary-plane emoji, both single-symbol
+    pieces under the [^a-z0-9\\s\\x01] class) must flow through
+    training without perturbing the elections. Note the piece grammar
+    makes every multi-symbol piece ASCII, so UTF-16-vs-UTF-8 order
+    can never diverge on TODAY'S candidates; the byte sort key is the
+    engine-neutral guarantee if the grammar ever widens."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import bpe_train
+
+    # words: zz, ba, cd — first-round pairs (z,z), (b,a), (c,d) all
+    # count 1: a pure tie, byte order elects (b,a)
+    texts = ["zz ﬀ", "ba \U0001f600", "cd"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, num_merges=3)
+    want, _ = _reference_bpe_train(texts, 3)
+    assert got == want
+    assert got[0] == ("b", "a")
+
+
+def test_bpe_train_collect_vocab_equivalent(spark, sf_dir):
+    """The production-merge-count path (collect_vocab=True: one corpus
+    scan, pruned vocabulary collected, incremental in-memory merge
+    loop) must elect the IDENTICAL merge table as the distributed
+    per-merge loop on the real corpus — and must scale to merge
+    counts the distributed loop can't (256 merges in one driver
+    loop, cross-checked against the pure-Python Sennrich reference)."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    slow = bpe_train(docs, num_merges=12)
+    fast = bpe_train(docs, num_merges=12, collect_vocab=True)
+    assert fast == slow
+    # min_count pruning applies identically to both paths
+    slow_p = bpe_train(docs, num_merges=8, min_count=3)
+    fast_p = bpe_train(docs, num_merges=8, min_count=3, collect_vocab=True)
+    assert fast_p == slow_p
+    # production envelope: run the loop to the corpus's FULL merge
+    # inventory (89 on this fixture — every word collapses to one
+    # symbol), validated against the naive reference loop at every
+    # rank (the incremental statistics must not drift as merged
+    # symbols become multi-char and pair churn compounds), and the
+    # exhaustion beyond it must stay a loud error, not a short table
+    texts = [r["text"] for r in docs.collect()]
+    want_all, _ = _reference_bpe_train(texts, 10_000)
+    n_all = len(want_all)
+    assert n_all >= 80  # the fixture sustains a deep merge chain
+    got_all = bpe_train(docs, num_merges=n_all, collect_vocab=True)
+    assert got_all == want_all
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train(docs, num_merges=n_all + 1, collect_vocab=True)
+    with pytest.raises(ValueError, match="min_count"):
+        bpe_train(docs, num_merges=2, min_count=0)
+
+
+def test_bpe_roundtrip_exact_and_oov_fallback(spark):
+    """decode(encode(text)) must equal the canonical form (lowercased
+    pieces, whitespace removed) EXACTLY — including for symbols the
+    training corpus never saw (they pass through as single-char
+    tokens: char-level fallback is inherent to starting from the
+    character alphabet). NULL/empty docs produce no token rows."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_canonical_text,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the thin cat sat on the thin mat")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train, num_merges=5)
+    docs = spark.createDataFrame(
+        [
+            (1, "The THIN cat!"),          # case + punctuation
+            (2, "unseen ~ €42 znak"),      # '~' and '€' never trained
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    dec = {
+        r["doc_id"]: r["decoded"]
+        for r in bpe_decode(bpe_encode(docs, merges=merges)).collect()
+    }
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id", bpe_canonical_text(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert dec[1] == canon[1] == "thethincat!"
+    assert dec[2] == canon[2] == "unseen~€42znak"
+    assert 3 not in dec and 4 not in dec  # no pieces -> no rows
+    # untrained symbols surface as single-char tokens (no OOV state)
+    toks2 = [
+        r["token"]
+        for r in bpe_encode(
+            docs.where("doc_id = 2"), merges=merges
+        ).orderBy("pos").collect()
+    ]
+    assert "~" in toks2 and "€" in toks2
+
+
+def test_dsir_select_membership_algebra(spark):
+    """keep_prob = logistic(importance/T) rounded to 6 dp; kept is the
+    weighted_sample hash rule — so featureless docs read exactly 0.5,
+    higher importance -> higher keep_prob, temperature flattens, and
+    kept matches an independent recomputation of the hash walk."""
+    import hashlib
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_select,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha beta"),
+            (1, "alpha beta gamma delta"),
+            (2, "xx yy zz ww vv uu tt"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id = 0")
+    out = {r["doc_id"]: r for r in dsir_select(docs, target).collect()}
+    assert out[3]["keep_prob"] == 0.5  # importance 0 -> logistic(0)
+    assert out[0]["keep_prob"] > out[1]["keep_prob"] > out[2]["keep_prob"]
+    flat = {
+        r["doc_id"]: r
+        for r in dsir_select(docs, target, temperature=100.0).collect()
+    }
+    # high temperature pulls every keep_prob toward 0.5
+    for d in (0, 1, 2):
+        assert abs(flat[d]["keep_prob"] - 0.5) < abs(
+            out[d]["keep_prob"] - 0.5
+        ) + 1e-12
+    for d, r in out.items():
+        h = int(
+            hashlib.md5(f"dsir{d}".encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+        assert r["kept"] == (h / 1_000_000 < r["keep_prob"]), d
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_select(docs, target, temperature=0.0)
+
+
+def test_dedup_recall_sampled_membership_and_degenerate_denom(spark, sf_dir):
+    """sample_denom=1 must reproduce the full-corpus recall report
+    exactly (every doc is in the sample); a larger denom shrinks the
+    exact side; denom < 1 is a loud config error."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        dedup_recall_report,
+        dedup_recall_sampled,
+        near_dup_pairs_minhash,
+        near_dup_pairs_ngram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = dedup_recall_report(
+        near_dup_pairs_minhash(
+            docs, num_hashes=8, band_size=2, k=3, threshold=0.5
+        ),
+        near_dup_pairs_ngram(
+            docs, k=3, threshold=0.5, persist_intermediates=True
+        ),
+    ).collect()[0]
+    same = dedup_recall_sampled(docs, sample_denom=1).collect()[0]
+    assert same.asDict() == full.asDict()
+    sampled = dedup_recall_sampled(docs, sample_denom=4).collect()[0]
+    assert sampled["n_exact"] <= full["n_exact"]
+    with pytest.raises(ValueError, match="sample_denom"):
+        dedup_recall_sampled(docs, sample_denom=0)

@@ -200,6 +200,7 @@ class _MiniSocketIOServer:
         self.received: list[tuple[str, object]] = []
         self._queues: dict[str, list[str]] = {}
         self._next_sid = [0]
+        self.fail_posts = False  # fault injection: 500 every POST
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -210,6 +211,17 @@ class _MiniSocketIOServer:
                 data = body.encode("utf-8")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain;charset=UTF-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _reply_400(self) -> None:
+                # real Engine.IO answers unknown sids with HTTP 400
+                # {"code":1,"message":"Session ID unknown"} — the
+                # exact signal the client's expiry-gated resend keys on
+                data = b'{"code":1,"message":"Session ID unknown"}'
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
@@ -237,6 +249,9 @@ class _MiniSocketIOServer:
                         )
                     )
                     return
+                if sid not in outer._queues:
+                    self._reply_400()
+                    return
                 pkts = outer._queues.get(sid, [])
                 outer._queues[sid] = []
                 self._reply("\x1e".join(pkts) if pkts else "6")
@@ -248,6 +263,14 @@ class _MiniSocketIOServer:
                     )
                 )
                 sid = q.get("sid", "")
+                if sid not in outer._queues:
+                    self._reply_400()
+                    return
+                if outer.fail_posts:
+                    self.send_response(500)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n).decode("utf-8")
                 for pkt in body.split("\x1e"):
@@ -330,3 +353,64 @@ def test_vendored_client_send_and_error_paths():
             time.sleep(0.05)
         assert ("message", "plain payload") in srv.received
         assert ("typed", "data") in srv.received
+
+
+def test_vendored_client_expiry_gated_reconnect():
+    """Delivery contract of emit() after the round-12 gating fix:
+
+    1. A definite session expiry (server answers HTTP 400 'Session ID
+       unknown') triggers ONE transparent re-handshake and the event
+       still arrives — no duplicate is possible because the expired
+       session never processed the POST.
+    2. A TRANSIENT failure (HTTP 500 on a live session) propagates —
+       no automatic resend, because the server may have processed the
+       request and lost only the response (at-most-once default).
+    3. With resend_transient=True the same transient failure resends
+       under a RuntimeWarning (opt-in at-least-once)."""
+    import time
+    import warnings as _warnings
+
+    from aces_nifi_processors_bundle_spark.sinks.socketio_polling import (
+        PollingSocketIOClient,
+    )
+
+    with _MiniSocketIOServer() as srv:
+        c = PollingSocketIOClient()
+        c.connect(f"http://127.0.0.1:{srv.port}", wait_timeout=5)
+        # (1) expire every session server-side, then emit: the client
+        # must re-handshake (fresh sid) and deliver
+        srv._queues.clear()
+        c.emit("after_expiry", "v1")
+        deadline = time.time() + 5
+        while ("after_expiry", "v1") not in srv.received:
+            assert time.time() < deadline, "expiry reconnect never landed"
+            time.sleep(0.05)
+        # (2) transient 500 on the (now fresh) session: raises, no dup
+        srv.fail_posts = True
+        with pytest.raises(OSError):
+            c.emit("transient", "lost")
+        srv.fail_posts = False
+        assert ("transient", "lost") not in srv.received
+        # (3) opt-in at-least-once: resends and warns
+        c.resend_transient = True
+        srv.fail_posts = True
+
+        def _unfail() -> None:
+            time.sleep(0.3)
+            srv.fail_posts = False
+
+        import threading
+
+        threading.Thread(target=_unfail, daemon=True).start()
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            try:
+                c.emit("optin", "resend")
+            except OSError:
+                # the reconnect handshake itself may race the unfail
+                # window; the contract under test is the WARNING +
+                # attempted resend, not timing
+                pass
+        assert any(
+            issubclass(w.category, RuntimeWarning) for w in caught
+        ), "duplicate-risk resend must surface a RuntimeWarning"

@@ -1125,3 +1125,14 @@ def test_delete_removes_matching_rows_bucket_pruned(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not columns of the table"):
         store.delete(spark.createDataFrame([Row(nope=1)]))
+    # NULL-keyed match rows rejected loudly (they would equi-join
+    # nothing — a silent partial delete, round-11 advice); the store
+    # is untouched
+    with _pytest.raises(ValueError, match="NULL"):
+        store.delete(
+            spark.createDataFrame(
+                [Row(k=2), Row(k=None)], "k bigint"
+            )
+        )
+    assert store.history()[0]["version"] == v0 + 1
+    assert len(store.read().collect()) == 12
