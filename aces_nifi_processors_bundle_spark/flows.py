@@ -1858,6 +1858,41 @@ def _dsir_weights(
     return df.drop("n_features", "importance").join(weights, id_col)
 
 
+@stage("dsir_select")
+def _dsir_select(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    target_condition: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    temperature: float = 1.0,
+    keep_only: bool = True,
+) -> DataFrame:
+    """DSIR selection END-TO-END on the canvas (round 12): the
+    dsir_weights scores squashed to keep probabilities and resolved
+    to deterministic membership (pipeline/splits.py::dsir_select) in
+    one stage — by default only the KEPT rows flow downstream (the
+    resampled corpus, all input columns preserved plus the audit
+    columns); keep_only=False hands the full annotated frame on for
+    report-style canvases."""
+    from .pipeline.splits import dsir_select
+
+    sel = dsir_select(
+        df,
+        df.where(target_condition),
+        text_col,
+        id_col,
+        n_buckets,
+        temperature,
+    )
+    out = df.drop(
+        "n_features", "importance", "keep_prob", "kept"
+    ).join(sel, id_col)
+    return out.where("kept").drop("kept") if keep_only else out
+
+
 @stage("bpe_train")
 def _bpe_train(
     spark: SparkSession,
@@ -1867,17 +1902,26 @@ def _bpe_train(
     num_merges: int = 20,
     text_col: str = "text",
     n_buckets: int = 1,
+    collect_vocab: bool = False,
+    min_count: int = 1,
 ) -> DataFrame:
     """ACTION: train a BPE merges table on the incoming corpus and
     PERSIST it as store state at `path` (keyed by rank — the
     registered-tokenizer lifecycle: train once, every downstream
     count/encode stage replays the same table); hands the merge table
     downstream. Re-running retrains and re-initializes (a tokenizer
-    retrain is a new artifact version — the store keeps history)."""
+    retrain is a new artifact version — the store keeps history).
+    collect_vocab/min_count expose the production-merge-count path
+    (round 12): the pruned vocabulary is collected once and the
+    merge loop runs in memory — election-identical, minutes not
+    hours at 32k merges."""
     from .pipeline.text import bpe_merges_df, bpe_train
     from .stores import KeyedParquetStore
 
-    merges = bpe_train(df, num_merges, text_col)
+    merges = bpe_train(
+        df, num_merges, text_col,
+        collect_vocab=collect_vocab, min_count=min_count,
+    )
     store = KeyedParquetStore(
         spark=spark, path=path, keys=["rank"], n_buckets=n_buckets
     )

@@ -6433,10 +6433,12 @@ j AS (
   FROM exact e FULL JOIN approx a
     ON e.id_a = a.id_a AND e.id_b = a.id_b
 )
-SELECT CAST(sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
-       CAST(sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hits,
+SELECT CAST(coalesce(sum(CASE WHEN in_e THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN in_a THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_approx,
+       CAST(coalesce(sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_hits,
        CASE WHEN sum(CASE WHEN in_e THEN 1 ELSE 0 END) > 0
             THEN CAST(sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END)
                       AS DOUBLE)
@@ -6501,3 +6503,108 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN imp i USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# Mirrors q_bpe_train_fast: the collected-vocabulary driver loop is
+# election-identical to the distributed loop by contract (equivalence
+# pytest at full merge depth), so the SAME 20-stage election chain
+# grades both implementations.
+ORACLES["q_bpe_train_fast"] = ORACLES["q_bpe_train"]
+
+
+# Mirrors q_dsir_select: the q_dsir_weights chain, then the logistic
+# squash rounded to 6 dp and the weighted_sample hash-walk membership
+# rule — ('0x'||substr(md5('dsir'||id),1,15))::BIGINT % 1e6 over 1e6,
+# strictly less than keep_prob (the conv value is non-negative, so
+# DuckDB's % equals Spark's pmod).
+ORACLES["q_dsir_select"] = ORACLES["q_dsir_weights"].replace(
+    """SELECT d.doc_id,
+       CAST(coalesce(i.nf, 0) AS BIGINT) AS n_features,
+       round(coalesce(CAST(i.s AS DOUBLE), 0.0), 6) AS importance
+FROM documents d LEFT JOIN imp i USING (doc_id)
+ORDER BY d.doc_id""",
+    """, sel AS (
+  SELECT d.doc_id,
+         CAST(coalesce(i.nf, 0) AS BIGINT) AS n_features,
+         round(coalesce(CAST(i.s AS DOUBLE), 0.0), 6) AS importance
+  FROM documents d LEFT JOIN imp i USING (doc_id)
+)
+SELECT doc_id, n_features, importance,
+       round(1.0 / (1.0 + exp(-importance / 1.0)), 6) AS keep_prob,
+       (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 1000000) / 1000000.0
+         < round(1.0 / (1.0 + exp(-importance / 1.0)), 6) AS kept
+FROM sel
+ORDER BY doc_id""",
+)
+# the replace target must exist — a silent no-op here would grade
+# q_dsir_select against the WEIGHTS query and mask a real mismatch
+assert "keep_prob" in ORACLES["q_dsir_select"]
+
+
+# Mirrors q_dedup_recall_sampled: the identical two-funnel report,
+# with every corpus read routed through the pinned md5-mod sample
+# (seed 'recallsample', denom 4) — the sample CTE is the only
+# difference from ORACLES["q_dedup_recall"].
+ORACLES["q_dedup_recall_sampled"] = ORACLES["q_dedup_recall"].replace(
+    # reroute the ONE base-table read first, THEN prepend the sample
+    # CTE (the other order would rewrite the sample CTE's own read)
+    "FROM documents",
+    "FROM sampled",
+).replace(
+    "WITH words AS (",
+    """WITH sampled AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substr(md5('recallsample' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 2 = 0
+),
+words AS (""",
+)
+assert (
+    "FROM sampled" in ORACLES["q_dedup_recall_sampled"]
+    and ORACLES["q_dedup_recall_sampled"].count("FROM documents") == 1
+)  # only the sample CTE itself reads the base table
+
+
+# Mirrors q_bpe_roundtrip: the generated training chain re-encodes
+# each sampled doc (the q_bpe_encode tail), string_aggs the tokens
+# back in (word idx, sub idx) order, and compares against the shared
+# canonical form (lowercased pieces concatenated) — decode(encode(x))
+# graded as an equality, not asserted as a claim.
+ORACLES["q_bpe_roundtrip"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+pw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL})) AS w,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {_BPE_RE_SQL}), 1) - 1 AS wpos
+  FROM documents WHERE doc_id % 10 = 0
+),
+wt AS (
+  SELECT w, string_split(substr(toks, 2, length(toks) - 2),
+                         chr(1) || chr(1)) AS ts
+  FROM w{_BPE_N}
+),
+et AS (
+  SELECT pw.doc_id, pw.wpos,
+         unnest(wt.ts) AS token,
+         generate_subscripts(wt.ts, 1) - 1 AS tpos
+  FROM pw JOIN wt USING (w)
+),
+dec AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(token, '' ORDER BY wpos, tpos) AS decoded
+  FROM et GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         array_to_string(
+           regexp_extract_all(lower(text), {_BPE_RE_SQL}), '') AS canon
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT b.doc_id,
+       CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(d.decoded, '') = b.canon AS roundtrip_ok
+FROM base b LEFT JOIN dec d USING (doc_id)
+ORDER BY b.doc_id"""
+)

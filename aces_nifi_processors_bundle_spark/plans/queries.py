@@ -878,6 +878,24 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-merge-count training path under the same oracle
+    gate as q_bpe_train (round 12): bpe_train(collect_vocab=True)
+    keeps the one distributed corpus scan, collects the counted
+    word-piece vocabulary (bounded driver state — Heaps' law), and
+    runs the merge loop in memory with incremental pair statistics —
+    the path that makes a 32k-vocab tokenizer feasible (the
+    distributed loop schedules 2-3 Spark jobs per merge). Elections
+    are contractually identical, so the 20-stage DuckDB election
+    oracle grades BOTH implementations against the same arithmetic."""
+    from ..pipeline.text import bpe_merges_df, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_merges_df(
+        spark, bpe_train(docs, num_merges=20, collect_vocab=True)
+    ).orderBy("rank")
+
+
 def q_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts under the TRAINED merges table
     (round 11): bpe_train's 20 corpus-learned merges replayed by
@@ -914,6 +932,49 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(
         docs.where(F.col("doc_id") % 10 == 0), merges=merges
     ).orderBy("doc_id", "pos")
+
+
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's DECODE contract under the oracle gate
+    (round 12): decode(encode(doc)) must reproduce the pre-tokenizer's
+    canonical form (lowercased pieces, whitespace removed) exactly —
+    BPE merges are purely concatenative, so the invariant is a graded
+    equality, not a claim, and it covers the no-OOV contract too
+    (untrained symbols pass through as single-char tokens and decode
+    exactly; see bpe_decode's docstring). Every 10th doc (the encode
+    sample): (doc_id, n_tokens, roundtrip_ok). The oracle re-trains
+    the 20-stage election chain, re-encodes in SQL, string_aggs the
+    tokens back and does the same comparison."""
+    from ..pipeline.text import (
+        bpe_canonical_text,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    sub = docs.where(F.col("doc_id") % 10 == 0)
+    enc = bpe_encode(sub, merges=merges)
+    n_tok = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nt")
+    )
+    dec = bpe_decode(enc)
+    return (
+        sub.select(
+            "doc_id", bpe_canonical_text(F.col("text")).alias("_canon")
+        )
+        .join(dec, "doc_id", "left")
+        .join(n_tok, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_nt", F.lit(0).cast("bigint")).alias("n_tokens"),
+            (
+                F.coalesce("decoded", F.lit("")) == F.col("_canon")
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- North-star extensions: dedup ---------------------------------------
@@ -1658,6 +1719,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.where(F.col("doc_id") % 50 == 0)
     return dsir_weights(docs, target).orderBy("doc_id")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection END-TO-END (pipeline/splits.py::dsir_select,
+    round 12): the importance weights actually driving membership —
+    the method's whole point (Xie et al. 2023). keep_prob =
+    logistic(importance), rounded to 6 dp; kept = the established
+    hash-walk membership rule (md5-bucket(id)/1e6 < keep_prob). The
+    full frame is graded — rejected docs included — with the oracle
+    chaining the q_dsir_weights CTEs into the logistic squash and the
+    same bit-level hash arithmetic."""
+    from ..pipeline.splits import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 50 == 0)
+    return dsir_select(docs, target).orderBy("doc_id")
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5786,6 +5863,23 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, threshold=0.5, persist_intermediates=True
     )
     return dedup_recall_report(approx, exact)
+
+
+def q_dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall report's PRODUCTION shape (pipeline/dedup.py::
+    dedup_recall_sampled, round 12): exact ground truth over a pinned
+    deterministic half of the corpus (md5-mod membership — the
+    100 TB contract q_dedup_recall's docstring only stated in prose).
+    Banding recall is a per-pair property, so the sampled figure is
+    an unbiased estimate at 1/4 of the exact side's Σdf² cost
+    (denom=2 here keeps the graded pair set non-trivial at sf0.01;
+    production runs pick the denom their budget needs). The oracle
+    mirrors the sample CTE bit-for-bit and reruns the full two-funnel
+    report on it."""
+    from ..pipeline.dedup import dedup_recall_sampled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_recall_sampled(docs, sample_denom=2)
 
 
 def q_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

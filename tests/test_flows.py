@@ -1062,3 +1062,55 @@ def test_dsir_weights_stage_joins_onto_input(spark, sf_dir):
     }
     got = {r["doc_id"]: r["importance"] for r in out.collect()}
     assert got == want
+
+
+def test_dsir_select_stage_filters_to_kept(spark, sf_dir):
+    """The canvas selection stage: default keep_only routes exactly
+    the kept membership downstream (input columns preserved, audit
+    columns joined on); keep_only=False hands the full annotated
+    frame on, matching the direct dsir_select call."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.splits import dsir_select
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = dsir_select(
+        docs.select("doc_id", "text"),
+        docs.select("doc_id", "text").where("doc_id % 50 = 0"),
+    ).collect()
+    want_kept = {r["doc_id"] for r in direct if r["kept"]}
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_select", "target_condition": "doc_id % 50 = 0"},
+    ], sf_dir)
+    assert {"doc_id", "text", "lang", "keep_prob"} <= set(out.columns)
+    assert "kept" not in out.columns
+    assert {r["doc_id"] for r in out.collect()} == want_kept
+    full = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_select", "target_condition": "doc_id % 50 = 0",
+         "keep_only": False},
+    ], sf_dir)
+    got = {r["doc_id"]: r["kept"] for r in full.collect()}
+    assert got == {r["doc_id"]: r["kept"] for r in direct}
+
+
+def test_bpe_train_stage_collect_vocab_path(spark, sf_dir, tmp_path):
+    """The canvas trainer's production knob: collect_vocab=True must
+    persist the IDENTICAL merge table (election equivalence holds
+    through the flow layer and the store round-trip)."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+
+    slow = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "bpe_train", "path": str(tmp_path / "m1"),
+         "num_merges": 8},
+    ], sf_dir).collect()
+    fast = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "bpe_train", "path": str(tmp_path / "m2"),
+         "num_merges": 8, "collect_vocab": True, "min_count": 1},
+    ], sf_dir).collect()
+    assert [
+        (r["rank"], r["lhs"], r["rhs"]) for r in slow
+    ] == [(r["rank"], r["lhs"], r["rhs"]) for r in fast]

@@ -857,3 +857,13 @@ def test_dsir_and_trained_bpe_count_plans_stay_jvm(spark, sf_dir):
         bpe_token_counts(docs, merges=[("t", "h"), ("th", "e")])
     )
     assert "EvalPython" not in plan2
+    # end-to-end selection inherits the same shape: the logistic
+    # squash + hash membership are one codegen projection on top of
+    # the weights plan — no new shuffle, no Python, still broadcast
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_select,
+    )
+
+    plan3 = plan_of(dsir_select(docs, docs.where("doc_id % 50 = 0")))
+    assert "EvalPython" not in plan3
+    assert "BroadcastHashJoin" in plan3
