@@ -71,22 +71,125 @@ def decoder_available() -> bool:
         return False
 
 
+def stdlib_decode_image(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL image decode on nothing but the stdlib (round 12 — the
+    socketio_polling move applied to codecs): parse the two classic
+    uncompressed formats whose specs are public and byte-simple —
+    24-bit BI_RGB Windows BMP and binary PPM (P6, maxval <= 255) —
+    then grayscale (integer Rec.601: (299R + 587G + 114B) / 1000, the
+    same luma weights PIL's convert('L') uses) and box-average the
+    columns into a dim-px strip of [0,1] floats. This makes the
+    real-decode branch EXECUTE in every environment: PIL stays the
+    production codec wherever importable (JPEG/PNG/everything), but
+    its absence no longer reduces 'real decode' to a permanent skip.
+
+    The strip is a box-filter column average (all rows, columns
+    binned i*w//dim ..< (i+1)*w//dim), not PIL's bicubic — the two
+    paths are different codecs, not bit-twins; tests pin each path's
+    own arithmetic and, where PIL exists, cross-check within a loose
+    tolerance. Raises DecoderUnavailable for any other format (the
+    caller's 'auto' mode falls back to the deterministic fake)."""
+    if payload and payload[:2] == b"BM":
+        import struct
+
+        if len(payload) < 54:
+            raise DecoderUnavailable("BMP truncated before header end")
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise DecoderUnavailable(
+                f"stdlib BMP path handles 24-bit BI_RGB only "
+                f"(bpp={bpp}, compression={comp}, {w}x{h})"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4
+        if len(payload) < off + stride * h:
+            raise DecoderUnavailable("BMP truncated before pixel end")
+
+        def row_start(y: int) -> int:
+            # bottom-up is the BMP default: file row 0 is the LAST
+            # image row (irrelevant to column averages, kept for the
+            # per-pixel accessor's correctness)
+            fy = y if top_down else h - 1 - y
+            return off + fy * stride
+
+        def gray(x: int, y: int) -> int:
+            i = row_start(y) + x * 3
+            b, g, r = payload[i], payload[i + 1], payload[i + 2]
+            return (299 * r + 587 * g + 114 * b) // 1000
+
+    elif payload and payload[:2] == b"P6":
+        # header = 3 whitespace-separated tokens (w, h, maxval) with
+        # '#' comments; one whitespace byte after maxval, then raw RGB
+        pos, toks = 2, []
+        n = len(payload)
+        while len(toks) < 3 and pos < n:
+            c = payload[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < n and payload[pos:pos + 1] != b"\n":
+                    pos += 1
+            else:
+                start = pos
+                while pos < n and not payload[pos:pos + 1].isspace():
+                    pos += 1
+                toks.append(payload[start:pos])
+        if len(toks) < 3:
+            raise DecoderUnavailable("PPM truncated inside header")
+        w, h, maxval = (int(t) for t in toks)
+        pos += 1  # the single whitespace byte after maxval
+        if maxval > 255 or w <= 0 or h <= 0:
+            raise DecoderUnavailable(
+                f"stdlib PPM path handles maxval<=255 only "
+                f"(maxval={maxval}, {w}x{h})"
+            )
+        if len(payload) < pos + 3 * w * h:
+            raise DecoderUnavailable("PPM truncated before pixel end")
+        base = pos
+
+        def gray(x: int, y: int) -> int:
+            i = base + (y * w + x) * 3
+            r, g, b = payload[i], payload[i + 1], payload[i + 2]
+            return (299 * r + 587 * g + 114 * b) // 1000
+
+    else:
+        raise DecoderUnavailable(
+            "stdlib decoder handles 24-bit BMP and binary PPM (P6); "
+            "install pillow for other formats or use "
+            "fake_decode_image (use_real_decoder=False)"
+        )
+    feat = []
+    for i in range(dim):
+        x0 = i * w // dim
+        x1 = max(x0 + 1, (i + 1) * w // dim)
+        x1 = min(x1, w)
+        total = 0
+        for y in range(h):
+            for x in range(x0, x1):
+                total += gray(x, y)
+        feat.append(total / ((x1 - x0) * h) / 255.0)
+    return feat
+
+
 def real_decode_image(payload: bytes, dim: int = 8) -> list[float]:
     """The production decode hook: PIL when importable (decode →
     grayscale → resize to a dim-px strip → [0,1] floats — a
     deterministic thumbnail feature, the slot a learned embedding
-    would replace), DecoderUnavailable otherwise. The try-import runs
-    per-process, not per-row (Python caches the module)."""
+    would replace); without PIL, the stdlib BMP/PPM parser above (so
+    'real decode' executes in codec-less containers too), which
+    raises DecoderUnavailable for formats it doesn't speak. The
+    try-import runs per-process, not per-row (Python caches the
+    module)."""
     try:
         import io
 
         from PIL import Image
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise DecoderUnavailable(
-            "media decoding requires image libraries not present in "
-            "this environment; install pillow or use the deterministic "
-            "fake_decode_image path (use_real_decoder=False)"
-        ) from e
+    except ImportError:  # codec-less container: the stdlib path
+        return stdlib_decode_image(payload, dim)
     with Image.open(io.BytesIO(payload)) as img:
         strip = img.convert("L").resize((dim, 1))
         return [p / 255.0 for p in strip.getdata()]
@@ -136,8 +239,19 @@ def extract_features(
 
         if use_real_decoder is True:
             decode = real_decode_image
-        elif use_real_decoder == "auto" and decoder_available():
-            decode = real_decode_image
+        elif use_real_decoder == "auto":
+            if decoder_available():  # PIL: every format, no fallback
+                decode = real_decode_image
+            else:
+                # codec-less executor: REAL stdlib decode for the
+                # formats it speaks (BMP/P6), deterministic fake for
+                # the rest — auto degrades per PAYLOAD now, not per
+                # environment (round 12)
+                def decode(b: bytes, d: int) -> list[float]:
+                    try:
+                        return stdlib_decode_image(b, d)
+                    except DecoderUnavailable:
+                        return fake_decode_image(b, d)
         else:
             decode = fake_decode_image
         for pdf in batches:

@@ -5198,3 +5198,106 @@ def test_dedup_recall_sampled_membership_and_degenerate_denom(spark, sf_dir):
     assert sampled["n_exact"] <= full["n_exact"]
     with pytest.raises(ValueError, match="sample_denom"):
         dedup_recall_sampled(docs, sample_denom=0)
+
+
+def _bmp24(cols: list[int], height: int = 2) -> bytes:
+    """Hand-rolled 24-bit BI_RGB bottom-up BMP: one gray value per
+    column (r=g=b, so Rec.601 luma == the value), `height` rows."""
+    import struct
+
+    w = len(cols)
+    stride = ((w * 3 + 3) // 4) * 4
+    pix = bytearray()
+    for _y in range(height):
+        row = bytearray()
+        for v in cols:
+            row += bytes((v, v, v))  # BGR, but gray so order moot
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pix), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, height, 1, 24, 0, len(pix), 0, 0, 0, 0
+    )
+    return bytes(header) + bytes(pix)
+
+
+def _ppm_p6(cols: list[int], height: int = 2) -> bytes:
+    w = len(cols)
+    head = f"P6\n# fixture\n{w} {height}\n255\n".encode()
+    body = bytes(v for _ in range(height) for c in cols for v in (c, c, c))
+    return head + body
+
+
+def test_stdlib_image_decoder_bmp_ppm_and_auto_mix(spark):
+    """The always-run sibling of the PIL importorskip test (round 12):
+    real decode EXECUTES in this codec-less container via the stdlib
+    24-bit-BMP / P6-PPM parser — use_real_decoder=True runs
+    end-to-end through mapInPandas on hand-rolled files with known
+    column grays, and 'auto' degrades per PAYLOAD (stdlib-decodable
+    rows get real features, garbage rows the deterministic fake)
+    instead of per environment."""
+    from aces_nifi_processors_bundle_spark.pipeline.multimodal import (
+        DecoderUnavailable,
+        MEDIA_SCHEMA,
+        decoder_available,
+        fake_decode_image,
+        stdlib_decode_image,
+    )
+
+    cols = [0, 85, 170, 255]
+    bmp, ppm = _bmp24(cols), _ppm_p6(cols)
+    want = [v / 255.0 for v in cols]
+    for payload in (bmp, ppm):
+        got = stdlib_decode_image(payload, dim=4)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), got
+    # dim narrower than width: box average of column bins
+    assert abs(
+        stdlib_decode_image(bmp, dim=2)[0] - (0 + 85) / 2 / 255.0
+    ) < 1e-9
+    with pytest.raises(DecoderUnavailable):
+        stdlib_decode_image(b"GIF89a not supported", dim=4)
+    with pytest.raises(DecoderUnavailable):
+        stdlib_decode_image(bmp[:20], dim=4)  # truncated header
+    # end-to-end through the executor UDF, real decoder REQUIRED
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/bmp", bmp, 4, 2, None),
+            (2, "image", "image/x-portable-pixmap", ppm, 4, 2, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r["feat"]
+        for r in extract_features(
+            media, dim=4, use_real_decoder=True
+        ).collect()
+    }
+    if not decoder_available():
+        # stdlib arithmetic, through the schema's float32 round-trip
+        for m in (1, 2):
+            assert all(
+                abs(a - b) < 1e-6 for a, b in zip(feats[m], want)
+            ), feats[m]
+    else:  # PIL path: same picture, its own resampling — loose check
+        for m in (1, 2):
+            assert all(abs(a - b) < 0.2 for a, b in zip(feats[m], want))
+    # 'auto' on a mixed frame: decodable row real, garbage row fake
+    mixed = spark.createDataFrame(
+        [
+            (1, "image", "image/bmp", bmp, 4, 2, None),
+            (2, "image", "text/plain", b"not an image", None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r["feat"]
+        for r in extract_features(
+            mixed, dim=4, use_real_decoder="auto"
+        ).collect()
+    }
+    if not decoder_available():
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got[1], want))
+        assert got[2] == pytest.approx(
+            fake_decode_image(b"not an image", 4), abs=1e-6
+        )
