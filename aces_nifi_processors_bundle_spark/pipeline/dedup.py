@@ -855,24 +855,14 @@ def dedup_recall_sampled(
     of the full-corpus figure at 1/denom² of the exact side's Σdf²
     cost — the whole point at 100 TB, where the unpruned exact funnel
     is affordable ONLY on a sample."""
+    from .splits import hash_mod_sample
+
     if sample_denom < 1:
         raise ValueError(
             f"dedup_recall_sampled: sample_denom must be >= 1, "
             f"got {sample_denom}"
         )
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(sample_denom),
-    )
-    sample = df.where(bucket == 0)
+    sample = hash_mod_sample(df, id_col, sample_denom, seed)
     approx = near_dup_pairs_minhash(
         sample,
         num_hashes=num_hashes,

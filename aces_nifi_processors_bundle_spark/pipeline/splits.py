@@ -38,6 +38,41 @@ def _hash_bucket(col: Column, seed: str, mod: int = _HASH_MOD) -> Column:
     return F.pmod(h.cast("bigint"), F.lit(mod))
 
 
+def hash_mod_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    denom: int = 4,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic 1/denom corpus sample: keep rows whose
+    md5-bucket(seed || id) % denom == 0 — the engine's standard
+    membership algebra (pure function of the id: stable across corpus
+    growth, re-runnable, mirrored bit-for-bit by DuckDB's
+    ('0x'||substr(md5(..),1,15))::BIGINT % denom). The shared
+    primitive under the sampled report operators
+    (dedup_recall_sampled, the sampled ANN recall query): ground
+    truth is the quadratic part of any recall report, and a pinned
+    hash sample is how it stays affordable at 100 TB. denom=1 keeps
+    everything (the identity — pytest-pinned)."""
+    if denom < 1:
+        raise ValueError(
+            f"hash_mod_sample: denom must be >= 1, got {denom}"
+        )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(denom),
+    )
+    return df.where(bucket == 0)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -6608,3 +6608,15 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN dec d USING (doc_id)
 ORDER BY b.doc_id"""
 )
+
+
+# Mirrors q_ann_recall_sampled: the composed recall oracle with BOTH
+# embedded top-k subqueries' hand-pinned query predicate (vec_id < 8)
+# rerouted through the md5-mod sample — the same bit-level membership
+# the Spark side's hash_mod_sample computes.
+assert ORACLES["q_ann_recall"].count("vec_id < 8") == 2  # brute + IVF
+ORACLES["q_ann_recall_sampled"] = ORACLES["q_ann_recall"].replace(
+    "vec_id < 8",
+    "('0x' || substr(md5('annrecall' || CAST(vec_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 64 = 0",
+)

@@ -1583,6 +1583,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(index, truth, k=5)
 
 
+def q_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN recall report's PRODUCTION shape (round 12 — the same
+    move as q_dedup_recall_sampled): ann_recall_report's own docstring
+    says "run it on a SAMPLED query set — brute-force ground truth is
+    the quadratic part"; this grades that shape. Queries are the
+    engine's deterministic md5-mod sample (seed 'annrecall', denom
+    64 — 6 query vectors at sf0.01, 32 at sf0.1) instead of a
+    hand-pinned id prefix, so the query set is a pure function of ids
+    and unbiased over the corpus; recall@k per query is independent
+    of which queries are asked, so the sampled figure estimates the
+    all-queries figure at 1/denom of the brute-force cost. The oracle
+    reroutes both graded top-k oracles through the same sample
+    predicate."""
+    from ..pipeline.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from ..pipeline.splits import hash_mod_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = hash_mod_sample(emb, "vec_id", 64, "annrecall")
+    truth = brute_force_topk(emb, queries, k=5)
+    index = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    return ann_recall_report(index, truth, k=5)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
     buckets + Hamming pre-filter. The synthetic embeddings have no

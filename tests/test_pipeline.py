@@ -5301,3 +5301,24 @@ def test_stdlib_image_decoder_bmp_ppm_and_auto_mix(spark):
         assert got[2] == pytest.approx(
             fake_decode_image(b"not an image", 4), abs=1e-6
         )
+
+
+def test_hash_mod_sample_identity_and_determinism(spark, sf_dir):
+    """denom=1 keeps every row; membership is a pure function of the
+    id (recomputable with hashlib); denom<1 is a loud config error."""
+    import hashlib
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_mod_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    assert hash_mod_sample(docs, "doc_id", 1, "s").count() == n
+    got = {r["doc_id"] for r in hash_mod_sample(docs, "doc_id", 4, "s").collect()}
+    for r in docs.collect():
+        d = r["doc_id"]
+        h = int(hashlib.md5(f"s{d}".encode()).hexdigest()[:15], 16)
+        assert (d in got) == (h % 4 == 0), d
+    with pytest.raises(ValueError, match="denom"):
+        hash_mod_sample(docs, "doc_id", 0, "s")
