@@ -537,6 +537,83 @@ def bpe_merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The trained tokenizer's VOCABULARY as an id table (round 12):
+    (token_id, token, is_merged). Base alphabet = the distinct single
+    characters of the corpus's word pieces, ids 0..n-1 in UTF-8 byte
+    order (engine-neutral, the bpe_train tie-break order); merged
+    symbols follow at n + rank. Every surface token bpe_encode can
+    emit for THIS corpus under `merges` is present (characters are
+    base symbols by construction — the no-OOV contract — and merges
+    are concatenative). When two different elections produce the same
+    surface string (possible: (a,bc) and (ab,c) both yield 'abc'),
+    the smaller id wins — token strings are unique in the output, so
+    the encode-ids join is exact.
+
+    Scale shape: the base-alphabet window is a global sort of
+    ALPHABET-sized rows (dozens to a few thousand — trivially
+    single-partition); the merge table is num_merges driver rows.
+    Nothing corpus-sized past the one distinct-chars scan."""
+    spark = df.sparkSession
+    chars = (
+        _bpe_pieces(df, text_col, [])
+        .select(F.explode(F.split("w", "")).alias("token"))
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    w = Window.orderBy(F.encode("token", "UTF-8"))
+    base = chars.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+        "token",
+        F.lit(False).alias("is_merged"),
+    )
+    mdf = bpe_merges_df(
+        spark, merges if merges is not None else BPE_MERGES
+    ).select("rank", F.col("merged").alias("token"))
+    nb = chars.agg(F.count(F.lit(1)).alias("_nb"))
+    merged = mdf.crossJoin(F.broadcast(nb)).select(
+        (F.col("_nb") + F.col("rank")).cast("bigint").alias("token_id"),
+        "token",
+        F.lit(True).alias("is_merged"),
+    )
+    return (
+        base.unionByName(merged)
+        .groupBy("token")
+        .agg(
+            F.min("token_id").alias("token_id"),
+            F.max("is_merged").alias("is_merged"),
+        )
+        .select("token_id", "token", "is_merged")
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """bpe_encode's stream with token IDS (round 12) — what a
+    training pipeline actually consumes: (id, pos, token_id). One
+    broadcast-sized join from the surface stream onto bpe_vocab
+    (vocabulary rows = alphabet + num_merges); inner join is safe by
+    the vocabulary's completeness contract (see bpe_vocab). Pass the
+    TRAINING corpus's vocab explicitly when encoding a subset or a
+    later batch — ids must come from the registered vocabulary, not
+    the batch's own alphabet (the default derives from df, correct
+    only when df IS the training corpus)."""
+    enc = bpe_encode(df, text_col, id_col, merges)
+    v = (vocab if vocab is not None else bpe_vocab(df, merges, text_col))
+    return enc.join(
+        F.broadcast(v.select("token", "token_id")), "token"
+    ).select(F.col(id_col), "pos", "token_id")
+
+
 def occurrences(text: Column, word: str) -> Column:
     r"""Whole-word occurrence count via a whitespace-delimited regex.
     Known approximation: the pattern consumes its trailing space, so n

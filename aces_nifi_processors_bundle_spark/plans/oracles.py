@@ -6620,3 +6620,90 @@ ORACLES["q_ann_recall_sampled"] = ORACLES["q_ann_recall"].replace(
     "('0x' || substr(md5('annrecall' || CAST(vec_id AS VARCHAR)), 1, 15))"
     "::BIGINT % 64 = 0",
 )
+
+
+# Mirrors q_bpe_vocab: alphabet from the training chain's w0 piece
+# vocabulary (row_number over DuckDB's byte-order varchar sort ==
+# Spark's encode()-sorted window), merged symbols from the 20
+# election stages at alphabet_size + rank, duplicate surfaces
+# resolved to min id.
+_BPE_MTOK_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS rank, m FROM b{i}" for i in range(_BPE_N)
+)
+ORACLES["q_bpe_vocab"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+chars AS (
+  SELECT DISTINCT unnest(string_split(w, '')) AS token FROM w0
+),
+base AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+           AS token_id,
+         token, FALSE AS is_merged
+  FROM chars
+),
+nb AS (SELECT count(*) AS n FROM chars),
+mtok AS ({_BPE_MTOK_SQL}),
+merged AS (
+  SELECT CAST(nb.n + mtok.rank AS BIGINT) AS token_id,
+         mtok.m AS token, TRUE AS is_merged
+  FROM mtok, nb
+)
+SELECT CAST(min(token_id) AS BIGINT) AS token_id, token,
+       max(is_merged) AS is_merged
+FROM (SELECT * FROM base UNION ALL SELECT * FROM merged) u
+GROUP BY token
+ORDER BY token_id"""
+)
+
+
+# Mirrors q_bpe_encode_ids: the encode oracle's (doc, pos, token)
+# stream joined onto the vocabulary id table above.
+ORACLES["q_bpe_encode_ids"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+pw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL})) AS w,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {_BPE_RE_SQL}), 1) - 1 AS wpos
+  FROM documents WHERE doc_id % 10 = 0
+),
+wt AS (
+  SELECT w, string_split(substr(toks, 2, length(toks) - 2),
+                         chr(1) || chr(1)) AS ts
+  FROM w{_BPE_N}
+),
+et AS (
+  SELECT pw.doc_id, pw.wpos,
+         unnest(wt.ts) AS token,
+         generate_subscripts(wt.ts, 1) - 1 AS tpos
+  FROM pw JOIN wt USING (w)
+),
+enc AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+         token
+  FROM et
+),
+chars AS (
+  SELECT DISTINCT unnest(string_split(w, '')) AS token FROM w0
+),
+base AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+           AS token_id,
+         token
+  FROM chars
+),
+nb AS (SELECT count(*) AS n FROM chars),
+mtok AS ({_BPE_MTOK_SQL}),
+vocabf AS (
+  SELECT token, CAST(min(token_id) AS BIGINT) AS token_id
+  FROM (SELECT token_id, token FROM base
+        UNION ALL
+        SELECT CAST(nb.n + mtok.rank AS BIGINT), mtok.m FROM mtok, nb) u
+  GROUP BY token
+)
+SELECT enc.doc_id, enc.pos, v.token_id
+FROM enc JOIN vocabf v USING (token)
+ORDER BY enc.doc_id, enc.pos"""
+)

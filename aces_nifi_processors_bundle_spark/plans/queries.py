@@ -934,6 +934,37 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos")
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's id VOCABULARY (pipeline/text.py::
+    bpe_vocab, round 12): base alphabet in UTF-8 byte order, then the
+    20 merged symbols at alphabet_size + rank — (token_id, token,
+    is_merged), duplicate surfaces resolved to the smaller id. The
+    oracle re-derives the alphabet from the training chain's w0
+    vocabulary and the merged symbols from the 20 election stages."""
+    from ..pipeline.text import bpe_train, bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    return bpe_vocab(docs, merges).orderBy("token_id")
+
+
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-level token stream (pipeline/text.py::bpe_encode_ids,
+    round 12) — what a training pipeline actually consumes: every
+    10th doc as (doc_id, pos, token_id) under the corpus-trained
+    table and the corpus-wide registered vocabulary (ids from the
+    corpus, not the subset's own alphabet). The oracle chains the
+    encode oracle's token stream into the vocabulary id table."""
+    from ..pipeline.text import bpe_encode_ids, bpe_train, bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    vocab = bpe_vocab(docs, merges)
+    return bpe_encode_ids(
+        docs.where(F.col("doc_id") % 10 == 0), merges=merges, vocab=vocab
+    ).orderBy("doc_id", "pos")
+
+
 def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer's DECODE contract under the oracle gate
     (round 12): decode(encode(doc)) must reproduce the pre-tokenizer's

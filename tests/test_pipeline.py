@@ -5322,3 +5322,45 @@ def test_hash_mod_sample_identity_and_determinism(spark, sf_dir):
         assert (d in got) == (h % 4 == 0), d
     with pytest.raises(ValueError, match="denom"):
         hash_mod_sample(docs, "doc_id", 0, "s")
+
+
+def test_bpe_vocab_ids_and_encode_ids_consistency(spark):
+    """Vocabulary contract: base alphabet in UTF-8 byte order at ids
+    0..n-1, merges at n+rank, duplicate surfaces resolved to the min
+    id, and EVERY token bpe_encode emits resolves through the vocab
+    (the encode-ids stream loses no rows)."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the thin cat"), (2, "thin cat 42!")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=4)
+    vocab = bpe_vocab(docs, merges)
+    rows = sorted(
+        (r["token_id"], r["token"], r["is_merged"]) for r in vocab.collect()
+    )
+    base = [(i, t) for i, t, m in rows if not m]
+    # alphabet: distinct chars of the pieces, byte-ordered, dense ids
+    chars = sorted(set("thethincat" + "thincat42!"))
+    assert base == list(enumerate(chars))
+    merged = [(i, t) for i, t, m in rows if m]
+    n = len(chars)
+    surfaces = {t for _, t in merged}
+    assert surfaces == {a + b for a, b in merges}
+    assert all(i >= n for i, _ in merged)
+    # token ids are unique per surface (min-id rule)
+    assert len({t for _, t, _ in rows}) == len(rows)
+    # encode-ids: same stream as encode, mapped through the vocab
+    enc = bpe_encode(docs, merges=merges).collect()
+    ids = bpe_encode_ids(docs, merges=merges, vocab=vocab).collect()
+    assert len(ids) == len(enc)
+    tok2id = {r["token"]: r["token_id"] for r in vocab.collect()}
+    want = {(r["doc_id"], r["pos"]): tok2id[r["token"]] for r in enc}
+    got = {(r["doc_id"], r["pos"]): r["token_id"] for r in ids}
+    assert got == want
