@@ -6707,3 +6707,50 @@ SELECT enc.doc_id, enc.pos, v.token_id
 FROM enc JOIN vocabf v USING (token)
 ORDER BY enc.doc_id, enc.pos"""
 )
+
+
+# Mirrors q_pack_trained: the generated training chain + per-doc
+# trained counts (the q_mix_trained_budget count tail) feeding the
+# q_pack_sequences shard/prefix-sum/chop algebra with ident = doc_id.
+ORACLES["q_pack_trained"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL}))
+         AS w
+  FROM documents
+),
+pdw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM docw GROUP BY 1, 2
+),
+cnt AS (
+  SELECT doc_id,
+         sum(occ * ((length(toks)
+                     - length(replace(toks, chr(1), ''))) // 2)) AS n
+  FROM pdw JOIN w{_BPE_N} USING (w) GROUP BY doc_id
+),
+t AS (
+  SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS toks
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+),
+sh AS (
+  SELECT doc_id, toks,
+         ('0x' || substr(md5('pack#shard' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 8 AS shard,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS h
+  FROM t
+),
+pf AS (
+  SELECT shard, toks,
+         CAST(COALESCE(SUM(toks) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM sh
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(floor(tokens_before / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens
+FROM pf GROUP BY 1, 2"""
+)
