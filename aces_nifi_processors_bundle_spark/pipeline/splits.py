@@ -444,34 +444,62 @@ def dsir_weights(
     aggregate combines map-side. Nothing driver-side, nothing
     pair-shaped. Output: (id, n_features, importance) for every df
     row — featureless docs (NULL/empty text) score 0.0."""
+    lam = dsir_lambda(df, target, text_col, id_col, n_buckets)
+    scored = dsir_score(df, lam, text_col, id_col, n_buckets)
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_features", F.lit(0).cast("bigint")).alias("n_features"),
+        F.coalesce("importance", F.lit(0.0)).alias("importance"),
+    )
+
+
+def _dsir_feats(
+    frame: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) feature rows: word uni+bigrams md5-hashed into
+    n_buckets — the shared featurizer of the lambda fit and the
+    scorer. Window-free (posexplode over one regex pass), so it runs
+    unchanged on micro-batches."""
+    from .text import positional_shingle_rows
+
+    uni = positional_shingle_rows(frame, text_col, id_col, 1)
+    bi = positional_shingle_rows(frame, text_col, id_col, 2)
+    return uni.unionAll(bi).select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint") % F.lit(n_buckets)
+        ).alias("_b"),
+    )
+
+
+def dsir_lambda(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """FIT the DSIR log-ratio table (round 12 split of dsir_weights):
+    (bucket, log-ratio) over n_buckets rows — the broadcastable model
+    state. Separated from scoring so the SERVING shape works: fit on
+    the (slow-cadence) reference corpora batch-side, score any frame
+    — including a STREAM's micro-batches — against the broadcast
+    table (q_stream_dsir)."""
     if n_buckets < 1:
         # loud config error, matching bpe_train's num_merges check —
         # n_buckets=0 would otherwise surface as a modulo-by-zero
         # whose behavior differs between ANSI and non-ANSI sessions
         raise ValueError(
-            f"dsir_weights: n_buckets must be >= 1, got {n_buckets}"
+            f"dsir_lambda: n_buckets must be >= 1, got {n_buckets}"
         )
-    from .text import positional_shingle_rows
-
-    def feats(frame: DataFrame) -> DataFrame:
-        uni = positional_shingle_rows(frame, text_col, id_col, 1)
-        bi = positional_shingle_rows(frame, text_col, id_col, 2)
-        g = uni.unionAll(bi).select(
-            F.col(id_col),
-            (
-                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-                .cast("bigint") % F.lit(n_buckets)
-            ).alias("_b"),
-        )
-        return g
-
-    raw_f = feats(df)
-    tgt_f = feats(target)
+    raw_f = _dsir_feats(df, text_col, id_col, n_buckets)
+    tgt_f = _dsir_feats(target, text_col, id_col, n_buckets)
     ct = tgt_f.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     cr = raw_f.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
     tot_t = ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_T"))
     tot_r = cr.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_R"))
-    lam = (
+    return (
         ct.join(cr, "_b", "full")
         .crossJoin(F.broadcast(tot_t))
         .crossJoin(F.broadcast(tot_r))
@@ -492,26 +520,43 @@ def dsir_weights(
             ).alias("_lam"),
         )
     )
-    per_doc = (
-        raw_f.groupBy(id_col, "_b")
+
+
+def dsir_score(
+    frame: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """SCORE a frame against a fitted DSIR lambda table (round 12):
+    (id, n_features, importance) for every doc with >= 1 feature —
+    featurize, broadcast-join the n_buckets-row table, one map-side-
+    combined per-doc decimal sum. On a stream, run it inside
+    foreachBatch (q_stream_dsir): the two chained groupBys trip
+    Spark's global-watermark correctness guard as a pure streaming
+    plan, and batch-mode-per-micro-batch is exact anyway since each
+    doc's text arrives in exactly one micro-batch. Docs with NO
+    features (NULL/empty text) are ABSENT here — dsir_weights' batch
+    wrapper left-joins them back as (0, 0.0); the streaming query
+    documents that divergence instead."""
+    feats = _dsir_feats(frame, text_col, id_col, n_buckets)
+    return (
+        feats.groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .join(F.broadcast(lam), "_b")
         .groupBy(id_col)
         .agg(
             F.sum("_n").cast("bigint").alias("n_features"),
-            F.sum(
-                F.round(F.col("_n") * F.col("_lam"), 9).cast(
-                    "decimal(38,18)"
-                )
-            ).alias("_imp"),
+            F.round(
+                F.sum(
+                    F.round(F.col("_n") * F.col("_lam"), 9).cast(
+                        "decimal(38,18)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("importance"),
         )
-    )
-    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce("n_features", F.lit(0).cast("bigint")).alias("n_features"),
-        F.round(
-            F.coalesce(F.col("_imp").cast("double"), F.lit(0.0)), 6
-        ).alias("importance"),
     )
 
 

@@ -6754,3 +6754,14 @@ SELECT CAST(shard AS INT) AS shard,
        CAST(sum(toks) AS BIGINT) AS n_tokens
 FROM pf GROUP BY 1, 2"""
 )
+
+
+# Mirrors q_stream_dsir: the batch DSIR oracle with the zero-feature
+# LEFT join tightened to inner — the stream cannot re-join itself to
+# emit (0, 0.0) rows for featureless docs (the query's documented
+# divergence); every scored value is otherwise identical.
+_DSIR_TAIL = "FROM documents d LEFT JOIN imp i USING (doc_id)"
+assert _DSIR_TAIL in ORACLES["q_dsir_weights"]
+ORACLES["q_stream_dsir"] = ORACLES["q_dsir_weights"].replace(
+    _DSIR_TAIL, "FROM documents d JOIN imp i USING (doc_id)"
+)

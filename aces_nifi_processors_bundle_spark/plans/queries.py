@@ -1795,6 +1795,56 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, target).orderBy("doc_id")
 
 
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring on a documents STREAM (round 12) — the serving
+    shape the dsir_lambda/dsir_score split exists for: the log-ratio
+    table is fitted batch-side on the static corpus (reference
+    distributions update on a slow cadence), pinned once
+    (localCheckpoint — micro-batches must not refit it), and each
+    micro-batch is scored BATCH-MODE inside foreachBatch — the
+    engine's established shape for multi-stage aggregations that
+    Spark's chained-stateful guard rejects (dsir_score is two
+    groupBys; q_stream_store_merge / q_stream_substring_ingest set
+    the pattern). Exact because each doc's text arrives in exactly
+    one micro-batch; scored frames land epoch-partitioned with
+    dynamic overwrite, so a replayed micro-batch (foreachBatch is
+    at-least-once) rewrites its own epoch instead of duplicating.
+    One documented divergence from the batch q_dsir_weights:
+    featureless docs (NULL/whitespace text) are ABSENT — the sink
+    holds scores, not the corpus — so the oracle is the batch oracle
+    with the zero-feature left join tightened to inner."""
+    import tempfile
+
+    from ..pipeline.splits import dsir_lambda, dsir_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lam = dsir_lambda(
+        docs, docs.where(F.col("doc_id") % 50 == 0)
+    ).localCheckpoint(eager=True)
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="aces_dsir_stream_")
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            dsir_score(batch, lam)
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_features", "importance"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (pipeline/dedup.py::decontaminate):
     every 50th doc plays the held-out eval set; training docs sharing
