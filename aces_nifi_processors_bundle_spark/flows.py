@@ -1893,6 +1893,89 @@ def _dsir_select(
     return out.where("kept").drop("kept") if keep_only else out
 
 
+@stage("dsir_fit")
+def _dsir_fit(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    target_condition: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    store_buckets: int = 1,
+) -> DataFrame:
+    """ACTION (round 12): fit the DSIR log-ratio table on the
+    incoming corpus (target = rows matching `target_condition`) and
+    PERSIST it as store state at `path` keyed by bucket — the
+    registered-selection-model lifecycle, the same shape as the
+    tokenizer register (bpe_train → token_count_trained): fit once on
+    the slow cadence, every downstream dsir_score stage replays the
+    same table. Hands the (bucket, log_ratio) table downstream.
+    Re-running refits and re-initializes (a refit is a new artifact
+    version — the store keeps history)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.splits import dsir_lambda
+    from .stores import KeyedParquetStore
+
+    lam = dsir_lambda(
+        df, df.where(target_condition), text_col, id_col, n_buckets
+    ).select(
+        F.col("_b").alias("bucket"), F.col("_lam").alias("log_ratio")
+    )
+    store = KeyedParquetStore(
+        spark=spark, path=path, keys=["bucket"], n_buckets=store_buckets
+    )
+    store.init(lam)
+    return store.read().orderBy("bucket")
+
+
+@stage("dsir_score")
+def _dsir_score(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Score the incoming frame against the REGISTERED DSIR table at
+    `path` (round 12) — the serving half of dsir_fit: broadcast the
+    n_buckets-row table, join (n_features, importance) onto every
+    input column, featureless docs read (0, 0.0) like the batch
+    dsir_weights contract. `n_buckets` must match the fit (the
+    bucket hash is a function of it — a mismatch scores against the
+    wrong buckets; the store's row count is checked loudly)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.splits import dsir_score
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(spark=spark, path=path, keys=["bucket"])
+    lam_rows = store.read().select(
+        F.col("bucket").alias("_b"), F.col("log_ratio").alias("_lam")
+    )
+    n_stored = lam_rows.count()
+    if n_stored > n_buckets:
+        raise ValueError(
+            f"dsir_score: store at {path} holds {n_stored} buckets but "
+            f"n_buckets={n_buckets} — the bucket hash would not match "
+            "the fit; pass the n_buckets the table was fitted with"
+        )
+    scored = dsir_score(df, lam_rows, text_col, id_col, n_buckets)
+    return (
+        df.drop("n_features", "importance")
+        .join(scored, id_col, "left")
+        .withColumn(
+            "n_features",
+            F.coalesce("n_features", F.lit(0).cast("bigint")),
+        )
+        .withColumn("importance", F.coalesce("importance", F.lit(0.0)))
+    )
+
+
 @stage("bpe_train")
 def _bpe_train(
     spark: SparkSession,

@@ -1114,3 +1114,49 @@ def test_bpe_train_stage_collect_vocab_path(spark, sf_dir, tmp_path):
     assert [
         (r["rank"], r["lhs"], r["rhs"]) for r in slow
     ] == [(r["rank"], r["lhs"], r["rhs"]) for r in fast]
+
+
+def test_dsir_fit_score_registered_lifecycle(spark, sf_dir, tmp_path):
+    """The registered-selection-model lifecycle (round 12, the
+    tokenizer-register shape): dsir_fit persists the lambda table as
+    store state; a SEPARATE flow's dsir_score replays it and must
+    reproduce the direct dsir_weights output exactly (featureless
+    docs included, per the batch contract); an n_buckets mismatch
+    fails loudly."""
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_weights,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    path = str(tmp_path / "dsir_model")
+    fitted = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_fit", "path": path,
+         "target_condition": "doc_id % 50 = 0"},
+    ], sf_dir)
+    assert fitted.count() > 0
+    assert set(fitted.columns) == {"bucket", "log_ratio"}
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_score", "path": path},
+    ], sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {
+        r["doc_id"]: (r["n_features"], r["importance"])
+        for r in dsir_weights(
+            docs, docs.where("doc_id % 50 = 0")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_features"], r["importance"])
+        for r in out.collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_flow(spark, [
+            {"op": "load", "table": "documents"},
+            {"op": "dsir_score", "path": path, "n_buckets": 16},
+        ], sf_dir)
