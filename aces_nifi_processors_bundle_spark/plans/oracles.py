@@ -6765,3 +6765,10 @@ assert _DSIR_TAIL in ORACLES["q_dsir_weights"]
 ORACLES["q_stream_dsir"] = ORACLES["q_dsir_weights"].replace(
     _DSIR_TAIL, "FROM documents d JOIN imp i USING (doc_id)"
 )
+
+
+# Mirrors q_stream_token_count_trained: the batch trained-count
+# oracle VERBATIM — each doc is counted in exactly one micro-batch
+# and zero-piece docs keep their row via the per-batch left join, so
+# streaming is an execution mode, not a semantic change.
+ORACLES["q_stream_token_count_trained"] = ORACLES["q_token_count_trained"]

@@ -1975,6 +1975,54 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_token_count_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token counting under the TRAINED merges table on a documents
+    STREAM (round 12) — the tokenizer register's serving half in
+    streaming mode, completing the q_stream_dsir symmetry: the merge
+    table is trained batch-side (the registered artifact), and each
+    micro-batch's docs are counted batch-mode inside foreachBatch
+    (bpe_token_counts is a distinct-vocab fold + join + per-doc sum —
+    multi-stage, so the chained-stateful guard applies; exact per
+    micro-batch since each doc's text arrives in one batch). Epoch-
+    partitioned dynamic overwrite for replay idempotence. Zero-piece
+    docs keep their (id, 0) row — bpe_token_counts' left join back to
+    the BATCH frame runs per micro-batch — so the oracle is the batch
+    q_token_count_trained oracle VERBATIM: streaming is an execution
+    mode, not a semantic change."""
+    import tempfile
+
+    from ..pipeline.text import bpe_token_counts, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="aces_tok_stream_")
+
+    def count_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            bpe_token_counts(
+                batch, merges=merges, out_col="n_tokens_trained"
+            )
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(count_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_tokens_trained"
+    ).orderBy("doc_id")
+
+
 def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full NiFi pattern end-to-end under streaming: events stream
     → per-micro-batch pre-aggregation → $inc merge into the keyed
