@@ -867,3 +867,14 @@ def test_dsir_and_trained_bpe_count_plans_stay_jvm(spark, sf_dir):
     plan3 = plan_of(dsir_select(docs, docs.where("doc_id % 50 = 0")))
     assert "EvalPython" not in plan3
     assert "BroadcastHashJoin" in plan3
+    # the id-level encode: still zero Python, and the vocabulary join
+    # (alphabet + merges rows) rides a broadcast, never a shuffle
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode_ids,
+    )
+
+    plan4 = plan_of(
+        bpe_encode_ids(docs, merges=[("t", "h"), ("th", "e")])
+    )
+    assert "EvalPython" not in plan4
+    assert "BroadcastHashJoin" in plan4
