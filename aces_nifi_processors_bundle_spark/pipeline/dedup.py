@@ -873,7 +873,12 @@ def dedup_recall_sampled(
     exact = near_dup_pairs_ngram(
         sample, k=k, threshold=threshold, persist_intermediates=True
     )
-    return dedup_recall_report(approx, exact)
+    # an unbiased-estimate report states its own n: the sampled doc
+    # count rides along as one broadcast column (no silent caps)
+    n = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    return dedup_recall_report(approx, exact).crossJoin(F.broadcast(n))
 
 
 def corpus_card(

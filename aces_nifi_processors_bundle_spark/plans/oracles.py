@@ -6559,6 +6559,13 @@ ORACLES["q_dedup_recall_sampled"] = ORACLES["q_dedup_recall"].replace(
                         1, 15))::BIGINT % 2 = 0
 ),
 words AS (""",
+).replace(
+    # the report states its own n (the Spark side broadcast-appends
+    # the sampled doc count)
+    "END AS precision\nFROM j",
+    """END AS precision,
+       (SELECT CAST(count(*) AS BIGINT) FROM sampled) AS n_docs_sampled
+FROM j""",
 )
 assert (
     "FROM sampled" in ORACLES["q_dedup_recall_sampled"]

@@ -5193,9 +5193,14 @@ def test_dedup_recall_sampled_membership_and_degenerate_denom(spark, sf_dir):
         ),
     ).collect()[0]
     same = dedup_recall_sampled(docs, sample_denom=1).collect()[0]
-    assert same.asDict() == full.asDict()
+    # identical report columns, plus the sample size it states
+    assert {
+        k: v for k, v in same.asDict().items() if k != "n_docs_sampled"
+    } == full.asDict()
+    assert same["n_docs_sampled"] == docs.count()
     sampled = dedup_recall_sampled(docs, sample_denom=4).collect()[0]
     assert sampled["n_exact"] <= full["n_exact"]
+    assert 0 < sampled["n_docs_sampled"] < docs.count()
     with pytest.raises(ValueError, match="sample_denom"):
         dedup_recall_sampled(docs, sample_denom=0)
 
