@@ -435,6 +435,21 @@ def _hash_split(
     return hash_split(df, id_col, weights, seed)
 
 
+@stage("hash_sample")
+def _hash_sample(
+    spark: SparkSession, df: DataFrame, *, denom: int,
+    id_col: str = "doc_id", seed: str = "sample",
+) -> DataFrame:
+    """Deterministic 1/denom sample on the canvas (round 12) —
+    pipeline/splits.py::hash_mod_sample: membership is a pure
+    function of the id, so the sampled branch is stable across
+    corpus growth and re-runs (the front door for sampled report
+    pipelines: recall audits, profile sweeps)."""
+    from .pipeline.splits import hash_mod_sample
+
+    return hash_mod_sample(df, id_col, denom, seed)
+
+
 @stage("stratified_sample")
 def _stratified_sample(
     spark: SparkSession, df: DataFrame, *, strata: list[str], n: int,

@@ -1160,3 +1160,24 @@ def test_dsir_fit_score_registered_lifecycle(spark, sf_dir, tmp_path):
             {"op": "load", "table": "documents"},
             {"op": "dsir_score", "path": path, "n_buckets": 16},
         ], sf_dir)
+
+
+def test_hash_sample_stage_matches_direct_call(spark, sf_dir):
+    """The canvas sample equals the direct hash_mod_sample membership
+    and composes ahead of downstream stages."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_mod_sample,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "hash_sample", "denom": 4},
+        {"op": "select", "columns": ["doc_id"]},
+    ], sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["doc_id"] for r in
+            hash_mod_sample(docs, "doc_id", 4, "sample").collect()}
+    assert {r["doc_id"] for r in out.collect()} == want
+    assert 0 < len(want) < docs.count()
