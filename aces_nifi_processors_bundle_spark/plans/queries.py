@@ -1795,6 +1795,21 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, target).orderBy("doc_id")
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR sampling WITHOUT replacement (pipeline/splits.py::
+    dsir_resample, round 12) — the paper's actual resampling scheme
+    via the Gumbel top-k identity: per-doc Gumbel noise drawn from
+    the doc's own hash, ranked by importance + noise, top 100 kept
+    through the salted two-phase top-k (no flat global sort). The
+    oracle chains the DSIR CTEs into the identical Gumbel arithmetic
+    and rank walk."""
+    from ..pipeline.splits import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 50 == 0)
+    return dsir_resample(docs, target, k=100).orderBy("rank")
+
+
 def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR scoring on a documents STREAM (round 12) — the serving
     shape the dsir_lambda/dsir_score split exists for: the log-ratio

@@ -5369,3 +5369,40 @@ def test_bpe_vocab_ids_and_encode_ids_consistency(spark):
     want = {(r["doc_id"], r["pos"]): tok2id[r["token"]] for r in enc}
     got = {(r["doc_id"], r["pos"]): r["token_id"] for r in ids}
     assert got == want
+
+
+def test_dsir_resample_matches_python_gumbel_topk(spark, sf_dir):
+    """The salted two-phase top-k must equal a flat Python
+    recomputation of the Gumbel keys over dsir_weights' output
+    (rank, key, and membership), and config errors are loud."""
+    import hashlib
+    import math
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        dsir_resample,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where("doc_id % 50 = 0")
+    w = dsir_weights(docs, target).collect()
+
+    def key_of(doc_id, imp):
+        b = int(
+            hashlib.md5(f"dsirg{doc_id}".encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+        u = (b + 0.5) / 1_000_000
+        g = round(-math.log(-math.log(u)), 9)
+        return round(imp + g, 6)
+
+    flat = sorted(
+        ((key_of(r["doc_id"], r["importance"]), r["doc_id"]) for r in w),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = dsir_resample(docs, target, k=25).orderBy("rank").collect()
+    assert [(r["gumbel_key"], r["doc_id"]) for r in got] == flat
+    assert [r["rank"] for r in got] == list(range(1, 26))
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_resample(docs, target, k=0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(docs, target, k=5, temperature=0)
