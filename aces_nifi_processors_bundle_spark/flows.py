@@ -1937,7 +1937,14 @@ def _dsir_fit(
     lam = dsir_lambda(
         df, df.where(target_condition), text_col, id_col, n_buckets
     ).select(
-        F.col("_b").alias("bucket"), F.col("_lam").alias("log_ratio")
+        F.col("_b").alias("bucket"),
+        F.col("_lam").alias("log_ratio"),
+        # The bucket hash is a function of n_buckets, so the model is
+        # only meaningful WITH it: persist it on every row (constant
+        # column — parquet RLE makes it free) so dsir_score validates
+        # the fit/serve agreement by EQUALITY, not by row count
+        # (which legitimately undershoots when buckets are empty).
+        F.lit(int(n_buckets)).cast("int").alias("fit_n_buckets"),
     )
     store = KeyedParquetStore(
         spark=spark, path=path, keys=["bucket"], n_buckets=store_buckets
@@ -1960,25 +1967,46 @@ def _dsir_score(
     `path` (round 12) — the serving half of dsir_fit: broadcast the
     n_buckets-row table, join (n_features, importance) onto every
     input column, featureless docs read (0, 0.0) like the batch
-    dsir_weights contract. `n_buckets` must match the fit (the
+    dsir_weights contract. `n_buckets` must EQUAL the fit's (the
     bucket hash is a function of it — a mismatch scores against the
-    wrong buckets; the store's row count is checked loudly)."""
+    wrong buckets): the fit persists `fit_n_buckets` on every model
+    row and this stage validates equality loudly (round 13; the old
+    row-count check only caught n_stored > n_buckets and let a
+    fit-512/score-1024 mismatch through silently). Legacy stores
+    written before the column existed fall back to the row-count
+    check."""
     from pyspark.sql import functions as F
 
     from .pipeline.splits import dsir_score
     from .stores import KeyedParquetStore
 
     store = KeyedParquetStore(spark=spark, path=path, keys=["bucket"])
-    lam_rows = store.read().select(
+    model = store.read()
+    if "fit_n_buckets" in model.columns:
+        fitted = [
+            r["fit_n_buckets"]
+            for r in model.select("fit_n_buckets").distinct().collect()
+        ]
+        if fitted != [n_buckets]:
+            raise ValueError(
+                f"dsir_score: store at {path} was fitted with "
+                f"n_buckets={fitted} but scoring with "
+                f"n_buckets={n_buckets} — the bucket hash would not "
+                "match the fit; pass the n_buckets the table was "
+                "fitted with"
+            )
+    else:  # pre-round-13 store: best-effort row-count check
+        n_stored = model.count()
+        if n_stored > n_buckets:
+            raise ValueError(
+                f"dsir_score: store at {path} holds {n_stored} buckets "
+                f"but n_buckets={n_buckets} — the bucket hash would not "
+                "match the fit; pass the n_buckets the table was fitted "
+                "with"
+            )
+    lam_rows = model.select(
         F.col("bucket").alias("_b"), F.col("log_ratio").alias("_lam")
     )
-    n_stored = lam_rows.count()
-    if n_stored > n_buckets:
-        raise ValueError(
-            f"dsir_score: store at {path} holds {n_stored} buckets but "
-            f"n_buckets={n_buckets} — the bucket hash would not match "
-            "the fit; pass the n_buckets the table was fitted with"
-        )
     scored = dsir_score(df, lam_rows, text_col, id_col, n_buckets)
     return (
         df.drop("n_features", "importance")

@@ -983,9 +983,25 @@ def dup_attribution(
     aggregate is |sources|^2 rows of metadata — never a pair list."""
     from .text import word_count
 
+    # In-band-sentinel guard (round 13): a GENUINE source tag equal to
+    # the '<unresolved>' marker would merge its mass with
+    # unresolved-node mass and duplicate a grid row — raise loudly at
+    # action time instead (per-row raise_error keeps this a free
+    # codegen branch on the scans the report already pays; no extra
+    # job). Rename the tag upstream if a corpus really uses it.
+    guarded_src = F.when(
+        F.col(group_col) == F.lit(UNRESOLVED_SOURCE),
+        F.raise_error(
+            F.lit(
+                f"dup_attribution: source tag {UNRESOLVED_SOURCE!r} "
+                "collides with the unresolved-node sentinel — rename "
+                f"the tag in '{group_col}' before attribution"
+            )
+        ).cast("string"),
+    ).otherwise(F.col(group_col))
     tagged = df.select(
         F.col(id_col).alias("node"),
-        F.col(group_col).alias("_src"),
+        guarded_src.alias("_src"),
         word_count(F.col(text_col)).alias("_t"),
     )
     sizes = clusters.groupBy("cluster").agg(
@@ -1036,7 +1052,7 @@ def dup_attribution(
     # filtered at the end, so the sentinel row/column only APPEARS
     # when unresolved nodes actually carried duplicate mass (and the
     # common case — clusters computed over df itself — is unchanged).
-    srcs = df.select(F.col(group_col)).distinct().unionAll(
+    srcs = df.select(guarded_src.alias(group_col)).distinct().unionAll(
         df.sparkSession.range(1).select(
             F.lit(UNRESOLVED_SOURCE).cast("string").alias(group_col)
         )

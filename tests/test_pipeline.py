@@ -1597,6 +1597,52 @@ def test_bpe_token_counts_per_doc(spark):
     assert got == {1: 3, 2: 0, 3: 0, 4: 5}
 
 
+def test_bpe_fold_chunked_equals_unchunked(spark):
+    """The production-merge-count envelope (round 13): segmenting the
+    replace chain every merge_chunk_size ranks (localCheckpoint plan
+    cuts) must reproduce the single-expression fold EXACTLY — counts
+    AND the full encode stream — for chunk sizes that split the table
+    at every alignment, including mid-composite-dependency. Also: a
+    SYNTHETIC >=1k-rank table (the chain ('a','b'), ('ab','b'), ... —
+    each rank consumes the previous rank's output, the worst
+    dependency shape) folds correctly chunked, where the unchunked
+    expression would be a 1k-deep Catalyst tree."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode,
+        bpe_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat"), (2, "which 2000 things!"),
+         (3, "internationalization routines"), (4, "")],
+        "doc_id long, text string",
+    )
+    base_counts = sorted(
+        map(tuple, bpe_token_counts(df).collect())
+    )
+    base_enc = sorted(map(tuple, bpe_encode(df).collect()))
+    for ck in (1, 3, 7, 64):
+        assert sorted(map(tuple, bpe_token_counts(
+            df, merge_chunk_size=ck).collect())) == base_counts, ck
+        assert sorted(map(tuple, bpe_encode(
+            df, merge_chunk_size=ck).collect())) == base_enc, ck
+    # >=1k ranks, every rank dependent on its predecessor: 'a' + 'b'*n
+    # tokenizes to exactly ONE token once all n merges applied, and to
+    # (n - m + 1) tokens under the first m merges.
+    n = 1000
+    chain = [("a" + "b" * i, "b") for i in range(n)]
+    big = spark.createDataFrame(
+        [(1, "a" + "b" * n), (2, "a" + "b" * 400), (3, "bb a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_token_counts(
+        big, merges=chain, merge_chunk_size=100).collect()}
+    # doc 1: a+b^1000 -> single token; doc 2: a+b^400 -> 'ab^400' is
+    # rank 400's output, fully merged -> 1; doc 3: 'bb' never merges
+    # (no 'a' anchor) -> 2 tokens + 'a' -> 3 total... 'a' alone = 1.
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
 def test_funnel_auto_method_static_rule(spark, sf_dir):
     """method='auto' is a plan-time rule: chained for short funnels
     (k-pass wins at 3 steps — SCALE.md §skew), array for long ones
@@ -4730,6 +4776,25 @@ def test_dup_attribution_superset_clusters_sentinel(spark):
     assert UNRESOLVED_SOURCE not in labels
 
 
+def test_dup_attribution_rejects_in_band_sentinel_source(spark):
+    """A GENUINE source tag equal to the '<unresolved>' sentinel would
+    merge its mass with unresolved-node mass and duplicate a grid row
+    (round-12 advice) — it must raise loudly at action time instead."""
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        UNRESOLVED_SOURCE,
+        dup_attribution,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", UNRESOLVED_SOURCE), (2, "a b c d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["node", "cluster"])
+    out = dup_attribution(docs, clusters)
+    with pytest.raises(Exception, match="collides with the unresolved"):
+        out.collect()
+
+
 def test_corpus_card_folds_three_modalities(spark):
     """dedup_report columns plus substring/containment summaries in
     one row; None modality frames degrade to zero columns."""
@@ -5369,6 +5434,41 @@ def test_bpe_vocab_ids_and_encode_ids_consistency(spark):
     want = {(r["doc_id"], r["pos"]): tok2id[r["token"]] for r in enc}
     got = {(r["doc_id"], r["pos"]): r["token_id"] for r in ids}
     assert got == want
+
+
+def test_bpe_encode_ids_oov_raises_not_drops(spark):
+    """OOV contract (round-12 advice): encoding a LATER batch with the
+    REGISTERED vocabulary, where the batch contains a character unseen
+    at training time, must RAISE (naming the token) — not silently
+    drop the token and leave a gap in the pos stream."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the thin cat")], "doc_id long, text string"
+    )
+    merges = bpe_train(train, num_merges=4)
+    vocab = bpe_vocab(train, merges)
+    later = spark.createDataFrame(
+        [(9, "the thin cat"), (10, "the zebra")],  # 'z' etc. untrained
+        "doc_id long, text string",
+    )
+    out = bpe_encode_ids(later, merges=merges, vocab=vocab)
+    with pytest.raises(Exception, match="OOV"):
+        out.collect()
+    # an in-vocab later batch under the registered vocab still encodes
+    ok = bpe_encode_ids(
+        spark.createDataFrame([(9, "thin cat")], "doc_id long, text string"),
+        merges=merges,
+        vocab=vocab,
+    ).collect()
+    assert len(ok) > 0
+    # pos stream is gapless per doc
+    poss = sorted(r["pos"] for r in ok)
+    assert poss == list(range(len(poss)))
 
 
 def test_dsir_resample_matches_python_gumbel_topk(spark, sf_dir):

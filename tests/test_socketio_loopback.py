@@ -391,7 +391,12 @@ def test_vendored_client_expiry_gated_reconnect():
             c.emit("transient", "lost")
         srv.fail_posts = False
         assert ("transient", "lost") not in srv.received
-        # (3) opt-in at-least-once: resends and warns
+        # (3) opt-in at-least-once: resends and warns. Round 13: the
+        # opt-in is a CONSTRUCTOR parameter (the client_factory
+        # injection point); the attribute remains for back-compat —
+        # both spellings must agree.
+        assert PollingSocketIOClient(resend_transient=True).resend_transient
+        assert not PollingSocketIOClient().resend_transient
         c.resend_transient = True
         srv.fail_posts = True
 
