@@ -450,6 +450,21 @@ def _hash_sample(
     return hash_mod_sample(df, id_col, denom, seed)
 
 
+@stage("hash_topn_sample")
+def _hash_topn_sample(
+    spark: SparkSession, df: DataFrame, *, n: int,
+    id_col: str = "doc_id", seed: str = "sample",
+) -> DataFrame:
+    """Deterministic ABSOLUTE-BUDGET sample on the canvas (round 13)
+    — pipeline/splits.py::hash_topn_sample: the first n rows of the
+    md5-hash order, so a sampled report's ground-truth cost is pinned
+    by construction at any corpus size (hash_sample's 1/denom
+    fraction grows with the corpus)."""
+    from .pipeline.splits import hash_topn_sample
+
+    return hash_topn_sample(df, id_col, n, seed)
+
+
 @stage("stratified_sample")
 def _stratified_sample(
     spark: SparkSession, df: DataFrame, *, strata: list[str], n: int,
@@ -1935,10 +1950,15 @@ def _dsir_fit(
     from .stores import KeyedParquetStore
 
     lam = dsir_lambda(
-        df, df.where(target_condition), text_col, id_col, n_buckets
+        df, df.where(target_condition), text_col, id_col, n_buckets,
+        include_counts=True,
     ).select(
         F.col("_b").alias("bucket"),
         F.col("_lam").alias("log_ratio"),
+        # fitted raw bucket distribution — the dsir_drift stage's
+        # reference side (round 13), persisted so drift never
+        # re-scans the fit-time pool
+        F.col("_cr").alias("raw_count"),
         # The bucket hash is a function of n_buckets, so the model is
         # only meaningful WITH it: persist it on every row (constant
         # column — parquet RLE makes it free) so dsir_score validates
@@ -2017,6 +2037,55 @@ def _dsir_score(
         )
         .withColumn("importance", F.coalesce("importance", F.lit(0.0)))
     )
+
+
+@stage("dsir_drift")
+def _dsir_drift(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR model-DRIFT row on the canvas (round 13): compare the
+    incoming frame's feature-bucket distribution against the FITTED
+    raw distribution persisted with the model at `path` (dsir_fit's
+    raw_count column) — one jsd_bits row per invocation, so "the
+    lambda table has aged, refit" is an observable number on the same
+    canvas that serves the scores. Same fit/serve n_buckets equality
+    contract as dsir_score. Requires a round-13 store (raw_count
+    persisted at fit time); refit older models to enable drift."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.splits import dsir_drift
+    from .stores import KeyedParquetStore
+
+    store = KeyedParquetStore(spark=spark, path=path, keys=["bucket"])
+    model = store.read()
+    if "raw_count" not in model.columns:
+        raise ValueError(
+            f"dsir_drift: store at {path} has no raw_count column — "
+            "it was fitted before round 13; re-run dsir_fit to persist "
+            "the raw bucket distribution"
+        )
+    if "fit_n_buckets" in model.columns:
+        fitted = [
+            r["fit_n_buckets"]
+            for r in model.select("fit_n_buckets").distinct().collect()
+        ]
+        if fitted != [n_buckets]:
+            raise ValueError(
+                f"dsir_drift: store at {path} was fitted with "
+                f"n_buckets={fitted} but drifting with "
+                f"n_buckets={n_buckets} — the bucket hash would not "
+                "match the fit"
+            )
+    raw = model.select(
+        F.col("bucket").alias("_b"), F.col("raw_count").alias("_cr")
+    )
+    return dsir_drift(raw, df, text_col, id_col, n_buckets)
 
 
 @stage("bpe_train")

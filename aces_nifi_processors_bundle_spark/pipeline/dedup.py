@@ -828,6 +828,12 @@ def dedup_recall_report(
     )
 
 
+# One-sided 95% normal quantile for the Wilson score upper bound on
+# the sampled recall reports' miss rate. A literal (not a scipy call)
+# so the DuckDB oracle replays the identical arithmetic.
+WILSON_Z95 = 1.6448536269514722
+
+
 def dedup_recall_sampled(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -854,7 +860,25 @@ def dedup_recall_sampled(
     recall measured over a uniform doc sample is an unbiased estimate
     of the full-corpus figure at 1/denom² of the exact side's Σdf²
     cost — the whole point at 100 TB, where the unpruned exact funnel
-    is affordable ONLY on a sample."""
+    is affordable ONLY on a sample.
+
+    HOW TIGHT (round 13): at the production denoms (CLUSTER.md
+    recommends ~10³ at 100 TB) the miss count is the small number
+    being estimated, so the report states its own precision:
+    `n_missed` (= n_exact − n_hits, the banding misses observed) and
+    `miss_rate_ub95` — the one-sided 95% WILSON upper bound on the
+    true per-pair miss probability given n_exact Bernoulli trials
+    and n_missed misses. Wilson over Clopper-Pearson because it is a
+    CLOSED FORM (plain arithmetic — z = WILSON_Z95 = 1.6448536…, the
+    one-sided 95% normal quantile; the same expression runs verbatim
+    in the DuckDB oracle, where a Beta quantile is not expressible),
+    it never reads 0 at zero observed misses
+    (x=0, n trials → ≈ z²/(n+z²)), and it is the standard interval
+    whose coverage tracks nominal down to small n. Reading the row:
+    recall 1.0 with miss_rate_ub95 0.04 means "no miss seen, but the
+    sample only bounds the miss rate below 4%" — grow denom⁻¹ until
+    the bound is tight enough to act on. n_exact = 0 (no ground-truth
+    pairs in the sample at all) reports the vacuous bound 1.0."""
     from .splits import hash_mod_sample
 
     if sample_denom < 1:
@@ -878,7 +902,29 @@ def dedup_recall_sampled(
     n = sample.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
     )
-    return dedup_recall_report(approx, exact).crossJoin(F.broadcast(n))
+    rep = dedup_recall_report(approx, exact).crossJoin(F.broadcast(n))
+    x = (F.col("n_exact") - F.col("n_hits")).cast("double")  # misses
+    nn = F.col("n_exact").cast("double")
+    z2 = F.lit(WILSON_Z95) * F.lit(WILSON_Z95)
+    p_hat = x / nn
+    ub = (
+        p_hat
+        + z2 / (F.lit(2.0) * nn)
+        + F.lit(WILSON_Z95)
+        * F.sqrt(
+            p_hat * (F.lit(1.0) - p_hat) / nn
+            + z2 / (F.lit(4.0) * nn * nn)
+        )
+    ) / (F.lit(1.0) + z2 / nn)
+    return rep.select(
+        "*",
+        (F.col("n_exact") - F.col("n_hits")).cast("bigint").alias(
+            "n_missed"
+        ),
+        F.when(F.col("n_exact") > 0, F.round(F.least(ub, F.lit(1.0)), 6))
+        .otherwise(F.lit(1.0))
+        .alias("miss_rate_ub95"),
+    )
 
 
 def corpus_card(

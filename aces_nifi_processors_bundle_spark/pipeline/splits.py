@@ -73,6 +73,46 @@ def hash_mod_sample(
     return df.where(bucket == 0)
 
 
+def hash_topn_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 32,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic ABSOLUTE-BUDGET sample (round 13): the first `n`
+    rows of the md5-hash order (full 60-bit hash value ascending, id
+    ascending on ties). Where hash_mod_sample's FRACTIONAL contract
+    (keep 1/denom) lets the sample grow with the corpus — the sampled
+    ANN recall report's brute-force side grew 32 → 312 queries at
+    sf0.1 → sf1 under a fixed denom — this pins the ground-truth cost
+    BY CONSTRUCTION: n queries at any corpus size. Still a pure
+    function of the ids (re-runnable, unbiased — the hash order is
+    independent of any row attribute) and mirrored bit-for-bit by the
+    DuckDB oracle (ORDER BY ('0x'||substr(md5(seed||id),1,15))::BIGINT
+    LIMIT n).
+
+    Scale shape: sort+limit compiles to TakeOrderedAndProject —
+    per-partition top-n heaps, one n-row driver merge; no global sort
+    shuffle, no corpus materialization."""
+    if n < 0:
+        raise ValueError(f"hash_topn_sample: n must be >= 0, got {n}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(n)
+        .drop("_h")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -479,6 +519,7 @@ def dsir_lambda(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    include_counts: bool = False,
 ) -> DataFrame:
     """FIT the DSIR log-ratio table (round 12 split of dsir_weights):
     (bucket, log-ratio) over n_buckets rows — the broadcastable model
@@ -499,6 +540,14 @@ def dsir_lambda(
     cr = raw_f.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
     tot_t = ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_T"))
     tot_r = cr.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_R"))
+    extra = (
+        # round 13: the fitted raw bucket DISTRIBUTION rides along so
+        # the persisted model can serve the drift report
+        # (dsir_drift) without re-scanning the fit-time pool
+        [F.coalesce("_cr", F.lit(0)).cast("bigint").alias("_cr")]
+        if include_counts
+        else []
+    )
     return (
         ct.join(cr, "_b", "full")
         .crossJoin(F.broadcast(tot_t))
@@ -518,6 +567,7 @@ def dsir_lambda(
                 ),
                 9,
             ).alias("_lam"),
+            *extra,
         )
     )
 
@@ -556,6 +606,118 @@ def dsir_score(
                 ).cast("double"),
                 6,
             ).alias("importance"),
+        )
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-bucket DSIR feature counts of a frame: (_b, _cr) — the raw
+    pool's bucket DISTRIBUTION in count form, the drift report's
+    reference side (persisted by the dsir_fit canvas stage alongside
+    the log-ratio model). n_buckets rows max; one corpus scan, one
+    map-side-combined aggregate."""
+    return _dsir_feats(df, text_col, id_col, n_buckets).groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cr")
+    )
+
+
+def dsir_drift(
+    raw_counts: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR MODEL-DRIFT report (round 13) — one row comparing a
+    scored batch's feature-bucket distribution against the FITTED raw
+    distribution the lambda table was trained on. The dsir_fit /
+    dsir_score lifecycle serves a model that ages as the raw pool
+    drifts; this row makes "refit needed" observable: jsd_bits is the
+    base-2-normalized Jensen–Shannon divergence in [0, 1] between the
+    two bucket distributions (0 = the batch looks exactly like the
+    fitted pool, rising toward 1 as it drifts away — trend it across
+    batches and refit past a threshold).
+
+    Reuses source_divergence_matrix's shared/private closed form and
+    its engine-exactness discipline: probabilities are single IEEE
+    divisions, each shared bucket's contribution is rounded to 9 dp
+    and summed in DECIMAL(38,18) (order-proof), private mass folds in
+    as ½·ln2·(2 − P_shared − Q_shared), output rounded to 6 dp — the
+    DuckDB oracle replays the sum bit-for-bit.
+
+    Output: (n_buckets, n_raw_features, n_batch_features,
+    n_shared_buckets, jsd_bits). Scale shape: one batch scan to
+    bucket counts (map-side combined); everything after is
+    n_buckets-sized (≤ the model's own broadcast size) — the report
+    costs one aggregate on top of the scoring pass."""
+    import math
+
+    ln2 = math.log(2.0)
+    # support = positive-mass buckets only: a persisted model carries
+    # _cr = 0 rows for target-only buckets (dsir_lambda's full join),
+    # and p = 0 inside the shared term is 0·ln(0) = NaN
+    raw_counts = raw_counts.where(F.col("_cr") > 0)
+    bat = dsir_bucket_counts(batch, text_col, id_col, n_buckets).select(
+        "_b", F.col("_cr").alias("_cb")
+    )
+    tr = raw_counts.agg(
+        F.coalesce(F.sum("_cr"), F.lit(0)).cast("bigint").alias("_Tr")
+    )
+    tb = bat.agg(
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("bigint").alias("_Tb")
+    )
+    pr = raw_counts.crossJoin(F.broadcast(tr)).select(
+        "_b",
+        (F.col("_cr").cast("double") / F.col("_Tr").cast("double")).alias(
+            "p"
+        ),
+    )
+    pb = bat.crossJoin(F.broadcast(tb)).select(
+        "_b",
+        (F.col("_cb").cast("double") / F.col("_Tb").cast("double")).alias(
+            "q"
+        ),
+    )
+    term = F.lit(0.5) * (
+        F.col("p") * F.log(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q")))
+        + F.col("q")
+        * F.log(F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    sh = pr.join(F.broadcast(pb), "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.round(term, 9).cast("decimal(38,18)")).alias("_s"),
+        F.sum(F.round(F.col("p"), 9).cast("decimal(38,18)")).alias("_pa"),
+        F.sum(F.round(F.col("q"), 9).cast("decimal(38,18)")).alias("_qb"),
+    )
+    return (
+        sh.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+            F.col("_Tr").alias("n_raw_features"),
+            F.col("_Tb").alias("n_batch_features"),
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias(
+                "n_shared_buckets"
+            ),
+            F.round(
+                (
+                    F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                    + F.lit(0.5)
+                    * F.lit(ln2)
+                    * (
+                        F.lit(2.0)
+                        - F.coalesce(F.col("_pa").cast("double"), F.lit(0.0))
+                        - F.coalesce(F.col("_qb").cast("double"), F.lit(0.0))
+                    )
+                )
+                / F.lit(ln2),
+                6,
+            ).alias("jsd_bits"),
         )
     )
 

@@ -6572,6 +6572,33 @@ assert (
     and ORACLES["q_dedup_recall_sampled"].count("FROM documents") == 1
 )  # only the sample CTE itself reads the base table
 
+# Round 13: the sampled report states how TIGHT it is — n_missed and
+# the one-sided 95% Wilson upper bound on the per-pair miss rate,
+# z = 1.6448536269514722 (the closed form; term order mirrors the
+# Spark expression exactly so the doubles agree bit-for-bit). Wrap
+# the report as a subquery (DuckDB accepts a WITH inside FROM (...))
+# and compute the bound from its aggregate columns.
+_WZ = "1.6448536269514722"
+ORACLES["q_dedup_recall_sampled"] = f"""
+SELECT *,
+       CAST(n_exact - n_hits AS BIGINT) AS n_missed,
+       CASE WHEN n_exact > 0 THEN round(least(
+         (CAST(n_exact - n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)
+          + ({_WZ} * {_WZ}) / (2.0 * CAST(n_exact AS DOUBLE))
+          + {_WZ} * sqrt(
+              CAST(n_exact - n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)
+              * (1.0 - CAST(n_exact - n_hits AS DOUBLE)
+                       / CAST(n_exact AS DOUBLE))
+              / CAST(n_exact AS DOUBLE)
+              + ({_WZ} * {_WZ})
+                / (4.0 * CAST(n_exact AS DOUBLE)
+                       * CAST(n_exact AS DOUBLE))))
+         / (1.0 + ({_WZ} * {_WZ}) / CAST(n_exact AS DOUBLE)), 1.0), 6)
+       ELSE 1.0 END AS miss_rate_ub95
+FROM ({ORACLES["q_dedup_recall_sampled"]})
+"""
+assert "miss_rate_ub95" in ORACLES["q_dedup_recall_sampled"]
+
 
 # Mirrors q_bpe_roundtrip: the generated training chain re-encodes
 # each sampled doc (the q_bpe_encode tail), string_aggs the tokens
@@ -6627,6 +6654,22 @@ ORACLES["q_ann_recall_sampled"] = ORACLES["q_ann_recall"].replace(
     "('0x' || substr(md5('annrecall' || CAST(vec_id AS VARCHAR)), 1, 15))"
     "::BIGINT % 64 = 0",
 )
+
+
+# Mirrors q_ann_recall_budget: the same composed oracle, but the
+# query predicate is the ABSOLUTE-BUDGET membership — the first 32
+# vec_ids of the md5-hash order (hash value asc, id asc on ties), the
+# bit-level mirror of hash_topn_sample.
+ORACLES["q_ann_recall_budget"] = ORACLES["q_ann_recall"].replace(
+    "vec_id < 8",
+    """vec_id IN (
+      SELECT vec_id FROM embeddings
+      ORDER BY ('0x' || substr(md5('annrecall'
+                 || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+      LIMIT 32
+    )""",
+)
+assert ORACLES["q_ann_recall_budget"].count("LIMIT 32") == 2
 
 
 # Mirrors q_bpe_vocab: alphabet from the training chain's w0 piece
@@ -6758,6 +6801,132 @@ pf AS (
 SELECT CAST(shard AS INT) AS shard,
        CAST(floor(tokens_before / 512.0) AS BIGINT) AS seq_id,
        CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens
+FROM pf GROUP BY 1, 2"""
+)
+
+
+# Mirrors q_dsir_drift: the q_dsir_weights feature CTEs rebuilt for
+# both sides (raw = all documents, batch = the doc_id % 3 slice),
+# then the source_divergence shared/private JSD closed form with the
+# identical rounding discipline (per-bucket terms rounded 9 dp,
+# DECIMAL(38,18) sums, ln(2.0) == Python math.log(2.0) — the
+# established q_source_divergence bridge).
+ORACLES["q_dsir_drift"] = """
+WITH raww AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+uni AS (SELECT doc_id, unnest(w) AS g FROM raww),
+bi AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+  FROM raww, unnest(range(len(w) - 1)) AS t(i)
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY b),
+cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats
+       WHERE doc_id % 3 = 0 GROUP BY b),
+tr AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM cr),
+tb AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM cb),
+pr AS (SELECT b, CAST(c AS DOUBLE) / CAST(tr.t AS DOUBLE) AS p
+       FROM cr, tr),
+pb AS (SELECT b, CAST(c AS DOUBLE) / CAST(tb.t AS DOUBLE) AS q
+       FROM cb, tb),
+sh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(round(0.5 * (p * ln(2.0 * p / (p + q))
+                             + q * ln(2.0 * q / (p + q))), 9)
+                  AS DECIMAL(38,18))) AS s,
+         SUM(CAST(round(p, 9) AS DECIMAL(38,18))) AS pa,
+         SUM(CAST(round(q, 9) AS DECIMAL(38,18))) AS qb
+  FROM pr JOIN pb USING (b)
+)
+SELECT CAST(1024 AS INT) AS n_buckets,
+       tr.t AS n_raw_features,
+       tb.t AS n_batch_features,
+       CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_buckets,
+       round((coalesce(CAST(sh.s AS DOUBLE), 0.0)
+              + 0.5 * ln(2.0)
+                * (2.0 - coalesce(CAST(sh.pa AS DOUBLE), 0.0)
+                       - coalesce(CAST(sh.qb AS DOUBLE), 0.0)))
+             / ln(2.0), 6) AS jsd_bits
+FROM sh, tr, tb
+"""
+
+
+# Mirrors q_pack_chunked_trained: the q_chunk_documents 40/10 chunk
+# CTE feeding per-CHUNK trained counts (chunk pieces are a subset of
+# the training vocabulary w{N} — the pre-tokenizer never spans
+# whitespace, chunking splits on whitespace, so the inner count join
+# covers every chunk piece; chunks with zero pieces keep a 0-count
+# row via the left join, mirroring bpe_token_counts) and the
+# shard/prefix-sum/chop algebra keyed by the composite (doc#chunk)
+# identity.
+ORACLES["q_pack_chunked_trained"] = (
+    "WITH " + _bpe_train_ctes(_BPE_N) + f""",
+cw AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+ch AS (
+  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+         array_to_string(list_slice(ws, cid * 30 + 1, cid * 30 + 40),
+                         ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, ws, n,
+           unnest(range(greatest(1,
+             CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS cid
+    FROM cw
+  )
+),
+chw AS (
+  SELECT doc_id, chunk_id,
+         unnest(regexp_extract_all(lower(chunk_text), {_BPE_RE_SQL}))
+           AS w
+  FROM ch
+),
+pcw AS (
+  SELECT doc_id, chunk_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM chw GROUP BY 1, 2, 3
+),
+ccnt AS (
+  SELECT doc_id, chunk_id,
+         sum(occ * ((length(toks)
+                     - length(replace(toks, chr(1), ''))) // 2)) AS n
+  FROM pcw JOIN w{_BPE_N} USING (w) GROUP BY 1, 2
+),
+t AS (
+  SELECT c.doc_id, c.chunk_id,
+         CAST(coalesce(x.n, 0) AS BIGINT) AS toks,
+         CAST(c.doc_id AS VARCHAR) || '#'
+           || CAST(c.chunk_id AS VARCHAR) AS ident
+  FROM ch c LEFT JOIN ccnt x USING (doc_id, chunk_id)
+),
+sh AS (
+  SELECT doc_id, chunk_id, toks,
+         ('0x' || substr(md5('pack#shard' || ident), 1, 15))::BIGINT
+           % 8 AS shard,
+         md5('pack' || ident) AS h
+  FROM t
+),
+pf AS (
+  SELECT shard, toks,
+         CAST(COALESCE(SUM(toks) OVER (
+           PARTITION BY shard ORDER BY h, doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM sh
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(floor(tokens_before / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(toks) AS BIGINT) AS n_tokens
 FROM pf GROUP BY 1, 2"""
 )

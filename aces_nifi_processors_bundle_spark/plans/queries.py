@@ -1641,6 +1641,32 @@ def q_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(index, truth, k=5)
 
 
+def q_ann_recall_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled ANN recall report under an ABSOLUTE query budget
+    (round 13): q_ann_recall_sampled's fixed-denom fraction lets the
+    query count — and with it the brute-force ground-truth cost,
+    which grows with BOTH the query count and the corpus — scale with
+    the data (32 → 312 queries at sf0.1 → sf1; SCALE.md). Here the
+    query set is hash_topn_sample(n=32, seed 'annrecall'): the first
+    32 vectors of the md5-hash order, so ground-truth cost is pinned
+    by construction at any corpus size while the selection stays a
+    deterministic, attribute-independent (hence unbiased) function of
+    the ids. The oracle reroutes both top-k subqueries through the
+    identical ORDER BY hash LIMIT n membership."""
+    from ..pipeline.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from ..pipeline.splits import hash_topn_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = hash_topn_sample(emb, "vec_id", 32, "annrecall")
+    truth = brute_force_topk(emb, queries, k=5)
+    index = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    return ann_recall_report(index, truth, k=5)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
     buckets + Hamming pre-filter. The synthetic embeddings have no
@@ -1808,6 +1834,24 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.where(F.col("doc_id") % 50 == 0)
     return dsir_resample(docs, target, k=100).orderBy("rank")
+
+
+def q_dsir_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR model-DRIFT row (pipeline/splits.py::dsir_drift, round
+    13): the dsir_fit/dsir_score lifecycle serves a lambda table that
+    ages as the raw pool drifts — this one-row report compares a
+    scored batch's feature-bucket distribution (here the doc_id % 3
+    slice, a deterministic stand-in for "this week's batch") against
+    the FITTED raw distribution, as base-2 Jensen–Shannon divergence
+    with the source_divergence_matrix rounding discipline. Trend
+    jsd_bits across batches; refit past a threshold. The oracle
+    rebuilds both bucket distributions from the q_dsir_weights
+    feature CTEs and replays the shared/private JSD closed form."""
+    from ..pipeline.splits import dsir_bucket_counts, dsir_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = dsir_bucket_counts(docs)
+    return dsir_drift(raw, docs.where(F.col("doc_id") % 3 == 0))
 
 
 def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2241,6 +2285,47 @@ def q_pack_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_pack_chunked_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION packing composition (round 13): chunk →
+    trained-encode-count → pack, end-to-end. q_pack_trained packs
+    whole documents; a real pipeline chunks first (chunk_documents,
+    the q_chunk_documents 40/10 window), costs each CHUNK by the
+    trained tokenizer (bpe_token_counts under the bpe_train table —
+    chunk pieces are a subset of the training corpus's pieces, since
+    the pre-tokenizer never spans whitespace and chunking splits on
+    whitespace), and lays chunks into fixed 512-token sequences
+    (pack_sequences, identity = (doc_id, chunk_id)). One graded query
+    proves the three stages agree end-to-end; the oracle rebuilds the
+    full chain — chunk CTE + training CTEs + per-chunk counts + the
+    shard/prefix-sum/chop algebra on the composite identity."""
+    from ..pipeline.splits import pack_sequences
+    from ..pipeline.text import bpe_token_counts, bpe_train, chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    chunks = chunk_documents(
+        docs, chunk_tokens=40, overlap=10
+    ).withColumn(
+        "_ck",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"),
+            F.col("chunk_id").cast("string"),
+        ),
+    )
+    counts = bpe_token_counts(
+        chunks, text_col="chunk_text", id_col="_ck",
+        merges=merges, out_col="_nt",
+    )
+    keyed = chunks.select("doc_id", "chunk_id", "_ck").join(counts, "_ck")
+    packed = pack_sequences(
+        keyed, "_nt", 512, id_cols=["doc_id", "chunk_id"], n_shards=8
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("_nt").cast("bigint").alias("n_tokens"),
     )
 

@@ -1149,27 +1149,36 @@ class KeyedParquetStore:
             for c in m.columns:
                 p = F.col(c).isNull()
                 null_pred = p if null_pred is None else (null_pred | p)
-            n_null = m.where(null_pred).limit(1).count()
-            if n_null:
+            all_dirs = [d for dirs in man["buckets"].values() for d in dirs]
+            full = self._read_dirs(man, all_dirs).withColumn(
+                BUCKET_COL, self._bucket_of()
+            )
+            # ONE census job answers both questions (round 13 — the
+            # NULL guard previously paid its own limit(1).count()
+            # job): which buckets hold matches + how many rows go,
+            # UNIONED with the NULL-row count under the impossible
+            # bucket id -1 (_bucket_of is a pmod, never negative).
+            # Driver result stays bounded by n_buckets + 1 rows.
+            census_leg = (
+                full.join(m, matches.columns, "left_semi")
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col(BUCKET_COL).cast("long").alias("_b"), "n")
+            )
+            null_leg = (
+                m.where(null_pred)
+                .groupBy(F.lit(-1).cast("long").alias("_b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            rows = census_leg.unionByName(null_leg).collect()
+            if any(r["_b"] == -1 for r in rows):
                 raise ValueError(
                     f"store {self.path}: delete matches contain NULLs "
                     f"in a match column ({m.columns}); NULL never "
                     "equi-joins, so those rows would silently delete "
                     "nothing — drop or filter them explicitly"
                 )
-            all_dirs = [d for dirs in man["buckets"].values() for d in dirs]
-            full = self._read_dirs(man, all_dirs).withColumn(
-                BUCKET_COL, self._bucket_of()
-            )
-            # one census job: which buckets hold matches, and how many
-            # rows go — bounded by n_buckets rows on the driver
-            census = {
-                int(r[BUCKET_COL]): int(r["n"])
-                for r in full.join(m, matches.columns, "left_semi")
-                .groupBy(BUCKET_COL)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            census = {int(r["_b"]): int(r["n"]) for r in rows}
             n_deleted = sum(census.values())
             if not n_deleted:
                 ctx["skipped_no_match"] = True

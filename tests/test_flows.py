@@ -1138,7 +1138,9 @@ def test_dsir_fit_score_registered_lifecycle(spark, sf_dir, tmp_path):
          "target_condition": "doc_id % 50 = 0"},
     ], sf_dir)
     assert fitted.count() > 0
-    assert set(fitted.columns) == {"bucket", "log_ratio", "fit_n_buckets"}
+    assert set(fitted.columns) == {
+        "bucket", "log_ratio", "fit_n_buckets", "raw_count"
+    }
     assert {r["fit_n_buckets"] for r in fitted.collect()} == {1024}
     out = build_flow(spark, [
         {"op": "load", "table": "documents"},
@@ -1184,6 +1186,94 @@ def test_dsir_fit_score_registered_lifecycle(spark, sf_dir, tmp_path):
     assert ok.count() == docs.count()
 
 
+def test_dsir_drift_stage_lifecycle(spark, sf_dir, tmp_path):
+    """Round-13 drift lifecycle: dsir_fit persists the raw bucket
+    distribution (raw_count); a dsir_drift stage scoring the SAME
+    corpus the model was fitted on reads jsd_bits = 0.0 (identity); a
+    drifted slice reads > 0; n_buckets mismatch and a pre-r13 store
+    (no raw_count) fail loudly."""
+    import pytest
+
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.stores import KeyedParquetStore
+
+    path = str(tmp_path / "dsir_model")
+    fitted = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_fit", "path": path,
+         "target_condition": "doc_id % 50 = 0"},
+    ], sf_dir)
+    assert "raw_count" in fitted.columns
+    same = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "dsir_drift", "path": path},
+    ], sf_dir).collect()
+    assert len(same) == 1
+    assert same[0]["jsd_bits"] == 0.0
+    assert same[0]["n_raw_features"] == same[0]["n_batch_features"]
+    drifted = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "filter", "condition": "doc_id % 7 = 0"},
+        {"op": "dsir_drift", "path": path},
+    ], sf_dir).collect()[0]
+    assert 0.0 < drifted["jsd_bits"] <= 1.0
+    assert drifted["n_batch_features"] < drifted["n_raw_features"]
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_flow(spark, [
+            {"op": "load", "table": "documents"},
+            {"op": "dsir_drift", "path": path, "n_buckets": 16},
+        ], sf_dir)
+    # legacy store without raw_count: loud, actionable
+    legacy = str(tmp_path / "legacy_model")
+    store = KeyedParquetStore(spark=spark, path=legacy, keys=["bucket"])
+    store.init(spark.createDataFrame(
+        [(0, 0.1)], "bucket long, log_ratio double"
+    ))
+    with pytest.raises(ValueError, match="raw_count"):
+        build_flow(spark, [
+            {"op": "load", "table": "documents"},
+            {"op": "dsir_drift", "path": legacy},
+        ], sf_dir)
+
+
+def test_pack_chunked_trained_flow_parity(spark, sf_dir, tmp_path):
+    """The chunk → trained-count → pack composition assembled from
+    CANVAS stages (register flow + serving flow) reproduces
+    q_pack_chunked_trained exactly — the three stages agree end-to-end
+    through the store-registered tokenizer."""
+    from pyspark.sql import functions as F
+
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.plans.queries import (
+        q_pack_chunked_trained,
+    )
+
+    path = str(tmp_path / "tok")
+    build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "bpe_train", "path": path, "num_merges": 20},
+    ], sf_dir).collect()
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "chunk", "chunk_tokens": 40, "overlap": 10},
+        {"op": "sql", "query": (
+            "SELECT doc_id, chunk_id, chunk_text, "
+            "concat(cast(doc_id AS string), '#', "
+            "cast(chunk_id AS string)) AS _ck FROM __this__"
+        )},
+        {"op": "token_count_trained", "path": path,
+         "text_col": "chunk_text", "id_col": "_ck", "out_col": "_nt"},
+        {"op": "pack_sequences", "token_col": "_nt",
+         "seq_tokens": 512, "n_shards": 8},
+    ], sf_dir)
+    got = sorted(map(tuple, out.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    ).collect()))
+    want = sorted(map(tuple, q_pack_chunked_trained(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_hash_sample_stage_matches_direct_call(spark, sf_dir):
     """The canvas sample equals the direct hash_mod_sample membership
     and composes ahead of downstream stages."""
@@ -1203,3 +1293,25 @@ def test_hash_sample_stage_matches_direct_call(spark, sf_dir):
             hash_mod_sample(docs, "doc_id", 4, "sample").collect()}
     assert {r["doc_id"] for r in out.collect()} == want
     assert 0 < len(want) < docs.count()
+
+
+def test_hash_topn_sample_stage_matches_direct_call(spark, sf_dir):
+    """The round-13 absolute-budget canvas sample equals the direct
+    hash_topn_sample membership and composes ahead of downstream
+    stages."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_topn_sample,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "hash_topn_sample", "n": 9},
+        {"op": "select", "columns": ["doc_id"]},
+    ], sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["doc_id"] for r in
+            hash_topn_sample(docs, "doc_id", 9, "sample").collect()}
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == want and len(got) == 9

@@ -5258,16 +5258,61 @@ def test_dedup_recall_sampled_membership_and_degenerate_denom(spark, sf_dir):
         ),
     ).collect()[0]
     same = dedup_recall_sampled(docs, sample_denom=1).collect()[0]
-    # identical report columns, plus the sample size it states
+    # identical report columns, plus the sample size and the round-13
+    # tightness columns it states
+    extra = {"n_docs_sampled", "n_missed", "miss_rate_ub95"}
     assert {
-        k: v for k, v in same.asDict().items() if k != "n_docs_sampled"
+        k: v for k, v in same.asDict().items() if k not in extra
     } == full.asDict()
     assert same["n_docs_sampled"] == docs.count()
+    assert same["n_missed"] == same["n_exact"] - same["n_hits"]
     sampled = dedup_recall_sampled(docs, sample_denom=4).collect()[0]
     assert sampled["n_exact"] <= full["n_exact"]
     assert 0 < sampled["n_docs_sampled"] < docs.count()
     with pytest.raises(ValueError, match="sample_denom"):
         dedup_recall_sampled(docs, sample_denom=0)
+
+
+def test_dedup_recall_sampled_wilson_bound(spark, sf_dir):
+    """miss_rate_ub95 is the one-sided 95% Wilson upper bound on the
+    per-pair miss probability: pinned against an independent Python
+    recomputation on the real report, and against hand arithmetic at
+    the x=0 boundary (zero observed misses still yields a NONZERO
+    bound ≈ z²/(n+z²) — 'recall 1.0, n too small' is distinguishable
+    from 'recall 1.0, tight')."""
+    import math
+
+    from aces_nifi_processors_bundle_spark.pipeline.dedup import (
+        WILSON_Z95,
+        dedup_recall_sampled,
+    )
+
+    def wilson_ub(x: int, n: int) -> float:
+        if n == 0:
+            return 1.0
+        z = WILSON_Z95
+        p = x / n
+        ub = (
+            p + z * z / (2 * n) + z * math.sqrt(
+                p * (1 - p) / n + z * z / (4 * n * n))
+        ) / (1 + z * z / n)
+        return round(min(ub, 1.0), 6)
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = dedup_recall_sampled(docs, sample_denom=2).collect()[0]
+    assert row["miss_rate_ub95"] == wilson_ub(
+        row["n_missed"], row["n_exact"]
+    )
+    # the bound is a real bound: the observed miss rate sits below it
+    if row["n_exact"] > 0:
+        assert row["n_missed"] / row["n_exact"] <= row["miss_rate_ub95"]
+        assert row["miss_rate_ub95"] > 0.0
+    # hand arithmetic at the zero-miss boundary: x=0, n=100
+    z2 = WILSON_Z95 * WILSON_Z95
+    assert abs(wilson_ub(0, 100) - round(
+        (z2 / 200 + WILSON_Z95 * math.sqrt(z2 / 40000)) / (1 + z2 / 100),
+        6)) == 0
+    assert 0.02 < wilson_ub(0, 100) < 0.03  # ≈ z²/(n+z²) = 0.0263
 
 
 def _bmp24(cols: list[int], height: int = 2) -> bytes:
@@ -5297,6 +5342,97 @@ def _ppm_p6(cols: list[int], height: int = 2) -> bytes:
     head = f"P6\n# fixture\n{w} {height}\n255\n".encode()
     body = bytes(v for _ in range(height) for c in cols for v in (c, c, c))
     return head + body
+
+
+def test_stdlib_decoder_vectorized_bit_exact_vs_reference_loop():
+    """Round 13 vectorized the stdlib decoder (numpy frombuffer /
+    reshape slicing instead of per-pixel Python loops). Output must be
+    BIT-EXACT against the pre-vectorization reference arithmetic —
+    integer Rec.601 per pixel, integer bin sums, the same float
+    division chain — on non-gray rasters (r≠g≠b exercises the channel
+    order), non-divisible bin widths, and multi-row images."""
+    from aces_nifi_processors_bundle_spark.pipeline.multimodal import (
+        stdlib_decode_image,
+    )
+
+    def ref(payload: bytes, dim: int) -> list[float]:
+        import struct
+
+        if payload[:2] == b"BM":
+            off = struct.unpack_from("<I", payload, 10)[0]
+            w, h = struct.unpack_from("<ii", payload, 18)
+            top_down = h < 0
+            h = abs(h)
+            stride = ((w * 3 + 3) // 4) * 4
+
+            def gray(x, y):
+                fy = y if top_down else h - 1 - y
+                i = off + fy * stride + x * 3
+                b, g, r = payload[i], payload[i + 1], payload[i + 2]
+                return (299 * r + 587 * g + 114 * b) // 1000
+        else:  # P6 with the fixture's fixed header shape
+            head, _, rest = payload.partition(b"255\n")
+            toks = head.split()
+            w, h = int(toks[-2]), int(toks[-1])
+            base = len(head) + 4
+
+            def gray(x, y):
+                i = base + (y * w + x) * 3
+                r, g, b = payload[i], payload[i + 1], payload[i + 2]
+                return (299 * r + 587 * g + 114 * b) // 1000
+        feat = []
+        for i in range(dim):
+            x0 = i * w // dim
+            x1 = min(max(x0 + 1, (i + 1) * w // dim), w)
+            total = 0
+            for y in range(h):
+                for x in range(x0, x1):
+                    total += gray(x, y)
+            feat.append(total / ((x1 - x0) * h) / 255.0)
+        return feat
+
+    import struct
+
+    # non-gray BMP: distinct r/g/b per column, 3 rows, w=7 (stride pad)
+    w, h = 7, 3
+    stride = ((w * 3 + 3) // 4) * 4
+    pix = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(((x * 37 + y * 11) % 256, (x * 91) % 256,
+                          (y * 53 + 200 * x) % 256))  # B, G, R
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      0, 0, 0, 0)
+        + bytes(pix)
+    )
+    # and its TOP-DOWN twin (negative height)
+    bmp_td = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(pix),
+                      0, 0, 0, 0)
+        + bytes(pix)
+    )
+    # same per-pixel channel values as the BMP fixture, in PPM's RGB
+    # order (the decoders read different channel layouts — the test's
+    # reference recomputes each independently)
+    body = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 37 + y * 11) % 256, (x * 91) % 256,
+                  (y * 53 + 200 * x) % 256)
+    )
+    ppm = b"P6\n" + f"{w} {h}\n".encode() + b"255\n" + body
+    for payload in (bmp, bmp_td, ppm):
+        for dim in (1, 3, 7, 5):
+            assert stdlib_decode_image(payload, dim) == ref(payload, dim), (
+                payload[:2], dim
+            )
 
 
 def test_stdlib_image_decoder_bmp_ppm_and_auto_mix(spark):
@@ -5392,6 +5528,34 @@ def test_hash_mod_sample_identity_and_determinism(spark, sf_dir):
         assert (d in got) == (h % 4 == 0), d
     with pytest.raises(ValueError, match="denom"):
         hash_mod_sample(docs, "doc_id", 0, "s")
+
+
+def test_hash_topn_sample_matches_python_hash_order(spark, sf_dir):
+    """The absolute-budget sample is exactly the first n ids of the
+    md5-hash order (hash asc, id asc on ties) — pinned against a flat
+    Python recomputation; n >= corpus is the identity; n=0 empty;
+    negative n loud."""
+    import hashlib
+
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_topn_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def h(d):
+        return int(hashlib.md5(f"s{d}".encode()).hexdigest()[:15], 16)
+
+    want = [d for _, d in sorted((h(d), d) for d in ids)[:7]]
+    got = sorted(
+        r["doc_id"] for r in hash_topn_sample(docs, "doc_id", 7, "s").collect()
+    )
+    assert got == sorted(want)
+    assert hash_topn_sample(docs, "doc_id", len(ids) + 5, "s").count() == len(ids)
+    assert hash_topn_sample(docs, "doc_id", 0, "s").count() == 0
+    with pytest.raises(ValueError, match="n must be"):
+        hash_topn_sample(docs, "doc_id", -1, "s")
 
 
 def test_bpe_vocab_ids_and_encode_ids_consistency(spark):

@@ -1136,3 +1136,52 @@ def test_delete_removes_matching_rows_bucket_pruned(spark, tmp_path):
         )
     assert store.history()[0]["version"] == v0 + 1
     assert len(store.read().collect()) == 12
+
+
+def test_delete_null_guard_rides_the_census_job(spark, tmp_path):
+    """Round 13 folded the NULL-match guard into the census aggregate
+    (a union leg under the impossible bucket id -1) instead of a
+    dedicated limit(1).count() job per delete. Job-count probe on the
+    path every delete pays (clean matches): the folded delete costs
+    strictly fewer Spark jobs than the round-12 recipe — the same
+    delete plus the standalone guard query it used to run first. And
+    the guard still rejects: NULL matches raise from the census query
+    itself, before any write."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    store = KeyedParquetStore(
+        spark=spark, path=str(tmp_path / "t"), keys=["k"], n_buckets=2
+    )
+    store.init(spark.createDataFrame([Row(k=i, v=i) for i in range(8)]))
+    sc = spark.sparkContext
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, "probe")
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    matches = spark.createDataFrame([Row(k=99)])
+    n_folded = jobs_in("probe_folded", lambda: store.delete(matches))
+
+    def round12_recipe():
+        # the pre-fold shape: a dedicated guard action, THEN the delete
+        matches.dropDuplicates(matches.columns).where(
+            F.col("k").isNull()
+        ).limit(1).count()
+        store.delete(matches)
+
+    n_old = jobs_in("probe_round12", round12_recipe)
+    assert n_folded < n_old, (n_folded, n_old)
+    # guard behavior unchanged: NULL matches still raise loudly,
+    # before any write (same version, same rows)
+    v = store.history()[0]["version"]
+    with _pytest.raises(ValueError, match="NULL"):
+        store.delete(
+            spark.createDataFrame([Row(k=2), Row(k=None)], "k bigint")
+        )
+    assert store.history()[0]["version"] == v
+    assert len(store.read().collect()) == 8
