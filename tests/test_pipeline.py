@@ -1643,6 +1643,49 @@ def test_bpe_fold_chunked_equals_unchunked(spark):
     assert got == {1: 1, 2: 1, 3: 3}
 
 
+def test_bpe_arrow_engine_equals_fold(spark):
+    """The vocabulary-keyed Arrow kernel (engine='arrow', round 13)
+    must reproduce the replace fold EXACTLY — counts and the full
+    (id, pos, token) encode stream — on the fixture table, a trained
+    table, planted untrained symbols (char fallback), and the 1k-rank
+    dependent chain (where the kernel's one vocab pass replaces ~6
+    checkpointed fold segments). Bad engine name is loud."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat"), (2, "which 2000 things!"),
+         (3, "internationalization routines qqq zz"), (4, "")],
+        "doc_id long, text string",
+    )
+    for merges in (None, bpe_train(df, num_merges=12)):
+        want_c = sorted(map(tuple, bpe_token_counts(
+            df, merges=merges).collect()))
+        got_c = sorted(map(tuple, bpe_token_counts(
+            df, merges=merges, engine="arrow").collect()))
+        assert got_c == want_c
+        want_e = sorted(map(tuple, bpe_encode(df, merges=merges).collect()))
+        got_e = sorted(map(tuple, bpe_encode(
+            df, merges=merges, engine="arrow").collect()))
+        assert got_e == want_e
+    n = 1000
+    chain = [("a" + "b" * i, "b") for i in range(n)]
+    big = spark.createDataFrame(
+        [(1, "a" + "b" * n), (2, "a" + "b" * 400), (3, "bb a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_token_counts(
+        big, merges=chain, engine="arrow").collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    with pytest.raises(ValueError, match="engine"):
+        bpe_token_counts(df, engine="nope")
+    with pytest.raises(ValueError, match="engine"):
+        bpe_encode(df, engine="nope")
+
+
 def test_funnel_auto_method_static_rule(spark, sf_dir):
     """method='auto' is a plan-time rule: chained for short funnels
     (k-pass wins at 3 steps — SCALE.md §skew), array for long ones
