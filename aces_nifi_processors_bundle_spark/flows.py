@@ -495,10 +495,39 @@ def _token_budget_mix(
 def _pack_sequences(
     spark: SparkSession, df: DataFrame, *, token_col: str = "n_chunk_tokens",
     seq_tokens: int = 2048, n_shards: int = 64, seed: str = "pack",
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     from .pipeline.splits import pack_sequences
 
-    return pack_sequences(df, token_col, seq_tokens, n_shards=n_shards, seed=seed)
+    return pack_sequences(
+        df, token_col, seq_tokens, id_cols=id_cols, n_shards=n_shards,
+        seed=seed,
+    )
+
+
+@stage("pack_materialize")
+def _pack_materialize(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    plan: str,
+    _named: dict[str, DataFrame],
+    seq_tokens: int,
+    id_cols: list[str] | None = None,
+    pos_col: str = "pos",
+    value_col: str = "token_id",
+) -> DataFrame:
+    """MATERIALIZE a packing plan on the canvas (round 13): the
+    incoming branch is the tokenizer's (id, pos, token_id) stream (a
+    bpe_encode/encode-ids stage), `plan` names the tagged branch
+    holding pack_sequences' layout — output is the chopped
+    fixed-length sequence stream (shard, seq_id, pos_in_seq,
+    token_id), the training-data artifact itself."""
+    from .pipeline.splits import pack_materialize
+
+    return pack_materialize(
+        df, _named[plan], seq_tokens, id_cols, pos_col, value_col
+    )
 
 
 @stage("write_dataset")

@@ -376,6 +376,55 @@ def pack_sequences(
     )
 
 
+def pack_materialize(
+    tokens: DataFrame,
+    plan: DataFrame,
+    seq_tokens: int,
+    id_cols: list[str] | None = None,
+    pos_col: str = "pos",
+    value_col: str = "token_id",
+) -> DataFrame:
+    """MATERIALIZE a packing plan (round 13): turn pack_sequences'
+    layout (which sequence each chunk starts in, at what offset) plus
+    the tokenizer's (id, pos, token_id) stream into the actual
+    fixed-length training sequences — (shard, seq_id, pos_in_seq,
+    token_id) rows, the thing a training loop reads. Each token's
+    global offset within its shard's concatenated stream is
+    tokens_before + pos; sequence id and in-sequence position are
+    pure arithmetic on that offset, so a chunk straddling a sequence
+    boundary CONTINUES into the next sequence exactly as the plan
+    documents (GPT-style concat-and-chop, no padding, no truncation).
+
+    Contract: the plan's token_col counts must equal each unit's
+    actual token-stream length under the SAME tokenizer (true by
+    construction when both come from the same merges table —
+    bpe_token_counts and bpe_encode share the fold); offsets are then
+    contiguous and non-overlapping per shard by the prefix sum, so
+    (shard, seq_id, pos_in_seq) is unique.
+
+    Scale shape: one equi join from the token stream onto the
+    doc-count-sized plan (co-partitioned on the id), then a free
+    codegen projection — no window, no sort, no driver state. Roll up
+    to per-sequence arrays/fingerprints downstream if the sink wants
+    rows-per-sequence (q_pack_materialize grades an md5 fingerprint
+    per sequence)."""
+    if seq_tokens < 1:
+        raise ValueError(
+            f"pack_materialize: seq_tokens must be >= 1, got {seq_tokens}"
+        )
+    ids = id_cols or ["doc_id"]
+    j = tokens.join(plan.select(*ids, "shard", "tokens_before"), ids)
+    offset = F.col("tokens_before") + F.col(pos_col)
+    return j.select(
+        "shard",
+        F.floor(offset / seq_tokens).cast("bigint").alias("seq_id"),
+        F.pmod(offset, F.lit(seq_tokens)).cast("bigint").alias(
+            "pos_in_seq"
+        ),
+        F.col(value_col),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str,

@@ -6759,6 +6759,73 @@ ORDER BY enc.doc_id, enc.pos"""
 )
 
 
+# Mirrors q_pack_materialize: the encode-ids oracle's (doc, pos,
+# token_id) stream joined onto the pack plan's per-doc (shard,
+# tokens_before) — global offset arithmetic chops the stream into
+# 512-token sequences, then each sequence's ids string_agg in pos
+# order under md5 (the fingerprint the Spark side computes with
+# array_sort + array_join + md5). Counts and the stream both derive
+# from the same trained table, so offsets are contiguous per shard.
+ORACLES["q_pack_materialize"] = (
+    ORACLES["q_bpe_encode_ids"].replace(
+        """SELECT enc.doc_id, enc.pos, v.token_id
+FROM enc JOIN vocabf v USING (token)
+ORDER BY enc.doc_id, enc.pos""",
+        f""", eids AS (
+  SELECT enc.doc_id, enc.pos, v.token_id
+  FROM enc JOIN vocabf v USING (token)
+),
+pdw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM pw GROUP BY 1, 2
+),
+cnt AS (
+  SELECT doc_id,
+         sum(occ * ((length(toks)
+                     - length(replace(toks, chr(1), ''))) // 2)) AS n
+  FROM pdw JOIN w{_BPE_N} USING (w) GROUP BY doc_id
+),
+t AS (
+  SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS toks
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+  LEFT JOIN cnt c USING (doc_id)
+),
+sh AS (
+  SELECT doc_id, toks,
+         ('0x' || substr(md5('pack#shard' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 8 AS shard,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS h
+  FROM t
+),
+pf AS (
+  SELECT doc_id, shard,
+         CAST(COALESCE(SUM(toks) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM sh
+),
+mat AS (
+  SELECT pf.shard,
+         (pf.tokens_before + e.pos) // 512 AS seq_id,
+         (pf.tokens_before + e.pos) % 512 AS pos_in_seq,
+         e.token_id
+  FROM eids e JOIN pf USING (doc_id)
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(token_id AS VARCHAR), ','
+                      ORDER BY pos_in_seq)) AS seq_md5
+FROM mat GROUP BY 1, 2""",
+    )
+)
+assert "seq_md5" in ORACLES["q_pack_materialize"]
+# the eids CTE must have replaced the bare final select — a silent
+# no-op would grade pack_materialize against the ENCODE-IDS oracle
+assert ORACLES["q_pack_materialize"].count("mat AS") == 1
+
+
 # Mirrors q_pack_trained: the generated training chain + per-doc
 # trained counts (the q_mix_trained_budget count tail) feeding the
 # q_pack_sequences shard/prefix-sum/chop algebra with ident = doc_id.

@@ -965,6 +965,51 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos")
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED packing (pipeline/splits.py::pack_materialize,
+    round 13) — the last step of the training-data path: the pack
+    PLAN (q_pack_trained's shard/prefix-sum/chop layout) applied to
+    the actual id-level token stream (q_bpe_encode_ids' sample, the
+    registered corpus vocabulary), yielding the fixed-length
+    sequences a training loop reads. Graded as one fingerprint row
+    per sequence — (shard, seq_id, n_tokens, seq_md5) where seq_md5
+    is the md5 of the comma-joined token ids in sequence order — so
+    the oracle checks the exact CONTENT of every sequence, boundary
+    straddles included, without hashing array columns. The oracle
+    chains the encode-ids oracle into the pack algebra and
+    string_aggs the ids in pos order."""
+    from ..pipeline.splits import pack_materialize, pack_sequences
+    from ..pipeline.text import (
+        bpe_encode_ids,
+        bpe_token_counts,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.select("text"), num_merges=20)
+    vocab = bpe_vocab(docs, merges)
+    sub = docs.where(F.col("doc_id") % 10 == 0)
+    ids = bpe_encode_ids(sub, merges=merges, vocab=vocab)
+    counts = bpe_token_counts(sub, merges=merges, out_col="_nt")
+    plan = pack_sequences(counts, "_nt", 512, id_cols=["doc_id"], n_shards=8)
+    mat = pack_materialize(ids, plan, 512)
+    return mat.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos_in_seq", "token_id"))
+                    ),
+                    lambda s: s.getField("token_id").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("seq_md5"),
+    )
+
+
 def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer's DECODE contract under the oracle gate
     (round 12): decode(encode(doc)) must reproduce the pre-tokenizer's

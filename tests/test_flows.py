@@ -1274,6 +1274,53 @@ def test_pack_chunked_trained_flow_parity(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_pack_materialize_stage_parity(spark, sf_dir, tmp_path):
+    """The round-13 materialize stage on the canvas: plan branch
+    tagged, token-stream branch chopped against it — equals the
+    direct pack_materialize composition over the same registered
+    tokenizer."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        pack_materialize,
+        pack_sequences,
+    )
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+
+    path = str(tmp_path / "tok")
+    build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "bpe_train", "path": path, "num_merges": 8},
+    ], sf_dir).collect()
+    out = build_flow(spark, [
+        {"op": "load", "table": "documents"},
+        {"op": "filter", "condition": "doc_id % 10 = 0"},
+        {"op": "token_count_trained", "path": path, "out_col": "_nt"},
+        {"op": "pack_sequences", "token_col": "_nt", "seq_tokens": 256,
+         "n_shards": 4, "id_cols": ["doc_id"]},
+        {"op": "tag", "name": "plan"},
+        {"op": "load", "table": "documents"},
+        {"op": "filter", "condition": "doc_id % 10 = 0"},
+        {"op": "bpe_encode", "path": path},
+        {"op": "pack_materialize", "plan": "plan", "seq_tokens": 256,
+         "value_col": "token"},
+    ], sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, num_merges=8)
+    sub = docs.where("doc_id % 10 = 0")
+    counts = bpe_token_counts(sub, merges=merges, out_col="_nt")
+    plan = pack_sequences(counts, "_nt", 256, id_cols=["doc_id"], n_shards=4)
+    want = sorted(map(tuple, pack_materialize(
+        bpe_encode(sub, merges=merges), plan, 256, value_col="token"
+    ).collect()))
+    got = sorted(map(tuple, out.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_hash_sample_stage_matches_direct_call(spark, sf_dir):
     """The canvas sample equals the direct hash_mod_sample membership
     and composes ahead of downstream stages."""

@@ -1643,6 +1643,43 @@ def test_bpe_fold_chunked_equals_unchunked(spark):
     assert got == {1: 1, 2: 1, 3: 3}
 
 
+def test_pack_materialize_chops_exactly_and_straddles(spark):
+    """pack_materialize turns the plan + token stream into chopped
+    sequences: crafted 3-doc stream (one doc straddles the boundary),
+    hand-checkable offsets, (shard, seq_id, pos_in_seq) unique, every
+    non-final sequence completely full, and seq_tokens < 1 loud."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        pack_materialize,
+    )
+
+    # plan rows: all in shard 0, hash order d1 (0 tokens before),
+    # d2 (3 before), d3 (7 before); seq_tokens = 5 so d2's 4 tokens
+    # straddle the first boundary (offsets 3..6 -> seq 0 pos 3,4 +
+    # seq 1 pos 0,1)
+    plan = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 3), (3, 0, 7)],
+        "doc_id long, shard int, tokens_before long",
+    )
+    tokens = spark.createDataFrame(
+        [(d, p, d * 100 + p) for d, n in ((1, 3), (2, 4), (3, 2))
+         for p in range(n)],
+        "doc_id long, pos long, token_id long",
+    )
+    out = pack_materialize(tokens, plan, 5)
+    rows = {(r["shard"], r["seq_id"], r["pos_in_seq"]): r["token_id"]
+            for r in out.collect()}
+    assert len(rows) == 9  # unique positions, all 9 tokens placed
+    assert rows[(0, 0, 3)] == 200 and rows[(0, 0, 4)] == 201  # d2 head
+    assert rows[(0, 1, 0)] == 202 and rows[(0, 1, 1)] == 203  # straddle
+    assert rows[(0, 1, 2)] == 300 and rows[(0, 1, 3)] == 301  # d3
+    # sequence 0 is completely full (positions 0..4)
+    assert {p for (s, q, p) in rows if q == 0} == set(range(5))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_tokens"):
+        pack_materialize(tokens, plan, 0)
+
+
 def test_bpe_arrow_engine_equals_fold(spark):
     """The vocabulary-keyed Arrow kernel (engine='arrow', round 13)
     must reproduce the replace fold EXACTLY — counts and the full
