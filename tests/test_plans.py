@@ -878,3 +878,35 @@ def test_dsir_and_trained_bpe_count_plans_stay_jvm(spark, sf_dir):
     )
     assert "EvalPython" not in plan4
     assert "BroadcastHashJoin" in plan4
+
+
+def test_hash_topn_sample_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The absolute-budget sample (round 13) compiles to
+    TakeOrderedAndProject — per-partition top-n heaps + one n-row
+    driver merge — never a global sort shuffle; and the round-13
+    materialize path stays JVM-side with no window/sort beyond the
+    pack plan's own sharded prefix sum."""
+    from aces_nifi_processors_bundle_spark.pipeline.splits import (
+        hash_topn_sample,
+        pack_materialize,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    df = hash_topn_sample(docs, "doc_id", 7, "s")
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # materialize: join + projection only — no Python, no new sort
+    tokens = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11)], "doc_id long, pos long, token_id long"
+    )
+    counts = spark.createDataFrame([(1, 2)], "doc_id long, _nt long")
+    mat = pack_materialize(
+        tokens,
+        pack_sequences(counts, "_nt", 5, id_cols=["doc_id"], n_shards=2),
+        5,
+    )
+    mplan = plan_of(mat)
+    assert "EvalPython" not in mplan
+    assert "TakeOrderedAndProject" not in mplan  # no driver funnel
