@@ -1136,6 +1136,40 @@ def _classify(
     )
 
 
+@stage("calibration")
+def _calibration(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    prob_col: str = "prob",
+    label_col: str = "actual",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier calibration table on the canvas (round 13) —
+    pipeline/classify.py::calibration_report over the incoming scored
+    frame (a classify stage joined to a reference label upstream)."""
+    from .pipeline.classify import calibration_report
+
+    return calibration_report(df, prob_col, label_col, n_bins)
+
+
+@stage("kappa")
+def _kappa(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa on the canvas (round 13) —
+    pipeline/classify.py::cohens_kappa between two boolean label
+    columns of the incoming frame (trained filter vs rule filter vs
+    prior model)."""
+    from .pipeline.classify import cohens_kappa
+
+    return cohens_kappa(df, col_a, col_b)
+
+
 @stage("transitions")
 def _transitions(
     spark: SparkSession,

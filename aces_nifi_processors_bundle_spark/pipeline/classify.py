@@ -211,3 +211,114 @@ def chi2_terms(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "actual",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier (round 13) —
+    the standard calibration diagnostic a corpus-filter pipeline runs
+    before trusting a model's probabilities as sampling weights: bin
+    predictions into n_bins equal-width probability bins and compare
+    each bin's MEAN PREDICTED probability against its OBSERVED
+    positive rate. A calibrated model's rows sit on the diagonal
+    (abs_gap ≈ 0); systematic over/under-confidence shows as signed
+    structure across bins. Expected calibration error is one weighted
+    aggregate over this frame: Σ (n_docs/N)·abs_gap.
+
+    Output per non-empty bin: (bin, n_docs, mean_prob, frac_actual,
+    abs_gap), bin = least(floor(prob·n_bins), n_bins−1) so prob=1.0
+    lands in the top bin.
+
+    Engine-exactness: mean_prob sums the (≤6 dp) probabilities in
+    DECIMAL(38,18) (order-proof) before ONE double division;
+    frac_actual is one int-to-double division; both round to 6 dp and
+    abs_gap derives from the ROUNDED values — the DuckDB oracle
+    replays every step bit-for-bit. Scale shape: one
+    map-side-combined aggregate over the scored frame; output is
+    ≤ n_bins rows."""
+    if n_bins < 1:
+        raise ValueError(
+            f"calibration_report: n_bins must be >= 1, got {n_bins}"
+        )
+    b = F.least(
+        F.floor(F.col(prob_col) * F.lit(n_bins)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    n = F.count(F.lit(1))
+    agg = scored.groupBy(b.alias("bin")).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col(prob_col).cast("decimal(38,18)")).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("mean_prob"),
+        F.round(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0)).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("frac_actual"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "mean_prob",
+        "frac_actual",
+        F.round(F.abs(F.col("mean_prob") - F.col("frac_actual")), 6).alias(
+            "abs_gap"
+        ),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two BOOLEAN label columns (round 13) —
+    chance-corrected agreement, the standard QA number for "does my
+    trained filter agree with the rule-based filter / the previous
+    model / the human sample beyond what base rates explain".
+    po = observed agreement, pe = expected agreement under
+    independent marginals, kappa = (po − pe) / (1 − pe).
+
+    Output: one row (n_docs, po, pe, kappa), po/pe/kappa rounded to
+    6 dp; kappa is NULL when pe = 1 (both raters constant — undefined
+    by definition) and the whole row reads (0, NULL, NULL, NULL) on
+    an empty frame rather than dividing by zero. All arithmetic is
+    exact bigint counts into single double divisions, term order
+    mirrored by the DuckDB oracle. Scale shape: ONE
+    map-side-combined aggregate; nothing else."""
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.when(F.col(col_a), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_na"),
+        F.sum(F.when(F.col(col_b), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nb"),
+        F.sum(F.when(F.col(col_a) & F.col(col_b), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nboth"),
+    )
+    n = F.col("_n").cast("double")
+    n_agree = (
+        F.col("_nboth")
+        + (F.col("_n") - F.col("_na") - F.col("_nb") + F.col("_nboth"))
+    ).cast("double")
+    po = n_agree / n
+    pe = (F.col("_na").cast("double") / n) * (
+        F.col("_nb").cast("double") / n
+    ) + ((F.col("_n") - F.col("_na")).cast("double") / n) * (
+        (F.col("_n") - F.col("_nb")).cast("double") / n
+    )
+    return agg.select(
+        F.col("_n").alias("n_docs"),
+        F.when(F.col("_n") > 0, F.round(po, 6)).alias("po"),
+        F.when(F.col("_n") > 0, F.round(pe, 6)).alias("pe"),
+        F.when(
+            (F.col("_n") > 0) & (pe < F.lit(1.0)),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6),
+        ).alias("kappa"),
+    )

@@ -2998,6 +2998,112 @@ GROUP BY fb.doc_id
 )
 
 
+# Mirrors q_calibration: the classifier oracle's scored frame joined
+# to the lang='en' reference label, then the decile-bin algebra —
+# mean_prob via an order-proof DECIMAL(38,18) sum into ONE double
+# division, frac_actual one int-to-double division, abs_gap from the
+# ROUNDED values (all mirrored term-for-term).
+_CLF_SCORED_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> w[i+1] || ' ' || w[i+2])) AS f
+  FROM toks WHERE len(w) >= 2
+),
+wt AS (
+  SELECT i AS bucket,
+         (('0x' || substr(md5('qw' || i), 1, 15))::BIGINT % 2001) - 1000 AS w_milli
+  FROM range(0, 4096) t(i)
+),
+fb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+  FROM feats
+),
+scored AS (
+  SELECT fb.doc_id,
+         coalesce(sum(wt.w_milli), 0) > 0 AS label,
+         round(1.0 / (1.0 + exp(-(coalesce(sum(wt.w_milli), 0)) / 1000.0)), 6)
+           AS prob
+  FROM fb LEFT JOIN wt USING (bucket)
+  GROUP BY fb.doc_id
+),
+lab AS (
+  SELECT s.doc_id, s.label, s.prob, d.lang = 'en' AS actual
+  FROM scored s JOIN documents d USING (doc_id)
+)
+"""
+
+ORACLES["q_calibration"] = (
+    "WITH " + _CLF_SCORED_CTE + """,
+bins AS (
+  SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(CAST(SUM(CAST(prob AS DECIMAL(38,18))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_prob,
+         round(CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS frac_actual
+  FROM lab GROUP BY 1
+)
+SELECT bin, n_docs, mean_prob, frac_actual,
+       round(abs(mean_prob - frac_actual), 6) AS abs_gap
+FROM bins ORDER BY bin"""
+)
+
+
+# Mirrors q_classifier_kappa: the same scored+reference frame into
+# the exact-count kappa arithmetic — po/pe/kappa as single double
+# divisions in the Spark term order, NULL kappa at pe = 1.
+ORACLES["q_classifier_kappa"] = (
+    "WITH " + _CLF_SCORED_CTE + """,
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN label AND actual THEN 1 ELSE 0 END)
+              AS BIGINT) AS nboth
+  FROM lab
+)
+SELECT n AS n_docs,
+       CASE WHEN n > 0 THEN round(
+         CAST(nboth + (n - na - nb + nboth) AS DOUBLE)
+           / CAST(n AS DOUBLE), 6) END AS po,
+       CASE WHEN n > 0 THEN round(
+         (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n - nb AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS pe,
+       CASE WHEN n > 0 AND (
+           (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+           + (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n - nb AS DOUBLE) / CAST(n AS DOUBLE))) < 1.0
+       THEN round(
+         ((CAST(nboth + (n - na - nb + nboth) AS DOUBLE)
+             / CAST(n AS DOUBLE))
+          - ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+             + (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n - nb AS DOUBLE) / CAST(n AS DOUBLE))))
+         / (1.0 - ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n - nb AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+       END AS kappa
+FROM c"""
+)
+
+
 # Rolling active users: the oracle states trailing-distinct directly
 # (correlated BETWEEN over user-days) — first-principles ground truth
 # for the Spark side's fan-out reformulation.

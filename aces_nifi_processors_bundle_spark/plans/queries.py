@@ -3739,6 +3739,59 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration report (pipeline/classify.py::
+    calibration_report, round 13): the hashed-linear quality model's
+    probabilities binned into deciles against a deterministic
+    reference label (lang = 'en' — the label SOURCE is fixture
+    detail; the graded machinery is the binning, the order-proof
+    decimal mean, and the gap arithmetic a filter pipeline reads
+    before trusting probs as sampling weights). Oracle rebuilds the
+    classifier chain and replays the bin algebra bit-for-bit."""
+    from ..pipeline.classify import (
+        calibration_report,
+        hash_weights,
+        linear_text_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_text_classifier(
+        docs, hash_weights(spark, 4096), n_buckets=4096
+    )
+    j = scored.join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").alias("actual")
+        ),
+        "doc_id",
+    )
+    return calibration_report(j).orderBy("bin")
+
+
+def q_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (pipeline/classify.py::cohens_kappa, round 13):
+    chance-corrected agreement between the hashed-linear model's
+    boolean label and the lang = 'en' reference — the one-row QA
+    number for "does the trained filter agree beyond base rates".
+    Oracle: the classifier chain + the exact-count kappa arithmetic."""
+    from ..pipeline.classify import (
+        cohens_kappa,
+        hash_weights,
+        linear_text_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_text_classifier(
+        docs, hash_weights(spark, 4096), n_buckets=4096
+    )
+    j = scored.join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").alias("actual")
+        ),
+        "doc_id",
+    )
+    return cohens_kappa(j, "label", "actual")
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per calendar day
     (pipeline/reports.py::rolling_active_users). The trailing distinct

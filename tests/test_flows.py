@@ -1274,6 +1274,46 @@ def test_pack_chunked_trained_flow_parity(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_calibration_and_kappa_stages(spark, sf_dir):
+    """Round-13 classifier-QA stages compose on the canvas: classify →
+    join reference label → calibration / kappa equal the direct
+    calls."""
+    from aces_nifi_processors_bundle_spark.flows import build_flow
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        calibration_report,
+        cohens_kappa,
+        hash_weights,
+        linear_text_classifier,
+    )
+    from aces_nifi_processors_bundle_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    flow_head = [
+        {"op": "load", "table": "documents"},
+        {"op": "classify"},
+        {"op": "tag", "name": "scored"},
+        {"op": "load", "table": "documents"},
+        {"op": "sql", "query": (
+            "SELECT doc_id, lang = 'en' AS actual FROM __this__"
+        )},
+        {"op": "join", "right": "scored", "on": "doc_id"},
+    ]
+    got_cal = sorted(map(tuple, build_flow(
+        spark, flow_head + [{"op": "calibration"}], sf_dir).collect()))
+    got_kap = build_flow(
+        spark, flow_head + [{"op": "kappa", "col_a": "label",
+                             "col_b": "actual"}], sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    j = linear_text_classifier(docs, hash_weights(spark, 4096)).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("actual")),
+        "doc_id",
+    )
+    assert got_cal == sorted(map(tuple, calibration_report(j).collect()))
+    assert [tuple(r) for r in got_kap] == [
+        tuple(r) for r in cohens_kappa(j, "label", "actual").collect()
+    ]
+
+
 def test_pack_materialize_stage_parity(spark, sf_dir, tmp_path):
     """The round-13 materialize stage on the canvas: plan branch
     tagged, token-stream branch chopped against it — equals the

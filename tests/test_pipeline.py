@@ -3675,6 +3675,65 @@ def test_rank_normalize_ties_and_nulls(spark):
     assert out[6] == 0.0
 
 
+def test_calibration_report_hand_bins(spark):
+    """Decile bins, order-proof means, and gaps against hand
+    arithmetic; prob=1.0 lands in the TOP bin (no phantom bin 10);
+    n_bins < 1 loud."""
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        calibration_report,
+    )
+
+    rows = [
+        (1, 0.05, False), (2, 0.08, True),   # bin 0
+        (3, 0.55, True), (4, 0.52, False), (5, 0.58, True),  # bin 5
+        (6, 1.0, True),                      # bin 9 via least()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prob double, actual boolean"
+    )
+    got = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0]["n_docs"] == 2
+    assert got[0]["mean_prob"] == round((0.05 + 0.08) / 2, 6)
+    assert got[0]["frac_actual"] == 0.5
+    assert got[0]["abs_gap"] == round(abs(0.065 - 0.5), 6)
+    assert got[5]["n_docs"] == 3
+    assert got[5]["frac_actual"] == round(2 / 3, 6)
+    assert got[9]["n_docs"] == 1 and got[9]["mean_prob"] == 1.0
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, n_bins=0)
+
+
+def test_cohens_kappa_hand_table_and_edges(spark):
+    """Kappa against the textbook 2x2 arithmetic; constant raters
+    (pe = 1) read NULL; the empty frame reads (0, NULL, NULL, NULL)
+    instead of dividing by zero."""
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        cohens_kappa,
+    )
+
+    # classic example: n=50, both-yes 20, both-no 15, a-yes-b-no 10,
+    # a-no-b-yes 5 -> po=0.7, pe=(30/50)(25/50)+(20/50)(25/50)=0.5,
+    # kappa=0.4
+    rows = (
+        [(True, True)] * 20 + [(False, False)] * 15
+        + [(True, False)] * 10 + [(False, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n_docs"], r["po"], r["pe"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+    const = spark.createDataFrame(
+        [(True, True)] * 4, "a boolean, b boolean"
+    )
+    rc = cohens_kappa(const, "a", "b").collect()[0]
+    assert rc["po"] == 1.0 and rc["pe"] == 1.0 and rc["kappa"] is None
+    empty = df.where("a AND NOT a")
+    re_ = cohens_kappa(empty, "a", "b").collect()[0]
+    assert (re_["n_docs"], re_["po"], re_["pe"], re_["kappa"]) == (
+        0, None, None, None
+    )
+
+
 def test_chi2_terms_separates_class_markers(spark):
     """A term exclusive to the positive class must outrank one spread
     evenly across classes; degenerate everywhere-terms score 0."""
