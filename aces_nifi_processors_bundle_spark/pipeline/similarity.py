@@ -434,6 +434,55 @@ def ivf_objective(
     return float(row)
 
 
+def ivf_save_codebook(spark, path: str, centroids) -> None:
+    """REGISTER the codebook beside its inverted file (round 13):
+    (cid, centroid array<double>) parquet under `<path>/_codebook` —
+    the leading underscore keeps the directory invisible to Spark's
+    partition discovery, so index reads over `path` are untouched.
+    Closes the hazard ivf_append_index's docstring admits ("a
+    mismatched codebook silently mis-files vectors"): the codebook
+    travels WITH the index, the dsir_fit / bpe_train registered-model
+    shape, instead of being re-supplied correctly by every caller
+    forever."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    rows = [
+        (int(c), [float(x) for x in cents[c]])
+        for c in range(cents.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebook")
+
+
+def ivf_load_codebook(spark, path: str) -> "np.ndarray":
+    """Load a registered codebook (ivf_save_codebook) — loud,
+    actionable error when the index has none."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(path + "/_codebook")
+            .orderBy("cid")
+            .collect()
+        )
+    except AnalysisException as e:
+        raise ValueError(
+            f"ivf_load_codebook: no registered codebook under {path!r} "
+            "— the index was written before round 13 or without "
+            "centroids; rebuild with ivf_write_index (which registers "
+            "it) or pass centroids explicitly"
+        ) from e
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def _codebook_exists(spark, path: str) -> bool:
+    try:
+        spark.read.parquet(path + "/_codebook")
+        return True
+    except Exception:
+        return False
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,
@@ -455,13 +504,22 @@ def ivf_write_index(
     (see ivf_append_index). `epoch` switches to the replay-idempotent
     layout: a leading epoch=<n> partition + dynamic partition
     overwrite (see ivf_append_index's contract) — ONE write path
-    serves the batch, append, and streaming-epoch cases."""
-    assign = ivf_assign_udf(dim, n_centroids, centroids)
+    serves the batch, append, and streaming-epoch cases.
+
+    Codebook registration (round 13): a FRESH build
+    (mode='overwrite') persists its codebook — explicit or the md5
+    default — under `<path>/_codebook`, so appends and probes can
+    load the registered one instead of trusting every caller to
+    re-supply it identically forever (the silent-mis-filing hazard)."""
+    cents = _ivf_centroids(dim, n_centroids, centroids)
+    assign = ivf_assign_udf(dim, n_centroids, cents)
     body = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col),
         assign(as_double(F.col(vec_col))).alias("cid"),
     )
     _write_cells(body, path, mode, epoch)
+    if mode == "overwrite":
+        ivf_save_codebook(corpus.sparkSession, path, cents)
 
 
 def _write_cells(body: DataFrame, path: str, mode: str, epoch: int | None) -> None:
@@ -518,7 +576,36 @@ def ivf_append_index(
     every epoch); an index must be epoch-partitioned from its first
     write or not at all — mixing layouts breaks partition inference.
     A long-running stream accumulates one epoch=<n> subtree per
-    micro-batch — fold them periodically with ivf_compact_index."""
+    micro-batch — fold them periodically with ivf_compact_index.
+
+    Codebook contract (round 13): with centroids=None the append
+    LOADS the codebook registered at build time (`<path>/_codebook`)
+    — the recommended call shape; nothing to mis-supply. Explicit
+    centroids are VALIDATED against the registered codebook when one
+    exists (exact float64 equality — both sides derive from the same
+    deterministic training) and a mismatch raises instead of silently
+    mis-filing every appended vector. Pre-round-13 indexes (no
+    registered codebook) keep the old trust-the-caller behavior when
+    centroids are passed; centroids=None on such an index previously
+    meant "the md5 default" and still does."""
+    spark = new_vectors.sparkSession
+    if _codebook_exists(spark, path):
+        registered = ivf_load_codebook(spark, path)
+        if centroids is None:
+            centroids = registered
+        else:
+            got = np.asarray(centroids, dtype=np.float64)
+            if got.shape != registered.shape or not np.array_equal(
+                got, registered
+            ):
+                raise ValueError(
+                    f"ivf_append_index: supplied centroids do not match "
+                    f"the codebook registered at {path!r} "
+                    f"(registered {registered.shape}, got {got.shape}) — "
+                    "appending under a different codebook would silently "
+                    "mis-file every vector; pass centroids=None to use "
+                    "the registered codebook"
+                )
     ivf_write_index(
         new_vectors, path, dim, n_centroids, id_col, vec_col, centroids,
         mode="append", epoch=epoch,
@@ -574,6 +661,11 @@ def ivf_compact_index(
         upto_epoch = max(epochs)
     body = idx.filter(F.col("epoch") <= F.lit(int(upto_epoch))).drop("epoch")
     _write_cells(body, out_path, mode="overwrite", epoch=None)
+    # the registered codebook travels with the fold (round 13): a
+    # compacted replica must stay appendable/probeable under the SAME
+    # codebook or every later vector would be silently mis-filed
+    if _codebook_exists(spark, path):
+        ivf_save_codebook(spark, out_path, ivf_load_codebook(spark, path))
     return upto_epoch
 
 

@@ -214,6 +214,71 @@ def test_ivf_append_index_searchable_and_still_pruned(spark, sf_dir, tmp_path):
     assert got_neighbors == {r["neighbor_id"] for r in brute.collect()}
 
 
+def test_ivf_codebook_registered_loaded_validated(spark, sf_dir, tmp_path):
+    """Round-13 codebook registration: a fresh build persists its
+    codebook under <path>/_codebook (invisible to index reads);
+    append with centroids=None loads the registered codebook and
+    files identically to an explicit-centroids append; a MISMATCHED
+    explicit codebook raises instead of silently mis-filing; a
+    compacted replica carries the codebook forward; loading from a
+    codebook-less index is a loud, actionable error."""
+    from aces_nifi_processors_bundle_spark.pipeline.similarity import (
+        ivf_append_index,
+        ivf_compact_index,
+        ivf_load_codebook,
+        ivf_save_codebook,
+        ivf_train,
+        ivf_write_index,
+    )
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, dim=64, n_centroids=16, n_iter=1)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_reg")
+    ivf_write_index(base, path, dim=64, n_centroids=16, centroids=cents)
+    # registered and bit-identical
+    assert np.array_equal(ivf_load_codebook(spark, path), cents)
+    # index reads are untouched by the _codebook dir
+    assert set(spark.read.parquet(path).columns) == {
+        "vec_id", "embedding", "cid"
+    }
+    # append WITHOUT re-supplying the codebook: files like explicit
+    ivf_append_index(extra, path, dim=64, n_centroids=16)
+    explicit = str(tmp_path / "ivf_exp")
+    ivf_write_index(emb, explicit, dim=64, n_centroids=16, centroids=cents)
+    got = {(r["vec_id"], r["cid"])
+           for r in spark.read.parquet(path).collect()}
+    want = {(r["vec_id"], r["cid"])
+            for r in spark.read.parquet(explicit).collect()}
+    assert got == want
+    # a mismatched explicit codebook is rejected loudly
+    wrong = cents.copy()
+    wrong[0] = -wrong[0]
+    with pytest.raises(ValueError, match="registered"):
+        ivf_append_index(
+            extra, path, dim=64, n_centroids=16, centroids=wrong
+        )
+    # epoch stream + compaction: the codebook travels with the fold
+    spath = str(tmp_path / "ivf_stream")
+    ivf_write_index(
+        base, spath, dim=64, n_centroids=16, centroids=cents, epoch=0
+    )
+    ivf_append_index(extra, spath, dim=64, n_centroids=16, epoch=1)
+    out = str(tmp_path / "ivf_folded")
+    ivf_compact_index(spark, spath, out)
+    assert np.array_equal(ivf_load_codebook(spark, out), cents)
+    # codebook-less index: loud error naming the fix
+    bare = str(tmp_path / "ivf_bare")
+    spark.read.parquet(path).drop("cid").write.parquet(bare)
+    with pytest.raises(ValueError, match="no registered codebook"):
+        ivf_load_codebook(spark, bare)
+    # direct save/load round-trip on an arbitrary matrix
+    ivf_save_codebook(spark, bare, wrong)
+    assert np.array_equal(ivf_load_codebook(spark, bare), wrong)
+
+
 def test_near_dup_clusters_and_dedup(spark):
     """Connected components over a pair chain: a-b, b-c, d-e collapse to
     clusters {a,b,c} and {d,e}; dedup keeps min-id + unpaired docs."""
