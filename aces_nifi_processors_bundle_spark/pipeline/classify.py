@@ -322,3 +322,41 @@ def cohens_kappa(
             F.round((po - pe) / (F.lit(1.0) - pe), 6),
         ).alias("kappa"),
     )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "actual",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error (round 13) — calibration_report's
+    table folded to the ONE dashboard number: ECE =
+    Σ_bins (n_docs/N)·abs_gap, the bin-mass-weighted mean deviation
+    from the diagonal. Output: one row (n_docs, n_bins_used, ece).
+
+    Engine-exactness: abs_gap carries ≤6 dp, so n_docs·abs_gap is
+    EXACT in DECIMAL(38,18) — the weighted sum is order-proof — and
+    ECE is that decimal sum cast to double over ONE division by N,
+    rounded to 6 dp (the DuckDB oracle replays it term-for-term).
+    Scale shape: the calibration aggregate (≤ n_bins rows) plus a
+    one-row fold."""
+    rep = calibration_report(scored, prob_col, label_col, n_bins)
+    return rep.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias(
+            "n_docs"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.when(
+            F.coalesce(F.sum("n_docs"), F.lit(0)) > 0,
+            F.round(
+                F.sum(
+                    (F.col("n_docs").cast("decimal(20,0)")
+                     * F.col("abs_gap").cast("decimal(18,6)"))
+                    .cast("decimal(38,18)")
+                ).cast("double")
+                / F.sum("n_docs").cast("double"),
+                6,
+            ),
+        ).alias("ece"),
+    )

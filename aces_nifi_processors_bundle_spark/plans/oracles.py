@@ -3061,6 +3061,21 @@ FROM bins ORDER BY bin"""
 )
 
 
+# Mirrors q_calibration_ece: the calibration oracle wrapped in the
+# mass-weighted fold — n_docs·abs_gap exact in DECIMAL (abs_gap ≤6dp),
+# the sum order-proof, one double division by N, rounded 6.
+ORACLES["q_calibration_ece"] = f"""
+SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       CASE WHEN coalesce(sum(n_docs), 0) > 0 THEN round(
+         CAST(SUM(CAST(CAST(n_docs AS DECIMAL(20,0))
+                       * CAST(abs_gap AS DECIMAL(18,6))
+                       AS DECIMAL(38,18))) AS DOUBLE)
+         / CAST(sum(n_docs) AS DOUBLE), 6) END AS ece
+FROM ({ORACLES["q_calibration"]})
+"""
+
+
 # Mirrors q_classifier_kappa: the same scored+reference frame into
 # the exact-count kappa arithmetic — po/pe/kappa as single double
 # divisions in the Spark term order, NULL kappa at pe = 1.

@@ -3792,6 +3792,32 @@ def q_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(j, "label", "actual")
 
 
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (pipeline/classify.py::
+    expected_calibration_error, round 13): q_calibration's table
+    folded to the one dashboard row — the bin-mass-weighted mean
+    |mean_prob − frac_actual|, order-proof via an exact decimal
+    weighted sum. Oracle = the calibration oracle wrapped in the
+    identical fold."""
+    from ..pipeline.classify import (
+        expected_calibration_error,
+        hash_weights,
+        linear_text_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_text_classifier(
+        docs, hash_weights(spark, 4096), n_buckets=4096
+    )
+    j = scored.join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").alias("actual")
+        ),
+        "doc_id",
+    )
+    return expected_calibration_error(j)
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per calendar day
     (pipeline/reports.py::rolling_active_users). The trailing distinct

@@ -3769,6 +3769,36 @@ def test_calibration_report_hand_bins(spark):
         calibration_report(df, n_bins=0)
 
 
+def test_expected_calibration_error_hand_fold(spark):
+    """ECE equals the hand-computed bin-mass-weighted mean gap over
+    the same crafted frame the calibration test uses; the empty frame
+    reads (0, 0, NULL)."""
+    from aces_nifi_processors_bundle_spark.pipeline.classify import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    rows = [
+        (1, 0.05, False), (2, 0.08, True),
+        (3, 0.55, True), (4, 0.52, False), (5, 0.58, True),
+        (6, 1.0, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prob double, actual boolean"
+    )
+    bins = calibration_report(df).collect()
+    want = round(
+        sum(r["n_docs"] * r["abs_gap"] for r in bins)
+        / sum(r["n_docs"] for r in bins),
+        6,
+    )
+    got = expected_calibration_error(df).collect()[0]
+    assert (got["n_docs"], got["n_bins_used"], got["ece"]) == (6, 3, want)
+    empty = df.where("doc_id < 0")
+    ge = expected_calibration_error(empty).collect()[0]
+    assert (ge["n_docs"], ge["n_bins_used"], ge["ece"]) == (0, 0, None)
+
+
 def test_cohens_kappa_hand_table_and_edges(spark):
     """Kappa against the textbook 2x2 arithmetic; constant raters
     (pe = 1) read NULL; the empty frame reads (0, NULL, NULL, NULL)
