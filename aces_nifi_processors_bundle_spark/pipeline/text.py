@@ -1620,6 +1620,46 @@ def gopher_quality(
     )
 
 
+def drop_reason_histogram(
+    quality: DataFrame,
+    reason_col: str = "fail_reasons",
+    keep_col: str = "keep",
+    weight_col: str = "n_words",
+) -> DataFrame:
+    """The drop-reason HISTOGRAM gopher_quality's docstring promises
+    (round 13) — per rule, how many documents and how much word mass
+    a 100 TB filter pass would drop BECAUSE of it: explode the
+    comma-joined fail reasons of non-kept docs, one groupBy. A doc
+    failing k rules counts in each of the k rows (the per-rule
+    diagnostic — which thresholds bite); the '<kept>' row carries the
+    surviving mass so the frame is a complete disposition (total doc
+    mass = Σ n_docs only when rules don't co-fire; total KEPT mass is
+    always exactly the '<kept>' row). '<kept>' cannot collide with a
+    rule name — rule names are a static enum of the gopher_quality
+    implementation, not data.
+
+    Scale shape: the quality frame is zero-shuffle; this adds one
+    map-side-combined aggregate over ≤ (rules+1) groups."""
+    failed = quality.where(~F.col(keep_col)).select(
+        F.explode(F.split(F.col(reason_col), ",")).alias("reason"),
+        F.col(weight_col).alias("_w"),
+    )
+    per_rule = failed.groupBy("reason").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias(
+            weight_col
+        ),
+    )
+    kept = quality.where(F.col(keep_col)).agg(
+        F.lit("<kept>").alias("reason"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(weight_col), F.lit(0)).cast("bigint").alias(
+            weight_col
+        ),
+    )
+    return per_rule.unionByName(kept)
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

@@ -3705,6 +3705,7 @@ r AS (
          stop_hits
   FROM m
 )
+
 SELECT doc_id, n_words,
        round(mean_wl, 6) AS mean_word_len,
        round(symbol_r, 6) AS symbol_ratio,
@@ -3729,6 +3730,25 @@ SELECT doc_id, n_words,
 FROM r
 """
 )
+
+
+# Mirrors q_drop_reasons: the gopher oracle wrapped in the identical
+# explode/aggregate — per-rule doc+word mass from non-kept docs, plus
+# the '<kept>' disposition row (a static rule-name enum cannot collide
+# with the sentinel).
+ORACLES["q_drop_reasons"] = f"""
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_words
+FROM (
+  SELECT unnest(string_split(fail_reasons, ',')) AS reason, n_words
+  FROM ({ORACLES["q_gopher_rules"]}) WHERE NOT keep
+) GROUP BY reason
+UNION ALL
+SELECT '<kept>' AS reason, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_words
+FROM ({ORACLES["q_gopher_rules"]}) WHERE keep
+"""
+
 
 
 # Streaming HLL state == batch HLL state (register max is a

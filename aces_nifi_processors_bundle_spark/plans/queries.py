@@ -4111,6 +4111,21 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(docs, min_words=30, min_stop_hits=1)
 
 
+def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason histogram (pipeline/text.py::
+    drop_reason_histogram, round 13) — q_gopher_rules' per-doc
+    verdicts folded to the per-rule disposition a 100 TB filter sweep
+    reports: (reason, n_docs, n_words) per firing rule plus the
+    '<kept>' mass row. Oracle wraps the gopher oracle in the
+    identical explode/aggregate."""
+    from ..pipeline.text import drop_reason_histogram, gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drop_reason_histogram(
+        gopher_quality(docs, min_words=30, min_stop_hits=1)
+    )
+
+
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL register maintenance UNDER STRUCTURED STREAMING: the
     events stream drives groupBy(group, reg).max(rho) in complete

@@ -3740,6 +3740,36 @@ def test_rank_normalize_ties_and_nulls(spark):
     assert out[6] == 0.0
 
 
+def test_drop_reason_histogram_disposition(spark):
+    """Per-rule doc+word mass from a crafted frame: a doc failing two
+    rules counts in BOTH rows; the '<kept>' row carries exactly the
+    surviving mass; an all-kept frame reads only '<kept>'."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        drop_reason_histogram,
+    )
+
+    q = spark.createDataFrame(
+        [
+            (1, 10, True, ""),
+            (2, 20, True, ""),
+            (3, 5, False, "word_count"),
+            (4, 7, False, "word_count,stop_words"),
+        ],
+        "doc_id long, n_words long, keep boolean, fail_reasons string",
+    )
+    got = {r["reason"]: (r["n_docs"], r["n_words"])
+           for r in drop_reason_histogram(q).collect()}
+    assert got == {
+        "word_count": (2, 12),
+        "stop_words": (1, 7),
+        "<kept>": (2, 30),
+    }
+    all_kept = q.where("keep")
+    got2 = {r["reason"]: (r["n_docs"], r["n_words"])
+            for r in drop_reason_histogram(all_kept).collect()}
+    assert got2 == {"<kept>": (2, 30)}
+
+
 def test_calibration_report_hand_bins(spark):
     """Decile bins, order-proof means, and gaps against hand
     arithmetic; prob=1.0 lands in the TOP bin (no phantom bin 10);
