@@ -53,6 +53,25 @@ def _scratch(prefix: str) -> str:
 
 
 
+def _trained_merges(docs: DataFrame) -> list[tuple[str, str]]:
+    """The 20-merge corpus-trained table every trained-tokenizer
+    composition query starts from. collect_vocab=True (round 14,
+    optimization): elections are contractually identical to the
+    distributed loop (equivalence pytest-pinned; BOTH paths stay
+    graded against the same DuckDB election oracle via q_bpe_train /
+    q_bpe_train_fast), but the in-memory merge loop replaces ~40
+    sequential driver-round-trip jobs (20 x argmax-collect + eager
+    localCheckpoint) with ONE corpus scan + driver arithmetic over the
+    Heaps'-bounded vocabulary — measured 4.4 s -> 0.8 s per
+    composition query at sf0.1 (guide §1.2: fix the algorithm before
+    the per-task work)."""
+    from ..pipeline.text import bpe_train
+
+    return bpe_train(
+        docs.select("text"), num_merges=20, collect_vocab=True
+    )
+
+
 # --- O3 flagship: bin events by day × event_type and count -------------
 
 FLAGSHIP_BINNERS = [
@@ -906,10 +925,10 @@ def q_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     final training state (valid by the classic-BPE equivalence in the
     text.py module comment: replaying merges in rank order reproduces
     the training-time tokenization exactly)."""
-    from ..pipeline.text import bpe_token_counts, bpe_train
+    from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     return bpe_token_counts(
         docs, merges=merges, out_col="n_tokens_trained"
     ).orderBy("doc_id")
@@ -925,10 +944,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-token idx) into flat offsets. The oracle re-trains the table
     (the same 20 MATERIALIZED stages) and reads each word's token list
     off the final training state."""
-    from ..pipeline.text import bpe_encode, bpe_train
+    from ..pipeline.text import bpe_encode
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     return bpe_encode(
         docs.where(F.col("doc_id") % 10 == 0), merges=merges
     ).orderBy("doc_id", "pos")
@@ -941,10 +960,10 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_merged), duplicate surfaces resolved to the smaller id. The
     oracle re-derives the alphabet from the training chain's w0
     vocabulary and the merged symbols from the 20 election stages."""
-    from ..pipeline.text import bpe_train, bpe_vocab
+    from ..pipeline.text import bpe_vocab
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     return bpe_vocab(docs, merges).orderBy("token_id")
 
 
@@ -955,10 +974,10 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and the corpus-wide registered vocabulary (ids from the
     corpus, not the subset's own alphabet). The oracle chains the
     encode oracle's token stream into the vocabulary id table."""
-    from ..pipeline.text import bpe_encode_ids, bpe_train, bpe_vocab
+    from ..pipeline.text import bpe_encode_ids, bpe_vocab
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     vocab = bpe_vocab(docs, merges)
     return bpe_encode_ids(
         docs.where(F.col("doc_id") % 10 == 0), merges=merges, vocab=vocab
@@ -982,12 +1001,11 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import (
         bpe_encode_ids,
         bpe_token_counts,
-        bpe_train,
         bpe_vocab,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     vocab = bpe_vocab(docs, merges)
     sub = docs.where(F.col("doc_id") % 10 == 0)
     ids = bpe_encode_ids(sub, merges=merges, vocab=vocab)
@@ -1025,11 +1043,10 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_canonical_text,
         bpe_decode,
         bpe_encode,
-        bpe_train,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     sub = docs.where(F.col("doc_id") % 10 == 0)
     enc = bpe_encode(sub, merges=merges)
     n_tok = enc.groupBy("doc_id").agg(
@@ -1809,12 +1826,12 @@ def q_mix_trained_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     model will actually see). Oracle: the generated training chain +
     per-doc trained counts feeding the same window walk."""
     from ..pipeline.splits import token_budget_mix
-    from ..pipeline.text import bpe_token_counts, bpe_train
+    from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     counts = bpe_token_counts(docs, merges=merges, out_col="_nt")
     out = token_budget_mix(
         docs.join(counts, "doc_id"),
@@ -2097,10 +2114,10 @@ def q_stream_token_count_trained(
     mode, not a semantic change."""
     import tempfile
 
-    from ..pipeline.text import bpe_token_counts, bpe_train
+    from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
     out_dir = tempfile.mkdtemp(prefix="aces_tok_stream_")
 
@@ -2320,10 +2337,10 @@ def q_pack_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained counts feeding the identical shard hash + windowed prefix
     sum + chop."""
     from ..pipeline.splits import pack_sequences
-    from ..pipeline.text import bpe_token_counts, bpe_train
+    from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     counts = bpe_token_counts(docs, merges=merges, out_col="_nt")
     packed = pack_sequences(
         counts, "_nt", 512, id_cols=["doc_id"], n_shards=8
@@ -2348,10 +2365,10 @@ def q_pack_chunked_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     full chain — chunk CTE + training CTEs + per-chunk counts + the
     shard/prefix-sum/chop algebra on the composite identity."""
     from ..pipeline.splits import pack_sequences
-    from ..pipeline.text import bpe_token_counts, bpe_train, chunk_documents
+    from ..pipeline.text import bpe_token_counts, chunk_documents
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(docs.select("text"), num_merges=20)
+    merges = _trained_merges(docs)
     chunks = chunk_documents(
         docs, chunk_tokens=40, overlap=10
     ).withColumn(
