@@ -211,6 +211,7 @@ def ngram_jaccard(
     k: int = 3,
     persist_sets: bool = False,
     hashed: bool = True,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle SETS for candidate pairs.
 
@@ -229,10 +230,20 @@ def ngram_jaccard(
     sketch contract; the DuckDB oracles stay on raw strings
     DELIBERATELY, so any collision at graded scale would surface as a
     hash mismatch rather than hide).
+
+    sets_df (round 14, optimization): a precomputed (id, sh) frame —
+    callers that already materialized the shingle sets (the minhash
+    combined aggregate, the inverted index's persisted distinct rows)
+    pass it here so the verify join reuses those blocks instead of
+    re-scanning the corpus (guide §2.4: shared subtrees share one
+    exchange). Must be element-compatible with `hashed`.
     """
-    sh = shingle_sets(df, text_col, id_col, k, hashed=hashed)
-    if persist_sets:
-        sh = sh.persist()
+    if sets_df is not None:
+        sh = sets_df
+    else:
+        sh = shingle_sets(df, text_col, id_col, k, hashed=hashed)
+        if persist_sets:
+            sh = sh.persist()
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -259,21 +270,75 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
 
-    persist_intermediates: at corpus scale the shingle-set frame
-    feeds BOTH sides of the verify join — without persistence Spark
-    recomputes the whole upstream per consumer (profiled 3x total work
-    at 100k docs). The candidate frame itself appears exactly once in
-    the final plan, so it is deliberately NOT persisted (caching a
-    potentially huge pair set that is never re-read would be pure
-    block-manager overhead). Persisted frames live until the session
-    drops them — long-lived sessions calling this repeatedly should
-    spark.catalog.clearCache() between corpora. Lazy-exact for the
-    oracle either way."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, band_size, k, max_bucket
+    persist_intermediates: at corpus scale the combined frame below
+    feeds the banding AND both sides of the verify join — without
+    persistence Spark recomputes the upstream per consumer (though
+    the shared exchange below still collapses most of it). The
+    candidate frame itself appears exactly once in the final plan, so
+    it is deliberately NOT persisted (caching a potentially huge pair
+    set that is never re-read would be pure block-manager overhead).
+    Persisted frames live until the session drops them — long-lived
+    sessions calling this repeatedly should spark.catalog.clearCache()
+    between corpora. Lazy-exact for the oracle either way.
+
+    Round 14 (optimization): signatures and the hashed verify sets
+    are computed in ONE groupBy(id) aggregation over one shingle
+    pass, instead of two independent subtrees (signatures for LSH,
+    shingle_sets for verify) that each re-scanned and re-exploded the
+    corpus. Outputs are identical (min over a multiset == min over
+    its set; collect_set dedups either way); the plan drops one full
+    corpus scan + one exchange, and the three consumers (banding,
+    verify side a, verify side b) now hang off the SAME exchange, so
+    Spark's ReuseExchange collapses them even unpersisted
+    (guide §2.3 "aggregate before you shuffle" + §2.4)."""
+    if band_size < 1 or num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size must divide num_hashes, got {num_hashes=} {band_size=}"
+        )
+    rows = shingle_rows(df, text_col, id_col, k)
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    aggs.append(F.collect_set(F.xxhash64("shingle")).alias("sh"))
+    combined = rows.groupBy(id_col).agg(*aggs)
+    if persist_intermediates:
+        combined = combined.persist()
+    n_bands = num_hashes // band_size
+    band_entries = combined.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    if max_bucket is not None:
+        small = (
+            band_entries.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_key")
+        )
+        band_entries = band_entries.join(small, "band_key", "left_semi")
+    cands = _pairs_within_groups(
+        band_entries, "band_key", id_col, bounded=max_bucket is not None
     )
     verified = ngram_jaccard(
-        df, cands, text_col, id_col, k, persist_sets=persist_intermediates
+        df, cands, text_col, id_col, k,
+        sets_df=combined.select(id_col, "sh"),
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -402,7 +467,7 @@ def _df_pruned_candidates(
     max_df: int | None,
     max_df_quantile: float | None,
     persist_intermediates: bool,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """Shared candidate generation of the inverted-index dedup family
     (near_dup_pairs_ngram, containment_pairs): distinct-shingle index,
     optional absolute/quantile df prune, per-shingle pairing. ONE
@@ -410,7 +475,11 @@ def _df_pruned_candidates(
     strategy (only an absolute max_df proves posting lists short
     enough for the in-task collect_list pairing; a quantile cutoff is
     data-dependent) cannot drift between the Jaccard and containment
-    paths. Returns distinct (id_a, id_b).
+    paths. Returns (distinct (id_a, id_b) candidates, the PERSISTED
+    distinct (id, shingle) rows frame when persist_intermediates else
+    None) — round 14: callers derive their verify shingle sets from
+    the persisted rows (one cheap 8-byte-hash shuffle) instead of
+    re-scanning + re-exploding the corpus a second time.
 
     Changelog (round 10): extracting this helper CHANGED the physical
     plan of near_dup_pairs_ngram's max_df_quantile path — it now uses
@@ -428,6 +497,9 @@ def _df_pruned_candidates(
     )
     if persist_intermediates:
         rows = rows.persist()
+    # the UNPRUNED persisted rows — verification is always over FULL
+    # shingle sets, so set derivation must see pre-prune rows
+    unpruned_rows = rows
     if max_df is not None or max_df_quantile is not None:
         dfreq = rows.groupBy("shingle").agg(
             F.count(F.lit(1)).cast("bigint").alias("_df")
@@ -442,9 +514,10 @@ def _df_pruned_candidates(
                 .select("shingle")
             )
         rows = rows.join(keep, "shingle", "left_semi")
-    return _pairs_within_groups(
+    cands = _pairs_within_groups(
         rows, "shingle", id_col, bounded=max_df is not None
     )
+    return cands, (unpruned_rows if persist_intermediates else None)
 
 
 def _diagonal_runs(
@@ -523,14 +596,26 @@ def near_dup_pairs_ngram(
     Verification is exact Jaccard over the full (unpruned) shingle
     sets, so pruning affects candidate RECALL only, never precision.
     """
-    cands = _df_pruned_candidates(
+    cands, rows = _df_pruned_candidates(
         df, text_col, id_col, k, max_df, max_df_quantile,
         persist_intermediates,
     )
     # cands is consumed once (see near_dup_pairs_minhash) — only the
-    # doubly-consumed rows/sets frames earn their cache
+    # doubly-consumed rows/sets frames earn their cache.
+    # Round 14: with persisted rows available, the verify sets are one
+    # (id, xxhash64) shuffle over those cached blocks (collect_set over
+    # distinct rows == collect_set over the multiset) instead of a
+    # second corpus scan + regex + explode (guide §2.4).
+    sets_df = (
+        rows.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("shingle")).alias("sh")
+        )
+        if rows is not None
+        else None
+    )
     verified = ngram_jaccard(
-        df, cands, text_col, id_col, k, persist_sets=persist_intermediates
+        df, cands, text_col, id_col, k,
+        persist_sets=persist_intermediates, sets_df=sets_df,
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -569,13 +654,21 @@ def containment_pairs(
         raise ValueError(
             f"containment: threshold must be in (0, 1], got {threshold}"
         )
-    cands = _df_pruned_candidates(
+    cands, rows = _df_pruned_candidates(
         df, text_col, id_col, k, max_df, max_df_quantile,
         persist_intermediates,
     )
-    sh = shingle_sets(df, text_col, id_col, k, hashed=True)
-    if persist_intermediates:
-        sh = sh.persist()
+    # Round 14: same set-derivation reuse as near_dup_pairs_ngram —
+    # persisted distinct rows feed the verify sets with one cheap
+    # hash shuffle instead of a second corpus scan.
+    if rows is not None:
+        sh = rows.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("shingle")).alias("sh")
+        )
+    else:
+        sh = shingle_sets(df, text_col, id_col, k, hashed=True)
+        if persist_intermediates:
+            sh = sh.persist()
     out = (
         cands.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),

@@ -20,7 +20,7 @@ itself a decimal-exact sum, converted to float once per sweep).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .lineage import cut_lineage, prepare_checkpoint
@@ -91,14 +91,13 @@ def pagerank(
     # Integer counts are unchanged by the rounding, so the unweighted
     # oracle still holds bit-for-bit.
     if weight is None:
-        e = cut_lineage(
+        e_plan = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
-            .withColumn("w", F.lit(1).cast("decimal(38,18)")),
-            checkpoint,
+            .withColumn("w", F.lit(1).cast("decimal(38,18)"))
         )
     else:
-        e = cut_lineage(
+        e_plan = (
             edges.select(
                 F.col(src).alias("src"),
                 F.col(dst).alias("dst"),
@@ -107,25 +106,33 @@ def pagerank(
                 .alias("w"),
             )
             .groupBy("src", "dst")
-            .agg(F.sum("w").cast("decimal(38,18)").alias("w")),
-            checkpoint,
+            .agg(F.sum("w").cast("decimal(38,18)").alias("w"))
         )
+    # out-weight attached as a WINDOW sum in the same pass that cuts
+    # the normalized edge list (round 14, optimization): the previous
+    # shape eagerly materialized e, then re-materialized e ⋈ deg — two
+    # full passes over the edge list plus a groupBy + join. A sum over
+    # Window.partitionBy(src) is the same exact decimal arithmetic
+    # (order-independent), keyed the same way, computed inside the ONE
+    # eager cut — each sweep still sees (src, dst, w, deg) rows
+    # (guide §2.4: operations keyed the same way share one exchange).
+    ed = cut_lineage(
+        e_plan.withColumn(
+            "deg",
+            F.sum("w").over(Window.partitionBy("src"))
+            .cast("decimal(38,18)"),
+        ),
+        checkpoint,
+    )
     vertices = cut_lineage(
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
+        ed.select(F.col("src").alias("v"))
+        .unionByName(ed.select(F.col("dst").alias("v")))
         .distinct(),
         checkpoint,
     )
     n = vertices.count()
     if n == 0:
         raise ValueError("pagerank: empty edge frame (no vertices)")
-    # out-weight pre-joined into the cut edge list: each sweep is then
-    # ONE shuffle join + one aggregation, instead of re-running the
-    # degree aggregation and a second join per sweep.
-    deg = e.groupBy("src").agg(
-        F.sum("w").cast("decimal(38,18)").alias("deg")
-    )
-    ed = cut_lineage(e.join(deg, "src"), checkpoint)
     if dangling == "redistribute":
         # Dangling = no POSITIVE out-weight, not merely no out-edges: a
         # vertex whose out-weights sum to 0 has rows in ed but its

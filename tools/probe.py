@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--suffix", default="",
                     help="filename suffix for explain files (_before/_after)")
     ap.add_argument("--tag", default="probe")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra k=v Spark conf (repeatable)")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -46,7 +48,8 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    spark = get_spark(app_name="aces-probe")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="aces-probe", extra_conf=extra or None)
     # Same warmup as bench.py: executor pool, codegen JIT, Arrow worker,
     # broadcast/ObjectHashAggregate machinery, stream staging dirs.
     from pyspark.sql import functions as F  # noqa: PLC0415
