@@ -270,75 +270,29 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
 
-    persist_intermediates: at corpus scale the combined frame below
-    feeds the banding AND both sides of the verify join — without
-    persistence Spark recomputes the upstream per consumer (though
-    the shared exchange below still collapses most of it). The
-    candidate frame itself appears exactly once in the final plan, so
-    it is deliberately NOT persisted (caching a potentially huge pair
-    set that is never re-read would be pure block-manager overhead).
-    Persisted frames live until the session drops them — long-lived
-    sessions calling this repeatedly should spark.catalog.clearCache()
-    between corpora. Lazy-exact for the oracle either way.
+    persist_intermediates: at corpus scale the shingle-set frame
+    feeds BOTH sides of the verify join — without persistence Spark
+    recomputes the whole upstream per consumer (profiled 3x total work
+    at 100k docs). The candidate frame itself appears exactly once in
+    the final plan, so it is deliberately NOT persisted (caching a
+    potentially huge pair set that is never re-read would be pure
+    block-manager overhead). Persisted frames live until the session
+    drops them — long-lived sessions calling this repeatedly should
+    spark.catalog.clearCache() between corpora. Lazy-exact for the
+    oracle either way.
 
-    Round 14 (optimization): signatures and the hashed verify sets
-    are computed in ONE groupBy(id) aggregation over one shingle
-    pass, instead of two independent subtrees (signatures for LSH,
-    shingle_sets for verify) that each re-scanned and re-exploded the
-    corpus. Outputs are identical (min over a multiset == min over
-    its set; collect_set dedups either way); the plan drops one full
-    corpus scan + one exchange, and the three consumers (banding,
-    verify side a, verify side b) now hang off the SAME exchange, so
-    Spark's ReuseExchange collapses them even unpersisted
-    (guide §2.3 "aggregate before you shuffle" + §2.4)."""
-    if band_size < 1 or num_hashes % band_size != 0:
-        raise ValueError(
-            f"band_size must divide num_hashes, got {num_hashes=} {band_size=}"
-        )
-    rows = shingle_rows(df, text_col, id_col, k)
-    aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    aggs.append(F.collect_set(F.xxhash64("shingle")).alias("sh"))
-    combined = rows.groupBy(id_col).agg(*aggs)
-    if persist_intermediates:
-        combined = combined.persist()
-    n_bands = num_hashes // band_size
-    band_entries = combined.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "#",
-                        F.lit(str(b)),
-                        *[
-                            F.col(f"mh_{b * band_size + j}")
-                            for j in range(band_size)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
-    if max_bucket is not None:
-        small = (
-            band_entries.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band_key")
-        )
-        band_entries = band_entries.join(small, "band_key", "left_semi")
-    cands = _pairs_within_groups(
-        band_entries, "band_key", id_col, bounded=max_bucket is not None
+    Round 14 note: a variant computing signatures + verify sets in
+    ONE groupBy(id) aggregate was tried and REVERTED — paired probes
+    read it perf-neutral at sf0.1 (the subtrees already share the
+    scan via ReuseExchange on the set sides), and carrying the
+    collect_set buffer through the banding consumer's aggregate
+    raised peak heap under the driver's 1g default session enough to
+    OOM q_corpus_card in a long correctness batch."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, band_size, k, max_bucket
     )
     verified = ngram_jaccard(
-        df, cands, text_col, id_col, k,
-        sets_df=combined.select(id_col, "sh"),
+        df, cands, text_col, id_col, k, persist_sets=persist_intermediates
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -748,31 +702,60 @@ def near_dup_clusters(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
-    for i in range(max_iter):
+    def _hop(lab: DataFrame) -> DataFrame:
+        """One min-label sweep: (node, label, ...carried cols) →
+        same shape with label := min(own, neighbors')."""
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(lab.select("node", "label"),
+                       edges["dst"] == F.col("node"))
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        carried = [c for c in lab.columns if c not in ("node", "label")]
+        return lab.join(
+            neighbor_min, lab["node"] == neighbor_min["src"], "left"
+        ).select(
+            lab["node"].alias("node"),
+            F.least(
+                lab["label"], F.coalesce("nlabel", lab["label"])
+            ).alias("label"),
+            *[lab[c] for c in carried],
+        )
+
+    # TWO hops per materialized round (round 14, optimization): labels
+    # are monotone non-increasing under min-propagation, so "changed
+    # anywhere in the round" is exactly label₂ < label₀ — the fixpoint
+    # check stays one inline observed metric, but each driver action
+    # (the per-round count + plan round-trip, the dominant cost of the
+    # loop on small diameters) now advances two sweeps. The fixpoint
+    # itself (per-component min) is hop-schedule-independent, so the
+    # returned labels are identical. max_iter still counts SWEEPS.
+    #
+    # Lineage-cut cadence counts SWEEPS too (checkpoint_every // 2
+    # rounds): with two join+agg hops stacked per round, keeping the
+    # ROUND cadence would let the uncut plan reach 2x the depth the
+    # single-hop loop ever had — measured consequence: a driversim
+    # batch of 16 dedup queries in one default 1g session OOM'd on
+    # q_corpus_card from analyzer/codegen heap (this session's
+    # bisect: same batch green with the hop depth re-bounded, green
+    # at single-hop HEAD, red with double-hop at the round cadence).
+    n_rounds = (max_iter + 1) // 2
+    cut_every_rounds = max(1, checkpoint_every // 2)
+    for i in range(n_rounds):
         # The change flag is derivable inline (new < old) — observed
         # metrics ride the SAME job that materializes the round's
-        # labels, so each round is exactly one action and one join with
-        # the old labels (an earlier version re-joined old vs new just
-        # to count changes: one extra shuffle join + job per round).
-        upd = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["src"], "left"
-        ).select(
-            labels["node"].alias("node"),
-            F.least(
-                labels["label"], F.coalesce("nlabel", labels["label"])
-            ).alias("label"),
-            (F.coalesce(F.col("nlabel"), labels["label"]) < labels["label"])
-            .cast("long")
-            .alias("_chg"),
+        # labels, so each round is exactly one action (an earlier
+        # version re-joined old vs new just to count changes: one
+        # extra shuffle join + job per round).
+        l0 = labels.withColumn("_l0", F.col("label"))
+        upd = _hop(_hop(l0)).select(
+            "node",
+            "label",
+            (F.col("label") < F.col("_l0")).cast("long").alias("_chg"),
         )
         obs = Observation()
         new_labels = upd.observe(obs, F.sum("_chg").alias("n")).drop("_chg")
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % cut_every_rounds == 0:
             # Materializes eagerly and truncates lineage; the blocks it
             # writes replace the persist for this round.
             new_labels = cut_lineage(new_labels, checkpoint, eager=True)
@@ -786,9 +769,10 @@ def near_dup_clusters(
             break
     else:
         # max_iter exhausted with labels still moving: min-label
-        # propagation advances one hop per round, so a component whose
-        # BFS depth exceeds max_iter would SILENTLY splinter into
-        # multiple clusters (dedup would keep extra copies) — the
+        # propagation advances one hop per sweep (two sweeps per
+        # materialized round), so a component whose BFS depth exceeds
+        # the sweeps run would SILENTLY splinter into multiple
+        # clusters (dedup would keep extra copies) — the
         # no-silent-caps rule says fail loudly instead.
         edges.unpersist()
         raise RuntimeError(
@@ -844,26 +828,32 @@ def dedup_report(
         )
         .select(F.col("node").alias(id_col))
     )
+    # ONE corpus scan for all three df-wide numbers (round 14,
+    # optimization): docs_total, tokens_total and tokens_removable
+    # previously ran three separate scans (count, sum, semi-join+sum),
+    # each re-tokenizing text. Loser ids are UNIQUE (clusters has one
+    # row per node), so a left join + conditional sum preserves the
+    # row count and fuses everything into one aggregate
+    # (guide §2.3: aggregate before you shuffle; fewer passes).
     tok = df.select(
         F.col(id_col), word_count(F.col(text_col)).alias("_t")
     )
-    tokens_total = tok.agg(
-        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("tokens_total")
-    )
-    tokens_removable = (
-        tok.join(losers, id_col, "left_semi")
+    tok_stats = (
+        tok.join(
+            losers.withColumn("_is_loser", F.lit(True)), id_col, "left"
+        )
         .agg(
-            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint")
-            .alias("tokens_removable")
+            F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias(
+                "tokens_total"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("_is_loser"), F.col("_t"))), F.lit(0)
+            ).cast("bigint").alias("tokens_removable"),
         )
     )
-    docs_total = df.agg(
-        F.count(F.lit(1)).cast("bigint").alias("docs_total")
-    )
     return (
-        docs_total.crossJoin(F.broadcast(cluster_stats))
-        .crossJoin(F.broadcast(tokens_total))
-        .crossJoin(F.broadcast(tokens_removable))
+        tok_stats.crossJoin(F.broadcast(cluster_stats))
         .select(
             "docs_total",
             F.coalesce("docs_in_clusters", F.lit(0).cast("bigint")).alias(

@@ -476,10 +476,17 @@ def ivf_load_codebook(spark, path: str) -> "np.ndarray":
 
 
 def _codebook_exists(spark, path: str) -> bool:
+    """True iff a registered codebook directory is readable. Catches
+    ONLY the path-not-found AnalysisException (like ivf_load_codebook):
+    a transient IO/permission/corruption error must propagate loudly —
+    swallowed, it would silently fall back to the md5 default codebook
+    and mis-file every appended vector (ADVICE r13 medium)."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(path + "/_codebook")
         return True
-    except Exception:
+    except AnalysisException:
         return False
 
 
@@ -512,6 +519,30 @@ def ivf_write_index(
     load the registered one instead of trusting every caller to
     re-supply it identically forever (the silent-mis-filing hazard)."""
     cents = _ivf_centroids(dim, n_centroids, centroids)
+    spark = corpus.sparkSession
+    if (
+        mode == "overwrite"
+        and epoch is not None
+        and _codebook_exists(spark, path)
+    ):
+        # An epoch-layout "overwrite" replaces ONE epoch's partitions,
+        # not the index: re-registering a different codebook here would
+        # leave earlier epochs filed under the old one — the exact
+        # mixed-codebook index the append-path validation prevents
+        # (ADVICE r13 low). Validate like ivf_append_index instead.
+        registered = ivf_load_codebook(spark, path)
+        got = np.asarray(cents, dtype=np.float64)
+        if got.shape != registered.shape or not np.array_equal(
+            got, registered
+        ):
+            raise ValueError(
+                f"ivf_write_index: epoch overwrite under a codebook "
+                f"different from the one registered at {path!r} "
+                f"(registered {registered.shape}, got {got.shape}) — "
+                "earlier epochs would stay filed under the old "
+                "codebook; rebuild the whole index (epoch=None) to "
+                "change codebooks"
+            )
     assign = ivf_assign_udf(dim, n_centroids, cents)
     body = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col),
@@ -519,7 +550,7 @@ def ivf_write_index(
     )
     _write_cells(body, path, mode, epoch)
     if mode == "overwrite":
-        ivf_save_codebook(corpus.sparkSession, path, cents)
+        ivf_save_codebook(spark, path, cents)
 
 
 def _write_cells(body: DataFrame, path: str, mode: str, epoch: int | None) -> None:

@@ -93,9 +93,17 @@ def hash_topn_sample(
 
     Scale shape: sort+limit compiles to TakeOrderedAndProject —
     per-partition top-n heaps, one n-row driver merge; no global sort
-    shuffle, no corpus materialization."""
+    shuffle, no corpus materialization.
+
+    NULL ids are FILTERED before the ordering (round 14 — ADVICE r13
+    low): md5(NULL) is NULL, and Spark's ascending sort is NULLS FIRST
+    while DuckDB's is NULLS LAST, so NULL-id rows would consume the
+    budget on the Spark side only and desync the two engines. A NULL
+    id is not a samplable identity; dropping it keeps the sample a
+    pure function of real ids on BOTH engines."""
     if n < 0:
         raise ValueError(f"hash_topn_sample: n must be >= 0, got {n}")
+    df = df.where(F.col(id_col).isNotNull())
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),

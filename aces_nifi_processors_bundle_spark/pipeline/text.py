@@ -758,6 +758,8 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     merges: list[tuple[str, str]] | None = None,
     vocab: DataFrame | None = None,
+    merge_chunk_size: int | None = None,
+    engine: str = "fold",
 ) -> DataFrame:
     """bpe_encode's stream with token IDS (round 12) — what a
     training pipeline actually consumes: (id, pos, token_id). One
@@ -777,8 +779,17 @@ def bpe_encode_ids(
     stream — contradicting the no-OOV round-trip contract. When df's
     own vocab is derived (vocab=None) the branch is dead by
     construction (every char is a base symbol); it exists for the
-    registered-vocab path."""
-    enc = bpe_encode(df, text_col, id_col, merges)
+    registered-vocab path.
+
+    merge_chunk_size / engine (round 14 — ADVICE r13 low): forwarded
+    to the internal bpe_encode, so id-level encoding under a
+    registered 32k-merge table can use the depth-independent Arrow
+    kernel instead of always paying the ~167-segment checkpointed
+    fold. Defaults unchanged (the oracle-mirrorable fold)."""
+    enc = bpe_encode(
+        df, text_col, id_col, merges,
+        merge_chunk_size=merge_chunk_size, engine=engine,
+    )
     v = (vocab if vocab is not None else bpe_vocab(df, merges, text_col))
     joined = enc.join(
         F.broadcast(v.select("token", "token_id")), "token", "left"
