@@ -290,10 +290,17 @@ def bpe_token_counts(
     out_col: str = "n_tokens_bpe",
     merge_chunk_size: int | None = None,
     engine: str = "fold",
+    vocab_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token counts: (id_col, out_col), under the
     fixed documented table by default or a TRAINED table (bpe_train)
     when `merges` is passed.
+
+    vocab_tokens (round 14, optimization): a precomputed (w, toks)
+    tokenized vocabulary (bpe_vocab_tokens_local) — replaces the
+    distinct-vocabulary scan + fold with one broadcast local table;
+    must cover every piece of df (a missing word RAISES at action
+    time rather than silently undercounting).
 
     Plan: explode word pieces → per-(doc, piece) occurrence counts →
     tokenize the DISTINCT vocabulary once (the expensive fold runs
@@ -323,6 +330,31 @@ def bpe_token_counts(
     per_doc_word = _bpe_pieces(df, text_col, [id_col]).groupBy(
         id_col, "w"
     ).agg(F.count(F.lit(1)).alias("occ"))
+    if vocab_tokens is not None:
+        nt = F.when(
+            F.col("toks").isNotNull(), F.size("toks").cast("bigint")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bpe_token_counts: word piece missing from the"
+                        " precomputed vocab_tokens vocabulary: '"
+                    ),
+                    F.col("w"),
+                    F.lit("'"),
+                )
+            ).cast("bigint")
+        )
+        sums = (
+            per_doc_word.join(F.broadcast(vocab_tokens), "w", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("occ") * nt).alias(out_col))
+        )
+        return df.select(id_col).join(sums, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit(0)).cast("bigint")
+            .alias(out_col),
+        )
     distinct_w = per_doc_word.select("w").distinct()
     if engine == "arrow":
         vocab = _bpe_arrow_tokenize_vocab(distinct_w, table).select(
@@ -503,10 +535,9 @@ def bpe_train(
     if min_count > 1:
         piece_counts = piece_counts.where(F.col("c") >= min_count)
     if collect_vocab:
-        rows = piece_counts.collect()
-        return _bpe_local_merge_loop(
-            [(r["w"], r["c"]) for r in rows], num_merges
-        )
+        return bpe_train_collected(
+            df, num_merges, text_col=text_col, min_count=min_count
+        )[0]
     d = BPE_DELIM
     vocab = (
         piece_counts
@@ -563,6 +594,98 @@ def bpe_train(
     return merges
 
 
+def bpe_train_collected(
+    df: DataFrame,
+    num_merges: int = 20,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """bpe_train's collect_vocab=True engine, ALSO returning the
+    collected (word, count) piece vocabulary (round 14,
+    optimization): composition pipelines that train AND THEN encode/
+    count/id the same corpus re-derive the distinct-word and alphabet
+    frames from this one collect instead of re-scanning the corpus
+    per derived surface (guide §1.2: remove passes). The vocabulary
+    is bounded driver state by the same Heaps'-law contract as
+    collect_vocab itself. Elections are the collect_vocab path's,
+    verbatim."""
+    if num_merges < 1:
+        raise ValueError(
+            f"bpe_train: num_merges must be >= 1, got {num_merges}"
+        )
+    if min_count < 1:
+        raise ValueError(
+            f"bpe_train: min_count must be >= 1, got {min_count}"
+        )
+    piece_counts = (
+        _bpe_pieces(df, text_col, [])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_count > 1:
+        piece_counts = piece_counts.where(F.col("c") >= min_count)
+    vocab = [(r["w"], r["c"]) for r in piece_counts.collect()]
+    return _bpe_local_merge_loop(vocab, num_merges), vocab
+
+
+def bpe_vocab_tokens_local(
+    spark,
+    words: list[str],
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize an ALREADY-COLLECTED distinct-word vocabulary in the
+    driver (round 14, optimization): (w, toks array<string>) as a
+    local table. The per-word merge loop is the arrow kernel's own
+    `_bpe_apply_merges_py` — identical output to the replace fold by
+    the pinned fold==arrow equivalence — so passing this frame as
+    `vocab_tokens=` to bpe_token_counts / bpe_encode removes the
+    distinct-vocabulary corpus scan AND the fold from the plan while
+    computing the exact same tokenization. Bounded driver state by
+    the bpe_train collect contract (Heaps'-law vocabulary); at
+    32k-merge depth the loop is depth-independent, same as arrow."""
+    table = list(merges)
+    ranks = {pair: i for i, pair in enumerate(table)}
+    return spark.createDataFrame(
+        [(w, _bpe_apply_merges_py(w, ranks, table)) for w in words],
+        "w string, toks array<string>",
+    )
+
+
+def bpe_vocab_local(
+    spark,
+    words: list[str],
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """bpe_vocab computed from an ALREADY-COLLECTED word list (round
+    14, optimization): identical (token_id, token, is_merged) rows —
+    base alphabet = distinct characters of `words` in UTF-8 byte
+    order (Python sorts the encoded bytes; UTF-8 byte order ==
+    code-point order, the same cross-engine argument bpe_train
+    makes), merges at alphabet_size + rank, duplicate surfaces
+    resolved exactly like the distributed groupBy (min token_id,
+    OR of is_merged). Replaces bpe_vocab's two corpus scans with a
+    local table when the caller already holds the piece vocabulary
+    (bpe_train_collected)."""
+    chars = sorted(
+        {ch for w in words for ch in w}, key=lambda c: c.encode("utf-8")
+    )
+    ids: dict[str, tuple[int, bool]] = {}
+    for i, ch in enumerate(chars):
+        ids[ch] = (i, False)
+    nb = len(chars)
+    for rank, (a, b) in enumerate(merges):
+        tok = a + b
+        if tok in ids:
+            old_id, old_m = ids[tok]
+            ids[tok] = (min(old_id, nb + rank), old_m or True)
+        else:
+            ids[tok] = (nb + rank, True)
+    return spark.createDataFrame(
+        [(tid, tok, m) for tok, (tid, m) in ids.items()],
+        "token_id bigint, token string, is_merged boolean",
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str = "text",
@@ -570,6 +693,7 @@ def bpe_encode(
     merges: list[tuple[str, str]] | None = None,
     merge_chunk_size: int | None = None,
     engine: str = "fold",
+    vocab_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """ENCODE the corpus under a merges table (round 11) — the actual
     tokenizer output, not just counts: (id, pos, token) rows where pos
@@ -590,7 +714,15 @@ def bpe_encode(
     walls; engine='arrow' tokenizes the distinct vocabulary with the
     per-word Arrow kernel (one vocab pass at any table depth — see
     bpe_token_counts). Fixture-sized tables keep the round-12
-    single-expression fold plan."""
+    single-expression fold plan.
+
+    vocab_tokens (round 14, optimization): a precomputed (w, toks)
+    tokenized-vocabulary frame (bpe_vocab_tokens_local) — removes the
+    distinct-vocabulary corpus scan and the fold from the plan; the
+    join becomes one broadcast of the local table. MUST cover every
+    word piece of df (the bpe_train_collected contract: df's pieces
+    are a subset of the training corpus's); a missing word RAISES at
+    action time instead of silently dropping its tokens."""
     d = BPE_DELIM
     if engine not in ("fold", "arrow"):
         raise ValueError(
@@ -605,6 +737,35 @@ def bpe_encode(
         ).alias("_wpos", "w"),
     )
     table = merges if merges is not None else BPE_MERGES
+    if vocab_tokens is not None:
+        w = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
+        guarded = F.when(
+            F.col("toks").isNotNull(), F.col("toks")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bpe_encode: word piece missing from the"
+                        " precomputed vocab_tokens vocabulary: '"
+                    ),
+                    F.col("w"),
+                    F.lit("'"),
+                )
+            ).cast("array<string>")
+        )
+        return (
+            pw.join(F.broadcast(vocab_tokens), "w", "left")
+            .select(
+                F.col(id_col),
+                "_wpos",
+                F.posexplode(guarded).alias("_tpos", "token"),
+            )
+            .select(
+                F.col(id_col),
+                (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+                "token",
+            )
+        )
     if engine == "arrow":
         vocab = _bpe_arrow_tokenize_vocab(
             pw.select("w").distinct(), table
@@ -760,6 +921,7 @@ def bpe_encode_ids(
     vocab: DataFrame | None = None,
     merge_chunk_size: int | None = None,
     engine: str = "fold",
+    vocab_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """bpe_encode's stream with token IDS (round 12) — what a
     training pipeline actually consumes: (id, pos, token_id). One
@@ -789,6 +951,7 @@ def bpe_encode_ids(
     enc = bpe_encode(
         df, text_col, id_col, merges,
         merge_chunk_size=merge_chunk_size, engine=engine,
+        vocab_tokens=vocab_tokens,
     )
     v = (vocab if vocab is not None else bpe_vocab(df, merges, text_col))
     joined = enc.join(

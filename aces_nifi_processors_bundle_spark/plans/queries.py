@@ -53,23 +53,33 @@ def _scratch(prefix: str) -> str:
 
 
 
-def _trained_merges(docs: DataFrame) -> list[tuple[str, str]]:
-    """The 20-merge corpus-trained table every trained-tokenizer
-    composition query starts from. collect_vocab=True (round 14,
-    optimization): elections are contractually identical to the
-    distributed loop (equivalence pytest-pinned; BOTH paths stay
-    graded against the same DuckDB election oracle via q_bpe_train /
-    q_bpe_train_fast), but the in-memory merge loop replaces ~40
-    sequential driver-round-trip jobs (20 x argmax-collect + eager
-    localCheckpoint) with ONE corpus scan + driver arithmetic over the
-    Heaps'-bounded vocabulary — measured 4.4 s -> 0.8 s per
-    composition query at sf0.1 (guide §1.2: fix the algorithm before
-    the per-task work)."""
-    from ..pipeline.text import bpe_train
+def _trained_tokenizer(
+    docs: DataFrame,
+) -> tuple[list[tuple[str, str]], DataFrame, list[str]]:
+    """The 20-merge corpus-trained tokenizer every trained-tokenizer
+    composition query starts from, with its driver-local derived
+    frames (round 14, optimization, guide §1.2 — remove passes).
 
-    return bpe_train(
-        docs.select("text"), num_merges=20, collect_vocab=True
-    )
+    The merge elections use bpe_train's collect_vocab engine:
+    contractually identical to the distributed loop (equivalence
+    pytest-pinned; BOTH paths stay graded against the same DuckDB
+    election oracle via q_bpe_train / q_bpe_train_fast), with the
+    in-memory merge loop replacing ~40 sequential driver-round-trip
+    jobs — measured 4.4 s -> 0.8 s per composition query at sf0.1.
+
+    The SAME piece-vocabulary collect also yields (a) the tokenized
+    vocabulary (w, toks) local table bpe_encode / bpe_token_counts
+    broadcast instead of re-scanning the corpus for the distinct-word
+    fold, and (b) the distinct word list bpe_vocab_local derives the
+    id table from instead of bpe_vocab's two corpus scans. The
+    derived frames are pinned row-identical to their distributed
+    siblings in tests/test_text.py."""
+    from ..pipeline.text import bpe_train_collected, bpe_vocab_tokens_local
+
+    merges, vocab = bpe_train_collected(docs.select("text"), num_merges=20)
+    words = [w for w, _ in vocab]
+    vt = bpe_vocab_tokens_local(docs.sparkSession, words, merges)
+    return merges, vt, words
 
 
 # --- O3 flagship: bin events by day × event_type and count -------------
@@ -928,9 +938,9 @@ def q_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
+    merges, vt, _ = _trained_tokenizer(docs)
     return bpe_token_counts(
-        docs, merges=merges, out_col="n_tokens_trained"
+        docs, merges=merges, out_col="n_tokens_trained", vocab_tokens=vt
     ).orderBy("doc_id")
 
 
@@ -947,9 +957,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import bpe_encode
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
+    merges, vt, _ = _trained_tokenizer(docs)
     return bpe_encode(
-        docs.where(F.col("doc_id") % 10 == 0), merges=merges
+        docs.where(F.col("doc_id") % 10 == 0), merges=merges,
+        vocab_tokens=vt,
     ).orderBy("doc_id", "pos")
 
 
@@ -960,11 +971,11 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_merged), duplicate surfaces resolved to the smaller id. The
     oracle re-derives the alphabet from the training chain's w0
     vocabulary and the merged symbols from the 20 election stages."""
-    from ..pipeline.text import bpe_vocab
+    from ..pipeline.text import bpe_vocab_local
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
-    return bpe_vocab(docs, merges).orderBy("token_id")
+    merges, _, words = _trained_tokenizer(docs)
+    return bpe_vocab_local(spark, words, merges).orderBy("token_id")
 
 
 def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,13 +985,14 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and the corpus-wide registered vocabulary (ids from the
     corpus, not the subset's own alphabet). The oracle chains the
     encode oracle's token stream into the vocabulary id table."""
-    from ..pipeline.text import bpe_encode_ids, bpe_vocab
+    from ..pipeline.text import bpe_encode_ids, bpe_vocab_local
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
-    vocab = bpe_vocab(docs, merges)
+    merges, vt, words = _trained_tokenizer(docs)
+    vocab = bpe_vocab_local(spark, words, merges)
     return bpe_encode_ids(
-        docs.where(F.col("doc_id") % 10 == 0), merges=merges, vocab=vocab
+        docs.where(F.col("doc_id") % 10 == 0), merges=merges, vocab=vocab,
+        vocab_tokens=vt,
     ).orderBy("doc_id", "pos")
 
 
@@ -1001,15 +1013,16 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import (
         bpe_encode_ids,
         bpe_token_counts,
-        bpe_vocab,
+        bpe_vocab_local,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
-    vocab = bpe_vocab(docs, merges)
+    merges, vt, words = _trained_tokenizer(docs)
+    vocab = bpe_vocab_local(spark, words, merges)
     sub = docs.where(F.col("doc_id") % 10 == 0)
-    ids = bpe_encode_ids(sub, merges=merges, vocab=vocab)
-    counts = bpe_token_counts(sub, merges=merges, out_col="_nt")
+    ids = bpe_encode_ids(sub, merges=merges, vocab=vocab, vocab_tokens=vt)
+    counts = bpe_token_counts(sub, merges=merges, out_col="_nt",
+                              vocab_tokens=vt)
     plan = pack_sequences(counts, "_nt", 512, id_cols=["doc_id"], n_shards=8)
     mat = pack_materialize(ids, plan, 512)
     return mat.groupBy("shard", "seq_id").agg(
@@ -1046,9 +1059,9 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
+    merges, vt, _ = _trained_tokenizer(docs)
     sub = docs.where(F.col("doc_id") % 10 == 0)
-    enc = bpe_encode(sub, merges=merges)
+    enc = bpe_encode(sub, merges=merges, vocab_tokens=vt)
     n_tok = enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("_nt")
     )
@@ -1831,8 +1844,9 @@ def q_mix_trained_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    merges = _trained_merges(docs)
-    counts = bpe_token_counts(docs, merges=merges, out_col="_nt")
+    merges, vt, _ = _trained_tokenizer(docs)
+    counts = bpe_token_counts(docs, merges=merges, out_col="_nt",
+                              vocab_tokens=vt)
     out = token_budget_mix(
         docs.join(counts, "doc_id"),
         "lang",
@@ -2117,14 +2131,15 @@ def q_stream_token_count_trained(
     from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
+    merges, vt, _ = _trained_tokenizer(docs)
     stream = _documents_stream(spark, sf_dir).select("doc_id", "text")
     out_dir = tempfile.mkdtemp(prefix="aces_tok_stream_")
 
     def count_batch(batch: DataFrame, epoch_id: int) -> None:
         (
             bpe_token_counts(
-                batch, merges=merges, out_col="n_tokens_trained"
+                batch, merges=merges, out_col="n_tokens_trained",
+                vocab_tokens=vt,
             )
             .withColumn("_epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
@@ -2340,8 +2355,9 @@ def q_pack_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
-    counts = bpe_token_counts(docs, merges=merges, out_col="_nt")
+    merges, vt, _ = _trained_tokenizer(docs)
+    counts = bpe_token_counts(docs, merges=merges, out_col="_nt",
+                              vocab_tokens=vt)
     packed = pack_sequences(
         counts, "_nt", 512, id_cols=["doc_id"], n_shards=8
     )
@@ -2368,7 +2384,7 @@ def q_pack_chunked_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import bpe_token_counts, chunk_documents
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = _trained_merges(docs)
+    merges, vt, _ = _trained_tokenizer(docs)
     chunks = chunk_documents(
         docs, chunk_tokens=40, overlap=10
     ).withColumn(
@@ -2380,7 +2396,7 @@ def q_pack_chunked_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = bpe_token_counts(
         chunks, text_col="chunk_text", id_col="_ck",
-        merges=merges, out_col="_nt",
+        merges=merges, out_col="_nt", vocab_tokens=vt,
     )
     keyed = chunks.select("doc_id", "chunk_id", "_ck").join(counts, "_ck")
     packed = pack_sequences(

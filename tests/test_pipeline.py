@@ -1788,6 +1788,65 @@ def test_bpe_arrow_engine_equals_fold(spark):
         bpe_encode(df, engine="nope")
 
 
+def test_bpe_local_vocab_frames_equal_distributed(spark):
+    """The driver-local derived frames (round 14 optimization) must be
+    ROW-IDENTICAL to their distributed siblings: bpe_vocab_local ==
+    bpe_vocab, and encode / count / encode_ids under vocab_tokens ==
+    the fold path — on the fixture corpus (incl. an empty doc and
+    untrained symbols) under both the documented table and a trained
+    one. A word piece missing from vocab_tokens RAISES instead of
+    silently dropping/undercounting."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_token_counts,
+        bpe_train_collected,
+        bpe_vocab,
+        bpe_vocab_local,
+        bpe_vocab_tokens_local,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat"), (2, "which 2000 things!"),
+         (3, "internationalization routines qqq zz"), (4, "")],
+        "doc_id long, text string",
+    )
+    merges, vocab_counts = bpe_train_collected(df, num_merges=12)
+    words = [w for w, _ in vocab_counts]
+    vt = bpe_vocab_tokens_local(spark, words, merges)
+
+    want_v = sorted(map(tuple, bpe_vocab(df, merges).collect()))
+    got_v = sorted(map(tuple, bpe_vocab_local(spark, words, merges)
+                       .collect()))
+    assert got_v == want_v
+
+    want_c = sorted(map(tuple, bpe_token_counts(df, merges=merges)
+                        .collect()))
+    got_c = sorted(map(tuple, bpe_token_counts(
+        df, merges=merges, vocab_tokens=vt).collect()))
+    assert got_c == want_c
+
+    want_e = sorted(map(tuple, bpe_encode(df, merges=merges).collect()))
+    got_e = sorted(map(tuple, bpe_encode(
+        df, merges=merges, vocab_tokens=vt).collect()))
+    assert got_e == want_e
+
+    v = bpe_vocab(df, merges)
+    want_i = sorted(map(tuple, bpe_encode_ids(
+        df, merges=merges, vocab=v).collect()))
+    got_i = sorted(map(tuple, bpe_encode_ids(
+        df, merges=merges, vocab=bpe_vocab_local(spark, words, merges),
+        vocab_tokens=vt).collect()))
+    assert got_i == want_i
+
+    # coverage guard: a corpus word absent from vocab_tokens is loud
+    partial = bpe_vocab_tokens_local(spark, words[:1], merges)
+    with pytest.raises(Exception, match="missing from the"):
+        bpe_encode(df, merges=merges, vocab_tokens=partial).collect()
+    with pytest.raises(Exception, match="missing from the"):
+        bpe_token_counts(df, merges=merges, vocab_tokens=partial).collect()
+
+
 def test_funnel_auto_method_static_rule(spark, sf_dir):
     """method='auto' is a plan-time rule: chained for short funnels
     (k-pass wins at 3 steps — SCALE.md §skew), array for long ones
