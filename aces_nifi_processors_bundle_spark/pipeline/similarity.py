@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.registry import ensure_fanout_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1349,9 +1351,16 @@ def semantic_decontaminate(
     flagged rows only, deterministic (cos desc, eval_id asc) choice
     among ties.
     """
-    c = corpus.select(
+    # fan-out floor (round 14): the |corpus|x|evals| interpreted
+    # cosine folds (~60 us/pair) run on the corpus side's scan
+    # partitioning (evals broadcast) — the one similarity path where
+    # the paired probe showed the floor paying for its exchange
+    # (q_semantic_decontaminate_fixed 4.31 -> 1.39 s; the pure-numpy
+    # Arrow-kernel paths measured FASTER on raw scan splits, so they
+    # deliberately do not floor)
+    c = ensure_fanout_parallelism(corpus.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ))
     e = evals.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ev")
     )

@@ -329,6 +329,11 @@ def approx_distinct_profile(
     shuffles every distinct value of every column; this ships a
     fixed-size state per column). NULLs are ignored per count-distinct
     semantics. Output: (column, regs_hit, est_distinct)."""
+    from ..sources.registry import ensure_fanout_parallelism
+
+    # round 14: the melt multiplies rows by len(cols) and every value
+    # pays an md5+conv hash — fan-out floor (no-op at scale)
+    df = ensure_fanout_parallelism(df.select(*cols))
     melted = df.select(
         F.explode(
             F.array(

@@ -271,8 +271,15 @@ def _bpe_arrow_tokenize_vocab(
 
 def _bpe_pieces(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
     """(…extra, w) word-piece occurrences under the shared
-    pre-tokenizer — the single definition of 'what is a BPE word'."""
-    return df.select(
+    pre-tokenizer — the single definition of 'what is a BPE word'.
+    The fan-out floor (round 14): piece extraction multiplies rows by
+    ~doc word count, so the stage gets the scale-adaptive repartition
+    (no-op whenever scan splits already cover the cores)."""
+    from ..sources.registry import ensure_fanout_parallelism
+
+    return ensure_fanout_parallelism(
+        df.select(*extra, F.col(text_col))
+    ).select(
         *extra,
         F.explode(
             F.regexp_extract_all(
@@ -1110,8 +1117,17 @@ def shingle_rows(
     all shared one NULL shingle, giving every null-text doc identical
     MinHash signatures and SimHash fingerprint 0 — n^2 spurious
     "near-dup" pairs of contentless documents. Exact dedup still
-    handles them (md5-group semantics)."""
-    return df.select(
+    handles them (md5-group semantics).
+
+    Round 14: the explode gets the scale-adaptive fan-out floor
+    (ensure_fanout_parallelism) — shingling multiplies rows by ~doc
+    word count, and a one-row-group local file otherwise runs the
+    whole dedup funnel's extraction on one core. No-op at scale."""
+    from ..sources.registry import ensure_fanout_parallelism
+
+    return ensure_fanout_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     ).where(F.col("shingle").isNotNull())
 
@@ -1141,9 +1157,14 @@ def positional_shingle_rows(
     shorter than k words cannot anchor a k-token match, so it emits
     ZERO rows — a fallback pseudo-gram would fabricate matches whose
     claimed token span exceeds the document."""
+    from ..sources.registry import ensure_fanout_parallelism
+
     t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     grams = F.regexp_extract_all(t, F.lit(_shingle_regex(k)), 1)
-    return df.select(
+    # round 14: same fan-out floor as shingle_rows (no-op at scale)
+    return ensure_fanout_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), F.posexplode(grams).alias("pos", "shingle")
     ).where(F.col("shingle").isNotNull())
 
@@ -1592,10 +1613,16 @@ def char_trigram_rows(
     NOT normalized: Java and utf8proc lowercasing disagree on enough
     of Unicode to poison cross-engine checks, and a case-sensitive
     model is fine for ranking."""
+    from ..sources.registry import ensure_fanout_parallelism
+
     ids = [F.col(id_col)] if id_col is not None else []
     id_names = [id_col] if id_col is not None else []
-    base = df.select(*ids, F.col(text_col).alias("_t")).filter(
-        F.length("_t") >= 3
+    # trigram fan-out is ~|text| rows per doc — floor the stage's
+    # parallelism (round 14; no-op at scan-split-rich scale)
+    base = ensure_fanout_parallelism(
+        df.select(*ids, F.col(text_col).alias("_t")).filter(
+            F.length("_t") >= 3
+        )
     )
     return base.select(
         *id_names,
@@ -1616,19 +1643,23 @@ def train_char_trigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     is an average probability, not an average log-prob — the two rank
     documents identically for filtering).
 
-    Scale shape: two hash aggregations over (tri) — map-side combined
-    to ≤|charset|³ rows — and the model frame stays broadcastable
-    (even a full 8-bit charset is ≤16M rows; real corpora are far
-    smaller)."""
+    Scale shape: ONE hash aggregation over (tri) — map-side combined
+    to ≤|charset|³ rows — then the bigram sums as a window over the
+    aggregate (round 14, guide §2.4: the separate groupBy(bi) +
+    self-join re-ran the whole corpus explode subtree for the bigram
+    side; a window partitioned by the bigram computes the identical
+    integer sums over the already-aggregated trigram rows — one
+    corpus pass instead of two, window work bounded by trigram
+    CARDINALITY, never corpus size). The model frame stays
+    broadcastable (even a full 8-bit charset is ≤16M rows; real
+    corpora are far smaller)."""
     # id_col=None: training needs only trigrams — no hidden doc_id
     # schema requirement on the training frame
     tris = char_trigram_rows(df, text_col, id_col=None).select("tri")
     tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
-    bc = tc.groupBy(F.substring("tri", 1, 2).alias("bi")).agg(
-        F.sum("c3").alias("c2")
-    )
-    return tc.join(bc, F.substring(tc.tri, 1, 2) == bc.bi).select(
-        "tri", (F.col("c3") / F.col("c2")).alias("p")
+    w = Window.partitionBy(F.substring("tri", 1, 2))
+    return tc.select(
+        "tri", (F.col("c3") / F.sum("c3").over(w)).alias("p")
     )
 
 

@@ -4507,13 +4507,22 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     model = train_char_trigram_lm(docs)
-    scored = lm_score(docs, model).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
     # exact integer view of the 6-decimal score (|s| <= ~1e6 << 2^53)
     sm = F.round(F.col("lm_score") * 1_000_000).cast("bigint")
+    # threshold_buckets consumes its input twice (histogram walk +
+    # bucket join); without a cut the whole train->score subtree (two
+    # corpus explodes + the lang join) replays per consumer — round
+    # 14, guide §2.4 / §5: one narrow (id, lang, score) row per doc
+    # is materialized once and both consumers read the blocks. Same
+    # per-invocation computation, no cross-run state.
+    scored = (
+        lm_score(docs, model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "lm_score", sm.alias("__sm"))
+        .localCheckpoint(eager=True)
+    )
     bucketed = threshold_buckets(
-        scored.select("doc_id", "lang", "lm_score", sm.alias("__sm")),
+        scored,
         "lang",
         "__sm",
         ("head", "middle", "tail"),

@@ -91,3 +91,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def ensure_fanout_parallelism(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-fan-out stages
+    (round 14, guide §2.5 "input skew: one huge unsplittable file →
+    repartition immediately after the read").
+
+    Spark sizes scan splits by input BYTES (maxPartitionBytes /
+    openCostInBytes), which is right for scan-bound work but wrong
+    for operators whose work is a large multiple of their input —
+    shingle/trigram explodes (~100-300 output rows per doc), vector
+    matmuls, per-value hashing. A small input (one file, one parquet
+    row group — row groups are the split floor, so file-split confs
+    cannot help) then runs the whole fan-out stage on ONE core.
+
+    The floor: round-robin repartition to the session's default
+    parallelism IFF the frame currently plans to fewer partitions.
+    The condition makes it scale-adaptive rather than a local tuning
+    constant: at production scale scan partitions far exceed core
+    count, the branch never fires, and no extra exchange exists; when
+    it does fire, the input is by definition at most
+    cores x maxPartitionBytes — a bounded shuffle that unlocks every
+    core for a stage doing 100x its input bytes of work. Streaming
+    frames (no .rdd) pass through untouched; all engine operators are
+    partitioning-agnostic (order-proof aggregates discipline), so
+    results are identical either way."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n == 0 or n >= target:
+        return df
+    return df.repartition(target)

@@ -5993,3 +5993,54 @@ def test_dsir_resample_matches_python_gumbel_topk(spark, sf_dir):
         dsir_resample(docs, target, k=0)
     with pytest.raises(ValueError, match="temperature"):
         dsir_resample(docs, target, k=5, temperature=0)
+
+
+def test_fanout_parallelism_floor_is_conditional_and_result_invariant(spark):
+    """Round-14 fan-out floor (ensure_fanout_parallelism): a frame
+    planning to fewer partitions than defaultParallelism is round-robin
+    repartitioned up to it; a frame already at/above the floor passes
+    through with its plan unchanged (the production no-op branch); and
+    the operators that adopted the floor return identical result SETS
+    either way (order-proof aggregates discipline)."""
+    from aces_nifi_processors_bundle_spark.sources.registry import (
+        ensure_fanout_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.range(1000).coalesce(1)
+    floored = ensure_fanout_parallelism(one)
+    assert one.rdd.getNumPartitions() == 1
+    assert floored.rdd.getNumPartitions() == target
+    # row multiset preserved by the round-robin exchange
+    assert floored.groupBy().sum("id").collect()[0][0] == 999 * 1000 // 2
+
+    wide = spark.range(1000).repartition(target + 3)
+    assert ensure_fanout_parallelism(wide) is wide  # no extra exchange
+
+
+def test_trigram_lm_window_equals_two_aggregate_derivation(spark):
+    """Round-14 rewrite: train_char_trigram_lm computes p(tri) with a
+    window sum over the single trigram aggregate. Pin it against the
+    original two-aggregate + join derivation on a real fixture."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        char_trigram_rows,
+        train_char_trigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcabcabd"), (2, "the theta there"), (3, "aaaa"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["tri"]: r["p"] for r in train_char_trigram_lm(df).collect()
+    }
+    tris = char_trigram_rows(df, "text", id_col=None).select("tri")
+    tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    bc = tc.groupBy(F.substring("tri", 1, 2).alias("bi")).agg(
+        F.sum("c3").alias("c2")
+    )
+    want = {
+        r["tri"]: r["c3"] / r["c2"]
+        for r in tc.join(bc, F.substring(tc.tri, 1, 2) == bc.bi).collect()
+    }
+    assert got == want and len(got) > 5
