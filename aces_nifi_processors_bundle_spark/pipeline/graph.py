@@ -364,7 +364,7 @@ def label_propagation(
     labels = sym.select(F.col("s").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         counts = (
             sym.join(labels, sym["d"] == labels["v"])
             .groupBy(F.col("s").alias("v"), "lab")
@@ -375,7 +375,16 @@ def label_propagation(
         labels = counts.groupBy("v").agg(
             F.max_by("lab", F.struct(F.col("c"), -F.col("lab"))).alias("lab")
         )
-        labels = cut_lineage(labels, checkpoint)
+        # round 14 (guide §1.2 step 1 — fewer driver round-trips):
+        # EAGER cuts only every 2nd sweep; odd sweeps cut lazily, so
+        # their blocks materialize inside the next action while plan
+        # depth between materializations stays <= 2 sweeps (the same
+        # sweep-counted cadence near_dup_clusters uses). The final
+        # sweep is never eagerly cut — the consumer's one action
+        # computes it straight from the last materialized blocks.
+        labels = cut_lineage(
+            labels, checkpoint, eager=(i % 2 == 1 and i != n_iter - 1)
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("lab").alias("label"))
 
 
@@ -424,11 +433,19 @@ def shortest_paths(
             .select(F.col("_d").alias("v"))
             .distinct()
         )
+        # round 14: EAGER cuts only every 2nd hop (lazy otherwise) —
+        # a lazy localCheckpoint still materializes its blocks inside
+        # the NEXT eager action (or the consumer's), so every hop's
+        # frame is computed exactly once and the dist union's children
+        # all stay block-backed; the driver just stops paying a
+        # blocking job per hop. Plan depth between materializations
+        # <= 2 hops.
         new = cut_lineage(
             discovered.join(dist, "v", "left_anti").select(
                 "v", F.lit(h).cast("int").alias("dist")
             ),
             checkpoint,
+            eager=(h % 2 == 0),
         )
         # the union is NOT checkpointed: its children are all already
         # materialized, so its plan depth grows only by one node per
