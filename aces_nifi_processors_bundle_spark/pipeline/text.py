@@ -500,11 +500,14 @@ def bpe_train(
     symbols), (c) merge it everywhere with the one
     literal-replace scan bpe_token_count_expr replays.
 
-    Per-iteration shape: one vocab-sized groupBy (the pair count,
-    map-side combinable), one 1-row argmax collect (the merge IS a
-    driver decision — num_merges scheduling points, same as any
-    iterative algorithm here), one string replace + localCheckpoint
-    (keeps iteration i's scan from replaying i-1 replace chains).
+    Per-iteration shape: ONE driver action — the 1-row argmax collect
+    over the vocab-sized pair-count groupBy (map-side combinable); the
+    merge IS a driver decision, num_merges scheduling points, same as
+    any iterative algorithm here. The string replace + lineage cut
+    between elections is a LAZY localCheckpoint whose blocks
+    materialize inside the next election's collect (keeps iteration
+    i's scan from replaying i-1 replace chains without paying a
+    second blocking job per merge).
     Returns the ranked merge list — bounded driver state (num_merges
     pairs), feed it straight to bpe_token_counts(merges=...) or
     persist it as store state.
@@ -546,10 +549,17 @@ def bpe_train(
             df, num_merges, text_col=text_col, min_count=min_count
         )[0]
     d = BPE_DELIM
+    # round 14 (guide §1.2 step 1 — fewer sequential driver round-trips):
+    # every lineage cut in the training loop is LAZY. Iteration i's
+    # 1-row argmax collect computes the full pair-count aggregate, so it
+    # materializes the (lazily) checkpointed vocab blocks as a side
+    # effect — one driver action per election instead of the previous
+    # collect + eager-checkpoint pair (41 jobs → 20 at num_merges=20).
+    # Plan depth between materializations stays at ONE replace.
     vocab = (
         piece_counts
         .select("w", "c", _bpe_wrap(F.col("w")).alias("toks"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
@@ -590,6 +600,11 @@ def bpe_train(
             )
         left, right = best[0]["l"], best[0]["r"]
         merges.append((left, right))
+        if i == num_merges - 1:
+            # the post-final-merge vocab is never read again — skip the
+            # replace + cut outright (one fewer job than eager, zero
+            # dangling plan either way)
+            break
         vocab = vocab.withColumn(
             "toks",
             F.replace(
@@ -597,7 +612,7 @@ def bpe_train(
                 F.lit(d + left + d + d + right + d),
                 F.lit(d + left + right + d),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -5316,6 +5316,85 @@ def test_bpe_train_raises_when_pairs_run_dry(spark):
         bpe_train(tiny, num_merges=2)
 
 
+def test_bpe_train_lazy_cuts_cost_fewer_jobs_than_eager_loop(spark):
+    """Round 14: the distributed training loop cuts lineage LAZILY, so
+    each election is ONE driver action (the argmax collect materializes
+    the previous cut's blocks as a side effect) instead of the old
+    collect + eager-localCheckpoint pair. Job-count probe against the
+    pre-round-14 recipe, reconstructed verbatim: same elections,
+    strictly fewer Spark jobs."""
+    from aces_nifi_processors_bundle_spark.pipeline.text import (
+        BPE_DELIM,
+        _bpe_pieces,
+        _bpe_wrap,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the thin cat sat"), (2, "another thing that thins"),
+         (3, "that cat sat on the thing")],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, "probe")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def eager_recipe(num_merges):
+        # the pre-round-14 loop: eager initial cut, then per election a
+        # 1-row argmax collect AND an eager replace+checkpoint job
+        d = BPE_DELIM
+        piece_counts = (
+            _bpe_pieces(docs, "text", [])
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        )
+        vocab = (
+            piece_counts
+            .select("w", "c", _bpe_wrap(F.col("w")).alias("toks"))
+            .localCheckpoint(eager=True)
+        )
+        merges = []
+        for _ in range(num_merges):
+            arr = F.split(
+                F.expr("substring(toks, 2, length(toks) - 2)"), d + d
+            )
+            n = F.greatest(F.size(arr) - 1, F.lit(0))
+            prs = F.zip_with(
+                F.slice(arr, 1, n), F.slice(arr, 2, n),
+                lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+            )
+            best = (
+                vocab.select("c", F.explode(prs).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("c").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.encode("l", "UTF-8"),
+                         F.encode("r", "UTF-8"))
+                .limit(1)
+                .collect()
+            )
+            left, right = best[0]["l"], best[0]["r"]
+            merges.append((left, right))
+            vocab = vocab.withColumn(
+                "toks",
+                F.replace(
+                    F.col("toks"),
+                    F.lit(d + left + d + d + right + d),
+                    F.lit(d + left + right + d),
+                ),
+            ).localCheckpoint(eager=True)
+        return merges
+
+    want, n_eager = jobs_in("probe_bpe_eager", lambda: eager_recipe(4))
+    got, n_lazy = jobs_in("probe_bpe_lazy", lambda: bpe_train(docs, num_merges=4))
+    assert got == want
+    assert n_lazy < n_eager
+
+
 def test_bpe_encode_flat_offsets_and_consistency(spark):
     """bpe_encode's (pos, token) stream must reassemble each doc's
     pieces in order, and its per-doc token count must equal
