@@ -170,20 +170,34 @@ def main() -> None:
     # all have "parsed": null). Print the full map first for humans /
     # logs, then a compact summary — guaranteed to fit the tail — as
     # the FINAL line, which is what the driver parses.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time_full",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": sf,
-                "runs": rerun_passes,
-                "rerun_truncated": rerun_truncated,
-            }
+    full_record = {
+        "metric": "headline_queries_total_time_full",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf,
+        "runs": rerun_passes,
+        "rerun_truncated": rerun_truncated,
+    }
+    print(json.dumps(full_record))
+    # Also persist the COMPLETE per-query map as a file artifact
+    # (r14 verdict item 2): the summary line's 10-slowest trim reduced
+    # round-over-round comparison to a biased 4-query sample. The file
+    # is overwritten per run, lives next to bench.py (not CWD — the
+    # driver may invoke from anywhere), and is an ADDITION: the stdout
+    # contract above is unchanged. Best-effort: a read-only checkout
+    # must not fail the bench.
+    try:
+        sweep_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
         )
-    )
+        full_record["cpus"] = os.environ.get("SPARK_GRAFT_CPUS")
+        with open(sweep_path, "w") as fh:
+            json.dump(full_record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
     summary = {
         "metric": "headline_queries_total_time",
         "value": total,
